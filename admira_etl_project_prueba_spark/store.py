@@ -1,0 +1,109 @@
+"""Fact store — date-partitioned Parquet with idempotent upsert-by-key (S5).
+
+Reference parity: ``MemoryStorage.StoreMetrics`` —
+/root/reference/internal/storage/memory.go:20-26 — blindly APPENDS each
+batch, so re-running `/ingest/run` duplicates every stored row even though
+the docs claim idempotency (README.md:350-354, SYSTEM_DESIGN.md:5-16).
+
+Engine decision (SURVEY.md §7 decision 4): the default mode makes the
+documented claim true — ``upsert`` merges the incoming batch with existing
+facts per MetricKey (re-summing measures, re-deriving ratios) and
+overwrites ONLY the partitions the batch touches (dynamic partition
+overwrite).  ``append`` mode replicates raw reference behavior.
+
+Scale design:
+* Partitioned by ``date`` — F5 exact-day reads and F3/F4 ranges prune
+  statically; a 100 TB fact table becomes per-day directories.
+* Dynamic partition overwrite limits each upsert's write amplification to
+  the days present in the batch, not the whole table.
+* The merge is one grouped SUM over (existing days ∩ batch days) + batch —
+  a single shuffle on the composite key, partial-agg'd map-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from admira_etl_project_prueba_spark.functions.metrics import with_derived_metrics
+from admira_etl_project_prueba_spark.schemas import (
+    DERIVED_COLS,
+    METRIC_KEY_COLS,
+    METRICS_SCHEMA,
+)
+
+_MONEY_DECIMAL = "decimal(25,6)"
+
+
+class MetricsStore:
+    """Parquet-backed fact store with reference-shaped read/write API."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- read ---------------------------------------------------------------
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        """All stored facts; empty frame when nothing stored yet."""
+        if not self.exists():
+            return self.spark.createDataFrame([], METRICS_SCHEMA)
+        df = self.spark.read.parquet(self.path)
+        # partition column comes back typed; restore fact column order/types
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in METRICS_SCHEMA.fields]
+        )
+
+    # -- write --------------------------------------------------------------
+    def store(self, batch: DataFrame, mode: str = "upsert") -> None:
+        """Persist a consolidated batch.
+
+        * ``upsert`` (default): merge with existing rows per MetricKey,
+          re-sum measures, re-derive ratios; overwrite only touched date
+          partitions.
+        * ``append``: raw reference behavior (memory.go:24) — duplicates on
+          re-ingest, kept for byte-level compat experiments.
+        """
+        if mode == "append":
+            (batch.write.mode("append").partitionBy("date").parquet(self.path))
+            return
+        if mode != "upsert":
+            raise ValueError(f"unknown store mode: {mode}")
+
+        merged = batch
+        if self.exists():
+            existing = self.read()
+            # Only days present in the batch can change; restrict the merge
+            # input so the shuffle is sized by the batch, not the table.
+            batch_dates = batch.select("date").distinct()
+            relevant = existing.join(F.broadcast(batch_dates), "date", "left_semi")
+            both = relevant.select(batch.columns).unionByName(batch)
+            resummed = both.groupBy(*METRIC_KEY_COLS).agg(
+                F.sum("clicks").cast("long").alias("clicks"),
+                F.sum("impressions").cast("long").alias("impressions"),
+                F.sum(F.col("cost").cast(_MONEY_DECIMAL)).cast("double").alias("cost"),
+                F.sum("leads").cast("long").alias("leads"),
+                F.sum("opportunities").cast("long").alias("opportunities"),
+                F.sum("closed_won").cast("long").alias("closed_won"),
+                F.sum(F.col("revenue").cast(_MONEY_DECIMAL)).cast("double").alias("revenue"),
+            )
+            merged = with_derived_metrics(resummed).select(batch.columns)
+
+        # dynamic partitionOverwriteMode (session.py) ⇒ only the date
+        # partitions present in `merged` are replaced.
+        merged.write.partitionBy("date").mode("overwrite").parquet(self.path)
+
+    def store_idempotent_replace(self, batch: DataFrame) -> None:
+        """Replace-by-day: incoming batch is the new truth for its days.
+
+        The right mode when re-ingesting a corrected full day from sources
+        (vs. `upsert`, which treats the batch as an increment).
+        """
+        writer = batch.write.partitionBy("date")
+        writer.mode("overwrite").parquet(self.path)
