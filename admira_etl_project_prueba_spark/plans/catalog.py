@@ -1,0 +1,581 @@
+"""Query catalog: every declared engine capability with its DuckDB oracle.
+
+Each entry pairs a Spark implementation ``(spark, sf_dir) -> DataFrame``
+with the equivalent ANSI SQL the driver runs through DuckDB on the same
+parquet tables.  Entries with ``oracle=None`` are genuinely
+non-SQL-expressible (or rely on engine-specific hashing) and get the
+driver's weaker rows-only check; each of those is covered by dedicated
+pytest fixtures instead.
+
+PARITY RULES (why these queries hash-match bit-for-bit):
+* money/double sums go through DECIMAL(25,6) in BOTH engines → exact;
+* ratios/avgs divide the resulting identical doubles → identical IEEE ops;
+* dims use integer arithmetic + CASE only; day strings via
+  date_format/strftime (verified equal);
+* ``floor()`` before every double→int cast (Spark truncates, DuckDB
+  rounds);
+* every computed column aliased identically on both sides.
+
+The synthetic ads/CRM constructions mirror sources/synthetic.py — the SQL
+here and the column expressions there MUST stay in sync.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from admira_etl_project_prueba_spark.operators import analytics
+from admira_etl_project_prueba_spark.operators.export import consolidate_for_export
+from admira_etl_project_prueba_spark.operators.queries import (
+    debug_ads_by_date,
+    debug_crm_by_date,
+    debug_matches,
+    metrics_by_campaign,
+    metrics_by_channel,
+    metrics_by_date,
+    paginate,
+)
+from admira_etl_project_prueba_spark.operators.transform import transform
+from admira_etl_project_prueba_spark.functions.dates import parse_flexible_timestamp
+from admira_etl_project_prueba_spark.sources.synthetic import (
+    synthetic_ads,
+    synthetic_crm,
+    synthetic_crm_raw_dates,
+)
+from admira_etl_project_prueba_spark.sources.tables import load_events, load_table
+
+
+@dataclass
+class CatalogEntry:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+# ===========================================================================
+# Oracle SQL building blocks (DuckDB dialect, ANSI-compatible)
+# ===========================================================================
+
+_CHANNEL_CASE = (
+    "CASE {src} WHEN 'google' THEN 'google_ads' WHEN 'facebook' THEN 'facebook_ads' "
+    "WHEN 'tiktok' THEN 'tiktok_ads' WHEN 'linkedin' THEN 'linkedin_ads' "
+    "ELSE {src} || '_' || {med} END"
+)
+
+_UTM_DIMS = """
+    CASE user_id % 3 WHEN 0 THEN 'back_to_school' WHEN 1 THEN 'summer_sale'
+         ELSE 'test_campaign' END AS utm_campaign,
+    CASE user_id % 5 WHEN 0 THEN 'google' WHEN 1 THEN 'facebook' WHEN 2 THEN 'tiktok'
+         WHEN 3 THEN 'linkedin' ELSE 'newsletter' END AS utm_source,
+    CASE event_id % 3 WHEN 0 THEN 'cpc' WHEN 1 THEN 'social' ELSE 'email' END AS utm_medium
+"""
+
+_ADS_CTE = f"""
+ads AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS date,
+         'C-100' || CAST(user_id % 5 AS VARCHAR) AS campaign_id,
+         {_UTM_DIMS},
+         CAST(floor(value) AS INTEGER) % 50 AS clicks,
+         CAST(floor(value * 13) AS INTEGER) % 1000 AS impressions,
+         value AS cost
+  FROM events WHERE event_type IN ('click', 'view')
+),
+ads_ch AS (
+  SELECT *, {_CHANNEL_CASE.format(src='utm_source', med='utm_medium')} AS channel FROM ads
+)"""
+
+_CRM_CTE = f"""
+crm AS (
+  SELECT 'O-' || CAST(event_id AS VARCHAR) AS opportunity_id,
+         'user' || CAST(user_id AS VARCHAR) || '@example.com' AS contact_email,
+         CASE event_type WHEN 'signup' THEN 'lead' WHEN 'error' THEN 'opportunity'
+              ELSE CASE WHEN value < 20 THEN 'prospect' ELSE 'closed_won' END END AS stage,
+         value AS amount,
+         {_UTM_DIMS},
+         ts AS created_at,
+         event_id
+  FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+)"""
+
+# A1 + A2: conform → UNION ALL → 6-key hash agg → guarded ratios
+_METRICS_CTE = f"""
+{_ADS_CTE},
+{_CRM_CTE},
+unioned AS (
+  SELECT date, channel, campaign_id, utm_campaign, utm_source, utm_medium,
+         CAST(clicks AS BIGINT) AS clicks, CAST(impressions AS BIGINT) AS impressions,
+         CAST(cost AS DECIMAL(25,6)) AS cost,
+         CAST(0 AS BIGINT) AS leads, CAST(0 AS BIGINT) AS opportunities,
+         CAST(0 AS BIGINT) AS closed_won, CAST(0 AS DECIMAL(25,6)) AS revenue
+  FROM ads_ch
+  UNION ALL
+  SELECT strftime(created_at, '%Y-%m-%d') AS date,
+         {_CHANNEL_CASE.format(src='utm_source', med='utm_medium')} AS channel,
+         '' AS campaign_id, utm_campaign, utm_source, utm_medium,
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS DECIMAL(25,6)),
+         CAST(CASE WHEN stage = 'lead' THEN 1 ELSE 0 END AS BIGINT),
+         CAST(CASE WHEN stage = 'opportunity' THEN 1 ELSE 0 END AS BIGINT),
+         CAST(CASE WHEN stage = 'closed_won' THEN 1 ELSE 0 END AS BIGINT),
+         CAST(CASE WHEN stage = 'closed_won' THEN amount ELSE 0 END AS DECIMAL(25,6))
+  FROM crm
+),
+consolidated AS (
+  SELECT date, channel, campaign_id, utm_campaign, utm_source, utm_medium,
+         CAST(SUM(clicks) AS BIGINT) AS clicks,
+         CAST(SUM(impressions) AS BIGINT) AS impressions,
+         CAST(SUM(cost) AS DOUBLE) AS cost,
+         CAST(SUM(leads) AS BIGINT) AS leads,
+         CAST(SUM(opportunities) AS BIGINT) AS opportunities,
+         CAST(SUM(closed_won) AS BIGINT) AS closed_won,
+         CAST(SUM(revenue) AS DOUBLE) AS revenue
+  FROM unioned
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+metrics AS (
+  SELECT *,
+         CASE WHEN clicks > 0 THEN cost / clicks ELSE 0.0 END AS cpc,
+         CASE WHEN leads > 0 THEN cost / leads ELSE 0.0 END AS cpa,
+         CASE WHEN leads > 0 THEN CAST(opportunities AS DOUBLE) / leads ELSE 0.0 END AS cvr_lead_to_opp,
+         CASE WHEN opportunities > 0 THEN CAST(closed_won AS DOUBLE) / opportunities ELSE 0.0 END AS cvr_opp_to_won,
+         CASE WHEN cost > 0 THEN revenue / cost ELSE 0.0 END AS roas
+  FROM consolidated
+)"""
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+# ===========================================================================
+# Spark-side helpers
+# ===========================================================================
+
+def _ads(spark, sf_dir):
+    return synthetic_ads(load_events(spark, sf_dir))
+
+
+def _crm(spark, sf_dir):
+    return synthetic_crm(load_events(spark, sf_dir))
+
+
+def _metrics(spark, sf_dir):
+    return transform(_ads(spark, sf_dir), _crm(spark, sf_dir))
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _all(spark, sf_dir):
+    return {
+        n: load_table(spark, sf_dir, n)
+        for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    }
+
+
+# ===========================================================================
+# The catalog
+# ===========================================================================
+
+CATALOG: dict[str, CatalogEntry] = {}
+
+
+def _entry(name: str, doc: str, oracle: Optional[str]):
+    def wrap(fn):
+        CATALOG[name] = CatalogEntry(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+# -- reference surface: ingest/consolidation (SURVEY §2.4 A1/A2) ------------
+
+@_entry(
+    "ingest_consolidate",
+    "A1+A2+F9+F10+F12: full union-aggregate consolidation of the synthetic "
+    "ads/CRM views into the 18-column metrics fact table.",
+    f"WITH {_METRICS_CTE} SELECT * FROM metrics",
+)
+def _q_ingest(spark, sf_dir):
+    return _metrics(spark, sf_dir)
+
+
+@_entry(
+    "ingest_since_filter",
+    "F1: consolidation + inclusive since-filter applied AFTER aggregation "
+    "(reference dataflow order, handlers.go:76-122).",
+    f"WITH {_METRICS_CTE} SELECT * FROM metrics WHERE CAST(date AS DATE) >= DATE '2024-01-15'",
+)
+def _q_since(spark, sf_dir):
+    return transform(_ads(spark, sf_dir), _crm(spark, sf_dir), since="2024-01-15")
+
+
+# -- reference surface: storage scans + pagination (F3-F5, P1) ---------------
+
+@_entry(
+    "metrics_by_channel_page1",
+    "F3+P1: GET /metrics/channel — channel + inclusive date range, "
+    "canonically sorted, first page (limit 100).",
+    f"""WITH {_METRICS_CTE}
+SELECT * FROM metrics
+WHERE channel = 'google_ads'
+  AND CAST(date AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'
+ORDER BY date, channel, campaign_id, utm_campaign, utm_source, utm_medium
+LIMIT 100 OFFSET 0""",
+)
+def _q_channel1(spark, sf_dir):
+    q = metrics_by_channel(_metrics(spark, sf_dir), "google_ads", "2024-01-05", "2024-01-25")
+    return paginate(q, limit=100, offset=0)
+
+
+@_entry(
+    "metrics_by_channel_page2",
+    "P1: second page of the same scan (offset 100) — proves deterministic "
+    "offset pagination.",
+    f"""WITH {_METRICS_CTE}
+SELECT * FROM metrics
+WHERE channel = 'google_ads'
+  AND CAST(date AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-25'
+ORDER BY date, channel, campaign_id, utm_campaign, utm_source, utm_medium
+LIMIT 100 OFFSET 100""",
+)
+def _q_channel2(spark, sf_dir):
+    q = metrics_by_channel(_metrics(spark, sf_dir), "google_ads", "2024-01-05", "2024-01-25")
+    return paginate(q, limit=100, offset=100)
+
+
+@_entry(
+    "funnel_by_campaign",
+    "F4: GET /metrics/funnel — utm_campaign + date range, no pagination.",
+    f"""WITH {_METRICS_CTE}
+SELECT * FROM metrics
+WHERE utm_campaign = 'back_to_school'
+  AND CAST(date AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-31'""",
+)
+def _q_funnel(spark, sf_dir):
+    return metrics_by_campaign(_metrics(spark, sf_dir), "back_to_school", "2024-01-01", "2024-01-31")
+
+
+@_entry(
+    "metrics_by_date",
+    "F5: exact-day scan (partition-pruning hit on the stored fact table).",
+    f"WITH {_METRICS_CTE} SELECT * FROM metrics WHERE CAST(date AS DATE) = DATE '2024-01-10'",
+)
+def _q_bydate(spark, sf_dir):
+    return metrics_by_date(_metrics(spark, sf_dir), "2024-01-10")
+
+
+# -- reference surface: export re-consolidation (A3) -------------------------
+
+@_entry(
+    "export_day",
+    "A3: coarse re-consolidation of one day (channel, campaign_id, "
+    "utm_campaign), measures re-summed, ratios re-derived, deterministic "
+    "min() for the demoted utm dims.",
+    f"""WITH {_METRICS_CTE},
+day AS (SELECT * FROM metrics WHERE CAST(date AS DATE) = DATE '2024-01-10'),
+coarse AS (
+  SELECT channel, campaign_id, utm_campaign,
+         MIN(date) AS date,
+         CAST(SUM(clicks) AS BIGINT) AS clicks,
+         CAST(SUM(impressions) AS BIGINT) AS impressions,
+         {_DSUM.format(x='cost')} AS cost,
+         CAST(SUM(leads) AS BIGINT) AS leads,
+         CAST(SUM(opportunities) AS BIGINT) AS opportunities,
+         CAST(SUM(closed_won) AS BIGINT) AS closed_won,
+         {_DSUM.format(x='revenue')} AS revenue,
+         MIN(utm_source) AS utm_source,
+         MIN(utm_medium) AS utm_medium
+  FROM day GROUP BY 1, 2, 3
+)
+SELECT date, channel, campaign_id, utm_campaign, utm_source, utm_medium,
+       clicks, impressions, cost, leads, opportunities, closed_won, revenue,
+       CASE WHEN clicks > 0 THEN cost / clicks ELSE 0.0 END AS cpc,
+       CASE WHEN leads > 0 THEN cost / leads ELSE 0.0 END AS cpa,
+       CASE WHEN leads > 0 THEN CAST(opportunities AS DOUBLE) / leads ELSE 0.0 END AS cvr_lead_to_opp,
+       CASE WHEN opportunities > 0 THEN CAST(closed_won AS DOUBLE) / opportunities ELSE 0.0 END AS cvr_opp_to_won,
+       CASE WHEN cost > 0 THEN revenue / cost ELSE 0.0 END AS roas
+FROM coarse""",
+)
+def _q_export(spark, sf_dir):
+    return consolidate_for_export(metrics_by_date(_metrics(spark, sf_dir), "2024-01-10"))
+
+
+# -- reference surface: debug endpoints (F6) ---------------------------------
+
+@_entry(
+    "debug_ads_by_date",
+    "F6: GET /debug/ads?date= — raw ads rows for one day.",
+    f"""WITH {_ADS_CTE}
+SELECT date, campaign_id, utm_campaign, utm_source, utm_medium,
+       clicks, impressions, cost, channel
+FROM ads_ch WHERE date = '2024-01-10'""",
+)
+def _q_dbg_ads(spark, sf_dir):
+    return debug_ads_by_date(_ads(spark, sf_dir), "2024-01-10").drop("ingested_at")
+
+
+@_entry(
+    "debug_crm_by_date",
+    "F6: GET /debug/crm?date= — raw CRM rows whose created_at day matches.",
+    f"""WITH {_CRM_CTE}
+SELECT opportunity_id, contact_email, stage, amount,
+       utm_campaign, utm_source, utm_medium,
+       strftime(created_at, '%Y-%m-%d %H:%M:%S.%f') AS created_at_str
+FROM crm WHERE CAST(created_at AS DATE) = DATE '2024-01-10'""",
+)
+def _q_dbg_crm(spark, sf_dir):
+    df = debug_crm_by_date(_crm(spark, sf_dir), "2024-01-10")
+    return df.select(
+        "opportunity_id",
+        "contact_email",
+        "stage",
+        "amount",
+        "utm_campaign",
+        "utm_source",
+        "utm_medium",
+        F.date_format("created_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("created_at_str"),
+    )
+
+
+@_entry(
+    "debug_matches_ads",
+    "F6: GET /debug/matches — ads side of the two independent per-source "
+    "filters (deliberately NOT a join, handlers.go:458-501).",
+    f"""WITH {_ADS_CTE}
+SELECT date, campaign_id, utm_campaign, utm_source, utm_medium,
+       clicks, impressions, cost, channel
+FROM ads_ch WHERE utm_campaign = 'summer_sale'""",
+)
+def _q_match_ads(spark, sf_dir):
+    a, _ = debug_matches(_ads(spark, sf_dir), _crm(spark, sf_dir), "summer_sale")
+    return a.drop("ingested_at")
+
+
+@_entry(
+    "debug_matches_crm",
+    "F6: GET /debug/matches — CRM side.",
+    f"""WITH {_CRM_CTE}
+SELECT opportunity_id, stage, amount, utm_campaign, utm_source, utm_medium
+FROM crm WHERE utm_campaign = 'summer_sale'""",
+)
+def _q_match_crm(spark, sf_dir):
+    _, c = debug_matches(_ads(spark, sf_dir), _crm(spark, sf_dir), "summer_sale")
+    return c.select("opportunity_id", "stage", "amount", "utm_campaign", "utm_source", "utm_medium")
+
+
+# -- reference scalar functions: F7/F8 parse cascade, F9 channels ------------
+
+@_entry(
+    "crm_parse_flexible",
+    "F7+F8: multi-format created_at strings (rotating layouts + an "
+    "unparseable one) through the first-match-wins parse cascade; "
+    "deterministic NULL on failure.",
+    f"""WITH {_CRM_CTE},
+raw AS (
+  SELECT opportunity_id, event_id,
+         CASE event_id % 6
+           WHEN 0 THEN strftime(created_at, '%Y-%m-%dT%H:%M:%SZ')
+           WHEN 1 THEN strftime(created_at, '%Y-%m-%d %H:%M:%S')
+           WHEN 2 THEN strftime(created_at, '%Y-%m-%d')
+           WHEN 3 THEN strftime(created_at, '%Y/%m/%d %H:%M:%S')
+           WHEN 4 THEN '  ' || strftime(created_at, '%Y-%m-%d %H:%M:%S') || '  '
+           ELSE 'not-a-date' END AS created_at_raw
+  FROM crm
+),
+norm AS (
+  SELECT opportunity_id, created_at_raw,
+         replace(trim(created_at_raw), '/', '-') AS n
+  FROM raw
+)
+SELECT opportunity_id, created_at_raw,
+       strftime(COALESCE(
+         try_strptime(n, '%Y-%m-%dT%H:%M:%SZ'),
+         try_strptime(n, '%Y-%m-%d %H:%M:%S'),
+         try_strptime(n, '%Y-%m-%d')
+       ), '%Y-%m-%d %H:%M:%S') AS parsed,
+       COALESCE(
+         try_strptime(n, '%Y-%m-%dT%H:%M:%SZ'),
+         try_strptime(n, '%Y-%m-%d %H:%M:%S'),
+         try_strptime(n, '%Y-%m-%d')
+       ) IS NULL AS is_fallback
+FROM norm""",
+)
+def _q_parse(spark, sf_dir):
+    df = synthetic_crm_raw_dates(load_events(spark, sf_dir))
+    parsed = parse_flexible_timestamp("created_at_raw")
+    return df.select(
+        "opportunity_id",
+        "created_at_raw",
+        F.date_format(parsed, "yyyy-MM-dd HH:mm:ss").alias("parsed"),
+        parsed.isNull().alias("is_fallback"),
+    )
+
+
+@_entry(
+    "channel_inference",
+    "F9: the utm_source switch incl. the '{source}_{medium}' default branch, "
+    "over every distinct synthetic UTM pair.",
+    f"""WITH {_ADS_CTE}
+SELECT DISTINCT utm_source, utm_medium, channel FROM ads_ch""",
+)
+def _q_channels(spark, sf_dir):
+    return _ads(spark, sf_dir).select("utm_source", "utm_medium", "channel").distinct()
+
+
+# -- generic analytics: TPC-H-style (joins, wide aggs) -----------------------
+
+@_entry(
+    "q1_pricing_summary",
+    "TPC-H Q1: scan + wide hash aggregate with exact decimal sums.",
+    f"""SELECT l_returnflag, l_linestatus,
+       {_DSUM.format(x='l_quantity')} AS sum_qty,
+       {_DSUM.format(x='l_extendedprice')} AS sum_base_price,
+       {_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+       {_DSUM.format(x='l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+       {_DSUM.format(x='l_quantity')} / COUNT(*) AS avg_qty,
+       {_DSUM.format(x='l_extendedprice')} / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def _q1(spark, sf_dir):
+    return analytics.q1_pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@_entry(
+    "q3_shipping_priority",
+    "TPC-H Q3: 3-way join, revenue agg, deterministic top-10.",
+    f"""SELECT l_orderkey,
+       {_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
+)
+def _q3(spark, sf_dir):
+    return analytics.q3_shipping_priority(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_entry(
+    "q5_local_supplier_volume",
+    "TPC-H Q5: 6-way join with broadcast dims; local-supplier condition.",
+    f"""SELECT n_name,
+       {_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name""",
+)
+def _q5(spark, sf_dir):
+    return analytics.q5_local_supplier_volume(_all(spark, sf_dir))
+
+
+@_entry(
+    "q6_revenue_forecast",
+    "TPC-H Q6: pure scan-filter-sum (full predicate pushdown).",
+    f"""SELECT COALESCE({_DSUM.format(x='l_extendedprice * l_discount')}, 0.0) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+)
+def _q6(spark, sf_dir):
+    return analytics.q6_revenue_forecast(_t(spark, sf_dir, "lineitem"))
+
+
+@_entry(
+    "q10_returned_items",
+    "TPC-H Q10: returned-item revenue, 4-way join, deterministic top-20.",
+    f"""SELECT c_custkey, c_name,
+       {_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20""",
+)
+def _q10(spark, sf_dir):
+    return analytics.q10_returned_items(_all(spark, sf_dir))
+
+
+# -- events analytics: rollups, windows, sessionization ----------------------
+
+@_entry(
+    "events_daily_stats",
+    "Day × type rollup: counts, distinct users, exact sums, derived avg.",
+    f"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {_DSUM.format(x='value')} AS total_value,
+       {_DSUM.format(x='value')} / COUNT(*) AS avg_value
+FROM events GROUP BY 1, 2""",
+)
+def _q_daily(spark, sf_dir):
+    return analytics.events_daily_stats(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_sessionize",
+    "Sessionization: lag → gap>30min flag → running-sum session ids → "
+    "per-session aggregates. One shuffle, windows reuse the partitioning.",
+    f"""WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       {_DSUM.format(x='value')} AS total_value
+FROM sess GROUP BY user_id, session_id""",
+)
+def _q_sessions(spark, sf_dir):
+    return analytics.sessionize(load_events(spark, sf_dir))
+
+
+@_entry(
+    "top_users_by_value",
+    "Global top-50 users by exact total value with row-number ranking.",
+    f"""WITH per_user AS (
+  SELECT user_id, {_DSUM.format(x='value')} AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total_value,
+       ROW_NUMBER() OVER (ORDER BY total_value DESC, user_id) AS rnk
+FROM per_user
+QUALIFY rnk <= 50""",
+)
+def _q_topusers(spark, sf_dir):
+    return analytics.top_users_by_value(load_events(spark, sf_dir))

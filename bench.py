@@ -1,0 +1,80 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() the materialized result — the
+driver-side equivalent of a full action) after a warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from admira_etl_project_prueba_spark.plans.catalog import CATALOG
+from admira_etl_project_prueba_spark.session import get_spark
+
+#: headline set: reference pipeline + heaviest generic + data-pipeline ops
+BENCH_QUERIES = [
+    "ingest_consolidate",
+    "metrics_by_channel_page1",
+    "export_day",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "events_daily_stats",
+    "events_sessionize",
+    "top_users_by_value",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="admira-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM / parquet footers so per-query numbers measure the
+    # queries, not session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    names = [n for n in BENCH_QUERIES if n in CATALOG]
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = CATALOG[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time, sequential, local[%s]" % cpus,
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
