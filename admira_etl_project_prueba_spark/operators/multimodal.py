@@ -1,0 +1,139 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Training-data pipelines carry images/audio/video as ``binary`` columns with
+a typed metadata struct alongside.  The *decode* step (JPEG→pixels,
+WAV→samples, MP4→frames) needs native libraries that are not in this
+container, so the decoders are clearly-marked deterministic fakes /
+``NotImplementedError`` stubs — but the Spark-side plumbing (schema,
+Arrow-batched ``mapInPandas`` signature, batch shapes, partition
+behavior) is real and tested: swapping a real decoder in changes only the
+body of the pandas function.
+
+Why ``mapInPandas`` (not a scalar UDF): decode is 1→N (frames) or 1→large
+(pixel tensors); an iterator of Arrow batches lets one task stream through
+a partition of payloads without materializing it, the shape that survives
+100 TB of video.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata carried next to every binary payload
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("sha256", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def documents_as_media(documents: DataFrame, media_type: str = "image") -> DataFrame:
+    """Wrap the documents table as a media table (payload = utf-8 bytes).
+
+    Stands in for `spark.read.format("binaryFile")` over an object store —
+    same schema contract, derivable metadata, deterministic.
+    """
+    payload = F.encode(F.col("text"), "UTF-8")
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(media_type).alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, media_type: str) -> dict:
+    """STUB decoder — deterministic fake in place of PIL/ffmpeg/librosa.
+
+    Real deployments replace this body with the native decode; everything
+    around it (batching, schema, partitioning) is production-shaped.
+    """
+    n = len(payload)
+    if media_type == "image":
+        return {"width": 64 + n % 64, "height": 64 + n % 48, "n_frames": 1}
+    if media_type == "video":
+        return {"width": 320, "height": 240, "n_frames": 1 + n % 250}
+    if media_type == "audio":
+        return {"width": 0, "height": 0, "n_frames": 1 + n % 48000}
+    raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+
+
+def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
+    """Decode + featurize every payload via Arrow-batched ``mapInPandas``.
+
+    The fake feature vector is a byte-histogram projection — deterministic,
+    so tests can assert exact values; a real model swap keeps the shape.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                shape = _fake_decode(payload, r["media_type"])
+                hist = [0.0] * feature_dim
+                for byte in payload:
+                    hist[byte % feature_dim] += 1.0
+                total = max(len(payload), 1)
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "media_type": r["media_type"],
+                        "n_bytes": len(payload),
+                        "width": shape["width"],
+                        "height": shape["height"],
+                        "n_frames": shape["n_frames"],
+                        "feature": [h / total for h in hist],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """1→N expansion: one row per sampled frame index (plumbing for video
+    frame extraction).  Uses the decoded n_frames; the actual pixel fetch
+    is the stubbed decode.  posexplode keeps the expansion declarative."""
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_index"),
+    )

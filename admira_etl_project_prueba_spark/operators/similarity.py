@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference operators for training-data pipelines: exact cosine top-k
+as the correctness baseline, and a deterministic random-hyperplane LSH
+bucketing as the scale path (candidate set shrinks ~2^planes-fold before
+any distance math).
+
+Numeric policy: floats are promoted to double and every dot product is a
+LEFT-TO-RIGHT fold (``aggregate``/``zip_with``), which DuckDB's
+``list_sum(list_transform(...))`` reproduces bit-for-bit — verified, so
+even the floating-point operators are oracle-checkable.
+
+Scale posture:
+* brute-force top-k: one scan, row-local arithmetic, TakeOrdered(k) — no
+  shuffle of the corpus; the right baseline up to ~10^7 vectors/query-batch.
+* LSH: bucket id is row-local; the query probes one bucket (or the
+  multi-probe neighborhood).  At 100 TB the table is written bucketed
+  (`bucketBy(buckets, 'bucket')`) so a probe is a partition-pruned read.
+* the hyperplanes are derived from a deterministic integer LCG — no RNG
+  state, same planes on every engine, every run, every cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64  # embedding dimensionality in the testdata tables
+
+#: deterministic "random" hyperplanes: plane i, component j (1-based j)
+#: value in [-1, 1): ((LCG(i·DIM+j) mod 2001) - 1000) / 1000
+_PLANE_VAL = "((((1103515245 * CAST({idx} AS BIGINT) + 12345) % 2001) + 2001) % 2001 - 1000) / 1000.0"
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _norm(a: str) -> str:
+    return f"sqrt(aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"
+
+
+def with_cosine(targets: DataFrame, query_col: str = "q", vec_col: str = "v") -> DataFrame:
+    """Append ``cosine`` = dot/(|q||v|), 0.0 when either norm is 0."""
+    dot = _dot(query_col, vec_col)
+    nq, nv = _norm(query_col), _norm(vec_col)
+    return targets.withColumn(
+        "cosine",
+        F.expr(
+            f"CASE WHEN {nq} > 0 AND {nv} > 0 THEN {dot} / ({nq} * {nv}) ELSE 0.0 END"
+        ),
+    )
+
+
+def _as_double(df: DataFrame, out: str) -> DataFrame:
+    return df.selectExpr(
+        "vec_id", "label", f"transform(embedding, x -> CAST(x AS DOUBLE)) AS {out}"
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Exact brute-force cosine top-k against one stored vector.
+
+    The 1-row query side is broadcast; ties broken by vec_id for
+    determinism; the self-match is excluded.
+    """
+    q = _as_double(embeddings.filter(F.col("vec_id") == query_vec_id), "q").select("q")
+    t = _as_double(embeddings.filter(F.col("vec_id") != query_vec_id), "v")
+    scored = with_cosine(t.crossJoin(F.broadcast(q)))
+    return (
+        scored.select("vec_id", "label", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Top-k neighbors for each of the first ``n_queries`` vectors —
+    the batch shape (query ⨯ corpus, per-query window top-k)."""
+    q = _as_double(embeddings.filter(F.col("vec_id") < n_queries), "q").selectExpr(
+        "vec_id AS query_id", "q"
+    )
+    t = _as_double(embeddings, "v")
+    scored = with_cosine(t.crossJoin(F.broadcast(q))).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine", "rnk")
+    )
+
+
+def lsh_bucket_expr(vec_col: str, n_planes: int = 8) -> str:
+    """SQL expression: random-hyperplane LSH bucket id (sign pattern)."""
+    bits = []
+    for i in range(n_planes):
+        plane = (
+            f"transform(sequence(1, {DIM}), "
+            f"j -> {_PLANE_VAL.format(idx=f'({i} * {DIM} + j)')})"
+        )
+        bits.append(
+            f"(CASE WHEN {_dot(vec_col, plane)} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Assign every vector its LSH bucket (row-local; bucket-write ready)."""
+    t = _as_double(embeddings, "v")
+    return t.selectExpr("vec_id", "label", f"{lsh_bucket_expr('v', n_planes)} AS bucket")
+
+
+def lsh_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, n_planes: int = 8
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    At scale the bucket column is pre-materialized + bucketed on disk, so
+    this becomes a pruned read of ~corpus/2^planes vectors instead of a
+    full scan.
+    """
+    t = _as_double(embeddings, "v").withColumn(
+        "bucket", F.expr(lsh_bucket_expr("v", n_planes))
+    )
+    q = (
+        t.filter(F.col("vec_id") == query_vec_id)
+        .selectExpr("v AS q", "bucket AS qbucket")
+    )
+    cands = t.join(F.broadcast(q), F.col("bucket") == F.col("qbucket")).filter(
+        F.col("vec_id") != query_vec_id
+    )
+    scored = with_cosine(cands)
+    return (
+        scored.select("vec_id", "label", "bucket", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def embedding_norms(embeddings: DataFrame) -> DataFrame:
+    """L2 norms + dimensionality — the sanity profile of a vector column."""
+    t = _as_double(embeddings, "v")
+    return t.selectExpr(
+        "vec_id",
+        "label",
+        "size(v) AS dim",
+        f"{_norm('v')} AS l2_norm",
+    )

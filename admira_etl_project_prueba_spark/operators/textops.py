@@ -1,0 +1,281 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+These go beyond the reference (which has no text processing) and implement
+the document-pipeline primitives a 100 TB corpus needs: token statistics,
+quality scoring, language ID, fingerprinting, SimHash and MinHash.
+
+Design rules:
+* Everything is built-in Catalyst expressions — higher-order array
+  functions (``transform``/``filter``/``aggregate``) instead of explode
+  where possible, so per-document work stays row-local with NO shuffle.
+  A corpus-wide run is embarrassingly parallel: scan → project.
+* Hashes are engine-portable: md5 (bit-identical everywhere) with the
+  first 15 hex chars parsed as a 60-bit integer (``HEX60``).  This keeps
+  every operator oracle-checkable in DuckDB, and — more importantly — makes
+  fingerprints STABLE across engine versions and cluster sizes, which is
+  what you want for incremental dedup over a growing corpus.
+* MinHash arithmetic stays under 2^47 (hash reduced mod 2^31-1 before the
+  affine permutation) so it is exact in any engine's int64 — no silent
+  overflow wraparound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# portable primitives
+# ---------------------------------------------------------------------------
+
+#: SQL fragment: 60-bit integer from the first 15 hex chars of md5({x})
+def hex60(x: str) -> str:
+    return f"CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1, the minhash modulus
+
+#: whitespace tokenization, lowercased — portable to regexp_split_to_array
+TOKENS = "split(lower(trim(text)), '\\\\s+')"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def _stop_list_sql() -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+# ---------------------------------------------------------------------------
+# token statistics & quality
+# ---------------------------------------------------------------------------
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token counts — the unit of corpus budgeting."""
+    return documents.selectExpr(
+        "doc_id",
+        f"size({TOKENS}) AS n_tokens",
+        "length(text) AS n_chars",
+        f"size(array_distinct({TOKENS})) AS n_unique_tokens",
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length, lexical diversity, stopword
+    density, mean token length.  Pure projection — no shuffle, scales
+    linearly with corpus size."""
+    toks = TOKENS
+    return documents.selectExpr(
+        "doc_id",
+        "length(text) AS n_chars",
+        f"size({toks}) AS n_tokens",
+        # mean token length, exact rational → double
+        f"CAST(aggregate({toks}, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
+        f" / size({toks}) AS mean_token_len",
+        # type-token ratio (lexical diversity)
+        f"CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks}) AS ttr",
+        # stopword ratio — natural-language text sits in a known band
+        f"CAST(size(filter({toks}, t -> array_contains({_stop_list_sql()}, t))) AS DOUBLE)"
+        f" / size({toks}) AS stopword_ratio",
+    )
+
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # tiny marker lexica; a real deployment swaps in per-language n-gram
+    # models — the *dataflow* (argmax of per-language evidence counts,
+    # row-local, no shuffle) is the part that matters at scale.
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Marker-lexicon language ID with deterministic argmax tie-break
+    (alphabetical language order, 'und' when no evidence)."""
+    toks = TOKENS
+    counts = {
+        lang: (
+            f"size(filter({toks}, t -> array_contains("
+            + "array(" + ", ".join(f"'{w}'" for w in words) + "), t)))"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(counts)  # deterministic tie-break order
+    best = f"greatest({', '.join(counts[l] for l in langs)})"
+    pick = "CASE "
+    for l in langs:
+        pick += f"WHEN {counts[l]} = {best} THEN '{l}' "
+    pick += "END"
+    return documents.selectExpr(
+        "doc_id",
+        "lang AS lang_declared",
+        f"CASE WHEN {best} = 0 THEN 'und' ELSE {pick} END AS lang_predicted",
+        f"{best} AS marker_hits",
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprints
+# ---------------------------------------------------------------------------
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Exact-dup fingerprints: raw md5 + whitespace/case-normalized md5."""
+    norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    return documents.selectExpr(
+        "doc_id",
+        "md5(text) AS md5_raw",
+        f"md5({norm}) AS md5_normalized",
+        "length(text) AS n_chars",
+    )
+
+
+def simhash64(documents: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash over token hashes: bit j of the fingerprint is the majority
+    vote of bit j across all token hashes.  Near-dup docs differ in a few
+    bits (compare with hamming distance / bit_count(xor)).
+
+    Entirely row-local via higher-order functions — no explode, no shuffle.
+    """
+    hashes = f"transform({TOKENS}, t -> {hex60('t')})"
+    bit_terms = " + ".join(
+        # majority of bit j set → contribute 2^j
+        f"(CASE WHEN 2 * size(filter(h, x -> (x >> {j}) & 1 = 1)) > size(h) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return documents.selectExpr("doc_id", f"{hashes} AS h").selectExpr(
+        "doc_id", f"{bit_terms} AS simhash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles & MinHash
+# ---------------------------------------------------------------------------
+
+def _shingle_expr(k: int = 3) -> str:
+    """k-token shingle strings (1-based element_at for DuckDB parity)."""
+    parts = ", ".join(f"element_at(t, i + {d})" for d in range(k))
+    # guard: sequence(1, 0) DESCENDS in Spark, so short docs need the CASE
+    return (
+        f"CASE WHEN size(t) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size(t) - {k - 1}), "
+        f"i -> concat_ws(' ', {parts})) END"
+    )
+
+
+def shingle_hashes(documents: DataFrame, k: int = 3) -> DataFrame:
+    """doc_id → array of distinct 60-bit shingle hashes (reduced mod 2^31-1
+    so downstream affine permutations stay exact in int64)."""
+    return (
+        documents.selectExpr("doc_id", f"{TOKENS} AS t")
+        .selectExpr("doc_id", f"{_shingle_expr(k)} AS shingles")
+        .selectExpr(
+            "doc_id",
+            f"array_distinct(transform(shingles, s -> {hex60('s')} % {MERSENNE31})) AS sh",
+        )
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_perm: int = 16, k: int = 3
+) -> DataFrame:
+    """MinHash signatures as (doc_id, perm, minhash) rows.
+
+    Permutation p is the affine map h → (a_p·h + b_p) mod (2^31-1) with
+    a_p = 2p+1, b_p = 1000p+7.  Row-local (no shuffle): each signature
+    value is a fold over the doc's own shingle set.  Empty docs get
+    signature value 2^31-1 (the modulus — an impossible min, stable).
+    """
+    sh = shingle_hashes(documents, k)
+    sig_cols = []
+    for p in range(num_perm):
+        a, b = 2 * p + 1, 1000 * p + 7
+        sig_cols.append(
+            f"coalesce(array_min(transform(sh, h -> ({a} * h + {b}) % {MERSENNE31})), "
+            f"{MERSENNE31}) AS m{p}"
+        )
+    wide = sh.selectExpr("doc_id", *sig_cols)
+    # long form: stack to (doc_id, perm, minhash)
+    stack = ", ".join(f"{p}, m{p}" for p in range(num_perm))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_perm}, {stack}) AS (perm, minhash)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact(documents: DataFrame, normalized: bool = False) -> DataFrame:
+    """Exact dedup by content hash: one surviving doc_id per distinct text
+    (the smallest), plus the duplicate count.
+
+    ONE shuffle on the 128-bit hash — never on the text itself, so shuffle
+    volume is O(rows · 32 bytes) regardless of document size.  This is the
+    100 TB-safe shape of `dropDuplicates(["text"])`.
+    """
+    key = (
+        "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' '))"
+        if normalized
+        else "md5(text)"
+    )
+    return (
+        documents.selectExpr(f"{key} AS content_hash", "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    num_perm: int = 16,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup candidates with exact Jaccard verification.
+
+    1. signatures → bands of ``band_size`` rows hashed together;
+    2. docs sharing any band bucket become candidate pairs (the ONLY
+       all-to-all step — and it joins on band hash, never on content);
+    3. exact Jaccard on the candidates' distinct-shingle sets.
+
+    Scale shape: the band join's fan-out is controlled by band collision
+    probability, not corpus size²; the verify join touches only candidate
+    shingle sets.  Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sigs = minhash_signatures(documents, num_perm, k)
+    bands = (
+        sigs.withColumn("band", (F.col("perm") / band_size).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(F.min("minhash").alias("lo"), F.max("minhash").alias("hi"),
+             F.sum("minhash").alias("s"))
+        # band bucket key: order-insensitive combo of the band's minhashes
+        .selectExpr("doc_id", "band", "concat_ws('_', band, lo, hi, s) AS bucket")
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "bucket")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "bucket")
+    cands = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = shingle_hashes(documents, k)
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            # arrays are distinct ⇒ |A∪B| = |A| + |B| - |A∩B| (portable count)
+            "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+            "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) AS jaccard",
+        )
+    )

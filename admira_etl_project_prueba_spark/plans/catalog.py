@@ -579,3 +579,371 @@ QUALIFY rnk <= 50""",
 )
 def _q_topusers(spark, sf_dir):
     return analytics.top_users_by_value(load_events(spark, sf_dir))
+
+
+# ===========================================================================
+# Beyond-reference: LLM-data-pipeline operators (dedup, text, similarity,
+# multimodal).  Oracle parity notes: md5 is bit-identical across engines;
+# HEX60 (first 15 md5 hex chars as int) was verified equal; dot products
+# are left-to-right folds in both engines (verified bit-equal).
+# ===========================================================================
+
+from admira_etl_project_prueba_spark.operators import multimodal as _mm
+from admira_etl_project_prueba_spark.operators import similarity as _sim
+from admira_etl_project_prueba_spark.operators import textops as _tx
+
+
+def _duck_hex60(x: str) -> str:
+    """DuckDB twin of textops.hex60 (no conv(); fold over hex chars)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr(md5({x}), 1, 15), ''), "
+        "c -> CAST(strpos('123456789abcdef', c) AS BIGINT))), (a, b) -> a * 16 + b)"
+    )
+
+
+_DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_DUCK_STOPS = "[" + ", ".join(f"'{w}'" for w in _tx.STOPWORDS) + "]"
+
+_DUCK_SHINGLES = (
+    "CASE WHEN len(t) < 3 THEN [] ELSE "
+    "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END"
+)
+_DUCK_SH = (
+    f"list_distinct(list_transform(shingles, s -> {_duck_hex60('s')} % 2147483647))"
+)
+
+
+@_entry(
+    "text_token_stats",
+    "Per-document token counting (whitespace tokenizer): totals, chars, "
+    "unique tokens.  Row-local, shuffle-free.",
+    f"""WITH tok AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens, length(text) AS n_chars,
+       len(list_distinct(toks)) AS n_unique_tokens
+FROM tok""",
+)
+def _q_tokstats(spark, sf_dir):
+    return _tx.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "text_quality_scores",
+    "Quality signals: length, mean token length, type-token ratio, "
+    "stopword density.",
+    f"""WITH tok AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mean_token_len,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+       CAST(len(list_filter(toks, t -> list_contains({_DUCK_STOPS}, t))) AS DOUBLE) / len(toks) AS stopword_ratio
+FROM tok""",
+)
+def _q_quality(spark, sf_dir):
+    return _tx.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _duck_lang_sql() -> str:
+    counts = {
+        lang: (
+            "len(list_filter(toks, t -> list_contains(["
+            + ", ".join(f"'{w}'" for w in words)
+            + "], t)))"
+        )
+        for lang, words in _tx.LANG_MARKERS.items()
+    }
+    langs = sorted(counts)
+    best = "greatest(" + ", ".join(counts[l] for l in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN {counts[l]} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""WITH tok AS (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents)
+SELECT doc_id, lang AS lang_declared,
+       CASE WHEN {best} = 0 THEN 'und' ELSE {pick} END AS lang_predicted,
+       {best} AS marker_hits
+FROM tok"""
+
+
+@_entry(
+    "text_language_id",
+    "Marker-lexicon language ID with deterministic argmax tie-break.",
+    _duck_lang_sql(),
+)
+def _q_langid(spark, sf_dir):
+    return _tx.language_id(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "doc_fingerprints",
+    "Exact-dup fingerprints: raw + normalized md5 (case/whitespace folded).",
+    """SELECT doc_id, md5(text) AS md5_raw,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS md5_normalized,
+       length(text) AS n_chars
+FROM documents""",
+)
+def _q_fprint(spark, sf_dir):
+    return _tx.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _duck_simhash_sql(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> (x >> {j}) & 1 = 1)) > len(h) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+hs AS (SELECT doc_id, list_transform(toks, t -> {_duck_hex60('t')}) AS h FROM tok)
+SELECT doc_id, {terms} AS simhash FROM hs"""
+
+
+@_entry(
+    "simhash_fingerprints",
+    "32-bit SimHash (per-bit majority vote over token hashes) — near-dup "
+    "docs land within small hamming distance.  Row-local, no shuffle.",
+    _duck_simhash_sql(),
+)
+def _q_simhash(spark, sf_dir):
+    return _tx.simhash64(_t(spark, sf_dir, "documents"))
+
+
+def _duck_minhash_sql(num_perm: int = 16) -> str:
+    ms, perms = [], []
+    for p in range(num_perm):
+        a, b = 2 * p + 1, 1000 * p + 7
+        ms.append(
+            f"coalesce(list_min(list_transform(sh, h -> ({a} * h + {b}) % 2147483647)), "
+            f"2147483647)"
+        )
+        perms.append(str(p))
+    return f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sg AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM tok),
+sh AS (SELECT doc_id, {_DUCK_SH} AS sh FROM sg)
+SELECT doc_id, unnest([{", ".join(perms)}]) AS perm,
+       unnest([{", ".join(ms)}]) AS minhash
+FROM sh"""
+
+
+@_entry(
+    "minhash_signatures",
+    "MinHash signatures (16 affine permutations over 3-token shingle "
+    "hashes) — the LSH building block, computed row-locally.",
+    _duck_minhash_sql(),
+)
+def _q_minhash(spark, sf_dir):
+    return _tx.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "dedup_exact",
+    "Exact dedup by md5 content hash: surviving doc + duplicate count per "
+    "distinct text.  Shuffles 32-byte hashes, never documents.",
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1""",
+)
+def _q_dedup_exact(spark, sf_dir):
+    return _tx.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "dedup_exact_normalized",
+    "Exact dedup after case/whitespace normalization.",
+    """SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1""",
+)
+def _q_dedup_norm(spark, sf_dir):
+    return _tx.dedup_exact(_t(spark, sf_dir, "documents"), normalized=True)
+
+
+def _duck_lsh_pairs_sql(num_perm: int = 16) -> str:
+    return f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sg AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM tok),
+shs AS (SELECT doc_id, {_DUCK_SH} AS sh FROM sg),
+sig AS ({_duck_minhash_sql(num_perm).split('SELECT doc_id, unnest')[0]}
+        SELECT doc_id, unnest({'[' + ', '.join(str(p) for p in range(num_perm)) + ']'}) AS perm,
+               unnest([{", ".join(f"coalesce(list_min(list_transform(sh, h -> ({2*p+1} * h + {1000*p+7}) % 2147483647)), 2147483647)" for p in range(num_perm))}]) AS minhash
+        FROM sh),
+bands AS (
+  SELECT doc_id, perm // 2 AS band,
+         MIN(minhash) AS lo, MAX(minhash) AS hi, SUM(minhash) AS s
+  FROM sig GROUP BY doc_id, perm // 2
+),
+bkt AS (SELECT doc_id, concat_ws('_', band, lo, hi, s) AS bucket FROM bands),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bkt a JOIN bkt b USING (bucket)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+       (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+FROM cand
+JOIN shs sa ON sa.doc_id = cand.doc_a
+JOIN shs sb ON sb.doc_id = cand.doc_b"""
+
+
+@_entry(
+    "lsh_near_dup_pairs",
+    "MinHash-LSH near-dup candidate pairs (2-row bands) with exact "
+    "Jaccard verification on shingle sets.",
+    _duck_lsh_pairs_sql(),
+)
+def _q_lsh_pairs(spark, sf_dir):
+    return _tx.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+# -- similarity search -------------------------------------------------------
+
+_DUCK_VD = "embedding::DOUBLE[] "
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+
+def _duck_norm(a: str) -> str:
+    return f"sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
+
+
+@_entry(
+    "ann_cosine_topk",
+    "Exact brute-force cosine top-10 vs stored vector 0 (broadcast query, "
+    "row-local fold, TakeOrdered).",
+    f"""WITH t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings),
+q AS (SELECT v AS q FROM t WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label,
+         CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('v')} > 0
+              THEN {_duck_dot('q', 'v')} / ({_duck_norm('q')} * {_duck_norm('v')})
+              ELSE 0.0 END AS cosine
+  FROM t, q WHERE vec_id <> 0
+)
+SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def _q_ann_topk(spark, sf_dir):
+    return _sim.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "ann_cosine_topk_batch",
+    "Batch ANN: top-5 neighbors for each of the first 8 vectors "
+    "(window top-k per query).",
+    f"""WITH t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS q FROM t WHERE vec_id < 8),
+scored AS (
+  SELECT query_id, vec_id,
+         CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('v')} > 0
+              THEN {_duck_dot('q', 'v')} / ({_duck_norm('q')} * {_duck_norm('v')})
+              ELSE 0.0 END AS cosine
+  FROM t, q WHERE vec_id <> query_id
+)
+SELECT query_id, vec_id, cosine,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rnk
+FROM scored QUALIFY rnk <= 5""",
+)
+def _q_ann_batch(spark, sf_dir):
+    return _sim.cosine_topk_batch(_t(spark, sf_dir, "embeddings"))
+
+
+_DUCK_PLANE = (
+    "((((1103515245 * CAST(({i} * 64 + j) AS BIGINT) + 12345) % 2001) + 2001) % 2001"
+    " - 1000) / 1000.0"
+)
+
+
+def _duck_bucket(vec: str, n_planes: int = 8) -> str:
+    bits = []
+    for i in range(n_planes):
+        dot = (
+            f"list_sum(list_transform(range(1, 65), "
+            f"j -> {vec}[j] * ({_DUCK_PLANE.format(i=i)})))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@_entry(
+    "ann_lsh_buckets",
+    "Random-hyperplane LSH bucket assignment (deterministic LCG planes) — "
+    "row-local; the scale path writes the table bucketed by this column.",
+    f"""WITH t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings)
+SELECT vec_id, label, {_duck_bucket('v')} AS bucket FROM t""",
+)
+def _q_lsh_buckets(spark, sf_dir):
+    return _sim.lsh_buckets(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "ann_lsh_topk",
+    "Approximate top-10 via LSH bucket probe: score only the query's "
+    "bucket (~corpus/2^8 candidates), exact cosine within.",
+    f"""WITH t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings),
+tb AS (SELECT vec_id, label, v, {_duck_bucket('v')} AS bucket FROM t),
+q AS (SELECT v AS q, bucket AS qbucket FROM tb WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, label, bucket,
+         CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('v')} > 0
+              THEN {_duck_dot('q', 'v')} / ({_duck_norm('q')} * {_duck_norm('v')})
+              ELSE 0.0 END AS cosine
+  FROM tb, q WHERE bucket = qbucket AND vec_id <> 0
+)
+SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def _q_lsh_topk(spark, sf_dir):
+    return _sim.lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "embedding_norms",
+    "Vector-column sanity profile: dimensionality + L2 norm per vector.",
+    f"""WITH t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings)
+SELECT vec_id, label, len(v) AS dim, {_duck_norm('v')} AS l2_norm FROM t""",
+)
+def _q_emb_norms(spark, sf_dir):
+    return _sim.embedding_norms(_t(spark, sf_dir, "embeddings"))
+
+
+# -- multimodal plumbing -----------------------------------------------------
+
+@_entry(
+    "multimodal_metadata",
+    "Binary-column plumbing: documents as opaque payloads with typed "
+    "metadata (byte length + sha256) — the binaryFile-source contract.",
+    """SELECT doc_id, 'image' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents""",
+)
+def _q_mm_meta(spark, sf_dir):
+    m = _mm.documents_as_media(_t(spark, sf_dir, "documents"))
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+
+
+@_entry(
+    "multimodal_features",
+    "Arrow-batched mapInPandas decode+featurize plumbing (decoder is a "
+    "deterministic stub; schema/batching/partitioning are real). "
+    "Non-SQL-expressible: rows-only check; exact values covered in pytest.",
+    None,
+)
+def _q_mm_features(spark, sf_dir):
+    m = _mm.documents_as_media(_t(spark, sf_dir, "documents"))
+    return _mm.extract_features(m).select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "n_frames"
+    )
+
+
+@_entry(
+    "multimodal_frame_sample",
+    "1→N frame-sampling expansion over decoded n_frames (video plumbing). "
+    "Non-SQL-expressible (depends on the stub decoder): rows-only check.",
+    None,
+)
+def _q_mm_frames(spark, sf_dir):
+    m = _mm.documents_as_media(_t(spark, sf_dir, "documents"), media_type="video")
+    return _mm.frame_sample_plan(m)

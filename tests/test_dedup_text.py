@@ -1,0 +1,118 @@
+"""Dedup + text-analysis operator tests with PLANTED fixtures — the
+self-consistency coverage behind the rows-only/oracle checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from admira_etl_project_prueba_spark.operators import textops
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "aggregates partitions of shuffled data across the cluster nodes"
+)
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    near = BASE.replace("lazy dog", "sleepy dog")  # 1-word change ⇒ high jaccard
+    far = "completely unrelated content talking about cooking pasta and sauce recipes all day long"
+    return docs(
+        spark,
+        [
+            (1, BASE, "en"),
+            (2, BASE, "en"),                      # exact dup of 1
+            (3, "  " + BASE.upper() + "  ", "en"),  # normalized dup of 1
+            (4, near, "en"),                      # near dup of 1
+            (5, far, "en"),
+        ],
+    )
+
+
+def test_dedup_exact(planted):
+    out = {r["keep_doc_id"]: r["n_copies"] for r in textops.dedup_exact(planted).collect()}
+    assert out[1] == 2          # docs 1+2 collapse
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_dedup_exact_normalized(planted):
+    out = {
+        r["keep_doc_id"]: r["n_copies"]
+        for r in textops.dedup_exact(planted, normalized=True).collect()
+    }
+    assert out[1] == 3          # case/whitespace-folded: 1+2+3 collapse
+
+
+def test_lsh_finds_planted_near_dup(planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.lsh_candidate_pairs(planted).collect()
+    }
+    assert pairs[(1, 2)] == 1.0                   # exact dup: jaccard 1
+    assert (1, 4) in pairs and pairs[(1, 4)] > 0.7  # planted near dup
+    assert all(not (a == 5 or b == 5) or j < 0.1 for (a, b), j in pairs.items())
+
+
+def test_simhash_hamming_tracks_similarity(planted):
+    sh = {r["doc_id"]: r["simhash"] for r in textops.simhash64(planted).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sh[1] == sh[2]                         # identical text ⇒ identical hash
+    assert ham(sh[1], sh[4]) < ham(sh[1], sh[5])  # near dup closer than far doc
+
+
+def test_minhash_signature_shape_and_determinism(planted):
+    sigs = textops.minhash_signatures(planted).collect()
+    assert len(sigs) == 5 * 16
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r["doc_id"], {})[r["perm"]] = r["minhash"]
+    assert by_doc[1] == by_doc[2]                 # same text ⇒ same signature
+    assert all(0 <= v < 2**31 for v in by_doc[1].values())
+
+
+def test_minhash_empty_doc_sentinel(spark):
+    d = docs(spark, [(1, "one two", "en")])       # < 3 tokens ⇒ no shingles
+    sigs = textops.minhash_signatures(d).collect()
+    assert all(r["minhash"] == textops.MERSENNE31 for r in sigs)
+
+
+def test_token_stats_and_quality(spark):
+    d = docs(spark, [(1, "The the THE cat", "en")])
+    s = textops.token_stats(d).collect()[0]
+    assert s["n_tokens"] == 4 and s["n_unique_tokens"] == 2  # lowercased
+    q = textops.quality_scores(d).collect()[0]
+    assert q["stopword_ratio"] == pytest.approx(0.75)
+    assert q["ttr"] == pytest.approx(0.5)
+
+
+def test_language_id_markers(spark):
+    d = docs(
+        spark,
+        [
+            (1, "the cat is one of the best and friendly", "en"),
+            (2, "el gato de la casa es de los mejores", "es"),
+            (3, "zzz qqq xxx", "xx"),
+        ],
+    )
+    out = {r["doc_id"]: r["lang_predicted"] for r in textops.language_id(d).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    d = docs(spark, [(1, "A  B\tC", "en"), (2, "a b c", "en")])
+    fp = {r["doc_id"]: r for r in textops.fingerprints(d).collect()}
+    assert fp[1]["md5_raw"] != fp[2]["md5_raw"]
+    assert fp[1]["md5_normalized"] == fp[2]["md5_normalized"]
+
+
+def test_dedup_plan_shuffles_hashes_not_text(planted):
+    """The exchange key must be the 32-byte hash — shuffle volume is
+    independent of document size (the 100 TB-safe property)."""
+    plan = textops.dedup_exact(planted)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "text" not in plan.split("Exchange", 1)[1].split("HashAggregate", 1)[0]

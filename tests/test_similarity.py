@@ -1,0 +1,88 @@
+"""Similarity-search operator tests: exact cosine, batch top-k, LSH."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from admira_etl_project_prueba_spark.operators import similarity
+
+
+def emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return emb(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0, 0.0], 0),   # close to 0
+            (2, [0.0, 1.0, 0.0, 0.0], 1),   # orthogonal
+            (3, [-1.0, 0.0, 0.0, 0.0], 2),  # opposite
+            (4, [0.0, 0.0, 0.0, 0.0], 3),   # zero vector
+        ],
+    )
+
+
+def test_cosine_topk_ordering(vectors, monkeypatch):
+    monkeypatch.setattr(similarity, "DIM", 4)
+    out = similarity.cosine_topk(vectors, query_vec_id=0, k=4).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids[0] == 1                      # most similar first
+    assert ids[-1] == 3                     # opposite last
+    assert out[0]["cosine"] == pytest.approx(0.9 / math.sqrt(0.82))
+    zero = [r for r in out if r["vec_id"] == 4][0]
+    assert zero["cosine"] == 0.0            # zero-norm guard, not NaN
+
+
+def test_cosine_topk_excludes_self(vectors, monkeypatch):
+    monkeypatch.setattr(similarity, "DIM", 4)
+    out = similarity.cosine_topk(vectors, query_vec_id=0, k=10).collect()
+    assert all(r["vec_id"] != 0 for r in out)
+
+
+def test_batch_topk_per_query(vectors, monkeypatch):
+    monkeypatch.setattr(similarity, "DIM", 4)
+    out = similarity.cosine_topk_batch(vectors, n_queries=2, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    assert all(len(v) == 2 for v in by_q.values())
+    assert all(r["rnk"] in (1, 2) for r in out)
+
+
+def test_lsh_bucket_recall(spark, sf_dir):
+    """LSH probe must return a subset of the exact top-k candidate pool and
+    agree with brute force on every vector it does score."""
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    exact = {r["vec_id"]: r["cosine"] for r in similarity.cosine_topk(e, k=n).collect()}
+    approx = similarity.lsh_topk(e, k=n).collect()
+    for r in approx:
+        assert r["vec_id"] in exact
+        assert exact[r["vec_id"]] == pytest.approx(r["cosine"], abs=1e-12)
+
+
+def test_lsh_buckets_deterministic(spark, sf_dir):
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b1 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(e).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(e).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_embedding_norms(vectors, monkeypatch):
+    monkeypatch.setattr(similarity, "DIM", 4)
+    out = {r["vec_id"]: r for r in similarity.embedding_norms(vectors).collect()}
+    assert out[0]["l2_norm"] == pytest.approx(1.0)
+    assert out[4]["l2_norm"] == 0.0
+    assert all(r["dim"] == 4 for r in out.values())
