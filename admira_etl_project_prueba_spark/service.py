@@ -1,0 +1,143 @@
+"""Service layer — the reference's REST endpoint semantics over the engine.
+
+Reference parity: /root/reference/internal/api/handlers.go.  This is the
+orchestration tier (param validation, defaults, response envelopes); all
+dataflow lives in operators/.  A web framework can mount these 1:1; they
+are framework-free so the engine stays testable headless.
+
+Validation contract preserved (SURVEY.md §2.7):
+* missing required params → ValidationError (reference: 400)
+* malformed dates → ValidationError (handlers.go:136-146,196-206,219-223)
+* non-positive limit / negative offset silently fall back to defaults
+  (handlers.go:148-160)
+* export of empty day → EmptyExportError (reference: 404)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql import SparkSession
+
+from admira_etl_project_prueba_spark.config import Config
+from admira_etl_project_prueba_spark.operators.export import export_day
+from admira_etl_project_prueba_spark.operators.queries import (
+    metrics_by_campaign,
+    metrics_by_channel,
+    page_info,
+    paginate,
+)
+from admira_etl_project_prueba_spark.operators.transform import transform
+from admira_etl_project_prueba_spark.sources.http import fetch_many
+from admira_etl_project_prueba_spark.sources.json_source import (
+    ads_from_payload,
+    crm_from_payload,
+)
+from admira_etl_project_prueba_spark.store import MetricsStore
+
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+DEFAULT_SINCE = "2000-01-01"  # handlers.go:89
+
+
+class ValidationError(ValueError):
+    """Maps to HTTP 400 at a web tier."""
+
+
+def _require_date(value: str | None, name: str) -> str:
+    if not value:
+        raise ValidationError(f"missing required parameter: {name}")
+    if not _DATE_RE.match(value):
+        raise ValidationError(f"invalid date for {name}: {value!r} (want YYYY-MM-DD)")
+    try:
+        dt.date.fromisoformat(value)
+    except ValueError as exc:
+        raise ValidationError(f"invalid date for {name}: {value!r}") from exc
+    return value
+
+
+class MetricsService:
+    """POST /ingest/run · GET /metrics/channel · GET /metrics/funnel ·
+    POST /export/run · GET /healthz · GET /readyz — engine-backed."""
+
+    def __init__(self, spark: SparkSession, config: Config | None = None):
+        self.spark = spark
+        self.config = config or Config.from_env()
+        self.store = MetricsStore(spark, self.config.store_path)
+
+    # -- POST /ingest/run ----------------------------------------------------
+    def ingest_run(self, since: str | None = None, store_mode: str = "upsert") -> dict:
+        """Extract (concurrent) → decode → consolidate → filter → store."""
+        since = _require_date(since, "since") if since else DEFAULT_SINCE
+        cfg = self.config
+        ads_raw, crm_raw = fetch_many(
+            [cfg.ads_api_url, cfg.crm_api_url],
+            timeout_seconds=cfg.timeout_seconds,
+            max_retries=cfg.max_retries,
+            backoff_ms=cfg.backoff_ms,
+        )
+        metrics = transform(
+            ads_from_payload(self.spark, ads_raw),
+            crm_from_payload(self.spark, crm_raw),
+            since=since,
+        )
+        self.store.store(metrics, mode=store_mode)
+        processed = metrics.count()
+        return {
+            "message": "ingestion completed",
+            "metrics_processed": processed,
+            "since": since,
+        }
+
+    # -- GET /metrics/channel ------------------------------------------------
+    def metrics_channel(
+        self,
+        channel: str | None,
+        date_from: str | None,
+        date_to: str | None,
+        limit: int = 100,
+        offset: int = 0,
+    ) -> dict:
+        if not channel:
+            raise ValidationError("missing required parameter: channel")
+        _require_date(date_from, "from")
+        _require_date(date_to, "to")
+        q = metrics_by_channel(self.store.read(), channel, date_from, date_to)
+        data = [r.asDict() for r in paginate(q, limit=limit, offset=offset).collect()]
+        return {"data": data, "pagination": page_info(q, limit, offset)}
+
+    # -- GET /metrics/funnel -------------------------------------------------
+    def metrics_funnel(
+        self, utm_campaign: str | None, date_from: str | None, date_to: str | None
+    ) -> dict:
+        if not utm_campaign:
+            raise ValidationError("missing required parameter: utm_campaign")
+        _require_date(date_from, "from")
+        _require_date(date_to, "to")
+        q = metrics_by_campaign(self.store.read(), utm_campaign, date_from, date_to)
+        # no pagination — raw array response (handlers.go:186-210), but in
+        # canonical order so responses are deterministic
+        from admira_etl_project_prueba_spark.operators.queries import canonical_sort
+
+        return {"data": [r.asDict() for r in canonical_sort(q).collect()]}
+
+    # -- POST /export/run ----------------------------------------------------
+    def export_run(self, date: str | None) -> dict:
+        _require_date(date, "date")
+        return export_day(
+            self.store.read(),
+            date,
+            sink_url=self.config.sink_url or None,
+            secret=self.config.sink_secret,
+        )
+
+    # -- health --------------------------------------------------------------
+    def healthz(self) -> dict:
+        return {"status": "ok"}
+
+    def readyz(self) -> dict:
+        try:
+            self.spark.range(1).count()
+            return {"status": "ready"}
+        except Exception as exc:  # pragma: no cover
+            return {"status": "not ready", "error": str(exc)}

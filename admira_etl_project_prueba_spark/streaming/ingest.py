@@ -1,0 +1,139 @@
+"""Streaming ingest — the reference's batch pipeline as a continuous one.
+
+The reference has no streaming at all ("real-time" in its README means
+on-demand batch pull; its own design doc proposes Kafka+Spark only as
+future work — /root/reference/SYSTEM_DESIGN.md:106-110).  This module is
+the evolution that doc asks for, built on Structured Streaming:
+
+* ``stream_envelopes``  — a file-source stream of envelope JSON (swap for
+  ``readStream.format("kafka")`` in production: the value column contract
+  is identical) decoded with the SAME ``from_json`` schemas as batch.
+* ``stream_consolidate`` — the batch ``transform()`` dataflow applied
+  incrementally via ``foreachBatch`` into the idempotent MetricsStore:
+  each micro-batch is consolidated and UPSERTED by MetricKey, so the
+  streaming path converges to exactly the batch result (tested).
+* ``windowed_event_counts`` — watermarked tumbling-window aggregation for
+  late data, the canonical streaming-rollup shape.
+
+Scale posture: state is bounded by the watermark; the upsert writes only
+touched date partitions; `availableNow` triggers give reproducible tests
+and backfill runs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from admira_etl_project_prueba_spark.functions.dates import parse_flexible_timestamp
+from admira_etl_project_prueba_spark.operators.transform import transform
+from admira_etl_project_prueba_spark.schemas import (
+    ADS_ENVELOPE_SCHEMA,
+    CRM_ENVELOPE_SCHEMA,
+)
+from admira_etl_project_prueba_spark.store import MetricsStore
+
+
+def stream_envelopes(
+    spark: SparkSession, path: str, source: str = "ads"
+) -> DataFrame:
+    """File-source stream of envelope JSON lines → flat typed rows.
+
+    One JSON envelope per line; the decode is the same declarative
+    from_json + explode as the batch path, so batch and streaming cannot
+    drift semantically.
+    """
+    schema = ADS_ENVELOPE_SCHEMA if source == "ads" else CRM_ENVELOPE_SCHEMA
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 8)
+        .load(path)
+    )
+    env = raw.select(F.from_json("value", schema).alias("env"))
+    if source == "ads":
+        flat = env.select(F.explode(F.col("env.external.ads.performance")).alias("r")).select(
+            "r.*"
+        )
+    else:
+        flat = (
+            env.select(F.explode(F.col("env.external.crm.opportunities")).alias("r"))
+            .select("r.*")
+            .withColumnRenamed("created_at", "created_at_raw")
+            .withColumn("created_at", parse_flexible_timestamp("created_at_raw"))
+            .withColumn("_date_fallback", F.col("created_at").isNull())
+        )
+    return flat.withColumn("ingested_at", F.current_timestamp())
+
+
+def stream_consolidate(
+    source_stream: DataFrame,
+    source: str,
+    store: MetricsStore,
+    checkpoint_dir: str,
+    ingested_at: dt.datetime | None = None,
+) -> StreamingQuery:
+    """Incrementally consolidate one envelope stream into the fact store.
+
+    foreachBatch runs the exact batch ``transform`` on each micro-batch and
+    upserts by MetricKey.  The merge is an associative SUM, so (a) ads and
+    CRM run as independent queries (one per source, the production shape —
+    separate Kafka topics, separate checkpoints) and still converge to the
+    fused batch result, and (b) re-delivered envelopes re-sum
+    deterministically: the end state equals a one-shot batch over the same
+    inputs regardless of micro-batch boundaries or source interleaving.
+    """
+    stream = source_stream
+    if ingested_at is not None:
+        stream = stream.withColumn(
+            "ingested_at", F.lit(ingested_at).cast("timestamp")
+        )
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        from admira_etl_project_prueba_spark.schemas import ADS_SCHEMA, CRM_PARSED_SCHEMA
+
+        if source == "ads":
+            ads, crm = batch_df, spark.createDataFrame([], CRM_PARSED_SCHEMA)
+        else:
+            ads, crm = spark.createDataFrame([], ADS_SCHEMA), batch_df
+        store.store(transform(ads, crm), mode="upsert")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup per event_type.
+
+    The watermark bounds state: windows older than max(event time) −
+    watermark are finalized and evicted, so state size is O(active
+    windows × types) forever — the property that lets this run for months
+    on an unbounded stream.
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,158 @@
+"""Service-layer + store tests: endpoint orchestration, validation rules,
+idempotent upsert semantics, export contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from admira_etl_project_prueba_spark.config import Config
+from admira_etl_project_prueba_spark.operators.export import EmptyExportError
+from admira_etl_project_prueba_spark.service import MetricsService, ValidationError
+from admira_etl_project_prueba_spark.store import MetricsStore
+
+ADS = [
+    {"date": "2024-02-01", "campaign_id": "C-1", "channel": "google_ads",
+     "clicks": 100, "impressions": 1000, "cost": 50.0,
+     "utm_campaign": "x", "utm_source": "google", "utm_medium": "cpc"},
+    {"date": "2024-02-02", "campaign_id": "C-2", "channel": "facebook_ads",
+     "clicks": 10, "impressions": 200, "cost": 5.0,
+     "utm_campaign": "y", "utm_source": "facebook", "utm_medium": "social"},
+]
+CRM = [
+    {"opportunity_id": "O-1", "contact_email": "a@b.c", "stage": "closed_won",
+     "amount": 900.0, "created_at": "2024-02-01T09:00:00Z",
+     "utm_campaign": "x", "utm_source": "google", "utm_medium": "cpc"},
+]
+
+
+@pytest.fixture()
+def mock_api(tmp_path):
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/ads":
+                body = json.dumps({"external": {"ads": {"performance": ADS}}})
+            else:
+                body = json.dumps({"external": {"crm": {"opportunities": CRM}}})
+            data = body.encode()
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+@pytest.fixture()
+def service(spark, tmp_path, mock_api):
+    cfg = Config(
+        ads_api_url=f"{mock_api}/ads",
+        crm_api_url=f"{mock_api}/crm",
+        store_path=str(tmp_path / "facts"),
+        backoff_ms=1,
+    )
+    return MetricsService(spark, cfg)
+
+
+def test_ingest_then_query_roundtrip(service):
+    res = service.ingest_run(since="2024-01-01")
+    assert res["metrics_processed"] == 3  # 2 ads keys + 1 crm key
+    out = service.metrics_channel("google_ads", "2024-02-01", "2024-02-28")
+    assert out["pagination"]["total"] == 2  # ads row + fused crm row (campaign "")
+    rows = {r["campaign_id"]: r for r in out["data"]}
+    assert rows["C-1"]["clicks"] == 100
+    assert rows[""]["revenue"] == 900.0
+
+
+def test_reingest_upsert_is_idempotent_in_rowcount(service):
+    service.ingest_run()
+    t1 = service.metrics_channel("google_ads", "2024-02-01", "2024-02-28")["pagination"]["total"]
+    service.ingest_run()  # same payloads again — upsert re-sums, no dup rows
+    t2 = service.metrics_channel("google_ads", "2024-02-01", "2024-02-28")["pagination"]["total"]
+    assert t1 == t2
+
+
+def test_reingest_replace_mode_keeps_values(service):
+    service.ingest_run(store_mode="upsert")
+    v1 = service.metrics_channel("google_ads", "2024-02-01", "2024-02-28")["data"]
+    service.store.store_idempotent_replace(
+        service.store.read()
+    )  # replace with itself: values unchanged
+    v2 = service.metrics_channel("google_ads", "2024-02-01", "2024-02-28")["data"]
+    assert v1 == v2
+
+
+def test_validation_rules(service):
+    with pytest.raises(ValidationError, match="channel"):
+        service.metrics_channel(None, "2024-01-01", "2024-01-02")
+    with pytest.raises(ValidationError, match="from"):
+        service.metrics_channel("google_ads", "01-01-2024", "2024-01-02")
+    with pytest.raises(ValidationError, match="utm_campaign"):
+        service.metrics_funnel(None, "2024-01-01", "2024-01-02")
+    with pytest.raises(ValidationError, match="date"):
+        service.export_run("2024-13-99")
+    with pytest.raises(ValidationError, match="since"):
+        service.ingest_run(since="garbage")
+
+
+def test_limit_offset_silent_clamp(service):
+    service.ingest_run()
+    out = service.metrics_channel(
+        "google_ads", "2024-02-01", "2024-02-28", limit=-1, offset=-5
+    )
+    assert out["pagination"]["limit"] == 100 and out["pagination"]["offset"] == 0
+    assert len(out["data"]) == out["pagination"]["total"]
+
+
+def test_export_prepared_when_no_sink(service):
+    service.ingest_run()
+    res = service.export_run("2024-02-01")
+    assert res["status"] == "prepared"  # SINK_URL unset ⇒ skip path
+    assert res["payload"]["date"] == "2024-02-01"
+    assert len(res["signature"]) == 64
+    # coarse key: the ads row and crm row stay separate (different campaign_id)
+    assert len(res["payload"]["metrics"]) == 2
+
+
+def test_export_empty_day_raises(service):
+    service.ingest_run()
+    with pytest.raises(EmptyExportError):
+        service.export_run("1999-01-01")
+
+
+def test_funnel_no_pagination(service):
+    service.ingest_run()
+    out = service.metrics_funnel("x", "2024-02-01", "2024-02-28")
+    assert len(out["data"]) == 2
+    assert "pagination" not in out
+
+
+def test_store_merges_increments_across_batches(spark, tmp_path):
+    """upsert must SUM measures for existing keys and re-derive ratios."""
+    from admira_etl_project_prueba_spark.functions.metrics import with_derived_metrics
+    from admira_etl_project_prueba_spark.schemas import METRICS_SCHEMA
+
+    def batch(clicks, cost):
+        row = ("2024-03-01", "google_ads", "C-9", "c", "google", "cpc",
+               clicks, 0, cost, 0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        df = spark.createDataFrame([row], METRICS_SCHEMA)
+        return with_derived_metrics(df.drop(*["cpc", "cpa", "cvr_lead_to_opp", "cvr_opp_to_won", "roas"]))
+
+    store = MetricsStore(spark, str(tmp_path / "facts2"))
+    store.store(batch(10, 5.0))
+    store.store(batch(30, 15.0))
+    rows = store.read().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["clicks"] == 40 and r["cost"] == 20.0
+    assert r["cpc"] == pytest.approx(0.5)  # re-derived after merge

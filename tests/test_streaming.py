@@ -1,0 +1,126 @@
+"""Structured Streaming tests: file-stream ingest convergence with batch,
+watermarked windowed aggregation (availableNow triggers for determinism)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import shutil
+
+import pytest
+
+from admira_etl_project_prueba_spark.operators.transform import transform
+from admira_etl_project_prueba_spark.sources.json_source import (
+    ads_from_payload,
+    crm_from_payload,
+)
+from admira_etl_project_prueba_spark.store import MetricsStore
+from admira_etl_project_prueba_spark.streaming.ingest import (
+    stream_consolidate,
+    stream_envelopes,
+    windowed_event_counts,
+)
+
+ADS_ROWS = [
+    {"date": "2024-01-01", "campaign_id": "C-1", "channel": "google_ads",
+     "clicks": 10 * (i + 1), "impressions": 100, "cost": 5.0,
+     "utm_campaign": "x", "utm_source": "google", "utm_medium": "cpc"}
+    for i in range(4)
+]
+CRM_ROWS = [
+    {"opportunity_id": f"O-{i}", "contact_email": "a@b.c",
+     "stage": "closed_won" if i % 2 else "lead", "amount": 100.0 * i,
+     "created_at": "2024-01-01T10:00:00Z",
+     "utm_campaign": "x", "utm_source": "google", "utm_medium": "cpc"}
+    for i in range(4)
+]
+STAMP = dt.datetime(2024, 1, 2, 0, 0, 0)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "ads": str(tmp_path / "ads_in"),
+        "crm": str(tmp_path / "crm_in"),
+        "store": str(tmp_path / "store"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def write_envelopes(path, key_path, rows, per_file=2):
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    for i in range(0, len(rows), per_file):
+        env = {"external": key_path(rows[i : i + per_file])}
+        with open(f"{path}/part{i}.json", "w") as fh:
+            fh.write(json.dumps(env) + "\n")
+
+
+def test_stream_converges_to_batch_result(spark, dirs):
+    """End state of incremental micro-batch ingestion == one-shot batch
+    transform over the same envelopes (upsert-by-key idempotency)."""
+    write_envelopes(dirs["ads"], lambda r: {"ads": {"performance": r}}, ADS_ROWS)
+    write_envelopes(dirs["crm"], lambda r: {"crm": {"opportunities": r}}, CRM_ROWS)
+
+    store = MetricsStore(spark, dirs["store"])
+    # one query per source (production shape); sequential here so the
+    # availableNow triggers don't race on the store
+    q1 = stream_consolidate(
+        stream_envelopes(spark, dirs["ads"], "ads"), "ads", store,
+        dirs["ckpt"] + "_ads", ingested_at=STAMP,
+    )
+    q1.awaitTermination(120)
+    q2 = stream_consolidate(
+        stream_envelopes(spark, dirs["crm"], "crm"), "crm", store,
+        dirs["ckpt"] + "_crm", ingested_at=STAMP,
+    )
+    q2.awaitTermination(120)
+
+    # one-shot batch over identical payloads
+    ads_payload = json.dumps({"external": {"ads": {"performance": ADS_ROWS}}})
+    crm_payload = json.dumps({"external": {"crm": {"opportunities": CRM_ROWS}}})
+    expected = transform(
+        ads_from_payload(spark, ads_payload, ingested_at=STAMP),
+        crm_from_payload(spark, crm_payload, ingested_at=STAMP),
+    )
+
+    got = {tuple(r): None for r in store.read().collect()}
+    want = {tuple(r): None for r in expected.collect()}
+    assert got.keys() == want.keys()
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    src = tmp_path / "events_in"
+    src.mkdir()
+    rows = [
+        ("2024-01-01T00:01:00", "click", 1.0),
+        ("2024-01-01T00:05:00", "click", 2.0),
+        ("2024-01-01T00:11:00", "view", 3.0),
+        ("2024-01-01T00:59:00", "click", 4.0),
+    ]
+    with open(src / "a.csv", "w") as fh:
+        for ts, et, v in rows:
+            fh.write(f"{ts},{et},{v}\n")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .csv(str(src))
+    )
+    out = windowed_event_counts(stream, window="10 minutes", watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    # windows closed by the watermark (events ≤ 00:59 − 30min) are emitted
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 00:10:00", "view")] == (1, 3.0)
