@@ -98,28 +98,32 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     so tests can assert exact values; a real model swap keeps the shape.
     """
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
-                shape = _fake_decode(payload, r["media_type"])
-                hist = [0.0] * feature_dim
-                for byte in payload:
-                    hist[byte % feature_dim] += 1.0
-                total = max(len(payload), 1)
-                rows.append(
-                    {
-                        "doc_id": r["doc_id"],
-                        "media_type": r["media_type"],
-                        "n_bytes": len(payload),
-                        "width": shape["width"],
-                        "height": shape["height"],
-                        "n_frames": shape["n_frames"],
-                        "feature": [h / total for h in hist],
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+            payloads = [bytes(p) for p in pdf["payload"]]
+            shapes = [
+                _fake_decode(p, mt) for p, mt in zip(payloads, pdf["media_type"])
+            ]
+            # vectorized byte histogram: frombuffer + bincount per payload
+            feats = []
+            for p in payloads:
+                arr = np.frombuffer(p, dtype=np.uint8)
+                hist = np.bincount(arr % feature_dim, minlength=feature_dim)
+                feats.append((hist / max(len(p), 1)).astype("float32").tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "n_bytes": [len(p) for p in payloads],
+                    "width": [s["width"] for s in shapes],
+                    "height": [s["height"] for s in shapes],
+                    "n_frames": [s["n_frames"] for s in shapes],
+                    "feature": feats,
+                },
+                columns=[f.name for f in FEATURES_SCHEMA.fields],
+            )
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
 

@@ -32,6 +32,14 @@ BENCH_QUERIES = [
     "events_daily_stats",
     "events_sessionize",
     "top_users_by_value",
+    "dedup_exact",
+    "simhash_fingerprints",
+    "minhash_signatures",
+    "lsh_near_dup_pairs",
+    "text_quality_scores",
+    "ann_cosine_topk",
+    "ann_cosine_topk_batch",
+    "multimodal_features",
 ]
 
 
