@@ -947,3 +947,112 @@ def _q_mm_features(spark, sf_dir):
 def _q_mm_frames(spark, sf_dir):
     m = _mm.documents_as_media(_t(spark, sf_dir, "documents"), media_type="video")
     return _mm.frame_sample_plan(m)
+
+
+# ===========================================================================
+# Breadth extensions: rollup aggregates, promo-share join, embedding
+# near-dup, regex tokenization
+# ===========================================================================
+
+@_entry(
+    "events_rollup",
+    "ROLLUP(day, event_type): grand/sub-total lattice in one pass "
+    "(Catalyst Expand + single shuffle).",
+    f"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events,
+       {_DSUM.format(x='value')} AS total_value
+FROM events
+GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)""",
+)
+def _q_rollup(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@_entry(
+    "q14_promo_revenue",
+    "TPC-H Q14 (adapted): promo revenue share — broadcast part⋈lineitem, "
+    "conditional aggregation over exact decimal sums.",
+    f"""SELECT
+  100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END AS DECIMAL(25,6)))
+             AS DOUBLE)
+        / {_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS promo_revenue_pct,
+  {_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'""",
+)
+def _q14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    f = F.lit("1996-01-01").cast("timestamp_ntz")
+    t = F.lit("1996-07-01").cast("timestamp_ntz")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    j = li.filter((F.col("l_shipdate") >= f) & (F.col("l_shipdate") < t)).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    agg = j.agg(
+        F.sum(promo.cast("decimal(25,6)")).cast("double").alias("promo_rev"),
+        F.sum(rev.cast("decimal(25,6)")).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_revenue")).alias(
+            "promo_revenue_pct"
+        ),
+        "total_revenue",
+    )
+
+
+@_entry(
+    "ann_near_dup_pairs",
+    "Embedding-cosine near-duplicate pairs among the first 200 vectors "
+    "(cosine > 0.35, a < b) — the semantic-dedup primitive.",
+    f"""WITH t AS (SELECT vec_id, {_DUCK_VD} AS v FROM embeddings WHERE vec_id < 200),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_duck_dot('a.v', 'b.v')} /
+         ({_duck_norm('a.v')} * {_duck_norm('b.v')}) AS cosine
+  FROM t a JOIN t b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine > 0.35""",
+)
+def _q_ann_neardup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    t = e.selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    a = t.selectExpr("vec_id AS vec_a", "v AS va")
+    b = t.selectExpr("vec_id AS vec_b", "v AS vb")
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    na = "sqrt(aggregate(va, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"
+    nb = "sqrt(aggregate(vb, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .selectExpr("vec_a", "vec_b", f"{dot} / ({na} * {nb}) AS cosine")
+        .filter(F.col("cosine") > 0.35)
+    )
+
+
+@_entry(
+    "text_token_count_regex",
+    "BPE-ish regex tokenization: word pieces + standalone punctuation "
+    "(the pre-tokenizer shape real BPE vocabularies apply).",
+    """SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_pieces,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))) AS n_unique_pieces
+FROM documents""",
+)
+def _q_bpe_tokens(spark, sf_dir):
+    pat = "'[a-z0-9]+|[^a-z0-9\\\\s]'"
+    return _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"size(regexp_extract_all(lower(text), {pat}, 0)) AS n_pieces",
+        f"size(array_distinct(regexp_extract_all(lower(text), {pat}, 0))) AS n_unique_pieces",
+    )
