@@ -1056,3 +1056,70 @@ def _q_bpe_tokens(spark, sf_dir):
         f"size(regexp_extract_all(lower(text), {pat}, 0)) AS n_pieces",
         f"size(array_distinct(regexp_extract_all(lower(text), {pat}, 0))) AS n_unique_pieces",
     )
+
+
+# -- as-of join (temporal enrichment) ----------------------------------------
+
+from admira_etl_project_prueba_spark.operators.asof import asof_join as _asof_join
+
+
+@_entry(
+    "asof_spend_enrichment",
+    "As-of join: each CRM opportunity enriched with the latest known daily "
+    "ads spend for its UTM triple at-or-before created_at — union-window "
+    "plan (ONE shuffle), not a quadratic range join.",
+    f"""WITH {_ADS_CTE},
+{_CRM_CTE},
+daily_spend AS (
+  SELECT utm_campaign, utm_source, utm_medium,
+         CAST(date || ' 00:00:00' AS TIMESTAMP) AS sts,
+         {_DSUM.format(x='cost')} AS day_cost
+  FROM ads_ch GROUP BY 1, 2, 3, 4
+),
+tagged AS (
+  SELECT utm_campaign, utm_source, utm_medium, sts AS _ts, 0 AS _tag,
+         NULL AS opportunity_id, NULL AS stage, NULL::TIMESTAMP AS created_at,
+         day_cost AS r_cost
+  FROM daily_spend
+  UNION ALL
+  SELECT utm_campaign, utm_source, utm_medium, created_at AS _ts, 1 AS _tag,
+         opportunity_id, stage, created_at, NULL AS r_cost
+  FROM crm
+),
+win AS (
+  SELECT *, last_value(r_cost IGNORE NULLS) OVER (
+           PARTITION BY utm_campaign, utm_source, utm_medium
+           ORDER BY _ts, _tag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS day_cost_asof
+  FROM tagged
+)
+SELECT opportunity_id, stage,
+       strftime(created_at, '%Y-%m-%d %H:%M:%S.%f') AS created_at_str,
+       utm_campaign, utm_source, utm_medium, day_cost_asof
+FROM win WHERE opportunity_id IS NOT NULL""",
+)
+def _q_asof(spark, sf_dir):
+    ads, crm = _ads(spark, sf_dir), _crm(spark, sf_dir)
+    daily = (
+        ads.groupBy("utm_campaign", "utm_source", "utm_medium",
+                    F.to_timestamp("date").alias("sts"))
+        .agg(F.sum(F.col("cost").cast("decimal(25,6)")).cast("double").alias("day_cost"))
+    )
+    out = _asof_join(
+        crm.select("opportunity_id", "stage", "created_at",
+                   "utm_campaign", "utm_source", "utm_medium"),
+        daily,
+        on=["utm_campaign", "utm_source", "utm_medium"],
+        left_ts="created_at",
+        right_ts="sts",
+        right_payload=["day_cost"],
+    )
+    return out.select(
+        "opportunity_id",
+        "stage",
+        F.date_format("created_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("created_at_str"),
+        "utm_campaign",
+        "utm_source",
+        "utm_medium",
+        F.col("day_cost_asof"),
+    )

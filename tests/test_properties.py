@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis): invariants of the consolidation
+pipeline that must hold for ANY input, not just fixtures.
+
+Strategy: generate small random ads/CRM row sets, run the real
+``transform``, and check conservation laws + contracts.  One shared Spark
+session; hypothesis drives the data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from admira_etl_project_prueba_spark.operators.transform import transform
+from admira_etl_project_prueba_spark.schemas import ADS_SCHEMA, CRM_PARSED_SCHEMA
+
+DATES = st.sampled_from(["2024-01-01", "2024-01-02", "2024-01-03"])
+UTM = st.sampled_from(["a", "b", ""])
+STAGE = st.sampled_from(["lead", "opportunity", "closed_won", "junk"])
+MONEY = st.floats(min_value=0, max_value=1e6, allow_nan=False, allow_infinity=False)
+
+ads_rows = st.lists(
+    st.tuples(
+        DATES,
+        st.sampled_from(["C-1", "C-2"]),
+        st.sampled_from(["google_ads", "x_y"]),
+        st.integers(0, 10_000),  # clicks
+        st.integers(0, 100_000),  # impressions
+        MONEY,  # cost
+        UTM, UTM, UTM,
+    ),
+    max_size=12,
+)
+crm_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["O-1", "O-2", "O-3"]),
+        STAGE,
+        MONEY,  # amount
+        UTM, UTM, UTM,
+        DATES,
+    ),
+    max_size=12,
+)
+
+INGESTED = dt.datetime(2024, 1, 5, 12, 0, 0)
+PROP_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def build(spark, ads, crm):
+    ads_df = spark.createDataFrame(
+        [
+            (d, c, ch, cl, im, co, uc, us, um, INGESTED)
+            for (d, c, ch, cl, im, co, uc, us, um) in ads
+        ],
+        ADS_SCHEMA,
+    )
+    crm_df = spark.createDataFrame(
+        [
+            (o, f"{o}@x.com", s, a, uc, us, um, INGESTED,
+             dt.datetime.fromisoformat(cd), False)
+            for (o, s, a, uc, us, um, cd) in crm
+        ],
+        CRM_PARSED_SCHEMA,
+    )
+    return ads_df, crm_df
+
+
+@given(ads=ads_rows, crm=crm_rows)
+@PROP_SETTINGS
+def test_additive_measures_are_conserved(spark, ads, crm):
+    """SUM of every additive measure over the output == SUM over the input:
+    consolidation must never lose or invent clicks/cost/revenue."""
+    ads_df, crm_df = build(spark, ads, crm)
+    out = transform(ads_df, crm_df)
+    row = out.groupBy().sum("clicks", "impressions", "cost", "revenue").collect()[0]
+    exp_clicks = sum(r[3] for r in ads)
+    exp_impr = sum(r[4] for r in ads)
+    exp_cost = sum(r[5] for r in ads)
+    exp_rev = sum(a for (_, s, a, *_rest) in crm if s == "closed_won")
+    assert (row[0] or 0) == exp_clicks
+    assert (row[1] or 0) == exp_impr
+    assert (row[2] or 0.0) == pytest.approx(exp_cost, rel=1e-9, abs=1e-6)
+    assert (row[3] or 0.0) == pytest.approx(exp_rev, rel=1e-9, abs=1e-6)
+
+
+@given(ads=ads_rows, crm=crm_rows)
+@PROP_SETTINGS
+def test_stage_counts_partition_crm_rows(spark, ads, crm):
+    """leads+opportunities+closed_won ≤ |crm| and each equals its stage
+    count; unknown stages contribute rows but no counts."""
+    ads_df, crm_df = build(spark, ads, crm)
+    out = transform(ads_df, crm_df)
+    row = out.groupBy().sum("leads", "opportunities", "closed_won").collect()[0]
+    stages = [s for (_, s, *_r) in crm]
+    assert (row[0] or 0) == stages.count("lead")
+    assert (row[1] or 0) == stages.count("opportunity")
+    assert (row[2] or 0) == stages.count("closed_won")
+
+
+@given(ads=ads_rows, crm=crm_rows)
+@PROP_SETTINGS
+def test_ratios_always_finite_and_guarded(spark, ads, crm):
+    """No ratio is ever NULL/NaN/Inf, and zero denominators give 0.0."""
+    ads_df, crm_df = build(spark, ads, crm)
+    for r in transform(ads_df, crm_df).collect():
+        for c in ("cpc", "cpa", "cvr_lead_to_opp", "cvr_opp_to_won", "roas"):
+            v = r[c]
+            assert v is not None and math.isfinite(v), (c, v)
+        if r["clicks"] == 0:
+            assert r["cpc"] == 0.0
+        if r["cost"] == 0:
+            assert r["roas"] == 0.0
+
+
+@given(ads=ads_rows, crm=crm_rows)
+@PROP_SETTINGS
+def test_keys_are_unique(spark, ads, crm):
+    """The 6-column key is a primary key of the output."""
+    ads_df, crm_df = build(spark, ads, crm)
+    out = transform(ads_df, crm_df)
+    n = out.count()
+    k = out.select("date", "channel", "campaign_id", "utm_campaign",
+                   "utm_source", "utm_medium").distinct().count()
+    assert n == k
+
+
+@given(ads=ads_rows, crm=crm_rows, since=DATES)
+@PROP_SETTINGS
+def test_since_filter_monotone(spark, ads, crm, since):
+    """filter(since) output is exactly the unfiltered rows with date ≥ since."""
+    ads_df, crm_df = build(spark, ads, crm)
+    full = {tuple(r) for r in transform(ads_df, crm_df).collect()}
+    filt = {tuple(r) for r in transform(ads_df, crm_df, since=since).collect()}
+    assert filt == {r for r in full if r[0] >= since}
