@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_cosine_topk_batch",
     "multimodal_features",
+    "events_rollup",
+    "q14_promo_revenue",
+    "asof_spend_enrichment",
 ]
 
 
@@ -57,18 +60,22 @@ def main():
     # queries, not session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     names = [n for n in BENCH_QUERIES if n in CATALOG]
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
         fn = CATALOG[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        best, n = None, 0
+        for _ in range(reps):  # steady-state: best of N (JIT/page-cache warm)
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
+        total += best
+        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
