@@ -183,6 +183,343 @@ def q10_returned_items(
     )
 
 
+def q4_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-07-01",
+    date_to: str = "1996-10-01",
+) -> DataFrame:
+    """TPC-H Q4 (adapted): order-priority checking via EXISTS semi-join.
+
+    The schema has no l_commitdate/l_receiptdate, so the EXISTS predicate is
+    "has at least one returned line" (l_returnflag = 'R').  Catalyst plans a
+    LeftSemi hash join — lineitem is reduced to its join key before the
+    shuffle, so at 100 TB only (l_orderkey) pairs move, never payloads.
+    """
+    f = F.lit(date_from).cast("timestamp_ntz")
+    t = F.lit(date_to).cast("timestamp_ntz")
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter((F.col("o_orderdate") >= f) & (F.col("o_orderdate") < t))
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q7_volume_shipping(
+    tables: dict[str, DataFrame],
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 (adapted): bilateral shipping volume between two nations.
+
+    nation joins twice under different roles (supplier side / customer
+    side); both copies broadcast.  The disjunctive nation-pair predicate is
+    applied after the broadcast joins, so the two fact shuffles
+    (orders⋈lineitem, customer⋈orders) are the only exchanges.
+    """
+    f = F.lit(date_from).cast("timestamp_ntz")
+    t = F.lit(date_to).cast("timestamp_ntz")
+    n1 = tables["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = tables["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        tables["supplier"]
+        .join(
+            tables["lineitem"].filter((F.col("l_shipdate") >= f) & (F.col("l_shipdate") < t)),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(tables["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(tables["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(_dsum(revenue).alias("revenue"))
+    )
+
+
+def q8_market_share(
+    tables: dict[str, DataFrame],
+    nation: str = "NATION_3",
+    region: str = "ASIA",
+    p_type: str = "PROMO",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q8 (adapted): one nation's market share inside a region.
+
+    Conditional numerator over a shared 7-table join; part/supplier/nation/
+    region broadcast, facts shuffle once each.
+    """
+    f = F.lit(date_from).cast("timestamp_ntz")
+    t = F.lit(date_to).cast("timestamp_ntz")
+    cust_nation = tables["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    supp_nation = tables["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        tables["part"].filter(F.col("p_type") == p_type)
+        .join(tables["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(tables["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            tables["orders"].filter((F.col("o_orderdate") >= f) & (F.col("o_orderdate") < t)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(tables["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(tables["region"].filter(F.col("r_name") == region)),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    national = F.when(F.col("supp_nation") == nation, volume).otherwise(F.lit(0.0))
+    agg = j.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        _dsum(national).alias("nat_vol"), _dsum(volume).alias("all_vol")
+    )
+    return agg.select(
+        "o_year", (F.col("nat_vol") / F.col("all_vol")).alias("mkt_share")
+    )
+
+
+def q9_product_profit(
+    tables: dict[str, DataFrame], name_fragment: str = "red"
+) -> DataFrame:
+    """TPC-H Q9 (adapted): profit by supplier nation × year.
+
+    No partsupp table in the schema, so supply cost is modeled as
+    0.6 × p_retailprice × l_quantity (fixed margin stand-in).  part filters
+    by name fragment before the join and broadcasts.
+    """
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        tables["part"].filter(F.col("p_name").contains(name_fragment))
+        .join(tables["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(tables["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(tables["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(tables["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(_dsum(profit).alias("sum_profit"))
+    )
+
+
+def q12_priority_shipping(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 (adapted): high- vs low-priority line counts per returnflag.
+
+    No l_shipmode in the schema, so the outer group is l_returnflag.  The
+    CASE aggregation is the shape: conditional sums inside one hash agg.
+    """
+    f = F.lit(date_from).cast("timestamp_ntz")
+    t = F.lit(date_to).cast("timestamp_ntz")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            lineitem.filter((F.col("l_shipdate") >= f) & (F.col("l_shipdate") < t)),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q13_customer_distribution(
+    customer: DataFrame, orders: DataFrame, excluded_priority: str = "5-LOW"
+) -> DataFrame:
+    """TPC-H Q13 (adapted): histogram of orders-per-customer.
+
+    LEFT OUTER join keeps order-less customers (c_count = 0); the join
+    condition filters the orders side only.  Two-level aggregation: the
+    second groupBy runs on |customers| rows — trivially small post-reduce.
+    """
+    j = customer.join(
+        orders.filter(F.col("o_orderpriority") != excluded_priority),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_outer",
+    )
+    per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q15_top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15: top supplier(s) by quarterly revenue.
+
+    The revenue aggregate is computed once and reused for both the scalar
+    max and the equality probe (self-referential scalar subquery); the
+    1-row max side broadcasts.
+    """
+    f = F.lit(date_from).cast("timestamp_ntz")
+    t = F.lit(date_to).cast("timestamp_ntz")
+    revenue = (
+        lineitem.filter((F.col("l_shipdate") >= f) & (F.col("l_shipdate") < t))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        supplier.join(F.broadcast(revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))),
+                      F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_quantity_revenue(
+    part: DataFrame, lineitem: DataFrame, brand: str = "Brand#23"
+) -> DataFrame:
+    """TPC-H Q17 (adapted): revenue from small-quantity orders.
+
+    The correlated per-part AVG subquery is decorrelated by hand into a
+    grouped aggregate + equi-join — the plan Catalyst would produce, stated
+    explicitly.  Quantity averages go through exact decimal sums so the
+    0.2×avg threshold is bit-identical to the oracle.
+    """
+    per_part = lineitem.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (
+            F.lit(0.2) * _dsum("l_quantity") / F.count(F.lit(1))
+        ).alias("qty_limit")
+    )
+    branded = part.filter(F.col("p_brand") == brand)
+    j = (
+        lineitem.join(F.broadcast(branded), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+    )
+    return j.agg((_dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+
+
+def q18_large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    threshold: float = 300.0,
+) -> DataFrame:
+    """TPC-H Q18: customers with very large single orders.
+
+    HAVING SUM(l_quantity) > threshold computed once per order, then joined
+    back to orders/customer.  The aggregate survives the filter tiny, so
+    AQE turns the join back into a broadcast at runtime.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(_dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > threshold)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def q19_disjunctive_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q19 (adapted): revenue under three OR-ed brand/size/qty bands.
+
+    The disjunction mixes part and lineitem columns, so it can only be
+    evaluated post-join — but the implied predicate p_size BETWEEN 1 AND 15
+    and the join itself still prune; part broadcasts.
+    """
+    bands = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    j = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).filter(bands)
+    return j.agg(
+        F.coalesce(
+            _dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), F.lit(0.0)
+        ).alias("revenue")
+    )
+
+
+def q22_lapsed_customers(
+    customer: DataFrame, orders: DataFrame, since: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22 (adapted): well-funded customers with no recent orders.
+
+    Scalar AVG subquery (1-row broadcast) + LEFT ANTI join against the
+    recent-orders key set.  Anti joins ship only o_custkey — at 100 TB the
+    probe side is a key column, not order payloads.
+    """
+    s = F.lit(since).cast("timestamp_ntz")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    recent = orders.filter(F.col("o_orderdate") >= s).select("o_custkey")
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # events-table analytics
 # ---------------------------------------------------------------------------

@@ -521,6 +521,233 @@ def _q10(spark, sf_dir):
     return analytics.q10_returned_items(_all(spark, sf_dir))
 
 
+@_entry(
+    "q4_order_priority",
+    "TPC-H Q4 (adapted): EXISTS → LeftSemi hash join; only l_orderkey "
+    "shuffles, never lineitem payloads.",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority""",
+)
+def _q4(spark, sf_dir):
+    return analytics.q4_order_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_entry(
+    "q7_volume_shipping",
+    "TPC-H Q7 (adapted): bilateral nation-pair volume, nation broadcast "
+    "twice under different roles, disjunctive pair predicate.",
+    f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       {_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3""",
+)
+def _q7(spark, sf_dir):
+    return analytics.q7_volume_shipping(_all(spark, sf_dir))
+
+
+@_entry(
+    "q8_market_share",
+    "TPC-H Q8 (adapted): one nation's share of PROMO-part revenue in a "
+    "region — conditional numerator over a 7-table join.",
+    f"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {_DSUM.format(x="CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+       / {_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS mkt_share
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1""",
+)
+def _q8(spark, sf_dir):
+    return analytics.q8_market_share(_all(spark, sf_dir) | {"part": _t(spark, sf_dir, "part")})
+
+
+@_entry(
+    "q9_product_profit",
+    "TPC-H Q9 (adapted, no partsupp): profit by supplier nation × year "
+    "with a fixed-margin supply-cost stand-in (0.6 × retail).",
+    f"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {_DSUM.format(x='l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity')} AS sum_profit
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2""",
+)
+def _q9(spark, sf_dir):
+    return analytics.q9_product_profit(_all(spark, sf_dir) | {"part": _t(spark, sf_dir, "part")})
+
+
+@_entry(
+    "q12_priority_shipping",
+    "TPC-H Q12 (adapted): conditional CASE sums inside one hash agg "
+    "(high- vs low-priority line counts per returnflag).",
+    """SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag""",
+)
+def _q12(spark, sf_dir):
+    return analytics.q12_priority_shipping(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_entry(
+    "q13_customer_distribution",
+    "TPC-H Q13 (adapted): orders-per-customer histogram via LEFT OUTER "
+    "join (order-less customers kept as c_count = 0) + two-level agg.",
+    """SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+GROUP BY c_count""",
+)
+def _q13(spark, sf_dir):
+    return analytics.q13_customer_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_entry(
+    "q15_top_supplier",
+    "TPC-H Q15: quarterly revenue view reused for both the scalar MAX and "
+    "the equality probe; 1-row max side broadcast.",
+    f"""WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
+)
+def _q15(spark, sf_dir):
+    return analytics.q15_top_supplier(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_entry(
+    "q17_small_quantity_revenue",
+    "TPC-H Q17 (adapted): correlated per-part AVG subquery decorrelated "
+    "into a grouped agg + join; exact-decimal threshold.",
+    f"""WITH per_part AS (
+  SELECT l_partkey AS avg_partkey,
+         0.2 * {_DSUM.format(x='l_quantity')} / COUNT(*) AS qty_limit
+  FROM lineitem GROUP BY 1
+)
+SELECT {_DSUM.format(x='l_extendedprice')} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = avg_partkey
+WHERE p_brand = 'Brand#23' AND l_quantity < qty_limit""",
+)
+def _q17(spark, sf_dir):
+    return analytics.q17_small_quantity_revenue(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_entry(
+    "q18_large_volume_customers",
+    "TPC-H Q18: HAVING SUM(qty) > 300 per order, joined back to "
+    "orders/customer; post-filter aggregate is tiny → AQE broadcast.",
+    f"""WITH big AS (
+  SELECT l_orderkey, {_DSUM.format(x='l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY 1
+  HAVING {_DSUM.format(x='l_quantity')} > 300.0
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey""",
+)
+def _q18(spark, sf_dir):
+    return analytics.q18_large_volume_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@_entry(
+    "q19_disjunctive_revenue",
+    "TPC-H Q19 (adapted): three OR-ed brand/size/quantity bands mixing "
+    "columns of both join sides; part broadcast.",
+    f"""SELECT COALESCE({_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')}, 0.0) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+)
+def _q19(spark, sf_dir):
+    return analytics.q19_disjunctive_revenue(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_entry(
+    "q22_lapsed_customers",
+    "TPC-H Q22 (adapted): scalar AVG subquery (1-row broadcast) + LEFT "
+    "ANTI join against recent-order custkeys.",
+    """WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey""",
+)
+def _q22(spark, sf_dir):
+    return analytics.q22_lapsed_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
 # -- events analytics: rollups, windows, sessionization ----------------------
 
 @_entry(

@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "events_rollup",
     "q14_promo_revenue",
     "asof_spend_enrichment",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
 ]
 
 

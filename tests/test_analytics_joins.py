@@ -1,0 +1,103 @@
+"""Join-shape analytics (TPC-H Q4/Q7/Q8/Q9/Q12/Q13/Q15/Q17/Q18/Q19/Q22).
+
+Value-level correctness is covered by the DuckDB oracle gate
+(plans/catalog.py); these tests pin the *physical plan shapes* that matter
+at 100 TB — semi/anti joins that ship keys not payloads, broadcasts on
+dim-sized sides — plus cheap semantic invariants at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from admira_etl_project_prueba_spark.operators import analytics
+from admira_etl_project_prueba_spark.plans.catalog import CATALOG
+from admira_etl_project_prueba_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def t(spark, sf_dir):
+    names = ("customer", "orders", "lineitem", "supplier", "part", "nation", "region")
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def test_q4_is_left_semi_join(spark, sf_dir, t):
+    df = analytics.q4_order_priority(t["orders"], t["lineitem"])
+    assert "LeftSemi" in _plan(df)
+    rows = df.collect()
+    assert all(r.order_count > 0 for r in rows)
+    # semi join never multiplies: per-priority counts bounded by order counts
+    total_orders = t["orders"].count()
+    assert sum(r.order_count for r in rows) <= total_orders
+
+
+def test_q22_is_left_anti_join(spark, sf_dir, t):
+    df = analytics.q22_lapsed_customers(t["customer"], t["orders"])
+    assert "LeftAnti" in _plan(df)
+    # every reported customer group holds only above-average balances
+    avg_bal = (
+        t["customer"].filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    )
+    rows = df.collect()
+    assert all(r.totacctbal / r.numcust > avg_bal for r in rows)
+
+
+def test_q13_histogram_covers_all_customers(spark, sf_dir, t):
+    df = analytics.q13_customer_distribution(t["customer"], t["orders"])
+    assert "LeftOuter" in _plan(df)
+    assert df.agg(F.sum("custdist")).first()[0] == t["customer"].count()
+
+
+def test_q18_threshold_is_respected(spark, sf_dir, t):
+    df = analytics.q18_large_volume_customers(t["customer"], t["orders"], t["lineitem"])
+    assert df.filter(F.col("sum_qty") <= 300.0).count() == 0
+
+
+def test_q15_returns_exactly_the_max(spark, sf_dir, t):
+    df = analytics.q15_top_supplier(t["supplier"], t["lineitem"])
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert len({round(r.total_revenue, 6) for r in rows}) == 1  # ties share the max
+
+
+def test_q7_nation_pairs_are_bilateral_only(spark, sf_dir, t):
+    rows = analytics.q7_volume_shipping(t).collect()
+    pairs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert pairs <= {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+
+
+def test_q8_share_is_a_proper_fraction(spark, sf_dir, t):
+    rows = analytics.q8_market_share(t).collect()
+    assert rows and all(0.0 <= r.mkt_share <= 1.0 for r in rows)
+
+
+def test_dim_sides_are_broadcast(spark, sf_dir, t):
+    # q19's part side and q17's branded-part side must be broadcast, keeping
+    # the single lineitem scan shuffle-free up to the final aggregate.
+    for df in (
+        analytics.q19_disjunctive_revenue(t["part"], t["lineitem"]),
+        analytics.q17_small_quantity_revenue(t["part"], t["lineitem"]),
+    ):
+        assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_new_queries_are_registered_with_oracles():
+    for name in (
+        "q4_order_priority",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q12_priority_shipping",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "q19_disjunctive_revenue",
+        "q22_lapsed_customers",
+    ):
+        assert name in CATALOG and CATALOG[name].oracle is not None
