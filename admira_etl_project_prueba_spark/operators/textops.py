@@ -231,6 +231,76 @@ def dedup_exact(documents: DataFrame, normalized: bool = False) -> DataFrame:
     )
 
 
+def simhash_near_dup_pairs(
+    documents: DataFrame,
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding.
+
+    The ``bits``-bit fingerprint splits into ``n_bands`` equal bands; two
+    fingerprints within hamming distance ``max_hamming`` < n_bands must
+    agree on at least one whole band (pigeonhole), so the candidate join is
+    an equi-join on (band index, band value) — never all-pairs.  Candidates
+    are then verified with an exact popcount on the XOR.
+
+    Scale shape: shuffle carries (doc_id, band, value) triples — 24 bytes a
+    row; fan-out is governed by band-value collision rates.  Returns
+    (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    width = bits // n_bands
+    sh = simhash64(documents, bits)
+    bands = sh.selectExpr(
+        "doc_id",
+        "simhash",
+        f"explode(transform(sequence(0, {n_bands - 1}), "
+        f"b -> named_struct('band', b, 'val', (simhash >> (b * {width})) "
+        f"& {(1 << width) - 1}))) AS bv",
+    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.2,
+    id_limit: int = 500,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs — the brute-force baseline the
+    LSH path approximates.  Quadratic by construction, so callers bound the
+    candidate universe (``doc_id < id_limit``); at scale this runs on LSH
+    survivors, not the corpus.  Returns (doc_a, doc_b, jaccard) above
+    ``threshold`` with doc_a < doc_b.
+    """
+    sh = shingle_hashes(documents.filter(F.col("doc_id") < id_limit), k)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+            "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) AS jaccard",
+        )
+        .filter(F.col("jaccard") > threshold)
+    )
+
+
 def lsh_candidate_pairs(
     documents: DataFrame,
     num_perm: int = 16,

@@ -1019,6 +1019,51 @@ def _q_lsh_pairs(spark, sf_dir):
     return _tx.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
 
 
+@_entry(
+    "simhash_near_dup_pairs",
+    "SimHash near-dup pairs: pigeonhole banding (4×8-bit bands) → "
+    "equi-join candidates → exact popcount verify (hamming ≤ 3).",
+    f"""WITH sim AS ({_duck_simhash_sql()}),
+bands AS (
+  SELECT doc_id, simhash, b.band AS band, (simhash >> (8 * b.band)) & 255 AS val
+  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
+)
+def _q_simhash_pairs(spark, sf_dir):
+    df = _tx.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+    return df.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@_entry(
+    "ngram_jaccard_pairs",
+    "Exact n-gram (3-token shingle) Jaccard pairs over a bounded candidate "
+    "universe — the brute-force baseline the MinHash-LSH path approximates.",
+    f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents WHERE doc_id < 500),
+sg AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM tok),
+shs AS (SELECT doc_id, {_DUCK_SH} AS sh FROM sg),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sa, b.sh AS sb
+  FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE) /
+       (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) AS jaccard
+FROM pairs
+WHERE CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE) /
+      (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) > 0.2""",
+)
+def _q_ngram_jaccard(spark, sf_dir):
+    return _tx.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
 # -- similarity search -------------------------------------------------------
 
 _DUCK_VD = "embedding::DOUBLE[] "

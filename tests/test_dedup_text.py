@@ -116,3 +116,41 @@ def test_dedup_plan_shuffles_hashes_not_text(planted):
     plan = textops.dedup_exact(planted)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "text" not in plan.split("Exchange", 1)[1].split("HashAggregate", 1)[0]
+
+def test_simhash_pairs_find_planted_near_dup(planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in textops.simhash_near_dup_pairs(planted).collect()
+    }
+    assert pairs.get((1, 2)) == 0          # exact dup: identical fingerprint
+    assert (1, 4) in pairs                 # 1-word change: within 3 bits
+    assert not any(5 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_pigeonhole_guard(planted):
+    with pytest.raises(AssertionError):
+        textops.simhash_near_dup_pairs(planted, n_bands=4, max_hamming=4)
+
+
+def test_ngram_jaccard_exact_pairs(planted):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.ngram_jaccard_pairs(planted, threshold=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 4)] > 0.7 and pairs[(2, 4)] > 0.7
+    assert not any(5 in p for p in pairs)
+
+
+def test_ngram_jaccard_agrees_with_lsh_verify(planted):
+    """The exact baseline and the LSH path must agree on shared pairs."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.ngram_jaccard_pairs(planted, threshold=0.0).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.lsh_candidate_pairs(planted).collect()
+    }
+    for pair, j in lsh.items():
+        assert exact[pair] == pytest.approx(j)
