@@ -110,6 +110,106 @@ def stream_consolidate(
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+# open-session state: epoch-microsecond bounds + running aggregates
+SESSION_STATE_SCHEMA = "start long, last long, n long, value double"
+
+
+def streaming_sessionize(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator: streaming session windows via
+    ``applyInPandasWithState`` (the semantics of the batch ``sessionize``
+    operator, applied to an unbounded stream).
+
+    Per user, arriving events either extend the open session (gap ≤
+    ``gap_minutes``) or close it and start a new one.  Closed sessions are
+    emitted immediately; the open session lives in the state store with an
+    event-time timeout at ``session_end + gap``, so when the watermark
+    passes that point the session is finalized and emitted — identical
+    closure rule to the batch operator, evaluated incrementally.
+
+    Scale shape: state is one fixed-width row per ACTIVE user (four
+    numbers), not per event; the watermark bounds how long inactive users
+    linger.  Arrow batches move whole user-groups, so the Python hop is
+    vectorized, not per-row.
+    """
+    import pandas as pd  # local: worker-side dependency of the UDF
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, value = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.to_datetime(start, unit="us")],
+                    "session_end": [pd.to_datetime(last, unit="us")],
+                    "n_events": [n],
+                    "total_value": [value],
+                }
+            )
+            return
+
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        df = pd.concat(batches).sort_values("ts")
+        ts_us = df["ts"].values.astype("datetime64[us]").astype("int64")
+        vals = df["value"].values
+
+        if state.exists:
+            start, last, n, value = state.get
+        else:
+            start, last, n, value = int(ts_us[0]), int(ts_us[0]), 0, 0.0
+
+        closed = []
+        for t, v in zip(ts_us, vals):
+            if n and t - last > gap_us:
+                closed.append((start, last, n, value))
+                start, n, value = t, 0, 0.0
+            start = min(start, t)  # late-but-in-watermark event may predate
+            last = max(last, t)
+            n += 1
+            value += float(v)
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+                    "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [c[3] for c in closed],
+                }
+            )
+
+        state.update((int(start), int(last), int(n), float(value)))
+        # finalize once the watermark passes session_end + gap
+        state.setTimeoutTimestamp((int(last) + gap_us) // 1000)
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "10 minutes",

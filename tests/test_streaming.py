@@ -124,3 +124,77 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     # windows closed by the watermark (events ≤ 00:59 − 30min) are emitted
     assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
     assert got[("2024-01-01 00:10:00", "view")] == (1, 3.0)
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState session windows: closed sessions emit on gap,
+    open sessions emit when the watermark passes end+gap (timeout), and the
+    result matches the batch sessionize operator on the same events."""
+    from admira_etl_project_prueba_spark.operators.analytics import sessionize
+    from admira_etl_project_prueba_spark.streaming.ingest import streaming_sessionize
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    # user 1: two sessions (>30min gap); user 2: one session
+    batch1 = [
+        ("2024-01-01T00:00:00", 1, 1, 1.0),
+        ("2024-01-01T00:10:00", 1, 2, 2.0),
+        ("2024-01-01T01:00:00", 1, 3, 4.0),   # 50min gap → new session
+        ("2024-01-01T00:05:00", 2, 4, 8.0),
+    ]
+    with open(src / "a.csv", "w") as fh:
+        for ts, uid, eid, v in batch1:
+            fh.write(f"{ts},{uid},{eid},{v}\n")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp, user_id long, event_id long, value double"
+            ).csv(str(src))
+        )
+        out = streaming_sessionize(stream, gap_minutes=30, watermark="10 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "sess_out"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["user_id"], str(r["session_start"])): (
+                str(r["session_end"]), r["n_events"], r["total_value"]
+            )
+            for r in spark.read.parquet(str(tmp_path / "sess_out")).collect()
+        }
+
+    got = run()
+    # u1 session 1 closed by the in-batch gap.  availableNow then advances
+    # the watermark to max(ts)−10min = 00:50, so u2's session (timeout
+    # 00:05+30min = 00:35) times out within the same run; u1's second
+    # session (timeout 01:30) is still open in state.
+    assert got == {
+        (1, "2024-01-01 00:00:00"): ("2024-01-01 00:10:00", 2, 3.0),
+        (2, "2024-01-01 00:05:00"): ("2024-01-01 00:05:00", 1, 8.0),
+    }
+
+    # a far-future event advances the watermark → timeout flushes the rest
+    with open(src / "b.csv", "w") as fh:
+        fh.write("2024-01-01T12:00:00,999,5,0.0\n")
+    got = run()
+    assert got[(1, "2024-01-01 01:00:00")] == ("2024-01-01 01:00:00", 1, 4.0)
+
+    # parity with the batch operator on the same (flushed) events
+    ev = spark.createDataFrame(
+        [(r[0].replace("T", " "), r[1], r[2], r[3]) for r in batch1],
+        "ts string, user_id long, event_id long, value double",
+    ).selectExpr("CAST(ts AS timestamp) AS ts", "user_id", "event_id", "value")
+    batch = {
+        (r["user_id"], r["session_start"][:19]): (
+            r["session_end"][:19], r["n_events"], float(r["total_value"])
+        )
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    stream_flushed = {k: v for k, v in got.items() if k[0] != 999}
+    assert batch == stream_flushed
