@@ -571,6 +571,88 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def daily_value_moving_avg(events: DataFrame, days: int = 7) -> DataFrame:
+    """Daily total value + trailing N-day moving average and cumulative sum.
+
+    Two-phase: the heavy reduction (events → days) shuffles once; the
+    window functions then run over ~|days| rows.  The frame is ROWS-based
+    over the dense daily series, so it is deterministic and cheap.  At
+    100 TB the day-grain aggregate is KBs — window cost is irrelevant;
+    single-partition window on the reduced series is the right plan.
+    """
+    daily = events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.sum(F.col("value").cast(_DEC)).alias("total_dec")
+    )
+    w = Window.orderBy("day")
+    trail = w.rowsBetween(-(days - 1), 0)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    # window arithmetic stays DECIMAL (exact, order-independent — engines
+    # may reorder window-frame addition) and converts to double at the edge
+    return daily.select(
+        "day",
+        F.col("total_dec").cast("double").alias("total_value"),
+        (F.sum("total_dec").over(trail).cast("double") / F.count(F.lit(1)).over(trail)).alias(
+            f"ma{days}"
+        ),
+        F.sum("total_dec").over(cum).cast("double").alias("cum_value"),
+        (F.col("total_dec") - F.lag("total_dec", 1).over(w)).cast("double").alias("day_delta"),
+    )
+
+
+def events_cube(events: DataFrame) -> DataFrame:
+    """CUBE(day-of-week, event_type) with grouping_id — the full lattice of
+    subtotals in ONE pass (Catalyst Expand + a single shuffle), the
+    generalization of the rollup entry."""
+    return (
+        events.select(
+            F.dayofweek("ts").cast("int").alias("dow"), "event_type", "value"
+        )
+        .cube("dow", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("total_value"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+def events_value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact value percentiles per event_type (median, p90, p99).
+
+    Uses the exact ``percentile`` aggregate — at extreme scale swap for
+    ``approx_percentile`` (t-digest, mergeable, bounded memory); the exact
+    form is kept here because it is oracle-checkable bit-for-bit.
+    """
+    return events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def top_parts_by_nation(tables: dict[str, DataFrame], k: int = 3) -> DataFrame:
+    """Top-k parts by revenue within each supplier nation — the canonical
+    top-N-per-group: one shuffle for the aggregate, then a partitioned
+    window (rank per nation) over the reduced rows."""
+    j = (
+        tables["lineitem"]
+        .join(F.broadcast(tables["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(tables["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    rev = (
+        j.groupBy(F.col("n_name").alias("nation"), F.col("l_partkey").alias("partkey"))
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("revenue").desc(), F.col("partkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("nation", "partkey", "revenue", "rnk")
+    )
+
+
 def top_users_by_value(events: DataFrame, k: int = 50) -> DataFrame:
     """Global top-k users by exact total value, with dense ranking.
 

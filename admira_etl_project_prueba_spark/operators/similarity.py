@@ -150,6 +150,71 @@ def lsh_topk(
     )
 
 
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """IVF inverted-list assignment: each vector joins the list of its
+    nearest centroid (cosine argmax, ties → smallest centroid id).
+
+    Centroids are the first ``n_centroids`` stored vectors — deterministic
+    seeds standing in for a k-means pass; the *dataflow* is the real IVF
+    shape: centroids broadcast (they are model-sized, not corpus-sized),
+    assignment is a per-row argmax, and at scale the table is written
+    ``partitionBy(centroid_id)`` so a probe is partition-pruned I/O, not a
+    scan.  Returns (vec_id, label, centroid_id, cos_to_centroid).
+    """
+    from pyspark.sql import Window
+
+    cents = _as_double(embeddings.filter(F.col("vec_id") < n_centroids), "q").selectExpr(
+        "vec_id AS centroid_id", "q"
+    )
+    t = _as_double(embeddings, "v")
+    scored = with_cosine(t.crossJoin(F.broadcast(cents)))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "label", "centroid_id", F.col("cosine").alias("cos_to_centroid"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF probe: rank centroids by similarity to the
+    query, scan only the ``n_probe`` nearest inverted lists, exact cosine
+    within.  Complements the LSH path: IVF recall degrades gracefully with
+    n_probe (tunable at query time), LSH with plane count (fixed at write).
+    """
+    assign = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
+    cents = _as_double(embeddings.filter(F.col("vec_id") < n_centroids), "c").selectExpr(
+        "vec_id AS centroid_id", "c"
+    )
+    q = _as_double(embeddings.filter(F.col("vec_id") == query_vec_id), "q").select("q")
+    probe = (
+        with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
+        .orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    t = _as_double(embeddings, "v")
+    cands = (
+        t.join(assign, "vec_id")
+        .join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("vec_id") != query_vec_id)
+    )
+    scored = with_cosine(cands.crossJoin(F.broadcast(q)))
+    return (
+        scored.select("vec_id", "label", "centroid_id", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def embedding_norms(embeddings: DataFrame) -> DataFrame:
     """L2 norms + dimensionality — the sanity profile of a vector column."""
     t = _as_double(embeddings, "v")

@@ -793,6 +793,81 @@ def _q_sessions(spark, sf_dir):
 
 
 @_entry(
+    "events_moving_avg",
+    "Time-series windows over the daily reduction: trailing 7-day moving "
+    "average, cumulative sum, day-over-day delta — exact decimal window "
+    "arithmetic, double at the edge.",
+    """WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         SUM(CAST(value AS DECIMAL(25,6))) AS total_dec
+  FROM events GROUP BY 1
+)
+SELECT day,
+       CAST(total_dec AS DOUBLE) AS total_value,
+       CAST(SUM(total_dec) OVER trail AS DOUBLE)
+         / COUNT(*) OVER trail AS ma7,
+       CAST(SUM(total_dec) OVER cum AS DOUBLE) AS cum_value,
+       CAST(total_dec - LAG(total_dec, 1) OVER (ORDER BY day) AS DOUBLE) AS day_delta
+FROM daily
+WINDOW trail AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       cum   AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+def _q_moving_avg(spark, sf_dir):
+    return analytics.daily_value_moving_avg(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_cube",
+    "CUBE(day-of-week, event_type) + grouping_id: the full subtotal "
+    "lattice in one Expand pass / one shuffle.",
+    f"""SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow, event_type,
+       COUNT(*) AS n_events,
+       {_DSUM.format(x='value')} AS total_value,
+       CAST(GROUPING(dayofweek(ts) + 1) * 2 + GROUPING(event_type) AS INTEGER) AS gid
+FROM events
+GROUP BY CUBE(dayofweek(ts) + 1, event_type)""",
+)
+def _q_cube(spark, sf_dir):
+    return analytics.events_cube(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_percentiles",
+    "Exact per-type value percentiles (p50/p90/p99) — swap to "
+    "approx_percentile (mergeable t-digest) at extreme scale.",
+    """SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type""",
+)
+def _q_percentiles(spark, sf_dir):
+    return analytics.events_value_percentiles(load_events(spark, sf_dir))
+
+
+@_entry(
+    "top_parts_by_nation",
+    "Top-3 parts by revenue per supplier nation: aggregate once, rank "
+    "with a partitioned window over the reduced rows.",
+    f"""WITH rev AS (
+  SELECT n_name AS nation, l_partkey AS partkey,
+         {_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, partkey, revenue,
+       ROW_NUMBER() OVER (PARTITION BY nation ORDER BY revenue DESC, partkey) AS rnk
+FROM rev QUALIFY rnk <= 3""",
+)
+def _q_top_parts(spark, sf_dir):
+    return analytics.top_parts_by_nation(_all(spark, sf_dir))
+
+
+@_entry(
     "top_users_by_value",
     "Global top-50 users by exact total value with row-number ranking.",
     f"""WITH per_user AS (
@@ -1163,6 +1238,67 @@ SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
 )
 def _q_lsh_topk(spark, sf_dir):
     return _sim.lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
+_DUCK_IVF_ASSIGN = f"""t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, v AS c FROM t WHERE vec_id < 16),
+cscored AS (
+  SELECT t.vec_id, t.label, centroid_id,
+         CASE WHEN {_duck_norm('c')} > 0 AND {_duck_norm('v')} > 0
+              THEN {_duck_dot('c', 'v')} / ({_duck_norm('c')} * {_duck_norm('v')})
+              ELSE 0.0 END AS cosine
+  FROM t, cents
+),
+assign AS (
+  SELECT vec_id, label, centroid_id, cosine AS cos_to_centroid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY cosine DESC, centroid_id) AS _r FROM cscored)
+  WHERE _r = 1
+)"""
+
+
+@_entry(
+    "ann_ivf_assignments",
+    "IVF inverted-list assignment: broadcast seed centroids, per-row "
+    "cosine argmax (ties → smallest centroid) — the partition-by-list "
+    "write shape of IVF indexing.",
+    f"WITH {_DUCK_IVF_ASSIGN} SELECT * FROM assign",
+)
+def _q_ivf_assign(spark, sf_dir):
+    return _sim.ivf_assign(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "ann_ivf_topk",
+    "Approximate top-10 via IVF probe: rank centroids vs the query, scan "
+    "the 4 nearest inverted lists only, exact cosine within.",
+    f"""WITH {_DUCK_IVF_ASSIGN},
+q AS (SELECT v AS q FROM t WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id FROM (
+    SELECT centroid_id,
+           CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('c')} > 0
+                THEN {_duck_dot('q', 'c')} / ({_duck_norm('q')} * {_duck_norm('c')})
+                ELSE 0.0 END AS cosine
+    FROM cents, q)
+  ORDER BY cosine DESC, centroid_id LIMIT 4
+),
+cands AS (
+  SELECT t.vec_id, t.label, a.centroid_id, t.v
+  FROM t
+  JOIN assign a ON t.vec_id = a.vec_id
+  JOIN probe p ON a.centroid_id = p.centroid_id
+  WHERE t.vec_id <> 0
+)
+SELECT vec_id, label, centroid_id,
+       CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('v')} > 0
+            THEN {_duck_dot('q', 'v')} / ({_duck_norm('q')} * {_duck_norm('v')})
+            ELSE 0.0 END AS cosine
+FROM cands, q
+ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def _q_ivf_topk(spark, sf_dir):
+    return _sim.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
 @_entry(

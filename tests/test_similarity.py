@@ -86,3 +86,43 @@ def test_embedding_norms(vectors, monkeypatch):
     assert out[0]["l2_norm"] == pytest.approx(1.0)
     assert out[4]["l2_norm"] == 0.0
     assert all(r["dim"] == 4 for r in out.values())
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """Probing ALL inverted lists makes IVF exact — identical ids and
+    cosines to the brute-force baseline."""
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(e, k=10).collect()
+    ivf = similarity.ivf_topk(e, k=10, n_centroids=16, n_probe=16).collect()
+    assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in exact]
+    for a, b in zip(ivf, exact):
+        assert a["cosine"] == pytest.approx(b["cosine"], abs=1e-12)
+
+
+def test_ivf_assignment_partitions_the_corpus(spark, sf_dir):
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = similarity.ivf_assign(e, n_centroids=16).collect()
+    assert len(assign) == e.count()             # every vector exactly one list
+    assert {r["centroid_id"] for r in assign} <= set(range(16))
+    # a centroid is its own nearest centroid (cosine 1 with itself)
+    own = {r["vec_id"]: r["centroid_id"] for r in assign if r["vec_id"] < 16}
+    assert own == {i: i for i in range(16)}
+
+
+def test_ivf_probe_recall_is_monotone(spark, sf_dir):
+    """More probes ⇒ recall vs the exact top-10 never decreases."""
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {r["vec_id"] for r in similarity.cosine_topk(e, k=10).collect()}
+    last = -1
+    for n_probe in (1, 4, 16):
+        got = {r["vec_id"] for r in similarity.ivf_topk(e, k=10, n_probe=n_probe).collect()}
+        recall = len(got & exact)
+        assert recall >= last
+        last = recall
+    assert last == 10  # full probe is exact
