@@ -231,6 +231,81 @@ def dedup_exact(documents: DataFrame, normalized: bool = False) -> DataFrame:
     )
 
 
+def dedup_incremental(
+    new_documents: DataFrame,
+    seen_hashes: DataFrame,
+    normalized: bool = True,
+) -> DataFrame:
+    """Incremental dedup: keep only new documents whose content hash is
+    neither already in the corpus (anti-join vs ``seen_hashes``, a 1-column
+    ``content_hash`` frame) nor duplicated within the batch itself
+    (first-by-doc_id survives).
+
+    This is the growing-corpus shape: the seen set is a hash column —
+    32 bytes/doc regardless of document size — so the anti-join shuffles
+    KBs per million docs and the text column never moves.  Stability of the
+    md5 fingerprint across engine versions (see module docstring) is what
+    makes the seen-store durable.
+    """
+    key = (
+        "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' '))"
+        if normalized
+        else "md5(text)"
+    )
+    hashed = new_documents.selectExpr("*", f"{key} AS content_hash")
+    survivors = (
+        hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    )
+    return (
+        hashed.join(survivors, ["content_hash", "doc_id"], "left_semi")
+        .join(seen_hashes.select("content_hash"), "content_hash", "left_anti")
+    )
+
+
+def quality_filter(
+    documents: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    min_stopword_ratio: float = 0.0,
+    langs: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Composed corpus filter: quality heuristics + optional language
+    allow-list, returning every document with its signals, a ``kept``
+    verdict, and the first ``reject_reason`` (deterministic precedence).
+
+    One pass, row-local — the shape of a 100 TB cleaning stage: score and
+    verdict travel with the row so downstream stages can audit *why* a
+    document was dropped without recomputing anything.
+    """
+    scored = quality_scores(documents).join(
+        language_id(documents).select("doc_id", "lang_predicted"), "doc_id"
+    )
+    reasons = [
+        (F.col("n_tokens") < min_tokens, "too_short"),
+        (F.col("n_tokens") > max_tokens, "too_long"),
+        (F.col("mean_token_len") < min_mean_token_len, "tokens_too_short"),
+        (F.col("mean_token_len") > max_mean_token_len, "tokens_too_long"),
+        (F.col("stopword_ratio") < min_stopword_ratio, "unnatural_text"),
+    ]
+    if langs is not None:
+        reasons.append((~F.col("lang_predicted").isin(*langs), "lang_not_allowed"))
+    reason = F.lit(None).cast("string")
+    for cond, label in reversed(reasons):
+        reason = F.when(cond, F.lit(label)).otherwise(reason)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "ttr",
+        "stopword_ratio",
+        "lang_predicted",
+        reason.isNull().alias("kept"),
+        reason.alias("reject_reason"),
+    )
+
+
 def simhash_near_dup_pairs(
     documents: DataFrame,
     bits: int = 32,

@@ -965,6 +965,92 @@ SELECT doc_id, lang AS lang_declared,
 FROM tok"""
 
 
+def _duck_lang_parts() -> tuple[str, str]:
+    """(best, pick) expressions over a ``toks`` column — DuckDB twin of
+    textops.language_id's argmax."""
+    counts = {
+        lang: (
+            "len(list_filter(toks, t -> list_contains(["
+            + ", ".join(f"'{w}'" for w in words)
+            + "], t)))"
+        )
+        for lang, words in _tx.LANG_MARKERS.items()
+    }
+    langs = sorted(counts)
+    best = "greatest(" + ", ".join(counts[l] for l in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN {counts[l]} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return best, pick
+
+
+@_entry(
+    "dedup_incremental",
+    "Growing-corpus dedup: batch-internal first-survivor + anti-join vs "
+    "the seen-hash store (32 bytes/doc; text never shuffles).  Seen set = "
+    "docs < 100, new batch = docs ≥ 100.",
+    """WITH hashed AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM documents
+),
+seen AS (SELECT DISTINCT content_hash FROM hashed WHERE doc_id < 100),
+newdocs AS (SELECT * FROM hashed WHERE doc_id >= 100),
+surv AS (SELECT content_hash, MIN(doc_id) AS doc_id FROM newdocs GROUP BY 1)
+SELECT n.doc_id, n.content_hash
+FROM newdocs n
+JOIN surv s ON n.content_hash = s.content_hash AND n.doc_id = s.doc_id
+WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.content_hash = n.content_hash)""",
+)
+def _q_dedup_incr(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    seen = _tx.fingerprints(docs.filter(F.col("doc_id") < 100)).select(
+        F.col("md5_normalized").alias("content_hash")
+    )
+    out = _tx.dedup_incremental(docs.filter(F.col("doc_id") >= 100), seen)
+    return out.select("doc_id", "content_hash")
+
+
+def _duck_quality_filter_sql() -> str:
+    best, pick = _duck_lang_parts()
+    lang = f"CASE WHEN {best} = 0 THEN 'und' ELSE {pick} END"
+    return f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+q AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS mean_token_len,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         CAST(len(list_filter(toks, t -> list_contains({_DUCK_STOPS}, t))) AS DOUBLE) / len(toks) AS stopword_ratio,
+         {lang} AS lang_predicted
+  FROM tok
+),
+r AS (
+  SELECT *, CASE WHEN n_tokens < 5 THEN 'too_short'
+                 WHEN n_tokens > 100000 THEN 'too_long'
+                 WHEN mean_token_len < 2.0 THEN 'tokens_too_short'
+                 WHEN mean_token_len > 12.0 THEN 'tokens_too_long'
+                 WHEN stopword_ratio < 0.0 THEN 'unnatural_text'
+                 WHEN NOT list_contains(['en', 'es', 'de', 'fr'], lang_predicted)
+                   THEN 'lang_not_allowed'
+            END AS reject_reason
+  FROM q
+)
+SELECT doc_id, n_tokens, mean_token_len, ttr, stopword_ratio, lang_predicted,
+       reject_reason IS NULL AS kept, reject_reason
+FROM r"""
+
+
+@_entry(
+    "corpus_quality_filter",
+    "Composed cleaning stage: quality heuristics + language allow-list → "
+    "kept verdict + first-match reject_reason, one row-local pass.",
+    _duck_quality_filter_sql(),
+)
+def _q_quality_filter(spark, sf_dir):
+    return _tx.quality_filter(
+        _t(spark, sf_dir, "documents"), langs=("en", "es", "de", "fr")
+    )
+
+
 @_entry(
     "text_language_id",
     "Marker-lexicon language ID with deterministic argmax tie-break.",

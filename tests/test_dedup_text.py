@@ -154,3 +154,43 @@ def test_ngram_jaccard_agrees_with_lsh_verify(planted):
     }
     for pair, j in lsh.items():
         assert exact[pair] == pytest.approx(j)
+
+
+def test_dedup_incremental_rejects_seen_and_batch_dups(spark, planted):
+    # seen store holds BASE's normalized hash (doc 1's content)
+    seen = textops.fingerprints(planted.filter(F.col("doc_id") == 1)).select(
+        F.col("md5_normalized").alias("content_hash")
+    )
+    # new batch: 2 (dup of seen), 3 (normalized dup of seen), 4+5 (new),
+    # plus an in-batch duplicate pair 6≡7
+    extra = docs(
+        spark,
+        [(6, "brand new content here", "en"), (7, "brand new content here", "en")],
+    )
+    new_batch = planted.filter(F.col("doc_id") >= 2).unionByName(extra)
+    kept = sorted(
+        r["doc_id"] for r in textops.dedup_incremental(new_batch, seen).collect()
+    )
+    assert kept == [4, 5, 6]  # 2,3 seen; 7 loses in-batch to 6
+
+
+def test_quality_filter_reasons_and_precedence(spark):
+    d = docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today", "en"),
+            (2, "hi", "en"),                                  # too_short wins
+            (3, "el gato de la casa es de los mejores hoy", "es"),
+            (4, "zz qq xx ww vv kk pp", "xx"),                # und → lang_not_allowed
+            (5, "aaaaaaaaaaaaaaaaaaaaaa " * 6, "en"),         # tokens_too_long
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["kept"], r["reject_reason"])
+        for r in textops.quality_filter(d, langs=("en", "es")).collect()
+    }
+    assert out[1] == (True, None)
+    assert out[2] == (False, "too_short")
+    assert out[3] == (True, None)
+    assert out[4] == (False, "lang_not_allowed")
+    assert out[5] == (False, "tokens_too_long")
