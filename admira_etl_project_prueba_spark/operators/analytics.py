@@ -653,6 +653,45 @@ def top_parts_by_nation(tables: dict[str, DataFrame], k: int = 3) -> DataFrame:
     )
 
 
+def events_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured path: parse the JSON ``props`` column with a typed
+    ``from_json`` schema (JVM-side, no Python), then aggregate by
+    event_type × decade bucket of k.
+
+    At 100 TB the right move is exactly this — parse ONCE into typed
+    columns near the scan and aggregate the typed result — never repeated
+    ``get_json_object`` calls per field (one JSON parse each).
+    """
+    parsed = events.select(
+        "event_type", F.from_json("props", "k INT").getField("k").alias("k")
+    )
+    return (
+        parsed.groupBy(
+            "event_type", F.floor(F.col("k") / 10).cast("int").alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+def events_approx_distinct(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Approximate distinct users per event_type via HyperLogLog++.
+
+    The mergeable-sketch shape for 100 TB cardinality work: per-partition
+    sketches merge in O(sketch size), unlike exact COUNT(DISTINCT) whose
+    shuffle grows with cardinality.  Not oracle-gated (DuckDB's HLL is a
+    different sketch); pytest bounds the relative error vs exact instead.
+    """
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def top_users_by_value(events: DataFrame, k: int = 50) -> DataFrame:
     """Global top-k users by exact total value, with dense ranking.
 

@@ -868,6 +868,33 @@ def _q_top_parts(spark, sf_dir):
 
 
 @_entry(
+    "events_json_props",
+    "Semi-structured path: typed from_json parse of the props column, "
+    "aggregated by event_type × k-decade bucket.",
+    """SELECT event_type,
+       CAST(floor(CAST(json_extract(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+FROM events GROUP BY 1, 2""",
+)
+def _q_json_props(spark, sf_dir):
+    return analytics.events_props_stats(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_approx_distinct",
+    "HyperLogLog++ approximate distinct users per type — mergeable-sketch "
+    "cardinality (engine-specific sketch ⇒ rows-only check; error bound "
+    "pinned in pytest).",
+    None,
+)
+def _q_approx_distinct(spark, sf_dir):
+    return analytics.events_approx_distinct(load_events(spark, sf_dir))
+
+
+@_entry(
     "top_users_by_value",
     "Global top-50 users by exact total value with row-number ranking.",
     f"""WITH per_user AS (

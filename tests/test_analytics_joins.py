@@ -101,3 +101,25 @@ def test_new_queries_are_registered_with_oracles():
         "q22_lapsed_customers",
     ):
         assert name in CATALOG and CATALOG[name].oracle is not None
+
+
+def test_json_props_parse_is_typed_and_complete(spark, sf_dir):
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = analytics.events_props_stats(ev)
+    assert out.agg(F.sum("n_events")).first()[0] == ev.count()  # no dropped rows
+    assert dict(out.dtypes)["sum_k"] == "bigint"
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for r in analytics.events_approx_distinct(ev).collect():
+        rel = abs(r["approx_users"] - exact[r["event_type"]]) / exact[r["event_type"]]
+        assert rel < 0.05, (r["event_type"], rel)
