@@ -653,6 +653,54 @@ def top_parts_by_nation(tables: dict[str, DataFrame], k: int = 3) -> DataFrame:
     )
 
 
+def events_pivot_daily(events: DataFrame) -> DataFrame:
+    """Wide-form day × event_type counts via ``groupBy().pivot()``.
+
+    The pivot values are declared explicitly — with them, Catalyst plans a
+    single pass; without, it runs an extra distinct-scan job first.  At
+    scale pivots are for LOW-cardinality columns only (each value becomes
+    a physical column).
+    """
+    types = ["click", "view", "signup", "purchase", "error"]
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select(
+            "day", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in types]
+        )
+    )
+
+
+def user_value_quartiles(events: DataFrame) -> DataFrame:
+    """NTILE(4) quartile assignment over per-user exact totals.
+
+    Aggregate first (events → users, one shuffle), then the rank window
+    runs on the reduced set.  Quartile boundaries via deterministic total
+    ordering (value desc, user_id) so the split is reproducible.
+    """
+    per_user = events.groupBy("user_id").agg(_dsum("value").alias("total_value"))
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
+    return per_user.select(
+        "user_id", "total_value", F.ntile(4).over(w).cast("int").alias("quartile")
+    )
+
+
+def user_type_overlap(events: DataFrame, a: str = "click", b: str = "purchase") -> DataFrame:
+    """Set-operation surface: users doing BOTH a and b (INTERSECT) and
+    users doing a but never b (EXCEPT), labeled in one result.
+
+    Both set ops hash-partition on user_id once; at scale these are the
+    audience-segmentation primitives (overlap / retention / churn).
+    """
+    ua = events.filter(F.col("event_type") == a).select("user_id")
+    ub = events.filter(F.col("event_type") == b).select("user_id")
+    both = ua.intersect(ub).select("user_id", F.lit("both").alias("segment"))
+    only_a = ua.subtract(ub).select("user_id", F.lit("a_only").alias("segment"))
+    return both.unionByName(only_a)
+
+
 def events_props_stats(events: DataFrame) -> DataFrame:
     """Semi-structured path: parse the JSON ``props`` column with a typed
     ``from_json`` schema (JVM-side, no Python), then aggregate by

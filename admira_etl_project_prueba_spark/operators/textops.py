@@ -231,6 +231,25 @@ def dedup_exact(documents: DataFrame, normalized: bool = False) -> DataFrame:
     )
 
 
+def token_frequencies(documents: DataFrame, top_k: int = 100) -> DataFrame:
+    """Corpus token frequencies (vocabulary building): global count and
+    document frequency per token, deterministic top-k.
+
+    The word-count-at-scale shape: per-document token multisets reduce
+    LOCALLY first (map-side partial agg over the exploded tokens), so the
+    shuffle carries one row per distinct token per partition — vocabulary
+    cardinality, not corpus token count.  top-k via TakeOrdered.
+    """
+    toks = documents.selectExpr("doc_id", f"explode({TOKENS}) AS token")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_frequency"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(top_k)
+
+
 def dedup_incremental(
     new_documents: DataFrame,
     seen_hashes: DataFrame,

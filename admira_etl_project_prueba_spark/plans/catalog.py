@@ -868,6 +868,55 @@ def _q_top_parts(spark, sf_dir):
 
 
 @_entry(
+    "events_pivot_daily",
+    "groupBy().pivot() wide-form day × type counts with declared pivot "
+    "values (single-pass plan).",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY 1""",
+)
+def _q_pivot(spark, sf_dir):
+    return analytics.events_pivot_daily(load_events(spark, sf_dir))
+
+
+@_entry(
+    "user_value_quartiles",
+    "NTILE(4) over per-user exact totals with deterministic ordering.",
+    f"""WITH per_user AS (
+  SELECT user_id, {_DSUM.format(x='value')} AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, total_value,
+       CAST(NTILE(4) OVER (ORDER BY total_value DESC, user_id) AS INTEGER) AS quartile
+FROM per_user""",
+)
+def _q_quartiles(spark, sf_dir):
+    return analytics.user_value_quartiles(load_events(spark, sf_dir))
+
+
+@_entry(
+    "user_type_overlap",
+    "Set-op segmentation: INTERSECT (users with click AND purchase) + "
+    "EXCEPT (click but never purchase), labeled.",
+    """SELECT user_id, 'both' AS segment FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT user_id, 'a_only' AS segment FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')""",
+)
+def _q_overlap(spark, sf_dir):
+    return analytics.user_type_overlap(load_events(spark, sf_dir))
+
+
+@_entry(
     "events_json_props",
     "Semi-structured path: typed from_json parse of the props column, "
     "aggregated by event_type × k-decade bucket.",
@@ -1145,6 +1194,23 @@ FROM sh"""
 )
 def _q_minhash(spark, sf_dir):
     return _tx.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "token_frequencies",
+    "Vocabulary building: global token counts + document frequency, "
+    "deterministic top-100 (map-side partial agg ⇒ shuffle carries vocab "
+    "cardinality, not corpus tokens).",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents
+)
+SELECT token, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS doc_frequency
+FROM toks GROUP BY token
+ORDER BY n_occurrences DESC, token LIMIT 100""",
+)
+def _q_token_freq(spark, sf_dir):
+    return _tx.token_frequencies(_t(spark, sf_dir, "documents"))
 
 
 @_entry(
