@@ -25,6 +25,51 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_bin_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    on: list[str] | None = None,
+    bin_hours: int = 24,
+) -> DataFrame:
+    """Range (interval containment) join without a nested loop: match each
+    left row to every interval with ``start ≤ ts < end`` (plus optional
+    equi-keys) — the other temporal join Spark lacks natively.
+
+    A direct ``ts BETWEEN start AND end`` join is non-equi: Spark plans
+    BroadcastNestedLoopJoin (or worse, a cartesian) — quadratic and
+    undistributable at scale.  This operator converts the range predicate
+    into an equi-join by time binning: each interval explodes into the
+    bins it covers, left rows compute their single bin, the join runs on
+    (keys…, bin), and the exact containment filter prunes bin-boundary
+    false positives.  Fan-out = ceil(interval span / bin width) rows per
+    interval — pick ``bin_hours`` near the typical span so expansion stays
+    O(1) per interval while the join stays a shuffled/broadcast hash join.
+    """
+    on = on or []
+    bin_us = bin_hours * 3600 * 1_000_000
+    l = left.withColumn(
+        "_bin", F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / bin_us)
+    )
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col).cast("timestamp")) / bin_us),
+                F.floor(
+                    (F.unix_micros(F.col(end_col).cast("timestamp")) - 1) / bin_us
+                ),
+            )
+        ),
+    )
+    joined = l.join(i, on + ["_bin"]).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bin")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

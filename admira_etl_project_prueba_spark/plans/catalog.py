@@ -1645,9 +1645,54 @@ def _q_bpe_tokens(spark, sf_dir):
     )
 
 
-# -- as-of join (temporal enrichment) ----------------------------------------
+# -- temporal joins (as-of, interval containment) ----------------------------
 
 from admira_etl_project_prueba_spark.operators.asof import asof_join as _asof_join
+from admira_etl_project_prueba_spark.operators.asof import (
+    interval_bin_join as _interval_bin_join,
+)
+
+
+@_entry(
+    "events_in_spike_windows",
+    "Interval-containment join via time-bin expansion (equi-join on bin + "
+    "exact containment filter — no nested loop): events falling inside "
+    "24h windows [12:00→12:00) around the top-3 value days.",
+    """WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         SUM(CAST(value AS DECIMAL(25,6))) AS v
+  FROM events GROUP BY 1
+),
+top3 AS (SELECT day FROM daily ORDER BY CAST(v AS DOUBLE) DESC, day LIMIT 3),
+win AS (
+  SELECT CAST(day || ' 12:00:00' AS TIMESTAMP) AS wstart,
+         CAST(day AS TIMESTAMP) + INTERVAL 36 HOUR AS wend
+  FROM top3
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events, win
+WHERE ts >= wstart AND ts < wend
+GROUP BY 1""",
+)
+def _q_spike_windows(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("v")
+    )
+    top3 = daily.orderBy(F.col("v").desc(), F.col("day")).limit(3)
+    win = top3.select(
+        F.to_timestamp(F.concat(F.col("day"), F.lit(" 12:00:00"))).alias("wstart"),
+        (F.to_timestamp("day") + F.expr("INTERVAL 36 HOURS")).alias("wend"),
+    )
+    matched = _interval_bin_join(ev, win, "ts", "wstart", "wend", bin_hours=24)
+    return matched.groupBy(
+        F.date_format("wstart", "yyyy-MM-dd HH:mm:ss").alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("total_value"),
+    )
 
 
 @_entry(

@@ -104,3 +104,47 @@ def test_replicated_broadcast_join_covers_all_salts(spark):
     )
     j = big.join(F.broadcast(rep), ["k", "_salt"])
     assert j.count() == 4 and j.filter("attr = 1").count() == 4
+
+
+def test_interval_bin_join_boundaries_and_spans(spark):
+    """start inclusive, end exclusive, intervals spanning bin boundaries,
+    overlapping intervals multi-match — and parity with the naive
+    non-equi join."""
+    from admira_etl_project_prueba_spark.operators.asof import interval_bin_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00"), (2, "2024-01-02 11:59:59"),
+         (3, "2024-01-02 12:00:00"), (4, "2024-01-05 03:00:00")],
+        "id long, ts_s string",
+    ).selectExpr("id", "CAST(ts_s AS timestamp) AS ts")
+    ivs = spark.createDataFrame(
+        [("w1", "2024-01-01 12:00:00", "2024-01-02 12:00:00"),   # crosses midnight
+         ("w2", "2024-01-02 00:00:00", "2024-01-03 00:00:00")],  # overlaps w1
+        "name string, s_s string, e_s string",
+    ).selectExpr("name", "CAST(s_s AS timestamp) AS s", "CAST(e_s AS timestamp) AS e")
+
+    got = {
+        (r["id"], r["name"])
+        for r in interval_bin_join(left, ivs, "ts", "s", "e", bin_hours=24).collect()
+    }
+    naive = {
+        (r["id"], r["name"])
+        for r in left.join(ivs, (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))).collect()
+    }
+    assert got == naive == {(1, "w1"), (2, "w1"), (2, "w2"), (3, "w2")}
+
+
+def test_interval_bin_join_is_hash_join_not_nested_loop(spark):
+    from admira_etl_project_prueba_spark.operators.asof import interval_bin_join
+
+    left = spark.range(100).selectExpr(
+        "id", "timestampadd(HOUR, CAST(id AS INT), TIMESTAMP '2024-01-01 00:00:00') AS ts"
+    )
+    ivs = spark.createDataFrame(
+        [("w", "2024-01-02 06:00:00", "2024-01-03 06:00:00")],
+        "name string, s_s string, e_s string",
+    ).selectExpr("name", "CAST(s_s AS timestamp) AS s", "CAST(e_s AS timestamp) AS e")
+    df = interval_bin_join(left, ivs, "ts", "s", "e", bin_hours=24)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert df.count() == 24
