@@ -99,6 +99,45 @@ class MetricsStore:
         # partitions present in `merged` are replaced.
         merged.write.partitionBy("date").mode("overwrite").parquet(self.path)
 
+    def compact(self) -> tuple[int, int]:
+        """Rewrite the store so each date partition holds one file.
+
+        Streaming/incremental upserts accumulate small files per day; at
+        object-store scale that means listing overhead and tiny reads.
+        Compaction hash-colocates each day (``repartition("date")``) so
+        the rewrite emits one file per day, staged to a sibling directory
+        and swapped in with directory renames (no reader ever sees a
+        half-written store).  Returns (files_before, files_after).
+        """
+        import shutil
+
+        if not self.exists():
+            return (0, 0)
+
+        def _count_files(root: str) -> int:
+            return sum(
+                1
+                for _, _, files in os.walk(root)
+                for f in files
+                if f.endswith(".parquet")
+            )
+
+        before = _count_files(self.path)
+        tmp = self.path.rstrip("/") + ".compacting"
+        old = self.path.rstrip("/") + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            self.spark.read.parquet(self.path)
+            .repartition("date")
+            .write.partitionBy("date")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+        return (before, _count_files(self.path))
+
     def store_idempotent_replace(self, batch: DataFrame) -> None:
         """Replace-by-day: incoming batch is the new truth for its days.
 

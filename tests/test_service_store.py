@@ -156,3 +156,28 @@ def test_store_merges_increments_across_batches(spark, tmp_path):
     r = rows[0]
     assert r["clicks"] == 40 and r["cost"] == 20.0
     assert r["cpc"] == pytest.approx(0.5)  # re-derived after merge
+
+
+def test_store_compaction_preserves_data_one_file_per_day(spark, tmp_path):
+    """Repeated appends fragment partitions; compact() must collapse each
+    day to one file without changing a single row."""
+    from admira_etl_project_prueba_spark.functions.metrics import with_derived_metrics
+    from admira_etl_project_prueba_spark.schemas import METRICS_SCHEMA
+
+    def batch(day, campaign, clicks):
+        row = (day, "google_ads", campaign, "c", "google", "cpc",
+               clicks, 0, 1.0, 0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        df = spark.createDataFrame([row], METRICS_SCHEMA)
+        return with_derived_metrics(
+            df.drop(*["cpc", "cpa", "cvr_lead_to_opp", "cvr_opp_to_won", "roas"])
+        )
+
+    store = MetricsStore(spark, str(tmp_path / "facts3"))
+    for i in range(4):  # 4 appends × 2 days ⇒ ≥4 files per day
+        store.store(batch("2024-03-01", f"C-{i}", 10), mode="append")
+        store.store(batch("2024-03-02", f"C-{i}", 20), mode="append")
+    want = sorted(tuple(r) for r in store.read().collect())
+
+    before, after = store.compact()
+    assert before > 2 and after == 2  # one file per day
+    assert sorted(tuple(r) for r in store.read().collect()) == want
