@@ -653,6 +653,60 @@ def top_parts_by_nation(tables: dict[str, DataFrame], k: int = 3) -> DataFrame:
     )
 
 
+TREND_SCHEMA = (
+    "event_type string, n_days int, slope double, intercept double, r2 double"
+)
+
+
+def events_type_trend(events: DataFrame) -> DataFrame:
+    """Per-group model fitting via grouped ``applyInPandas``: OLS trend of
+    daily total value (y) over day index (x), one fit per event_type.
+
+    The 100 TB discipline for Python model code: REDUCE FIRST.  The heavy
+    aggregation (events → days) runs JVM-side with one shuffle; Python
+    receives |groups| × |days| rows — a few KB — as Arrow batches.  The
+    closed-form OLS is numpy, no per-row Python.  This is the template for
+    any per-key sklearn/scipy fit: aggregate to the model's input grain in
+    Spark, fit in applyInPandas.
+    """
+    import numpy as np
+    import pandas as pd
+
+    daily = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        y = pdf["total_value"].to_numpy()
+        x = np.arange(len(y), dtype="float64")
+        n = len(y)
+        if n < 2:
+            slope, intercept, r2 = 0.0, float(y[0]) if n else 0.0, 0.0
+        else:
+            xm, ym = x.mean(), y.mean()
+            sxx = float(((x - xm) ** 2).sum())
+            sxy = float(((x - xm) * (y - ym)).sum())
+            slope = sxy / sxx
+            intercept = ym - slope * xm
+            ss_res = float(((y - (intercept + slope * x)) ** 2).sum())
+            ss_tot = float(((y - ym) ** 2).sum())
+            r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 1.0
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_days": n,
+                    "slope": slope,
+                    "intercept": intercept,
+                    "r2": r2,
+                }
+            ]
+        )
+
+    return daily.groupBy("event_type").applyInPandas(fit, TREND_SCHEMA)
+
+
 def events_pivot_daily(events: DataFrame) -> DataFrame:
     """Wide-form day × event_type counts via ``groupBy().pivot()``.
 

@@ -868,6 +868,17 @@ def _q_top_parts(spark, sf_dir):
 
 
 @_entry(
+    "events_type_trend",
+    "Grouped applyInPandas model fitting: per-type OLS trend over the "
+    "JVM-side daily reduction (Python sees days, never events).  "
+    "Float-fit ⇒ rows-only check; closed-form parity pinned in pytest.",
+    None,
+)
+def _q_type_trend(spark, sf_dir):
+    return analytics.events_type_trend(load_events(spark, sf_dir))
+
+
+@_entry(
     "events_pivot_daily",
     "groupBy().pivot() wide-form day × type counts with declared pivot "
     "values (single-pass plan).",

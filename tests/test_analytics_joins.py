@@ -123,3 +123,38 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for r in analytics.events_approx_distinct(ev).collect():
         rel = abs(r["approx_users"] - exact[r["event_type"]]) / exact[r["event_type"]]
         assert rel < 0.05, (r["event_type"], rel)
+
+
+def test_type_trend_matches_closed_form_sql(spark, sf_dir):
+    """The applyInPandas OLS must agree with the closed-form slope computed
+    declaratively in Spark SQL on the same daily series."""
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    got = {r["event_type"]: r for r in analytics.events_type_trend(ev).collect()}
+
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("y"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("day")
+    xy = daily.withColumn("x", F.row_number().over(w) - 1)
+    stats = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("xm"),
+        F.avg("y").alias("ym"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_raw"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_raw"),
+    )
+    for r in stats.collect():
+        sxx = r["sxx_raw"] - r["n"] * r["xm"] ** 2
+        sxy = r["sxy_raw"] - r["n"] * r["xm"] * r["ym"]
+        want_slope = sxy / sxx
+        g = got[r["event_type"]]
+        assert g["n_days"] == r["n"]
+        assert g["slope"] == pytest.approx(want_slope, rel=1e-9)
+        assert 0.0 <= g["r2"] <= 1.0
+    # the Python hop must be Arrow-grouped, not row-at-a-time
+    plan = analytics.events_type_trend(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan and "BatchEvalPython" not in plan
