@@ -40,6 +40,17 @@ _DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 DEFAULT_SINCE = "2000-01-01"  # handlers.go:89
 
 
+def new_request_id(provided: str | None = None) -> str:
+    """F14 — request-ID middleware (middleware.go:11-18,30-37): every
+    response carries a 16-char alphanumeric id; a caller-provided one
+    (inbound X-Request-ID) is echoed, else one is generated."""
+    if provided:
+        return provided
+    from uuid import uuid4
+
+    return uuid4().hex[:16]
+
+
 class ValidationError(ValueError):
     """Maps to HTTP 400 at a web tier."""
 
@@ -66,7 +77,12 @@ class MetricsService:
         self.store = MetricsStore(spark, self.config.store_path)
 
     # -- POST /ingest/run ----------------------------------------------------
-    def ingest_run(self, since: str | None = None, store_mode: str = "upsert") -> dict:
+    def ingest_run(
+        self,
+        since: str | None = None,
+        store_mode: str = "upsert",
+        request_id: str | None = None,
+    ) -> dict:
         """Extract (concurrent) → decode → consolidate → filter → store."""
         since = _require_date(since, "since") if since else DEFAULT_SINCE
         cfg = self.config
@@ -87,6 +103,7 @@ class MetricsService:
             "message": "ingestion completed",
             "metrics_processed": processed,
             "since": since,
+            "request_id": new_request_id(request_id),
         }
 
     # -- GET /metrics/channel ------------------------------------------------
@@ -97,6 +114,7 @@ class MetricsService:
         date_to: str | None,
         limit: int = 100,
         offset: int = 0,
+        request_id: str | None = None,
     ) -> dict:
         if not channel:
             raise ValidationError("missing required parameter: channel")
@@ -104,11 +122,19 @@ class MetricsService:
         _require_date(date_to, "to")
         q = metrics_by_channel(self.store.read(), channel, date_from, date_to)
         data = [r.asDict() for r in paginate(q, limit=limit, offset=offset).collect()]
-        return {"data": data, "pagination": page_info(q, limit, offset)}
+        return {
+            "data": data,
+            "pagination": page_info(q, limit, offset),
+            "request_id": new_request_id(request_id),
+        }
 
     # -- GET /metrics/funnel -------------------------------------------------
     def metrics_funnel(
-        self, utm_campaign: str | None, date_from: str | None, date_to: str | None
+        self,
+        utm_campaign: str | None,
+        date_from: str | None,
+        date_to: str | None,
+        request_id: str | None = None,
     ) -> dict:
         if not utm_campaign:
             raise ValidationError("missing required parameter: utm_campaign")
@@ -119,17 +145,22 @@ class MetricsService:
         # canonical order so responses are deterministic
         from admira_etl_project_prueba_spark.operators.queries import canonical_sort
 
-        return {"data": [r.asDict() for r in canonical_sort(q).collect()]}
+        return {
+            "data": [r.asDict() for r in canonical_sort(q).collect()],
+            "request_id": new_request_id(request_id),
+        }
 
     # -- POST /export/run ----------------------------------------------------
-    def export_run(self, date: str | None) -> dict:
+    def export_run(self, date: str | None, request_id: str | None = None) -> dict:
         _require_date(date, "date")
-        return export_day(
+        out = export_day(
             self.store.read(),
             date,
             sink_url=self.config.sink_url or None,
             secret=self.config.sink_secret,
         )
+        out["request_id"] = new_request_id(request_id)
+        return out
 
     # -- health --------------------------------------------------------------
     def healthz(self) -> dict:

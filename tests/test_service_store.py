@@ -181,3 +181,13 @@ def test_store_compaction_preserves_data_one_file_per_day(spark, tmp_path):
     before, after = store.compact()
     assert before > 2 and after == 2  # one file per day
     assert sorted(tuple(r) for r in store.read().collect()) == want
+
+
+def test_request_id_middleware_semantics(spark, tmp_path):
+    """F14: every response carries a 16-char id; inbound ids are echoed,
+    generated ids are unique per request."""
+    from admira_etl_project_prueba_spark.service import new_request_id
+
+    a, b = new_request_id(), new_request_id()
+    assert len(a) == 16 and a.isalnum() and a != b
+    assert new_request_id("client-supplied-1") == "client-supplied-1"
