@@ -150,6 +150,55 @@ def lsh_topk(
     )
 
 
+def cosine_topk_pandas(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k with the scoring hop as a scalar
+    ``@pandas_udf`` — the Arrow-vectorized alternative to the SQL fold in
+    :func:`cosine_topk`.
+
+    The query vector travels inside the UDF closure (broadcast with the
+    serialized function, model-sized); each Arrow batch of corpus vectors
+    becomes one numpy matrix multiply.  Same ranking as the fold version
+    (floats may differ in the last ulp — numpy uses pairwise summation, the
+    fold is strictly sequential — hence pytest approx-parity, not an
+    oracle).  Use this shape when scoring needs real linear algebra
+    (matrix-vector, PCA projections) that SQL folds can't express.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.array(
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS q")
+        .first()["q"],
+        dtype="float64",
+    )
+    qn = float(np.sqrt((q * q).sum()))
+
+    def _cosine(vecs):
+        m = np.stack(vecs.map(lambda v: np.asarray(v, dtype="float64")))
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1))
+        denom = norms * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom > 0, dots / denom, 0.0)
+        return pd.Series(out)
+
+    # real type objects: the module-wide `from __future__ import
+    # annotations` would stringify inline hints beyond pyspark's resolver
+    _cosine.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    cosine = pandas_udf(_cosine, "double")
+
+    t = embeddings.filter(F.col("vec_id") != query_vec_id)
+    return (
+        t.select("vec_id", "label", cosine(F.col("embedding")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     """IVF inverted-list assignment: each vector joins the list of its
     nearest centroid (cosine argmax, ties → smallest centroid id).

@@ -140,3 +140,48 @@ def test_since_filter_monotone(spark, ads, crm, since):
     full = {tuple(r) for r in transform(ads_df, crm_df).collect()}
     filt = {tuple(r) for r in transform(ads_df, crm_df, since=since).collect()}
     assert filt == {r for r in full if r[0] >= since}
+
+
+# ---------------------------------------------------------------------------
+# interval_bin_join ≡ naive non-equi join, for ANY timestamps/intervals/bin
+# ---------------------------------------------------------------------------
+
+_TS = st.integers(0, 3 * 86400)          # seconds within a 3-day window
+_SPAN = st.integers(1, 2 * 86400)        # interval length: 1s .. 2 days
+
+interval_rows = st.lists(st.tuples(_TS, _SPAN), min_size=1, max_size=5)
+event_ts = st.lists(_TS, min_size=1, max_size=15)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(events=event_ts, intervals=interval_rows,
+       bin_hours=st.sampled_from([1, 6, 24]))
+def test_interval_bin_join_equals_naive(spark, events, intervals, bin_hours):
+    from pyspark.sql import functions as F
+
+    from admira_etl_project_prueba_spark.operators.asof import interval_bin_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, base + dt.timedelta(seconds=s)) for i, s in enumerate(events)],
+        "id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(seconds=s), base + dt.timedelta(seconds=s + span))
+            for j, (s, span) in enumerate(intervals)
+        ],
+        "iid long, s timestamp, e timestamp",
+    )
+    got = {
+        (r["id"], r["iid"])
+        for r in interval_bin_join(left, ivs, "ts", "s", "e", bin_hours=bin_hours).collect()
+    }
+    naive = {
+        (r["id"], r["iid"])
+        for r in left.join(
+            ivs, (F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e"))
+        ).collect()
+    }
+    assert got == naive

@@ -126,3 +126,22 @@ def test_ivf_probe_recall_is_monotone(spark, sf_dir):
         assert recall >= last
         last = recall
     assert last == 10  # full probe is exact
+
+
+def test_pandas_udf_cosine_matches_sql_fold(spark, sf_dir):
+    """The Arrow-vectorized scoring path must produce the same ranking and
+    (approx) the same cosines as the SQL-fold baseline, via ArrowEvalPython
+    — never row-at-a-time Python."""
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fold = similarity.cosine_topk(e, k=10).collect()
+    vec = similarity.cosine_topk_pandas(e, k=10).collect()
+    assert [r["vec_id"] for r in vec] == [r["vec_id"] for r in fold]
+    for a, b in zip(vec, fold):
+        assert a["cosine"] == pytest.approx(b["cosine"], abs=1e-12)
+    plan = (
+        similarity.cosine_topk_pandas(e, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
