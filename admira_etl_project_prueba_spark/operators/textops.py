@@ -346,13 +346,20 @@ def simhash_near_dup_pairs(
     assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
     width = bits // n_bands
     sh = simhash64(documents, bits)
-    bands = sh.selectExpr(
-        "doc_id",
-        "simhash",
-        f"explode(transform(sequence(0, {n_bands - 1}), "
-        f"b -> named_struct('band', b, 'val', (simhash >> (b * {width})) "
-        f"& {(1 << width) - 1}))) AS bv",
-    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    bands = (
+        sh.selectExpr(
+            "doc_id",
+            "simhash",
+            f"explode(transform(sequence(0, {n_bands - 1}), "
+            f"b -> named_struct('band', b, 'val', (simhash >> (b * {width})) "
+            f"& {(1 << width) - 1}))) AS bv",
+        )
+        .select("doc_id", "simhash", "bv.band", "bv.val")
+        # materialize ONE shuffle on the join key: both self-join sides hang
+        # off the same exchange (ReusedExchange), so the 32-bit-majority
+        # fingerprint computation runs once, not once per side
+        .repartition("band", "val")
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "val"
     )

@@ -46,6 +46,13 @@ BENCH_QUERIES = [
     "q8_market_share",
     "q13_customer_distribution",
     "q18_large_volume_customers",
+    "events_cube",
+    "events_moving_avg",
+    "token_frequencies",
+    "corpus_quality_filter",
+    "ann_ivf_topk",
+    "events_in_spike_windows",
+    "simhash_near_dup_pairs",
 ]
 
 
