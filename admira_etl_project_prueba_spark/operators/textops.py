@@ -179,7 +179,10 @@ def shingle_hashes(documents: DataFrame, k: int = 3) -> DataFrame:
 
 
 def minhash_signatures(
-    documents: DataFrame, num_perm: int = 16, k: int = 3
+    documents: DataFrame | None,
+    num_perm: int = 16,
+    k: int = 3,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures as (doc_id, perm, minhash) rows.
 
@@ -187,8 +190,11 @@ def minhash_signatures(
     a_p = 2p+1, b_p = 1000p+7.  Row-local (no shuffle): each signature
     value is a fold over the doc's own shingle set.  Empty docs get
     signature value 2^31-1 (the modulus — an impossible min, stable).
+    Pass a precomputed ``sh`` (shingle_hashes output) to share its plan
+    subtree with other consumers.
     """
-    sh = shingle_hashes(documents, k)
+    if sh is None:
+        sh = shingle_hashes(documents, k)
     sig_cols = []
     for p in range(num_perm):
         a, b = 2 * p + 1, 1000 * p + 7
@@ -419,7 +425,12 @@ def lsh_candidate_pairs(
     probability, not corpus size²; the verify join touches only candidate
     shingle sets.  Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sigs = minhash_signatures(documents, num_perm, k)
+    # ONE shingle computation feeds signatures AND verification: the
+    # repartition materializes an exchange every downstream consumer —
+    # signature derivation, both verify-join sides — reuses instead of
+    # recomputing the (expensive) tokenize→shingle→hash projection.
+    sh = shingle_hashes(documents, k).repartition("doc_id")
+    sigs = minhash_signatures(None, num_perm, k, sh=sh)
     bands = (
         sigs.withColumn("band", (F.col("perm") / band_size).cast("long"))
         .groupBy("doc_id", "band")
@@ -427,6 +438,8 @@ def lsh_candidate_pairs(
              F.sum("minhash").alias("s"))
         # band bucket key: order-insensitive combo of the band's minhashes
         .selectExpr("doc_id", "band", "concat_ws('_', band, lo, hi, s) AS bucket")
+        # shared exchange: both self-join sides reuse one banding pass
+        .repartition("bucket")
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "bucket")
     b = bands.select(F.col("doc_id").alias("doc_b"), "bucket")
@@ -436,7 +449,6 @@ def lsh_candidate_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = shingle_hashes(documents, k)
     sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
