@@ -264,6 +264,46 @@ def ivf_topk(
     )
 
 
+def lsh_topk_multiprobe(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Multi-probe LSH top-k: probe the query's bucket AND its Hamming-1
+    neighborhood (each single-plane flip), scoring ~(1+planes)/2^planes of
+    the corpus.
+
+    Single-probe misses neighbors that land one plane-sign away; flipping
+    each bit recovers most of that recall for a bounded candidate growth —
+    the standard recall/cost dial when the table's bucketing (planes) is
+    fixed at write time.  The probe set is built declaratively (explode of
+    XOR-flips) so at scale it is a partition-pruned read of 1+planes
+    buckets, still never a scan.
+    """
+    t = _as_double(embeddings, "v").withColumn(
+        "bucket", F.expr(lsh_bucket_expr("v", n_planes))
+    )
+    q = t.filter(F.col("vec_id") == query_vec_id).select(
+        "v",
+        F.explode(
+            F.expr(
+                f"array_union(array(bucket), transform(sequence(0, {n_planes - 1}), "
+                f"i -> bucket ^ shiftleft(1L, i)))"
+            )
+        ).alias("probe"),
+    ).select(F.col("v").alias("q"), "probe")
+    cands = t.join(F.broadcast(q), F.col("bucket") == F.col("probe")).filter(
+        F.col("vec_id") != query_vec_id
+    )
+    scored = with_cosine(cands)
+    return (
+        scored.select("vec_id", "label", "bucket", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def embedding_norms(embeddings: DataFrame) -> DataFrame:
     """L2 norms + dimensionality — the sanity profile of a vector column."""
     t = _as_double(embeddings, "v")

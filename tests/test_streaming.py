@@ -198,3 +198,38 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     }
     stream_flushed = {k: v for k, v in got.items() if k[0] != 999}
     assert batch == stream_flushed
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered event ids within the watermark are dropped; distinct
+    ids all survive, across micro-batch boundaries."""
+    from admira_etl_project_prueba_spark.streaming.ingest import stream_dedup
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    with open(src / "a.csv", "w") as fh:
+        fh.write("2024-01-01T00:00:00,1,first\n")
+        fh.write("2024-01-01T00:01:00,2,first\n")
+        fh.write("2024-01-01T00:02:00,1,retry\n")     # dup in same batch
+    with open(src / "b.csv", "w") as fh:
+        fh.write("2024-01-01T00:03:00,2,retry\n")     # dup across batches
+        fh.write("2024-01-01T00:04:00,3,first\n")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_id long, tag string")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    out = stream_dedup(stream, ["event_id"], watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_out").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+    assert all(r["tag"] == "first" for r in rows)
