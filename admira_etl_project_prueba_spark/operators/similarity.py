@@ -210,20 +210,26 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     ``partitionBy(centroid_id)`` so a probe is partition-pruned I/O, not a
     scan.  Returns (vec_id, label, centroid_id, cos_to_centroid).
     """
-    from pyspark.sql import Window
-
     cents = _as_double(embeddings.filter(F.col("vec_id") < n_centroids), "q").selectExpr(
         "vec_id AS centroid_id", "q"
     )
     t = _as_double(embeddings, "v")
     scored = with_cosine(t.crossJoin(F.broadcast(cents)))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("centroid_id").asc()
+    # argmax as ONE hash aggregate (max of (cosine, -centroid_id) struct:
+    # field-by-field comparison ⇒ highest cosine, smallest centroid on
+    # ties) — partial-agg'd map-side, no sort window over corpus×centroids
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max(
+            F.struct(
+                F.col("cosine"), (-F.col("centroid_id")).alias("neg_cid")
+            )
+        ).alias("m")
     )
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "label", "centroid_id", F.col("cosine").alias("cos_to_centroid"))
+    return best.select(
+        "vec_id",
+        "label",
+        (-F.col("m.neg_cid")).cast("long").alias("centroid_id"),
+        F.col("m.cosine").alias("cos_to_centroid"),
     )
 
 
