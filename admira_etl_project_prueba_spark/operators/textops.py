@@ -237,6 +237,46 @@ def dedup_exact(documents: DataFrame, normalized: bool = False) -> DataFrame:
     )
 
 
+def train_test_split(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic hash-based train/test split: assignment depends only
+    on (id, salt) — stable across runs, engines, cluster sizes, and corpus
+    growth (a doc never migrates between splits when new data lands, which
+    leakage-free training requires; random `randomSplit` can't promise
+    that).  Change ``salt`` to draw a fresh split.  Row-local, no shuffle.
+    """
+    keyed = f"concat({id_col}, '_', '{salt}')"
+    bucket = f"{hex60(keyed)} % 100"
+    return documents.selectExpr(
+        "*",
+        f"CASE WHEN {bucket} < {train_pct} THEN 'train' ELSE 'test' END AS split",
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    strata_col: str = "lang",
+    fractions: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``) — corpus rebalancing:
+    downsample over-represented languages/sources without a shuffle.
+
+    Sampling is seed-deterministic within Spark but engine-specific
+    (rows-only gate); proportion bounds are pinned in pytest.  At 100 TB
+    this is the first stage of data-mixture tuning — the fractions dict IS
+    the mixture spec.
+    """
+    if fractions is None:
+        strata = [r[0] for r in documents.select(strata_col).distinct().collect()]
+        fractions = {s: 0.5 for s in strata}
+    return documents.sampleBy(strata_col, fractions, seed)
+
+
 def token_frequencies(documents: DataFrame, top_k: int = 100) -> DataFrame:
     """Corpus token frequencies (vocabulary building): global count and
     document frequency per token, deterministic top-k.

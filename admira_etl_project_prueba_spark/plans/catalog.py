@@ -1208,6 +1208,35 @@ def _q_minhash(spark, sf_dir):
 
 
 @_entry(
+    "train_test_split",
+    "Deterministic hash-based train/test split (md5 of id+salt mod 100): "
+    "assignment never migrates as the corpus grows — the leakage-safe "
+    "split primitive.",
+    f"""SELECT doc_id, lang,
+       CASE WHEN {_duck_hex60("doc_id || '_' || 'v1'")} % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+FROM documents""",
+)
+def _q_split(spark, sf_dir):
+    return _tx.train_test_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "split"
+    )
+
+
+@_entry(
+    "stratified_sample",
+    "Per-stratum Bernoulli sampling (sampleBy) — the data-mixture "
+    "rebalancing stage.  Engine-specific RNG ⇒ rows-only; proportion and "
+    "determinism bounds pinned in pytest.",
+    None,
+)
+def _q_strat_sample(spark, sf_dir):
+    return _tx.stratified_sample(
+        _t(spark, sf_dir, "documents"), fractions={"en": 0.3, "es": 0.6}
+    ).select("doc_id", "lang")
+
+
+@_entry(
     "token_frequencies",
     "Vocabulary building: global token counts + document frequency, "
     "deterministic top-100 (map-side partial agg ⇒ shuffle carries vocab "

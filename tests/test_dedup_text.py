@@ -194,3 +194,30 @@ def test_quality_filter_reasons_and_precedence(spark):
     assert out[3] == (True, None)
     assert out[4] == (False, "lang_not_allowed")
     assert out[5] == (False, "tokens_too_long")
+
+
+def test_train_test_split_deterministic_and_stable(spark, sf_dir):
+    """Same (id, salt) ⇒ same split on every call; different salt redraws;
+    proportions near the requested 80/20."""
+    docs_t = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = {r["doc_id"]: r["split"] for r in textops.train_test_split(docs_t).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in textops.train_test_split(docs_t).collect()}
+    assert s1 == s2
+    frac = sum(1 for v in s1.values() if v == "train") / len(s1)
+    assert 0.7 < frac < 0.9
+    s3 = {r["doc_id"]: r["split"] for r in textops.train_test_split(docs_t, salt="v2").collect()}
+    assert s3 != s1  # a new salt draws a different split
+
+
+def test_stratified_sample_respects_mixture(spark, sf_dir):
+    docs_t = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textops.stratified_sample(docs_t, fractions={"en": 0.3, "es": 0.6}, seed=7)
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in textops.stratified_sample(
+        docs_t, fractions={"en": 0.3, "es": 0.6}, seed=7).collect()}
+    assert a == b  # seed-deterministic
+    got = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert got <= {"en", "es"}  # unlisted strata dropped
+    n_en_all = docs_t.filter("lang = 'en'").count()
+    n_en = out.filter("lang = 'en'").count()
+    assert 0.1 < n_en / n_en_all < 0.5  # ~0.3 requested
