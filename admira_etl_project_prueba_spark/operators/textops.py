@@ -237,6 +237,30 @@ def dedup_exact(documents: DataFrame, normalized: bool = False) -> DataFrame:
     )
 
 
+def sequence_pack(documents: DataFrame, token_budget: int = 512) -> DataFrame:
+    """Streaming-concatenation sequence packing: documents are laid out in
+    deterministic doc_id order into one token stream; each doc's pack is
+    the ``token_budget`` bin containing its starting offset — the layout
+    an LLM pretraining loader uses to cut fixed-length sequences.
+
+    Integer window arithmetic (exact, oracle-checkable).  The global-order
+    cumsum is the determinism-first form; at 100 TB you run the identical
+    expression per shard (`partitionBy(shard)` in the window) and pack
+    within shards — the shape is unchanged, only the window key widens.
+    """
+    from pyspark.sql import Window
+
+    toks = documents.selectExpr("doc_id", f"size({TOKENS}) AS n_tokens")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return toks.select(
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
+    ).withColumn(
+        "pack_id", F.floor(F.col("start_offset") / token_budget).cast("long")
+    )
+
+
 def train_test_split(
     documents: DataFrame,
     id_col: str = "doc_id",

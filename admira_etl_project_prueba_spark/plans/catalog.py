@@ -1208,6 +1208,25 @@ def _q_minhash(spark, sf_dir):
 
 
 @_entry(
+    "sequence_pack",
+    "LLM sequence packing: deterministic token-stream layout, each doc "
+    "assigned the 512-token bin holding its starting offset (exact "
+    "integer window cumsum).",
+    f"""WITH toks AS (SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents)
+SELECT doc_id, n_tokens,
+       SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tokens AS start_offset,
+       CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 512) AS BIGINT) AS pack_id
+FROM toks""",
+)
+def _q_seq_pack(spark, sf_dir):
+    return _tx.sequence_pack(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
     "train_test_split",
     "Deterministic hash-based train/test split (md5 of id+salt mod 100): "
     "assignment never migrates as the corpus grows — the leakage-safe "

@@ -221,3 +221,21 @@ def test_stratified_sample_respects_mixture(spark, sf_dir):
     n_en_all = docs_t.filter("lang = 'en'").count()
     n_en = out.filter("lang = 'en'").count()
     assert 0.1 < n_en / n_en_all < 0.5  # ~0.3 requested
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """Offsets tile the stream exactly (no gaps/overlap) and pack_id is the
+    budget bin of each start offset, monotone in doc order."""
+    docs_t = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(
+        textops.sequence_pack(docs_t, token_budget=512).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    expect_offset = 0
+    last_pack = 0
+    for r in rows:
+        assert r["start_offset"] == expect_offset
+        assert r["pack_id"] == expect_offset // 512
+        assert r["pack_id"] >= last_pack
+        expect_offset += r["n_tokens"]
+        last_pack = r["pack_id"]
