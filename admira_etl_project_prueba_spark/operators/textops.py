@@ -462,6 +462,7 @@ def ngram_jaccard_pairs(
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter("size(sh_a) + size(sh_b) > 0")  # see lsh_candidate_pairs
         .selectExpr(
             "doc_a",
             "doc_b",
@@ -518,6 +519,9 @@ def lsh_candidate_pairs(
     return (
         cands.join(sha, "doc_a")
         .join(shb, "doc_b")
+        # empty∪empty pairs (shingle-less docs) have no defined Jaccard and
+        # would divide by zero under ANSI; they are exact-dedup territory
+        .filter("size(sh_a) + size(sh_b) > 0")
         .selectExpr(
             "doc_a",
             "doc_b",

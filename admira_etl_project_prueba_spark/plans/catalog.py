@@ -1319,7 +1319,8 @@ SELECT doc_a, doc_b,
        (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
 FROM cand
 JOIN shs sa ON sa.doc_id = cand.doc_a
-JOIN shs sb ON sb.doc_id = cand.doc_b"""
+JOIN shs sb ON sb.doc_id = cand.doc_b
+WHERE len(sa.sh) + len(sb.sh) > 0"""
 
 
 @_entry(
@@ -1365,6 +1366,7 @@ shs AS (SELECT doc_id, {_DUCK_SH} AS sh FROM sg),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sa, b.sh AS sb
   FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) + len(b.sh) > 0
 )
 SELECT doc_a, doc_b,
        CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE) /

@@ -239,3 +239,51 @@ def test_sequence_pack_invariants(spark, sf_dir):
         assert r["pack_id"] >= last_pack
         expect_offset += r["n_tokens"]
         last_pack = r["pack_id"]
+
+
+def test_text_ops_handle_unicode(spark):
+    """CJK, accents, and emoji flow through the whole text pipeline: token
+    stats, fingerprints, dedup, language ID, split — no crashes, sensible
+    values, and md5 fingerprints stable over unicode content."""
+    d = docs(
+        spark,
+        [
+            (1, "的 是 了 在 我 的 是 了", "zh"),
+            (2, "café naïve résumé über garçon", "fr"),
+            (3, "mixed ascii and 🎉 emoji tokens here", "en"),
+            (4, "mixed ascii and 🎉 emoji tokens here", "en"),  # exact dup of 3
+        ],
+    )
+    stats = {r["doc_id"]: r for r in textops.token_stats(d).collect()}
+    assert stats[1]["n_tokens"] == 8 and stats[1]["n_unique_tokens"] == 5
+    assert stats[2]["n_tokens"] == 5
+
+    lang = {r["doc_id"]: r["lang_predicted"] for r in textops.language_id(d).collect()}
+    assert lang[1] == "zh"
+
+    dd = {r["keep_doc_id"]: r["n_copies"] for r in textops.dedup_exact(d).collect()}
+    assert dd[3] == 2  # unicode-equal texts hash identically
+
+    fp = {r["doc_id"]: r["md5_raw"] for r in textops.fingerprints(d).collect()}
+    assert len(set(fp.values())) == 3  # 3 distinct texts
+
+    splits = {r["doc_id"]: r["split"] for r in textops.train_test_split(d).collect()}
+    assert set(splits.values()) <= {"train", "test"} and len(splits) == 4
+
+
+def test_text_ops_handle_empty_and_whitespace_docs(spark):
+    """Empty/whitespace-only docs flow through scoring, shingling, and LSH
+    without division errors; they normalize-dedup together; minhash gives
+    the stable empty-set sentinel."""
+    d = docs(spark, [(1, "", "en"), (2, "   ", "en"), (3, "real content here", "en")])
+    q = {r["doc_id"]: r for r in textops.quality_scores(d).collect()}
+    assert q[1]["n_tokens"] is not None  # no crash; defined behavior
+    dd = {
+        r["keep_doc_id"]: r["n_copies"]
+        for r in textops.dedup_exact(d, normalized=True).collect()
+    }
+    assert dd[1] == 2  # "" and "   " normalize to the same hash
+    sigs = textops.minhash_signatures(d.filter(F.col("doc_id") == 1))
+    assert {r["minhash"] for r in sigs.collect()} == {2_147_483_647}  # sentinel
+    pairs = textops.lsh_candidate_pairs(d).collect()
+    assert all({p["doc_a"], p["doc_b"]} != {1, 3} for p in pairs)
