@@ -1,0 +1,29 @@
+"""Driver-gate mirror: every catalog query must EXECUTE (not just plan)
+at sf0.001 and return a well-formed result.  Parity with the DuckDB
+oracle is checked out-of-band by tools/oracle_check.py; this gate makes
+plain `pytest` catch runtime breakage (ANSI errors, bad casts, empty-edge
+divisions) in any entry before the driver does."""
+
+from __future__ import annotations
+
+from admira_etl_project_prueba_spark.plans.catalog import CATALOG
+
+
+def test_every_catalog_query_executes(spark, sf_dir):
+    failures = []
+    for name, entry in sorted(CATALOG.items()):
+        try:
+            df = entry.fn(spark, sf_dir)
+            n = df.count()
+            assert n >= 0
+            assert len(df.columns) > 0
+        except Exception as exc:  # noqa: BLE001 — collect all, report once
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, "\n".join(failures)
+
+
+def test_every_oracle_is_nonempty_sql():
+    for name, entry in CATALOG.items():
+        if entry.oracle is not None:
+            assert "SELECT" in entry.oracle.upper(), name
+        assert entry.doc, f"{name} missing doc"
