@@ -58,3 +58,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every testdata table as a dict of DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every table as a temp view — the engine's SQL front door.
+
+    After this, any ANSI query runs via ``spark.sql(...)`` with the same
+    Catalyst plans (pushdown, pruning, AQE) as the DataFrame API; the two
+    surfaces are the same engine.  In production these would be catalog
+    tables (Hive/Unity/Glue) — the query text is unchanged.
+    """
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

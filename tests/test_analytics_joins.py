@@ -158,3 +158,21 @@ def test_type_trend_matches_closed_form_sql(spark, sf_dir):
     # the Python hop must be Arrow-grouped, not row-at-a-time
     plan = analytics.events_type_trend(ev)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_sql_surface_matches_dataframe_api(spark, sf_dir, t):
+    """register_tables exposes the same engine through spark.sql: a pure-SQL
+    Q6 must produce the identical value (same Catalyst plan space)."""
+    from admira_etl_project_prueba_spark.sources.tables import register_tables
+
+    register_tables(spark, sf_dir)
+    sql_rev = spark.sql("""
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """).first()["revenue"]
+    df_rev = analytics.q6_revenue_forecast(t["lineitem"]).first()["revenue"]
+    assert sql_rev == df_rev  # bit-identical: same decimal-sum plan
