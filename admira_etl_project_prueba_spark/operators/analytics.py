@@ -653,6 +653,70 @@ def top_parts_by_nation(tables: dict[str, DataFrame], k: int = 3) -> DataFrame:
     )
 
 
+def events_retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, counted
+    on each subsequent active day — the canonical product-analytics rollup.
+
+    Two aggregations: first-day per user (one shuffle on user_id) and the
+    cohort × day-offset distinct count; both reduce before joining, so the
+    join input is |users|, not |events|.
+    """
+    first = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    j = activity.join(first, "user_id")
+    return (
+        j.groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("day", "cohort_day").cast("int").alias("day_n"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def events_funnel_ordered(events: DataFrame) -> DataFrame:
+    """Ordered conversion funnel click → signup → purchase: a step counts
+    only if it happens AFTER the previous step's first occurrence.
+
+    One hash aggregate builds each user's first-occurrence timestamps
+    (conditional MINs); the funnel conditions are then row-local.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    stage2 = F.col("t_click").isNotNull() & (F.col("t_signup") > F.col("t_click"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_signup"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.col("t_click")).alias("reached_click"),
+        F.sum(F.when(stage2, 1).otherwise(0)).cast("bigint").alias("reached_signup_after_click"),
+        F.sum(F.when(stage3, 1).otherwise(0)).cast("bigint").alias("reached_full_funnel"),
+    )
+
+
+def supplier_revenue_distribution(
+    supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Relative-standing windows over the per-supplier revenue aggregate:
+    percent_rank and cume_dist on the reduced (|suppliers|-row) set."""
+    rev = (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc())
+    return rev.select(
+        "s_suppkey",
+        "s_name",
+        "revenue",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 TREND_SCHEMA = (
     "event_type string, n_days int, slope double, intercept double, r2 double"
 )

@@ -868,6 +868,70 @@ def _q_top_parts(spark, sf_dir):
 
 
 @_entry(
+    "events_retention_cohorts",
+    "Cohort retention matrix: first-activity-day cohorts × day offset × "
+    "distinct active users — joins reduced per-user frames, never events.",
+    """WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+),
+activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+       CAST(datediff('day', cohort_day, day) AS INTEGER) AS day_n,
+       COUNT(DISTINCT user_id) AS n_users
+FROM activity JOIN first USING (user_id)
+GROUP BY 1, 2""",
+)
+def _q_retention(spark, sf_dir):
+    return analytics.events_retention_cohorts(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_funnel_ordered",
+    "Ordered funnel click → signup → purchase (each step strictly after "
+    "the previous step's first occurrence): conditional MINs then "
+    "row-local stage predicates.",
+    """WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_click) AS reached_click,
+       CAST(SUM(CASE WHEN t_click IS NOT NULL AND t_signup > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS reached_signup_after_click,
+       CAST(SUM(CASE WHEN t_click IS NOT NULL AND t_signup > t_click
+                      AND t_purchase > t_signup
+                     THEN 1 ELSE 0 END) AS BIGINT) AS reached_full_funnel
+FROM per_user""",
+)
+def _q_funnel_ordered(spark, sf_dir):
+    return analytics.events_funnel_ordered(load_events(spark, sf_dir))
+
+
+@_entry(
+    "supplier_revenue_distribution",
+    "percent_rank + cume_dist over the per-supplier revenue aggregate — "
+    "relative-standing windows on the reduced set.",
+    f"""WITH rev AS (
+  SELECT s_suppkey, s_name,
+         {_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, revenue,
+       percent_rank() OVER (ORDER BY revenue DESC) AS pct_rank,
+       cume_dist() OVER (ORDER BY revenue DESC) AS cume
+FROM rev""",
+)
+def _q_supplier_dist(spark, sf_dir):
+    return analytics.supplier_revenue_distribution(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_entry(
     "events_type_trend",
     "Grouped applyInPandas model fitting: per-type OLS trend over the "
     "JVM-side daily reduction (Python sees days, never events).  "

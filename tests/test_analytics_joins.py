@@ -176,3 +176,30 @@ def test_sql_surface_matches_dataframe_api(spark, sf_dir, t):
     """).first()["revenue"]
     df_rev = analytics.q6_revenue_forecast(t["lineitem"]).first()["revenue"]
     assert sql_rev == df_rev  # bit-identical: same decimal-sum plan
+
+
+def test_retention_cohort_invariants(spark, sf_dir):
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    rows = analytics.events_retention_cohorts(ev).collect()
+    day0 = {r["cohort"]: r["n_users"] for r in rows if r["day_n"] == 0}
+    # every user appears in their own cohort's day 0
+    assert sum(day0.values()) == ev.select("user_id").distinct().count()
+    # retention never exceeds the cohort's size
+    for r in rows:
+        assert 0 < r["n_users"] <= day0[r["cohort"]]
+        assert r["day_n"] >= 0
+
+
+def test_funnel_stages_are_monotone(spark, sf_dir):
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    r = analytics.events_funnel_ordered(load_events(spark, sf_dir)).first()
+    assert (
+        r["n_users"]
+        >= r["reached_click"]
+        >= r["reached_signup_after_click"]
+        >= r["reached_full_funnel"]
+        >= 0
+    )
