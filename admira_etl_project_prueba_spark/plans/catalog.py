@@ -1443,6 +1443,37 @@ def _q_ngram_jaccard(spark, sf_dir):
     return _tx.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+from admira_etl_project_prueba_spark.operators import graph as _graph
+
+
+@_entry(
+    "dedup_clusters",
+    "Transitive closure of near-dup pairs (iterative min-label propagation "
+    "= connected components) electing one survivor per duplicate group — "
+    "oracle is a DuckDB recursive CTE over the same LSH edges.",
+    f"""WITH RECURSIVE lshp AS ({_duck_lsh_pairs_sql()}),
+strong AS (SELECT doc_a, doc_b FROM lshp WHERE jaccard > 0.5),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM strong
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM strong
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.label FROM walk w JOIN edges e ON e.b = w.node
+),
+cc AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(cc.component, d.doc_id) AS component,
+       COALESCE(cc.component, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""",
+)
+def _q_dedup_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _graph.dedup_clusters(docs, _tx.lsh_candidate_pairs(docs))
+
+
 # -- similarity search -------------------------------------------------------
 
 _DUCK_VD = "embedding::DOUBLE[] "

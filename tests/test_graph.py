@@ -1,0 +1,54 @@
+"""Connected components + dedup clustering: planted-graph correctness and
+the survivor-election contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from admira_etl_project_prueba_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_components_on_planted_shapes(spark):
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, isolated pair {20,21}
+    e = edges(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+    )
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_components_long_chain_converges(spark):
+    n = 12  # diameter > a couple of naive rounds
+    e = edges(spark, [(i, i + 1) for i in range(n)])
+    got = {r["node"]: r["component"] for r in connected_components(e).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_components_unconverged_raises(spark):
+    e = edges(spark, [(i, i + 1) for i in range(8)])
+    with pytest.raises(RuntimeError):
+        connected_components(e, max_iter=1)
+
+
+def test_dedup_clusters_survivor_election(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    # near-dups: {0,1,2} via transitivity (0-1, 1-2), {4,5}; 3 standalone;
+    # the weak 2-3 edge is below threshold and must NOT merge
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9), (1, 2, 0.8), (4, 5, 0.95), (2, 3, 0.3)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    out = {r["doc_id"]: (r["component"], r["keep"]) for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        3: (3, True), 4: (4, True), 5: (4, False),
+    }
