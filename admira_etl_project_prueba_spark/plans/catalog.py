@@ -1272,6 +1272,27 @@ def _q_minhash(spark, sf_dir):
 
 
 @_entry(
+    "tfidf_top_terms",
+    "Per-document top-5 characteristic terms by tf × (N/df) — linear-idf "
+    "TF-IDF (ln is libm-dependent across engines; the rational form is "
+    "exact and induces the same ranking).",
+    f"""WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT doc_id, tf.token, tf, df, tf * (CAST(n AS DOUBLE) / df) AS score
+  FROM tf JOIN dfreq ON tf.token = dfreq.token, n_docs
+)
+SELECT doc_id, token, tf, df, score,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+FROM scored QUALIFY rnk <= 5""",
+)
+def _q_tfidf(spark, sf_dir):
+    return _tx.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
     "sequence_pack",
     "LLM sequence packing: deterministic token-stream layout, each doc "
     "assigned the 512-token bin holding its starting offset (exact "

@@ -287,3 +287,24 @@ def test_text_ops_handle_empty_and_whitespace_docs(spark):
     assert {r["minhash"] for r in sigs.collect()} == {2_147_483_647}  # sentinel
     pairs = textops.lsh_candidate_pairs(d).collect()
     assert all({p["doc_a"], p["doc_b"]} != {1, 3} for p in pairs)
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    """A term unique to one doc must outrank corpus-wide terms there."""
+    d = docs(
+        spark,
+        [
+            (1, "common common common zebra", "en"),
+            (2, "common words appear here", "en"),
+            (3, "common words appear here too", "en"),
+        ],
+    )
+    top = {
+        (r["doc_id"], r["rnk"]): r["token"]
+        for r in textops.tfidf_top_terms(d, top_k=2).collect()
+    }
+    # doc 1: tf(common)=3 × idf 3/3=1 → 3.0;  tf(zebra)=1 × idf 3/1=3 → 3.0
+    # tie broken alphabetically: 'common' then 'zebra'
+    assert {top[(1, 1)], top[(1, 2)]} == {"common", "zebra"}
+    # docs 2/3: 'common' (df 3) must rank below doc-specific rarer terms
+    assert top[(2, 1)] != "common"
