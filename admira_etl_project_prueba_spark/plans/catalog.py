@@ -793,6 +793,32 @@ def _q_sessions(spark, sf_dir):
 
 
 @_entry(
+    "events_salted_daily_stats",
+    "Two-phase salted aggregation (hot-key mitigation): groupBy(day, salt) "
+    "partials then merge per day — result bit-identical to the direct "
+    "aggregation because the decimal sums are associative.",
+    f"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+       {_DSUM.format(x='value')} AS total_value,
+       CAST(COUNT(value) AS BIGINT) AS value_count
+FROM events GROUP BY 1""",
+)
+def _q_salted_daily(spark, sf_dir):
+    from admira_etl_project_prueba_spark.operators.skew import salted_sum_agg
+
+    ev = load_events(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("value").cast("decimal(25,6)").alias("value_dec"),
+        "value",
+    )
+    out = salted_sum_agg(ev, keys=["day"], sums=["value_dec"], counts=["value"])
+    return out.select(
+        "day",
+        F.col("value_dec").cast("double").alias("total_value"),
+        F.col("value_count").cast("long").alias("value_count"),
+    )
+
+
+@_entry(
     "events_moving_avg",
     "Time-series windows over the daily reduction: trailing 7-day moving "
     "average, cumulative sum, day-over-day delta — exact decimal window "

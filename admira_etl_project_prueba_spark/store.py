@@ -37,6 +37,29 @@ from admira_etl_project_prueba_spark.schemas import (
 _MONEY_DECIMAL = "decimal(25,6)"
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) by ``key``.
+
+    Two tables bucketed the same way co-locate matching keys on disk, so
+    an equi-join between them needs NO exchange and NO sort — the 100 TB
+    play for repeated fact-fact joins on a stable key (tested:
+    tests/test_bucketing.py asserts the shuffle-free plan).  Bucketed
+    layout requires the table catalog (``saveAsTable``), not bare paths.
+    """
+    (
+        df.write.bucketBy(buckets, key)
+        .sortBy(key)
+        .mode(mode)
+        .saveAsTable(table)
+    )
+
+
 class MetricsStore:
     """Parquet-backed fact store with reference-shaped read/write API."""
 
