@@ -41,6 +41,7 @@ NESTED_LOOP_ALLOWED = {
     "ngram_jaccard_pairs",      # bounded universe (doc_id < 500), exact baseline
     "q22_lapsed_customers",     # 1-row scalar AVG broadcast
     "q15_top_supplier",         # 1-row scalar MAX broadcast
+    "tfidf_top_terms",          # 1-row corpus-size (N) broadcast
 }
 
 
