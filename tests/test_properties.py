@@ -185,3 +185,43 @@ def test_interval_bin_join_equals_naive(spark, events, intervals, bin_hours):
         ).collect()
     }
     assert got == naive
+
+
+# ---------------------------------------------------------------------------
+# asof_join ≡ naive "latest right at-or-before" for ANY keyed series
+# ---------------------------------------------------------------------------
+
+_KEY = st.sampled_from(["k1", "k2"])
+_SEC = st.integers(0, 5000)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(st.tuples(_KEY, _SEC), min_size=1, max_size=10),
+    right=st.lists(st.tuples(_KEY, _SEC, st.floats(0, 100, allow_nan=False)),
+                   min_size=1, max_size=10,
+                   unique_by=lambda r: (r[0], r[1])),  # unique (key, ts)
+)
+def test_asof_join_equals_naive(spark, left, right):
+    from admira_etl_project_prueba_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)],
+        "lid long, key string, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), v) for k, s, v in right],
+        "key string, rts timestamp, payload double",
+    )
+    got = {
+        r["lid"]: r["payload_asof"]
+        for r in asof_join(ldf, rdf, on=["key"], left_ts="lts", right_ts="rts",
+                           right_payload=["payload"]).collect()
+    }
+    # naive reference computed in python
+    for i, (k, s) in enumerate(left):
+        cands = [(rs, v) for rk, rs, v in right if rk == k and rs <= s]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, s, got[i], want)
