@@ -51,7 +51,12 @@ def ads_from_payload(
     parsed = df.select(
         F.from_json("payload", ADS_ENVELOPE_SCHEMA).alias("env")
     ).select(F.explode(F.col("env.external.ads.performance")).alias("r"))
-    return parsed.select("r.*").withColumn("ingested_at", _ingest_ts(ingested_at))
+    flat = parsed.select("r.*")
+    # Go-unmarshal parity (ads.go:5-16): absent JSON fields decode to zero
+    # values ("" / 0 / 0.0), not NULL — keeps group keys and sums identical
+    # to the reference for partial envelopes.
+    flat = flat.na.fill("").na.fill(0)
+    return flat.withColumn("ingested_at", _ingest_ts(ingested_at))
 
 
 def crm_from_payload(
@@ -72,8 +77,13 @@ def crm_from_payload(
         df.select(F.from_json("payload", CRM_ENVELOPE_SCHEMA).alias("env"))
         .select(F.explode(F.col("env.external.crm.opportunities")).alias("r"))
         .select("r.*")
-        .withColumn("ingested_at", _ingest_ts(ingested_at))
     )
+    # Go-unmarshal parity (crm.go:10-20): absent string/number fields are
+    # zero values, not NULL.  ``created_at`` is deliberately excluded — a
+    # missing timestamp takes the F8 fallback path (§7 decision 3), which
+    # the ``na.fill("")`` below cannot touch (it is parsed separately).
+    flat = flat.na.fill("", [c for c in flat.columns if c != "created_at"]).na.fill(0)
+    flat = flat.withColumn("ingested_at", _ingest_ts(ingested_at))
     return (
         flat.withColumnRenamed("created_at", "created_at_raw")
         .withColumn("created_at", parse_flexible_timestamp("created_at_raw"))

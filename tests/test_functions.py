@@ -128,3 +128,41 @@ def test_crm_envelope_decode_mixed_dates(spark):
     assert got["O-1"]["created_at"] == dt.datetime(2024, 1, 2, 10, 0, 0)
     assert got["O-2"]["created_at"] == dt.datetime(2024, 1, 3)
     assert got["O-3"]["created_at"] is None and got["O-3"]["_date_fallback"]
+
+
+def test_partial_envelopes_decode_to_go_zero_values(spark):
+    """Missing JSON fields must decode like Go's unmarshal (zero values),
+    so partial rows land on the reference's group keys ("" not NULL) and
+    sums see 0 not NULL."""
+    import json
+
+    from admira_etl_project_prueba_spark.operators.transform import transform
+    from admira_etl_project_prueba_spark.sources.json_source import (
+        ads_from_payload,
+        crm_from_payload,
+    )
+
+    ads_payload = json.dumps(
+        {"external": {"ads": {"performance": [
+            {"date": "2024-01-01", "clicks": 5},            # most fields absent
+        ]}}}
+    )
+    crm_payload = json.dumps(
+        {"external": {"crm": {"opportunities": [
+            {"stage": "closed_won", "created_at": "2024-01-01"},  # amount absent
+        ]}}}
+    )
+    ads = ads_from_payload(spark, ads_payload)
+    a = ads.first()
+    assert a["campaign_id"] == "" and a["utm_campaign"] == ""
+    assert a["impressions"] == 0 and a["cost"] == 0.0
+
+    crm = crm_from_payload(spark, crm_payload)
+    c = crm.first()
+    assert c["amount"] == 0.0 and c["utm_source"] == ""
+
+    out = transform(ads, crm).collect()
+    # partial rows still consolidate; keys are "" like the reference
+    assert all(r["utm_campaign"] == "" for r in out)
+    won = [r for r in out if r["closed_won"] == 1]
+    assert won and won[0]["revenue"] == 0.0  # absent amount sums as 0, not NULL
