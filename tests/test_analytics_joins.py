@@ -203,3 +203,24 @@ def test_funnel_stages_are_monotone(spark, sf_dir):
         >= r["reached_full_funnel"]
         >= 0
     )
+
+
+def test_q6_scan_prunes_columns_and_pushes_filters(spark, sf_dir, t):
+    """SCALE.md's pushdown claim, pinned: the Q6 parquet scan reads only
+    the 4 referenced columns and pushes the range predicates to the
+    reader."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        analytics.q6_revenue_forecast(t["lineitem"]).explain("formatted")
+    plan = buf.getvalue()
+    scan = plan[plan.index("ReadSchema") :]
+    read_schema = scan.splitlines()[0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read_schema
+    for col in ("l_orderkey", "l_partkey", "l_tax", "l_returnflag"):
+        assert col not in read_schema  # pruned
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # range reached the reader
