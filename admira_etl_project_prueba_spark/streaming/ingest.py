@@ -210,6 +210,43 @@ def streaming_sessionize(
     )
 
 
+def stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same
+    user's click within the preceding ``attribution_window``.
+
+    The canonical two-sided stateful join: both sides buffer state, and the
+    time-range condition + watermarks bound it — a click older than
+    (watermark + window) can never match a future purchase, so Spark evicts
+    it.  Without the range condition the state would grow forever; this
+    shape is why stream-stream joins REQUIRE event-time bounds in
+    production.
+    """
+    c = clicks.selectExpr(
+        "user_id", "ts AS click_ts", "event_id AS click_id"
+    ).withWatermark("click_ts", watermark)
+    p = purchases.selectExpr(
+        "user_id", "ts AS purchase_ts", "event_id AS purchase_id", "value"
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (c["user_id"] == p["user_id"])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return c.join(p, cond, "inner").select(
+        c["user_id"],
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "value",
+    )
+
+
 def stream_dedup(
     stream: DataFrame,
     keys: list[str],

@@ -233,3 +233,42 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql("select * from dedup_out").collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
     assert all(r["tag"] == "first" for r in rows)
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Two file streams join on user within a 1h attribution window; a
+    purchase with no prior click (or one outside the window) never emits."""
+    from admira_etl_project_prueba_spark.streaming.ingest import (
+        stream_attribution_join,
+    )
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purchases"
+    cdir.mkdir(), pdir.mkdir()
+    with open(cdir / "a.csv", "w") as fh:
+        fh.write("2024-01-01T10:00:00,1,101\n")   # u1 clicks at 10:00
+        fh.write("2024-01-01T10:00:00,2,102\n")   # u2 clicks at 10:00
+    with open(pdir / "a.csv", "w") as fh:
+        fh.write("2024-01-01T10:30:00,1,201,50.0\n")  # u1 buys in-window
+        fh.write("2024-01-01T12:30:00,2,202,70.0\n")  # u2 buys too late
+        fh.write("2024-01-01T10:40:00,3,203,90.0\n")  # u3 never clicked
+
+    clicks = spark.readStream.schema(
+        "ts timestamp, user_id long, event_id long"
+    ).csv(str(cdir))
+    purchases = spark.readStream.schema(
+        "ts timestamp, user_id long, event_id long, value double"
+    ).csv(str(pdir))
+    out = stream_attribution_join(clicks, purchases)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from attr_out").collect()
+    assert [(r["user_id"], r["click_id"], r["purchase_id"], r["value"]) for r in rows] == [
+        (1, 101, 201, 50.0)
+    ]
