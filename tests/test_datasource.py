@@ -1,0 +1,92 @@
+"""Python Data Source API: the envelope HTTP APIs as spark.read.format
+with one InputPartition per URL (executor-parallel page fetch)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from admira_etl_project_prueba_spark.sources.datasource import EnvelopeApiDataSource
+
+
+@pytest.fixture()
+def paged_api():
+    calls = {"n500": 0}
+
+    def page(i):
+        return {
+            "external": {"ads": {"performance": [
+                {"date": f"2024-03-0{i}", "campaign_id": f"C-{i}", "channel": "g",
+                 "clicks": i, "impressions": 10 * i, "cost": 1.5 * i,
+                 "utm_campaign": "x", "utm_source": "google", "utm_medium": "cpc"},
+            ]}}
+        }
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path.startswith("/flaky"):
+                calls["n500"] += 1
+                if calls["n500"] == 1:       # first hit fails → retry succeeds
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                body = json.dumps(page(9))
+            elif self.path.startswith("/crm"):
+                body = json.dumps({"external": {"crm": {"opportunities": [
+                    {"opportunity_id": "O-1", "stage": "lead",
+                     "created_at": "2024-03-01", "utm_campaign": "x",
+                     "utm_source": "google", "utm_medium": "cpc"},  # partial row
+                ]}}})
+            else:
+                body = json.dumps(page(int(self.path[-1])))
+            data = body.encode()
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(data)
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_envelope_datasource_parallel_pages(spark, paged_api):
+    spark.dataSource.register(EnvelopeApiDataSource)
+    df = (
+        spark.read.format("envelope_api")
+        .option("urls", f"{paged_api}/page1,{paged_api}/page2,{paged_api}/page3")
+        .option("source_type", "ads")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3     # one partition per URL
+    rows = {r["campaign_id"]: r for r in df.collect()}
+    assert set(rows) == {"C-1", "C-2", "C-3"}
+    assert rows["C-2"]["clicks"] == 2 and rows["C-2"]["cost"] == 3.0
+
+
+def test_envelope_datasource_retry_and_crm_zero_values(spark, paged_api):
+    spark.dataSource.register(EnvelopeApiDataSource)
+    flaky = (
+        spark.read.format("envelope_api")
+        .option("urls", f"{paged_api}/flaky")
+        .option("source_type", "ads")
+        .option("backoff_ms", "10")
+        .load()
+    )
+    assert flaky.count() == 1                  # 500 then 200: retry succeeded
+
+    crm = (
+        spark.read.format("envelope_api")
+        .option("urls", f"{paged_api}/crm")
+        .option("source_type", "crm")
+        .load()
+    )
+    r = crm.first()
+    assert r["stage"] == "lead"
+    assert r["contact_email"] == "" and r["amount"] == 0.0  # Go zero values
