@@ -24,7 +24,12 @@ never drift.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 ADS_WIRE_SCHEMA = (
     "date string, campaign_id string, channel string, clicks int, "
@@ -99,8 +104,38 @@ class EnvelopeApiReader(DataSourceReader):
             )
 
 
+class EnvelopeApiStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch page consumption: the offset is the index of the next
+    unread page, so progress checkpoints/replays exactly (pages are
+    deterministic URLs — ``readBetweenOffsets`` just refetches the range).
+    In production the page list is a feed/manifest that grows; each batch
+    consumes up to ``pages_per_batch`` new pages."""
+
+    def __init__(self, options: dict):
+        self._batch = EnvelopeApiReader(options)
+        self.pages_per_batch = int(options.get("pages_per_batch", "1"))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, lo: int, hi: int):
+        out = []
+        for url in self._batch.urls[lo:hi]:
+            out.extend(self._batch.read(_UrlPartition(url)))
+        return out
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.pages_per_batch, len(self._batch.urls))
+        return iter(self._rows(lo, hi)), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(start["next"], end["next"]))
+
+
 class EnvelopeApiDataSource(DataSource):
-    """``format("envelope_api")`` — partition-parallel envelope ingestion."""
+    """``format("envelope_api")`` — partition-parallel envelope ingestion
+    (batch) and offset-tracked page consumption (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -113,3 +148,6 @@ class EnvelopeApiDataSource(DataSource):
 
     def reader(self, schema) -> EnvelopeApiReader:
         return EnvelopeApiReader(dict(self.options))
+
+    def simpleStreamReader(self, schema) -> EnvelopeApiStreamReader:
+        return EnvelopeApiStreamReader(dict(self.options))

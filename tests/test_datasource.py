@@ -90,3 +90,39 @@ def test_envelope_datasource_retry_and_crm_zero_values(spark, paged_api):
     r = crm.first()
     assert r["stage"] == "lead"
     assert r["contact_email"] == "" and r["amount"] == 0.0  # Go zero values
+
+
+def test_envelope_datasource_streaming_pages(spark, paged_api, tmp_path):
+    """readStream over the same source: pages consumed one per micro-batch
+    with the page index as the checkpointed offset."""
+    spark.dataSource.register(EnvelopeApiDataSource)
+    collected = []
+
+    def run_once():
+        stream = (
+            spark.readStream.format("envelope_api")
+            .option("urls", f"{paged_api}/page1,{paged_api}/page2,{paged_api}/page3")
+            .option("source_type", "ads")
+            .option("pages_per_batch", "1")
+            .load()
+        )
+        out_dir = tmp_path / "env_out"
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "env_ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["campaign_id"], r["clicks"])
+            for r in spark.read.parquet(str(out_dir)).collect()
+        )
+
+    # each restart resumes from the checkpointed page offset
+    assert run_once() == [("C-1", 1)]
+    assert run_once() == [("C-1", 1), ("C-2", 2)]
+    assert run_once() == [("C-1", 1), ("C-2", 2), ("C-3", 3)]
+    assert run_once() == [("C-1", 1), ("C-2", 2), ("C-3", 3)]  # exhausted: no dups
