@@ -126,3 +126,46 @@ def test_envelope_datasource_streaming_pages(spark, paged_api, tmp_path):
     assert run_once() == [("C-1", 1), ("C-2", 2)]
     assert run_once() == [("C-1", 1), ("C-2", 2), ("C-3", 3)]
     assert run_once() == [("C-1", 1), ("C-2", 2), ("C-3", 3)]  # exhausted: no dups
+
+
+def test_jsonl_shard_roundtrip(spark, tmp_path, sf_dir):
+    """Sharded JSONL export: manifest accounts for every row; the re-read
+    (manifest schema, no inference) matches the source exactly."""
+    from admira_etl_project_prueba_spark.sources.sinks import (
+        read_jsonl_shards,
+        write_jsonl_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "export")
+    manifest = write_jsonl_shards(docs, out, shards=4)
+    assert manifest["n_rows"] == docs.count()
+    assert manifest["n_shards"] == 4
+
+    back = read_jsonl_shards(spark, out)
+    assert back.schema == docs.schema  # manifest schema, not inference
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_jsonl_shard_key_colocates(spark, tmp_path):
+    import json as _json
+
+    from admira_etl_project_prueba_spark.sources.sinks import write_jsonl_shards
+
+    df = spark.createDataFrame(
+        [(i % 5, i) for i in range(100)], "group long, item long"
+    )
+    out = str(tmp_path / "keyed")
+    write_jsonl_shards(df, out, shards=8, shard_key="group")
+    import os
+
+    seen = {}
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            with open(os.path.join(out, f)) as fh:
+                for line in fh:
+                    g = _json.loads(line)["group"]
+                    seen.setdefault(g, set()).add(f)
+    assert all(len(files) == 1 for files in seen.values())  # one shard per group
