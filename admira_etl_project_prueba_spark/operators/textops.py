@@ -271,6 +271,36 @@ def tfidf_top_terms(documents: DataFrame, top_k: int = 5) -> DataFrame:
     )
 
 
+def chunk_documents(
+    documents: DataFrame, chunk_size: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    RAG/pretraining chunking primitive.
+
+    Chunk starts advance by ``chunk_size - overlap``; each chunk carries
+    its doc, ordinal, start offset, and token count.  Entirely row-local
+    until the explode (fan-out = tokens/stride per doc); no Python, no
+    shuffle — a corpus-wide chunking pass is scan → project at any scale.
+    """
+    assert 0 <= overlap < chunk_size
+    step = chunk_size - overlap
+    starts = (
+        f"CASE WHEN size(t) = 0 THEN array(1) "
+        f"ELSE sequence(1, size(t), {step}) END"
+    )
+    return (
+        documents.selectExpr("doc_id", f"{TOKENS} AS t")
+        .selectExpr("doc_id", "t", f"posexplode({starts}) AS (chunk_id, start)")
+        .selectExpr(
+            "doc_id",
+            "chunk_id",
+            "start",
+            f"size(slice(t, start, {chunk_size})) AS n_tokens",
+            f"concat_ws(' ', slice(t, start, {chunk_size})) AS chunk_text",
+        )
+    )
+
+
 def sequence_pack(documents: DataFrame, token_budget: int = 512) -> DataFrame:
     """Streaming-concatenation sequence packing: documents are laid out in
     deterministic doc_id order into one token stream; each doc's pack is

@@ -1319,6 +1319,36 @@ def _q_tfidf(spark, sf_dir):
 
 
 @_entry(
+    "chunk_documents",
+    "Overlapping token-window chunking (size 64, overlap 16) — the "
+    "RAG/pretraining prep step; row-local explode, no shuffle.",
+    f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+st AS (
+  SELECT doc_id, t,
+         unnest(CASE WHEN len(t) = 0 THEN [1]
+                     ELSE range(1, len(t) + 1, 48) END) AS start,
+         generate_subscripts(CASE WHEN len(t) = 0 THEN [1]
+                     ELSE range(1, len(t) + 1, 48) END, 1) - 1 AS chunk_id
+  FROM tok
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(start AS INTEGER) AS start,
+       len(list_slice(t, start, start + 63)) AS n_tokens,
+       array_to_string(list_slice(t, start, start + 63), ' ') AS chunk_text
+FROM st""",
+)
+def _q_chunks(spark, sf_dir):
+    df = _tx.chunk_documents(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start").cast("int").alias("start"),
+        "n_tokens",
+        "chunk_text",
+    )
+
+
+@_entry(
     "sequence_pack",
     "LLM sequence packing: deterministic token-stream layout, each doc "
     "assigned the 512-token bin holding its starting offset (exact "

@@ -308,3 +308,21 @@ def test_tfidf_prefers_rare_terms(spark):
     assert {top[(1, 1)], top[(1, 2)]} == {"common", "zebra"}
     # docs 2/3: 'common' (df 3) must rank below doc-specific rarer terms
     assert top[(2, 1)] != "common"
+
+
+def test_chunking_covers_and_overlaps(spark):
+    """Chunks tile each document with the configured stride and overlap;
+    reassembling stride-aligned prefixes reconstructs the token stream."""
+    text = " ".join(f"w{i}" for i in range(10))
+    d = docs(spark, [(1, text, "en")])
+    rows = sorted(
+        textops.chunk_documents(d, chunk_size=4, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["start"] for r in rows] == [1, 3, 5, 7, 9]
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[1]["chunk_text"] == "w2 w3 w4 w5"      # 2-token overlap
+    assert rows[-1]["chunk_text"] == "w8 w9"           # trailing partial
+    # stride-aligned first halves reassemble the original stream
+    rebuilt = " ".join(" ".join(r["chunk_text"].split()[:2]) for r in rows)
+    assert rebuilt == text
