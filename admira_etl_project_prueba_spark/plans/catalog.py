@@ -1319,6 +1319,36 @@ def _q_tfidf(spark, sf_dir):
 
 
 @_entry(
+    "profile_documents",
+    "One-pass column profiler over documents: row count, non-null count, "
+    "exact distinct, lexicographic string min/max — single scan, single "
+    "aggregate for all columns.",
+    """WITH p AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(doc_id) AS nn_doc_id, COUNT(DISTINCT doc_id) AS nd_doc_id,
+         MIN(CAST(doc_id AS VARCHAR)) AS mn_doc_id, MAX(CAST(doc_id AS VARCHAR)) AS mx_doc_id,
+         COUNT(text) AS nn_text, COUNT(DISTINCT text) AS nd_text,
+         MIN(text) AS mn_text, MAX(text) AS mx_text,
+         COUNT(lang) AS nn_lang, COUNT(DISTINCT lang) AS nd_lang,
+         MIN(lang) AS mn_lang, MAX(lang) AS mx_lang
+  FROM documents
+)
+SELECT 'doc_id' AS column, n_rows, nn_doc_id AS n_nonnull, nd_doc_id AS n_distinct,
+       mn_doc_id AS min_str, mx_doc_id AS max_str FROM p
+UNION ALL
+SELECT 'text', n_rows, nn_text, nd_text, mn_text, mx_text FROM p
+UNION ALL
+SELECT 'lang', n_rows, nn_lang, nd_lang, mn_lang, mx_lang FROM p""",
+)
+def _q_profile(spark, sf_dir):
+    from admira_etl_project_prueba_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "documents"), columns=["doc_id", "text", "lang"]
+    )
+
+
+@_entry(
     "chunk_documents",
     "Overlapping token-window chunking (size 64, overlap 16) — the "
     "RAG/pretraining prep step; row-local explode, no shuffle.",

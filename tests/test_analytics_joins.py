@@ -224,3 +224,19 @@ def test_q6_scan_prunes_columns_and_pushes_filters(spark, sf_dir, t):
         assert col not in read_schema  # pruned
     assert "PushedFilters: [" in plan
     assert "GreaterThanOrEqual(l_shipdate" in plan  # range reached the reader
+
+
+def test_profiler_single_scan_and_null_accounting(spark):
+    """The profile runs as ONE aggregation over ONE scan, and null/distinct
+    accounting is exact."""
+    from admira_etl_project_prueba_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "k long, v string"
+    )
+    out = {r["column"]: r for r in profile_columns(df).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nonnull"] == 3
+    assert out["k"]["n_distinct"] == 3 and out["k"]["min_str"] == "1"
+    assert out["v"]["n_nonnull"] == 3 and out["v"]["n_distinct"] == 2
+    plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") == 1  # one pass for all columns
