@@ -653,6 +653,38 @@ def top_parts_by_nation(tables: dict[str, DataFrame], k: int = 3) -> DataFrame:
     )
 
 
+def events_value_correlation(events: DataFrame) -> DataFrame:
+    """Pearson correlation of ``value`` vs the JSON ``props.k`` field per
+    event_type — computed from EXACT decimal cross-moments.
+
+    Built-in ``corr`` accumulates doubles in partition order (different
+    bits on different cluster sizes); raw moments through DECIMAL(25,6)
+    are associative and exact, so the final double arithmetic is
+    reproducible anywhere and oracle-checkable.  One hash aggregate.
+    """
+    d = "decimal(25,6)"
+    x = F.col("value")
+    y = F.from_json("props", "k INT").getField("k").cast("double")
+    base = events.select("event_type", x.alias("x"), y.alias("y"))
+    m = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(d)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d)).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (cov / F.sqrt(vx * vy)).alias("pearson_r"),
+    )
+
+
 def events_retention_cohorts(events: DataFrame) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day, counted
     on each subsequent active day — the canonical product-analytics rollup.

@@ -894,6 +894,34 @@ def _q_top_parts(spark, sf_dir):
 
 
 @_entry(
+    "events_value_correlation",
+    "Pearson r of value vs props.k per type via EXACT decimal cross-"
+    "moments — reproducible on any cluster size, unlike built-in corr.",
+    """WITH base AS (
+  SELECT event_type, value AS x,
+         CAST(CAST(json_extract(props, '$.k') AS INTEGER) AS DOUBLE) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(25,6))) AS DOUBLE) AS syy
+  FROM base GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+       / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))
+       AS pearson_r
+FROM m""",
+)
+def _q_correlation(spark, sf_dir):
+    return analytics.events_value_correlation(load_events(spark, sf_dir))
+
+
+@_entry(
     "events_retention_cohorts",
     "Cohort retention matrix: first-activity-day cohorts × day offset × "
     "distinct active users — joins reduced per-user frames, never events.",

@@ -205,6 +205,40 @@ def test_funnel_stages_are_monotone(spark, sf_dir):
     )
 
 
+def test_correlation_matches_numpy_and_is_single_agg(spark, sf_dir):
+    """The decimal cross-moment Pearson r must agree with numpy's corrcoef
+    on the same pairs, and the plan must be one hash aggregate (no window,
+    no second shuffle, no Python)."""
+    import numpy as np
+
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    df = analytics.events_value_correlation(ev)
+    got = {r["event_type"]: r for r in df.collect()}
+
+    pdf = (
+        ev.select(
+            "event_type",
+            F.col("value").alias("x"),
+            F.from_json("props", "k INT").getField("k").cast("double").alias("y"),
+        )
+        .toPandas()
+    )
+    for et, grp in pdf.groupby("event_type"):
+        want = np.corrcoef(grp["x"], grp["y"])[0, 1]
+        g = got[et]
+        assert g["n"] == len(grp)
+        assert -1.0 <= g["pearson_r"] <= 1.0
+        assert g["pearson_r"] == pytest.approx(want, rel=1e-9)
+
+    # collect() finalized AQE, whose toString repeats the initial plan —
+    # count shuffles in the final section only
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 1  # one shuffle: the groupBy
+    assert "BatchEvalPython" not in plan and "Window" not in plan
+
+
 def test_q6_scan_prunes_columns_and_pushes_filters(spark, sf_dir, t):
     """SCALE.md's pushdown claim, pinned: the Q6 parquet scan reads only
     the 4 referenced columns and pushes the range predicates to the
