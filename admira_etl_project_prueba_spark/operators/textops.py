@@ -594,3 +594,96 @@ def lsh_candidate_pairs(
             "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) AS jaccard",
         )
     )
+
+
+def lsh_signature_store(
+    documents: DataFrame,
+    num_perm: int = 16,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """The persisted side of incremental near-dup: one row per document
+    with its distinct shingle hashes and LSH band-bucket keys.
+
+    This is what you write to parquet once per corpus snapshot —
+    signatures are computed exactly once, row-locally (scan → project,
+    NO shuffle), and every future batch joins against this table instead
+    of re-shingling 100 TB of text.  Schema: (doc_id, sh, buckets).
+
+    Bucket keys match ``lsh_candidate_pairs`` exactly (band index + the
+    order-insensitive lo/hi/sum combo of the band's minhashes), so a store
+    built today keeps matching batches hashed tomorrow — portability of
+    the md5/HEX60 pipeline (module docstring) is what makes it durable.
+    """
+    sh = shingle_hashes(documents, k)
+    mins = []
+    for p in range(num_perm):
+        a, b = 2 * p + 1, 1000 * p + 7
+        mins.append(
+            f"coalesce(array_min(transform(sh, h -> ({a} * h + {b}) % {MERSENNE31})), "
+            f"{MERSENNE31})"
+        )
+    n_bands = num_perm // band_size
+    buckets = []
+    for band in range(n_bands):
+        vals = ", ".join(mins[band * band_size : (band + 1) * band_size])
+        buckets.append(
+            f"concat_ws('_', {band}, array_min(array({vals})), "
+            f"array_max(array({vals})), "
+            f"aggregate(array({vals}), CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+        )
+    return sh.selectExpr(
+        "doc_id", "sh", f"array({', '.join(buckets)}) AS buckets"
+    )
+
+
+def lsh_incremental_pairs(
+    new_documents: DataFrame,
+    store: DataFrame,
+    num_perm: int = 16,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an existing corpus whose
+    signatures live in a ``lsh_signature_store`` table — the incremental
+    shape of ``lsh_candidate_pairs``.
+
+    Scale contract: the store is NEVER shuffled.  The new batch (small by
+    assumption — a day's ingest vs a 100 TB corpus) is signature-hashed
+    row-locally and BROADCAST twice: exploded bucket keys into the store's
+    bucket scan, then verified candidates into the store's shingle fetch.
+    Both store passes are plain scans; with a parquet-backed store the
+    bucket pass prunes to (doc_id, buckets) by column projection.
+
+    Returns (doc_a, doc_b, jaccard): doc_a from the corpus, doc_b from the
+    batch.  Within-batch duplicates are ``lsh_candidate_pairs`` on the
+    batch alone; exact re-ingests are ``dedup_incremental`` territory.
+    """
+    new_store = lsh_signature_store(new_documents, num_perm, band_size, k)
+    new_buckets = new_store.selectExpr(
+        "doc_id AS doc_b", "explode(buckets) AS bucket"
+    )
+    store_buckets = store.selectExpr(
+        "doc_id AS doc_a", "explode(buckets) AS bucket"
+    )
+    cands = (
+        store_buckets.join(F.broadcast(new_buckets), "bucket")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # verify: fetch corpus shingles by broadcasting the (small) candidate
+    # set into a second store scan; batch shingles broadcast as well
+    sha = store.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = new_store.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        sha.join(F.broadcast(cands), "doc_a")
+        .join(F.broadcast(shb), "doc_b")
+        .filter("size(sh_a) + size(sh_b) > 0")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+            "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) AS jaccard",
+        )
+    )

@@ -1532,6 +1532,51 @@ def _q_lsh_pairs(spark, sf_dir):
     return _tx.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _duck_lsh_incremental_sql(num_perm: int = 16) -> str:
+    """Incremental-LSH oracle: corpus = doc_id%10<8, batch = doc_id%10>=8;
+    pairs run corpus→batch only (within-batch is lsh_near_dup_pairs')."""
+    return f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sg AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM tok),
+shs AS (SELECT doc_id, {_DUCK_SH} AS sh FROM sg),
+sig AS (
+        SELECT doc_id, unnest({'[' + ', '.join(str(p) for p in range(num_perm)) + ']'}) AS perm,
+               unnest([{", ".join(f"coalesce(list_min(list_transform(sh, h -> ({2*p+1} * h + {1000*p+7}) % 2147483647)), 2147483647)" for p in range(num_perm))}]) AS minhash
+        FROM shs),
+bands AS (
+  SELECT doc_id, perm // 2 AS band,
+         MIN(minhash) AS lo, MAX(minhash) AS hi, SUM(minhash) AS s
+  FROM sig GROUP BY doc_id, perm // 2
+),
+bkt AS (SELECT doc_id, concat_ws('_', band, lo, hi, s) AS bucket FROM bands),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bkt a JOIN bkt b USING (bucket)
+  WHERE a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+       (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+FROM cand
+JOIN shs sa ON sa.doc_id = cand.doc_a
+JOIN shs sb ON sb.doc_id = cand.doc_b
+WHERE len(sa.sh) + len(sb.sh) > 0"""
+
+
+@_entry(
+    "lsh_incremental_pairs",
+    "Incremental near-dup: a new batch (doc_id%10>=8) LSH-joined against a "
+    "persisted signature store of the existing corpus — signatures computed "
+    "once, store never shuffled, batch broadcast.",
+    _duck_lsh_incremental_sql(),
+)
+def _q_lsh_incremental(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    # the store recomputes here (no persisted snapshot in the gate run);
+    # repartition materializes ONE exchange both store passes reuse
+    store = _tx.lsh_signature_store(docs.filter("doc_id % 10 < 8")).repartition("doc_id")
+    return _tx.lsh_incremental_pairs(docs.filter("doc_id % 10 >= 8"), store)
+
+
 @_entry(
     "simhash_near_dup_pairs",
     "SimHash near-dup pairs: pigeonhole banding (4×8-bit bands) → "

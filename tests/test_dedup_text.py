@@ -326,3 +326,40 @@ def test_chunking_covers_and_overlaps(spark):
     # stride-aligned first halves reassemble the original stream
     rebuilt = " ".join(" ".join(r["chunk_text"].split()[:2]) for r in rows)
     assert rebuilt == text
+
+
+def test_lsh_incremental_matches_full_corpus_cross_pairs(spark, planted, tmp_path):
+    """A batch joined against a parquet-persisted signature store must find
+    exactly the corpus↔batch pairs the full-corpus LSH finds, with the same
+    jaccards — and must do it without shuffling the store."""
+    old = planted.filter("doc_id <= 3")
+    new = planted.filter("doc_id >= 4")
+    store_path = str(tmp_path / "sig_store")
+    textops.lsh_signature_store(old).write.parquet(store_path)
+    store = spark.read.parquet(store_path)
+
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.lsh_incremental_pairs(new, store).collect()
+    }
+    full = textops.lsh_candidate_pairs(planted)
+    cross = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])): r["jaccard"]
+        for r in full.collect()
+        if (r["doc_a"] <= 3) != (r["doc_b"] <= 3)
+    }
+    assert {(min(a, b), max(a, b)): j for (a, b), j in inc.items()} == cross
+    assert (1, 4) in cross and cross[(1, 4)] > 0.7  # planted near dup crossed the split
+
+    # scale contract: every join broadcasts the batch/candidate side, and
+    # the only shuffle is the candidate-pair distinct — (doc_a, doc_b) key
+    # pairs, never the store's shingle sets or text
+    plan = (
+        textops.lsh_incremental_pairs(new, store)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "sh#" not in line and "text#" not in line and "buckets#" not in line
