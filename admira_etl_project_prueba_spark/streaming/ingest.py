@@ -292,3 +292,146 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+NEAR_DUP_OUT_SCHEMA = "doc_a long, doc_b long, hamming int, ts timestamp"
+# per-bucket state: parallel arrays of seen fingerprints/ids + last event µs
+NEAR_DUP_STATE_SCHEMA = "hashes array<long>, ids array<long>, last long"
+
+
+def stream_near_dup_matches(
+    doc_stream: DataFrame,
+    watermark: str = "1 hour",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Custom stateful operator: STREAMING SimHash near-duplicate detection
+    — the incremental twin of the batch ``simhash_near_dup_pairs``.
+
+    Input is a document stream (ts, doc_id, text).  Each document's SimHash
+    is computed row-locally (the same portable expression as batch), split
+    into ``n_bands`` pigeonhole bands, and each (band, value) bucket keeps
+    the fingerprints seen within the watermark horizon in the state store
+    (``applyInPandasWithState``).  A new document emits (doc_a=prior,
+    doc_b=new, hamming, ts) for every in-horizon prior doc within
+    ``max_hamming`` — identical pair semantics to the batch operator,
+    restricted to arrival order.  A pair matching in several bands emits
+    once: only the LOWEST matching band (recomputed from both fingerprints)
+    reports it, so no cross-band dedup pass is needed downstream.
+
+    Scale/state contract: state per active bucket is two int64 arrays
+    capped at ``bucket_cap`` (FIFO eviction — a cap hit means that bucket
+    is pathologically hot and exact-dup territory anyway) and is dropped
+    wholesale when the watermark passes the bucket's last arrival (event-
+    time timeout).  The Python hop is Arrow-batched per bucket group.
+    Corpus-wide, horizon-unbounded dedup is the batch/incremental path
+    (``lsh_incremental_pairs``); this catches re-posts within the horizon.
+    """
+    import pandas as pd  # local: worker-side dependency of the UDF
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from admira_etl_project_prueba_spark.operators.textops import hex60, TOKENS
+
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    horizon_us = _interval_us(watermark)
+
+    hashes = f"transform({TOKENS}, t -> {hex60('t')})"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * size(filter(h, x -> (x >> {j}) & 1 = 1)) > size(h) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    banded = (
+        doc_stream.withWatermark("ts", watermark)
+        .selectExpr("ts", "doc_id", f"{hashes} AS h")
+        .selectExpr("ts", "doc_id", f"{bit_terms} AS simhash")
+        .selectExpr(
+            "ts",
+            "doc_id",
+            "simhash",
+            f"explode(transform(sequence(0, {n_bands - 1}), "
+            f"b -> named_struct('band', b, 'val', (simhash >> (b * {width})) "
+            f"& {mask}))) AS bv",
+        )
+        .select("ts", "doc_id", "simhash", "bv.band", "bv.val")
+    )
+
+    def lowest_common_band(a: int, b: int) -> int:
+        for band in range(n_bands):
+            if (a >> (band * width)) & mask == (b >> (band * width)) & mask:
+                return band
+        return -1
+
+    def fn(key, pdfs, state: GroupState):
+        band = int(key[0])
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        df = pd.concat(batches).sort_values(["ts", "doc_id"])
+
+        if state.exists:
+            hs, ids, last = state.get
+            hs, ids = list(hs), list(ids)
+        else:
+            hs, ids, last = [], [], 0
+
+        out_a, out_b, out_h, out_ts = [], [], [], []
+        ts_us = df["ts"].values.astype("datetime64[us]").astype("int64")
+        for t, did, sh in zip(ts_us, df["doc_id"].values, df["simhash"].values):
+            sh = int(sh)
+            for prior_h, prior_id in zip(hs, ids):
+                ham = bin(prior_h ^ sh).count("1")
+                # claim the pair only in its lowest shared band — every
+                # other matching band computes the same winner and stays
+                # silent, so each pair is emitted exactly once stream-wide
+                if ham <= max_hamming and lowest_common_band(prior_h, sh) == band:
+                    out_a.append(int(prior_id))
+                    out_b.append(int(did))
+                    out_h.append(ham)
+                    out_ts.append(t)
+            hs.append(sh)
+            ids.append(int(did))
+            last = max(last, int(t))
+        if len(hs) > bucket_cap:
+            hs, ids = hs[-bucket_cap:], ids[-bucket_cap:]
+
+        state.update((hs, ids, int(last)))
+        state.setTimeoutTimestamp((last + horizon_us) // 1000)
+
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "doc_a": out_a,
+                    "doc_b": out_b,
+                    "hamming": out_h,
+                    "ts": pd.to_datetime(out_ts, unit="us"),
+                }
+            )
+
+    return banded.groupBy("band", "val").applyInPandasWithState(
+        fn,
+        outputStructType=NEAR_DUP_OUT_SCHEMA,
+        stateStructType=NEAR_DUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _interval_us(interval: str) -> int:
+    """'2 hours' → microseconds (the units Structured Streaming uses)."""
+    n, unit = interval.split()
+    per = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+        "day": 86_400_000_000, "days": 86_400_000_000,
+    }[unit]
+    return int(n) * per

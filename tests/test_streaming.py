@@ -272,3 +272,80 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     assert [(r["user_id"], r["click_id"], r["purchase_id"], r["value"]) for r in rows] == [
         (1, 101, 201, 50.0)
     ]
+
+
+def test_stream_near_dup_matches_batch_pairs(spark, tmp_path):
+    """Streaming SimHash near-dup: pairs match the batch operator exactly
+    (same hammings, exactly once even when several bands collide), and
+    bucket state is evicted once the watermark passes the horizon."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        simhash_near_dup_pairs,
+    )
+    from admira_etl_project_prueba_spark.streaming.ingest import (
+        stream_near_dup_matches,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark engine "
+        "aggregates partitions of shuffled data across the cluster nodes"
+    )
+    near = base.replace("lazy dog", "sleepy dog")
+    far = "completely unrelated content talking about cooking pasta and sauce recipes all day long"
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+
+    def run(name, rows):
+        with open(src / name, "w") as fh:
+            for ts, did, text in rows:
+                fh.write(json.dumps({"ts": ts, "doc_id": did, "text": text}) + "\n")
+        stream = spark.readStream.schema(
+            "ts timestamp, doc_id long, text string"
+        ).json(str(src))
+        q = (
+            stream_near_dup_matches(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "nd_out"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(tmp_path / "nd_out")).collect()
+
+    rows1 = run(
+        "a.json",
+        [
+            ("2024-01-01T00:00:00", 1, base),
+            ("2024-01-01T00:10:00", 4, near),
+            ("2024-01-01T00:15:00", 2, base),   # exact dup: same simhash as 1
+            ("2024-01-01T00:20:00", 5, far),
+        ],
+    )
+    got = {(min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])): r["hamming"] for r in rows1}
+    # arrival order is prior→new: doc 1 precedes 4 and 2, doc 4 precedes 2
+    assert {(r["doc_a"], r["doc_b"]) for r in rows1} == {(1, 4), (1, 2), (4, 2)}
+    assert len(rows1) == len(got)  # a multi-band collision still emits once
+
+    docs = spark.createDataFrame(
+        [(1, base, "en"), (2, base, "en"), (4, near, "en"), (5, far, "en")],
+        "doc_id long, text string, lang string",
+    )
+    want = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs).collect()
+    }
+    assert got == want
+    assert got[(1, 2)] == 0  # exact dup
+
+    # a far doc 12h later advances the watermark past every horizon →
+    # event-time timeout evicts the old buckets during this run
+    other = "entirely different prose describing mountain hiking trails and weather patterns in spring"
+    rows2 = run("b.json", [("2024-01-01T12:00:00", 7, other)])
+    assert len(rows2) == len(rows1)  # unrelated doc matched nothing
+
+    # a fresh copy of base arrives after eviction: its twins are gone from
+    # state, so NO new pair may appear — horizon-bounded by design
+    rows3 = run("c.json", [("2024-01-01T13:00:00", 8, base)])
+    assert len(rows3) == len(rows1)
