@@ -1,0 +1,157 @@
+"""Corpus service layer — the training-data pipeline ops behind the same
+endpoint contract as ``MetricsService``.
+
+The reference's service tier (internal/api/handlers.go) defines the
+envelope/validation conventions; this module applies them to the
+beyond-reference corpus operators (dedup, similarity, quality, language),
+so a pipeline operator gets the same REST-mountable surface for documents
+that the reference exposes for metrics:
+
+* missing required params → ``ValidationError`` (400)
+* unknown enum values → ``ValidationError`` (400)
+* unknown doc/vec ids → ``NotFoundError`` (404, like empty export)
+* non-positive limit / negative offset silently clamp to defaults
+* every response carries a ``request_id`` (F14 middleware semantics)
+
+Framework-free, like MetricsService: the Spark work is delegated to
+operators/, responses are plain dicts, and pagination is the engine's
+deterministic canonical-order paginate.  At scale the expensive endpoints
+(near_dup_pairs) page over a PRECOMPUTED pairs table when one is supplied —
+recomputing LSH per HTTP request is only for ad-hoc exploration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from admira_etl_project_prueba_spark.operators import similarity, textops
+from admira_etl_project_prueba_spark.operators.queries import page_info, paginate
+from admira_etl_project_prueba_spark.service import ValidationError, new_request_id
+
+
+class NotFoundError(LookupError):
+    """Maps to HTTP 404 at a web tier (unknown doc/vec id)."""
+
+
+DEDUP_METHODS = ("exact", "minhash", "simhash")
+
+
+class CorpusService:
+    """GET /corpus/dedup/pairs · GET /corpus/dedup/summary ·
+    GET /corpus/similar · GET /corpus/quality · GET /corpus/languages —
+    engine-backed, over a documents + embeddings corpus."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        documents: DataFrame,
+        embeddings: DataFrame | None = None,
+        pairs_table: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.documents = documents
+        self.embeddings = embeddings
+        self.pairs_table = pairs_table  # precomputed near-dup pairs, if any
+
+    # -- GET /corpus/dedup/pairs --------------------------------------------
+    def near_dup_pairs(
+        self,
+        method: str | None = "minhash",
+        limit: int = 100,
+        offset: int = 0,
+        request_id: str | None = None,
+    ) -> dict:
+        if method not in DEDUP_METHODS:
+            raise ValidationError(
+                f"invalid method: {method!r} (want one of {', '.join(DEDUP_METHODS)})"
+            )
+        if self.pairs_table is not None:
+            pairs = self.pairs_table
+        elif method == "minhash":
+            pairs = textops.lsh_candidate_pairs(self.documents)
+        elif method == "simhash":
+            pairs = textops.simhash_near_dup_pairs(self.documents)
+        else:  # exact — pairs are (survivor, copy) per collapsed group
+            d = textops.dedup_exact(self.documents).filter("n_copies > 1")
+            pairs = d.selectExpr("keep_doc_id AS doc_a", "n_copies")
+        data = [
+            r.asDict()
+            for r in paginate(
+                pairs, limit=limit, offset=offset, sort_cols=pairs.columns[:2]
+            ).collect()
+        ]
+        return {
+            "data": data,
+            "pagination": page_info(pairs, limit, offset),
+            "method": method,
+            "request_id": new_request_id(request_id),
+        }
+
+    # -- GET /corpus/dedup/summary ------------------------------------------
+    def dedup_summary(
+        self, normalized: bool = False, request_id: str | None = None
+    ) -> dict:
+        groups = textops.dedup_exact(self.documents, normalized=normalized)
+        agg = groups.agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("n_copies").alias("n_docs"),
+            F.sum(F.col("n_copies") - 1).alias("n_removable"),
+        ).first()
+        return {
+            "n_docs": int(agg["n_docs"]),
+            "n_distinct": int(agg["n_distinct"]),
+            "n_removable": int(agg["n_removable"]),
+            "normalized": normalized,
+            "request_id": new_request_id(request_id),
+        }
+
+    # -- GET /corpus/similar -------------------------------------------------
+    def similar_docs(
+        self,
+        vec_id: int | None,
+        k: int = 10,
+        request_id: str | None = None,
+    ) -> dict:
+        if vec_id is None:
+            raise ValidationError("missing required parameter: vec_id")
+        if self.embeddings is None:
+            raise ValidationError("service has no embeddings corpus")
+        if k is None or k <= 0:
+            k = 10  # silent clamp, like limit/offset
+        if self.embeddings.filter(F.col("vec_id") == vec_id).limit(1).count() == 0:
+            raise NotFoundError(f"unknown vec_id: {vec_id}")
+        rows = similarity.cosine_topk(self.embeddings, query_vec_id=vec_id, k=k)
+        return {
+            "query": vec_id,
+            "data": [r.asDict() for r in rows.collect()],
+            "request_id": new_request_id(request_id),
+        }
+
+    # -- GET /corpus/quality -------------------------------------------------
+    def quality_report(self, request_id: str | None = None) -> dict:
+        verdicts = (
+            textops.quality_filter(self.documents)
+            .groupBy("kept", "reject_reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("kept", "reject_reason")
+        )
+        data = [r.asDict() for r in verdicts.collect()]
+        return {
+            "data": data,
+            "n_docs": sum(r["n"] for r in data),
+            "request_id": new_request_id(request_id),
+        }
+
+    # -- GET /corpus/languages -----------------------------------------------
+    def language_breakdown(self, request_id: str | None = None) -> dict:
+        langs = (
+            textops.language_id(self.documents)
+            .groupBy("lang_predicted")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("lang_predicted").asc())
+        )
+        return {
+            "data": [r.asDict() for r in langs.collect()],
+            "request_id": new_request_id(request_id),
+        }

@@ -191,3 +191,76 @@ def test_request_id_middleware_semantics(spark, tmp_path):
     a, b = new_request_id(), new_request_id()
     assert len(a) == 16 and a.isalnum() and a != b
     assert new_request_id("client-supplied-1") == "client-supplied-1"
+
+
+# ---------------------------------------------------------------------------
+# CorpusService — the pipeline ops behind the reference's endpoint contract
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def corpus_svc(spark, sf_dir):
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    return CorpusService(
+        spark,
+        documents=load_table(spark, sf_dir, "documents"),
+        embeddings=load_table(spark, sf_dir, "embeddings"),
+    )
+
+
+def test_corpus_dedup_pairs_envelope_and_clamps(corpus_svc):
+    """Pagination envelope + the reference's silent limit/offset clamps,
+    applied to the minhash pairs endpoint."""
+    from admira_etl_project_prueba_spark.service import ValidationError as VE
+
+    r = corpus_svc.near_dup_pairs(method="minhash", limit=5, offset=0)
+    assert set(r) == {"data", "pagination", "method", "request_id"}
+    assert len(r["data"]) <= 5 and len(r["request_id"]) == 16
+    p = r["pagination"]
+    assert p["limit"] == 5 and p["offset"] == 0
+    assert p["has_more"] == (p["total"] > 5)
+
+    # silent clamps: bad limit/offset fall back, results stay canonical
+    clamped = corpus_svc.near_dup_pairs(method="minhash", limit=-3, offset=-1)
+    assert clamped["pagination"]["limit"] == 100
+    assert clamped["data"][:5] == r["data"]
+
+    with pytest.raises(VE, match="invalid method"):
+        corpus_svc.near_dup_pairs(method="bloom")
+
+
+def test_corpus_dedup_summary_counts(corpus_svc):
+    r = corpus_svc.dedup_summary()
+    assert r["n_docs"] == r["n_distinct"] + r["n_removable"]
+    assert r["n_docs"] == corpus_svc.documents.count()
+
+
+def test_corpus_similar_docs_contract(corpus_svc):
+    from admira_etl_project_prueba_spark.corpus_service import NotFoundError
+    from admira_etl_project_prueba_spark.service import ValidationError as VE
+
+    r = corpus_svc.similar_docs(vec_id=0, k=3)
+    assert len(r["data"]) == 3 and r["query"] == 0
+    cosines = [row["cosine"] for row in r["data"]]
+    assert cosines == sorted(cosines, reverse=True)
+    assert all(row["vec_id"] != 0 for row in r["data"])  # self excluded
+
+    assert len(corpus_svc.similar_docs(vec_id=0, k=-1)["data"]) == 10  # clamp
+
+    with pytest.raises(VE, match="vec_id"):
+        corpus_svc.similar_docs(vec_id=None)
+    with pytest.raises(NotFoundError):
+        corpus_svc.similar_docs(vec_id=10**12)
+
+
+def test_corpus_quality_and_language_reports(corpus_svc):
+    q = corpus_svc.quality_report()
+    assert q["n_docs"] == corpus_svc.documents.count()
+    kept = [r for r in q["data"] if r["kept"]]
+    assert len(kept) == 1 and kept[0]["reject_reason"] is None
+
+    l = corpus_svc.language_breakdown()
+    assert sum(r["n"] for r in l["data"]) == q["n_docs"]
+    counts = [r["n"] for r in l["data"]]
+    assert counts == sorted(counts, reverse=True)
