@@ -687,3 +687,68 @@ def lsh_incremental_pairs(
             "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) AS jaccard",
         )
     )
+
+
+def repetition_scores(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/C4 quality family):
+    fraction of duplicated k-token shingles and of duplicated tokens.
+
+    A doc whose text loops ("buy now buy now buy now…") has few distinct
+    shingles relative to total — high ``dup_shingle_frac``.  Row-local
+    higher-order expressions, no shuffle; NULL fractions for docs shorter
+    than one shingle/token (0/0 is undefined, not clean).
+    """
+    toks = TOKENS
+    return documents.selectExpr("doc_id", f"{toks} AS t").selectExpr(
+        "doc_id", "t", f"{_shingle_expr(k)} AS sg"
+    ).selectExpr(
+        "doc_id",
+        "CAST(size(t) AS BIGINT) AS n_tokens",
+        "CAST(size(sg) AS BIGINT) AS n_shingles",
+        "CASE WHEN size(t) > 0 THEN "
+        "1.0 - CAST(size(array_distinct(t)) AS DOUBLE) / size(t) END AS dup_token_frac",
+        "CASE WHEN size(sg) > 0 THEN "
+        "1.0 - CAST(size(array_distinct(sg)) AS DOUBLE) / size(sg) END AS dup_shingle_frac",
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    k-token shingle with an evaluation/benchmark set.
+
+    The standard LLM-training hygiene pass (an eval question leaking into
+    the corpus inflates scores).  Scale shape: the benchmark side is tiny
+    (thousands of eval docs vs a 100 TB corpus) — its distinct shingle
+    hashes are BROADCAST, the corpus side explodes shingles row-locally
+    and probes the broadcast set, and the only shuffle is the per-doc
+    match count.  The corpus text never moves.
+
+    Returns every document with ``n_overlap`` (distinct contaminated
+    shingles) and a ``contaminated`` verdict; filter ``NOT contaminated``
+    for the clean corpus.
+    """
+    bench_hashes = (
+        shingle_hashes(benchmark, k)
+        .selectExpr("explode(sh) AS h")
+        .distinct()
+    )
+    doc_hits = (
+        shingle_hashes(documents, k)
+        .selectExpr("doc_id", "explode(sh) AS h")
+        .join(F.broadcast(bench_hashes), "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(doc_hits, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(n_overlap, 0) AS n_overlap",
+            "coalesce(n_overlap, 0) > 0 AS contaminated",
+        )
+    )

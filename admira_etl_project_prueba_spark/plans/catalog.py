@@ -1347,6 +1347,59 @@ def _q_tfidf(spark, sf_dir):
 
 
 @_entry(
+    "text_repetition_scores",
+    "Intra-document repetition (Gopher/C4 quality family): duplicated "
+    "token and 3-gram fractions — row-local, shuffle-free.",
+    f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sg AS (SELECT doc_id, t, {_DUCK_SHINGLES} AS sg FROM tok)
+SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(sg) AS BIGINT) AS n_shingles,
+       CASE WHEN len(t) > 0 THEN
+         1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS dup_token_frac,
+       CASE WHEN len(sg) > 0 THEN
+         1.0 - CAST(len(list_distinct(sg)) AS DOUBLE) / len(sg) END AS dup_shingle_frac
+FROM sg""",
+)
+def _q_repetition(spark, sf_dir):
+    return _tx.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+def _duck_shingles_k(k: int) -> str:
+    chain = " || ' ' || ".join(f"t[i+{d}]" for d in range(k))
+    return (
+        f"CASE WHEN len(t) < {k} THEN [] ELSE "
+        f"list_transform(range(1, len(t) - {k - 2}), i -> {chain}) END"
+    )
+
+
+@_entry(
+    "decontaminate",
+    "Benchmark decontamination: training docs (doc_id%50<>0) sharing any "
+    "8-token shingle with the eval split (doc_id%50=0) are flagged; the "
+    "eval side's hashes are broadcast, corpus text never shuffles.",
+    f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sg AS (SELECT doc_id, {_duck_shingles_k(8)} AS shingles FROM tok),
+shs AS (SELECT doc_id, {_DUCK_SH} AS sh FROM sg),
+bench AS (SELECT DISTINCT unnest(sh) AS h FROM shs WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM (SELECT doc_id, unnest(sh) AS h FROM shs WHERE doc_id % 50 <> 0)
+  WHERE h IN (SELECT h FROM bench)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(n_overlap, 0) AS n_overlap,
+       coalesce(n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+WHERE d.doc_id % 50 <> 0""",
+)
+def _q_decontaminate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _tx.decontaminate(
+        docs.filter("doc_id % 50 != 0"), docs.filter("doc_id % 50 = 0"), k=8
+    )
+
+
+@_entry(
     "profile_documents",
     "One-pass column profiler over documents: row count, non-null count, "
     "exact distinct, lexicographic string min/max — single scan, single "

@@ -363,3 +363,49 @@ def test_lsh_incremental_matches_full_corpus_cross_pairs(spark, planted, tmp_pat
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "sh#" not in line and "text#" not in line and "buckets#" not in line
+
+
+def test_repetition_scores_planted(spark):
+    """A looping doc scores high duplication; an all-distinct doc scores 0;
+    sub-shingle docs get NULL fractions, never 0/0."""
+    d = docs(
+        spark,
+        [
+            (1, "buy now buy now buy now buy now", "en"),
+            (2, "every word here is completely distinct today", "en"),
+            (3, "hi", "en"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in textops.repetition_scores(d).collect()}
+    assert out[1]["dup_token_frac"] == pytest.approx(1 - 2 / 8)
+    # 6 shingles, only 2 distinct ("buy now buy" / "now buy now")
+    assert out[1]["dup_shingle_frac"] == pytest.approx(1 - 2 / 6)
+    assert out[2]["dup_token_frac"] == 0.0 and out[2]["dup_shingle_frac"] == 0.0
+    assert out[3]["n_shingles"] == 0 and out[3]["dup_shingle_frac"] is None
+    plan = textops.repetition_scores(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A doc embedding a benchmark 8-gram is flagged with the right overlap
+    count; clean docs pass; the benchmark side is broadcast."""
+    bench = docs(spark, [(100, "alpha beta gamma delta epsilon zeta eta theta", "en")])
+    corpus = docs(
+        spark,
+        [
+            # contains the full 8-token eval sentence → 1 shared 8-shingle
+            (1, "intro words alpha beta gamma delta epsilon zeta eta theta outro", "en"),
+            (2, "totally unrelated sentence with eight distinct words inside it", "en"),
+            # shares only 7 consecutive tokens → NOT contaminated at k=8
+            (3, "alpha beta gamma delta epsilon zeta eta something else", "en"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in textops.decontaminate(corpus, bench, k=8).collect()}
+    assert out[1]["contaminated"] and out[1]["n_overlap"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+    assert not out[3]["contaminated"]
+    plan = (
+        textops.decontaminate(corpus, bench, k=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # eval hashes broadcast, semi-join
