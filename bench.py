@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "events_in_spike_windows",
     "simhash_near_dup_pairs",
+    "lsh_incremental_pairs",
+    "text_repetition_scores",
+    "decontaminate",
 ]
 
 
