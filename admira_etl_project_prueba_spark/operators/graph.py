@@ -102,3 +102,37 @@ def dedup_clusters(
         component.alias("component"),
         (component == F.col("doc_id")).alias("keep"),
     )
+
+
+def dedup_best_survivors(
+    documents: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-aware survivor election: within each near-dup cluster keep
+    the LONGEST document (ties → smallest doc_id) instead of the smallest
+    id — the production heuristic, since near-dup groups usually contain
+    truncated/boilerplate-stripped variants and the longest one preserves
+    the most content.
+
+    Plan shape: clusters from :func:`dedup_clusters` (component ids), one
+    row-local token count, and a single window over ``component`` — one
+    extra shuffle keyed by component, whose cardinality is the number of
+    docs, not pairs.  Returns (doc_id, component, n_tokens, keep).
+    """
+    from pyspark.sql import Window
+
+    clusters = dedup_clusters(documents, pairs, threshold)
+    toks = documents.selectExpr(
+        "doc_id",
+        "CAST(size(split(lower(trim(text)), '\\\\s+')) AS BIGINT) AS n_tokens",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.select("doc_id", "component")
+        .join(toks, "doc_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "component", "n_tokens", "keep")
+    )

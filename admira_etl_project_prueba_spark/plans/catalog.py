@@ -1707,6 +1707,41 @@ def _q_dedup_clusters(spark, sf_dir):
     return _graph.dedup_clusters(docs, _tx.lsh_candidate_pairs(docs))
 
 
+@_entry(
+    "dedup_best_survivors",
+    "Quality-aware survivor election: longest doc (ties → smallest id) "
+    "survives each near-dup cluster — one window over component.",
+    f"""WITH RECURSIVE lshp AS ({_duck_lsh_pairs_sql()}),
+strong AS (SELECT doc_a, doc_b FROM lshp WHERE jaccard > 0.5),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM strong
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM strong
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.label FROM walk w JOIN edges e ON e.b = w.node
+),
+cc AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+assigned AS (
+  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+),
+tok AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens FROM documents
+)
+SELECT a.doc_id, a.component, t.n_tokens,
+       ROW_NUMBER() OVER (
+         PARTITION BY a.component ORDER BY t.n_tokens DESC, a.doc_id
+       ) = 1 AS keep
+FROM assigned a JOIN tok t ON t.doc_id = a.doc_id""",
+)
+def _q_dedup_best_survivors(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _graph.dedup_best_survivors(docs, _tx.lsh_candidate_pairs(docs))
+
+
 # -- similarity search -------------------------------------------------------
 
 _DUCK_VD = "embedding::DOUBLE[] "

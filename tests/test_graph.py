@@ -52,3 +52,31 @@ def test_dedup_clusters_survivor_election(spark):
         0: (0, True), 1: (0, False), 2: (0, False),
         3: (3, True), 4: (4, True), 5: (4, False),
     }
+
+
+def test_best_survivor_prefers_longest(spark):
+    """The longest member of a near-dup cluster survives, not the smallest
+    id; ties fall back to smallest id; singletons keep themselves."""
+    from admira_etl_project_prueba_spark.operators import textops
+    from admira_etl_project_prueba_spark.operators.graph import dedup_best_survivors
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark engine "
+        "aggregates partitions of shuffled data across the cluster nodes"
+    )
+    longer = base + " with extra trailing context that near dup truncated away"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, longer, "en"),                 # near dup of 1, longer → wins
+            (9, "a lonely unrelated doc about gardening in autumn rain", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_best_survivors(docs, textops.lsh_candidate_pairs(docs)).collect()
+    }
+    assert out[1]["component"] == out[2]["component"]
+    assert not out[1]["keep"] and out[2]["keep"]   # longest wins despite id 2 > 1
+    assert out[9]["keep"] and out[9]["component"] == 9
