@@ -1,0 +1,73 @@
+"""End-to-end training-corpus assembly — the flagship composition.
+
+``build_training_corpus`` chains the corpus-hygiene operators into the
+standard LLM-data pipeline and emits ONE auditable decision record per
+input document:
+
+    quality filter  →  near-dup clustering (on the clean subset)  →
+    quality-aware survivor election  →  leakage-safe split assignment
+
+Every stage is the already-gated operator (quality_filter,
+lsh_candidate_pairs, dedup_best_survivors, train_test_split) — this
+module adds no new dataflow, only the composition and the per-document
+``status`` verdict, so the whole pipeline stays declarative: Catalyst
+sees a single plan and optimizes across stage boundaries (the quality
+semi-join prunes the LSH input before anything is shingled).
+
+Scale shape: the expensive stage (LSH) runs only on quality-kept docs;
+everything else is row-local except the pair join and one window per
+cluster component.  The output is exactly what a data lineage audit
+wants: why did doc X not make the training set?
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from admira_etl_project_prueba_spark.operators import graph, textops
+
+
+def build_training_corpus(
+    documents: DataFrame,
+    langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+    threshold: float = 0.5,
+    train_pct: int = 80,
+    salt: str = "v1",
+) -> DataFrame:
+    """Per-document pipeline verdicts: (doc_id, kept_quality,
+    reject_reason, component, survivor, status) where status ∈
+    {'rejected_quality', 'dup_removed', 'train', 'test'}.
+
+    component/survivor are NULL for quality-rejected docs (they never
+    reach dedup); split assignment is computed for all docs but only
+    surfaces as status for surviving ones.
+    """
+    q = textops.quality_filter(documents, langs=langs).select(
+        "doc_id", F.col("kept").alias("kept_quality"), "reject_reason"
+    )
+    kept_docs = documents.join(
+        q.filter("kept_quality").select("doc_id"), "doc_id", "left_semi"
+    )
+    surv = graph.dedup_best_survivors(
+        kept_docs, textops.lsh_candidate_pairs(kept_docs), threshold
+    ).select("doc_id", "component", F.col("keep").alias("survivor"))
+    split = textops.train_test_split(
+        documents, train_pct=train_pct, salt=salt
+    ).select("doc_id", "split")
+    return (
+        q.join(surv, "doc_id", "left")
+        .join(split, "doc_id")
+        .select(
+            "doc_id",
+            "kept_quality",
+            "reject_reason",
+            "component",
+            "survivor",
+            F.expr(
+                "CASE WHEN NOT kept_quality THEN 'rejected_quality' "
+                "WHEN NOT survivor THEN 'dup_removed' "
+                "ELSE split END"
+            ).alias("status"),
+        )
+    )

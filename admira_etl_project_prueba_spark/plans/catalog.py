@@ -1096,6 +1096,7 @@ def _q_topusers(spark, sf_dir):
 # ===========================================================================
 
 from admira_etl_project_prueba_spark.operators import multimodal as _mm
+from admira_etl_project_prueba_spark.operators import pipeline as _pipe
 from admira_etl_project_prueba_spark.operators import similarity as _sim
 from admira_etl_project_prueba_spark.operators import textops as _tx
 
@@ -1740,6 +1741,69 @@ FROM assigned a JOIN tok t ON t.doc_id = a.doc_id""",
 def _q_dedup_best_survivors(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return _graph.dedup_best_survivors(docs, _tx.lsh_candidate_pairs(docs))
+
+
+def _duck_training_corpus_sql() -> str:
+    """The full pipeline composition: quality → LSH on kept docs →
+    clusters → longest-survivor → split → per-doc status."""
+    lsh_on_kept = _duck_lsh_pairs_sql().replace("FROM documents", "FROM kept_docs")
+    return f"""WITH RECURSIVE
+qf AS ({_duck_quality_filter_sql()}),
+kept_docs AS (
+  SELECT d.* FROM documents d JOIN qf ON qf.doc_id = d.doc_id AND qf.kept
+),
+lshp AS ({lsh_on_kept}),
+strong AS (SELECT doc_a, doc_b FROM lshp WHERE jaccard > 0.5),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM strong
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM strong
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.label FROM walk w JOIN edges e ON e.b = w.node
+),
+cc AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+assigned AS (
+  SELECT k.doc_id, COALESCE(cc.component, k.doc_id) AS component
+  FROM kept_docs k LEFT JOIN cc ON k.doc_id = cc.node
+),
+tok2 AS (
+  SELECT doc_id, CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens FROM kept_docs
+),
+surv AS (
+  SELECT a.doc_id, a.component,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.component ORDER BY t.n_tokens DESC, a.doc_id
+         ) = 1 AS survivor
+  FROM assigned a JOIN tok2 t ON t.doc_id = a.doc_id
+),
+splt AS (
+  SELECT doc_id,
+         CASE WHEN {_duck_hex60("doc_id || '_' || 'v1'")} % 100 < 80
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT q.doc_id, q.kept AS kept_quality, q.reject_reason,
+       s.component, s.survivor,
+       CASE WHEN NOT q.kept THEN 'rejected_quality'
+            WHEN NOT s.survivor THEN 'dup_removed'
+            ELSE sp.split END AS status
+FROM qf q
+LEFT JOIN surv s ON s.doc_id = q.doc_id
+JOIN splt sp ON sp.doc_id = q.doc_id"""
+
+
+@_entry(
+    "build_training_corpus",
+    "Flagship pipeline composition: quality filter → near-dup clustering "
+    "on the clean subset → longest-survivor election → leakage-safe split "
+    "— one auditable status verdict per input document.",
+    _duck_training_corpus_sql(),
+)
+def _q_training_corpus(spark, sf_dir):
+    return _pipe.build_training_corpus(_t(spark, sf_dir, "documents"))
 
 
 # -- similarity search -------------------------------------------------------

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "lsh_incremental_pairs",
     "text_repetition_scores",
     "decontaminate",
+    "build_training_corpus",
 ]
 
 

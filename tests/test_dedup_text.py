@@ -409,3 +409,47 @@ def test_decontaminate_flags_planted_overlap(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan  # eval hashes broadcast, semi-join
+
+
+def test_build_training_corpus_statuses(spark):
+    """Every pipeline outcome appears and is consistent: quality rejects
+    never reach dedup, dup losers point at a surviving component, and
+    survivors land in train/test deterministically."""
+    from admira_etl_project_prueba_spark.operators.pipeline import (
+        build_training_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark engine "
+        "aggregates partitions of shuffled data across the cluster nodes"
+    )
+    d = docs(
+        spark,
+        [
+            (1, base, "en"),
+            (2, base + " with extra trailing context preserved here", "en"),
+            (3, "hi", "en"),                                   # too_short
+            (4, "zz qq xx ww vv kk pp mm nn oo", "xx"),        # lang_not_allowed
+            (5, "a perfectly fine unrelated document about the weather and the sea today", "en"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in build_training_corpus(d).collect()}
+    assert len(out) == 5
+
+    # quality rejects: no component, no survivor flag
+    assert out[3]["status"] == "rejected_quality" and out[3]["reject_reason"] == "too_short"
+    assert out[4]["status"] == "rejected_quality"
+    assert out[3]["component"] is None and out[3]["survivor"] is None
+
+    # near-dup pair 1/2: longer doc 2 survives, 1 removed into 2's component
+    assert out[1]["status"] == "dup_removed" and not out[1]["survivor"]
+    assert out[2]["survivor"] and out[2]["status"] in ("train", "test")
+    assert out[1]["component"] == out[2]["component"]
+
+    # singleton survivor gets a split; assignment is the deterministic hash
+    assert out[5]["status"] in ("train", "test")
+    want_split = {
+        r["doc_id"]: r["split"]
+        for r in textops.train_test_split(d).select("doc_id", "split").collect()
+    }
+    assert out[2]["status"] == want_split[2] and out[5]["status"] == want_split[5]
