@@ -319,3 +319,35 @@ def embedding_norms(embeddings: DataFrame) -> DataFrame:
         "size(v) AS dim",
         f"{_norm('v')} AS l2_norm",
     )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label mean embedding (class prototypes) in long form:
+    (label, dim, centroid, n_vectors).
+
+    Cross-row float sums are partition-order dependent, so the raw mean
+    would differ run-to-run on a cluster; quantizing each component to
+    DECIMAL(25,6) first makes the sum associative and exact (and no
+    double sits exactly on a decimal midpoint, so the quantization
+    itself is engine-portable).  posexplode → ONE partial+final hash
+    aggregate on (label, dim): the shuffle carries |labels|·|dims|
+    partial sums per map partition, not the vectors.
+    """
+    exploded = embeddings.selectExpr(
+        "label", "posexplode(embedding) AS (dim, val)"
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("val").cast("double").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .selectExpr(
+            "label",
+            "dim",
+            "s / CAST(n_vectors AS DOUBLE) AS centroid",
+            "n_vectors",
+        )
+    )

@@ -2006,6 +2006,27 @@ def _q_emb_norms(spark, sf_dir):
     return _sim.embedding_norms(_t(spark, sf_dir, "embeddings"))
 
 
+@_entry(
+    "label_centroids",
+    "Per-label mean embedding (class prototypes), long form — decimal-"
+    "quantized sums make the cross-row float mean associative, exact and "
+    "cluster-size-independent; one hash aggregate on (label, dim).",
+    """WITH e AS (
+  SELECT label,
+         CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+)
+SELECT label, dim,
+       CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+       / CAST(COUNT(*) AS DOUBLE) AS centroid,
+       COUNT(*) AS n_vectors
+FROM e GROUP BY label, dim""",
+)
+def _q_label_centroids(spark, sf_dir):
+    return _sim.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 # -- multimodal plumbing -----------------------------------------------------
 
 @_entry(

@@ -157,3 +157,31 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     assert len(multi & exact) >= len(single & exact)
     # multi-probe candidates are a superset of the query bucket's
     assert single <= multi | single  # sanity: never loses the home bucket
+
+
+def test_label_centroids_match_numpy_and_plan(spark, sf_dir):
+    """Centroids agree with numpy's float64 mean to quantization precision
+    (1e-6 per component / n), and the plan is one partial+final aggregate."""
+    import numpy as np
+
+    from admira_etl_project_prueba_spark.operators.similarity import label_centroids
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = label_centroids(emb)
+    got = {(r["label"], r["dim"]): r for r in df.collect()}
+
+    pdf = emb.toPandas()
+    for label, grp in pdf.groupby("label"):
+        mat = np.stack(grp["embedding"].values).astype("float64")
+        means = mat.mean(axis=0)
+        for dim in range(mat.shape[1]):
+            g = got[(label, dim)]
+            assert g["n_vectors"] == len(grp)
+            # each component quantized to 1e-6 before the mean
+            assert abs(g["centroid"] - means[dim]) <= 1e-6
+    assert len(got) == pdf["label"].nunique() * 64
+
+    # collect() finalized AQE; count shuffles in the final section only
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 1 and "BatchEvalPython" not in plan
