@@ -435,3 +435,57 @@ def _interval_us(interval: str) -> int:
         "day": 86_400_000_000, "days": 86_400_000_000,
     }[unit]
     return int(n) * per
+
+
+def stream_decontaminate(
+    doc_stream: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+) -> DataFrame:
+    """Stream-static decontamination: flag documents in an unbounded
+    ingest stream that share any k-token shingle with a STATIC benchmark/
+    eval set — the batch ``decontaminate`` operator's streaming twin.
+
+    The canonical stream-static broadcast shape, kept STATELESS: a
+    streaming groupBy would drag in watermark-delayed emission, so the
+    benchmark's distinct hashes are collapsed into a single sorted array,
+    cross-joined (broadcast, 1 row) onto the stream, and each document's
+    overlap is a row-local ``array_intersect`` — no state store, no
+    shuffle, verdicts emit in the arriving micro-batch.  Eval sets are
+    thousands of documents (≈10^5 shingles ≈ 1 MB broadcast), so the
+    per-row set probe is cheap; corpus-scale×corpus-scale overlap is the
+    batch operator's job.
+
+    Returns (ts, doc_id, n_overlap, contaminated) in append mode.
+    """
+    from admira_etl_project_prueba_spark.operators.textops import (
+        MERSENNE31,
+        TOKENS,
+        _shingle_expr,
+        hex60,
+        shingle_hashes,
+    )
+
+    bench_set = (
+        shingle_hashes(benchmark, k)
+        .selectExpr("explode(sh) AS h")
+        .distinct()
+        .agg(F.sort_array(F.collect_list("h")).alias("bench"))
+    )
+    # shingle the stream inline (shingle_hashes drops ts, and joining the
+    # stream back to itself would be a stream-stream join)
+    sh_stream = (
+        doc_stream.selectExpr("ts", "doc_id", f"{TOKENS} AS t")
+        .selectExpr("ts", "doc_id", f"{_shingle_expr(k)} AS shingles")
+        .selectExpr(
+            "ts",
+            "doc_id",
+            f"array_distinct(transform(shingles, s -> {hex60('s')} % {MERSENNE31})) AS sh",
+        )
+    )
+    return sh_stream.crossJoin(F.broadcast(bench_set)).selectExpr(
+        "ts",
+        "doc_id",
+        "CAST(size(array_intersect(sh, bench)) AS BIGINT) AS n_overlap",
+        "size(array_intersect(sh, bench)) > 0 AS contaminated",
+    )

@@ -349,3 +349,54 @@ def test_stream_near_dup_matches_batch_pairs(spark, tmp_path):
     # state, so NO new pair may appear — horizon-bounded by design
     rows3 = run("c.json", [("2024-01-01T13:00:00", 8, base)])
     assert len(rows3) == len(rows1)
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Stream-static decontamination: per-doc verdicts equal the batch
+    operator's on the same documents, emitted statelessly in the arriving
+    micro-batch (no watermark, no state store)."""
+    from admira_etl_project_prueba_spark.operators.textops import decontaminate
+    from admira_etl_project_prueba_spark.streaming.ingest import stream_decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        ("2024-01-01T00:00:00", 1, f"intro words {bench_text} outro trailing"),
+        ("2024-01-01T00:01:00", 2, "nothing here overlaps the benchmark at all today ok"),
+        ("2024-01-01T00:02:00", 3, "alpha beta gamma delta epsilon zeta eta other stuff"),
+    ]
+    bench = spark.createDataFrame(
+        [(100, bench_text, "en")], "doc_id long, text string, lang string"
+    )
+
+    src = tmp_path / "dc_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as fh:
+        for ts, did, text in rows:
+            fh.write(json.dumps({"ts": ts, "doc_id": did, "text": text}) + "\n")
+    stream = spark.readStream.schema(
+        "ts timestamp, doc_id long, text string"
+    ).json(str(src))
+    q = (
+        stream_decontaminate(stream, bench)
+        .writeStream.format("memory")
+        .queryName("dc_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dc_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in spark.sql("select * from dc_out").collect()
+    }
+
+    corpus = spark.createDataFrame(
+        [(d, t, "en") for _, d, t in rows], "doc_id long, text string, lang string"
+    )
+    want = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in decontaminate(corpus, bench, k=8).collect()
+    }
+    assert got == want
+    assert got[1] == (1, True) and got[2] == (0, False) and got[3] == (0, False)
