@@ -905,3 +905,30 @@ def top_users_by_value(events: DataFrame, k: int = 50) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("user_id", "total_value", "rnk")
     )
+
+
+def events_approx_percentiles(
+    events: DataFrame, accuracy: int = 10_000
+) -> DataFrame:
+    """Approximate p50/p90/p99 of value per event_type via the
+    Greenwald-Khanna quantile sketch (``approx_percentile``).
+
+    The mergeable-sketch companion to the exact ``events_percentiles``:
+    per-partition sketches merge in O(sketch), so the shuffle is flat in
+    row count — the only quantile shape that works at 100 TB, where exact
+    percentile must shuffle every distinct value.  ``accuracy`` bounds
+    rank error at n/accuracy.  Engine-specific sketch ⇒ rows-only gate;
+    the error bound vs exact is pinned in pytest.
+    """
+    return events.groupBy("event_type").agg(
+        F.expr(
+            f"approx_percentile(value, array(0.5, 0.9, 0.99), {accuracy})"
+        ).alias("p"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).selectExpr(
+        "event_type",
+        "p[0] AS p50_approx",
+        "p[1] AS p90_approx",
+        "p[2] AS p99_approx",
+        "n_events",
+    )

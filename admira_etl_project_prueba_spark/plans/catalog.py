@@ -1073,6 +1073,17 @@ def _q_approx_distinct(spark, sf_dir):
 
 
 @_entry(
+    "events_approx_percentiles",
+    "Greenwald-Khanna quantile sketch: approximate p50/p90/p99 of value "
+    "per type — mergeable, shuffle flat in row count (engine-specific "
+    "sketch ⇒ rows-only check; rank-error bound pinned in pytest).",
+    None,
+)
+def _q_approx_percentiles(spark, sf_dir):
+    return analytics.events_approx_percentiles(load_events(spark, sf_dir))
+
+
+@_entry(
     "top_users_by_value",
     "Global top-50 users by exact total value with row-number ranking.",
     f"""WITH per_user AS (

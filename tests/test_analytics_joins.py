@@ -125,6 +125,29 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         assert rel < 0.05, (r["event_type"], rel)
 
 
+def test_approx_percentiles_rank_error_bound(spark, sf_dir):
+    """GK-sketch quantiles: each approximation must sit within the n/acc
+    rank-error window of the exact order statistics."""
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    acc = 10_000
+    vals = {
+        et: sorted(v["value"] for v in grp)
+        for et, grp in __import__("itertools").groupby(
+            sorted(ev.select("event_type", "value").collect(), key=lambda r: r["event_type"]),
+            key=lambda r: r["event_type"],
+        )
+    }
+    for r in analytics.events_approx_percentiles(ev, accuracy=acc).collect():
+        xs, n = vals[r["event_type"]], len(vals[r["event_type"]])
+        assert r["n_events"] == n
+        for p, got in ((0.5, r["p50_approx"]), (0.9, r["p90_approx"]), (0.99, r["p99_approx"])):
+            lo = xs[max(0, int(p * n) - max(1, n // acc) - 1)]
+            hi = xs[min(n - 1, int(p * n) + max(1, n // acc))]
+            assert lo <= got <= hi, (r["event_type"], p, got, lo, hi)
+
+
 def test_type_trend_matches_closed_form_sql(spark, sf_dir):
     """The applyInPandas OLS must agree with the closed-form slope computed
     declaratively in Spark SQL on the same daily series."""
