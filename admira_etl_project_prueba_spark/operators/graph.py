@@ -44,6 +44,11 @@ def connected_components(
         edges.selectExpr(f"{src} AS a", f"{dst} AS b")
         .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
         .distinct()
+        # materialize ONCE: every iteration joins against sym, and without
+        # the checkpoint each round would recompute the whole upstream
+        # edge-producing subtree (for LSH edges, the full shingle→minhash→
+        # band→verify pipeline — measured as the dominant cost)
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("node"))

@@ -606,35 +606,51 @@ def lsh_signature_store(
     with its distinct shingle hashes and LSH band-bucket keys.
 
     This is what you write to parquet once per corpus snapshot —
-    signatures are computed exactly once, row-locally (scan → project,
-    NO shuffle), and every future batch joins against this table instead
-    of re-shingling 100 TB of text.  Schema: (doc_id, sh, buckets).
+    signatures are computed exactly once, and every future batch joins
+    against this table instead of re-shingling 100 TB of text.
+    Schema: (doc_id, sh, buckets).
+
+    Plan shape: the SAME long-form signature → band aggregation dataflow
+    as ``lsh_candidate_pairs`` (known-good at scale), finished with a
+    per-doc collect of the 8 bucket keys and a join back to the shingle
+    sets over a shared repartition exchange.  An earlier one-projection
+    variant (every bucket key re-inlining its band's minhash lambdas)
+    collapsed into a single giant projection that fell out of whole-stage
+    codegen and ran >100× slower — deliberately avoided; keep the
+    signature computation in the narrow per-permutation form.
 
     Bucket keys match ``lsh_candidate_pairs`` exactly (band index + the
     order-insensitive lo/hi/sum combo of the band's minhashes), so a store
     built today keeps matching batches hashed tomorrow — portability of
     the md5/HEX60 pipeline (module docstring) is what makes it durable.
     """
-    sh = shingle_hashes(documents, k)
-    mins = []
-    for p in range(num_perm):
-        a, b = 2 * p + 1, 1000 * p + 7
-        mins.append(
-            f"coalesce(array_min(transform(sh, h -> ({a} * h + {b}) % {MERSENNE31})), "
-            f"{MERSENNE31})"
-        )
-    n_bands = num_perm // band_size
-    buckets = []
-    for band in range(n_bands):
-        vals = ", ".join(mins[band * band_size : (band + 1) * band_size])
-        buckets.append(
-            f"concat_ws('_', {band}, array_min(array({vals})), "
-            f"array_max(array({vals})), "
-            f"aggregate(array({vals}), CAST(0 AS BIGINT), (acc, x) -> acc + x))"
-        )
-    return sh.selectExpr(
-        "doc_id", "sh", f"array({', '.join(buckets)}) AS buckets"
+    sh, bands = _lsh_bands_long(documents, num_perm, band_size, k)
+    buckets = bands.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("bucket")).alias("buckets")
     )
+    # both sides hang off the same repartition exchange → zero-exchange join
+    return sh.join(buckets, "doc_id")
+
+
+def _lsh_bands_long(
+    documents: DataFrame, num_perm: int, band_size: int, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature dataflow: (shingle sets, long-form band buckets),
+    both downstream of ONE repartition exchange so every consumer reuses
+    a single shingle computation."""
+    sh = shingle_hashes(documents, k).repartition("doc_id")
+    sigs = minhash_signatures(None, num_perm, k, sh=sh)
+    bands = (
+        sigs.withColumn("band", (F.col("perm") / band_size).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.min("minhash").alias("lo"),
+            F.max("minhash").alias("hi"),
+            F.sum("minhash").alias("s"),
+        )
+        .selectExpr("doc_id", "concat_ws('_', band, lo, hi, s) AS bucket")
+    )
+    return sh, bands
 
 
 def lsh_incremental_pairs(
@@ -659,10 +675,8 @@ def lsh_incremental_pairs(
     batch.  Within-batch duplicates are ``lsh_candidate_pairs`` on the
     batch alone; exact re-ingests are ``dedup_incremental`` territory.
     """
-    new_store = lsh_signature_store(new_documents, num_perm, band_size, k)
-    new_buckets = new_store.selectExpr(
-        "doc_id AS doc_b", "explode(buckets) AS bucket"
-    )
+    new_sh, new_bands = _lsh_bands_long(new_documents, num_perm, band_size, k)
+    new_buckets = new_bands.selectExpr("doc_id AS doc_b", "bucket")
     store_buckets = store.selectExpr(
         "doc_id AS doc_a", "explode(buckets) AS bucket"
     )
@@ -675,7 +689,7 @@ def lsh_incremental_pairs(
     # verify: fetch corpus shingles by broadcasting the (small) candidate
     # set into a second store scan; batch shingles broadcast as well
     sha = store.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    shb = new_store.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    shb = new_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
         sha.join(F.broadcast(cands), "doc_a")
         .join(F.broadcast(shb), "doc_b")

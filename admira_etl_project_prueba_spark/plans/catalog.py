@@ -1637,8 +1637,8 @@ WHERE len(sa.sh) + len(sb.sh) > 0"""
 def _q_lsh_incremental(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # the store recomputes here (no persisted snapshot in the gate run);
-    # repartition materializes ONE exchange both store passes reuse
-    store = _tx.lsh_signature_store(docs.filter("doc_id % 10 < 8")).repartition("doc_id")
+    # its internal repartition is the exchange both store passes reuse
+    store = _tx.lsh_signature_store(docs.filter("doc_id % 10 < 8"))
     return _tx.lsh_incremental_pairs(docs.filter("doc_id % 10 >= 8"), store)
 
 
