@@ -766,3 +766,29 @@ def decontaminate(
             "coalesce(n_overlap, 0) > 0 AS contaminated",
         )
     )
+
+
+def bigram_frequencies(documents: DataFrame, top_k: int = 100) -> DataFrame:
+    """Corpus bigram counts (n-gram LM statistics): global occurrence and
+    document frequency per token pair, deterministic top-k.
+
+    Same scale shape as :func:`token_frequencies` — the 2-gram projection
+    is row-local (zip of the token array with its own tail, no
+    self-join), the exploded pairs partial-aggregate map-side, and the
+    shuffle carries bigram-vocabulary cardinality, not corpus size.
+    """
+    bigram = (
+        "CASE WHEN size(t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(t) - 1), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1))) END"
+    )
+    pairs = documents.selectExpr("doc_id", f"{TOKENS} AS t").selectExpr(
+        "doc_id", f"explode({bigram}) AS bigram"
+    )
+    counts = pairs.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("doc_frequency"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("bigram").asc()
+    ).limit(top_k)

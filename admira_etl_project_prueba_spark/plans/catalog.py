@@ -1537,6 +1537,28 @@ def _q_token_freq(spark, sf_dir):
 
 
 @_entry(
+    "bigram_frequencies",
+    "N-gram LM statistics: global bigram counts + document frequency, "
+    "deterministic top-100 — row-local 2-gram projection, same "
+    "vocab-cardinality shuffle shape as token_frequencies.",
+    f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) < 2 THEN []
+         ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END
+  ) AS bigram
+  FROM tok
+)
+SELECT bigram, COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS doc_frequency
+FROM bg GROUP BY bigram
+ORDER BY n_occurrences DESC, bigram LIMIT 100""",
+)
+def _q_bigram_freq(spark, sf_dir):
+    return _tx.bigram_frequencies(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
     "dedup_exact",
     "Exact dedup by md5 content hash: surviving doc + duplicate count per "
     "distinct text.  Shuffles 32-byte hashes, never documents.",

@@ -453,3 +453,23 @@ def test_build_training_corpus_statuses(spark):
         for r in textops.train_test_split(d).select("doc_id", "split").collect()
     }
     assert out[2]["status"] == want_split[2] and out[5]["status"] == want_split[5]
+
+
+def test_bigram_frequencies_planted(spark):
+    """Bigram counts tile adjacent token pairs; sub-2-token docs contribute
+    nothing; doc frequency counts distinct docs."""
+    d = docs(
+        spark,
+        [
+            (1, "to be or not to be", "en"),
+            (2, "to be honest", "en"),
+            (3, "single", "en"),
+        ],
+    )
+    out = {
+        r["bigram"]: (r["n_occurrences"], r["doc_frequency"])
+        for r in textops.bigram_frequencies(d, top_k=50).collect()
+    }
+    assert out["to be"] == (3, 2)      # twice in doc 1, once in doc 2
+    assert out["be or"] == (1, 1) and out["not to"] == (1, 1)
+    assert "single" not in out and sum(n for n, _ in out.values()) == 5 + 2
