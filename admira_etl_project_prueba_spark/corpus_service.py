@@ -143,6 +143,39 @@ class CorpusService:
             "request_id": new_request_id(request_id),
         }
 
+    # -- POST /corpus/assemble -----------------------------------------------
+    def assemble(
+        self,
+        langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+        train_pct: int = 80,
+        salt: str = "v1",
+        request_id: str | None = None,
+    ) -> dict:
+        """Run the full training-corpus pipeline and return the outcome
+        histogram — the audit summary a data owner reads after a build."""
+        from admira_etl_project_prueba_spark.operators.pipeline import (
+            build_training_corpus,
+        )
+
+        if not (0 < train_pct < 100):
+            raise ValidationError(f"train_pct out of range: {train_pct}")
+        verdicts = build_training_corpus(
+            self.documents, langs=langs, train_pct=train_pct, salt=salt
+        )
+        counts = {
+            r["status"]: r["n"]
+            for r in verdicts.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return {
+            "counts": counts,
+            "n_docs": sum(counts.values()),
+            "train_pct": train_pct,
+            "salt": salt,
+            "request_id": new_request_id(request_id),
+        }
+
     # -- GET /corpus/languages -----------------------------------------------
     def language_breakdown(self, request_id: str | None = None) -> dict:
         langs = (

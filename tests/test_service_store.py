@@ -264,3 +264,14 @@ def test_corpus_quality_and_language_reports(corpus_svc):
     assert sum(r["n"] for r in l["data"]) == q["n_docs"]
     counts = [r["n"] for r in l["data"]]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_corpus_assemble_histogram(corpus_svc):
+    from admira_etl_project_prueba_spark.service import ValidationError as VE
+
+    r = corpus_svc.assemble()
+    assert r["n_docs"] == corpus_svc.documents.count()
+    assert set(r["counts"]) <= {"rejected_quality", "dup_removed", "train", "test"}
+    assert r["counts"].get("train", 0) > r["counts"].get("test", 0)  # 80/20
+    with pytest.raises(VE, match="train_pct"):
+        corpus_svc.assemble(train_pct=0)
