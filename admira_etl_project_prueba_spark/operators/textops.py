@@ -792,3 +792,27 @@ def bigram_frequencies(documents: DataFrame, top_k: int = 100) -> DataFrame:
     return counts.orderBy(
         F.col("n_occurrences").desc(), F.col("bigram").asc()
     ).limit(top_k)
+
+
+def lsh_store_merge(
+    store: DataFrame,
+    new_documents: DataFrame,
+    num_perm: int = 16,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Fold a processed batch into the signature store: existing rows pass
+    through untouched (their signatures are never recomputed — the whole
+    point of persisting them), new docs are signature-hashed once and
+    appended; on doc_id collision the NEW row wins (re-ingest semantics).
+
+    The anti-join ships only doc_ids against the batch's (small) id set —
+    broadcast — so merging a daily batch into a 100 TB store is a scan +
+    append, not a rebuild.  Write the result back with
+    ``store.write_bucketed`` on doc_id to keep future merges and
+    incremental joins exchange-free.
+    """
+    batch = lsh_signature_store(new_documents, num_perm, band_size, k)
+    new_ids = new_documents.select("doc_id")
+    survivors = store.join(F.broadcast(new_ids), "doc_id", "left_anti")
+    return survivors.unionByName(batch)

@@ -473,3 +473,30 @@ def test_bigram_frequencies_planted(spark):
     assert out["to be"] == (3, 2)      # twice in doc 1, once in doc 2
     assert out["be or"] == (1, 1) and out["not to"] == (1, 1)
     assert "single" not in out and sum(n for n, _ in out.values()) == 5 + 2
+
+
+def test_lsh_store_merge_roundtrip(spark, planted, tmp_path):
+    """Store merge: old rows pass through byte-identical, new docs append,
+    colliding doc_ids take the new signature; the merged store behaves
+    exactly like one built from scratch on the union corpus."""
+    old = planted.filter("doc_id <= 3")
+    p1 = str(tmp_path / "store_v1")
+    textops.lsh_signature_store(old).write.parquet(p1)
+    store_v1 = spark.read.parquet(p1)
+
+    batch = planted.filter("doc_id >= 3")  # doc 3 re-ingested + 4, 5 new
+    merged = textops.lsh_store_merge(store_v1, batch)
+    scratch = textops.lsh_signature_store(planted)
+
+    def norm(df):
+        return {
+            r["doc_id"]: (tuple(sorted(r["sh"])), tuple(sorted(r["buckets"])))
+            for r in df.collect()
+        }
+
+    assert norm(merged) == norm(scratch)
+    # the old side's signatures come from the parquet store (one scan,
+    # broadcast anti-join on the batch ids) — never a rebuild of old text
+    plan = textops.lsh_store_merge(store_v1, batch)._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
