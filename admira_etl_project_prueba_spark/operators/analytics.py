@@ -932,3 +932,47 @@ def events_approx_percentiles(
         "p[2] AS p99_approx",
         "n_events",
     )
+
+
+def events_anomaly_zscore(events: DataFrame, threshold: float = 2.0) -> DataFrame:
+    """Daily-volume anomaly detection: each (event_type, day)'s total value
+    scored as a z-score against the type's own daily distribution; days
+    beyond ``threshold`` are flagged.
+
+    Two hash aggregates (day grain, then type grain) and one broadcast
+    join back — no window over the full history.  All cross-row sums run
+    through DECIMAL(25,6), so mean/variance — and therefore the flags —
+    are bit-identical on any cluster size (same rationale as
+    ``events_value_correlation``).  Population std; single-day types get
+    NULL z-scores (0/0 is undefined, not zero).
+    """
+    d = "decimal(25,6)"
+    daily = (
+        events.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.sum(F.col("value").cast(d)).cast("double").alias("day_value"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("day_value").cast(d)).cast("double").alias("s1"),
+        F.sum((F.col("day_value") * F.col("day_value")).cast(d))
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("s1") / n
+    var = F.col("s2") / n - mean * mean
+    # clamp tiny negative rounding residue before sqrt
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std > 0, (F.col("day_value") - mean) / std)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "day_value",
+            z.alias("zscore"),
+            (F.abs(F.coalesce(z, F.lit(0.0))) > threshold).alias("is_anomaly"),
+        )
+    )

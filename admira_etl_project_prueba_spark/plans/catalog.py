@@ -1084,6 +1084,38 @@ def _q_approx_percentiles(spark, sf_dir):
 
 
 @_entry(
+    "events_anomaly_zscore",
+    "Daily-volume anomaly flags: per-type day totals z-scored against the "
+    "type's own distribution via EXACT decimal moments — two aggregates + "
+    "a broadcast join, reproducible on any cluster size.",
+    f"""WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         {_DSUM.format(x='value')} AS day_value
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         {_DSUM.format(x='day_value')} AS s1,
+         {_DSUM.format(x='day_value * day_value')} AS s2
+  FROM daily GROUP BY 1
+),
+j AS (
+  SELECT d.event_type, d.day, d.day_value,
+         s1 / n_days AS mean,
+         sqrt(greatest(s2 / n_days - (s1 / n_days) * (s1 / n_days), 0.0)) AS std
+  FROM daily d JOIN stats USING (event_type)
+)
+SELECT event_type, day, day_value,
+       CASE WHEN std > 0 THEN (day_value - mean) / std END AS zscore,
+       abs(COALESCE(CASE WHEN std > 0 THEN (day_value - mean) / std END, 0.0)) > 2.0
+         AS is_anomaly
+FROM j""",
+)
+def _q_anomaly_zscore(spark, sf_dir):
+    return analytics.events_anomaly_zscore(load_events(spark, sf_dir))
+
+
+@_entry(
     "top_users_by_value",
     "Global top-50 users by exact total value with row-number ranking.",
     f"""WITH per_user AS (

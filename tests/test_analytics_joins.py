@@ -297,3 +297,35 @@ def test_profiler_single_scan_and_null_accounting(spark):
     assert out["v"]["n_nonnull"] == 3 and out["v"]["n_distinct"] == 2
     plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") == 1  # one pass for all columns
+
+
+def test_anomaly_zscore_semantics(spark, sf_dir):
+    """Z-scores have zero mean per type (population), flags fire only
+    beyond the threshold, and a planted spike is flagged."""
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    rows = analytics.events_anomaly_zscore(ev).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, grp in by_type.items():
+        zs = [r["zscore"] for r in grp if r["zscore"] is not None]
+        if zs:
+            assert sum(zs) == pytest.approx(0.0, abs=1e-9)
+        for r in grp:
+            want = r["zscore"] is not None and abs(r["zscore"]) > 2.0
+            assert r["is_anomaly"] == want
+
+    # planted: a 100x spike day must be the anomaly
+    base = [("2024-01-%02d 12:00:00" % d, "buy", 10.0) for d in range(1, 11)]
+    spike = [("2024-01-11 12:00:00", "buy", 1000.0)]
+    df = spark.createDataFrame(
+        base + spike, "ts_s string, event_type string, value double"
+    ).selectExpr("CAST(ts_s AS timestamp) AS ts", "event_type", "value")
+    flagged = {
+        r["day"]
+        for r in analytics.events_anomaly_zscore(df).collect()
+        if r["is_anomaly"]
+    }
+    assert flagged == {"2024-01-11"}
