@@ -225,3 +225,40 @@ def test_asof_join_equals_naive(spark, left, right):
         cands = [(rs, v) for rk, rs, v in right if rk == k and rs <= s]
         want = max(cands)[1] if cands else None
         assert got[i] == want, (i, k, s, got[i], want)
+
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+doc_texts = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=doc_texts)
+def test_incremental_lsh_equals_full_corpus_cross_pairs(spark, texts):
+    """For ANY corpus: batch-vs-store incremental LSH finds exactly the
+    cross-split subset of the full-corpus pairs, same jaccards — the
+    invariant that makes the persisted-store architecture sound."""
+    from admira_etl_project_prueba_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    inc = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.lsh_incremental_pairs(
+            new, textops.lsh_signature_store(old)
+        ).collect()
+    }
+    cross = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"])): r["jaccard"]
+        for r in textops.lsh_candidate_pairs(docs).collect()
+        if (r["doc_a"] % 2) != (r["doc_b"] % 2)
+    }
+    assert {(min(a, b), max(a, b)): j for (a, b), j in inc.items()} == cross
