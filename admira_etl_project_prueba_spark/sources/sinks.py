@@ -63,3 +63,39 @@ def read_jsonl_shards(spark, path: str) -> DataFrame:
         manifest = json.load(fh)
     schema = StructType.fromJson(manifest["schema"])
     return spark.read.schema(schema).json(os.path.join(path, "part-*"))
+
+
+def read_jsonl_audited(
+    spark,
+    path: str,
+    schema_ddl: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Read raw JSONL (the format training-data dumps actually arrive in)
+    with a malformed-record AUDIT instead of silent drops or job aborts.
+
+    PERMISSIVE mode + ``columnNameOfCorruptRecord``: well-formed rows
+    parse into the declared schema; malformed lines land with the raw
+    text in the corrupt column and NULLs elsewhere.  Returns
+    ``(clean, corrupt)`` — clean rows schema-typed, corrupt rows as
+    (raw_line,) for quarantine/reprocessing.  At 100 TB a dump ALWAYS
+    has bad lines; dropping them silently (DROPMALFORMED) destroys
+    lineage and failing the job (FAILFAST) destroys the run — the audit
+    split is the production posture.
+
+    Caveat (documented Spark behavior): a JSON line that parses but
+    type-mismatches a column yields a row that is BOTH partially NULL
+    and captured in the corrupt column; the split below sends it to
+    ``corrupt``, never double-counts.
+    """
+    full = spark.read.schema(f"{schema_ddl}, _corrupt string").option(
+        "mode", "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", "_corrupt").json(path)
+    # Spark requires caching/materializing before filtering on the
+    # corrupt column alone (queries over only internal corrupt column
+    # are disallowed un-cached)
+    full = full.cache()
+    clean = full.filter("_corrupt IS NULL").drop("_corrupt")
+    corrupt = full.filter("_corrupt IS NOT NULL").select(
+        full["_corrupt"].alias("raw_line")
+    )
+    return clean, corrupt

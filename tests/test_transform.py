@@ -227,3 +227,29 @@ def test_plan_is_single_shuffle_hash_agg(spark):
     plan = transform(ads, crm)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "HashAggregate" in plan
+
+
+def test_read_jsonl_audited_splits_clean_and_corrupt(spark, tmp_path):
+    """Malformed dump lines are quarantined with their raw text; clean rows
+    parse typed; nothing is silently dropped."""
+    from admira_etl_project_prueba_spark.sources.sinks import read_jsonl_audited
+
+    p = tmp_path / "dump"
+    p.mkdir()
+    lines = [
+        '{"doc_id": 1, "text": "good row"}',
+        'not json at all',
+        '{"doc_id": 3, "text": "another good"}',
+        '{"doc_id": "NaN-ish", "text": "type mismatch"}',
+        '{truncated',
+    ]
+    (p / "a.jsonl").write_text("\n".join(lines) + "\n")
+
+    clean, corrupt = read_jsonl_audited(
+        spark, str(p), "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["text"]) for r in clean.collect()}
+    assert got == {(1, "good row"), (3, "another good")}
+    bad = [r["raw_line"] for r in corrupt.collect()]
+    assert len(bad) == 3 and all(b in "\n".join(lines) for b in bad)
+    assert clean.count() + corrupt.count() == len(lines)
