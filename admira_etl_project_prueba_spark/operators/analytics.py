@@ -976,3 +976,41 @@ def events_anomaly_zscore(events: DataFrame, threshold: float = 2.0) -> DataFram
             (F.abs(F.coalesce(z, F.lit(0.0))) > threshold).alias("is_anomaly"),
         )
     )
+
+
+def events_dau_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """DAU and trailing-WAU per day: distinct users that day, and distinct
+    users in the ``window_days`` window ending that day.
+
+    Scale shape: the raw stream first collapses to DISTINCT (user, day)
+    pairs — one shuffle whose volume is active-users × days, not events.
+    The trailing window is a row-local bin EXPANSION of that small frame
+    (each user-day contributes to ``window_days`` buckets) followed by a
+    second distinct count; no self-join of the event table, no window
+    function over the full history.  Days are only emitted when the day
+    itself had activity (DAU > 0), keeping parity with an oracle that has
+    no calendar table.
+    """
+    user_days = (
+        events.select(
+            F.col("user_id"), F.to_date("ts").alias("day")
+        ).distinct()
+    )
+    dau = user_days.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    expanded = user_days.selectExpr(
+        "user_id",
+        f"explode(sequence(day, date_add(day, {window_days - 1}))) AS day",
+    )
+    wau = expanded.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+    )

@@ -1116,6 +1116,25 @@ def _q_anomaly_zscore(spark, sf_dir):
 
 
 @_entry(
+    "events_dau_wau",
+    "DAU + trailing-7-day WAU per active day — distinct (user, day) "
+    "reduction first, then row-local bin expansion; never a self-join of "
+    "the event stream or a full-history window.",
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day),
+expanded AS (
+  SELECT user_id, day + CAST(unnest(range(0, 7)) AS INTEGER) AS day FROM ud
+),
+wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM expanded GROUP BY day)
+SELECT CAST(dau.day AS VARCHAR) AS day,
+       CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau
+FROM dau JOIN wau ON wau.day = dau.day""",
+)
+def _q_dau_wau(spark, sf_dir):
+    return analytics.events_dau_wau(load_events(spark, sf_dir))
+
+
+@_entry(
     "top_users_by_value",
     "Global top-50 users by exact total value with row-number ranking.",
     f"""WITH per_user AS (

@@ -329,3 +329,22 @@ def test_anomaly_zscore_semantics(spark, sf_dir):
         if r["is_anomaly"]
     }
     assert flagged == {"2024-01-11"}
+
+
+def test_dau_wau_invariants(spark, sf_dir):
+    """WAU ≥ DAU every day; WAU never exceeds the 7-day union computed
+    naively; a planted user active on day 1 counts in day 1-7 windows."""
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    rows = {r["day"]: r for r in analytics.events_dau_wau(load_events(spark, sf_dir)).collect()}
+    assert rows and all(r["wau"] >= r["dau"] > 0 for r in rows.values())
+
+    planted = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1), ("2024-01-07 10:00:00", 2), ("2024-01-09 10:00:00", 3)],
+        "ts_s string, user_id long",
+    ).selectExpr("CAST(ts_s AS timestamp) AS ts", "user_id")
+    got = {r["day"]: (r["dau"], r["wau"]) for r in analytics.events_dau_wau(planted).collect()}
+    # day 7: user 1 (active day 1) still in the trailing window with user 2
+    assert got["2024-01-07"] == (1, 2)
+    # day 9: user 1 aged out (window 3-9), users 2 and 3 remain
+    assert got["2024-01-09"] == (1, 2)
