@@ -816,3 +816,113 @@ def lsh_store_merge(
     new_ids = new_documents.select("doc_id")
     survivors = store.join(F.broadcast(new_ids), "doc_id", "left_anti")
     return survivors.unionByName(batch)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: redaction patterns — deliberately simple constructs (char classes,
+#: bounded repetition, non-capturing groups) that behave identically under
+#: Java regex (Spark) and RE2 (DuckDB), so the operator stays oracle-checkable.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"),
+    ("phone", "\\+\\d{7,15}"),
+)
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """Scrub personally identifiable information from a training corpus.
+
+    Standard pre-training hygiene (the reference has no text layer; this is
+    a beyond-reference data-pipeline op): emails, IPv4 addresses and
+    international phone numbers are replaced with typed placeholder tokens
+    (``<EMAIL>`` …) and counted per document.  Counting runs on the
+    ORIGINAL text (before any rewrite can destroy or create matches) and
+    patterns are applied in a fixed order — email first, since an address
+    contains dot-separated digit runs an IP pattern could otherwise eat.
+
+    Pure row-local projection: regexp over each row, no shuffle, no UDF —
+    scales linearly and stays inside whole-stage codegen.
+    """
+    # Column API (not selectExpr) so the regexes need no SQL-literal
+    # backslash re-escaping — the Python string IS the pattern.
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    total = None
+    for name, pat in PII_PATTERNS:
+        c = F.regexp_count(F.col("text"), F.lit(pat)).cast("long")
+        total = c if total is None else total + c
+    redacted = F.col("text")
+    for name, pat in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return documents.select(
+        "doc_id",
+        *counts,
+        total.alias("n_pii"),
+        redacted.alias("text_redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def line_dedup_stats(
+    documents: DataFrame,
+    segment_tokens: int | None = None,
+) -> DataFrame:
+    """CCNet-style line-level duplication profile: for every document, how
+    many of its lines also appear (verbatim, after lower/trim token
+    normalization when segmenting) in OTHER documents.
+
+    Boilerplate — nav bars, cookie banners, footers — repeats across pages
+    of a site; per-line corpus-frequency is the classic signal for
+    stripping it.  ``segment_tokens=None`` splits on newlines (real
+    multi-line corpora); an integer segments each document into fixed
+    k-token pseudo-lines (used for single-line test corpora, and the same
+    shape as fixed-stride span dedup).
+
+    Scale shape: lines explode row-locally and are immediately reduced to
+    60-bit hashes, so the corpus-wide duplicate count shuffles ONLY
+    (hash, doc_id) pairs — never text.  Two hash-partitioned aggs (count
+    distinct docs per line-hash; re-aggregate per doc) and one key-only
+    join; document payloads stay where they were scanned.  Returns
+    ``doc_id, n_lines, n_dup_lines, dup_line_fraction``.
+    """
+    if segment_tokens is None:
+        lines_expr = "split(text, '\\n')"
+    else:
+        k = int(segment_tokens)
+        # guard: sequence(0, -1) is a DESCENDING range in Spark, so an
+        # empty token array must short-circuit to array() explicitly
+        lines_expr = (
+            f"CASE WHEN size({TOKENS}) = 0 THEN array() "
+            f"ELSE transform(sequence(0, CAST(ceil(size({TOKENS}) / {k}.0) AS INT) - 1), "
+            f"i -> array_join(slice({TOKENS}, i * {k} + 1, {k}), ' ')) END"
+        )
+    lines = documents.selectExpr("doc_id", f"explode({lines_expr}) AS line").selectExpr(
+        "doc_id", f"{hex60('line')} AS h"
+    )
+    dup_hashes = (
+        lines.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("h")
+    )
+    flagged = lines.join(dup_hashes, "h", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_lines")
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    return (
+        totals.join(flagged, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_lines",
+            "coalesce(n_dup_lines, 0) AS n_dup_lines",
+            "CAST(coalesce(n_dup_lines, 0) AS DOUBLE) / n_lines AS dup_line_fraction",
+        )
+    )

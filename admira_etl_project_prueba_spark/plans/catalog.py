@@ -2376,3 +2376,122 @@ def _q_asof(spark, sf_dir):
         "utm_medium",
         F.col("day_cost_asof"),
     )
+
+
+# -- late additions: q21-style decorrelation, PII redaction, line dedup -----
+
+@_entry(
+    "q21_late_sole_suppliers",
+    "TPC-H Q21 (adapted): sole late shipper on finished multi-supplier "
+    "orders — two correlated EXISTS decorrelated into ONE per-order hash "
+    "aggregate (countDistinct + max over the one-element late set).",
+    """WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                             THEN l_suppkey END) AS n_late_supp,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN l_suppkey END) AS late_suppkey
+  FROM lineitem
+  JOIN (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F') o
+    ON l_orderkey = o_orderkey
+  GROUP BY 1
+)
+SELECT s_name, n_name AS nation, numwait
+FROM (SELECT late_suppkey, COUNT(*) AS numwait
+      FROM per_order WHERE n_supp > 1 AND n_late_supp = 1 GROUP BY 1) w
+JOIN supplier ON late_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey""",
+)
+def _q21(spark, sf_dir):
+    return analytics.q21_late_sole_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+#: deterministic PII-bearing corpus view — the synthetic documents contain no
+#: real PII, so both engines append the SAME derived contact strings before
+#: redaction (mirrors the synthetic ads/CRM construction pattern).
+_PII_DOCS_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com') ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' from 10.', CAST(doc_id % 200 AS STRING), '.0.', CAST(doc_id % 100 AS STRING)) ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(' call +3460012', lpad(CAST(doc_id % 100 AS STRING), 2, '0')) ELSE '' END"
+    ") AS text"
+)
+
+_PII_DOCS_DUCK = """
+pii_docs AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' call +3460012' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END
+         AS text
+  FROM documents
+)"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+_PII_PHONE = "\\+\\d{7,15}"
+
+
+@_entry(
+    "redact_pii",
+    "Training-corpus PII scrub: emails / IPv4 / phone numbers replaced by "
+    "typed placeholders + per-doc counts.  Row-local regexp projection, "
+    "no shuffle, no UDF.",
+    f"""WITH {_PII_DOCS_DUCK}
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phone,
+       len(regexp_extract_all(text, '{_PII_EMAIL}'))
+         + len(regexp_extract_all(text, '{_PII_IPV4}'))
+         + len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_pii,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IPV4>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS text_redacted
+FROM pii_docs""",
+)
+def _q_redact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").selectExpr("doc_id", _PII_DOCS_SPARK)
+    return _tx.redact_pii(docs)
+
+
+@_entry(
+    "line_dedup_stats",
+    "CCNet-style line-level duplication profile (3-token pseudo-lines on "
+    "this single-line corpus): per-doc count/fraction of lines appearing "
+    "in other documents.  Lines reduce to 60-bit hashes before any "
+    "shuffle — text never moves.",
+    f"""WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(ceil(len(toks) / 3.0) AS INT)),
+                        i -> array_to_string(toks[i*3+1:i*3+3], ' ')) AS lines
+  FROM tok
+),
+lines AS (
+  SELECT doc_id, {_duck_hex60('line')} AS h
+  FROM (SELECT doc_id, unnest(lines) AS line FROM segs)
+),
+dups AS (SELECT h FROM lines GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+flagged AS (
+  SELECT doc_id, COUNT(*) AS n_dup_lines
+  FROM lines WHERE h IN (SELECT h FROM dups) GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, n_lines, COALESCE(n_dup_lines, 0) AS n_dup_lines,
+       CAST(COALESCE(n_dup_lines, 0) AS DOUBLE) / n_lines AS dup_line_fraction
+FROM totals t LEFT JOIN flagged f ON t.doc_id = f.doc_id""",
+)
+def _q_linededup(spark, sf_dir):
+    return _tx.line_dedup_stats(_t(spark, sf_dir, "documents"), segment_tokens=3)

@@ -348,3 +348,66 @@ def test_dau_wau_invariants(spark, sf_dir):
     assert got["2024-01-07"] == (1, 2)
     # day 9: user 1 aged out (window 3-9), users 2 and 3 remain
     assert got["2024-01-09"] == (1, 2)
+
+
+def test_q21_sole_late_supplier_semantics(spark):
+    """Literal fixture: only orders with >1 supplier and exactly one late
+    supplier count, and the late supplier gets the blame."""
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    lineitem = spark.createDataFrame(
+        [
+            # order 1: two suppliers, only supplier 10 late  -> counts
+            (1, 10, ts("2024-06-01")),
+            (1, 20, ts("2024-01-05")),
+            # order 2: two suppliers, both late              -> excluded
+            (2, 10, ts("2024-06-01")),
+            (2, 20, ts("2024-06-01")),
+            # order 3: single supplier, late                 -> excluded
+            (3, 10, ts("2024-06-01")),
+            # order 4: open order (status O), would count    -> excluded
+            (4, 10, ts("2024-06-01")),
+            (4, 20, ts("2024-01-05")),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp_ntz",
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, "F", ts("2024-01-01")),
+            (2, "F", ts("2024-01-01")),
+            (3, "F", ts("2024-01-01")),
+            (4, "O", ts("2024-01-01")),
+        ],
+        "o_orderkey long, o_orderstatus string, o_orderdate timestamp_ntz",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "Supp#10", 1), (20, "Supp#20", 1)],
+        "s_suppkey long, s_name string, s_nationkey int",
+    )
+    nation = spark.createDataFrame(
+        [(1, "SPAIN", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    rows = analytics.q21_late_sole_suppliers(
+        supplier, lineitem, orders, nation
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["s_name"] == "Supp#10"
+    assert rows[0]["nation"] == "SPAIN"
+    assert rows[0]["numwait"] == 1
+
+
+def test_q21_single_lineitem_shuffle(spark, sf_dir):
+    """Decorrelated plan: lineitem is scanned ONCE (no self-join) and the
+    dim joins are broadcast."""
+    df = analytics.q21_late_sole_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan

@@ -500,3 +500,79 @@ def test_lsh_store_merge_roundtrip(spark, planted, tmp_path):
     plan = textops.lsh_store_merge(store_v1, batch)._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_all_categories(spark):
+    rows = [
+        (1, "write to alice.smith+x@example.co.uk or call +34600123456", "en"),
+        (2, "server at 192.168.1.10 responded; backup 10.0.0.1 did not", "en"),
+        (3, "nothing sensitive here at all", "en"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in textops.redact_pii(docs(spark, rows)).collect()
+    }
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[1]["text_redacted"] == "write to <EMAIL> or call <PHONE>"
+    assert out[2]["n_ipv4"] == 2 and out[2]["n_pii"] == 2
+    assert out[2]["text_redacted"] == "server at <IPV4> responded; backup <IPV4> did not"
+    assert out[3]["n_pii"] == 0 and out[3]["text_redacted"] == rows[2][1]
+
+
+def test_redact_pii_email_wins_over_ip_and_phone(spark):
+    # digits+dots inside an address must be redacted AS the email, not
+    # partially eaten by the IP/phone patterns applied later
+    rows = [(1, "ping 1.2.3.4@mail.com now", "en")]
+    row = textops.redact_pii(docs(spark, rows)).collect()[0]
+    assert row["n_email"] == 1
+    assert row["text_redacted"] == "ping <EMAIL> now"
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_newline_mode(spark):
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"unique article one\n{boiler}\nmore body text", "en"),
+        (2, f"different article two\n{boiler}", "en"),
+        (3, "totally standalone document", "en"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in textops.line_dedup_stats(docs(spark, rows)).collect()
+    }
+    assert out[1]["n_lines"] == 3 and out[1]["n_dup_lines"] == 1
+    assert out[2]["n_lines"] == 2 and out[2]["n_dup_lines"] == 1
+    assert out[2]["dup_line_fraction"] == 0.5
+    assert out[3]["n_dup_lines"] == 0 and out[3]["dup_line_fraction"] == 0.0
+
+
+def test_line_dedup_segment_mode_counts_cross_doc_only(spark):
+    # intra-doc repetition alone is NOT a corpus duplicate (distinct-doc>1)
+    rows = [
+        (1, "a b c a b c", "en"),   # repeats its own 3-token line twice
+        (2, "x y z q r s", "en"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in textops.line_dedup_stats(
+            docs(spark, rows), segment_tokens=3
+        ).collect()
+    }
+    assert out[1]["n_lines"] == 2 and out[1]["n_dup_lines"] == 0
+    # ...but sharing with another doc IS
+    rows.append((3, "a b c totally fresh", "en"))
+    out = {
+        r["doc_id"]: r
+        for r in textops.line_dedup_stats(
+            docs(spark, rows), segment_tokens=3
+        ).collect()
+    }
+    assert out[1]["n_dup_lines"] == 2       # both its 'a b c' lines flagged
+    assert out[3]["n_dup_lines"] == 1
