@@ -50,10 +50,13 @@ def connected_components(
         # band→verify pipeline — measured as the dominant cost)
         .localCheckpoint()
     )
+    # round 0 fused into initialization: label = min(self, direct neighbors)
+    # — one aggregation instead of distinct + a full propagation round
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.select(F.col("a").alias("node"), F.col("b").alias("label"))
+        .unionByName(sym.select(F.col("a").alias("node"), F.col("a").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -62,23 +65,21 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the old label through the checkpoint so the convergence
+        # check is a filter over materialized rows, not another join+job
         new_labels = (
             labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter("n.label <> o.label")
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("label <> old_label").count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
     raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")

@@ -43,8 +43,16 @@ def build_training_corpus(
     reach dedup); split assignment is computed for all docs but only
     surfaces as status for surviving ones.
     """
-    q = textops.quality_filter(documents, langs=langs).select(
-        "doc_id", F.col("kept").alias("kept_quality"), "reject_reason"
+    # The verdict frame feeds THREE consumers (output join, the dedup
+    # semi-join, and the survivor token count via kept_docs); Spark has no
+    # cross-join CSE, so without materialization the full-text quality
+    # scoring would be recomputed once per consumer.  The frame is
+    # doc_id + two narrow columns — KBs per million docs — so
+    # localCheckpoint is the right trade at any scale.
+    q = (
+        textops.quality_filter(documents, langs=langs)
+        .select("doc_id", F.col("kept").alias("kept_quality"), "reject_reason")
+        .localCheckpoint()
     )
     kept_docs = documents.join(
         q.filter("kept_quality").select("doc_id"), "doc_id", "left_semi"

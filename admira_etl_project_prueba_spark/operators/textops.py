@@ -62,20 +62,25 @@ def token_stats(documents: DataFrame) -> DataFrame:
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Heuristic quality signals: length, lexical diversity, stopword
     density, mean token length.  Pure projection — no shuffle, scales
-    linearly with corpus size."""
-    toks = TOKENS
-    return documents.selectExpr(
+    linearly with corpus size.
+
+    Staged select: the token array is projected ONCE and every signal
+    reads the materialized column — inlining ``split()`` into each
+    expression would re-tokenize the document per signal (CollapseProject
+    keeps the stage boundary because the alias is reused and non-cheap).
+    """
+    return documents.selectExpr("doc_id", "text", f"{TOKENS} AS t").selectExpr(
         "doc_id",
         "length(text) AS n_chars",
-        f"size({toks}) AS n_tokens",
+        "size(t) AS n_tokens",
         # mean token length, exact rational → double
-        f"CAST(aggregate({toks}, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
-        f" / size({toks}) AS mean_token_len",
+        "CAST(aggregate(t, 0L, (acc, x) -> acc + length(x)) AS DOUBLE)"
+        " / size(t) AS mean_token_len",
         # type-token ratio (lexical diversity)
-        f"CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks}) AS ttr",
+        "CAST(size(array_distinct(t)) AS DOUBLE) / size(t) AS ttr",
         # stopword ratio — natural-language text sits in a known band
-        f"CAST(size(filter({toks}, t -> array_contains({_stop_list_sql()}, t))) AS DOUBLE)"
-        f" / size({toks}) AS stopword_ratio",
+        f"CAST(size(filter(t, x -> array_contains({_stop_list_sql()}, x))) AS DOUBLE)"
+        " / size(t) AS stopword_ratio",
     )
 
 
@@ -91,28 +96,48 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _lang_hits_expr() -> tuple[str, list[str]]:
+    """(`array(...)` of per-language marker counts over a ``t`` token
+    column, sorted language list) — shared by language_id/quality_filter."""
+    langs = sorted(LANG_MARKERS)  # deterministic tie-break order
+    hits = ", ".join(
+        "size(filter(t, x -> array_contains(array("
+        + ", ".join(f"'{w}'" for w in LANG_MARKERS[l])
+        + "), x)))"
+        for l in langs
+    )
+    return f"array({hits})", langs
+
+
+def _lang_pick_expr(langs: list[str]) -> str:
+    """argmax over a materialized ``hits`` array + ``best`` scalar —
+    element_at over attributes, each marker filter evaluated exactly once."""
+    pick = " ".join(
+        f"WHEN element_at(hits, {i + 1}) = best THEN '{l}'"
+        for i, l in enumerate(langs)
+    )
+    return f"CASE WHEN best = 0 THEN 'und' ELSE CASE {pick} END END"
+
+
 def language_id(documents: DataFrame) -> DataFrame:
     """Marker-lexicon language ID with deterministic argmax tie-break
-    (alphabetical language order, 'und' when no evidence)."""
-    toks = TOKENS
-    counts = {
-        lang: (
-            f"size(filter({toks}, t -> array_contains("
-            + "array(" + ", ".join(f"'{w}'" for w in words) + "), t)))"
+    (alphabetical language order, 'und' when no evidence).
+
+    Staged select (tokens → hits array → argmax): a single-projection
+    formulation would inline the tokenizer and every marker filter into
+    each CASE arm — O(langs²) re-evaluations per row.
+    """
+    hits_expr, langs = _lang_hits_expr()
+    return (
+        documents.selectExpr("doc_id", "lang", f"{TOKENS} AS t")
+        .selectExpr("doc_id", "lang", f"{hits_expr} AS hits")
+        .selectExpr("doc_id", "lang", "hits", "array_max(hits) AS best")
+        .selectExpr(
+            "doc_id",
+            "lang AS lang_declared",
+            f"{_lang_pick_expr(langs)} AS lang_predicted",
+            "best AS marker_hits",
         )
-        for lang, words in LANG_MARKERS.items()
-    }
-    langs = sorted(counts)  # deterministic tie-break order
-    best = f"greatest({', '.join(counts[l] for l in langs)})"
-    pick = "CASE "
-    for l in langs:
-        pick += f"WHEN {counts[l]} = {best} THEN '{l}' "
-    pick += "END"
-    return documents.selectExpr(
-        "doc_id",
-        "lang AS lang_declared",
-        f"CASE WHEN {best} = 0 THEN 'und' ELSE {pick} END AS lang_predicted",
-        f"{best} AS marker_hits",
     )
 
 
@@ -430,10 +455,27 @@ def quality_filter(
 
     One pass, row-local — the shape of a 100 TB cleaning stage: score and
     verdict travel with the row so downstream stages can audit *why* a
-    document was dropped without recomputing anything.
+    document was dropped without recomputing anything.  Quality signals
+    and language prediction are computed in ONE projection over each row —
+    not quality_scores ⋈ language_id, which would scan (and tokenize) the
+    full corpus twice and shuffle-join the results on doc_id for no
+    semantic gain.
     """
-    scored = quality_scores(documents).join(
-        language_id(documents).select("doc_id", "lang_predicted"), "doc_id"
+    hits_expr, lgs = _lang_hits_expr()
+    scored = (
+        documents.selectExpr("doc_id", f"{TOKENS} AS t")
+        .selectExpr(
+            "doc_id",
+            "size(t) AS n_tokens",
+            "CAST(aggregate(t, 0L, (acc, x) -> acc + length(x)) AS DOUBLE)"
+            " / size(t) AS mean_token_len",
+            "CAST(size(array_distinct(t)) AS DOUBLE) / size(t) AS ttr",
+            f"CAST(size(filter(t, x -> array_contains({_stop_list_sql()}, x))) AS DOUBLE)"
+            " / size(t) AS stopword_ratio",
+            f"{hits_expr} AS hits",
+        )
+        .withColumn("best", F.expr("array_max(hits)"))
+        .withColumn("lang_predicted", F.expr(_lang_pick_expr(lgs)))
     )
     reasons = [
         (F.col("n_tokens") < min_tokens, "too_short"),
