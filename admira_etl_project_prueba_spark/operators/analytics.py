@@ -1064,3 +1064,31 @@ def events_dau_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
             F.col("wau").cast("long").alias("wau"),
         )
     )
+
+
+def events_trailing_window_load(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Per-event trailing load: how many events (and how much value) this
+    user generated in the [ts - N minutes, ts] interval INCLUDING this one
+    — a RANGE (time-interval) window frame, the class rate-limit /
+    velocity features come from.
+
+    ROWS frames (events_moving_avg) count physical rows; RANGE frames are
+    value-based — all peers within the interval, however many there are.
+    Orders by epoch microseconds so the frame bound is exact integer
+    arithmetic (identical in any engine); ties are peer-inclusive by
+    RANGE-frame definition in both Spark and the oracle.  One shuffle,
+    hash-partitioned by user_id; skewed power-users are an AQE concern,
+    not a plan change.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-minutes * 60 * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("value_trailing"),
+    )

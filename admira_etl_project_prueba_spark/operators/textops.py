@@ -51,11 +51,11 @@ def _stop_list_sql() -> str:
 
 def token_stats(documents: DataFrame) -> DataFrame:
     """Per-document token counts — the unit of corpus budgeting."""
-    return documents.selectExpr(
+    return documents.selectExpr("doc_id", "text", f"{TOKENS} AS t").selectExpr(
         "doc_id",
-        f"size({TOKENS}) AS n_tokens",
+        "size(t) AS n_tokens",
         "length(text) AS n_chars",
-        f"size(array_distinct({TOKENS})) AS n_unique_tokens",
+        "size(array_distinct(t)) AS n_unique_tokens",
     )
 
 
@@ -936,17 +936,19 @@ def line_dedup_stats(
     ``doc_id, n_lines, n_dup_lines, dup_line_fraction``.
     """
     if segment_tokens is None:
-        lines_expr = "split(text, '\\n')"
+        staged = documents.selectExpr("doc_id", "split(text, '\\n') AS ls")
     else:
         k = int(segment_tokens)
         # guard: sequence(0, -1) is a DESCENDING range in Spark, so an
-        # empty token array must short-circuit to array() explicitly
-        lines_expr = (
-            f"CASE WHEN size({TOKENS}) = 0 THEN array() "
-            f"ELSE transform(sequence(0, CAST(ceil(size({TOKENS}) / {k}.0) AS INT) - 1), "
-            f"i -> array_join(slice({TOKENS}, i * {k} + 1, {k}), ' ')) END"
+        # empty token array must short-circuit to array() explicitly;
+        # tokens staged behind an alias so the corpus tokenizes once
+        staged = documents.selectExpr("doc_id", f"{TOKENS} AS t").selectExpr(
+            "doc_id",
+            "CASE WHEN size(t) = 0 THEN array() "
+            f"ELSE transform(sequence(0, CAST(ceil(size(t) / {k}.0) AS INT) - 1), "
+            f"i -> array_join(slice(t, i * {k} + 1, {k}), ' ')) END AS ls",
         )
-    lines = documents.selectExpr("doc_id", f"explode({lines_expr}) AS line").selectExpr(
+    lines = staged.selectExpr("doc_id", "explode(ls) AS line").selectExpr(
         "doc_id", f"{hex60('line')} AS h"
     )
     dup_hashes = (
@@ -968,3 +970,57 @@ def line_dedup_stats(
             "CAST(coalesce(n_dup_lines, 0) AS DOUBLE) / n_lines AS dup_line_fraction",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy vocabulary matching
+# ---------------------------------------------------------------------------
+
+def token_typo_pairs(documents: DataFrame, max_distance: int = 1) -> DataFrame:
+    """Near-identical vocabulary pairs (typo candidates): distinct corpus
+    tokens within ``max_distance`` Levenshtein edits of each other.
+
+    The naive formulation is an O(V²) cross join over the vocabulary.
+    This one BLOCKS first: a candidate pair must share its first
+    character OR its last character (a single edit can destroy one of
+    them, never both for distance 1), and token lengths may differ by at
+    most ``max_distance`` — so the join is equi-keyed on the block key
+    and the quadratic blowup is per-block, not global.  Vocabulary is a
+    distinct-aggregate of the corpus (tiny vs the corpus itself), and
+    each side ships only (token, n_occurrences).
+
+    Returns (token_a, token_b, distance, n_a, n_b) with token_a <
+    token_b; downstream spell-normalization maps the rarer to the
+    commoner spelling.
+    """
+    vocab = (
+        documents.selectExpr("doc_id", f"explode(array_distinct({TOKENS})) AS token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .localCheckpoint()  # tiny; probed twice below
+    )
+    # block keys: ('F', first char) and ('L', last char); distance-1 pairs
+    # share at least one, so the union of both blockings is complete
+    blocked = vocab.selectExpr(
+        "token", "n_docs",
+        "explode(array(concat('F', left(token, 1)), "
+        "concat('L', right(token, 1)))) AS blk",
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("a.token") < F.col("b.token"))
+        .filter(
+            F.abs(F.length("a.token") - F.length("b.token")) <= max_distance
+        )
+        .filter(F.levenshtein(F.col("a.token"), F.col("b.token")) <= max_distance)
+        .select(
+            F.col("a.token").alias("token_a"),
+            F.col("b.token").alias("token_b"),
+            F.levenshtein(F.col("a.token"), F.col("b.token")).alias("distance"),
+            F.col("a.n_docs").alias("n_a"),
+            F.col("b.n_docs").alias("n_b"),
+        )
+        .distinct()  # a pair can match under both F- and L-blocks
+    )
+    return pairs

@@ -2495,3 +2495,47 @@ FROM totals t LEFT JOIN flagged f ON t.doc_id = f.doc_id""",
 )
 def _q_linededup(spark, sf_dir):
     return _tx.line_dedup_stats(_t(spark, sf_dir, "documents"), segment_tokens=3)
+
+
+@_entry(
+    "events_trailing_window_load",
+    "RANGE (time-interval) window frame: per-event trailing 60-min "
+    "count/value per user, ordered by epoch microseconds (exact integer "
+    "frame bounds, peer-inclusive ties in both engines).",
+    """SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       COUNT(*) OVER w AS n_trailing,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS value_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+)
+def _q_trailing(spark, sf_dir):
+    return analytics.events_trailing_window_load(load_events(spark, sf_dir))
+
+
+@_entry(
+    "token_typo_pairs",
+    "Blocked fuzzy self-join over the corpus vocabulary: distance-1 "
+    "Levenshtein pairs via first/last-char block keys — per-block "
+    "quadratic, never global.",
+    f"""WITH vocab AS (
+  SELECT token, COUNT(*) AS n_docs FROM (
+    SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS token FROM documents
+  ) GROUP BY token
+),
+blocked AS (
+  SELECT token, n_docs,
+         unnest(['F' || left(token, 1), 'L' || right(token, 1)]) AS blk
+  FROM vocab
+)
+SELECT DISTINCT a.token AS token_a, b.token AS token_b,
+       levenshtein(a.token, b.token) AS distance,
+       a.n_docs AS n_a, b.n_docs AS n_b
+FROM blocked a JOIN blocked b USING (blk)
+WHERE a.token < b.token
+  AND abs(length(a.token) - length(b.token)) <= 1
+  AND levenshtein(a.token, b.token) <= 1""",
+)
+def _q_typos(spark, sf_dir):
+    return _tx.token_typo_pairs(_t(spark, sf_dir, "documents"))

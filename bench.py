@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "text_repetition_scores",
     "decontaminate",
     "build_training_corpus",
+    "redact_pii",
+    "line_dedup_stats",
+    "q21_late_sole_suppliers",
+    "events_trailing_window_load",
+    "token_typo_pairs",
 ]
 
 

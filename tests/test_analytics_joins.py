@@ -411,3 +411,31 @@ def test_q21_single_lineitem_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("lineitem.parquet") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_trailing_range_window_semantics(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, base, 7, "click", 10.0, "{}"),
+            (2, base + dt.timedelta(minutes=30), 7, "click", 5.0, "{}"),
+            # exactly 60 min after event 1 — RANGE bound is inclusive
+            (3, base + dt.timedelta(minutes=60), 7, "click", 1.0, "{}"),
+            # 61 min after event 2's window start excludes event 1
+            (4, base + dt.timedelta(minutes=91), 7, "click", 2.0, "{}"),
+            (5, base, 8, "click", 100.0, "{}"),  # other user: isolated
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r["event_id"]: r
+        for r in analytics.events_trailing_window_load(ev).collect()
+    }
+    assert out[1]["n_trailing"] == 1
+    assert out[2]["n_trailing"] == 2 and out[2]["value_trailing"] == 15.0
+    assert out[3]["n_trailing"] == 3 and out[3]["value_trailing"] == 16.0
+    assert out[4]["n_trailing"] == 2 and out[4]["value_trailing"] == 3.0
+    assert out[5]["n_trailing"] == 1 and out[5]["value_trailing"] == 100.0

@@ -576,3 +576,30 @@ def test_line_dedup_segment_mode_counts_cross_doc_only(spark):
     }
     assert out[1]["n_dup_lines"] == 2       # both its 'a b c' lines flagged
     assert out[3]["n_dup_lines"] == 1
+
+
+def test_token_typo_pairs_blocking_is_complete(spark):
+    # edits at the FIRST char still share the last char, and vice versa —
+    # the F/L double-blocking must find both; unrelated tokens never pair
+    rows = [
+        (1, "spark sparc hello jello zzz", "en"),
+        (2, "spark unrelatedword", "en"),
+    ]
+    pairs = {
+        (r["token_a"], r["token_b"]): r
+        for r in textops.token_typo_pairs(docs(spark, rows)).collect()
+    }
+    assert ("sparc", "spark") in pairs       # last-char edit (F-block)
+    assert ("hello", "jello") in pairs       # first-char edit (L-block)
+    assert all(r["distance"] == 1 for r in pairs.values())
+    # doc frequency travels with the pair
+    assert pairs[("sparc", "spark")]["n_b"] == 2
+    assert not any("zzz" in p or "unrelatedword" in p for p in pairs)
+
+
+def test_token_typo_pairs_no_duplicate_rows(spark):
+    # a pair differing at neither end ("spark"/"spurk") matches BOTH block
+    # keys — the distinct() must collapse it to one row
+    rows = [(1, "spark spurk", "en")]
+    out = textops.token_typo_pairs(docs(spark, rows)).collect()
+    assert len(out) == 1
