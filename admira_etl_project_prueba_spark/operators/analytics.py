@@ -1092,3 +1092,65 @@ def events_trailing_window_load(events: DataFrame, minutes: int = 60) -> DataFra
         F.count(F.lit(1)).over(w).alias("n_trailing"),
         F.sum(F.col("value").cast(_DEC)).over(w).cast("double").alias("value_trailing"),
     )
+
+
+def events_distinct_rollup_sketched(events: DataFrame, lg_k: int = 12) -> DataFrame:
+    """Distinct users per day AND overall from ONE pass of mergeable
+    Datasketches HLL sketches — the re-aggregation pattern exact
+    COUNT(DISTINCT) cannot do.
+
+    At 100 TB you persist the per-day sketch column (KBs/day) and answer
+    any coarser rollup (week, month, all-time) by ``hll_union_agg`` over
+    stored sketches — no second scan of raw events.  Here both grains are
+    emitted together: per-day rows plus an 'ALL' row whose estimate comes
+    from merging the daily sketches, never from re-reading events.
+    Union-of-parts equals sketch-of-whole for same-precision HLL (pytest
+    pins this exactly); estimates are bounded-error vs exact.
+    """
+    daily = (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(lg_k)).alias("sk"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .localCheckpoint()  # one pass over events feeds BOTH output grains
+    )
+    per_day = daily.select(
+        "day",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+        "n_events",
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"), F.lit(False)))
+        .cast("long")
+        .alias("approx_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("ALL").alias("day"), "approx_users", "n_events")
+    return per_day.unionByName(merged)
+
+
+def events_latest_per_user(events: DataFrame) -> DataFrame:
+    """CDC-style record dedup: each user's single latest event (by event
+    time, event_id as the deterministic tiebreak).
+
+    The upsert-compaction primitive — change streams, SCD snapshots,
+    "current state" tables all reduce to it.  row_number over a
+    (key → order desc) window = one shuffle hash-partitioned by user_id;
+    at 100 TB prefer writing the input bucketed by user_id so the window
+    reuses the bucketing and the compaction becomes exchange-free
+    (see store.write_bucketed / tests/test_bucketing.py).
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            "event_type",
+            "value",
+        )
+    )

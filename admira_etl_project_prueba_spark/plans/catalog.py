@@ -2539,3 +2539,34 @@ WHERE a.token < b.token
 )
 def _q_typos(spark, sf_dir):
     return _tx.token_typo_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "events_distinct_rollup_sketched",
+    "Mergeable Datasketches-HLL rollup: per-day distinct-user sketches + "
+    "an 'ALL' row from hll_union_agg over the daily sketches (one raw "
+    "scan, any coarser grain from stored sketches).  Engine-specific "
+    "sketch → rows-only check; pytest pins union-of-parts == "
+    "sketch-of-whole and bounds error vs exact.",
+    None,
+)
+def _q_sketch_rollup(spark, sf_dir):
+    return analytics.events_distinct_rollup_sketched(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_latest_per_user",
+    "CDC latest-record compaction: row_number over (user_id → ts DESC, "
+    "event_id DESC) = 1 — the upsert/current-state primitive; one "
+    "key-partitioned shuffle, exchange-free when input is bucketed.",
+    """SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1""",
+)
+def _q_latest(spark, sf_dir):
+    return analytics.events_latest_per_user(load_events(spark, sf_dir))

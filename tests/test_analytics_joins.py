@@ -439,3 +439,50 @@ def test_trailing_range_window_semantics(spark):
     assert out[3]["n_trailing"] == 3 and out[3]["value_trailing"] == 16.0
     assert out[4]["n_trailing"] == 2 and out[4]["value_trailing"] == 3.0
     assert out[5]["n_trailing"] == 1 and out[5]["value_trailing"] == 100.0
+
+
+def test_sketch_rollup_merge_equals_whole_and_bounds_error(spark, sf_dir):
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = analytics.events_distinct_rollup_sketched(ev)
+    rows = {r["day"]: r for r in out.collect()}
+    exact_all = ev.select("user_id").distinct().count()
+    # merged estimate must EQUAL a direct sketch over the raw stream
+    # (HLL union of same-precision sketches is lossless)
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user_id"), F.lit(12)))
+        .cast("long")
+        .alias("e")
+    ).collect()[0]["e"]
+    assert rows["ALL"]["approx_users"] == direct
+    # bounded error vs exact (HLL lg_k=12 ⇒ ~1.6% rse; allow 5σ)
+    assert abs(rows["ALL"]["approx_users"] - exact_all) / exact_all < 0.08
+    # n_events conservation: ALL row equals the sum of the day rows
+    assert rows["ALL"]["n_events"] == sum(
+        r["n_events"] for d, r in rows.items() if d != "ALL"
+    )
+    # per-day error bound on a few days
+    days = [d for d in rows if d != "ALL"][:3]
+    for d in days:
+        exact_d = (
+            ev.filter(F.date_format("ts", "yyyy-MM-dd") == d)
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert abs(rows[d]["approx_users"] - exact_d) <= max(3, 0.08 * exact_d)
+
+
+def test_latest_per_user_is_one_row_per_user(spark, sf_dir):
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = analytics.events_latest_per_user(ev)
+    assert out.count() == ev.select("user_id").distinct().count()
+    # the surviving ts is that user's max
+    mx = ev.groupBy("user_id").agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("mts")
+    )
+    joined = out.join(mx, "user_id").filter("ts_str <> mts")
+    assert joined.count() == 0

@@ -603,3 +603,25 @@ def test_token_typo_pairs_no_duplicate_rows(spark):
     rows = [(1, "spark spurk", "en")]
     out = textops.token_typo_pairs(docs(spark, rows)).collect()
     assert len(out) == 1
+
+
+def test_line_dedup_plan_never_shuffles_text(planted):
+    """Every exchange in the line-dedup plan carries (hash, doc_id) pairs
+    — document payloads stay in their scan partitions."""
+    plan = (
+        textops.line_dedup_stats(planted, segment_tokens=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" in plan
+    for chunk in plan.split("Exchange")[1:]:
+        head = chunk.split("\n", 1)[0]
+        assert "text" not in head
+
+
+def test_redact_pii_is_shuffle_free(planted):
+    plan = (
+        textops.redact_pii(planted)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

@@ -130,6 +130,54 @@ def fresh_session(**conf):
     return spark
 
 
+def _quality_sqls() -> tuple[str, str]:
+    """(inlined, staged) formulations of the same quality+language scoring
+    — SCALE.md 'expression-plan hygiene' rule 3's A/B.  The inlined form
+    re-tokenizes per signal and re-evaluates every marker filter per CASE
+    arm; the staged form projects tokens and the hits array once."""
+    from admira_etl_project_prueba_spark.operators import textops as tx
+
+    toks = tx.TOKENS
+    stops = tx._stop_list_sql()
+    counts = {
+        l: "size(filter(%s, x -> array_contains(array(%s), x)))"
+        % (toks, ", ".join(f"'{w}'" for w in tx.LANG_MARKERS[l]))
+        for l in sorted(tx.LANG_MARKERS)
+    }
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    pick = (
+        "CASE "
+        + " ".join(f"WHEN {c} = {best} THEN '{l}'" for l, c in counts.items())
+        + " END"
+    )
+    inlined = (
+        f"SELECT doc_id, size({toks}) AS n_tokens, "
+        f"CAST(aggregate({toks}, 0L, (a, x) -> a + length(x)) AS DOUBLE) / size({toks}) AS mtl, "
+        f"CAST(size(array_distinct({toks})) AS DOUBLE) / size({toks}) AS ttr, "
+        f"CAST(size(filter({toks}, x -> array_contains({stops}, x))) AS DOUBLE) / size({toks}) AS swr, "
+        f"CASE WHEN {best} = 0 THEN 'und' ELSE {pick} END AS lang "
+        "FROM documents"
+    )
+    hits_expr, langs = tx._lang_hits_expr()
+    pick_hits = " ".join(
+        f"WHEN element_at(hits, {i + 1}) = best THEN '{l}'"
+        for i, l in enumerate(langs)
+    )
+    staged = f"""SELECT doc_id, n_tokens, mtl, ttr, swr,
+       CASE WHEN best = 0 THEN 'und' ELSE CASE {pick_hits} END END AS lang
+FROM (
+  SELECT *, array_max(hits) AS best FROM (
+    SELECT doc_id, size(t) AS n_tokens,
+           CAST(aggregate(t, 0L, (a, x) -> a + length(x)) AS DOUBLE) / size(t) AS mtl,
+           CAST(size(array_distinct(t)) AS DOUBLE) / size(t) AS ttr,
+           CAST(size(filter(t, x -> array_contains({stops}, x))) AS DOUBLE) / size(t) AS swr,
+           {hits_expr} AS hits
+    FROM (SELECT doc_id, {toks} AS t FROM documents)
+  )
+)"""
+    return inlined, staged
+
+
 def main():
     results = {}
 
@@ -179,6 +227,15 @@ def main():
         spark.sql(Q3_SQL).collect()  # re-warm at this setting
         sweep[str(n)] = run_measured(spark, Q3_SQL)
     results["shuffle_partitions_q3_no_aqe"] = sweep
+
+    # -- staged vs inlined tokenizer projection (expression-plan hygiene) --
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    inlined_sql, staged_sql = _quality_sqls()
+    spark.sql(staged_sql).collect()  # warm page cache on documents
+    results["staged_vs_inlined_tokenizer"] = {
+        "staged": run_measured(spark, staged_sql),
+        "inlined": run_measured(spark, inlined_sql),
+    }
 
     print(json.dumps({"sf_dir": SF_DIR, "experiments": results}))
 
