@@ -1154,3 +1154,54 @@ def events_latest_per_user(events: DataFrame) -> DataFrame:
             "value",
         )
     )
+
+
+def q16_supplier_part_counts(
+    part: DataFrame,
+    lineitem: DataFrame,
+    exclude_brand: str = "Brand#45",
+    sizes: tuple[int, ...] = (1, 4, 7, 10, 13, 16, 19, 22),
+) -> DataFrame:
+    """TPC-H Q16 (adapted): how many distinct suppliers can provide each
+    (brand, type, size) part class — excluding one brand and restricted to
+    a size list.  This schema has no partsupp table, so the supplier↔part
+    relation is derived from observed lineitem links.
+
+    Plan: lineitem reduced to DISTINCT (partkey, suppkey) FIRST — the
+    dedup shuffles two keys, after which the part join probes a broadcast
+    and the counting agg runs on relation-sized (not fact-sized) input.
+    At 100 TB the distinct-pair reduction is the whole game: it turns a
+    600-billion-row fact into a bounded catalog relation.
+    """
+    links = lineitem.select("l_partkey", "l_suppkey").distinct()
+    p = part.filter(
+        (F.col("p_brand") != exclude_brand) & F.col("p_size").isin(*sizes)
+    )
+    return (
+        links.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def events_grouping_sets(events: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — the general grouping lattice: (day, type),
+    (day), (type), with grouping_id disambiguating NULL-as-total from
+    NULL-as-value.  Deliberately NOT a rollup/cube (no grand-total set):
+    Catalyst plans ONE Expand over the scan + one hash agg, so adding a
+    grouping set costs a row multiply, never an extra pass.
+    """
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return (
+        events.select(day, "event_type", "value")
+        .groupingSets(
+            [["day", "event_type"], ["day"], ["event_type"]],
+            F.col("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("total_value"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )

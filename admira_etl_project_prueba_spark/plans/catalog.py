@@ -2570,3 +2570,36 @@ FROM (
 )
 def _q_latest(spark, sf_dir):
     return analytics.events_latest_per_user(load_events(spark, sf_dir))
+
+
+@_entry(
+    "q16_supplier_part_counts",
+    "TPC-H Q16 (adapted, lineitem-derived part↔supplier relation): "
+    "distinct-pair reduction BEFORE the dim join and counting agg — the "
+    "fact table collapses to a catalog relation first.",
+    """WITH links AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM links JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+GROUP BY p_brand, p_type, p_size""",
+)
+def _q16(spark, sf_dir):
+    return analytics.q16_supplier_part_counts(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_entry(
+    "events_grouping_sets",
+    "Explicit GROUPING SETS ((day,type),(day),(type)) — non-lattice "
+    "grouping with grouping_id; one Expand + one hash agg, no second "
+    "pass per set.",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+       GROUPING(strftime(ts, '%Y-%m-%d')) * 2 + GROUPING(event_type) AS gid
+FROM events
+GROUP BY GROUPING SETS ((1, event_type), (1), (event_type))""",
+)
+def _q_gsets(spark, sf_dir):
+    return analytics.events_grouping_sets(load_events(spark, sf_dir))

@@ -486,3 +486,29 @@ def test_latest_per_user_is_one_row_per_user(spark, sf_dir):
     )
     joined = out.join(mx, "user_id").filter("ts_str <> mts")
     assert joined.count() == 0
+
+
+def test_q16_reduces_fact_before_join(spark, sf_dir, t=None):
+    df = analytics.q16_supplier_part_counts(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the distinct-pair HashAggregate must sit BELOW the part join
+    assert "BroadcastHashJoin" in plan
+    below_join = plan.split("BroadcastHashJoin", 1)[1]
+    assert "lineitem.parquet" in below_join
+    assert "HashAggregate" in below_join.split("lineitem.parquet", 1)[0]
+
+
+def test_grouping_sets_composition(spark, sf_dir):
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    rows = analytics.events_grouping_sets(ev).collect()
+    gids = {r["gid"] for r in rows}
+    assert gids == {0, 1, 2}  # (day,type), (day), (type) — no grand total
+    # the (day) slice must equal the sum over types for a sample day
+    by_day = [r for r in rows if r["gid"] == 1]
+    d = by_day[0]["day"]
+    fine = [r for r in rows if r["gid"] == 0 and r["day"] == d]
+    assert sum(r["n_events"] for r in fine) == by_day[0]["n_events"]
