@@ -489,3 +489,38 @@ def stream_decontaminate(
         "CAST(size(array_intersect(sh, bench)) AS BIGINT) AS n_overlap",
         "size(array_intersect(sh, bench)) > 0 AS contaminated",
     )
+
+
+def stream_latest_per_user(events_stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``events_latest_per_user`` CDC
+    compaction: the continuously-maintained current-state table (each
+    user's latest event by (ts, event_id)).
+
+    Entirely built-in — a streaming ``max(struct(ts, event_id, payload))``
+    aggregation, no custom state UDF: struct ordering is lexicographic, so
+    the max struct IS the (ts DESC, event_id DESC) winner, and Spark's
+    streaming-agg state store maintains one struct per user across
+    micro-batches.  Run in ``update`` mode for a changelog of the state
+    table (upsert sink), or ``complete`` for the full snapshot.
+
+    Scale note: state is one fixed-width row per key, forever — correct
+    for a current-state table by definition.  If the key universe is
+    unbounded-and-transient (sessions, request ids), bound it with a
+    watermark + window grouping instead; for entity keys (users, devices)
+    this is exactly the production shape.
+    """
+    return (
+        events_stream.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "value")
+            ).alias("latest")
+        )
+        .select(
+            "user_id",
+            F.col("latest.event_id").alias("event_id"),
+            F.date_format("latest.ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+            F.col("latest.event_type").alias("event_type"),
+            F.col("latest.value").alias("value"),
+        )
+    )

@@ -400,3 +400,60 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert got[1] == (1, True) and got[2] == (0, False) and got[3] == (0, False)
+
+
+def test_stream_latest_per_user_matches_batch(spark, tmp_path):
+    """The streaming current-state table must equal the batch CDC
+    compaction over the same data — including the (ts, event_id) tiebreak
+    — after an availableNow run in complete mode."""
+    import datetime as dt
+
+    from admira_etl_project_prueba_spark.operators.analytics import (
+        events_latest_per_user,
+    )
+    from admira_etl_project_prueba_spark.streaming.ingest import (
+        stream_latest_per_user,
+    )
+
+    base = dt.datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=2), 7, "purchase", 9.0, "{}"),
+        # same-ts tie for user 8 → higher event_id must win
+        (3, base, 8, "click", 2.0, "{}"),
+        (4, base, 8, "view", 3.0, "{}"),
+        (5, base + dt.timedelta(minutes=5), 9, "click", 4.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batch_df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "events_src")
+    # two files → at least the possibility of multiple micro-batches
+    batch_df.filter("event_id <= 2").write.parquet(src + "/a")
+    batch_df.filter("event_id > 2").write.parquet(src + "/b")
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream_latest_per_user(stream)
+        .writeStream.format("memory")
+        .queryName("latest_state")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["user_id"]: r for r in spark.sql("SELECT * FROM latest_state").collect()
+    }
+    want = {r["user_id"]: r for r in events_latest_per_user(batch_df).collect()}
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid].asDict() == want[uid].asDict()
+    assert got[8]["event_id"] == 4  # tie broken by event_id, like batch
