@@ -188,3 +188,51 @@ class CorpusService:
             "data": [r.asDict() for r in langs.collect()],
             "request_id": new_request_id(request_id),
         }
+
+    # -- GET /corpus/pii -----------------------------------------------------
+    def pii_report(self, request_id: str | None = None) -> dict:
+        """Corpus-level PII exposure summary: documents touched and match
+        counts per category — what a compliance review asks before a
+        training run (per-doc redacted text stays in the engine; the
+        endpoint returns only aggregates)."""
+        agg = textops.redact_pii(self.documents).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_pii") > 0).cast("long")).alias("docs_with_pii"),
+            F.sum("n_email").alias("n_email"),
+            F.sum("n_ipv4").alias("n_ipv4"),
+            F.sum("n_phone").alias("n_phone"),
+        )
+        out = agg.collect()[0].asDict()
+        out["request_id"] = new_request_id(request_id)
+        return out
+
+    # -- GET /corpus/boilerplate ---------------------------------------------
+    def boilerplate_report(
+        self,
+        threshold: float = 0.5,
+        segment_tokens: int | None = 3,
+        request_id: str | None = None,
+    ) -> dict:
+        """Line-level duplication summary: how much of the corpus is
+        boilerplate (docs whose duplicated-line fraction exceeds
+        ``threshold``), plus the corpus-wide duplicated-line rate."""
+        if not (0.0 <= threshold <= 1.0):
+            raise ValidationError(f"threshold out of range: {threshold}")
+        stats = textops.line_dedup_stats(
+            self.documents, segment_tokens=segment_tokens
+        )
+        agg = stats.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("dup_line_fraction") > threshold).cast("long")).alias(
+                "docs_over_threshold"
+            ),
+            F.sum("n_dup_lines").alias("n_dup_lines"),
+            F.sum("n_lines").alias("n_lines"),
+        )
+        out = agg.collect()[0].asDict()
+        out["dup_line_rate"] = (
+            out["n_dup_lines"] / out["n_lines"] if out["n_lines"] else 0.0
+        )
+        out["threshold"] = threshold
+        out["request_id"] = new_request_id(request_id)
+        return out

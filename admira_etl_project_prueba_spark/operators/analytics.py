@@ -1205,3 +1205,32 @@ def events_grouping_sets(events: DataFrame) -> DataFrame:
             F.grouping_id().cast("long").alias("gid"),
         )
     )
+
+
+def events_unpivot_daily(events: DataFrame) -> DataFrame:
+    """Long-form inverse of :func:`events_pivot_daily`: melt the wide
+    day × per-type-count table back to (day, event_type, n_events) via
+    ``DataFrame.unpivot`` — the relational MELT/stack operator.
+
+    Unpivot is a row-local Expand (each input row fans out to one row per
+    measure column) — no shuffle beyond the upstream pivot's aggregation,
+    and the round trip pivot→unpivot is loss-free for declared values
+    (zero-filled combinations drop out with a filter, restoring the
+    sparse long form).
+    """
+    wide = events_pivot_daily(events)
+    types = ["click", "view", "signup", "purchase", "error"]
+    return (
+        wide.unpivot(
+            ids=["day"],
+            values=[f"n_{t}" for t in types],
+            variableColumnName="measure",
+            valueColumnName="n_events",
+        )
+        .filter(F.col("n_events") > 0)
+        .select(
+            "day",
+            F.expr("substring(measure, 3)").alias("event_type"),
+            "n_events",
+        )
+    )

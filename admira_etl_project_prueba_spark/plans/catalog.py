@@ -2603,3 +2603,18 @@ GROUP BY GROUPING SETS ((1, event_type), (1), (event_type))""",
 )
 def _q_gsets(spark, sf_dir):
     return analytics.events_grouping_sets(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_unpivot_daily",
+    "UNPIVOT/melt: the wide pivot table back to sparse long form — "
+    "row-local Expand, loss-free round trip (equals the plain day×type "
+    "aggregate).",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n_events
+FROM events
+WHERE event_type IN ('click', 'view', 'signup', 'purchase', 'error')
+GROUP BY 1, 2""",
+)
+def _q_unpivot(spark, sf_dir):
+    return analytics.events_unpivot_daily(load_events(spark, sf_dir))

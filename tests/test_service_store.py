@@ -275,3 +275,34 @@ def test_corpus_assemble_histogram(corpus_svc):
     assert r["counts"].get("train", 0) > r["counts"].get("test", 0)  # 80/20
     with pytest.raises(VE, match="train_pct"):
         corpus_svc.assemble(train_pct=0)
+
+
+def test_corpus_pii_and_boilerplate_endpoints(spark):
+    from admira_etl_project_prueba_spark.corpus_service import (
+        CorpusService,
+        ValidationError,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me at a@b.com or 10.0.0.1\nsome unique body\nshared footer line", "en"),
+            (2, "nothing here\nshared footer line", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    svc = CorpusService(spark, documents=docs)
+    pii = svc.pii_report()
+    assert pii["n_docs"] == 2 and pii["docs_with_pii"] == 1
+    assert pii["n_email"] == 1 and pii["n_ipv4"] == 1 and pii["n_phone"] == 0
+    assert len(pii["request_id"]) == 16
+
+    bp = svc.boilerplate_report(threshold=0.4, segment_tokens=None)
+    assert bp["n_docs"] == 2
+    assert bp["n_dup_lines"] == 2          # the shared footer, in both docs
+    assert bp["docs_over_threshold"] == 1  # doc 2 (1/2 dup) only; doc 1 is 1/3
+    assert 0 < bp["dup_line_rate"] < 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValidationError):
+        svc.boilerplate_report(threshold=1.5)
