@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "q21_late_sole_suppliers",
     "events_trailing_window_load",
     "token_typo_pairs",
+    "q16_supplier_part_counts",
+    "events_latest_per_user",
 ]
 
 
