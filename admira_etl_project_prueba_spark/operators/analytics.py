@@ -1242,3 +1242,50 @@ def events_unpivot_daily(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+def assign_contiguous_ids(
+    df: DataFrame, order_cols: list[str], n_ranges: int = 32
+) -> DataFrame:
+    """Dense contiguous row ids (1..N) in ``order_cols`` order — WITHOUT
+    the classic scale bug of ``row_number() OVER (ORDER BY …)``, whose
+    empty PARTITION BY funnels the entire dataset through ONE task.
+
+    Two-phase: range-repartition on the order columns (Spark samples
+    split points), number rows within each range partition, then shift
+    each partition by the total count of the partitions before it —
+    the per-partition counts are a tiny driver-side cumsum broadcast
+    back.  Every stage is parallel; the global order produced is
+    identical to the single-window answer when ``order_cols`` is a
+    total order (unique key).
+
+    ``monotonically_increasing_id`` is cheaper when ids only need to be
+    unique — this operator is for when they must be DENSE and ORDERED
+    (surrogate keys, token offsets, shard manifests).
+    """
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(n_ranges, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )  # one row per range partition — KBs, broadcast below
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn("row_id", F.row_number().over(w) + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )

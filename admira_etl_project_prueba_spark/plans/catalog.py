@@ -2618,3 +2618,18 @@ GROUP BY 1, 2""",
 )
 def _q_unpivot(spark, sf_dir):
     return analytics.events_unpivot_daily(load_events(spark, sf_dir))
+
+
+@_entry(
+    "documents_contiguous_ids",
+    "Dense ordered surrogate keys at scale: range-repartition + "
+    "per-partition row_number + tiny offset cumsum — no empty-PARTITION-BY "
+    "window (which funnels 100 TB through one task).  Equals the "
+    "single-window answer for a total order.",
+    """SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY doc_id) AS row_id
+FROM documents""",
+)
+def _q_contig_ids(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return analytics.assign_contiguous_ids(docs, ["doc_id"])

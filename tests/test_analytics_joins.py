@@ -9,6 +9,7 @@ dim-sized sides — plus cheap semantic invariants at sf0.001.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from admira_etl_project_prueba_spark.operators import analytics
@@ -512,3 +513,31 @@ def test_grouping_sets_composition(spark, sf_dir):
     d = by_day[0]["day"]
     fine = [r for r in rows if r["gid"] == 0 and r["day"] == d]
     assert sum(r["n_events"] for r in fine) == by_day[0]["n_events"]
+
+
+def test_contiguous_ids_dense_ordered_and_parallel(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = analytics.assign_contiguous_ids(docs, ["doc_id"], n_ranges=8)
+    rows = out.orderBy("doc_id").collect()
+    # dense 1..N, and order follows doc_id exactly
+    assert [r["row_id"] for r in rows] == list(range(1, len(rows) + 1))
+    # the scalable plan property: the only single-partition exchange feeds
+    # the per-range-partition COUNTS aggregate (n_ranges rows), never the
+    # data — whereas naive row_number() OVER (ORDER BY …) funnels every
+    # data row through one partition (its SinglePartition feeds a Sort)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    feeds = [
+        m.split("+-", 1)[1].strip()
+        for m in re.findall(r"Exchange SinglePartition[^\n]*\n\s*\+-[^\n]*", plan)
+    ]
+    assert feeds and all(f.startswith("HashAggregate(keys=[_pid") for f in feeds)
+    naive = docs.withColumn(
+        "row_id", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    naive_feeds = re.findall(
+        r"Exchange SinglePartition[^\n]*\n\s*\+-[^\n]*", naive_plan
+    )
+    assert any("Scan" in f or "Project" in f for f in naive_feeds)
