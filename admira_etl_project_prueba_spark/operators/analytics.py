@@ -1289,3 +1289,75 @@ def assign_contiguous_ids(
         .withColumn("row_id", F.row_number().over(w) + F.col("_offset"))
         .drop("_pid", "_offset")
     )
+
+
+def events_daily_gapfill(events: DataFrame) -> DataFrame:
+    """Dense daily series with gap filling: every calendar day between the
+    stream's min and max date appears exactly once; days with no events
+    carry n_events = 0 and forward-fill their running total_value from the
+    last observed day (NULL-skipping last() window).
+
+    Dataflow: one day-grain aggregation of the fact table, a spine of
+    dates exploded from a single (min, max) row — sequence() is row-local
+    — and a left join + one ordered window over the day-grain series.
+    At 100 TB the spine and the day-grain aggregate are both tiny (days,
+    not events); nothing after the first aggregation touches fact rows.
+    """
+    daily = events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(_DEC)).alias("v_dec"),
+    )
+    spine = (
+        daily.agg(
+            F.min("day").alias("d0"), F.max("day").alias("d1")
+        )
+        .selectExpr(
+            "explode(sequence(to_date(d0), to_date(d1), interval 1 day)) AS d"
+        )
+        .selectExpr("date_format(d, 'yyyy-MM-dd') AS day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("v_dec").cast("double"), F.lit(0.0)).alias("day_value"),
+            F.last(F.col("v_dec"), ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("last_observed_value"),
+            F.sum(F.coalesce(F.col("v_dec"), F.lit(0).cast(_DEC)))
+            .over(w)
+            .cast("double")
+            .alias("running_value"),
+        )
+    )
+
+
+def events_value_histogram(
+    events: DataFrame, lo: float = 0.0, hi: float = 100.0, bins: int = 20
+) -> DataFrame:
+    """Equi-width histogram of the value column per event_type: fixed
+    [lo, hi) bins plus clamp bins for outliers — a single hash aggregate
+    (bin id is row-local arithmetic), the profile primitive dashboards
+    build on.  Bin edges are data-independent so the operator is one pass
+    and sketch-free; pair with events_percentiles for data-driven cuts.
+    """
+    width = (hi - lo) / bins
+    bin_id = F.when(F.col("value") < lo, F.lit(-1)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+        )
+    ).cast("long")
+    return (
+        events.select("event_type", bin_id.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            "n",
+        )
+    )

@@ -2633,3 +2633,50 @@ FROM documents""",
 def _q_contig_ids(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return analytics.assign_contiguous_ids(docs, ["doc_id"])
+
+
+@_entry(
+    "events_daily_gapfill",
+    "Dense calendar spine + gap filling: sequence()-exploded date spine "
+    "left-joined to the day-grain aggregate, NULL-skipping last() "
+    "forward fill and exact running total — post-aggregation, nothing "
+    "touches fact rows.",
+    """WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(25,6))) AS v_dec
+  FROM events GROUP BY 1
+),
+spine AS (
+  SELECT strftime(d, '%Y-%m-%d') AS day
+  FROM (SELECT unnest(generate_series(CAST(MIN(day) AS DATE),
+                                      CAST(MAX(day) AS DATE),
+                                      INTERVAL 1 DAY)) AS d
+        FROM daily)
+)
+SELECT s.day,
+       COALESCE(n, 0) AS n_events,
+       COALESCE(CAST(v_dec AS DOUBLE), 0.0) AS day_value,
+       CAST(last_value(v_dec IGNORE NULLS) OVER w AS DOUBLE) AS last_observed_value,
+       CAST(SUM(COALESCE(v_dec, 0)) OVER w AS DOUBLE) AS running_value
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+WINDOW w AS (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+def _q_gapfill(spark, sf_dir):
+    return analytics.events_daily_gapfill(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_value_histogram",
+    "Equi-width histogram per event_type: row-local bin arithmetic + one "
+    "hash aggregate; clamp bins for outliers.",
+    """SELECT event_type,
+       CAST(CASE WHEN value < 0.0 THEN -1
+                 ELSE LEAST(FLOOR(value / 5.0), 19) END AS BIGINT) AS bin,
+       0.0 + CAST(CASE WHEN value < 0.0 THEN -1
+                       ELSE LEAST(FLOOR(value / 5.0), 19) END AS BIGINT) * 5.0 AS bin_lo,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2, 3""",
+)
+def _q_hist(spark, sf_dir):
+    return analytics.events_value_histogram(load_events(spark, sf_dir))

@@ -541,3 +541,33 @@ def test_contiguous_ids_dense_ordered_and_parallel(spark, sf_dir):
         r"Exchange SinglePartition[^\n]*\n\s*\+-[^\n]*", naive_plan
     )
     assert any("Scan" in f or "Project" in f for f in naive_feeds)
+
+
+def test_gapfill_inserts_missing_days_and_forward_fills(spark):
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10), 1, "click", 10.0, "{}"),
+            # Jan 2-3 missing entirely
+            (2, dt.datetime(2024, 1, 4, 10), 1, "click", 5.0, "{}"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = {r["day"]: r for r in analytics.events_daily_gapfill(ev).collect()}
+    assert sorted(rows) == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    gap = rows["2024-01-02"]
+    assert gap["n_events"] == 0 and gap["day_value"] == 0.0
+    assert gap["last_observed_value"] == 10.0      # forward-filled
+    assert gap["running_value"] == 10.0
+    assert rows["2024-01-04"]["running_value"] == 15.0
+
+
+def test_histogram_conserves_rows_and_clamps(spark, sf_dir):
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = analytics.events_value_histogram(ev)
+    assert out.agg(F.sum("n")).first()[0] == ev.count()   # nothing dropped
+    assert out.filter("bin < -1 OR bin > 19").count() == 0
