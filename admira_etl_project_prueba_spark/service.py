@@ -69,7 +69,8 @@ def _require_date(value: str | None, name: str) -> str:
 
 class MetricsService:
     """POST /ingest/run · GET /metrics/channel · GET /metrics/funnel ·
-    POST /export/run · GET /healthz · GET /readyz — engine-backed."""
+    POST /export/run · GET /debug/{ads,crm,matches} · GET /healthz ·
+    GET /readyz — engine-backed."""
 
     def __init__(self, spark: SparkSession, config: Config | None = None):
         self.spark = spark
@@ -161,6 +162,78 @@ class MetricsService:
         )
         out["request_id"] = new_request_id(request_id)
         return out
+
+    # -- GET /debug/ads · /debug/crm · /debug/matches ------------------------
+    def _extract_frames(self):
+        cfg = self.config
+        ads_raw, crm_raw = fetch_many(
+            [cfg.ads_api_url, cfg.crm_api_url],
+            timeout_seconds=cfg.timeout_seconds,
+            max_retries=cfg.max_retries,
+            backoff_ms=cfg.backoff_ms,
+        )
+        return (
+            ads_from_payload(self.spark, ads_raw),
+            crm_from_payload(self.spark, crm_raw),
+        )
+
+    def debug_ads(self, date: str | None, request_id: str | None = None) -> dict:
+        """GET /debug/ads?date= (handlers.go:386-420): re-extract, filter
+        ads rows by exact date, echo {date, ads_data, total_records}."""
+        from admira_etl_project_prueba_spark.operators.queries import (
+            debug_ads_by_date,
+        )
+
+        _require_date(date, "date")
+        ads, _ = self._extract_frames()
+        data = [r.asDict() for r in debug_ads_by_date(ads, date).collect()]
+        return {
+            "date": date,
+            "ads_data": data,
+            "total_records": len(data),
+            "request_id": new_request_id(request_id),
+        }
+
+    def debug_crm(self, date: str | None, request_id: str | None = None) -> dict:
+        """GET /debug/crm?date= (handlers.go:422-456): filter CRM rows by
+        day(created_at)."""
+        from admira_etl_project_prueba_spark.operators.queries import (
+            debug_crm_by_date,
+        )
+
+        _require_date(date, "date")
+        _, crm = self._extract_frames()
+        data = [r.asDict() for r in debug_crm_by_date(crm, date).collect()]
+        return {
+            "date": date,
+            "crm_data": data,
+            "total_records": len(data),
+            "request_id": new_request_id(request_id),
+        }
+
+    def debug_matches(
+        self, utm_campaign: str | None, request_id: str | None = None
+    ) -> dict:
+        """GET /debug/matches?utm_campaign= (handlers.go:458-501): two
+        independent equality filters, NOT a join — reference semantics."""
+        from admira_etl_project_prueba_spark.operators.queries import (
+            debug_matches,
+        )
+
+        if not utm_campaign:
+            raise ValidationError("missing required parameter: utm_campaign")
+        ads, crm = self._extract_frames()
+        a, c = debug_matches(ads, crm, utm_campaign)
+        ads_rows = [r.asDict() for r in a.collect()]
+        crm_rows = [r.asDict() for r in c.collect()]
+        return {
+            "utm_campaign": utm_campaign,
+            "ads_matches": ads_rows,
+            "crm_matches": crm_rows,
+            "ads_count": len(ads_rows),
+            "crm_count": len(crm_rows),
+            "request_id": new_request_id(request_id),
+        }
 
     # -- health --------------------------------------------------------------
     def healthz(self) -> dict:

@@ -306,3 +306,27 @@ def test_corpus_pii_and_boilerplate_endpoints(spark):
 
     with _pytest.raises(ValidationError):
         svc.boilerplate_report(threshold=1.5)
+
+
+def test_debug_endpoints_mirror_reference_contract(service):
+    # /debug/ads: exact-date filter over a fresh extract
+    out = service.debug_ads("2024-02-01")
+    assert out["total_records"] == 1
+    assert out["ads_data"][0]["campaign_id"] == "C-1"
+    # /debug/crm: day(created_at) filter
+    out = service.debug_crm("2024-02-01")
+    assert out["total_records"] == 1
+    assert out["crm_data"][0]["opportunity_id"] == "O-1"
+    assert service.debug_crm("2024-02-09")["total_records"] == 0
+    # /debug/matches: two independent filters, not a join
+    out = service.debug_matches("x")
+    assert out["ads_count"] == 1 and out["crm_count"] == 1
+    out = service.debug_matches("y")
+    assert out["ads_count"] == 1 and out["crm_count"] == 0
+    # validation contract
+    import pytest as _pytest
+
+    with _pytest.raises(ValidationError):
+        service.debug_ads(None)
+    with _pytest.raises(ValidationError):
+        service.debug_matches("")
