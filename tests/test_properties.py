@@ -262,3 +262,49 @@ def test_incremental_lsh_equals_full_corpus_cross_pairs(spark, texts):
         if (r["doc_a"] % 2) != (r["doc_b"] % 2)
     }
     assert {(min(a, b), max(a, b)): j for (a, b), j in inc.items()} == cross
+
+
+def test_redact_pii_is_idempotent(spark):
+    """redact(redact(x)) == redact(x): placeholders must not themselves
+    match any PII pattern, or a second pass (or an attacker-crafted
+    placeholder-adjacent string) would corrupt text."""
+    from admira_etl_project_prueba_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a@b.co 10.0.0.1 +12345678 plain", "en"),
+            (2, "<EMAIL> literal placeholder stays", "en"),
+            (3, "edge a@b.co@c.de and 999.999.999.999", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    once = textops.redact_pii(docs).selectExpr(
+        "doc_id", "text_redacted AS text", "'en' AS lang"
+    )
+    twice = textops.redact_pii(once)
+    rows = {r["doc_id"]: r for r in twice.collect()}
+    first = {r["doc_id"]: r for r in textops.redact_pii(docs).collect()}
+    for i in rows:
+        assert rows[i]["text_redacted"] == first[i]["text_redacted"], i
+        assert rows[i]["n_pii"] == 0, (i, rows[i])
+
+
+def test_pagination_partitions_the_result_exactly(spark, sf_dir):
+    """Walking pages with the service's paginate() must reproduce the
+    full canonically-sorted result with no loss, dup, or overlap."""
+    from admira_etl_project_prueba_spark.operators.queries import (
+        canonical_sort,
+        paginate,
+    )
+    from admira_etl_project_prueba_spark.plans.catalog import CATALOG
+
+    full_df = CATALOG["ingest_consolidate"].fn(spark, sf_dir)
+    want = [tuple(r) for r in canonical_sort(full_df).collect()]
+    got, off, page = [], 0, 37  # deliberately not a divisor of the total
+    while True:
+        chunk = paginate(full_df, limit=page, offset=off).collect()
+        if not chunk:
+            break
+        got.extend(tuple(r) for r in chunk)
+        off += page
+    assert got == want
