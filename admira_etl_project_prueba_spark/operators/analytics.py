@@ -622,8 +622,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
-            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            # BIGINT epoch-micros, not formatted strings: exact across engines
+            # (string formatting of fractional seconds differs between Spark's
+            # date_format and other engines' strftime)
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("session_start"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("session_end"),
             _dsum("value").alias("total_value"),
         )
     )

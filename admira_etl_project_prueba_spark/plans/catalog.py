@@ -783,8 +783,8 @@ sess AS (
 )
 SELECT user_id, session_id,
        COUNT(*) AS n_events,
-       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       epoch_us(MIN(ts)) AS session_start,
+       epoch_us(MAX(ts)) AS session_end,
        {_DSUM.format(x='value')} AS total_value
 FROM sess GROUP BY user_id, session_id""",
 )

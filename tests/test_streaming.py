@@ -190,9 +190,14 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
         [(r[0].replace("T", " "), r[1], r[2], r[3]) for r in batch1],
         "ts string, user_id long, event_id long, value double",
     ).selectExpr("CAST(ts AS timestamp) AS ts", "user_id", "event_id", "value")
+    def _us(us):  # batch sessionize returns epoch-micros BIGINTs
+        return dt.datetime.fromtimestamp(us / 1_000_000, tz=dt.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+
     batch = {
-        (r["user_id"], r["session_start"][:19]): (
-            r["session_end"][:19], r["n_events"], float(r["total_value"])
+        (r["user_id"], _us(r["session_start"])): (
+            _us(r["session_end"]), r["n_events"], float(r["total_value"])
         )
         for r in sessionize(ev, gap_minutes=30).collect()
     }
