@@ -164,13 +164,30 @@ class MetricsService:
         return out
 
     # -- GET /debug/ads · /debug/crm · /debug/matches ------------------------
-    def _extract_frames(self):
+    def _fetch_raw(self, urls: list[str]) -> list[str]:
         cfg = self.config
-        ads_raw, crm_raw = fetch_many(
-            [cfg.ads_api_url, cfg.crm_api_url],
+        return fetch_many(
+            urls,
             timeout_seconds=cfg.timeout_seconds,
             max_retries=cfg.max_retries,
             backoff_ms=cfg.backoff_ms,
+        )
+
+    def _extract_ads(self):
+        """Fetch ONLY the ads API (handlers.go:386-420 extracts just ads):
+        a CRM-API outage must not fail /debug/ads, and a debug call must
+        not double upstream traffic."""
+        (ads_raw,) = self._fetch_raw([self.config.ads_api_url])
+        return ads_from_payload(self.spark, ads_raw)
+
+    def _extract_crm(self):
+        """Fetch ONLY the CRM API (handlers.go:422-456)."""
+        (crm_raw,) = self._fetch_raw([self.config.crm_api_url])
+        return crm_from_payload(self.spark, crm_raw)
+
+    def _extract_frames(self):
+        ads_raw, crm_raw = self._fetch_raw(
+            [self.config.ads_api_url, self.config.crm_api_url]
         )
         return (
             ads_from_payload(self.spark, ads_raw),
@@ -185,7 +202,7 @@ class MetricsService:
         )
 
         _require_date(date, "date")
-        ads, _ = self._extract_frames()
+        ads = self._extract_ads()
         data = [r.asDict() for r in debug_ads_by_date(ads, date).collect()]
         return {
             "date": date,
@@ -202,7 +219,7 @@ class MetricsService:
         )
 
         _require_date(date, "date")
-        _, crm = self._extract_frames()
+        crm = self._extract_crm()
         data = [r.asDict() for r in debug_crm_by_date(crm, date).collect()]
         return {
             "date": date,

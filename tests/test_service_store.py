@@ -330,3 +330,52 @@ def test_debug_endpoints_mirror_reference_contract(service):
         service.debug_ads(None)
     with _pytest.raises(ValidationError):
         service.debug_matches("")
+
+def test_debug_ads_survives_crm_outage(spark, tmp_path):
+    """handlers.go:386-456: /debug/ads extracts only the ads API and
+    /debug/crm only the CRM API — an outage of the *other* upstream must
+    not fail the endpoint, and each debug call fetches exactly one URL."""
+    hits = {"ads": 0, "crm": 0}
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/ads":
+                hits["ads"] += 1
+                body = json.dumps({"external": {"ads": {"performance": ADS}}}).encode()
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(body)
+            else:  # CRM API is down
+                hits["crm"] += 1
+                self.send_response(500)
+                self.end_headers()
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        svc = MetricsService(
+            spark,
+            Config(
+                ads_api_url=f"{base}/ads",
+                crm_api_url=f"{base}/crm",
+                store_path=str(tmp_path / "facts"),
+                max_retries=2,
+                backoff_ms=1,
+            ),
+        )
+        out = svc.debug_ads("2024-02-01")  # must not touch the CRM API
+        assert out["total_records"] == 1
+        assert hits == {"ads": 1, "crm": 0}
+
+        from admira_etl_project_prueba_spark.sources.http import FetchError
+
+        with pytest.raises(FetchError):
+            svc.debug_crm("2024-02-01")  # CRM outage fails ONLY the CRM endpoint
+        assert hits["ads"] == 1  # debug_crm never fetched the ads API
+        assert svc.debug_ads("2024-02-02")["total_records"] == 1
+    finally:
+        srv.shutdown()
