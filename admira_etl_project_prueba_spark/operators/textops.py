@@ -156,10 +156,18 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     )
 
 
-def simhash64(documents: DataFrame, bits: int = 32) -> DataFrame:
+def simhash64(documents: DataFrame, bits: int = 60) -> DataFrame:
     """SimHash over token hashes: bit j of the fingerprint is the majority
     vote of bit j across all token hashes.  Near-dup docs differ in a few
     bits (compare with hamming distance / bit_count(xor)).
+
+    Default width is 60 bits — the full entropy of the md5-derived token
+    hashes (``hex60``; 60 bits is the widest that stays exact in a signed
+    BIGINT in both engines, which is what keeps the DuckDB oracle parity).
+    Wider fingerprints matter at scale: with 15-bit pigeonhole bands the
+    banded self-join in ``simhash_near_dup_pairs`` has 32768 values per
+    band instead of 256, so bucket populations — and the quadratic
+    within-bucket candidate term — shrink by ~128× per band.
 
     Entirely row-local via higher-order functions — no explode, no shuffle.
     """
@@ -503,7 +511,7 @@ def quality_filter(
 
 def simhash_near_dup_pairs(
     documents: DataFrame,
-    bits: int = 32,
+    bits: int = 60,
     n_bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
@@ -516,10 +524,17 @@ def simhash_near_dup_pairs(
     are then verified with an exact popcount on the XOR.
 
     Scale shape: shuffle carries (doc_id, band, value) triples — 24 bytes a
-    row; fan-out is governed by band-value collision rates.  Returns
-    (doc_a, doc_b, hamming) with doc_a < doc_b.
+    row; fan-out is governed by band-value collision rates.  The default
+    60-bit/4-band split gives 15-bit band values (32768 per band): on a
+    large corpus, bucket population — and the quadratic within-bucket
+    self-join — is ~128× smaller per band than the 8-bit bands a 32-bit
+    fingerprint would force.  Precision also rises: random unrelated
+    fingerprints at 60 bits sit ~30 bits apart, so hamming ≤ 3 false
+    positives (the birthday-collision pairs a 32-bit fingerprint admits)
+    vanish.  Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
     assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    assert bits % n_bands == 0, "bands must divide the fingerprint evenly"
     width = bits // n_bands
     sh = simhash64(documents, bits)
     bands = (
@@ -532,7 +547,7 @@ def simhash_near_dup_pairs(
         )
         .select("doc_id", "simhash", "bv.band", "bv.val")
         # materialize ONE shuffle on the join key: both self-join sides hang
-        # off the same exchange (ReusedExchange), so the 32-bit-majority
+        # off the same exchange (ReusedExchange), so the per-bit-majority
         # fingerprint computation runs once, not once per side
         .repartition("band", "val")
     )

@@ -1340,7 +1340,7 @@ def _q_fprint(spark, sf_dir):
     return _tx.fingerprints(_t(spark, sf_dir, "documents"))
 
 
-def _duck_simhash_sql(bits: int = 32) -> str:
+def _duck_simhash_sql(bits: int = 60) -> str:
     terms = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(h, x -> (x >> {j}) & 1 = 1)) > len(h) "
         f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
@@ -1353,8 +1353,9 @@ SELECT doc_id, {terms} AS simhash FROM hs"""
 
 @_entry(
     "simhash_fingerprints",
-    "32-bit SimHash (per-bit majority vote over token hashes) — near-dup "
-    "docs land within small hamming distance.  Row-local, no shuffle.",
+    "60-bit SimHash (per-bit majority vote over md5-derived token hashes) "
+    "— near-dup docs land within small hamming distance.  Row-local, no "
+    "shuffle.",
     _duck_simhash_sql(),
 )
 def _q_simhash(spark, sf_dir):
@@ -1717,11 +1718,11 @@ def _q_lsh_incremental(spark, sf_dir):
 
 @_entry(
     "simhash_near_dup_pairs",
-    "SimHash near-dup pairs: pigeonhole banding (4×8-bit bands) → "
+    "SimHash near-dup pairs: pigeonhole banding (4×15-bit bands) → "
     "equi-join candidates → exact popcount verify (hamming ≤ 3).",
     f"""WITH sim AS ({_duck_simhash_sql()}),
 bands AS (
-  SELECT doc_id, simhash, b.band AS band, (simhash >> (8 * b.band)) & 255 AS val
+  SELECT doc_id, simhash, b.band AS band, (simhash >> (15 * b.band)) & 32767 AS val
   FROM sim, (SELECT unnest([0, 1, 2, 3]) AS band) b
 ),
 cand AS (

@@ -302,7 +302,7 @@ NEAR_DUP_STATE_SCHEMA = "hashes array<long>, ids array<long>, last long"
 def stream_near_dup_matches(
     doc_stream: DataFrame,
     watermark: str = "1 hour",
-    bits: int = 32,
+    bits: int = 60,
     n_bands: int = 4,
     max_hamming: int = 3,
     bucket_cap: int = 256,

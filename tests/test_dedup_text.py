@@ -625,3 +625,37 @@ def test_redact_pii_is_shuffle_free(planted):
         textops.redact_pii(planted)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+def test_simhash_band_width_controls_bucket_collisions(spark):
+    """Pin the scale property the 60-bit default buys: on a corpus of
+    unrelated docs, 15-bit pigeonhole bands keep bucket populations ~1
+    (the within-bucket self-join stays linear), where 8-bit bands from a
+    32-bit fingerprint collapse into few, heavily-populated buckets."""
+    n = 400
+    rows = [
+        (i, " ".join(f"tok{i}x{j}" for j in range(40)), "en") for i in range(n)
+    ]
+    d = docs(spark, rows)
+
+    def bucket_stats(bits, n_bands):
+        width = bits // n_bands
+        mask = (1 << width) - 1
+        sh = textops.simhash64(d, bits=bits)
+        bands = sh.selectExpr(
+            "doc_id",
+            f"explode(transform(sequence(0, {n_bands - 1}), "
+            f"b -> named_struct('band', b, 'val', (simhash >> (b * {width})) & {mask}))) AS bv",
+        ).select("bv.band", "bv.val")
+        agg = bands.groupBy("band", "val").count().agg(
+            F.count("*").alias("n_buckets"), F.max("count").alias("max_pop")
+        ).collect()[0]
+        return agg["n_buckets"], agg["max_pop"]
+
+    wide_buckets, wide_max = bucket_stats(60, 4)
+    narrow_buckets, narrow_max = bucket_stats(32, 4)
+    # 15-bit bands: nearly every (band, val) is singleton ⇒ candidate join linear
+    assert wide_buckets >= int(0.95 * 4 * n)
+    assert wide_max <= 3
+    # 8-bit bands: ≤ 4*256 possible buckets ⇒ populations grow with corpus size
+    assert narrow_buckets <= 4 * 256
+    assert narrow_max >= n // 256  # pigeonhole lower bound on the hottest bucket
