@@ -1012,10 +1012,25 @@ def token_typo_pairs(documents: DataFrame, max_distance: int = 1) -> DataFrame:
     distinct-aggregate of the corpus (tiny vs the corpus itself), and
     each side ships only (token, n_occurrences).
 
+    Only ``max_distance=1`` is supported: the first-OR-last-char blocking
+    is complete for a single edit (one edit can destroy one end, never
+    both) but NOT for two or more — two edits can change both ends, so a
+    distance-2 pair may share neither block key and would be silently
+    dropped.  Supporting larger distances needs a different blocking
+    (length-prefix partitions or deletion-neighborhood keys); until then
+    asking for it is an error, not a recall leak.
+
     Returns (token_a, token_b, distance, n_a, n_b) with token_a <
     token_b; downstream spell-normalization maps the rarer to the
     commoner spelling.
     """
+    if max_distance != 1:
+        raise ValueError(
+            "token_typo_pairs: first/last-char blocking is only complete "
+            f"for max_distance=1 (got {max_distance}); a distance-"
+            f"{max_distance} pair can differ at both ends and would be "
+            "silently missed"
+        )
     vocab = (
         documents.selectExpr("doc_id", f"explode(array_distinct({TOKENS})) AS token")
         .groupBy("token")

@@ -2515,14 +2515,32 @@ def _q_trailing(spark, sf_dir):
     return analytics.events_trailing_window_load(load_events(spark, sf_dir))
 
 
+# planted distance-1 typo docs, appended identically on both engines so the
+# sf0.01 oracle comparison is non-vacuous (the synthetic corpus vocabulary
+# alone yields zero pairs, which would prove nothing)
+_TYPO_PLANT_ROWS = [
+    (900000001, "qqzzword qqzzwore melonade melonadr distributedx"),
+    (900000002, "qqzzword melonade shufflez shufflex"),
+]
+_TYPO_PLANT_SQL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS doc_id, '{t}' AS text"
+    for i, t in _TYPO_PLANT_ROWS
+)
+
+
 @_entry(
     "token_typo_pairs",
     "Blocked fuzzy self-join over the corpus vocabulary: distance-1 "
     "Levenshtein pairs via first/last-char block keys — per-block "
-    "quadratic, never global.",
-    f"""WITH vocab AS (
+    "quadratic, never global.  Planted typo docs keep the oracle gate "
+    "non-vacuous.",
+    f"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL {_TYPO_PLANT_SQL}
+),
+vocab AS (
   SELECT token, COUNT(*) AS n_docs FROM (
-    SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS token FROM documents
+    SELECT doc_id, unnest(list_distinct({_DUCK_TOKS})) AS token FROM corpus
   ) GROUP BY token
 ),
 blocked AS (
@@ -2539,7 +2557,9 @@ WHERE a.token < b.token
   AND levenshtein(a.token, b.token) <= 1""",
 )
 def _q_typos(spark, sf_dir):
-    return _tx.token_typo_pairs(_t(spark, sf_dir, "documents"))
+    planted = spark.createDataFrame(_TYPO_PLANT_ROWS, "doc_id long, text string")
+    corpus = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(planted)
+    return _tx.token_typo_pairs(corpus)
 
 
 @_entry(

@@ -659,3 +659,11 @@ def test_simhash_band_width_controls_bucket_collisions(spark):
     # 8-bit bands: ≤ 4*256 possible buckets ⇒ populations grow with corpus size
     assert narrow_buckets <= 4 * 256
     assert narrow_max >= n // 256  # pigeonhole lower bound on the hottest bucket
+
+def test_token_typo_pairs_rejects_unsupported_distance(spark):
+    # first/last-char blocking is complete ONLY for distance 1 — a
+    # distance-2 pair can differ at both ends and would silently vanish,
+    # so larger distances must be an error, not a recall leak
+    d = docs(spark, [(1, "spark spurk", "en")])
+    with pytest.raises(ValueError, match="max_distance=1"):
+        textops.token_typo_pairs(d, max_distance=2)
