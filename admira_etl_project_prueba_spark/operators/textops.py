@@ -334,23 +334,47 @@ def chunk_documents(
     )
 
 
-def sequence_pack(documents: DataFrame, token_budget: int = 512) -> DataFrame:
+def sequence_pack(
+    documents: DataFrame,
+    token_budget: int = 512,
+    docs_per_shard: int | None = 1_000_000,
+) -> DataFrame:
     """Streaming-concatenation sequence packing: documents are laid out in
-    deterministic doc_id order into one token stream; each doc's pack is
-    the ``token_budget`` bin containing its starting offset — the layout
-    an LLM pretraining loader uses to cut fixed-length sequences.
+    deterministic doc_id order into token streams; each doc's pack is the
+    ``token_budget`` bin containing its starting offset — the layout an
+    LLM pretraining loader uses to cut fixed-length sequences.
 
-    Integer window arithmetic (exact, oracle-checkable).  The global-order
-    cumsum is the determinism-first form; at 100 TB you run the identical
-    expression per shard (`partitionBy(shard)` in the window) and pack
-    within shards — the shape is unchanged, only the window key widens.
+    Sharded by default: ``shard = floor(doc_id / docs_per_shard)`` keys
+    the window, so each shard is an independent, contiguous doc_id range
+    packed in parallel — the cumsum window partitions across the cluster
+    instead of collapsing onto one task.  (pack_id, start_offset) are
+    per-shard; (shard, pack_id) is the global pack key, exactly how a
+    multi-file pretraining loader shards its input anyway.
+
+    ``docs_per_shard=None`` gives the single global stream — one totally
+    ordered cumsum, which plans a SinglePartition window.  That form is
+    only for small corpora and engine-parity checks; at scale it is the
+    bottleneck, never the default.
+
+    Integer window arithmetic throughout (exact, oracle-checkable).
     """
     from pyspark.sql import Window
 
     toks = documents.selectExpr("doc_id", f"size({TOKENS}) AS n_tokens")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if docs_per_shard is None:
+        toks = toks.withColumn("shard", F.lit(0).cast("long"))
+    else:
+        toks = toks.withColumn(
+            "shard", F.floor(F.col("doc_id") / docs_per_shard).cast("long")
+        )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return toks.select(
         "doc_id",
+        "shard",
         "n_tokens",
         (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_offset"),
     ).withColumn(

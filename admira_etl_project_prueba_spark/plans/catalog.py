@@ -1526,20 +1526,23 @@ def _q_chunks(spark, sf_dir):
 @_entry(
     "sequence_pack",
     "LLM sequence packing: deterministic token-stream layout, each doc "
-    "assigned the 512-token bin holding its starting offset (exact "
-    "integer window cumsum).",
-    f"""WITH toks AS (SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents)
-SELECT doc_id, n_tokens,
-       SUM(n_tokens) OVER (ORDER BY doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         - n_tokens AS start_offset,
-       CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   - n_tokens) / 512) AS BIGINT) AS pack_id
-FROM toks""",
+    "assigned the 512-token bin holding its per-shard starting offset "
+    "(exact integer window cumsum, window keyed by doc_id-range shard "
+    "so the cumsum parallelizes).",
+    f"""WITH toks AS (
+  SELECT doc_id, CAST(floor(doc_id / 128) AS BIGINT) AS shard,
+         len({_DUCK_TOKS}) AS n_tokens
+  FROM documents)
+SELECT doc_id, shard, n_tokens,
+       SUM(n_tokens) OVER w - n_tokens AS start_offset,
+       CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 512) AS BIGINT) AS pack_id
+FROM toks
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 )
 def _q_seq_pack(spark, sf_dir):
-    return _tx.sequence_pack(_t(spark, sf_dir, "documents"))
+    # docs_per_shard sized so the sf-scale fixture exercises several shards
+    return _tx.sequence_pack(_t(spark, sf_dir, "documents"), docs_per_shard=128)
 
 
 @_entry(

@@ -224,21 +224,40 @@ def test_stratified_sample_respects_mixture(spark, sf_dir):
 
 
 def test_sequence_pack_invariants(spark, sf_dir):
-    """Offsets tile the stream exactly (no gaps/overlap) and pack_id is the
-    budget bin of each start offset, monotone in doc order."""
+    """Per shard, offsets tile the stream exactly (no gaps/overlap) and
+    pack_id is the budget bin of each start offset, monotone in doc order;
+    the global (docs_per_shard=None) form is the single-shard special case."""
     docs_t = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    rows = sorted(
-        textops.sequence_pack(docs_t, token_budget=512).collect(),
-        key=lambda r: r["doc_id"],
-    )
-    expect_offset = 0
-    last_pack = 0
-    for r in rows:
-        assert r["start_offset"] == expect_offset
-        assert r["pack_id"] == expect_offset // 512
-        assert r["pack_id"] >= last_pack
-        expect_offset += r["n_tokens"]
-        last_pack = r["pack_id"]
+    for dps in (64, None):
+        rows = sorted(
+            textops.sequence_pack(docs_t, token_budget=512, docs_per_shard=dps).collect(),
+            key=lambda r: (r["shard"], r["doc_id"]),
+        )
+        n_shards = len({r["shard"] for r in rows})
+        assert n_shards == 1 if dps is None else n_shards > 1
+        expect, last_pack = {}, {}
+        for r in rows:
+            s = r["shard"]
+            if dps is not None:
+                assert s == r["doc_id"] // dps
+            assert r["start_offset"] == expect.get(s, 0)
+            assert r["pack_id"] == r["start_offset"] // 512
+            assert r["pack_id"] >= last_pack.get(s, 0)
+            expect[s] = r["start_offset"] + r["n_tokens"]
+            last_pack[s] = r["pack_id"]
+
+
+def test_sequence_pack_sharded_plan_parallelizes(spark, sf_dir):
+    """The default (sharded) window must hash-partition on the shard key —
+    no SinglePartition exchange anywhere in the plan.  The global form is
+    exactly one, by construction."""
+    docs_t = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sharded = textops.sequence_pack(docs_t, docs_per_shard=128)
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    global_form = textops.sequence_pack(docs_t, docs_per_shard=None)
+    gplan = global_form._jdf.queryExecution().executedPlan().toString()
+    assert gplan.count("SinglePartition") == 1
 
 
 def test_text_ops_handle_unicode(spark):
