@@ -81,7 +81,9 @@ def main():
     # queries, not session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # best-of-5: round-over-round per-query deltas at best-of-2 showed ±31%
+    # noise on identical code — too coarse to attribute a real regression
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     names = [n for n in BENCH_QUERIES if n in CATALOG]
     timings: dict[str, float] = {}
     total = 0.0
