@@ -233,19 +233,47 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     )
 
 
+def write_ivf_index(
+    embeddings: DataFrame, path: str, n_centroids: int = 16
+) -> None:
+    """Persist the IVF inverted lists: assignments written
+    ``partitionBy(centroid_id)`` so a probe of p lists is partition-pruned
+    I/O over p directories — the 100 TB shape, where assignment is a
+    once-per-ingest batch job and queries never rescan the corpus."""
+    (
+        ivf_assign(embeddings, n_centroids)
+        .select("vec_id", "centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int = 0,
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF probe: rank centroids by similarity to the
     query, scan only the ``n_probe`` nearest inverted lists, exact cosine
     within.  Complements the LSH path: IVF recall degrades gracefully with
     n_probe (tunable at query time), LSH with plane count (fixed at write).
+
+    Pass ``assignments`` — a (vec_id, centroid_id) frame, canonically
+    ``spark.read.parquet`` over a ``write_ivf_index`` output — to skip the
+    corpus × centroid assignment at query time: the probe's centroid
+    filter then prunes to ``n_probe`` partition directories (visible as
+    PartitionFilters in the scan), which is the difference between an
+    index lookup and a full recompute at scale.  ``n_centroids`` must
+    match the value the index was written with.  Without it, assignments
+    are computed inline (self-contained form, used by the oracle gate).
     """
-    assign = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
+    if assignments is None:
+        assignments = ivf_assign(embeddings, n_centroids)
+    assign = assignments.select("vec_id", "centroid_id")
     cents = _as_double(embeddings.filter(F.col("vec_id") < n_centroids), "c").selectExpr(
         "vec_id AS centroid_id", "c"
     )

@@ -185,3 +185,38 @@ def test_label_centroids_match_numpy_and_plan(spark, sf_dir):
     # collect() finalized AQE; count shuffles in the final section only
     plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert plan.count("Exchange") == 1 and "BatchEvalPython" not in plan
+
+def test_ivf_precomputed_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """ivf_topk over a persisted write_ivf_index table returns the exact
+    same top-k as the self-computing form, and the probe reaches the
+    parquet scan as a centroid_id partition filter — query-time work is
+    pruned I/O, not a corpus×centroid recompute."""
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    similarity.write_ivf_index(e, path, n_centroids=16)
+    # one directory per inverted list
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("centroid_id=")) == [
+        f"centroid_id={i}" for i in sorted(range(16), key=str)
+    ]
+
+    stored = spark.read.parquet(path)
+    inline = similarity.ivf_topk(e, k=10, n_probe=4).collect()
+    indexed_df = similarity.ivf_topk(e, k=10, n_probe=4, assignments=stored)
+    indexed = indexed_df.collect()
+    assert [(r["vec_id"], r["cosine"]) for r in indexed] == [
+        (r["vec_id"], r["cosine"]) for r in inline
+    ]
+    # the probe must prune the index scan: the only scan reading centroid_id
+    # is the index table, and its PartitionFilters must carry the dynamic
+    # pruning subquery fed by the broadcast probe
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    idx_scans = [
+        seg.split("PushedFilters", 1)[0]
+        for seg in plan.split("FileScan")
+        if "centroid_id" in seg.split("Batched", 1)[0]
+    ]
+    assert idx_scans
+    assert any("dynamicpruning" in s for s in idx_scans)
