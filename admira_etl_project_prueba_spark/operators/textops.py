@@ -906,10 +906,17 @@ def lsh_store_merge(
 #: redaction patterns — deliberately simple constructs (char classes,
 #: bounded repetition, non-capturing groups) that behave identically under
 #: Java regex (Spark) and RE2 (DuckDB), so the operator stays oracle-checkable.
+#: Phone recall contract: +-prefixed international numbers with 7–15 digits
+#: and up to two separator chars ``-. ()`` between digits (covers
+#: "+34 600 12 34 56", "+1 (415) 555-0100").  NOT compliance-grade
+#: detection: national formats without a country prefix ("555-0100",
+#: "06 12 34 56 78") are indistinguishable from ordinary numbers by regex
+#: and are deliberately out of scope — treat this as corpus hygiene, not a
+#: DLP guarantee.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
     ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"),
-    ("phone", "\\+\\d{7,15}"),
+    ("phone", "\\+\\d(?:[-. ()]{0,2}\\d){6,14}"),
 )
 
 

@@ -2465,7 +2465,7 @@ pii_docs AS (
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_IPV4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
-_PII_PHONE = "\\+\\d{7,15}"
+_PII_PHONE = "\\+\\d(?:[-. ()]{0,2}\\d){6,14}"
 
 
 @_entry(

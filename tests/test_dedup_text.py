@@ -542,6 +542,26 @@ def test_redact_pii_all_categories(spark):
     assert out[3]["n_pii"] == 0 and out[3]["text_redacted"] == rows[2][1]
 
 
+def test_redact_pii_phone_separator_formats(spark):
+    """The phone contract: +-prefixed international numbers, with or
+    without -. () separators, are caught; national formats without a
+    country prefix are documented out of scope and must NOT match (they
+    are indistinguishable from ordinary numbers)."""
+    rows = [
+        (1, "call +34 600 12 34 56 today", "en"),
+        (2, "or +1 (415) 555-0100 ext 9", "en"),
+        (3, "reach me on 555-0100 after lunch", "en"),     # national: out of scope
+        (4, "the +5 (from a vote) is unrelated", "en"),    # too few digits
+    ]
+    out = {r["doc_id"]: r for r in textops.redact_pii(docs(spark, rows)).collect()}
+    assert out[1]["n_phone"] == 1
+    assert out[1]["text_redacted"] == "call <PHONE> today"
+    assert out[2]["n_phone"] == 1
+    assert out[2]["text_redacted"] == "or <PHONE> ext 9"
+    assert out[3]["n_phone"] == 0
+    assert out[4]["n_phone"] == 0 and out[4]["n_pii"] == 0
+
+
 def test_redact_pii_email_wins_over_ip_and_phone(spark):
     # digits+dots inside an address must be redacted AS the email, not
     # partially eaten by the IP/phone patterns applied later
