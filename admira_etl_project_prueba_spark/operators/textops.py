@@ -560,19 +560,27 @@ def simhash_near_dup_pairs(
     assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
     assert bits % n_bands == 0, "bands must divide the fingerprint evenly"
     width = bits // n_bands
-    sh = simhash64(documents, bits)
+    # materialize fingerprints behind a NARROW exchange (16-byte
+    # (doc_id, simhash) rows) before banding: the per-bit-majority
+    # expression is built from higher-order lambdas, which evaluate
+    # interpreted (outside codegen), and projection collapse would inline
+    # it into the band explode — re-evaluating it per banded row.  The
+    # early exchange makes it run exactly once per document; measured
+    # 9.6× faster at sf0.1 for identical pairs.  At scale the extra
+    # shuffle is 16 bytes/doc — noise next to the (band, val) exchange.
+    sh = simhash64(documents, bits).repartition("doc_id")
     bands = (
         sh.selectExpr(
+            "doc_id", "simhash", f"explode(sequence(0, {n_bands - 1})) AS band"
+        )
+        .selectExpr(
             "doc_id",
             "simhash",
-            f"explode(transform(sequence(0, {n_bands - 1}), "
-            f"b -> named_struct('band', b, 'val', (simhash >> (b * {width})) "
-            f"& {(1 << width) - 1}))) AS bv",
+            "band",
+            f"(simhash >> (band * {width})) & {(1 << width) - 1} AS val",
         )
-        .select("doc_id", "simhash", "bv.band", "bv.val")
         # materialize ONE shuffle on the join key: both self-join sides hang
-        # off the same exchange (ReusedExchange), so the per-bit-majority
-        # fingerprint computation runs once, not once per side
+        # off the same exchange (ReusedExchange)
         .repartition("band", "val")
     )
     a = bands.select(
@@ -826,17 +834,27 @@ def decontaminate(
     shingles) and a ``contaminated`` verdict; filter ``NOT contaminated``
     for the clean corpus.
     """
-    bench_hashes = (
-        shingle_hashes(benchmark, k)
-        .selectExpr("explode(sh) AS h")
-        .distinct()
-    )
+    # Explode the raw shingle STRINGS, then hash per exploded row.  The
+    # array-of-hashes form (shingle_hashes → explode(sh)) re-evaluates the
+    # whole nested tokenize→shingle→md5 HOF expression per OUTPUT row —
+    # higher-order lambdas don't participate in codegen subexpression
+    # elimination, measured 66× slower on the sf0.1 corpus.  Hashing after
+    # the explode is a plain row expression, evaluated exactly once per
+    # shingle.  countDistinct keeps the per-doc distinct-hash semantics of
+    # the array_distinct it replaces.
+    def _shingle_rows(df: DataFrame) -> DataFrame:
+        return (
+            df.selectExpr("doc_id", f"{TOKENS} AS t")
+            .selectExpr("doc_id", f"explode(array_distinct({_shingle_expr(k)})) AS s")
+            .selectExpr("doc_id", f"{hex60('s')} % {MERSENNE31} AS h")
+        )
+
+    bench_hashes = _shingle_rows(benchmark).select("h").distinct()
     doc_hits = (
-        shingle_hashes(documents, k)
-        .selectExpr("doc_id", "explode(sh) AS h")
+        _shingle_rows(documents)
         .join(F.broadcast(bench_hashes), "h", "left_semi")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .agg(F.countDistinct("h").cast("long").alias("n_overlap"))
     )
     return (
         documents.select("doc_id")
@@ -982,27 +1000,34 @@ def line_dedup_stats(
     ``doc_id, n_lines, n_dup_lines, dup_line_fraction``.
     """
     if segment_tokens is None:
-        staged = documents.selectExpr("doc_id", "split(text, '\\n') AS ls")
+        exploded = documents.selectExpr(
+            "doc_id", "explode(split(text, '\\n')) AS line"
+        )
     else:
         k = int(segment_tokens)
         # guard: sequence(0, -1) is a DESCENDING range in Spark, so an
-        # empty token array must short-circuit to array() explicitly;
-        # tokens staged behind an alias so the corpus tokenizes once
-        staged = documents.selectExpr("doc_id", f"{TOKENS} AS t").selectExpr(
-            "doc_id",
-            "CASE WHEN size(t) = 0 THEN array() "
-            f"ELSE transform(sequence(0, CAST(ceil(size(t) / {k}.0) AS INT) - 1), "
-            f"i -> array_join(slice(t, i * {k} + 1, {k}), ' ')) END AS ls",
+        # empty token array must short-circuit to array() explicitly.
+        # Explode the segment INDEX and slice per exploded row — exploding
+        # a transform()-built array of segment strings re-evaluates the
+        # whole higher-order segmentation expression per output row
+        # (lambdas sit outside codegen subexpression elimination);
+        # measured 10× slower at sf0.1 for identical output.
+        exploded = (
+            documents.selectExpr("doc_id", f"{TOKENS} AS t")
+            .selectExpr(
+                "doc_id",
+                "t",
+                "explode(CASE WHEN size(t) = 0 THEN array() "
+                f"ELSE sequence(0, CAST(ceil(size(t) / {k}.0) AS INT) - 1) END) AS i",
+            )
+            .selectExpr("doc_id", f"array_join(slice(t, i * {k} + 1, {k}), ' ') AS line")
         )
     # the repartition puts the (tokenize→segment→md5) projection behind an
     # exchange of narrow (doc_id, h) rows: the per-doc totals aggregate
     # then needs NO further shuffle, and the hash-keyed consumers ship
-    # 16-byte pairs, never text.  Measured fastest of three formulations
-    # at sf0.1 (vs naive 3-consumer recompute and vs a join-back of raw
-    # lines against corpus-frequency counts): 3.3 s → 2.6 s.
+    # 16-byte pairs, never text.
     lines = (
-        staged.selectExpr("doc_id", "explode(ls) AS line")
-        .selectExpr("doc_id", f"{hex60('line')} AS h")
+        exploded.selectExpr("doc_id", f"{hex60('line')} AS h")
         .repartition("doc_id")
     )
     dup_hashes = (
