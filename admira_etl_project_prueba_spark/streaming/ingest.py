@@ -349,15 +349,20 @@ def stream_near_dup_matches(
         doc_stream.withWatermark("ts", watermark)
         .selectExpr("ts", "doc_id", f"{hashes} AS h")
         .selectExpr("ts", "doc_id", f"{bit_terms} AS simhash")
+        # explode the band INDEX and derive the value as a row expression
+        # (same reshape as the batch operator): a transform()-built struct
+        # array would re-evaluate the interpreted fingerprint lambda per
+        # banded row after projection collapse
+        .selectExpr(
+            "ts", "doc_id", "simhash", f"explode(sequence(0, {n_bands - 1})) AS band"
+        )
         .selectExpr(
             "ts",
             "doc_id",
             "simhash",
-            f"explode(transform(sequence(0, {n_bands - 1}), "
-            f"b -> named_struct('band', b, 'val', (simhash >> (b * {width})) "
-            f"& {mask}))) AS bv",
+            "band",
+            f"(simhash >> (band * {width})) & {mask} AS val",
         )
-        .select("ts", "doc_id", "simhash", "bv.band", "bv.val")
     )
 
     def lowest_common_band(a: int, b: int) -> int:
