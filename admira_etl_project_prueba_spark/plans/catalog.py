@@ -2076,11 +2076,7 @@ def _q_ivf_assign(spark, sf_dir):
     return _sim.ivf_assign(_t(spark, sf_dir, "embeddings"))
 
 
-@_entry(
-    "ann_ivf_topk",
-    "Approximate top-10 via IVF probe: rank centroids vs the query, scan "
-    "the 4 nearest inverted lists only, exact cosine within.",
-    f"""WITH {_DUCK_IVF_ASSIGN},
+_IVF_TOPK_SQL = f"""WITH {_DUCK_IVF_ASSIGN},
 q AS (SELECT v AS q FROM t WHERE vec_id = 0),
 probe AS (
   SELECT centroid_id FROM (
@@ -2103,10 +2099,39 @@ SELECT vec_id, label, centroid_id,
             THEN {_duck_dot('q', 'v')} / ({_duck_norm('q')} * {_duck_norm('v')})
             ELSE 0.0 END AS cosine
 FROM cands, q
-ORDER BY cosine DESC, vec_id LIMIT 10""",
+ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
+@_entry(
+    "ann_ivf_topk",
+    "Approximate top-10 via IVF probe: rank centroids vs the query, scan "
+    "the 4 nearest inverted lists only, exact cosine within.",
+    _IVF_TOPK_SQL,
 )
 def _q_ivf_topk(spark, sf_dir):
     return _sim.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "ann_ivf_topk_indexed",
+    "The same IVF probe over a PERSISTED write_ivf_index table "
+    "(partitionBy(centroid_id)): query-time work is a dynamic-partition-"
+    "pruned read of the 4 probed inverted lists — the 100 TB shape, where "
+    "assignment is a once-per-ingest batch job.  Results identical to the "
+    "self-computing form, so it shares its oracle SQL.",
+    _IVF_TOPK_SQL,
+)
+def _q_ivf_topk_indexed(spark, sf_dir):
+    import os
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    # build the index once per sf_dir (idempotent marker), probes reuse it
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _sim.write_ivf_index(e, path, n_centroids=16)
+    return _sim.ivf_topk(e, assignments=spark.read.parquet(path))
 
 
 @_entry(
