@@ -1793,12 +1793,7 @@ def _q_ngram_jaccard(spark, sf_dir):
 from admira_etl_project_prueba_spark.operators import graph as _graph
 
 
-@_entry(
-    "dedup_clusters",
-    "Transitive closure of near-dup pairs (iterative min-label propagation "
-    "= connected components) electing one survivor per duplicate group — "
-    "oracle is a DuckDB recursive CTE over the same LSH edges.",
-    f"""WITH RECURSIVE lshp AS ({_duck_lsh_pairs_sql()}),
+_DEDUP_CLUSTERS_SQL = f"""WITH RECURSIVE lshp AS ({_duck_lsh_pairs_sql()}),
 strong AS (SELECT doc_a, doc_b FROM lshp WHERE jaccard > 0.5),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM strong
@@ -1814,11 +1809,34 @@ cc AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node)
 SELECT d.doc_id,
        COALESCE(cc.component, d.doc_id) AS component,
        COALESCE(cc.component, d.doc_id) = d.doc_id AS keep
-FROM documents d LEFT JOIN cc ON d.doc_id = cc.node""",
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node"""
+
+
+@_entry(
+    "dedup_clusters",
+    "Transitive closure of near-dup pairs (iterative min-label propagation "
+    "= connected components) electing one survivor per duplicate group — "
+    "oracle is a DuckDB recursive CTE over the same LSH edges.",
+    _DEDUP_CLUSTERS_SQL,
 )
 def _q_dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return _graph.dedup_clusters(docs, _tx.lsh_candidate_pairs(docs))
+
+
+@_entry(
+    "dedup_clusters_star",
+    "Identical clustering via the alternating large-star/small-star "
+    "algorithm (Kiveris et al., SoCC'14): O(log^2 n) rounds independent "
+    "of cluster diameter — the extreme-scale inner loop.  Shares the "
+    "recursive-CTE oracle (same output contract).",
+    _DEDUP_CLUSTERS_SQL,
+)
+def _q_dedup_clusters_star(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _graph.dedup_clusters(
+        docs, _tx.lsh_candidate_pairs(docs), algorithm="star"
+    )
 
 
 @_entry(

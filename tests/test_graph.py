@@ -80,3 +80,55 @@ def test_best_survivor_prefers_longest(spark):
     assert out[1]["component"] == out[2]["component"]
     assert not out[1]["keep"] and out[2]["keep"]   # longest wins despite id 2 > 1
     assert out[9]["keep"] and out[9]["component"] == 9
+
+def test_star_components_match_label_propagation(spark):
+    """large-star/small-star produces the identical labeling on planted
+    shapes and seeded random graphs — same contract, different round
+    complexity."""
+    import random
+
+    from admira_etl_project_prueba_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    shapes = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(i, i + 1) for i in range(12)],                    # chain
+        [(0, i) for i in range(1, 9)],                      # star, hub = min
+        [(9, i) for i in range(9)],                         # star, hub = max
+        [(5, 5), (1, 2)],                                   # self-loop noise
+    ]
+    rng = random.Random(7)
+    for _ in range(3):                                      # seeded random graphs
+        n = 40
+        shapes.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+        )
+    for rows in shapes:
+        rows = [(a, b) for a, b in rows if a != b] or [(1, 2)]
+        e = edges(spark, rows)
+        lp = {r["node"]: r["component"] for r in connected_components(e).collect()}
+        st = {
+            r["node"]: r["component"]
+            for r in connected_components_star(e).collect()
+        }
+        assert st == lp, rows
+
+
+def test_star_components_converge_on_deep_chain(spark):
+    """The payoff: a 64-node chain (diameter 63) closes within the star
+    variant's logarithmic round budget, where min-label propagation at the
+    same max_iter provably cannot reach its fixed point."""
+    from admira_etl_project_prueba_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 64
+    e = edges(spark, [(i, i + 1) for i in range(n - 1)])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(e, max_iter=12).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == n
+    with pytest.raises(RuntimeError):
+        connected_components(e, max_iter=12)
