@@ -36,6 +36,7 @@ NESTED_LOOP_ALLOWED = {
     "ann_cosine_topk_batch",    # 8-row query side broadcast
     "ann_lsh_topk",             # 1-row query vector broadcast
     "ann_ivf_topk",             # 1-row query + n_probe-row probe list
+    "ann_ivf_topk_indexed",     # same shape over the persisted index
     "ann_ivf_assignments",      # centroid side fixed at n_centroids rows
     "ann_near_dup_pairs",       # bounded universe (vec_id < 200), a < b self-join
     "ngram_jaccard_pairs",      # bounded universe (doc_id < 500), exact baseline
