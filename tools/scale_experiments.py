@@ -178,6 +178,35 @@ FROM (
     return inlined, staged
 
 
+def _hof_hash_sqls() -> tuple[str, str]:
+    """(lambda_hashed, row_hashed) formulations of shingle-hash explode —
+    SCALE.md 'expression-plan hygiene' rule 5's A/B.  Identical output
+    (count + checksum over exploded 60-bit shingle hashes); the lambda
+    form md5-hashes INSIDE transform() and explodes the result, the row
+    form explodes raw shingle strings and hashes per exploded row."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        MERSENNE31,
+        TOKENS,
+        _shingle_expr,
+        hex60,
+    )
+
+    k = 8
+    base = f"""WITH tok AS (SELECT doc_id, {TOKENS} AS t FROM documents),
+sg AS (SELECT doc_id, {_shingle_expr(k)} AS shingles FROM tok)"""
+    lambda_hashed = f"""{base},
+hs AS (SELECT doc_id,
+       array_distinct(transform(shingles, s -> {hex60('s')} % {MERSENNE31})) AS sh
+       FROM sg)
+SELECT COUNT(*) AS n, SUM(h) AS checksum
+FROM (SELECT doc_id, explode(sh) AS h FROM hs)"""
+    row_hashed = f"""{base}
+SELECT COUNT(*) AS n, SUM(h) AS checksum
+FROM (SELECT doc_id, {hex60('s')} % {MERSENNE31} AS h
+      FROM (SELECT doc_id, explode(array_distinct(shingles)) AS s FROM sg))"""
+    return lambda_hashed, row_hashed
+
+
 def main():
     results = {}
 
@@ -235,6 +264,18 @@ def main():
     results["staged_vs_inlined_tokenizer"] = {
         "staged": run_measured(spark, staged_sql),
         "inlined": run_measured(spark, inlined_sql),
+    }
+
+    # -- md5 inside HOF lambda vs per-row after explode (hygiene rule 5) ---
+    lambda_sql, row_sql = _hof_hash_sqls()
+    spark.sql(row_sql).collect()  # warm
+    row_res = run_measured(spark, row_sql)
+    lambda_res = run_measured(spark, lambda_sql)
+    assert spark.sql(row_sql).collect() == spark.sql(lambda_sql).collect()
+    results["hof_lambda_vs_row_hashing"] = {
+        "row_hashed": row_res,
+        "lambda_hashed": lambda_res,
+        "speedup": round(lambda_res["sec"] / max(row_res["sec"], 1e-9), 1),
     }
 
     print(json.dumps({"sf_dir": SF_DIR, "experiments": results}))
