@@ -34,6 +34,7 @@ def hex60(x: str) -> str:
 
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1, the minhash modulus
+_DEC = "decimal(25,6)"  # exact, order-independent cross-row sums
 
 #: whitespace tokenization, lowercased — portable to regexp_split_to_array
 TOKENS = "split(lower(trim(text)), '\\\\s+')"
@@ -399,6 +400,75 @@ def train_test_split(
     return documents.selectExpr(
         "*",
         f"CASE WHEN {bucket} < {train_pct} THEN 'train' ELSE 'test' END AS split",
+    )
+
+
+def source_reputation(
+    documents: DataFrame,
+    langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+    min_kept_fraction: float = 0.5,
+) -> DataFrame:
+    """Source-level curation (C4/RefinedWeb-style domain reputation):
+    aggregate per-document quality verdicts to the ``source`` grain and
+    flag sources whose corpus contribution is mostly rejects — the lever
+    that removes a bad domain WHOLESALE instead of fighting it one
+    document at a time.
+
+    Per source: doc/kept counts, kept fraction, total tokens, exact
+    decimal-quantized mean ttr / stopword ratio, the dominant predicted
+    language (deterministic tie-break: highest count, then lexicographic),
+    and ``keep_source`` = kept_fraction ≥ ``min_kept_fraction``.
+
+    Scale shape: quality scoring stays the row-local single pass of
+    :func:`quality_filter`; only narrow (doc_id, verdict) rows join the
+    (doc_id, source) projection and shuffle on ``source`` — document text
+    never moves.  Source cardinality is domain-count-sized, so the final
+    aggregate is small; the dominant-language argmax is a ROW_NUMBER
+    window over (source × language) counts — at most |sources|·|langs|+1
+    rows.
+    """
+    from pyspark.sql import Window
+
+    q = quality_filter(documents, langs=langs).select(
+        "doc_id", "n_tokens", "ttr", "stopword_ratio", "lang_predicted", "kept"
+    )
+    d = documents.select("doc_id", "source").join(q, "doc_id")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (
+            F.sum(F.col("ttr").cast(_DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("mean_ttr"),
+        (
+            F.sum(F.col("stopword_ratio").cast(_DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_stopword_ratio"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_lang").desc(), F.col("lang_predicted").asc()
+    )
+    dominant = (
+        d.groupBy("source", "lang_predicted")
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("source", F.col("lang_predicted").alias("dominant_lang"))
+    )
+    kept_fraction = F.col("n_kept").cast("double") / F.col("n_docs")
+    return (
+        per.join(dominant, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            kept_fraction.alias("kept_fraction"),
+            "total_tokens",
+            "mean_ttr",
+            "mean_stopword_ratio",
+            "dominant_lang",
+            (kept_fraction >= min_kept_fraction).alias("keep_source"),
+        )
     )
 
 

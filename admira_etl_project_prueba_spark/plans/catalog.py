@@ -1354,6 +1354,46 @@ def _q_langid(spark, sf_dir):
 
 
 @_entry(
+    "source_reputation",
+    "C4-style source-level curation: per-source quality-verdict rollup "
+    "(kept fraction, exact decimal means, deterministic dominant "
+    "language) + a keep_source verdict — removes bad domains wholesale. "
+    "Narrow verdict rows shuffle on source; text never moves.",
+    f"""WITH qf AS ({_duck_quality_filter_sql()}),
+d AS (
+  SELECT s.source, q.doc_id, q.n_tokens, q.ttr, q.stopword_ratio,
+         q.lang_predicted, q.kept
+  FROM qf q JOIN documents s ON s.doc_id = q.doc_id
+),
+per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         {_DSUM.format(x='ttr')} / COUNT(*) AS mean_ttr,
+         {_DSUM.format(x='stopword_ratio')} / COUNT(*) AS mean_stopword_ratio
+  FROM d GROUP BY source
+),
+dom AS (
+  SELECT source, lang_predicted AS dominant_lang
+  FROM (
+    SELECT source, lang_predicted,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY COUNT(*) DESC, lang_predicted) AS rn
+    FROM d GROUP BY source, lang_predicted
+  ) WHERE rn = 1
+)
+SELECT p.source, n_docs, n_kept,
+       CAST(n_kept AS DOUBLE) / n_docs AS kept_fraction,
+       total_tokens, mean_ttr, mean_stopword_ratio, dominant_lang,
+       CAST(n_kept AS DOUBLE) / n_docs >= 0.5 AS keep_source
+FROM per p JOIN dom USING (source)""",
+)
+def _q_source_reputation(spark, sf_dir):
+    return _tx.source_reputation(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
     "doc_fingerprints",
     "Exact-dup fingerprints: raw + normalized md5 (case/whitespace folded).",
     """SELECT doc_id, md5(text) AS md5_raw,

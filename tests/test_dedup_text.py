@@ -706,3 +706,26 @@ def test_token_typo_pairs_rejects_unsupported_distance(spark):
     d = docs(spark, [(1, "spark spurk", "en")])
     with pytest.raises(ValueError, match="max_distance=1"):
         textops.token_typo_pairs(d, max_distance=2)
+
+def test_source_reputation_flags_bad_sources(spark):
+    """A source contributing mostly rejects is flagged wholesale; the
+    dominant language breaks count ties lexicographically."""
+    rows = []
+    # good source: 4 healthy english docs
+    for i in range(4):
+        rows.append((i, BASE + f" extra token{i}", "en", "good.example"))
+    # bad source: 3 too-short docs, 1 healthy
+    for i in range(3):
+        rows.append((10 + i, "tiny doc", "en", "spam.example"))
+    rows.append((13, BASE, "en", "spam.example"))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["source"]: r for r in textops.source_reputation(d).collect()}
+    good, bad = out["good.example"], out["spam.example"]
+    assert good["n_docs"] == 4 and good["n_kept"] == 4 and good["keep_source"]
+    assert bad["n_docs"] == 4 and bad["n_kept"] == 1
+    assert bad["kept_fraction"] == pytest.approx(0.25)
+    assert not bad["keep_source"]
+    assert good["dominant_lang"] == "en"
+    assert good["total_tokens"] > bad["total_tokens"]
