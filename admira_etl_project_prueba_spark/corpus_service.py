@@ -189,6 +189,30 @@ class CorpusService:
             "request_id": new_request_id(request_id),
         }
 
+    # -- GET /corpus/sources -------------------------------------------------
+    def source_report(
+        self,
+        min_kept_fraction: float = 0.5,
+        request_id: str | None = None,
+    ) -> dict:
+        """Per-source curation report (C4-style domain reputation): the
+        rollup a corpus owner reviews before dropping a domain wholesale.
+        Sorted worst-first so the actionable rows lead."""
+        if not (0.0 <= min_kept_fraction <= 1.0):
+            raise ValidationError(
+                f"min_kept_fraction out of range: {min_kept_fraction}"
+            )
+        rep = textops.source_reputation(
+            self.documents, min_kept_fraction=min_kept_fraction
+        ).orderBy(F.col("kept_fraction").asc(), F.col("source").asc())
+        rows = [r.asDict() for r in rep.collect()]
+        return {
+            "data": rows,
+            "n_sources": len(rows),
+            "n_flagged": sum(1 for r in rows if not r["keep_source"]),
+            "request_id": new_request_id(request_id),
+        }
+
     # -- GET /corpus/pii -----------------------------------------------------
     def pii_report(self, request_id: str | None = None) -> dict:
         """Corpus-level PII exposure summary: documents touched and match

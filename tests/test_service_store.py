@@ -379,3 +379,28 @@ def test_debug_ads_survives_crm_outage(spark, tmp_path):
         assert svc.debug_ads("2024-02-02")["total_records"] == 1
     finally:
         srv.shutdown()
+
+def test_corpus_source_report_endpoint(spark):
+    from admira_etl_project_prueba_spark.corpus_service import (
+        CorpusService,
+        ValidationError,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark engine "
+        "aggregates partitions of shuffled data across the cluster nodes"
+    )
+    rows = [(i, base + f" tok{i}", "en", "good.example") for i in range(3)]
+    rows += [(10 + i, "tiny", "en", "spam.example") for i in range(3)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    svc = CorpusService(spark, documents=docs)
+    rep = svc.source_report()
+    assert rep["n_sources"] == 2 and rep["n_flagged"] == 1
+    # worst-first ordering: the flagged source leads
+    assert rep["data"][0]["source"] == "spam.example"
+    assert not rep["data"][0]["keep_source"]
+    assert rep["data"][1]["keep_source"]
+    with pytest.raises(ValidationError):
+        svc.source_report(min_kept_fraction=2.0)
