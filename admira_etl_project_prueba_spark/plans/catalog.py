@@ -2184,8 +2184,12 @@ def _q_ivf_topk_indexed(spark, sf_dir):
     import tempfile
 
     e = _t(spark, sf_dir, "embeddings")
-    # build the index once per sf_dir (idempotent marker), probes reuse it
-    tag = sf_dir.strip("/").replace("/", "_")
+    # build the index once per INPUT IDENTITY (path + source file mtime/size
+    # in the tag, so a regenerated embeddings table can never be probed
+    # through a stale cached index); probes reuse it
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = f"{sf_dir.strip('/').replace('/', '_')}_{int(st.st_mtime)}_{st.st_size}"
     path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _sim.write_ivf_index(e, path, n_centroids=16)
