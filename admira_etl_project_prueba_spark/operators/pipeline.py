@@ -34,6 +34,7 @@ def build_training_corpus(
     threshold: float = 0.5,
     train_pct: int = 80,
     salt: str = "v1",
+    min_source_kept_fraction: float | None = None,
 ) -> DataFrame:
     """Per-document pipeline verdicts: (doc_id, kept_quality,
     reject_reason, component, survivor, status) where status ∈
@@ -42,6 +43,13 @@ def build_training_corpus(
     component/survivor are NULL for quality-rejected docs (they never
     reach dedup); split assignment is computed for all docs but only
     surfaces as status for surviving ones.
+
+    ``min_source_kept_fraction`` (optional) prepends C4-style source
+    curation: documents from sources whose quality-kept fraction falls
+    below the threshold are rejected wholesale with reason
+    ``'rejected_source'`` before per-document filtering — the cheap
+    first cut on a crawl-shaped corpus.  The source verdict frame is
+    domain-cardinality-sized and broadcast into the semi-join.
     """
     # The verdict frame feeds THREE consumers (output join, the dedup
     # semi-join, and the survivor token count via kept_docs); Spark has no
@@ -49,11 +57,38 @@ def build_training_corpus(
     # scoring would be recomputed once per consumer.  The frame is
     # doc_id + two narrow columns — KBs per million docs — so
     # localCheckpoint is the right trade at any scale.
+    bad_source_docs = None
+    if min_source_kept_fraction is not None:
+        bad_sources = (
+            textops.source_reputation(
+                documents, langs=langs, min_kept_fraction=min_source_kept_fraction
+            )
+            .filter(~F.col("keep_source"))
+            .select("source")
+        )
+        bad_source_docs = (
+            documents.select("doc_id", "source")
+            .join(F.broadcast(bad_sources), "source")
+            .select("doc_id")
+            .localCheckpoint()  # narrow; consumed by the verdict override below
+        )
     q = (
         textops.quality_filter(documents, langs=langs)
         .select("doc_id", F.col("kept").alias("kept_quality"), "reject_reason")
         .localCheckpoint()
     )
+    if bad_source_docs is not None:
+        flagged = F.col("bad.doc_id").isNotNull()
+        q = (
+            q.join(bad_source_docs.alias("bad"), q["doc_id"] == F.col("bad.doc_id"), "left")
+            .select(
+                q["doc_id"],
+                (F.col("kept_quality") & ~flagged).alias("kept_quality"),
+                F.when(flagged, F.lit("rejected_source"))
+                .otherwise(F.col("reject_reason"))
+                .alias("reject_reason"),
+            )
+        )
     kept_docs = documents.join(
         q.filter("kept_quality").select("doc_id"), "doc_id", "left_semi"
     )
@@ -73,7 +108,9 @@ def build_training_corpus(
             "component",
             "survivor",
             F.expr(
-                "CASE WHEN NOT kept_quality THEN 'rejected_quality' "
+                "CASE WHEN NOT kept_quality THEN "
+                "  CASE WHEN reject_reason = 'rejected_source' "
+                "       THEN 'rejected_source' ELSE 'rejected_quality' END "
                 "WHEN NOT survivor THEN 'dup_removed' "
                 "ELSE split END"
             ).alias("status"),

@@ -729,3 +729,35 @@ def test_source_reputation_flags_bad_sources(spark):
     assert not bad["keep_source"]
     assert good["dominant_lang"] == "en"
     assert good["total_tokens"] > bad["total_tokens"]
+
+def test_build_training_corpus_source_curation_stage(spark):
+    """With min_source_kept_fraction set, docs from a mostly-rejected
+    source are cut wholesale with status/reason 'rejected_source' —
+    including its healthy docs — while other sources are untouched."""
+    from admira_etl_project_prueba_spark.operators.pipeline import (
+        build_training_corpus,
+    )
+
+    distinct_texts = [
+        BASE,
+        "a perfectly fine unrelated document about the weather and the sea today",
+        "another entirely different passage describing the harvest season in the valley",
+    ]
+    rows = [(i, t, "en", "good.example") for i, t in enumerate(distinct_texts)]
+    rows += [(10 + i, "tiny", "en", "spam.example") for i in range(3)]
+    rows.append((13, BASE + " healthy doc on the flagged source", "en", "spam.example"))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in build_training_corpus(d, min_source_kept_fraction=0.5).collect()
+    }
+    # the whole spam source is out, healthy doc 13 included, reason distinct
+    for i in (10, 11, 12, 13):
+        assert out[i]["status"] == "rejected_source"
+        assert out[i]["reject_reason"] == "rejected_source"
+    assert all(out[i]["status"] in ("train", "test") for i in range(3))
+    # default path unchanged: no source stage, doc 13 survives on quality
+    base_out = {r["doc_id"]: r for r in build_training_corpus(d).collect()}
+    assert base_out[13]["status"] in ("train", "test")
