@@ -597,7 +597,12 @@ def events_daily_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_repr: str = "epoch_us",
+    id_base: int = 1,
+) -> DataFrame:
     """Sessionization: split each user's event stream at >gap inactivity.
 
     Classic lag → new-session flag → running-sum session id. ONE shuffle
@@ -605,6 +610,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     per-session aggregation reuse that partitioning — Catalyst plans no
     second exchange for the same key. At 100 TB this is the canonical
     shape; skewed power-users are handled by AQE.
+
+    ``ts_repr`` selects the session_start/session_end representation:
+    ``"epoch_us"`` (BIGINT microseconds, the cross-engine-exact default)
+    or ``"native"`` (unformatted TIMESTAMP).  ``id_base`` picks 1- or
+    0-based session ids.  Both exist to pin the output convention against
+    external oracles (see plans/catalog.py events_sessionize).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -617,16 +628,23 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.lit(0)
         ),
     )
-    sess = flagged.withColumn("session_id", F.sum("is_new").over(run))
+    sid = F.sum("is_new").over(run) - F.lit(1 - id_base)
+    sess = flagged.withColumn("session_id", sid.cast("long"))
+    if ts_repr == "native":
+        start = F.min("ts").alias("session_start")
+        end = F.max("ts").alias("session_end")
+    else:
+        # BIGINT epoch-micros, not formatted strings: exact across engines
+        # (string formatting of fractional seconds differs between Spark's
+        # date_format and other engines' strftime)
+        start = F.unix_micros(F.min("ts").cast("timestamp")).alias("session_start")
+        end = F.unix_micros(F.max("ts").cast("timestamp")).alias("session_end")
     return (
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # BIGINT epoch-micros, not formatted strings: exact across engines
-            # (string formatting of fractional seconds differs between Spark's
-            # date_format and other engines' strftime)
-            F.unix_micros(F.min("ts").cast("timestamp")).alias("session_start"),
-            F.unix_micros(F.max("ts").cast("timestamp")).alias("session_end"),
+            start,
+            end,
             _dsum("value").alias("total_value"),
         )
     )

@@ -27,3 +27,33 @@ def test_every_oracle_is_nonempty_sql():
         if entry.oracle is not None:
             assert "SELECT" in entry.oracle.upper(), name
         assert entry.doc, f"{name} missing doc"
+
+
+def test_no_oracle_emits_hugeint(sf_dir):
+    """No oracle may output a HUGEINT/UHUGEINT column.
+
+    DuckDB widens SUM(INTEGER/BIGINT) to HUGEINT; a pandas-mediated fetch
+    (``.df()``) silently converts HUGEINT to float64, so a driver hashing
+    through pandas sees "1.0" where Spark emits the long "1" — rows and
+    schema match, values don't.  events_sessionize was red for 3 rounds on
+    exactly this (the only driver-sampled query with a HUGEINT column);
+    this pins every oracle to explicit BIGINT casts so it can't recur.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    offenders = []
+    for name, entry in sorted(CATALOG.items()):
+        if entry.oracle is None:
+            continue
+        for col, typ, *_ in con.execute(f"DESCRIBE ({entry.oracle})").fetchall():
+            if typ in ("HUGEINT", "UHUGEINT"):
+                offenders.append(f"{name}.{col}")
+    assert not offenders, offenders
