@@ -119,16 +119,17 @@ def connected_components_star(
     stabilizes as a star forest (u > center for every edge), read out
     directly as the labeling.
     """
-    adj = (
+    sym = (
         edges.selectExpr(f"{src} AS u", f"{dst} AS v")
-        .filter("u <> v")
         .unionByName(edges.selectExpr(f"{dst} AS u", f"{src} AS v"))
         .distinct()
         .localCheckpoint()  # same rationale as connected_components: the
         # upstream edge producer must not replay every round
     )
-    nodes = adj.selectExpr("u AS node").distinct().localCheckpoint()
-    e = adj
+    # nodes BEFORE the self-loop filter: a node appearing only as (x, x)
+    # must still be labeled (as its own center) to match label propagation
+    nodes = sym.selectExpr("u AS node").distinct().localCheckpoint()
+    e = sym.filter("u <> v")
     for _ in range(max_iter):
         # ---- large-star: (v, m) for every neighbor v > u ----------------
         full = e.unionByName(e.selectExpr("v AS u", "u AS v")).distinct()
@@ -180,15 +181,18 @@ def dedup_clusters(
     documents: DataFrame,
     pairs: DataFrame,
     threshold: float = 0.5,
-    algorithm: str = "label",
+    algorithm: str = "star",
 ) -> DataFrame:
     """Cluster near-dup pairs (jaccard > threshold) into duplicate groups
     and elect the smallest doc_id as each group's survivor.
 
-    ``algorithm``: ``"label"`` (min-label propagation, right for the
-    shallow clusters near-dup graphs produce) or ``"star"``
-    (large-star/small-star, diameter-independent rounds).  Identical
-    output either way.
+    ``algorithm``: ``"star"`` (large-star/small-star, the default — its
+    round count is O(log² n) regardless of component SHAPE, so chain-like
+    components an unbounded input can contain cannot stall it) or
+    ``"label"`` (min-label propagation — one aggregation per round but
+    O(diameter) rounds, a fine choice when the caller knows the clusters
+    are the shallow star/clique shapes near-dup detection typically
+    emits).  Identical output either way.
 
     Returns every document with its ``component`` (its own id when it has
     no near-dups) and a ``keep`` verdict — the corpus-shrinking decision,

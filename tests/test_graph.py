@@ -105,7 +105,8 @@ def test_star_components_match_label_propagation(spark):
             [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
         )
     for rows in shapes:
-        rows = [(a, b) for a, b in rows if a != b] or [(1, 2)]
+        # self-loops reach both implementations unstripped — (5, 5) must
+        # yield a self-labeled node from each, not get filtered here
         e = edges(spark, rows)
         lp = {r["node"]: r["component"] for r in connected_components(e).collect()}
         st = {
