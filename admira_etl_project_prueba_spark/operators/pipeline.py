@@ -51,17 +51,35 @@ def build_training_corpus(
     first cut on a crawl-shaped corpus.  The source verdict frame is
     domain-cardinality-sized and broadcast into the semi-join.
     """
-    # The verdict frame feeds THREE consumers (output join, the dedup
-    # semi-join, and the survivor token count via kept_docs); Spark has no
-    # cross-join CSE, so without materialization the full-text quality
-    # scoring would be recomputed once per consumer.  The frame is
-    # doc_id + two narrow columns — KBs per million docs — so
-    # localCheckpoint is the right trade at any scale.
+    # The quality frame feeds EVERY consumer (verdict output join, the
+    # dedup semi-join, the survivor token count via kept_docs, and — when
+    # curation is on — the per-source rollup); Spark has no cross-join
+    # CSE, so without materialization the full-text quality scoring would
+    # be recomputed once per consumer.  Scored ONCE here, narrow columns
+    # only — KBs per million docs — so localCheckpoint is the right trade
+    # at any scale; source_reputation receives this frame instead of
+    # re-running its own quality scan over the full corpus.
+    qual = (
+        textops.quality_filter(documents, langs=langs)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "ttr",
+            "stopword_ratio",
+            "lang_predicted",
+            "kept",
+            "reject_reason",
+        )
+        .localCheckpoint()
+    )
     bad_source_docs = None
     if min_source_kept_fraction is not None:
         bad_sources = (
             textops.source_reputation(
-                documents, langs=langs, min_kept_fraction=min_source_kept_fraction
+                documents,
+                langs=langs,
+                min_kept_fraction=min_source_kept_fraction,
+                quality=qual,
             )
             .filter(~F.col("keep_source"))
             .select("source")
@@ -72,11 +90,7 @@ def build_training_corpus(
             .select("doc_id")
             .localCheckpoint()  # narrow; consumed by the verdict override below
         )
-    q = (
-        textops.quality_filter(documents, langs=langs)
-        .select("doc_id", F.col("kept").alias("kept_quality"), "reject_reason")
-        .localCheckpoint()
-    )
+    q = qual.select("doc_id", F.col("kept").alias("kept_quality"), "reject_reason")
     if bad_source_docs is not None:
         flagged = F.col("bad.doc_id").isNotNull()
         q = (

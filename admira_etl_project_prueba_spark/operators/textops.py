@@ -407,6 +407,7 @@ def source_reputation(
     documents: DataFrame,
     langs: tuple[str, ...] = ("en", "es", "de", "fr"),
     min_kept_fraction: float = 0.5,
+    quality: DataFrame | None = None,
 ) -> DataFrame:
     """Source-level curation (C4/RefinedWeb-style domain reputation):
     aggregate per-document quality verdicts to the ``source`` grain and
@@ -426,10 +427,15 @@ def source_reputation(
     aggregate is small; the dominant-language argmax is a ROW_NUMBER
     window over (source × language) counts — at most |sources|·|langs|+1
     rows.
+
+    ``quality`` (optional): a precomputed :func:`quality_filter` frame —
+    pass it when the caller also consumes per-document verdicts (as
+    ``build_training_corpus`` does) so the full-text quality scan runs
+    ONCE, not once per consumer.
     """
     from pyspark.sql import Window
 
-    q = quality_filter(documents, langs=langs).select(
+    q = (quality if quality is not None else quality_filter(documents, langs=langs)).select(
         "doc_id", "n_tokens", "ttr", "stopword_ratio", "lang_predicted", "kept"
     )
     d = documents.select("doc_id", "source").join(q, "doc_id")
