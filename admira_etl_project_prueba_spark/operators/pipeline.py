@@ -85,7 +85,12 @@ def build_training_corpus(
             .select("source")
         )
         bad_source_docs = (
-            documents.select("doc_id", "source")
+            documents.select(
+                "doc_id",
+                # same sentinel as source_reputation: NULL-source docs land
+                # in the (unknown) bucket and stay curate-able
+                F.coalesce("source", F.lit(textops.UNKNOWN_SOURCE)).alias("source"),
+            )
             .join(F.broadcast(bad_sources), "source")
             .select("doc_id")
             .localCheckpoint()  # narrow; consumed by the verdict override below

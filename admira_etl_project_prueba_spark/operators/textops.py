@@ -41,6 +41,11 @@ TOKENS = "split(lower(trim(text)), '\\\\s+')"
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+#: sentinel bucket for NULL document sources in per-source rollups —
+#: equality joins never match NULL, so without it NULL-source docs would
+#: silently vanish from source curation (report AND rejection path)
+UNKNOWN_SOURCE = "(unknown)"
+
 
 def _stop_list_sql() -> str:
     return "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -432,13 +437,21 @@ def source_reputation(
     pass it when the caller also consumes per-document verdicts (as
     ``build_training_corpus`` does) so the full-text quality scan runs
     ONCE, not once per consumer.
+
+    NULL sources bucket under ``UNKNOWN_SOURCE`` rather than silently
+    vanishing: the equality joins (dominant-language, and any downstream
+    per-source semi-join) never match NULL, so without the sentinel a
+    NULL-source document could neither appear in the report nor be
+    curated away.
     """
     from pyspark.sql import Window
 
     q = (quality if quality is not None else quality_filter(documents, langs=langs)).select(
         "doc_id", "n_tokens", "ttr", "stopword_ratio", "lang_predicted", "kept"
     )
-    d = documents.select("doc_id", "source").join(q, "doc_id")
+    d = documents.select(
+        "doc_id", F.coalesce("source", F.lit(UNKNOWN_SOURCE)).alias("source")
+    ).join(q, "doc_id")
     per = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),

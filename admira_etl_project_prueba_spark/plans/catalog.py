@@ -1388,8 +1388,8 @@ def _q_langid(spark, sf_dir):
     "Narrow verdict rows shuffle on source; text never moves.",
     f"""WITH qf AS ({_duck_quality_filter_sql()}),
 d AS (
-  SELECT s.source, q.doc_id, q.n_tokens, q.ttr, q.stopword_ratio,
-         q.lang_predicted, q.kept
+  SELECT COALESCE(s.source, '(unknown)') AS source, q.doc_id, q.n_tokens,
+         q.ttr, q.stopword_ratio, q.lang_predicted, q.kept
   FROM qf q JOIN documents s ON s.doc_id = q.doc_id
 ),
 per AS (

@@ -730,6 +730,31 @@ def test_source_reputation_flags_bad_sources(spark):
     assert good["dominant_lang"] == "en"
     assert good["total_tokens"] > bad["total_tokens"]
 
+def test_source_reputation_null_source_buckets_as_unknown(spark):
+    """NULL-source docs land in the '(unknown)' bucket instead of silently
+    vanishing (equality joins never match NULL), and the curation stage can
+    reject them wholesale like any other source."""
+    from admira_etl_project_prueba_spark.operators.pipeline import (
+        build_training_corpus,
+    )
+
+    rows = [(i, BASE + f" extra token{i}", "en", "good.example") for i in range(3)]
+    rows += [(10 + i, "tiny", "en", None) for i in range(3)]  # junk, no source
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["source"]: r for r in textops.source_reputation(d).collect()}
+    assert set(out) == {"good.example", textops.UNKNOWN_SOURCE}
+    unk = out[textops.UNKNOWN_SOURCE]
+    assert unk["n_docs"] == 3 and unk["n_kept"] == 0 and not unk["keep_source"]
+    # end-to-end: the curation stage rejects the NULL-source docs wholesale
+    verdicts = {
+        r["doc_id"]: r["status"]
+        for r in build_training_corpus(d, min_source_kept_fraction=0.5).collect()
+    }
+    assert all(verdicts[10 + i] == "rejected_source" for i in range(3))
+
+
 def test_build_training_corpus_source_curation_stage(spark):
     """With min_source_kept_fraction set, docs from a mostly-rejected
     source are cut wholesale with status/reason 'rejected_source' —
