@@ -2207,19 +2207,45 @@ def _q_ivf_topk(spark, sf_dir):
     _IVF_TOPK_SQL,
 )
 def _q_ivf_topk_indexed(spark, sf_dir):
+    import hashlib
     import os
+    import shutil
     import tempfile
 
     e = _t(spark, sf_dir, "embeddings")
-    # build the index once per INPUT IDENTITY (path + source file mtime/size
-    # in the tag, so a regenerated embeddings table can never be probed
-    # through a stale cached index); probes reuse it
+    # Build the index once per INPUT CONTENT identity.  The tag digests
+    # every data file's (relpath, size, mtime_ns): a Spark-written table is
+    # a DIRECTORY, whose own os.stat reflects the dirent (not the contents)
+    # with 1-second mtime granularity — an in-place regeneration could be
+    # served a stale index if the tag came from the directory stat.
     src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    tag = f"{sf_dir.strip('/').replace('/', '_')}_{int(st.st_mtime)}_{st.st_size}"
-    path = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+    files = [src]
+    if os.path.isdir(src):
+        files = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(src)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+    h = hashlib.sha256()
+    for p in files:
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, sf_dir)}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    path = os.path.join(tempfile.gettempdir(), f"ivf_index_{h.hexdigest()[:16]}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _sim.write_ivf_index(e, path, n_centroids=16)
+        # build under a unique scratch dir, then atomically rename into
+        # place: concurrent runs can never probe a half-written index —
+        # whichever rename loses just uses the winner's identical index
+        scratch = tempfile.mkdtemp(prefix="ivf_build_")
+        try:
+            build = os.path.join(scratch, "index")
+            _sim.write_ivf_index(e, build, n_centroids=16)
+            try:
+                os.rename(build, path)
+            except OSError:
+                pass  # concurrent run won the rename
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
     return _sim.ivf_topk(e, assignments=spark.read.parquet(path))
 
 
