@@ -182,6 +182,41 @@ def _all(spark, sf_dir):
 
 CATALOG: dict[str, CatalogEntry] = {}
 
+#: Bounded local oracles for entries whose exact output is engine-specific
+#: (approximate sketches).  The driver's gate records these as rows-only;
+#: tools/oracle_check.py additionally joins the Spark result to this
+#: DuckDB reference on ``keys`` and asserts per-column RELATIVE error
+#: ≤ ``rel_tol`` (0.0 ⇒ exact), so the local gate proves value quality,
+#: not just row counts.  Reference columns are aliased to the Spark names.
+BOUNDED_ORACLES: dict[str, dict] = {
+    "events_approx_distinct": {
+        # HLL++ rsd=0.02 ⇒ 0.10 allows 5 standard deviations
+        "sql": """SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1""",
+        "keys": ["event_type"],
+        "rel_tol": {"approx_users": 0.10, "n_events": 0.0},
+    },
+    "events_approx_percentiles": {
+        # GK accuracy=10000 ⇒ rank error n/10000 (~6 ranks at sf0.01);
+        # 0.05 value-space headroom covers the rank→value translation
+        "sql": """SELECT event_type,
+       quantile_cont(value, 0.5) AS p50_approx,
+       quantile_cont(value, 0.9) AS p90_approx,
+       quantile_cont(value, 0.99) AS p99_approx,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1""",
+        "keys": ["event_type"],
+        "rel_tol": {
+            "p50_approx": 0.05,
+            "p90_approx": 0.05,
+            "p99_approx": 0.05,
+            "n_events": 0.0,
+        },
+    },
+}
+
 
 def _entry(name: str, doc: str, oracle: Optional[str]):
     def wrap(fn):

@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import __spark_entry__ as entry_mod
+from admira_etl_project_prueba_spark.plans.catalog import BOUNDED_ORACLES
 from admira_etl_project_prueba_spark.session import get_spark
 from admira_etl_project_prueba_spark.sources.tables import TABLE_NAMES
 
@@ -44,6 +45,34 @@ def frame_fingerprint(cols, rows):
         h.update(line.encode("utf-8"))
         h.update(b"\n")
     return h.hexdigest()
+
+
+def _bounded_check(con, spec, scols, srows):
+    """Relative-error compare of a Spark result vs a BOUNDED_ORACLES spec.
+
+    Joins on spec['keys'] and asserts |spark - ref| / max(|ref|, 1e-12)
+    ≤ spec['rel_tol'][col] per bounded column (0.0 ⇒ exact).  Returns an
+    error string, or None when every row/column is within bounds.
+    """
+    res = con.execute(spec["sql"])
+    rcols = [d[0] for d in res.description]
+    ref = {
+        tuple(row[rcols.index(k)] for k in spec["keys"]): dict(zip(rcols, row))
+        for row in res.fetchall()
+    }
+    if len(ref) != len(srows):
+        return f"rowcount spark={len(srows)} ref={len(ref)}"
+    for row in srows:
+        r = dict(zip(scols, row))
+        key = tuple(r[k] for k in spec["keys"])
+        if key not in ref:
+            return f"key {key} missing from reference"
+        for col, tol in spec["rel_tol"].items():
+            a, b = float(r[col]), float(ref[key][col])
+            rel = abs(a - b) / max(abs(b), 1e-12)
+            if rel > tol:
+                return f"{col}@{key}: spark={a} ref={b} rel={rel:.4f} > {tol}"
+    return None
 
 
 def main():
@@ -75,6 +104,16 @@ def main():
             n_fail += 1
             continue
         if name not in oracles:
+            bounded = BOUNDED_ORACLES.get(name)
+            if bounded is not None:
+                err = _bounded_check(con, bounded, scols, srows)
+                if err is None:
+                    print(f"PASS  {name}: {len(srows)} rows (bounded oracle)")
+                    n_pass += 1
+                else:
+                    print(f"FAIL  {name}: bounded oracle: {err}")
+                    n_fail += 1
+                continue
             print(f"ROWS  {name}: {len(srows)} rows (no oracle — rows-only check)")
             n_rowsonly += 1
             continue
