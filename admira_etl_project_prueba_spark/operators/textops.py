@@ -646,9 +646,6 @@ def simhash_near_dup_pairs(
     positives (the birthday-collision pairs a 32-bit fingerprint admits)
     vanish.  Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
     """
-    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
-    assert bits % n_bands == 0, "bands must divide the fingerprint evenly"
-    width = bits // n_bands
     # materialize fingerprints behind a NARROW exchange (16-byte
     # (doc_id, simhash) rows) before banding: the per-bit-majority
     # expression is built from higher-order lambdas, which evaluate
@@ -658,6 +655,25 @@ def simhash_near_dup_pairs(
     # 9.6× faster at sf0.1 for identical pairs.  At scale the extra
     # shuffle is 16 bytes/doc — noise next to the (band, val) exchange.
     sh = simhash64(documents, bits).repartition("doc_id")
+    return banded_hamming_pairs(sh, bits=bits, n_bands=n_bands, max_hamming=max_hamming)
+
+
+def banded_hamming_pairs(
+    fingerprints: DataFrame,
+    bits: int = 60,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pigeonhole banding core over a ``(doc_id, simhash)`` frame — the
+    candidate-join + exact-popcount verification of
+    :func:`simhash_near_dup_pairs`, factored out so the pigeonhole
+    guarantee (recall = 1.0 below ``n_bands``) is property-testable on
+    PLANTED fingerprints, independent of the text→fingerprint step.
+    """
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    assert bits % n_bands == 0, "bands must divide the fingerprint evenly"
+    width = bits // n_bands
+    sh = fingerprints
     bands = (
         sh.selectExpr(
             "doc_id", "simhash", f"explode(sequence(0, {n_bands - 1})) AS band"

@@ -699,6 +699,49 @@ def test_simhash_band_width_controls_bucket_collisions(spark):
     assert narrow_buckets <= 4 * 256
     assert narrow_max >= n // 256  # pigeonhole lower bound on the hottest bucket
 
+def test_simhash_pigeonhole_recall_is_exact(spark):
+    """The pigeonhole guarantee, property-tested on planted fingerprints:
+    EVERY pair within hamming ≤ 3 (< n_bands = 4) shares at least one
+    whole band, so banding recall is exactly 1.0 — and at 60 bits random
+    unrelated fingerprints sit ~30 bits apart, so the seeded random
+    population must contribute zero ≤3-hamming pairs (false-positive
+    ceiling).  Every reported hamming is re-verified with an independent
+    Python popcount."""
+    import random
+
+    rng = random.Random(20260814)
+    fps = {}  # doc_id -> fingerprint
+    planted = {}  # (doc_a, doc_b) -> exact hamming
+    for i in range(150):
+        base = rng.getrandbits(60)
+        d = rng.randint(1, 3)
+        flipped = base
+        for pos in rng.sample(range(60), d):
+            flipped ^= 1 << pos
+        fps[2 * i] = base
+        fps[2 * i + 1] = flipped
+        planted[(2 * i, 2 * i + 1)] = d
+    for j in range(150):  # independent random population, ids >= 10000
+        fps[10_000 + j] = rng.getrandbits(60)
+
+    sh = spark.createDataFrame(
+        [(k, v) for k, v in fps.items()], "doc_id long, simhash long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in textops.banded_hamming_pairs(sh).collect()
+    }
+    # recall = 1.0: every planted pair surfaced with its exact distance
+    for pair, d in planted.items():
+        assert got.get(pair) == d, f"planted pair {pair} (hamming {d}) missed"
+    # soundness: every reported pair independently popcount-verified ≤ 3
+    for (a, b), d in got.items():
+        assert bin(fps[a] ^ fps[b]).count("1") == d <= 3
+    # FP ceiling at 60 bits: the random population contributes no pairs
+    random_only = [p for p in got if p[0] >= 10_000 and p[1] >= 10_000]
+    assert random_only == []
+
+
 def test_token_typo_pairs_rejects_unsupported_distance(spark):
     # first/last-char blocking is complete ONLY for distance 1 — a
     # distance-2 pair can differ at both ends and would silently vanish,
