@@ -254,7 +254,8 @@ class MetricsService:
 
     # -- health --------------------------------------------------------------
     def healthz(self) -> dict:
-        return {"status": "ok"}
+        # literal parity with handlers.go:69
+        return {"status": "healthy"}
 
     def readyz(self) -> dict:
         try:

@@ -137,6 +137,125 @@ def test_funnel_no_pagination(service):
     assert "pagination" not in out
 
 
+# ---------------------------------------------------------------------------
+# Golden envelope contracts — one test per endpoint, pinning key sets and
+# nesting against the reference's response literals so a service refactor
+# cannot silently drift the API.  Reference: handlers.go:117-121 (ingest),
+# :176-183 (channel+pagination), :206 (funnel), :236-258 (export),
+# :415-419 / :451-455 / :494-500 (debug), :69-73 (health).
+# Documented deltas from the reference (deliberate, stable):
+# * request_id rides in-body (the reference emits it as an X-Request-ID
+#   header via middleware.go:11-37; this tier is framework-free).
+# * export returns {status, payload, signature, request_id} — the signed
+#   body (payload = {date, metrics, exported_at}) plus the signature the
+#   reference computes internally at handlers.go:331-383.
+# ---------------------------------------------------------------------------
+
+GOLDEN_METRIC_ROW = sorted([  # metrics.go:4-21 json tags, all 18
+    "date", "channel", "campaign_id", "clicks", "impressions", "cost",
+    "leads", "opportunities", "closed_won", "revenue", "cpc", "cpa",
+    "cvr_lead_to_opp", "cvr_opp_to_won", "roas",
+    "utm_campaign", "utm_source", "utm_medium",
+])
+GOLDEN_ADS_ROW = sorted([  # ads.go:6-15 json tags
+    "date", "campaign_id", "channel", "clicks", "impressions", "cost",
+    "utm_campaign", "utm_source", "utm_medium", "ingested_at",
+])
+GOLDEN_CRM_ROW = sorted([  # crm.go:11-19 json tags + this engine's audit cols
+    "opportunity_id", "contact_email", "stage", "amount", "created_at",
+    "utm_campaign", "utm_source", "utm_medium", "ingested_at",
+    "created_at_raw", "_date_fallback",
+])
+_REQ_ID = r"^[0-9a-f]{16}$"
+
+
+def _assert_request_id(res):
+    import re
+
+    assert re.match(_REQ_ID, res["request_id"]), res["request_id"]
+
+
+def test_golden_ingest_run_envelope(service):
+    res = service.ingest_run(since="2024-01-01")
+    assert sorted(res) == ["message", "metrics_processed", "request_id", "since"]
+    assert isinstance(res["metrics_processed"], int)
+    assert res["since"] == "2024-01-01"
+    _assert_request_id(res)
+
+
+def test_golden_metrics_channel_envelope(service):
+    service.ingest_run()
+    res = service.metrics_channel("google_ads", "2024-02-01", "2024-02-28")
+    assert sorted(res) == ["data", "pagination", "request_id"]
+    # pagination fields exactly as handlers.go:178-183
+    assert sorted(res["pagination"]) == ["has_more", "limit", "offset", "total"]
+    p = res["pagination"]
+    assert (p["total"], p["limit"], p["offset"], p["has_more"]) == (2, 100, 0, False)
+    for row in res["data"]:
+        assert sorted(row) == GOLDEN_METRIC_ROW
+    _assert_request_id(res)
+
+
+def test_golden_metrics_funnel_envelope(service):
+    service.ingest_run()
+    res = service.metrics_funnel("x", "2024-02-01", "2024-02-28")
+    # reference emits the bare array (handlers.go:206); data carries it
+    assert sorted(res) == ["data", "request_id"]
+    for row in res["data"]:
+        assert sorted(row) == GOLDEN_METRIC_ROW
+    _assert_request_id(res)
+
+
+def test_golden_export_run_envelope(service):
+    service.ingest_run()
+    res = service.export_run("2024-02-01")
+    assert sorted(res) == ["payload", "request_id", "signature", "status"]
+    assert res["status"] == "prepared"  # no SINK_URL ⇒ skip path, :236-244
+    # the signed body: date + consolidated metrics + stamp, export.py:73-85
+    assert sorted(res["payload"]) == ["date", "exported_at", "metrics"]
+    assert res["payload"]["date"] == "2024-02-01"
+    assert len(res["signature"]) == 64 and int(res["signature"], 16) >= 0
+    _assert_request_id(res)
+
+
+def test_golden_debug_ads_envelope(service):
+    res = service.debug_ads("2024-02-01")
+    assert sorted(res) == ["ads_data", "date", "request_id", "total_records"]
+    assert res["total_records"] == len(res["ads_data"]) == 1
+    for row in res["ads_data"]:
+        assert sorted(row) == GOLDEN_ADS_ROW
+    _assert_request_id(res)
+
+
+def test_golden_debug_crm_envelope(service):
+    res = service.debug_crm("2024-02-01")
+    assert sorted(res) == ["crm_data", "date", "request_id", "total_records"]
+    assert res["total_records"] == len(res["crm_data"]) == 1
+    for row in res["crm_data"]:
+        assert sorted(row) == GOLDEN_CRM_ROW
+    _assert_request_id(res)
+
+
+def test_golden_debug_matches_envelope(service):
+    res = service.debug_matches("x")
+    assert sorted(res) == [
+        "ads_count", "ads_matches", "crm_count", "crm_matches",
+        "request_id", "utm_campaign",
+    ]
+    assert res["ads_count"] == len(res["ads_matches"]) == 1
+    assert res["crm_count"] == len(res["crm_matches"]) == 1
+    for row in res["ads_matches"]:
+        assert sorted(row) == GOLDEN_ADS_ROW
+    for row in res["crm_matches"]:
+        assert sorted(row) == GOLDEN_CRM_ROW
+    _assert_request_id(res)
+
+
+def test_golden_health_envelopes(service):
+    assert service.healthz() == {"status": "healthy"}  # handlers.go:69 literal
+    assert service.readyz() == {"status": "ready"}     # handlers.go:73 literal
+
+
 def test_store_merges_increments_across_batches(spark, tmp_path):
     """upsert must SUM measures for existing keys and re-derive ratios."""
     from admira_etl_project_prueba_spark.functions.metrics import with_derived_metrics
