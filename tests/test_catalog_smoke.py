@@ -57,3 +57,14 @@ def test_no_oracle_emits_hugeint(sf_dir):
             if typ in ("HUGEINT", "UHUGEINT"):
                 offenders.append(f"{name}.{col}")
     assert not offenders, offenders
+
+
+def test_oracles_fetch_path_stable(sf_dir):
+    """Value-level generalization of the HUGEINT guard: every oracle's
+    canonical result must be identical whether the driver fetches DuckDB
+    results natively (``fetchall``) or through pandas (``.df()``).  Catches
+    any representation seam — HUGEINT, unsigned widening, decimal objects —
+    not just the type names the DESCRIBE check enumerates."""
+    from tools.fetch_path_audit import audit
+
+    assert audit(sf_dir) == []
