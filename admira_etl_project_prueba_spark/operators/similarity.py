@@ -236,16 +236,67 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
 def write_ivf_index(
     embeddings: DataFrame, path: str, n_centroids: int = 16
 ) -> None:
-    """Persist the IVF inverted lists: assignments written
-    ``partitionBy(centroid_id)`` so a probe of p lists is partition-pruned
-    I/O over p directories — the 100 TB shape, where assignment is a
-    once-per-ingest batch job and queries never rescan the corpus."""
+    """Persist the IVF inverted lists: TRUE inverted lists carrying the
+    vectors themselves — (vec_id, label, embedding) written
+    ``partitionBy(centroid_id)`` — so a probe of p lists is partition-pruned
+    I/O over p directories and the corpus parquet is NEVER rescanned at
+    query time.  That is the 100 TB shape: assignment is a once-per-ingest
+    batch job; a query touches ~n_probe/n_centroids of the index bytes.
+    Consumers that only need the assignment (vec_id, centroid_id) read the
+    same table with column pruning."""
+    assign = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
     (
-        ivf_assign(embeddings, n_centroids)
-        .select("vec_id", "centroid_id")
+        embeddings.select("vec_id", "label", "embedding")
+        .join(assign, "vec_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path)
+    )
+
+
+def ivf_topk_from_index(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Index-only IVF probe: candidates come exclusively from the persisted
+    ``write_ivf_index`` table — the corpus parquet is touched only for two
+    pushdown point-reads (the query vector and the ``n_centroids`` seed
+    centroids).  The ``centroid_id IN (probe)`` join against a broadcast
+    1-column frame prunes the index scan to ``n_probe`` partition
+    directories, so query-time I/O is ~``n_probe/n_centroids`` of the index
+    bytes regardless of corpus size.  Equivalent results to ``ivf_topk``
+    (same assignment and scoring), so it shares the same oracle SQL."""
+    cents = _as_double(
+        embeddings.filter(F.col("vec_id") < n_centroids), "c"
+    ).selectExpr("vec_id AS centroid_id", "c")
+    q = _as_double(
+        embeddings.filter(F.col("vec_id") == query_vec_id), "q"
+    ).select("q")
+    probe = (
+        with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
+        .orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    lists = spark.read.parquet(index_path).selectExpr(
+        "vec_id",
+        "label",
+        "centroid_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+    )
+    cands = lists.join(F.broadcast(probe), "centroid_id").filter(
+        F.col("vec_id") != query_vec_id
+    )
+    scored = with_cosine(cands.crossJoin(F.broadcast(q)))
+    return (
+        scored.select("vec_id", "label", "centroid_id", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
     )
 
 

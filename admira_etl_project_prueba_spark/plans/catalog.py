@@ -2232,27 +2232,23 @@ def _q_ivf_topk(spark, sf_dir):
     return _sim.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
-@_entry(
-    "ann_ivf_topk_indexed",
-    "The same IVF probe over a PERSISTED write_ivf_index table "
-    "(partitionBy(centroid_id)): query-time work is a dynamic-partition-"
-    "pruned read of the 4 probed inverted lists — the 100 TB shape, where "
-    "assignment is a once-per-ingest batch job.  Results identical to the "
-    "self-computing form, so it shares its oracle SQL.",
-    _IVF_TOPK_SQL,
-)
-def _q_ivf_topk_indexed(spark, sf_dir):
+def _ivf_index_path(spark, sf_dir) -> str:
+    """Build (once per input-content identity) and return the cached
+    write_ivf_index path for sf_dir's embeddings table.
+
+    The tag digests every data file's (relpath, size, mtime_ns): a
+    Spark-written table is a DIRECTORY, whose own os.stat reflects the
+    dirent (not the contents) with 1-second mtime granularity — an
+    in-place regeneration could be served a stale index if the tag came
+    from the directory stat.  The tag also carries the index FORMAT
+    version (v2 = inverted lists store the vectors) so a format change
+    can't probe a stale layout."""
     import hashlib
     import os
     import shutil
     import tempfile
 
     e = _t(spark, sf_dir, "embeddings")
-    # Build the index once per INPUT CONTENT identity.  The tag digests
-    # every data file's (relpath, size, mtime_ns): a Spark-written table is
-    # a DIRECTORY, whose own os.stat reflects the dirent (not the contents)
-    # with 1-second mtime granularity — an in-place regeneration could be
-    # served a stale index if the tag came from the directory stat.
     src = os.path.join(sf_dir, "embeddings.parquet")
     files = [src]
     if os.path.isdir(src):
@@ -2262,7 +2258,7 @@ def _q_ivf_topk_indexed(spark, sf_dir):
             for f in fs
             if not f.startswith((".", "_"))
         )
-    h = hashlib.sha256()
+    h = hashlib.sha256(b"ivf-format-v2\n")
     for p in files:
         st = os.stat(p)
         h.update(f"{os.path.relpath(p, sf_dir)}|{st.st_size}|{st.st_mtime_ns}\n".encode())
@@ -2281,7 +2277,38 @@ def _q_ivf_topk_indexed(spark, sf_dir):
                 pass  # concurrent run won the rename
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
+    return path
+
+
+@_entry(
+    "ann_ivf_topk_indexed",
+    "The same IVF probe over a PERSISTED write_ivf_index table "
+    "(partitionBy(centroid_id)): query-time work is a dynamic-partition-"
+    "pruned read of the 4 probed inverted lists — the 100 TB shape, where "
+    "assignment is a once-per-ingest batch job.  Results identical to the "
+    "self-computing form, so it shares its oracle SQL.",
+    _IVF_TOPK_SQL,
+)
+def _q_ivf_topk_indexed(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    path = _ivf_index_path(spark, sf_dir)
     return _sim.ivf_topk(e, assignments=spark.read.parquet(path))
+
+
+@_entry(
+    "ann_ivf_topk_index_only",
+    "IVF probe whose CANDIDATES come exclusively from the persisted "
+    "inverted lists (vectors stored in the index, partitionBy(centroid_id))"
+    " — the corpus is touched only for two pushdown point-reads (query "
+    "vector, seed centroids); query-time I/O is ~n_probe/n_centroids of "
+    "the index bytes at any corpus size.  Same results as ann_ivf_topk, "
+    "so it shares the oracle SQL.",
+    _IVF_TOPK_SQL,
+)
+def _q_ivf_topk_index_only(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    path = _ivf_index_path(spark, sf_dir)
+    return _sim.ivf_topk_from_index(spark, e, path)
 
 
 @_entry(

@@ -220,3 +220,47 @@ def test_ivf_precomputed_index_matches_inline_and_prunes(spark, sf_dir, tmp_path
     ]
     assert idx_scans
     assert any("dynamicpruning" in s for s in idx_scans)
+
+
+def test_ivf_index_only_probe_matches_and_never_scans_corpus(
+    spark, sf_dir, tmp_path
+):
+    """ivf_topk_from_index sources candidates purely from the inverted
+    lists (vectors live IN the index): same top-k as the inline form, and
+    the only reads against the corpus parquet are pushdown point-filters
+    for the query vector and seed centroids — no full-corpus candidate
+    scan at query time."""
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_index_v2")
+    similarity.write_ivf_index(e, path, n_centroids=16)
+
+    inline = similarity.ivf_topk(e, k=10, n_probe=4).collect()
+    from_idx_df = similarity.ivf_topk_from_index(
+        spark, e, path, k=10, n_probe=4
+    )
+    from_idx = from_idx_df.collect()
+    assert [(r["vec_id"], r["label"], r["cosine"]) for r in from_idx] == [
+        (r["vec_id"], r["label"], r["cosine"]) for r in inline
+    ]
+
+    plan = from_idx_df._jdf.queryExecution().executedPlan().toString()
+    # every scan of the corpus table must carry a vec_id pushdown filter
+    # (query-vector or centroid point-reads) — an unfiltered corpus scan
+    # would mean candidates are still sourced from the corpus
+    corpus_scans = [
+        seg for seg in plan.split("FileScan") if "embeddings.parquet" in seg
+    ]
+    assert corpus_scans, "expected pushdown point-reads of the corpus"
+    for seg in corpus_scans:
+        pushed = seg.split("PushedFilters: [", 1)
+        assert len(pushed) == 2 and "vec_id" in pushed[1].split("]", 1)[0]
+    # and the index scan is pruned by the dynamic probe filter (the index
+    # is the only scan whose schema carries centroid_id)
+    idx_scans = [
+        seg.split("PushedFilters", 1)[0]
+        for seg in plan.split("FileScan")
+        if "centroid_id" in seg.split("Batched", 1)[0]
+    ]
+    assert idx_scans and any("dynamicpruning" in s for s in idx_scans)
