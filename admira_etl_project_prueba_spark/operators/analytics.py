@@ -1213,6 +1213,185 @@ def q16_supplier_part_counts(
     )
 
 
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "EUROPE",
+    part_type: str = "STANDARD",
+    sizes: tuple[int, ...] = (5, 15, 25, 35, 45),
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 (adapted): for each part of a given type/size class, which
+    supplier in a region offers it at the minimum unit cost.  This schema
+    has no partsupp, so the offer relation is derived from observed
+    lineitems: cost(part, supplier) = MIN(l_extendedprice / l_quantity).
+
+    Plan: Q2's correlated min-cost subquery decorrelates into a groupBy
+    over the region's offers plus an equality join back on (part, cost) —
+    the standard argmin-by-key shape.  All dims (supplier×nation×region,
+    the filtered part list) broadcast; only the offer reduction shuffles,
+    and it shuffles (partkey, suppkey) pairs, never raw lineitems.  MIN
+    over the IEEE division is order-insensitive, so the double equality
+    join is deterministic on both engines.
+    """
+    eu_supp = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    eu_offers = offers.join(
+        F.broadcast(eu_supp), offers["l_suppkey"] == eu_supp["s_suppkey"]
+    )
+    best = eu_offers.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    p = part.filter(
+        (F.col("p_type") == part_type) & F.col("p_size").isin(*sizes)
+    )
+    return (
+        eu_offers.join(best, "l_partkey")
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "min_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", F.col("p_partkey")
+        )
+        .limit(k)
+    )
+
+
+def q11_important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    threshold_num: int = 3,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """TPC-H Q11 (adapted): parts whose value flowing through one region's
+    suppliers exceeds ``threshold_num/threshold_den``× the average part's —
+    Q11's scalar-subquery HAVING, made scale-free (the original's fixed
+    fraction 0.0001/SF goes vacuous or total at other SFs; comparing
+    against the mean self-normalizes at every SF).
+
+    Plan: the region's suppliers broadcast into the lineitem scan; one
+    (partkey) shuffle for the per-part decimal sum; the scalar threshold is
+    a 1-row aggregate broadcast back via cross-join.  The HAVING compares
+    ``value × n_parts × den > num × total`` in exact decimal×integer
+    arithmetic — no decimal division, whose rounding differs across
+    engines.
+    """
+    reg_supp = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    vals = (
+        lineitem.join(
+            F.broadcast(reg_supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).alias(
+                "value_dec"
+            )
+        )
+    )
+    totals = vals.agg(
+        F.sum("value_dec").alias("grand_total"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        vals.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("value_dec") * F.col("n_parts") * F.lit(threshold_den)
+            > F.lit(threshold_num) * F.col("grand_total")
+        )
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("stock_value")
+        )
+    )
+
+
+def q20_promotable_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    name_prefix: str = "red",
+    region_name: str = "EUROPE",
+    year_start: str = "1996-01-01",
+    year_end: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q20 (adapted): suppliers in a region with a recent-demand
+    concentration in a named part family — for some part they supply whose
+    name starts with ``name_prefix``, more than half their all-time shipped
+    quantity moved inside one year.  Mirrors Q20's availqty-vs-half-shipped
+    threshold with an observable proxy (no partsupp in this schema), and
+    keeps its nested semi-join shape.
+
+    Plan: the name-filtered part list broadcasts into the lineitem scan;
+    one (suppkey, partkey) shuffle computes both decimal sums in a single
+    pass (conditional aggregation, not two scans); the qualifying pairs
+    semi-join the region's suppliers — dims broadcast, and the comparison
+    ``2 × recent > total`` is exact decimal arithmetic.
+    """
+    fam = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    zero = F.lit(0).cast("decimal(25,6)")
+    in_window = (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit(year_end).cast("timestamp")
+    )
+    flows = (
+        lineitem.join(F.broadcast(fam), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(in_window, F.col("l_quantity").cast("decimal(25,6)")).otherwise(zero)
+            ).alias("qty_recent"),
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("qty_all"),
+        )
+    )
+    hot = (
+        flows.filter(F.lit(2) * F.col("qty_recent") > F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    reg_supp = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return reg_supp.join(
+        hot, reg_supp["s_suppkey"] == hot["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 def events_grouping_sets(events: DataFrame) -> DataFrame:
     """Explicit GROUPING SETS — the general grouping lattice: (day, type),
     (day), (type), with grouping_id disambiguating NULL-as-total from

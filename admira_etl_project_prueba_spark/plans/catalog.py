@@ -2841,6 +2841,110 @@ def _q16(spark, sf_dir):
 
 
 @_entry(
+    "q2_min_cost_supplier",
+    "TPC-H Q2 (adapted, lineitem-derived offer relation): correlated "
+    "min-cost subquery decorrelated into argmin-by-part over the region's "
+    "offers; dims broadcast, only (partkey, suppkey) pairs shuffle.",
+    """WITH eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+eu_offers AS (
+  SELECT o.l_partkey, o.cost, s.s_name, s.s_acctbal, s.n_name
+  FROM offers o JOIN eu_supp s ON o.l_suppkey = s.s_suppkey
+),
+best AS (SELECT l_partkey, MIN(cost) AS min_cost FROM eu_offers GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, min_cost
+FROM eu_offers e
+JOIN best b ON e.l_partkey = b.l_partkey AND e.cost = b.min_cost
+JOIN part ON e.l_partkey = p_partkey
+WHERE p_type = 'STANDARD' AND p_size IN (5, 15, 25, 35, 45)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100""",
+)
+def _q2(spark, sf_dir):
+    return analytics.q2_min_cost_supplier(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@_entry(
+    "q11_important_parts",
+    "TPC-H Q11 (adapted, scale-free threshold): per-part decimal value "
+    "through one region's suppliers, HAVING value × n_parts × 2 > 3 × "
+    "total — the scalar-subquery threshold as exact decimal×integer "
+    "arithmetic, broadcast back via 1-row cross join.",
+    """WITH reg_supp AS (
+  SELECT s_suppkey
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+vals AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS value_dec
+  FROM lineitem JOIN reg_supp ON l_suppkey = s_suppkey
+  GROUP BY 1
+),
+totals AS (SELECT SUM(value_dec) AS grand_total, COUNT(*) AS n_parts FROM vals)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS stock_value
+FROM vals, totals
+WHERE value_dec * n_parts * 2 > 3 * grand_total""",
+)
+def _q11(spark, sf_dir):
+    return analytics.q11_important_parts(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@_entry(
+    "q20_promotable_suppliers",
+    "TPC-H Q20 (adapted): nested semi-join — (supp, part) pairs of a "
+    "name-filtered part family whose one-year shipped quantity exceeds "
+    "half their all-time total (one conditional-agg pass, exact decimal "
+    "compare), semi-joined to the region's suppliers.",
+    """WITH fam AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+flows AS (
+  SELECT l_suppkey,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(l_quantity AS DECIMAL(25,6))
+                  ELSE CAST(0 AS DECIMAL(25,6)) END) AS qty_recent,
+         SUM(CAST(l_quantity AS DECIMAL(25,6))) AS qty_all
+  FROM lineitem JOIN fam ON l_partkey = p_partkey
+  GROUP BY l_suppkey, l_partkey
+),
+hot AS (SELECT DISTINCT l_suppkey FROM flows WHERE 2 * qty_recent > qty_all)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (SELECT l_suppkey FROM hot)""",
+)
+def _q20(spark, sf_dir):
+    return analytics.q20_promotable_suppliers(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@_entry(
     "events_grouping_sets",
     "Explicit GROUPING SETS ((day,type),(day),(type)) — non-lattice "
     "grouping with grouping_id; one Expand + one hash agg, no second "

@@ -37,10 +37,12 @@ NESTED_LOOP_ALLOWED = {
     "ann_lsh_topk",             # 1-row query vector broadcast
     "ann_ivf_topk",             # 1-row query + n_probe-row probe list
     "ann_ivf_topk_indexed",     # same shape over the persisted index
+    "ann_ivf_topk_index_only",  # same shape; candidates from pruned lists
     "ann_ivf_assignments",      # centroid side fixed at n_centroids rows
     "ann_near_dup_pairs",       # bounded universe (vec_id < 200), a < b self-join
     "ngram_jaccard_pairs",      # bounded universe (doc_id < 500), exact baseline
     "q22_lapsed_customers",     # 1-row scalar AVG broadcast
+    "q11_important_parts",      # 1-row scalar (total, n_parts) broadcast
     "q15_top_supplier",         # 1-row scalar MAX broadcast
     "tfidf_top_terms",          # 1-row corpus-size (N) broadcast
 }
