@@ -349,6 +349,65 @@ def ivf_topk(
     )
 
 
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.92,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the corpus by
+    IVF centroid, then score exact cosine only over pairs WITHIN a cluster
+    (SemDeDup, Abbas et al. 2023 — embedding-space dedup of web corpora).
+
+    Returns (vec_id_a, vec_id_b, centroid_id, cosine) with ``a < b`` (the
+    symmetric pair dedupped) and ``cosine ≥ threshold``.
+
+    Scale shape: the cluster equi-join bounds candidates to cluster-local
+    pairs — corpus-wide work is O(Σ|cluster|²), not O(n²), and clusters
+    are capacity-bounded by the centroid count chosen at ingest.  At
+    100 TB the assignment is the persisted ``write_ivf_index`` table, so
+    the self-join is co-partitioned pruned I/O; misses across cluster
+    boundaries are the accepted SemDeDup recall trade-off (raise
+    n_probe-style coverage by lowering n_centroids).  Cosines are the
+    same SQL fold both engines evaluate identically — exact-oracle-able.
+    """
+    a = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
+    t = _as_double(embeddings, "v").join(a, "vec_id")
+    left = t.selectExpr("vec_id AS vec_id_a", "centroid_id", "v AS va")
+    right = t.selectExpr("vec_id AS vec_id_b", "centroid_id", "v AS vb")
+    pairs = left.join(right, "centroid_id").filter(
+        F.col("vec_id_a") < F.col("vec_id_b")
+    )
+    return (
+        with_cosine(pairs, "va", "vb")
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_id_a", "vec_id_b", "centroid_id", "cosine")
+    )
+
+
+def semantic_dedup_survivors(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.92,
+) -> DataFrame:
+    """Greedy min-id semantic dedup: drop every vector that is similar
+    (``cosine ≥ threshold``) to ANY smaller-id vector in its cluster; keep
+    the rest.  Deterministic (no RNG, no iteration order), one shuffle
+    beyond :func:`semantic_dedup_pairs` — the distinct dropped-id set is
+    corpus-duplicate-sized and anti-joins the corpus.  Note this is the
+    per-pair rule, not transitive-closure clustering: for chains a~b~c
+    (a≁c), both b and c drop; use ``graph.dedup_clusters`` over the pairs
+    when cluster-election semantics are wanted instead.
+    """
+    dropped = (
+        semantic_dedup_pairs(embeddings, n_centroids, threshold)
+        .select(F.col("vec_id_b").alias("vec_id"))
+        .distinct()
+    )
+    return embeddings.select("vec_id", "label").join(
+        dropped, "vec_id", "left_anti"
+    )
+
+
 def lsh_topk_multiprobe(
     embeddings: DataFrame,
     query_vec_id: int = 0,

@@ -511,6 +511,45 @@ def stratified_sample(
     return documents.sampleBy(strata_col, fractions, seed)
 
 
+def mixture_sample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix1",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: keep a document iff its
+    engine-portable hash bucket ``hex60(id ⊕ salt) % 10000`` falls under
+    its stratum's rate (in basis points).
+
+    The mixture spec (``rates``, per ``strata_col`` value) is the knob a
+    training-data pipeline tunes: "25% of web, all of wiki".  Unlike
+    ``sampleBy`` (engine-specific RNG — rows-only verifiable), membership
+    depends only on (id, salt): the same sample is reproducible on any
+    engine, any cluster size, any run — so a mixture is AUDITABLE, a doc
+    never flips in/out when the corpus grows, and changing ``salt`` draws
+    a fresh sample.  Strata missing from ``rates`` (including NULL
+    ``strata_col``, which no equality join matches) fall back to
+    ``default_rate``.
+
+    Scale shape: the rate map is a broadcast left-join (domain-count-sized
+    at 100 TB — thousands of rows, never corpus-sized); the bucket test is
+    a row-local md5 in codegen.  No shuffle of the corpus.
+    """
+    spark = documents.sparkSession
+    rate_rows = [(s, int(round(r * 10000))) for s, r in sorted(rates.items())]
+    rate_df = spark.createDataFrame(rate_rows, f"{strata_col} string, _keep_bp int")
+    default_bp = int(round(default_rate * 10000))
+    keyed = f"concat({id_col}, '_', '{salt}')"
+    bucket = f"{hex60(keyed)} % 10000"
+    return (
+        documents.join(F.broadcast(rate_df), strata_col, "left")
+        .filter(F.expr(bucket) < F.coalesce("_keep_bp", F.lit(default_bp)))
+        .drop("_keep_bp")
+    )
+
+
 def token_frequencies(documents: DataFrame, top_k: int = 100) -> DataFrame:
     """Corpus token frequencies (vocabulary building): global count and
     document frequency per token, deterministic top-k.

@@ -1702,6 +1702,26 @@ def _q_strat_sample(spark, sf_dir):
 
 
 @_entry(
+    "mixture_sample",
+    "Deterministic data-mixture sampling: per-source keep rates applied "
+    "via the engine-portable md5 bucket of (doc_id, salt) — the mixture "
+    "is reproducible on any engine/run/cluster (unlike sampleBy's RNG), "
+    "so it's exact-oracle-able; rate map is a broadcast left-join, "
+    "default rate covers unlisted/NULL sources.",
+    f"""SELECT doc_id, source
+FROM documents
+WHERE {_duck_hex60("doc_id || '_' || 'mix1'")} % 10000 <
+      CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
+                  WHEN 'src2' THEN 0 ELSE 10000 END""",
+)
+def _q_mixture_sample(spark, sf_dir):
+    return _tx.mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"src0": 0.25, "src1": 0.5, "src2": 0.0},
+    ).select("doc_id", "source")
+
+
+@_entry(
     "token_frequencies",
     "Vocabulary building: global token counts + document frequency, "
     "deterministic top-100 (map-side partial agg ⇒ shuffle carries vocab "
@@ -2309,6 +2329,51 @@ def _q_ivf_topk_index_only(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     path = _ivf_index_path(spark, sf_dir)
     return _sim.ivf_topk_from_index(spark, e, path)
+
+
+_DUCK_SEMDEDUP_PAIRS = f"""tv AS (
+  SELECT t.vec_id, v, centroid_id FROM t JOIN assign USING (vec_id)
+),
+sempairs AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.centroid_id,
+         CASE WHEN {_duck_norm('a.v')} > 0 AND {_duck_norm('b.v')} > 0
+              THEN {_duck_dot('a.v', 'b.v')} / ({_duck_norm('a.v')} * {_duck_norm('b.v')})
+              ELSE 0.0 END AS cosine
+  FROM tv a JOIN tv b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+)"""
+
+
+@_entry(
+    "semantic_dedup_pairs",
+    "SemDeDup-style semantic near-dup pairs: IVF-cluster the corpus, "
+    "exact cosine only within a cluster — O(Σ|cluster|²) not O(n²). "
+    "Threshold 0.35 fits the synthetic near-orthogonal fixture (realistic "
+    "corpora use ~0.9+); the dataflow is threshold-independent.",
+    f"""WITH {_DUCK_IVF_ASSIGN}, {_DUCK_SEMDEDUP_PAIRS}
+SELECT vec_id_a, vec_id_b, centroid_id, cosine
+FROM sempairs WHERE cosine >= 0.35""",
+)
+def _q_semdedup_pairs(spark, sf_dir):
+    return _sim.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+@_entry(
+    "semantic_dedup_survivors",
+    "Greedy min-id semantic dedup: drop every vector similar to a "
+    "smaller-id cluster-mate; the distinct dropped set anti-joins the "
+    "corpus (duplicate-sized, never corpus-sized state).",
+    f"""WITH {_DUCK_IVF_ASSIGN}, {_DUCK_SEMDEDUP_PAIRS},
+dropped AS (SELECT DISTINCT vec_id_b AS vec_id FROM sempairs WHERE cosine >= 0.35)
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""",
+)
+def _q_semdedup_survivors(spark, sf_dir):
+    return _sim.semantic_dedup_survivors(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
 
 
 @_entry(

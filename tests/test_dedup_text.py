@@ -829,3 +829,34 @@ def test_build_training_corpus_source_curation_stage(spark):
     # default path unchanged: no source stage, doc 13 survives on quality
     base_out = {r["doc_id"]: r for r in build_training_corpus(d).collect()}
     assert base_out[13]["status"] in ("train", "test")
+
+
+def test_mixture_sample_rates_determinism_and_null_default(spark):
+    """mixture_sample: a 0-rate source vanishes, a 1.0-rate source stays
+    whole, membership is identical across invocations (hash, not RNG),
+    NULL/unlisted sources follow default_rate, and changing the salt
+    redraws the sample."""
+    rows = [(i, f"text {i}", "en", ["keep", "drop", "half", None][i % 4])
+            for i in range(400)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    rates = {"keep": 1.0, "drop": 0.0, "half": 0.5}
+    out = textops.mixture_sample(d, rates, default_rate=1.0).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src.get("keep", [])) == 100
+    assert "drop" not in by_src
+    assert 20 < len(by_src.get("half", [])) < 80
+    assert len(by_src.get(None, [])) == 100  # default covers NULL source
+    # deterministic: same ids on a re-run
+    again = sorted(r["doc_id"] for r in textops.mixture_sample(d, rates).collect())
+    assert again == sorted(r["doc_id"] for r in out)
+    # a different salt draws a different 'half' subset
+    other = textops.mixture_sample(d, rates, salt="mix2").collect()
+    other_half = sorted(r["doc_id"] for r in other if r["source"] == "half")
+    assert other_half != sorted(by_src["half"])
+    # default_rate=0 inverts the unlisted behaviour
+    none_kept = textops.mixture_sample(d, rates, default_rate=0.0).collect()
+    assert all(r["source"] != "drop" and r["source"] is not None for r in none_kept)

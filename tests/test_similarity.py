@@ -264,3 +264,29 @@ def test_ivf_index_only_probe_matches_and_never_scans_corpus(
         if "centroid_id" in seg.split("Batched", 1)[0]
     ]
     assert idx_scans and any("dynamicpruning" in s for s in idx_scans)
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """A planted identical-embedding pair lands in one cluster with
+    cosine 1.0: the pair is reported, the larger id is dropped from the
+    survivors, chains follow the per-pair (not transitive) rule, and
+    pairs ∪ survivors is consistent."""
+    import math
+
+    def vec(seed):
+        return [math.sin(seed * (j + 1)) for j in range(8)]
+
+    rows = [(i, i % 3, vec(i + 1)) for i in range(40)]
+    rows.append((100, 0, vec(5)))     # exact dup of vec_id 4 (seed 5)
+    rows.append((101, 0, vec(5)))     # second exact dup -> drops via 4 and 100
+    e = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+
+    pairs = similarity.semantic_dedup_pairs(e, n_centroids=4, threshold=0.999)
+    got = {(r["vec_id_a"], r["vec_id_b"]) for r in pairs.collect()}
+    assert {(4, 100), (4, 101), (100, 101)} <= got
+    surv = {r["vec_id"] for r in
+            similarity.semantic_dedup_survivors(e, n_centroids=4, threshold=0.999).collect()}
+    assert 4 in surv and 100 not in surv and 101 not in surv
+    # every reported pair has its smaller member surviving or dropped only
+    # via an even-smaller partner — min id of each component always survives
+    assert min(a for a, _ in got) in surv

@@ -39,6 +39,8 @@ NESTED_LOOP_ALLOWED = {
     "ann_ivf_topk_indexed",     # same shape over the persisted index
     "ann_ivf_topk_index_only",  # same shape; candidates from pruned lists
     "ann_ivf_assignments",      # centroid side fixed at n_centroids rows
+    "semantic_dedup_pairs",     # embeds the same n_centroids-row argmax
+    "semantic_dedup_survivors", # ditto (pairs feed the anti-join)
     "ann_near_dup_pairs",       # bounded universe (vec_id < 200), a < b self-join
     "ngram_jaccard_pairs",      # bounded universe (doc_id < 500), exact baseline
     "q22_lapsed_customers",     # 1-row scalar AVG broadcast
