@@ -1195,6 +1195,85 @@ def line_dedup_stats(
     )
 
 
+def repeated_ngram_spans(
+    documents: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring (repeated-span) duplication profile: for every
+    document, how much of it is covered by n-token spans that also occur
+    verbatim in at least ``min_docs - 1`` OTHER documents.
+
+    This is the substring-level dedup family (suffix-array dedup à la
+    "Deduplicating Training Data Makes Language Models Better"): document-
+    level MinHash/SimHash misses a boilerplate paragraph pasted into
+    thousands of otherwise-distinct pages, while span-level coverage
+    catches exactly that.  A suffix array is a sequential construction;
+    the Spark-first equivalent is positional n-gram hashing — same
+    duplicated-span signal, embarrassingly parallel.
+
+    Scale shape: positional shingles explode row-locally and are reduced
+    to 60-bit hashes immediately, so BOTH shuffles move only narrow rows —
+    (hash) for the corpus-wide distinct-doc count, (hash, doc_id, pos) for
+    the hit join; document text never leaves the scan.  Per-doc coverage
+    is an interval union done with one LEAD window over (doc_id, pos) —
+    the window repartitions by doc_id, no global ordering anywhere.
+
+    Returns ``doc_id, n_tokens, n_dup_ngrams, covered_tokens,
+    dup_coverage_frac`` for every input document (zero-covered docs
+    included; docs shorter than n tokens have coverage 0).
+    """
+    from pyspark.sql import Window
+
+    parts = ", ".join(f"element_at(t, pos + {d})" for d in range(n))
+    # explode START POSITIONS and build the shingle per exploded row (a
+    # plain row expression) — exploding a transform()-built shingle array
+    # would re-run the higher-order lambda per output row, the measured
+    # 10-66× interpreted-HOF trap documented at line_dedup_stats /
+    # decontaminate.
+    pos_hashes = (
+        documents.selectExpr("doc_id", f"{TOKENS} AS t")
+        .selectExpr(
+            "doc_id",
+            "t",
+            f"explode(CASE WHEN size(t) < {n} THEN array() "
+            f"ELSE sequence(1, size(t) - {n - 1}) END) AS pos",
+        )
+        .selectExpr("doc_id", "pos", f"{hex60(f'''concat_ws(' ', {parts})''')} AS h")
+    )
+    dup_hashes = (
+        pos_hashes.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    hits = pos_hashes.join(dup_hashes, "h", "left_semi")
+    # interval union of [pos, pos+n-1] spans: sorted by pos, each span
+    # contributes min(n, next_pos - pos) fresh tokens (n for the last).
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        hits.withColumn("nxt", F.lead("pos").over(w))
+        .withColumn(
+            "fresh",
+            F.least(F.lit(n), F.coalesce(F.col("nxt") - F.col("pos"), F.lit(n))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_ngrams"),
+            F.sum("fresh").cast("long").alias("covered_tokens"),
+        )
+    )
+    base = documents.selectExpr("doc_id", f"CAST(size({TOKENS}) AS BIGINT) AS n_tokens")
+    return base.join(cov, "doc_id", "left").selectExpr(
+        "doc_id",
+        "n_tokens",
+        "coalesce(n_dup_ngrams, CAST(0 AS BIGINT)) AS n_dup_ngrams",
+        "coalesce(covered_tokens, CAST(0 AS BIGINT)) AS covered_tokens",
+        "CASE WHEN n_tokens > 0 THEN "
+        "CAST(coalesce(covered_tokens, 0) AS DOUBLE) / n_tokens END AS dup_coverage_frac",
+    )
+
+
 # ---------------------------------------------------------------------------
 # fuzzy vocabulary matching
 # ---------------------------------------------------------------------------

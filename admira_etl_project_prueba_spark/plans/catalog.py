@@ -2794,6 +2794,49 @@ def _q_linededup(spark, sf_dir):
 
 
 @_entry(
+    "repeated_ngram_spans",
+    "Exact-substring (repeated-span) duplication profile: per-doc count of "
+    "8-token spans occurring verbatim in ≥2 documents and the fraction of "
+    "the doc's tokens covered by such spans (interval union via one LEAD "
+    "window).  The suffix-array-dedup signal, expressed as positional "
+    "n-gram hashing so both shuffles move hashes, never text.",
+    f"""WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 8 THEN [] ELSE range(1, len(t) - 6) END) AS pos,
+         t
+  FROM tok
+),
+sh AS (
+  SELECT doc_id, pos,
+         {_duck_hex60("array_to_string(t[pos:pos+7], ' ')")} AS h
+  FROM pos
+),
+dups AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM dups)),
+fresh AS (
+  SELECT doc_id, pos,
+         LEAST(8, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 8)) AS fresh
+  FROM hits
+),
+cov AS (
+  SELECT doc_id, COUNT(*) AS n_dup_ngrams, SUM(fresh) AS covered_tokens
+  FROM fresh GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       COALESCE(n_dup_ngrams, 0) AS n_dup_ngrams,
+       COALESCE(covered_tokens, 0) AS covered_tokens,
+       CASE WHEN len(t.t) > 0 THEN
+         CAST(COALESCE(covered_tokens, 0) AS DOUBLE) / len(t.t) END AS dup_coverage_frac
+FROM tok t LEFT JOIN cov ON t.doc_id = cov.doc_id""",
+)
+def _q_repeated_spans(spark, sf_dir):
+    return _tx.repeated_ngram_spans(_t(spark, sf_dir, "documents"), n=8, min_docs=2)
+
+
+@_entry(
     "events_trailing_window_load",
     "RANGE (time-interval) window frame: per-event trailing 60-min "
     "count/value per user, ordered by epoch microseconds (exact integer "

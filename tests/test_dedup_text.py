@@ -860,3 +860,45 @@ def test_mixture_sample_rates_determinism_and_null_default(spark):
     # default_rate=0 inverts the unlisted behaviour
     none_kept = textops.mixture_sample(d, rates, default_rate=0.0).collect()
     assert all(r["source"] != "drop" and r["source"] is not None for r in none_kept)
+
+
+def test_repeated_ngram_spans_planted(spark):
+    # doc 1 and doc 2 share one verbatim 10-token paragraph; doc 3 is
+    # disjoint.  With n=4 the shared span yields 7 duplicated 4-gram
+    # starts covering all 10 tokens of the span in each doc.
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"one two three {shared} four five", "en"),
+        (2, f"{shared} totally different tail here", "en"),
+        (3, "nothing in common with anything else at all whatsoever", "en"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in textops.repeated_ngram_spans(docs(spark, rows), n=4).collect()
+    }
+    assert out[1]["n_dup_ngrams"] == 7 and out[1]["covered_tokens"] == 10
+    assert out[2]["n_dup_ngrams"] == 7 and out[2]["covered_tokens"] == 10
+    assert out[2]["dup_coverage_frac"] == 10 / out[2]["n_tokens"]
+    assert out[3]["n_dup_ngrams"] == 0 and out[3]["covered_tokens"] == 0
+
+
+def test_repeated_ngram_spans_interval_union_and_short_docs(spark):
+    # overlapping + disjoint duplicated spans in one doc: the interval
+    # union must not double-count, and sub-n docs get zero coverage.
+    rows = [
+        (1, "a b c d x x x a b c d", "en"),   # dup 4-gram at pos 1 and 8
+        (2, "a b c d", "en"),                  # the shared 4-gram, exactly
+        (3, "too short", "en"),                # < n tokens
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in textops.repeated_ngram_spans(docs(spark, rows), n=4).collect()
+    }
+    assert out[1]["covered_tokens"] == 8       # two disjoint 4-token spans
+    assert out[2]["covered_tokens"] == 4 and out[2]["dup_coverage_frac"] == 1.0
+    assert out[3]["n_tokens"] == 2 and out[3]["covered_tokens"] == 0
+    # intra-doc repetition alone never flags (distinct-doc count < 2)
+    solo = textops.repeated_ngram_spans(
+        docs(spark, [(9, "p q r s p q r s p q r s", "en")]), n=4
+    ).collect()[0]
+    assert solo["n_dup_ngrams"] == 0
