@@ -1195,6 +1195,37 @@ def line_dedup_stats(
     )
 
 
+def _dup_span_hits(documents: DataFrame, n: int, min_docs: int) -> DataFrame:
+    """(doc_id, pos) of every n-token span occurring in ≥min_docs distinct
+    documents — the shared core of the span-dedup profile/removal pair.
+
+    Start POSITIONS are exploded and the shingle is built per exploded row
+    (a plain row expression) — exploding a transform()-built shingle array
+    would re-run the higher-order lambda per output row, the measured
+    10-66× interpreted-HOF trap documented at line_dedup_stats /
+    decontaminate.  Both shuffles (distinct-doc count per hash; hit
+    semi-join) move 60-bit hashes and int positions, never text.
+    """
+    parts = ", ".join(f"element_at(t, pos + {d})" for d in range(n))
+    pos_hashes = (
+        documents.selectExpr("doc_id", f"{TOKENS} AS t")
+        .selectExpr(
+            "doc_id",
+            "t",
+            f"explode(CASE WHEN size(t) < {n} THEN array() "
+            f"ELSE sequence(1, size(t) - {n - 1}) END) AS pos",
+        )
+        .selectExpr("doc_id", "pos", f"{hex60(f'''concat_ws(' ', {parts})''')} AS h")
+    )
+    dup_hashes = (
+        pos_hashes.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    return pos_hashes.join(dup_hashes, "h", "left_semi").select("doc_id", "pos")
+
+
 def repeated_ngram_spans(
     documents: DataFrame,
     n: int = 8,
@@ -1225,29 +1256,7 @@ def repeated_ngram_spans(
     """
     from pyspark.sql import Window
 
-    parts = ", ".join(f"element_at(t, pos + {d})" for d in range(n))
-    # explode START POSITIONS and build the shingle per exploded row (a
-    # plain row expression) — exploding a transform()-built shingle array
-    # would re-run the higher-order lambda per output row, the measured
-    # 10-66× interpreted-HOF trap documented at line_dedup_stats /
-    # decontaminate.
-    pos_hashes = (
-        documents.selectExpr("doc_id", f"{TOKENS} AS t")
-        .selectExpr(
-            "doc_id",
-            "t",
-            f"explode(CASE WHEN size(t) < {n} THEN array() "
-            f"ELSE sequence(1, size(t) - {n - 1}) END) AS pos",
-        )
-        .selectExpr("doc_id", "pos", f"{hex60(f'''concat_ws(' ', {parts})''')} AS h")
-    )
-    dup_hashes = (
-        pos_hashes.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("h")
-    )
-    hits = pos_hashes.join(dup_hashes, "h", "left_semi")
+    hits = _dup_span_hits(documents, n, min_docs)
     # interval union of [pos, pos+n-1] spans: sorted by pos, each span
     # contributes min(n, next_pos - pos) fresh tokens (n for the last).
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -1271,6 +1280,52 @@ def repeated_ngram_spans(
         "coalesce(covered_tokens, CAST(0 AS BIGINT)) AS covered_tokens",
         "CASE WHEN n_tokens > 0 THEN "
         "CAST(coalesce(covered_tokens, 0) AS DOUBLE) / n_tokens END AS dup_coverage_frac",
+    )
+
+
+def remove_repeated_spans(
+    documents: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The span-dedup ACTION: rewrite each document with every token that
+    sits inside a cross-document duplicated n-gram removed (the profile
+    twin is :func:`repeated_ngram_spans`).
+
+    Scale shape: the duplicated-span hit set is computed hash-side
+    (see ``_dup_span_hits``), reduced to ONE sorted start-position array
+    per affected document, and joined back — so the rewrite itself is
+    row-local: a two-arg ``transform`` tags each token with its 1-based
+    position, ``exists`` probes the doc's own start array, ``concat_ws``
+    rebuilds the text.  Per-doc cost is O(tokens × dup_starts); dup_starts
+    is bounded by doc length, and for boilerplate-style duplication it is
+    a handful of intervals.  Documents with no duplicated spans pass
+    through byte-identical.
+
+    Returns ``doc_id, n_tokens, n_removed_tokens, text_clean`` for every
+    input document.
+    """
+    starts = (
+        _dup_span_hits(documents, n, min_docs)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("starts"))
+    )
+    return (
+        documents.selectExpr("doc_id", f"{TOKENS} AS t")
+        .join(starts, "doc_id", "left")
+        .selectExpr("doc_id", "t", "coalesce(starts, array()) AS s")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(t) AS BIGINT) AS n_tokens",
+            "filter(transform(t, (tok, i) -> struct(tok AS tok, i + 1 AS p)), "
+            f"x -> NOT exists(s, st -> x.p >= st AND x.p <= st + {n - 1})) AS kept",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_tokens - CAST(size(kept) AS BIGINT) AS n_removed_tokens",
+            "concat_ws(' ', transform(kept, x -> x.tok)) AS text_clean",
+        )
     )
 
 

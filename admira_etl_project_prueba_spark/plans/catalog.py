@@ -2837,6 +2837,53 @@ def _q_repeated_spans(spark, sf_dir):
 
 
 @_entry(
+    "remove_repeated_spans",
+    "Span-dedup ACTION: rewrite every document with tokens inside "
+    "cross-document duplicated 8-grams removed.  Hit detection is "
+    "hash-side; the rewrite is one row-local two-arg transform against "
+    "the doc's own sorted start array.",
+    f"""WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 8 THEN [] ELSE range(1, len(t) - 6) END) AS pos,
+         t
+  FROM tok
+),
+sh AS (
+  SELECT doc_id, pos,
+         {_duck_hex60("array_to_string(t[pos:pos+7], ' ')")} AS h
+  FROM pos
+),
+dups AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM dups)),
+tokpos AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t FROM tok
+),
+kept AS (
+  SELECT tp.doc_id, tp.p, tp.t[tp.p] AS tok
+  FROM tokpos tp
+  ANTI JOIN (SELECT DISTINCT tp2.doc_id, tp2.p
+             FROM tokpos tp2 JOIN hits h
+               ON tp2.doc_id = h.doc_id AND tp2.p BETWEEN h.pos AND h.pos + 7) r
+    ON tp.doc_id = r.doc_id AND tp.p = r.p
+),
+clean AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed_tokens,
+       COALESCE(text_clean, '') AS text_clean
+FROM tok t LEFT JOIN clean ON t.doc_id = clean.doc_id""",
+)
+def _q_remove_spans(spark, sf_dir):
+    return _tx.remove_repeated_spans(_t(spark, sf_dir, "documents"), n=8, min_docs=2)
+
+
+@_entry(
     "events_trailing_window_load",
     "RANGE (time-interval) window frame: per-event trailing 60-min "
     "count/value per user, ordered by epoch microseconds (exact integer "

@@ -902,3 +902,27 @@ def test_repeated_ngram_spans_interval_union_and_short_docs(spark):
         docs(spark, [(9, "p q r s p q r s p q r s", "en")]), n=4
     ).collect()[0]
     assert solo["n_dup_ngrams"] == 0
+
+
+def test_remove_repeated_spans_rewrites_only_covered_tokens(spark):
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"intro words {shared} closing remark", "en"),
+        (2, f"{shared} other material", "en"),
+        (3, "untouched document stays byte identical here", "en"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in textops.remove_repeated_spans(docs(spark, rows), n=4).collect()
+    }
+    assert out[1]["text_clean"] == "intro words closing remark"
+    assert out[1]["n_removed_tokens"] == 6
+    assert out[2]["text_clean"] == "other material"
+    assert out[3]["text_clean"] == rows[2][1]
+    assert out[3]["n_removed_tokens"] == 0
+    # profile and action agree on what was covered
+    prof = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in textops.repeated_ngram_spans(docs(spark, rows), n=4).collect()
+    }
+    assert all(prof[d] == out[d]["n_removed_tokens"] for d in prof)
