@@ -489,3 +489,100 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
             "n_vectors",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd's) — the trainer behind IVF centroids
+# ---------------------------------------------------------------------------
+
+def _kmeans_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id, v): nearest-centroid assignment against an
+    arbitrary (centroid_id, q) frame — the per-iteration step of Lloyd's.
+
+    Same dataflow as ``ivf_assign``: centroids broadcast (model-sized),
+    argmax as ONE hash aggregate of a (cosine, -centroid_id, v) struct —
+    (cosine, centroid_id) pairs are unique per vector, so carrying ``v``
+    inside the struct never changes the max but saves a second join to
+    recover the vector for the centroid update.
+    """
+    t = _as_double(embeddings, "v").select("vec_id", "v")
+    scored = with_cosine(t.crossJoin(F.broadcast(centroids)), "q", "v")
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cosine"),
+                (-F.col("centroid_id")).alias("neg_cid"),
+                F.col("v"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("m.neg_cid")).cast("long").alias("centroid_id"),
+        F.col("m.v").alias("v"),
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column, fully
+    deterministic and engine-portable:
+
+    * init: the first ``k`` stored vectors (the same deterministic seeds
+      ``ivf_assign`` uses — this IS the trainer that refines them);
+    * assign: cosine argmax against broadcast centroids (ties → smallest
+      centroid id);
+    * update: per-centroid per-dimension mean computed as an EXACT
+      decimal(25,6) sum divided in double — the sum is order-independent,
+      so the new centroids are bit-identical at any partitioning/cluster
+      size (a plain double sum would drift with reduction order);
+    * empty clusters keep their previous centroid.
+
+    The whole ``iters``-round refinement is ONE lazy plan — no driver
+    collect anywhere; each round costs two hash-aggregate shuffles of
+    narrow rows (argmax of structs; per-dim partial sums), and the
+    per-dim explode is of (centroid_id, d, val) triples, never text-sized
+    payloads.  At model scale one would snapshot the k×dim centroid frame
+    between rounds (it is driver-sized by definition); staying lazy keeps
+    the operator a pure DataFrame → DataFrame function.
+
+    Returns long-form centroids: ``centroid_id, n_members, d, val``
+    (d is 1-based) — scalar rows, directly oracle-comparable.
+    """
+    cents = _as_double(embeddings.filter(F.col("vec_id") < k), "q").selectExpr(
+        "vec_id AS centroid_id", "q", "CAST(0 AS BIGINT) AS n_members"
+    )
+    for _ in range(iters):
+        assigned = _kmeans_assign(embeddings, cents.select("centroid_id", "q"))
+        upd = (
+            assigned.selectExpr("centroid_id", "posexplode(v) AS (d0, val)")
+            .selectExpr(
+                "centroid_id",
+                "d0 + 1 AS d",
+                "CAST(val AS DECIMAL(25,6)) AS vald",
+            )
+            .groupBy("centroid_id", "d")
+            .agg(F.sum("vald").alias("s"), F.count(F.lit(1)).alias("n"))
+            .selectExpr("centroid_id", "d", "CAST(s AS DOUBLE) / n AS val", "n")
+        )
+        newc = upd.groupBy("centroid_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, val))), x -> x.val)"
+            ).alias("q_new"),
+            F.max("n").cast("long").alias("n_new"),
+        )
+        cents = (
+            cents.select("centroid_id", F.col("q").alias("q_prev"))
+            .join(newc, "centroid_id", "left")
+            .selectExpr(
+                "centroid_id",
+                "coalesce(q_new, q_prev) AS q",
+                "coalesce(n_new, CAST(0 AS BIGINT)) AS n_members",
+            )
+        )
+    return cents.selectExpr(
+        "centroid_id", "n_members", "posexplode(q) AS (d0, val)"
+    ).selectExpr(
+        "centroid_id", "n_members", "CAST(d0 + 1 AS INT) AS d", "val"
+    )

@@ -2205,6 +2205,63 @@ assign AS (
 )"""
 
 
+def _duck_kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Unrolled DuckDB twin of similarity.kmeans_centroids: one CTE chain
+    per Lloyd's round (assign = ROW_NUMBER argmax mirroring Spark's
+    max-of-struct; update = decimal(25,6)-exact per-dim mean)."""
+    cos = (
+        f"CASE WHEN {_duck_norm('c')} > 0 AND {_duck_norm('v')} > 0 "
+        f"THEN {_duck_dot('c', 'v')} / ({_duck_norm('c')} * {_duck_norm('v')}) "
+        "ELSE 0.0 END"
+    )
+    ctes = [
+        f"t AS (SELECT vec_id, {_DUCK_VD} AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS c, CAST(0 AS BIGINT) AS n_members "
+        f"FROM t WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        p = f"c{i - 1}"
+        ctes += [
+            f"""a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT t.vec_id, t.v, {p}.cid,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cos} DESC, {p}.cid) AS _r
+    FROM t, {p})
+  WHERE _r = 1)""",
+            f"""u{i} AS (
+  SELECT cid, d,
+         CAST(SUM(CAST(v[d] AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS val,
+         COUNT(*) AS n
+  FROM (SELECT cid, v, unnest(generate_series(1, 64)) AS d FROM a{i})
+  GROUP BY cid, d)""",
+            f"""g{i} AS (
+  SELECT cid, array_agg(val ORDER BY d) AS c_new, MAX(n) AS n FROM u{i} GROUP BY cid)""",
+            f"""c{i} AS (
+  SELECT p.cid, COALESCE(g.c_new, p.c) AS c,
+         CAST(COALESCE(g.n, 0) AS BIGINT) AS n_members
+  FROM {p} p LEFT JOIN g{i} g ON p.cid = g.cid)""",
+        ]
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT cid AS centroid_id, n_members, CAST(d AS INT) AS d, c[d] AS val
+FROM (SELECT cid, n_members, c, unnest(generate_series(1, 64)) AS d FROM c{iters})"""
+    )
+
+
+@_entry(
+    "kmeans_centroids",
+    "Distributed Lloyd's k-means (k=8, 2 rounds) over the embedding "
+    "column: broadcast-centroid cosine argmax, decimal-exact per-dim "
+    "means (order-independent ⇒ bit-identical at any partitioning), "
+    "empty clusters keep their previous centroid.  One lazy plan, no "
+    "driver collect.  Long-form output (centroid_id, n_members, d, val).",
+    _duck_kmeans_sql(k=8, iters=2),
+)
+def _q_kmeans(spark, sf_dir):
+    return _sim.kmeans_centroids(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
 @_entry(
     "ann_ivf_assignments",
     "IVF inverted-list assignment: broadcast seed centroids, per-row "
@@ -2822,7 +2879,8 @@ fresh AS (
   FROM hits
 ),
 cov AS (
-  SELECT doc_id, COUNT(*) AS n_dup_ngrams, SUM(fresh) AS covered_tokens
+  SELECT doc_id, COUNT(*) AS n_dup_ngrams,
+         CAST(SUM(fresh) AS BIGINT) AS covered_tokens
   FROM fresh GROUP BY doc_id
 )
 SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,

@@ -290,3 +290,60 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     # every reported pair has its smaller member surviving or dropped only
     # via an even-smaller partner — min id of each component always survives
     assert min(a for a, _ in got) in surv
+
+
+def test_kmeans_centroids_planted_clusters(spark):
+    # two tight clusters on orthogonal axes; seeds (vec 0, vec 1) land one
+    # in each, so two Lloyd's rounds must recover the per-cluster means.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 1),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [0.8, 0.0, 0.2, 0.0], 0),
+        (4, [0.0, 0.9, 0.1, 0.0], 1),
+        (5, [0.1, 0.8, 0.0, 0.0], 1),
+    ]
+    out = similarity.kmeans_centroids(emb(spark, rows), k=2, iters=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["centroid_id"], {})[r["d"]] = r
+    assert set(by) == {0, 1}
+    assert by[0][1]["n_members"] == 3 and by[1][1]["n_members"] == 3
+    # centroid 0 = mean of vecs {0,2,3} in dim 1 = (1.0+0.9+0.8)/3
+    assert by[0][1]["val"] == pytest.approx(0.9, abs=1e-6)
+    assert by[1][2]["val"] == pytest.approx(0.9, abs=1e-6)
+    # long form covers every dimension exactly once per centroid
+    assert sorted(by[0]) == [1, 2, 3, 4]
+
+
+def test_kmeans_empty_cluster_keeps_seed_and_determinism(spark):
+    # vec 1 duplicates vec 0: every vector ties to centroid 0 (smallest id
+    # wins), so centroid 1 gets no members and must keep its seed vector.
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+    ]
+    out = similarity.kmeans_centroids(emb(spark, rows), k=2, iters=1).collect()
+    c1 = {r["d"]: r for r in out if r["centroid_id"] == 1}
+    assert c1[1]["n_members"] == 0
+    assert c1[1]["val"] == 1.0 and c1[2]["val"] == 0.0   # untouched seed
+    c0 = {r["d"]: r for r in out if r["centroid_id"] == 0}
+    assert c0[1]["n_members"] == 3
+    # round 2: centroid 0 has moved to the 3-vector mean, so the two
+    # vectors bit-equal to centroid 1's untouched seed flip back to it —
+    # Lloyd's reassignment through the kept-seed path.
+    out = similarity.kmeans_centroids(emb(spark, rows), k=2, iters=2).collect()
+    members = {
+        r["centroid_id"]: r["n_members"] for r in out if r["d"] == 1
+    }
+    assert members == {0: 1, 1: 2}
+    # deterministic: re-run of the 2-round plan is identical
+    again = similarity.kmeans_centroids(emb(spark, rows), k=2, iters=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # a different shuffle partitioning must not change the decimal-exact
+    # means (the reduction-order independence claim)
+    repart = similarity.kmeans_centroids(
+        emb(spark, rows).repartition(7), k=2, iters=2
+    ).collect()
+    assert sorted(map(tuple, repart)) == sorted(map(tuple, out))
