@@ -119,20 +119,32 @@ def connected_components_star(
     stabilizes as a star forest (u > center for every edge), read out
     directly as the labeling.
     """
-    sym = (
-        edges.selectExpr(f"{src} AS u", f"{dst} AS v")
-        .unionByName(edges.selectExpr(f"{dst} AS u", f"{src} AS v"))
+    # canonicalize (u > v) and dedup ONCE: every round's symmetric view is
+    # then canon ∪ swap(canon), disjoint by construction — no per-round
+    # distinct shuffle to rebuild the neighbor lists.
+    canon = (
+        edges.selectExpr(
+            f"greatest({src}, {dst}) AS u", f"least({src}, {dst}) AS v"
+        )
         .distinct()
         .localCheckpoint()  # same rationale as connected_components: the
         # upstream edge producer must not replay every round
     )
     # nodes BEFORE the self-loop filter: a node appearing only as (x, x)
     # must still be labeled (as its own center) to match label propagation
-    nodes = sym.selectExpr("u AS node").distinct().localCheckpoint()
-    e = sym.filter("u <> v")
+    nodes = (
+        canon.selectExpr("u AS node")
+        .unionByName(canon.selectExpr("v AS node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = canon.filter("u <> v")
+    n_edges = None  # count of e when known (checkpointed rounds)
     for _ in range(max_iter):
         # ---- large-star: (v, m) for every neighbor v > u ----------------
-        full = e.unionByName(e.selectExpr("v AS u", "u AS v")).distinct()
+        # e is canonical-distinct, so e and swap(e) are disjoint: the
+        # union IS the symmetric edge set, distinct-free.
+        full = e.unionByName(e.selectExpr("v AS u", "u AS v"))
         mins = (
             full.groupBy("u")
             .agg(F.min("v").alias("mv"))
@@ -146,12 +158,11 @@ def connected_components_star(
             .distinct()
         )
         # ---- small-star: u and its smaller neighbors onto their min -----
-        dirn = large.selectExpr(
-            "greatest(u, v) AS u", "least(u, v) AS v"
-        ).distinct()
-        mins_s = dirn.groupBy("u").agg(F.min("v").alias("m"))
+        # large is already canonical (each row has u > v: u=old v > old u
+        # ≥ m = v) and distinct — use it directly, no re-canonicalization
+        mins_s = large.groupBy("u").agg(F.min("v").alias("m"))
         small = (
-            dirn.join(mins_s, "u")
+            large.join(mins_s, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(mins_s.selectExpr("u", "m AS v"))
             .filter("u <> v")
@@ -159,11 +170,18 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        # fixed point: the (canonicalized) edge set did not change
-        if small.exceptAll(e).isEmpty() and e.exceptAll(small).isEmpty():
+        # fixed point: the (canonicalized) edge set did not change.  Both
+        # sides are distinct sets, so equality ⇔ equal cardinality AND
+        # empty one-sided difference — one count (cheap on the checkpoint
+        # we just cut) plus ONE exceptAll job instead of two.
+        n_small = small.count()
+        if n_edges is None:
+            n_edges = e.count()
+        if n_small == n_edges and small.exceptAll(e).isEmpty():
             e = small
             break
         e = small
+        n_edges = n_small
     else:
         raise RuntimeError(
             f"connected_components_star: no fixed point in {max_iter} rounds"
