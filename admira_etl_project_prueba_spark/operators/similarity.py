@@ -586,3 +586,46 @@ def kmeans_centroids(
     ).selectExpr(
         "centroid_id", "n_members", "CAST(d0 + 1 AS INT) AS d", "val"
     )
+
+
+def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
+    """Symmetric per-vector int quantization — the storage/serving prep
+    step for vector search at scale (4-8× smaller index bytes, integer
+    SIMD dot products downstream).
+
+    scale = max|x| / (2^(bits-1) - 1); q_i = round(x_i / scale)
+    (zero vectors quantize to zeros with scale 0).  Entirely row-local —
+    array_max / transform / zip_with in codegen, no shuffle, no UDF —
+    and deterministic, so quantized indexes are reproducible across
+    engines and cluster sizes.  ``max_abs_err`` (∞-norm reconstruction
+    error, ≤ scale/2 by construction) travels with each row: the audit
+    column a quantization rollout decides on.
+
+    Returns (vec_id, label, scale, q array<int>, max_abs_err).
+    """
+    qmax = (1 << (bits - 1)) - 1
+    t = _as_double(embeddings, "v")
+    return (
+        t.selectExpr(
+            "vec_id",
+            "label",
+            "v",
+            f"array_max(transform(v, x -> abs(x))) / {qmax} AS scale",
+        )
+        .selectExpr(
+            "vec_id",
+            "label",
+            "scale",
+            "v",
+            "transform(v, x -> CASE WHEN scale > 0 THEN CAST(round(x / scale) AS INT) "
+            "ELSE 0 END) AS q",
+        )
+        .selectExpr(
+            "vec_id",
+            "label",
+            "scale",
+            "q",
+            "aggregate(zip_with(v, q, (x, qq) -> abs(x - qq * scale)), "
+            "CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x)) AS max_abs_err",
+        )
+    )

@@ -550,6 +550,73 @@ def mixture_sample(
     )
 
 
+def token_budget_sample(
+    documents: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    salt: str = "budget1",
+) -> DataFrame:
+    """Deterministic per-source TOKEN-budget sampling: each source
+    contributes a pseudo-random prefix of its documents whose cumulative
+    token count stays within the source's budget (docs are never split;
+    the first doc that would overflow is excluded, as is everything after
+    it in rank order).
+
+    This is the mixture knob expressed the way training actually meters
+    data — tokens, not documents or rates: "20M tokens of web, all of
+    wiki".  Like :func:`mixture_sample`, membership is a pure function of
+    (doc_id, salt): the md5 rank gives a stable shuffle of each source,
+    so the sample is reproducible on any engine/run/cluster and only
+    GROWS a source's prefix when its budget grows.  ``default_budget``
+    None means unlisted (and NULL-source) strata pass through whole.
+
+    Scale shape: the budget map is a broadcast left-join; the greedy
+    prefix is ONE running-sum window per source — a single shuffle keyed
+    by source.  Exact greedy prefix semantics are inherently sequential
+    per source (each doc's verdict depends on every lower-ranked doc),
+    so the per-source ordering is the honest minimum work; sources
+    parallelize across the cluster, and a pathologically hot source is
+    one window partition — the same bound the per-source rollup family
+    already documents.
+
+    Returns kept documents: (doc_id, source, n_tokens, cum_tokens) with
+    the NULL-source sentinel applied, cum_tokens being the running total
+    the verdict was made on.
+    """
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    rows = [(s, int(b)) for s, b in sorted(budgets.items())]
+    budget_df = spark.createDataFrame(rows, "source string, _budget long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("rank", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keyed = f"concat(doc_id, '_', '{salt}')"
+    base = documents.selectExpr(
+        f"coalesce(source, '{UNKNOWN_SOURCE}') AS source",
+        "doc_id",
+        f"CAST(size({TOKENS}) AS BIGINT) AS n_tokens",
+        f"{hex60(keyed)} AS rank",
+    )
+    out = (
+        base.join(F.broadcast(budget_df), "source", "left")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "_budget",
+            F.coalesce(
+                "_budget",
+                F.lit(None if default_budget is None else int(default_budget)).cast(
+                    "long"
+                ),
+            ),
+        )
+        .filter(F.col("_budget").isNull() | (F.col("cum_tokens") <= F.col("_budget")))
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
 def token_frequencies(documents: DataFrame, top_k: int = 100) -> DataFrame:
     """Corpus token frequencies (vocabulary building): global count and
     document frequency per token, deterministic top-k.

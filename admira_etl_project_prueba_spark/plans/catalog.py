@@ -1722,6 +1722,37 @@ def _q_mixture_sample(spark, sf_dir):
 
 
 @_entry(
+    "token_budget_sample",
+    "Deterministic per-source TOKEN-budget sampling: each source keeps a "
+    "stable md5-ranked prefix of docs whose cumulative tokens fit its "
+    "budget (src0: 500 tokens, src1: uncapped-by-size, others: default "
+    "800).  Budget map broadcast; one running-sum window per source.",
+    f"""WITH base AS (
+  SELECT COALESCE(source, '{_tx.UNKNOWN_SOURCE}') AS source, doc_id,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens,
+         {_duck_hex60("doc_id || '_' || 'budget1'")} AS rank
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY rank, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         CASE source WHEN 'src0' THEN 500 WHEN 'src1' THEN 100000
+              ELSE 800 END AS budget
+  FROM base
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= budget""",
+)
+def _q_token_budget(spark, sf_dir):
+    return _tx.token_budget_sample(
+        _t(spark, sf_dir, "documents"),
+        budgets={"src0": 500, "src1": 100000},
+        default_budget=800,
+    )
+
+
+@_entry(
     "token_frequencies",
     "Vocabulary building: global token counts + document frequency, "
     "deterministic top-100 (map-side partial agg ⇒ shuffle carries vocab "
@@ -2260,6 +2291,41 @@ FROM (SELECT cid, n_members, c, unnest(generate_series(1, 64)) AS d FROM c{iters
 )
 def _q_kmeans(spark, sf_dir):
     return _sim.kmeans_centroids(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+@_entry(
+    "quantize_embeddings",
+    "Symmetric per-vector int8 quantization (storage/serving prep): "
+    "scale = max|x|/127, q = round(x/scale), ∞-norm reconstruction error "
+    "per vector.  Row-local, no UDF; long-form (vec_id, d, qval) output.",
+    f"""WITH t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings),
+s AS (
+  SELECT vec_id, label, v,
+         list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+  FROM t
+),
+q AS (
+  SELECT vec_id, label, scale, v,
+         list_transform(v, x -> CASE WHEN scale > 0
+                                     THEN CAST(round(x / scale) AS INT)
+                                     ELSE 0 END) AS qv
+  FROM s
+),
+e AS (
+  SELECT vec_id, label, scale, qv,
+         list_max(list_transform(range(1, 65), i -> abs(v[i] - qv[i] * scale)))
+           AS max_abs_err
+  FROM q
+)
+SELECT vec_id, label, scale, max_abs_err,
+       CAST(d AS INT) AS d, qv[d] AS qval
+FROM (SELECT *, unnest(generate_series(1, 64)) AS d FROM e)""",
+)
+def _q_quantize(spark, sf_dir):
+    out = _sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return out.selectExpr(
+        "vec_id", "label", "scale", "max_abs_err", "posexplode(q) AS (d0, qval)"
+    ).selectExpr("vec_id", "label", "scale", "max_abs_err", "CAST(d0 + 1 AS INT) AS d", "qval")
 
 
 @_entry(

@@ -68,6 +68,19 @@ BENCH_QUERIES = [
     "token_typo_pairs",
     "q16_supplier_part_counts",
     "events_latest_per_user",
+    # round-4 additions: the rest of the heavy TPC-H set and the new
+    # LLM-pipeline operators (span-level dedup, k-means, semantic dedup,
+    # deterministic mixture sampling)
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q12_priority_shipping",
+    "q17_small_quantity_revenue",
+    "q20_promotable_suppliers",
+    "repeated_ngram_spans",
+    "remove_repeated_spans",
+    "kmeans_centroids",
+    "semantic_dedup_survivors",
+    "mixture_sample",
 ]
 
 

@@ -926,3 +926,33 @@ def test_remove_repeated_spans_rewrites_only_covered_tokens(spark):
         for r in textops.repeated_ngram_spans(docs(spark, rows), n=4).collect()
     }
     assert all(prof[d] == out[d]["n_removed_tokens"] for d in prof)
+
+
+def test_token_budget_sample_greedy_prefix_semantics(spark):
+    # source 'a': 3 docs of 4 tokens each, budget 9 → exactly the two
+    # lowest-ranked docs fit (8 ≤ 9 < 12); 'b' unlisted passes through
+    # under default; NULL source lands in the sentinel bucket.
+    rows = [
+        (1, "w x y z", "a"),
+        (2, "w x y z", "a"),
+        (3, "w x y z", "a"),
+        (4, "p q", "b"),
+        (5, "long enough text here", None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = textops.token_budget_sample(d, {"a": 9}, default_budget=100)
+    got = {r["doc_id"]: r for r in out.collect()}
+    a_kept = [i for i in (1, 2, 3) if i in got]
+    assert len(a_kept) == 2
+    assert max(got[i]["cum_tokens"] for i in a_kept) == 8
+    assert got[4]["source"] == "b" and got[5]["source"] == textops.UNKNOWN_SOURCE
+    # determinism + monotonicity: a bigger budget keeps a SUPERSET
+    bigger = {
+        r["doc_id"]
+        for r in textops.token_budget_sample(d, {"a": 12}, default_budget=100).collect()
+    }
+    assert set(a_kept) <= bigger and len([i for i in (1, 2, 3) if i in bigger]) == 3
+    # default_budget=None: unlisted strata pass through whole
+    nocap = textops.token_budget_sample(d, {"a": 0}, default_budget=None)
+    ids = {r["doc_id"] for r in nocap.collect()}
+    assert ids == {4, 5}

@@ -347,3 +347,19 @@ def test_kmeans_empty_cluster_keeps_seed_and_determinism(spark):
         emb(spark, rows).repartition(7), k=2, iters=2
     ).collect()
     assert sorted(map(tuple, repart)) == sorted(map(tuple, out))
+
+
+def test_quantize_embeddings_bounds_and_zero_vector(spark):
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0], 0),
+        (1, [0.0, 0.0, 0.0, 0.0], 1),    # zero vector
+        (2, [-2.0, 2.0, 1.0, -1.0], 2),
+    ]
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(emb(spark, rows)).collect()}
+    # max element always hits ±127; error bounded by scale/2
+    assert out[0]["q"][0] == 127 and out[0]["q"][1] == -64
+    assert out[0]["max_abs_err"] <= out[0]["scale"] / 2 + 1e-12
+    assert out[2]["q"] == [-127, 127, 64, -64]
+    # zero vector: scale 0, all-zero codes, zero error — no NaN/div0
+    assert out[1]["scale"] == 0.0 and out[1]["q"] == [0, 0, 0, 0]
+    assert out[1]["max_abs_err"] == 0.0
