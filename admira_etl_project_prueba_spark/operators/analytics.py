@@ -1561,3 +1561,40 @@ def events_value_histogram(
             "n",
         )
     )
+
+
+def events_type_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition statistics over each user's event
+    stream: counts and conditional probabilities of event_type →
+    next-event_type, the standard input to funnel discovery and
+    next-action models.
+
+    ONE shuffle (hash partition by user_id) feeds the lag window; the
+    transition aggregation and the per-source-type probability window both
+    run on the tiny (|types|²-row) aggregate.  Session-boundary policy:
+    transitions are counted across a user's whole stream (no gap split) —
+    compose with sessionize first for within-session transitions.
+
+    Returns (prev_type, next_type, n_transitions, p_transition) where
+    p_transition sums to 1 per prev_type.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tot)
+        ).alias("p_transition"),
+    )

@@ -1463,3 +1463,183 @@ def token_typo_pairs(documents: DataFrame, max_distance: int = 1) -> DataFrame:
         .distinct()  # a pair can match under both F- and L-blocks
     )
     return pairs
+
+def contamination_scores(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+) -> DataFrame:
+    """Fractional benchmark-contamination scores: for each training document,
+    the FRACTION of its distinct k-token shingles that also appear in the
+    evaluation/benchmark set — the graded companion to the boolean
+    ``decontaminate`` verdict (thresholding policy belongs to the caller:
+    drop at >0.8, down-weight at >0.2, etc.).
+
+    Scale shape is identical to ``decontaminate``: the benchmark side's
+    distinct shingle hashes are BROADCAST; the corpus side explodes its
+    shingles row-locally, probes the broadcast set as a left join, and ONE
+    aggregation computes both the per-doc shingle count and the overlap
+    count — the corpus is scanned exactly once and its text never shuffles.
+
+    Returns (doc_id, n_shingles, n_overlap, contamination_frac); docs too
+    short to have a k-shingle score 0.0.
+    """
+    def _shingle_rows(df: DataFrame) -> DataFrame:
+        # row-level hashing after the explode — HOF lambdas skip codegen
+        # subexpression elimination (see decontaminate)
+        return (
+            df.selectExpr("doc_id", f"{TOKENS} AS t")
+            .selectExpr("doc_id", f"explode(array_distinct({_shingle_expr(k)})) AS s")
+            .selectExpr("doc_id", f"{hex60('s')} % {MERSENNE31} AS h")
+        )
+
+    bench_hashes = (
+        _shingle_rows(benchmark).select("h").distinct().withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        _shingle_rows(documents)
+        .join(F.broadcast(bench_hashes), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(n_shingles, 0) AS n_shingles",
+            "coalesce(n_overlap, 0) AS n_overlap",
+            "CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0.0 "
+            "ELSE CAST(n_overlap AS DOUBLE) / n_shingles END AS contamination_frac",
+        )
+    )
+
+
+def sorted_neighborhood_pairs(
+    documents: DataFrame,
+    window: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernández & Stolfo's classic
+    entity-resolution blocking): records sorted by a normalized key are
+    compared only against their next ``window`` neighbors in sort order.
+
+    Distributed shape: the sort key's FIRST CHARACTER is the block; rows
+    hash-partition by block and the neighbor window runs per block — no
+    global sort, no SinglePartition exchange, blocks proceed in parallel.
+    (Pairs that straddle a block boundary are not generated; that is the
+    standard recall trade-off of blocked SNM and is documented here rather
+    than hidden.)  Each candidate pair is then verified with an exact
+    Jaccard over k-shingle sets, so precision is exact; only recall
+    depends on the blocking.
+
+    Returns (doc_a, doc_b, block, jaccard) with doc_a < doc_b.
+    """
+    from pyspark.sql import Window as W
+
+    keyed = documents.selectExpr(
+        "doc_id",
+        "regexp_replace(lower(trim(text)), '\\\\s+', ' ') AS sortkey",
+    ).selectExpr("doc_id", "sortkey", "substring(sortkey, 1, 1) AS block")
+    w = W.partitionBy("block").orderBy("sortkey", "doc_id")
+    # one window pass computes all `window` leads (generators can't host
+    # window expressions, so the explode is a separate projection)
+    leads = (
+        keyed.select(
+            "block",
+            F.col("doc_id").alias("doc_l"),
+            F.array(
+                *[F.lead("doc_id", d).over(w) for d in range(1, window + 1)]
+            ).alias("nbrs"),
+        )
+        .select("block", "doc_l", F.explode("nbrs").alias("doc_r"))
+        .filter(F.col("doc_r").isNotNull())
+    )
+    cands = leads.selectExpr(
+        "block",
+        "least(doc_l, doc_r) AS doc_a",
+        "greatest(doc_l, doc_r) AS doc_b",
+    ).distinct()
+    sh = shingle_hashes(documents, k)
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .filter("size(sh_a) + size(sh_b) > 0")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "block",
+            "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+            "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) AS jaccard",
+        )
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. 2007) — every pair with shingle-Jaccard
+    ≥ ``threshold``, with NO all-pairs comparison and NO LSH approximation.
+
+    Prefix-filtering principle: order each doc's shingle set by ascending
+    global document frequency (rarest first, ties by hash); if
+    J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so B must hit A's first
+    |A| − ⌈t·|A|⌉ + 1 shingles (pigeonhole).  Candidates are therefore an
+    equi-join on PREFIX shingles only — the rarest tokens, so the join
+    fan-out is bounded by the frequency skew, not corpus².  Exact Jaccard
+    verification then makes the output identical to brute force.
+
+    Scale shape: one groupBy for global shingle frequencies, one window
+    rank per doc (partitioned by doc_id), an equi-join on prefix hashes,
+    and a verify join over candidates only.  Compare ``lsh_candidate_pairs``
+    (probabilistic recall, cheaper) — this is the exact-recall path.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ t.
+    """
+    from pyspark.sql import Window as W
+
+    sh = shingle_hashes(documents, k).repartition("doc_id")
+    rows = sh.select("doc_id", F.explode("sh").alias("h"))
+    freq = rows.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        rows.join(freq, "h")
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "h")),
+        )
+        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    # prefix length |A| - ceil(t*|A|) + 1; ceil via -floor(-x) keeps it exact
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "h")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "h")
+    cands = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .filter("size(sh_a) + size(sh_b) > 0")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+            "(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) AS jaccard",
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -3314,3 +3314,120 @@ GROUP BY 1, 2, 3""",
 )
 def _q_hist(spark, sf_dir):
     return analytics.events_value_histogram(load_events(spark, sf_dir))
+
+
+# -- round-4 continuation: graded contamination, ER blocking, exact joins ----
+
+@_entry(
+    "contamination_scores",
+    "Graded benchmark contamination: fraction of each training doc's "
+    "distinct 8-shingles appearing in the eval split (doc_id%50=0); "
+    "broadcast probe, one corpus scan, one aggregation.",
+    f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sg AS (SELECT doc_id, {_duck_shingles_k(8)} AS shingles FROM tok),
+shs AS (SELECT doc_id, {_DUCK_SH} AS sh FROM sg),
+bench AS (SELECT DISTINCT unnest(sh) AS h FROM shs WHERE doc_id % 50 = 0),
+rows_ AS (SELECT doc_id, unnest(sh) AS h FROM shs WHERE doc_id % 50 <> 0),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(COUNT(CASE WHEN h IN (SELECT h FROM bench) THEN 1 END) AS BIGINT) AS n_overlap
+  FROM rows_ GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_shingles, 0) AS n_shingles,
+       COALESCE(n_overlap, 0) AS n_overlap,
+       CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
+            ELSE CAST(n_overlap AS DOUBLE) / n_shingles END AS contamination_frac
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+WHERE d.doc_id % 50 <> 0""",
+)
+def _q_contamination_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _tx.contamination_scores(
+        docs.filter("doc_id % 50 != 0"), docs.filter("doc_id % 50 = 0"), k=8
+    )
+
+
+@_entry(
+    "sorted_neighborhood_pairs",
+    "Sorted-neighborhood ER blocking: per-block (first sortkey char) sort, "
+    "each record pairs with its next 2 neighbors, exact Jaccard verify — "
+    "no global sort, no all-pairs.",
+    f"""WITH keyed AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS sortkey
+  FROM documents
+),
+blk AS (SELECT doc_id, sortkey, substr(sortkey, 1, 1) AS block FROM keyed),
+leads AS (
+  SELECT block, doc_id AS doc_l,
+         unnest([LEAD(doc_id, 1) OVER w, LEAD(doc_id, 2) OVER w]) AS doc_r
+  FROM blk
+  WINDOW w AS (PARTITION BY block ORDER BY sortkey, doc_id)
+),
+cands AS (
+  SELECT DISTINCT block, LEAST(doc_l, doc_r) AS doc_a,
+         GREATEST(doc_l, doc_r) AS doc_b
+  FROM leads WHERE doc_r IS NOT NULL
+),
+tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sg AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM tok),
+shs AS (SELECT doc_id, {_DUCK_SH} AS sh FROM sg)
+SELECT doc_a, doc_b, block,
+       CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+       (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+FROM cands
+JOIN shs sa ON sa.doc_id = cands.doc_a
+JOIN shs sb ON sb.doc_id = cands.doc_b
+WHERE len(sa.sh) + len(sb.sh) > 0""",
+)
+def _q_snm_pairs(spark, sf_dir):
+    return _tx.sorted_neighborhood_pairs(_t(spark, sf_dir, "documents"), window=2)
+
+
+@_entry(
+    "prefix_jaccard_pairs",
+    "EXACT Jaccard self-join via prefix filtering (AllPairs/PPJoin): "
+    "equi-join on rarest-first prefix shingles + exact verify — output "
+    "identical to brute force, never all-pairs.  Oracle IS brute force.",
+    f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sg AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM tok),
+shs AS (SELECT doc_id, {_DUCK_SH} AS sh FROM sg),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+         len(a.sh) AS la, len(b.sh) AS lb
+  FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) + len(b.sh) > 0
+)
+SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5""",
+)
+def _q_prefix_jaccard(spark, sf_dir):
+    return _tx.prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@_entry(
+    "events_type_transitions",
+    "First-order Markov transitions per user stream: lag window (one "
+    "shuffle) -> |types|^2 aggregate -> conditional probabilities.",
+    """WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+agg AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE) /
+       SUM(n_transitions) OVER (PARTITION BY prev_type) AS p_transition
+FROM agg""",
+)
+def _q_type_transitions(spark, sf_dir):
+    return analytics.events_type_transitions(load_events(spark, sf_dir))

@@ -81,6 +81,10 @@ BENCH_QUERIES = [
     "kmeans_centroids",
     "semantic_dedup_survivors",
     "mixture_sample",
+    "contamination_scores",
+    "prefix_jaccard_pairs",
+    "sorted_neighborhood_pairs",
+    "events_type_transitions",
 ]
 
 

@@ -571,3 +571,29 @@ def test_histogram_conserves_rows_and_clamps(spark, sf_dir):
     out = analytics.events_value_histogram(ev)
     assert out.agg(F.sum("n")).first()[0] == ev.count()   # nothing dropped
     assert out.filter("bin < -1 OR bin > 19").count() == 0
+
+
+def test_type_transitions_probabilities_and_counts(spark):
+    import datetime as _dt
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> a
+        (1, _dt.datetime(2024, 1, 1, 0, 0, 0), 1, "a", 1.0, None),
+        (2, _dt.datetime(2024, 1, 1, 0, 1, 0), 1, "b", 1.0, None),
+        (3, _dt.datetime(2024, 1, 1, 0, 2, 0), 1, "a", 1.0, None),
+        (4, _dt.datetime(2024, 1, 1, 0, 0, 0), 2, "a", 1.0, None),
+        (5, _dt.datetime(2024, 1, 1, 0, 5, 0), 2, "a", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p_transition"])
+        for r in analytics.events_type_transitions(ev).collect()
+    }
+    assert out[("a", "b")] == (1, 0.5)   # a -> b and a -> a split a's mass
+    assert out[("a", "a")] == (1, 0.5)
+    assert out[("b", "a")] == (1, 1.0)
+    # no cross-user transition (user 2's first event has no predecessor)
+    assert sum(n for n, _ in out.values()) == 3

@@ -956,3 +956,81 @@ def test_token_budget_sample_greedy_prefix_semantics(spark):
     nocap = textops.token_budget_sample(d, {"a": 0}, default_budget=None)
     ids = {r["doc_id"] for r in nocap.collect()}
     assert ids == {4, 5}
+
+
+def test_contamination_scores_fraction_exact(spark):
+    # train doc 1 shares exactly its first 8-gram window with the bench doc;
+    # doc 2 is fully contained in the bench doc; doc 3 is disjoint; doc 4 is
+    # too short to shingle
+    bench_text = "a b c d e f g h i j k l"
+    d = docs(
+        spark,
+        [
+            (1, "a b c d e f g h zz yy xx ww", "en"),  # 1 of 5 shingles hit
+            (2, "b c d e f g h i j", "en"),            # all 2 shingles hit
+            (3, "p q r s t u v w x y z", "en"),        # 0 of 4 hit
+            (4, "too short", "en"),                    # no shingles
+        ],
+    )
+    bench = docs(spark, [(99, bench_text, "en")])
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"], r["contamination_frac"])
+        for r in textops.contamination_scores(d, bench, k=8).collect()
+    }
+    assert out[1] == (5, 1, 1 / 5)
+    assert out[2] == (2, 2, 1.0)
+    assert out[3] == (4, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
+
+
+def test_contamination_scores_subsumes_decontaminate(planted):
+    train = planted.filter("doc_id <> 5")
+    bench = planted.filter("doc_id = 5")
+    frac = {
+        r["doc_id"]: r["contamination_frac"]
+        for r in textops.contamination_scores(train, bench, k=3).collect()
+    }
+    flag = {
+        r["doc_id"]: r["contaminated"]
+        for r in textops.decontaminate(train, bench, k=3).collect()
+    }
+    assert set(frac) == set(flag)
+    for doc_id, c in flag.items():
+        assert (frac[doc_id] > 0) == c
+
+
+def test_sorted_neighborhood_finds_adjacent_near_dups(planted):
+    # docs 1, 2, 4 share the same normalized prefix ("the quick brown ...")
+    # so they sort adjacent within one block and pair up within window=2
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.sorted_neighborhood_pairs(planted, window=2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs or (2, 4) in pairs  # near dup is within 2 neighbors
+    # every emitted pair is oriented and self-free
+    assert all(a < b for a, b in pairs)
+
+
+def test_prefix_filter_jaccard_equals_brute_force(spark):
+    # exactness property: prefix filtering must return EXACTLY the pairs the
+    # quadratic baseline returns (same pairs, same jaccard values)
+    rows = [
+        (i, BASE.replace("lazy dog", f"dog{i % 3}"), "en") for i in range(12)
+    ] + [
+        (100 + i, f"unrelated text number {i} about cooking pasta sauce", "en")
+        for i in range(5)
+    ]
+    d = docs(spark, rows)
+    t = 0.5
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.prefix_filter_jaccard_pairs(d, threshold=t).collect()
+    }
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in textops.ngram_jaccard_pairs(d, threshold=0.0, id_limit=10**9).collect()
+        if r["jaccard"] >= t
+    }
+    assert got == brute
+    assert got, "fixture must actually produce qualifying pairs"
