@@ -629,3 +629,46 @@ def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
             "CAST(0 AS DOUBLE), (acc, x) -> greatest(acc, x)) AS max_abs_err",
         )
     )
+
+
+def _rp_signs(out_dim: int, in_dim: int = DIM) -> list[list[int]]:
+    """Deterministic ±1 sign matrix (Achlioptas-style database-friendly
+    random projection): sign(i, j) from an LCG on the flat index — no RNG
+    state, identical on every engine / run / cluster size (same rationale
+    as the LSH hyperplanes above)."""
+    rows = []
+    for i in range(out_dim):
+        row = []
+        for j in range(in_dim):
+            lcg = (1103515245 * (i * in_dim + j + 1) + 12345) % (2**31)
+            row.append(1 if (lcg >> 16) & 1 else -1)
+        rows.append(row)
+    return rows
+
+
+def random_projection(embeddings: DataFrame, out_dim: int = 16) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a deterministic
+    ±1 sign matrix: p_i = (Σ_j sign(i,j)·x_j) / √out_dim.
+
+    The standard pre-ANN compression step (JL lemma: pairwise distances are
+    preserved within (1±ε) for out_dim = O(log n / ε²); Achlioptas 2003
+    shows ±1 entries suffice).  Row-local: the sign matrix is a plan
+    LITERAL (out_dim × 64 ints folded into the expression tree), so the
+    operator is scan → project with NO shuffle, no broadcast variable, no
+    UDF — embarrassingly parallel at any corpus size.  Multiplying by ±1.0
+    is exact in IEEE arithmetic and the fold is left-to-right, so the
+    output is bit-reproducible across engines (DuckDB-oracled).
+
+    Returns (vec_id, label, p0..p{out_dim-1}) as doubles.
+    """
+    signs = _rp_signs(out_dim)
+    t = _as_double(embeddings, "v")
+    comps = []
+    for i, row in enumerate(signs):
+        arr = "array(" + ", ".join(f"{s}.0D" for s in row) + ")"
+        comps.append(
+            f"aggregate(zip_with(v, {arr}, (x, s) -> x * s), "
+            f"CAST(0 AS DOUBLE), (acc, x) -> acc + x) "
+            f"/ sqrt(CAST({out_dim} AS DOUBLE)) AS p{i}"
+        )
+    return t.selectExpr("vec_id", "label", *comps)

@@ -3431,3 +3431,55 @@ FROM agg""",
 )
 def _q_type_transitions(spark, sf_dir):
     return analytics.events_type_transitions(load_events(spark, sf_dir))
+
+
+def _duck_rp_sql(out_dim: int = 16) -> str:
+    from admira_etl_project_prueba_spark.operators.similarity import _rp_signs
+
+    comps = []
+    for i, row in enumerate(_rp_signs(out_dim)):
+        lit = "[" + ", ".join(f"{s}.0" for s in row) + "]"
+        comps.append(
+            f"list_sum(list_transform(range(1, 65), j -> embedding[j] * {lit}[j]))"
+            f" / sqrt(CAST({out_dim} AS DOUBLE)) AS p{i}"
+        )
+    return "SELECT vec_id, label,\n       " + ",\n       ".join(comps) + "\nFROM embeddings"
+
+
+@_entry(
+    "embeddings_random_projection",
+    "Johnson-Lindenstrauss +-1 random projection 64->16 dims: sign matrix "
+    "is a deterministic plan literal, scan -> project, no shuffle/UDF; "
+    "+-1 multiplies are IEEE-exact so the output is bit-reproducible.",
+    _duck_rp_sql(),
+)
+def _q_random_projection(spark, sf_dir):
+    from admira_etl_project_prueba_spark.operators.similarity import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"), out_dim=16)
+
+
+@_entry(
+    "events_zorder_keys",
+    "Z-order (Morton) clustering key over (user_id, epoch-day): row-local "
+    "bit interleave, exact in int64 — sort by zkey keeps parquet row-group "
+    "min/max tight on BOTH columns (the OPTIMIZE ZORDER primitive).",
+    """WITH keyed AS (
+  SELECT event_id, user_id,
+         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx
+  FROM events
+)
+SELECT event_id, user_id, day_idx,
+       list_sum(list_transform(range(0, 20), k -> ((user_id >> k) & 1) << (k * 2 + 0))) +
+       list_sum(list_transform(range(0, 20), k -> ((day_idx >> k) & 1) << (k * 2 + 1))) AS zkey
+FROM keyed""",
+)
+def _q_zorder(spark, sf_dir):
+    from admira_etl_project_prueba_spark.operators.layout import zorder_keys
+
+    keyed = load_events(spark, sf_dir).selectExpr(
+        "event_id",
+        "user_id",
+        "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS day_idx",
+    )
+    return zorder_keys(keyed, ["user_id", "day_idx"], bits=20)

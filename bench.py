@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "prefix_jaccard_pairs",
     "sorted_neighborhood_pairs",
     "events_type_transitions",
+    "embeddings_random_projection",
+    "events_zorder_keys",
 ]
 
 

@@ -597,3 +597,40 @@ def test_type_transitions_probabilities_and_counts(spark):
     assert out[("b", "a")] == (1, 1.0)
     # no cross-user transition (user 2's first event has no predecessor)
     assert sum(n for n, _ in out.values()) == 3
+
+
+def test_zorder_key_interleaves_bits_exactly(spark):
+    from admira_etl_project_prueba_spark.operators.layout import zorder_keys
+
+    df = spark.createDataFrame([(5, 3)], "x long, y long")  # 0b101, 0b011
+    z = zorder_keys(df, ["x", "y"], bits=3).collect()[0]["zkey"]
+    # x bits at even positions, y bits at odd: 1,1,0,1,1,0 -> 0b011011 = 27
+    assert z == 27
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    from admira_etl_project_prueba_spark.operators.layout import (
+        write_zordered,
+        zorder_keys,
+    )
+
+    # 32x32 grid; linear order would leave y unclustered everywhere
+    grid = spark.range(1024).selectExpr("id % 32 AS x", "id div 32 AS y")
+    path = str(tmp_path / "zordered")
+    write_zordered(grid.repartition(8), path, ["x", "y"], bits=5, num_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 1024
+    assert set(back.columns) == {"x", "y"}
+    # within each output file both x and y spans are tight vs the full 0..31
+    spans = (
+        back.selectExpr("x", "y", "input_file_name() AS f")
+        .groupBy("f")
+        .agg(
+            F.max("x").alias("xmax"), F.min("x").alias("xmin"),
+            F.max("y").alias("ymax"), F.min("y").alias("ymin"),
+        )
+        .collect()
+    )
+    assert len(spans) > 1
+    mean_span = sum((r["xmax"] - r["xmin"]) + (r["ymax"] - r["ymin"]) for r in spans) / len(spans)
+    assert mean_span < 2 * 31  # strictly better than unclustered on both axes

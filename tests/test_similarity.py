@@ -363,3 +363,33 @@ def test_quantize_embeddings_bounds_and_zero_vector(spark):
     # zero vector: scale 0, all-zero codes, zero error — no NaN/div0
     assert out[1]["scale"] == 0.0 and out[1]["q"] == [0, 0, 0, 0]
     assert out[1]["max_abs_err"] == 0.0
+
+
+def test_random_projection_one_hot_reads_off_sign_matrix(spark):
+    # projecting e_j yields p_i = sign(i, j) / sqrt(out_dim) exactly
+    j = 7
+    one_hot = [0.0] * 64
+    one_hot[j] = 1.0
+    out = similarity.random_projection(
+        emb(spark, [(0, one_hot, 0)]), out_dim=16
+    ).collect()[0]
+    signs = similarity._rp_signs(16)
+    for i in range(16):
+        assert out[f"p{i}"] == signs[i][j] / 4.0  # sqrt(16) = 4, exact
+
+
+def test_random_projection_norms_and_determinism(spark):
+    # ±1 matrices preserve one-hot norms EXACTLY: |p(e_j)|² =
+    # Σ_i sign(i,j)²/16 = 1, every term an exact binary fraction.
+    # Identical inputs project identically (the matrix is deterministic).
+    def one_hot(j):
+        v = [0.0] * 64
+        v[j] = 1.0
+        return v
+
+    rows = [(j, one_hot(j), 0) for j in (0, 13, 63)] + [(100, one_hot(13), 0)]
+    out = {r["vec_id"]: [r[f"p{i}"] for i in range(16)] for r in
+           similarity.random_projection(emb(spark, rows), out_dim=16).collect()}
+    for j in (0, 13, 63):
+        assert sum(x * x for x in out[j]) == 1.0
+    assert out[13] == out[100]
