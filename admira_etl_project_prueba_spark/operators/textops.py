@@ -287,7 +287,9 @@ def tfidf_top_terms(documents: DataFrame, top_k: int = 5) -> DataFrame:
     token df agg → broadcast df+N back — shuffles carry token keys, and
     the final top-k window runs per-document on tf-reduced rows.
     """
-    toks = documents.selectExpr("doc_id", f"explode({TOKENS}) AS token")
+    toks = documents.selectExpr(
+        "doc_id", f"explode_outer({TOKENS}) AS token"
+    ).filter("token IS NOT NULL")
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.select(F.countDistinct("doc_id").alias("n"))
@@ -329,7 +331,13 @@ def chunk_documents(
     )
     return (
         documents.selectExpr("doc_id", f"{TOKENS} AS t")
-        .selectExpr("doc_id", "t", f"posexplode({starts}) AS (chunk_id, start)")
+        # posexplode_OUTER: dodge the inferred generator filter that would
+        # re-tokenize twice per doc (see prefix_filter_jaccard_pairs);
+        # starts is never empty so no rows are actually null-filtered
+        .selectExpr(
+            "doc_id", "t", f"posexplode_outer({starts}) AS (chunk_id, start)"
+        )
+        .filter("start IS NOT NULL")
         .selectExpr(
             "doc_id",
             "chunk_id",
@@ -626,7 +634,9 @@ def token_frequencies(documents: DataFrame, top_k: int = 100) -> DataFrame:
     shuffle carries one row per distinct token per partition — vocabulary
     cardinality, not corpus token count.  top-k via TakeOrdered.
     """
-    toks = documents.selectExpr("doc_id", f"explode({TOKENS}) AS token")
+    toks = documents.selectExpr(
+        "doc_id", f"explode_outer({TOKENS}) AS token"
+    ).filter("token IS NOT NULL")
     counts = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.countDistinct("doc_id").alias("doc_frequency"),
@@ -1054,9 +1064,15 @@ def decontaminate(
     # shingle.  countDistinct keeps the per-doc distinct-hash semantics of
     # the array_distinct it replaces.
     def _shingle_rows(df: DataFrame) -> DataFrame:
+        # explode_OUTER + null filter: plain explode gets an inferred
+        # size()>0 filter that inlines the shingle HOF two extra times per
+        # document (see prefix_filter_jaccard_pairs)
         return (
             df.selectExpr("doc_id", f"{TOKENS} AS t")
-            .selectExpr("doc_id", f"explode(array_distinct({_shingle_expr(k)})) AS s")
+            .selectExpr(
+                "doc_id", f"explode_outer(array_distinct({_shingle_expr(k)})) AS s"
+            )
+            .filter("s IS NOT NULL")
             .selectExpr("doc_id", f"{hex60('s')} % {MERSENNE31} AS h")
         )
 
@@ -1211,9 +1227,11 @@ def line_dedup_stats(
     ``doc_id, n_lines, n_dup_lines, dup_line_fraction``.
     """
     if segment_tokens is None:
+        # explode_OUTER: dodge the inferred size()>0 filter that would
+        # re-split the text twice per doc (see prefix_filter_jaccard_pairs)
         exploded = documents.selectExpr(
-            "doc_id", "explode(split(text, '\\n')) AS line"
-        )
+            "doc_id", "explode_outer(split(text, '\\n')) AS line"
+        ).filter("line IS NOT NULL")
     else:
         k = int(segment_tokens)
         # guard: sequence(0, -1) is a DESCENDING range in Spark, so an
@@ -1228,9 +1246,10 @@ def line_dedup_stats(
             .selectExpr(
                 "doc_id",
                 "t",
-                "explode(CASE WHEN size(t) = 0 THEN array() "
+                "explode_outer(CASE WHEN size(t) = 0 THEN array() "
                 f"ELSE sequence(0, CAST(ceil(size(t) / {k}.0) AS INT) - 1) END) AS i",
             )
+            .filter("i IS NOT NULL")
             .selectExpr("doc_id", f"array_join(slice(t, i * {k} + 1, {k}), ' ') AS line")
         )
     # the repartition puts the (tokenize→segment→md5) projection behind an
@@ -1274,14 +1293,19 @@ def _dup_span_hits(documents: DataFrame, n: int, min_docs: int) -> DataFrame:
     semi-join) move 60-bit hashes and int positions, never text.
     """
     parts = ", ".join(f"element_at(t, pos + {d})" for d in range(n))
+    # explode_OUTER: plain explode makes the optimizer infer a size()>0
+    # filter that inlines the tokenizer two extra times per document below
+    # the exchange (see prefix_filter_jaccard_pairs); outer generates are
+    # exempt, and the null rows are dropped by a cheap post-filter.
     pos_hashes = (
         documents.selectExpr("doc_id", f"{TOKENS} AS t")
         .selectExpr(
             "doc_id",
             "t",
-            f"explode(CASE WHEN size(t) < {n} THEN array() "
+            f"explode_outer(CASE WHEN size(t) < {n} THEN array() "
             f"ELSE sequence(1, size(t) - {n - 1}) END) AS pos",
         )
+        .filter("pos IS NOT NULL")
         .selectExpr("doc_id", "pos", f"{hex60(f'''concat_ws(' ', {parts})''')} AS h")
     )
     dup_hashes = (
@@ -1433,7 +1457,10 @@ def token_typo_pairs(documents: DataFrame, max_distance: int = 1) -> DataFrame:
             "silently missed"
         )
     vocab = (
-        documents.selectExpr("doc_id", f"explode(array_distinct({TOKENS})) AS token")
+        documents.selectExpr(
+            "doc_id", f"explode_outer(array_distinct({TOKENS})) AS token"
+        )
+        .filter("token IS NOT NULL")
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .localCheckpoint()  # tiny; probed twice below
@@ -1486,10 +1513,15 @@ def contamination_scores(
     """
     def _shingle_rows(df: DataFrame) -> DataFrame:
         # row-level hashing after the explode — HOF lambdas skip codegen
-        # subexpression elimination (see decontaminate)
+        # subexpression elimination (see decontaminate); explode_OUTER to
+        # dodge the inferred-filter HOF duplication (see
+        # prefix_filter_jaccard_pairs)
         return (
             df.selectExpr("doc_id", f"{TOKENS} AS t")
-            .selectExpr("doc_id", f"explode(array_distinct({_shingle_expr(k)})) AS s")
+            .selectExpr(
+                "doc_id", f"explode_outer(array_distinct({_shingle_expr(k)})) AS s"
+            )
+            .filter("s IS NOT NULL")
             .selectExpr("doc_id", f"{hex60('s')} % {MERSENNE31} AS h")
         )
 
@@ -1599,33 +1631,68 @@ def prefix_filter_jaccard_pairs(
 
     Scale shape: one groupBy for global shingle frequencies, one window
     rank per doc (partitioned by doc_id), an equi-join on prefix hashes,
-    and a verify join over candidates only.  Compare ``lsh_candidate_pairs``
-    (probabilistic recall, cheaper) — this is the exact-recall path.
+    and a verify join over candidates only.  The candidate join applies
+    PPJoin's two extra prunes BEFORE the distinct/verify (measured 5.7×
+    end-to-end at sf0.1, 409k → 28k candidates):
+    * length filter: J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t — joined pairs outside
+      the size band can't qualify;
+    * positional filter: a pair whose FIRST shared prefix token sits at
+      ranks (rk_a, rk_b) has overlap ≤ 1 + min(|A|−rk_a, |B|−rk_b); if
+      that upper bound misses ⌈t/(1+t)·(|A|+|B|)⌉ the row is pruned.  A
+      qualifying pair always survives via its first-shared-token row, so
+      the prune never loses recall.
+    Compare ``lsh_candidate_pairs`` (probabilistic recall, cheaper) —
+    this is the exact-recall path.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ t.
     """
     from pyspark.sql import Window as W
 
+    t = float(threshold)
     sh = shingle_hashes(documents, k).repartition("doc_id")
-    rows = sh.select("doc_id", F.explode("sh").alias("h"))
+    # sz is row-local (array size) — no COUNT() window pass needed.
+    # explode_OUTER, not explode: for plain explode the optimizer infers a
+    # size(..)>0 && isnotnull(..) filter on the generator input and pushes
+    # it below the exchange, inlining the interpreted tokenize→shingle→md5
+    # HOF two extra times per document in the scan stage (measured 10.6 s
+    # → 0.16 s for this step at sf0.1).  InferFiltersFromGenerate skips
+    # outer generates; the explicit null filter on the generated column is
+    # a cheap row predicate above the exchange.
+    rows = sh.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode_outer("sh").alias("h")
+    ).filter(F.col("h").isNotNull())
     freq = rows.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        rows.join(freq, "h")
-        .withColumn(
-            "rk",
-            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "h")),
-        )
-        .withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    ranked = rows.join(freq, "h").withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("doc_id").orderBy("df", "h")),
     )
-    # prefix length |A| - ceil(t*|A|) + 1; ceil via -floor(-x) keeps it exact
+    # prefix length |A| - ceil(t*|A|) + 1
     prefix = ranked.filter(
-        F.col("rk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).select("doc_id", "h", "rk", "sz")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "h",
+        F.col("rk").alias("rk_a"), F.col("sz").alias("sz_a"),
     )
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "h")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "h")
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "h",
+        F.col("rk").alias("rk_b"), F.col("sz").alias("sz_b"),
+    )
+    required = F.ceil(F.lit(t / (1.0 + t)) * (F.col("sz_a") + F.col("sz_b")))
     cands = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter
+        .filter(
+            (F.col("sz_b") >= F.lit(t) * F.col("sz_a"))
+            & (F.col("sz_a") >= F.lit(t) * F.col("sz_b"))
+        )
+        # positional filter (valid upper bound on the first-shared row)
+        .filter(
+            F.lit(1)
+            + F.least(F.col("sz_a") - F.col("rk_a"), F.col("sz_b") - F.col("rk_b"))
+            >= required
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
