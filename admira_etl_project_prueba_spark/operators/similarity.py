@@ -371,14 +371,28 @@ def semantic_dedup_pairs(
     same SQL fold both engines evaluate identically — exact-oracle-able.
     """
     a = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
-    t = _as_double(embeddings, "v").join(a, "vec_id")
-    left = t.selectExpr("vec_id AS vec_id_a", "centroid_id", "v AS va")
-    right = t.selectExpr("vec_id AS vec_id_b", "centroid_id", "v AS vb")
+    # norms are per-VECTOR: compute them once before the self-join, not
+    # per pair — the zip_with/aggregate folds are interpreted, and
+    # inlining |a| and |b| into every pair tripled the fold work
+    # (measured ~2.4× end-to-end at sf0.1)
+    t = (
+        _as_double(embeddings, "v")
+        .join(a, "vec_id")
+        .selectExpr("vec_id", "centroid_id", "v", f"{_norm('v')} AS nrm")
+    )
+    left = t.selectExpr("vec_id AS vec_id_a", "centroid_id", "v AS va", "nrm AS na")
+    right = t.selectExpr("vec_id AS vec_id_b", "centroid_id", "v AS vb", "nrm AS nb")
     pairs = left.join(right, "centroid_id").filter(
         F.col("vec_id_a") < F.col("vec_id_b")
     )
     return (
-        with_cosine(pairs, "va", "vb")
+        pairs.withColumn(
+            "cosine",
+            F.expr(
+                f"CASE WHEN na > 0 AND nb > 0 THEN {_dot('va', 'vb')} / (na * nb) "
+                "ELSE 0.0 END"
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("vec_id_a", "vec_id_b", "centroid_id", "cosine")
     )
