@@ -3483,3 +3483,61 @@ def _q_zorder(spark, sf_dir):
         "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) AS day_idx",
     )
     return zorder_keys(keyed, ["user_id", "day_idx"], bits=20)
+
+
+def _duck_pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle mirroring graph.pagerank exactly:
+    decimal-summed contributions + dangling mass, double rank updates."""
+    tele = 1.0 - damping
+    parts = [
+        """WITH edges AS (
+  SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM edges
+                             UNION ALL SELECT dst FROM edges)
+),
+n AS (SELECT COUNT(*) AS nn FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn AS rank FROM nodes, n)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT dst AS node, SUM(CAST(CAST({damping!r} AS DOUBLE) * rank / deg
+                             AS DECIMAL(25,6))) AS s
+  FROM edges e JOIN r{i-1} r ON e.src = r.node
+  JOIN outdeg od ON e.src = od.src
+  GROUP BY dst
+),
+d{i} AS (
+  SELECT COALESCE(SUM(CAST(rank AS DECIMAL(25,6))), 0) AS dm
+  FROM r{i-1} WHERE node NOT IN (SELECT src FROM outdeg)
+),
+r{i} AS (
+  SELECT nodes.node,
+         CAST({tele!r} AS DOUBLE) / nn
+           + CAST(COALESCE(s, CAST(0 AS DECIMAL(25,6))) AS DOUBLE)
+           + CAST({damping!r} AS DOUBLE) * CAST(dm AS DOUBLE) / nn AS rank
+  FROM nodes LEFT JOIN c{i} USING (node), n, d{i}
+)""")
+    parts.append(f"\nSELECT node, rank FROM r{iters}")
+    return "".join(parts)
+
+
+@_entry(
+    "trade_pagerank",
+    "Fixed-iteration PageRank over the supplier->customer shipment graph "
+    "(lineitem x orders): per round ONE (dst, contribution) shuffle + a "
+    "1-row dangling aggregate; decimal-exact sums make every iteration "
+    "bit-reproducible across engines and partitionings.",
+    _duck_pagerank_sql(),
+)
+def _q_pagerank(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).selectExpr(
+        "l_suppkey AS src", "o_custkey + 1000000 AS dst"
+    )
+    return _graph.pagerank(edges, iters=3)

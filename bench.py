@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "events_type_transitions",
     "embeddings_random_projection",
     "events_zorder_keys",
+    "trade_pagerank",
 ]
 
 

@@ -133,3 +133,31 @@ def test_star_components_converge_on_deep_chain(spark):
     assert set(got.values()) == {0} and len(got) == n
     with pytest.raises(RuntimeError):
         connected_components(e, max_iter=12)
+
+
+def test_pagerank_mass_conservation_and_structure(spark):
+    from admira_etl_project_prueba_spark.operators.graph import pagerank
+
+    # star: a -> b, a -> c; b and c are dangling
+    r = {row["node"]: row["rank"]
+         for row in pagerank(edges(spark, [(0, 1), (0, 2)]), iters=3).collect()}
+    assert set(r) == {0, 1, 2}
+    # symmetric sinks tie exactly; sinks outrank the source (they receive
+    # contributions, the source only teleport + dangling share)
+    assert r[1] == r[2]
+    assert r[1] > r[0]
+    # rank mass conserved up to the decimal(25,6) contribution quantization
+    assert abs(sum(r.values()) - 1.0) < 1e-3
+    # all ranks at least the teleport floor
+    assert all(v > 0.15 / 3 - 1e-9 for v in r.values())
+
+
+def test_pagerank_is_partitioning_invariant(spark):
+    from admira_etl_project_prueba_spark.operators.graph import pagerank
+
+    e = [(i, (i * 7) % 23) for i in range(60)] + [(3, 5), (5, 3), (11, 3)]
+    one = {r["node"]: r["rank"]
+           for r in pagerank(edges(spark, e), iters=3).collect()}
+    many = {r["node"]: r["rank"]
+            for r in pagerank(edges(spark, e).repartition(13), iters=3).collect()}
+    assert one == many  # decimal sums: bit-identical at any partitioning
