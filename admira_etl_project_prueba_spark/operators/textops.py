@@ -1710,3 +1710,77 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def cms_sketch(documents: DataFrame, depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-min sketch of corpus token occurrences (Cormode & Muthukrishnan
+    2005): ``depth`` independent hash rows × ``width`` buckets, each cell
+    counting the tokens that hash into it.
+
+    Why at 100 TB: an exact token-frequency aggregate shuffles and holds
+    the FULL vocabulary (web-corpus vocabularies are billions of keys);
+    the sketch is a fixed depth×width grid regardless of vocabulary size,
+    it partial-aggregates map-side like any groupBy count, and sketches
+    are LINEAR — per-day/per-shard sketches merge by elementwise addition,
+    so incremental corpus growth never reprocesses history.
+
+    Hash rows are md5-derived (row r keys on ``'r|token'``) — deterministic,
+    engine-portable, oracle-checkable; no RNG.  Returns
+    (r, bucket, cnt) — depth·width rows at most.
+    """
+    toks = documents.selectExpr(
+        f"explode_outer({TOKENS}) AS token"
+    ).filter("token IS NOT NULL")
+    stack = ", ".join(
+        f"{r}, {hex60(f_concat)} % {width}"
+        for r in range(depth)
+        for f_concat in [f"concat('{r}|', token)"]
+    )
+    return (
+        toks.selectExpr(f"stack({depth}, {stack}) AS (r, bucket)")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    documents: DataFrame,
+    probe_tokens: list[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the count-min sketch for ``probe_tokens`` alongside the
+    exact count — the estimate is one-sided (cms_count ≥ exact_count) with
+    overcount ≤ 2·N/width at probability 1 − 2^-depth per query.
+
+    The probe side is a literal-values frame (model-sized, broadcast);
+    the sketch side is the fixed grid.  The exact counts here are for
+    validation/demonstration — a production point query touches ONLY the
+    depth·width sketch, no vocabulary aggregate.
+    """
+    sketch = cms_sketch(documents, depth, width)
+    probes_sql = ", ".join(f"('{t.lower()}')" for t in probe_tokens)
+    probe = documents.sparkSession.sql(
+        f"SELECT token FROM (VALUES {probes_sql}) AS p(token)"
+    )
+    stack = ", ".join(
+        f"{r}, {hex60(f_concat)} % {width}"
+        for r in range(depth)
+        for f_concat in [f"concat('{r}|', token)"]
+    )
+    probe_cells = probe.selectExpr("token", f"stack({depth}, {stack}) AS (r, bucket)")
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_count"))
+    )
+    exact = (
+        documents.selectExpr(f"explode_outer({TOKENS}) AS token")
+        .filter("token IS NOT NULL")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "token", "left")
+        .selectExpr("token", "cms_count", "coalesce(exact_count, 0) AS exact_count")
+    )

@@ -3541,3 +3541,44 @@ def _q_pagerank(spark, sf_dir):
         "l_suppkey AS src", "o_custkey + 1000000 AS dst"
     )
     return _graph.pagerank(edges, iters=3)
+
+
+def _duck_cms_sql(depth: int = 4, width: int = 1024) -> str:
+    probes = ", ".join(f"('{t}')" for t in _tx.STOPWORDS)
+    hx = [_duck_hex60(f"concat('{r}|', token)") for r in range(depth)]
+    cells = " UNION ALL ".join(
+        f"SELECT token, {r} AS r, {hx[r]} % {width} AS bucket FROM toks"
+        for r in range(depth)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT token, {r} AS r, {hx[r]} % {width} AS bucket FROM probe"
+        for r in range(depth)
+    )
+    return f"""WITH toks AS (
+  SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+),
+cells AS ({cells}),
+sketch AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY r, bucket),
+probe AS (SELECT token FROM (VALUES {probes}) AS p(token)),
+pc AS ({probe_cells}),
+est AS (
+  SELECT pc.token, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cms_count
+  FROM pc LEFT JOIN sketch ON pc.r = sketch.r AND pc.bucket = sketch.bucket
+  GROUP BY pc.token
+),
+exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks GROUP BY token)
+SELECT est.token, cms_count, COALESCE(exact_count, 0) AS exact_count
+FROM est LEFT JOIN exact ON est.token = exact.token"""
+
+
+@_entry(
+    "cms_stopword_counts",
+    "Count-min sketch (4x1024, md5 hash rows) point-queried for the "
+    "stopword list vs exact counts: fixed-size linear sketch replaces the "
+    "unbounded-vocabulary aggregate; merge across shards is elementwise.",
+    _duck_cms_sql(),
+)
+def _q_cms(spark, sf_dir):
+    return _tx.cms_estimate(
+        _t(spark, sf_dir, "documents"), list(_tx.STOPWORDS)
+    )

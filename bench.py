@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "embeddings_random_projection",
     "events_zorder_keys",
     "trade_pagerank",
+    "cms_stopword_counts",
 ]
 
 

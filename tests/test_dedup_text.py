@@ -1034,3 +1034,33 @@ def test_prefix_filter_jaccard_equals_brute_force(spark):
     }
     assert got == brute
     assert got, "fixture must actually produce qualifying pairs"
+
+
+def test_cms_estimate_one_sided_and_bounded(spark):
+    d = docs(spark, [(i, BASE + f" extra{i}", "en") for i in range(20)])
+    out = {r["token"]: (r["cms_count"], r["exact_count"])
+           for r in textops.cms_estimate(d, ["the", "fox", "nosuchtoken"],
+                                         depth=4, width=256).collect()}
+    n_total = sum(len((BASE + f" extra{i}").split()) for i in range(20))
+    for token, (cms, exact) in out.items():
+        assert cms >= exact              # one-sided error, always
+        assert cms - exact <= 4 * n_total / 256 + 1  # loose epsilon bound
+    assert out["the"][1] == 20 * BASE.split().count("the")
+    assert out["nosuchtoken"][1] == 0    # absent token: exact 0, cms >= 0
+
+
+def test_cms_sketch_is_linear(spark):
+    # sketch(A ∪ B) == sketch(A) + sketch(B) elementwise — the merge law
+    # that makes per-shard sketches combinable without reprocessing
+    a = docs(spark, [(1, "alpha beta gamma", "en")])
+    b = docs(spark, [(2, "beta gamma delta", "en")])
+    both = a.unionByName(b)
+    def grid(df):
+        return {(r["r"], r["bucket"]): r["cnt"]
+                for r in textops.cms_sketch(df, depth=2, width=64).collect()}
+    ga, gb, gu = grid(a), grid(b), grid(both)
+    merged = {}
+    for g in (ga, gb):
+        for k, v in g.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == gu
