@@ -1724,17 +1724,22 @@ def cms_sketch(documents: DataFrame, depth: int = 4, width: int = 1024) -> DataF
     are LINEAR — per-day/per-shard sketches merge by elementwise addition,
     so incremental corpus growth never reprocesses history.
 
-    Hash rows are md5-derived (row r keys on ``'r|token'``) — deterministic,
-    engine-portable, oracle-checkable; no RNG.  Returns
-    (r, bucket, cnt) — depth·width rows at most.
+    Hash rows: ONE md5 per token reduced mod 2^31-1, then row r applies
+    the affine map h → ((2r+1)·h + 1000r+7) mod (2^31-1) — a
+    pairwise-independent family over the prime field (the same
+    construction as the MinHash permutations), exact in int64, and 1 md5
+    instead of ``depth``.  Deterministic, engine-portable,
+    oracle-checkable; no RNG.  Returns (r, bucket, cnt) — depth·width
+    rows at most.
     """
-    toks = documents.selectExpr(
-        f"explode_outer({TOKENS}) AS token"
-    ).filter("token IS NOT NULL")
+    toks = (
+        documents.selectExpr(f"explode_outer({TOKENS}) AS token")
+        .filter("token IS NOT NULL")
+        .selectExpr(f"{hex60('token')} % {MERSENNE31} AS h")
+    )
     stack = ", ".join(
-        f"{r}, {hex60(f_concat)} % {width}"
+        f"{r}, (({2 * r + 1} * h + {1000 * r + 7}) % {MERSENNE31}) % {width}"
         for r in range(depth)
-        for f_concat in [f"concat('{r}|', token)"]
     )
     return (
         toks.selectExpr(f"stack({depth}, {stack}) AS (r, bucket)")
@@ -1764,11 +1769,12 @@ def cms_estimate(
         f"SELECT token FROM (VALUES {probes_sql}) AS p(token)"
     )
     stack = ", ".join(
-        f"{r}, {hex60(f_concat)} % {width}"
+        f"{r}, (({2 * r + 1} * h + {1000 * r + 7}) % {MERSENNE31}) % {width}"
         for r in range(depth)
-        for f_concat in [f"concat('{r}|', token)"]
     )
-    probe_cells = probe.selectExpr("token", f"stack({depth}, {stack}) AS (r, bucket)")
+    probe_cells = probe.selectExpr(
+        "token", f"{hex60('token')} % {MERSENNE31} AS h"
+    ).selectExpr("token", f"stack({depth}, {stack}) AS (r, bucket)")
     est = (
         probe_cells.join(F.broadcast(sketch), ["r", "bucket"], "left")
         .groupBy("token")

@@ -3545,21 +3545,23 @@ def _q_pagerank(spark, sf_dir):
 
 def _duck_cms_sql(depth: int = 4, width: int = 1024) -> str:
     probes = ", ".join(f"('{t}')" for t in _tx.STOPWORDS)
-    hx = [_duck_hex60(f"concat('{r}|', token)") for r in range(depth)]
+    h0 = _duck_hex60("token")
     cells = " UNION ALL ".join(
-        f"SELECT token, {r} AS r, {hx[r]} % {width} AS bucket FROM toks"
+        f"SELECT {r} AS r, (({2*r+1} * h + {1000*r+7}) % 2147483647) % {width} AS bucket FROM th"
         for r in range(depth)
     )
     probe_cells = " UNION ALL ".join(
-        f"SELECT token, {r} AS r, {hx[r]} % {width} AS bucket FROM probe"
+        f"SELECT token, {r} AS r, (({2*r+1} * h + {1000*r+7}) % 2147483647) % {width} AS bucket FROM ph"
         for r in range(depth)
     )
-    return f"""WITH toks AS (
+    return f"""WITH probe AS (SELECT token FROM (VALUES {probes}) AS p(token)),
+toks AS (
   SELECT unnest({_DUCK_TOKS}) AS token FROM documents
 ),
+th AS (SELECT {h0} % 2147483647 AS h FROM toks),
+ph AS (SELECT token, {h0} % 2147483647 AS h FROM probe),
 cells AS ({cells}),
 sketch AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY r, bucket),
-probe AS (SELECT token FROM (VALUES {probes}) AS p(token)),
 pc AS ({probe_cells}),
 est AS (
   SELECT pc.token, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cms_count
