@@ -3470,8 +3470,9 @@ def _q_random_projection(spark, sf_dir):
   FROM events
 )
 SELECT event_id, user_id, day_idx,
-       list_sum(list_transform(range(0, 20), k -> ((user_id >> k) & 1) << (k * 2 + 0))) +
-       list_sum(list_transform(range(0, 20), k -> ((day_idx >> k) & 1) << (k * 2 + 1))) AS zkey
+       CAST(list_sum(list_transform(range(0, 20), k -> ((user_id >> k) & 1) << (k * 2 + 0))) +
+            list_sum(list_transform(range(0, 20), k -> ((day_idx >> k) & 1) << (k * 2 + 1)))
+            AS BIGINT) AS zkey
 FROM keyed""",
 )
 def _q_zorder(spark, sf_dir):

@@ -529,3 +529,51 @@ def stream_latest_per_user(events_stream: DataFrame) -> DataFrame:
             F.col("latest.value").alias("value"),
         )
     )
+
+
+def stream_token_sketch(
+    doc_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Streaming count-min maintenance: each micro-batch's token sketch is
+    MERGED (elementwise cnt addition) into a persisted sketch store —
+    corpus-lifetime token statistics at fixed size, never reprocessing
+    history.
+
+    Correctness rests on sketch LINEARITY (sketch(A ∪ B) = sketch(A) +
+    sketch(B), pinned by the batch test): the end state equals a one-shot
+    batch sketch over all inputs regardless of micro-batch boundaries.
+    The merged frame is localCheckpoint-ed BEFORE the overwrite — the
+    store is both input and output of the merge, and an unmaterialized
+    overwrite would corrupt its own source.  foreachBatch is
+    at-least-once on failure/retry: a replayed batch double-counts; an
+    exactly-once deployment keys writes by batch_id in a transactional
+    sink (same caveat as every additive foreachBatch merge).
+    """
+    from admira_etl_project_prueba_spark.operators.textops import cms_sketch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = cms_sketch(batch_df, depth, width)
+        try:
+            prev = spark.read.parquet(store_path)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("r", "bucket")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        except Exception:
+            merged = delta
+        merged.localCheckpoint().write.mode("overwrite").parquet(store_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -462,3 +462,44 @@ def test_stream_latest_per_user_matches_batch(spark, tmp_path):
     for uid in want:
         assert got[uid].asDict() == want[uid].asDict()
     assert got[8]["event_id"] == 4  # tie broken by event_id, like batch
+
+
+def test_stream_token_sketch_equals_batch_sketch(spark, tmp_path):
+    """Additive sketch maintenance: after streaming N micro-batches, the
+    persisted store equals the one-shot batch sketch over all documents
+    (sketch linearity), independent of batch boundaries."""
+    from admira_etl_project_prueba_spark.operators.textops import cms_sketch
+    from admira_etl_project_prueba_spark.streaming.ingest import stream_token_sketch
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "beta gamma delta epsilon"),
+        (3, "gamma delta epsilon zeta"),
+        (4, "alpha alpha beta unique"),
+    ]
+    src = tmp_path / "cms_in"
+    src.mkdir()
+    # two files -> maxFilesPerTrigger=1 forces (at least) two micro-batches
+    for fname, chunk in (("a.json", rows[:2]), ("b.json", rows[2:])):
+        with open(src / fname, "w") as fh:
+            for did, text in chunk:
+                fh.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    store = str(tmp_path / "cms_store")
+    q = stream_token_sketch(
+        stream, store, str(tmp_path / "cms_ckpt"), depth=2, width=64
+    )
+    q.awaitTermination(120)
+
+    got = {(r["r"], r["bucket"]): r["cnt"]
+           for r in spark.read.parquet(store).collect()}
+    corpus = spark.createDataFrame(
+        [(d, t, "en") for d, t in rows], "doc_id long, text string, lang string"
+    )
+    want = {(r["r"], r["bucket"]): r["cnt"]
+            for r in cms_sketch(corpus, depth=2, width=64).collect()}
+    assert got == want and len(got) > 0

@@ -420,6 +420,45 @@ def main():
         "speedup": round(lambda_res["sec"] / max(row_res["sec"], 1e-9), 1),
     }
 
+    # -- explode vs explode_outer over an interpreted-HOF array (rule 7) ---
+    # InferFiltersFromGenerate adds size(input)>0 && isnotnull(input) for a
+    # NON-outer generate and pushdown re-inlines the whole tokenize->
+    # shingle->md5 expression into the scan-side filter — two extra
+    # interpreted evaluations per document.  Outer generates are exempt.
+    def _gen_fns():
+        from pyspark.sql import functions as _F
+        from admira_etl_project_prueba_spark.operators.textops import (
+            shingle_hashes,
+        )
+
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        sh = shingle_hashes(docs, 3).repartition("doc_id")
+
+        def inner():
+            return sh.select(
+                "doc_id", _F.size("sh").alias("sz"), _F.explode("sh").alias("h")
+            )
+
+        def outer():
+            return sh.select(
+                "doc_id",
+                _F.size("sh").alias("sz"),
+                _F.explode_outer("sh").alias("h"),
+            ).filter(_F.col("h").isNotNull())
+
+        return inner, outer
+
+    inner_fn, outer_fn = _gen_fns()
+    outer_fn().collect()  # warm
+    outer_res = run_measured(spark, outer_fn)
+    inner_res = run_measured(spark, inner_fn)
+    assert inner_fn().count() == outer_fn().count()
+    results["generate_inferred_filter"] = {
+        "explode_outer": outer_res,
+        "explode_inner": inner_res,
+        "speedup": round(inner_res["sec"] / max(outer_res["sec"], 1e-9), 1),
+    }
+
     # -- IVF indexed probe at 200k vectors (index wins on query-time I/O) --
     results["ivf_index_200k"] = _ivf_200k_experiment(spark)
 
