@@ -597,6 +597,28 @@ def events_daily_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_events(
+    events: DataFrame, gap_minutes: int = 30, id_base: int = 1
+) -> DataFrame:
+    """Events + per-event ``session_id``: the lag → new-session flag →
+    running-sum core shared by :func:`sessionize` (per-session rollup)
+    and :func:`events_session_funnel` (within-session ordering).  ONE
+    shuffle (hash partition by user_id); both windows reuse it."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # microsecond-exact gap (session tz is UTC so the ntz→ltz cast is stable)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    flagged = events.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    sid = F.sum("is_new").over(run) - F.lit(1 - id_base)
+    return flagged.withColumn("session_id", sid.cast("long")).drop("is_new")
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,
@@ -617,19 +639,7 @@ def sessionize(
     0-based session ids.  Both exist to pin the output convention against
     external oracles (see plans/catalog.py events_sessionize).
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # microsecond-exact gap (session tz is UTC so the ntz→ltz cast is stable)
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = us - F.lag(us).over(w)
-    flagged = events.withColumn(
-        "is_new",
-        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)).otherwise(
-            F.lit(0)
-        ),
-    )
-    sid = F.sum("is_new").over(run) - F.lit(1 - id_base)
-    sess = flagged.withColumn("session_id", sid.cast("long"))
+    sess = sessionize_events(events, gap_minutes, id_base)
     if ts_repr == "native":
         start = F.min("ts").alias("session_start")
         end = F.max("ts").alias("session_end")
@@ -1597,4 +1607,67 @@ def events_type_transitions(events: DataFrame) -> DataFrame:
             F.col("n_transitions").cast("double")
             / F.sum("n_transitions").over(tot)
         ).alias("p_transition"),
+    )
+
+
+def events_session_funnel(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Within-session ORDERED funnel: how many sessions reach step 1
+    (a ``view``), step 2 (a ``click`` strictly after that view), step 3
+    (a ``purchase`` strictly after that click).
+
+    Ordering is the point — a purchase before the first view does not
+    convert.  Step times are resolved as three window passes over the
+    SAME (user_id, session_id) partitioning the sessionizer produced, so
+    the whole query is still ONE shuffle: t1 = min view time, t2 = min
+    click time > t1, t3 = min purchase time > t2; each pass is a
+    projection, no extra exchange.  Micro-second integer comparisons —
+    exact in any engine.
+
+    Returns (steps_completed, n_sessions): one row per depth 0..3,
+    absent depths omitted.
+    """
+    se = sessionize_events(events, gap_minutes).selectExpr(
+        "user_id",
+        "session_id",
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+    )
+    w = Window.partitionBy("user_id", "session_id")
+    s1, s2, s3 = steps
+    t1 = se.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == s1, F.col("us"))).over(w)
+    )
+    t2 = t1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == s2) & (F.col("us") > F.col("t1")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    t3 = t2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == s3) & (F.col("us") > F.col("t2")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    per_session = t3.groupBy("user_id", "session_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return (
+        per_session.selectExpr(
+            "CAST(CASE WHEN t3 IS NOT NULL THEN 3 "
+            "WHEN t2 IS NOT NULL THEN 2 "
+            "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps_completed"
+        )
+        .groupBy("steps_completed")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
     )

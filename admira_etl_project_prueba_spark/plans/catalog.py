@@ -3585,3 +3585,39 @@ def _q_cms(spark, sf_dir):
     return _tx.cms_estimate(
         _t(spark, sf_dir, "documents"), list(_tx.STOPWORDS)
     )
+
+
+@_entry(
+    "events_session_funnel",
+    "Within-session ORDERED funnel (view -> click-after-view -> "
+    "purchase-after-click): sessionize core + three window passes over "
+    "the same (user, session) partitioning — still ONE shuffle.",
+    """WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                   OR epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+),
+w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END) OVER sw AS t1
+       FROM sess WINDOW sw AS (PARTITION BY user_id, session_id)),
+w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1 THEN us END) OVER sw AS t2
+       FROM w1 WINDOW sw AS (PARTITION BY user_id, session_id)),
+w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END) OVER sw AS t3
+       FROM w2 WINDOW sw AS (PARTITION BY user_id, session_id)),
+per AS (SELECT user_id, session_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        FROM w3 GROUP BY user_id, session_id)
+SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps_completed,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM per GROUP BY 1""",
+)
+def _q_session_funnel(spark, sf_dir):
+    return analytics.events_session_funnel(load_events(spark, sf_dir))

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "events_zorder_keys",
     "trade_pagerank",
     "cms_stopword_counts",
+    "events_session_funnel",
 ]
 
 

@@ -634,3 +634,30 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
     assert len(spans) > 1
     mean_span = sum((r["xmax"] - r["xmin"]) + (r["ymax"] - r["ymin"]) for r in spans) / len(spans)
     assert mean_span < 2 * 31  # strictly better than unclustered on both axes
+
+
+def test_session_funnel_enforces_order_within_session(spark):
+    import datetime as _dt
+
+    def ev(eid, minute, uid, typ):
+        return (eid, _dt.datetime(2024, 1, 1, 10, minute), uid, typ, 1.0, None)
+
+    rows = [
+        # user 1 session: full ordered funnel
+        ev(1, 0, 1, "view"), ev(2, 1, 1, "click"), ev(3, 2, 1, "purchase"),
+        # user 2 session: purchase BEFORE view — must NOT count as step 3
+        ev(4, 0, 2, "purchase"), ev(5, 1, 2, "view"), ev(6, 2, 2, "click"),
+        # user 3 session: view only
+        ev(7, 0, 3, "view"),
+        # user 4 session: no funnel steps at all
+        ev(8, 0, 4, "error"),
+        # user 1 SECOND session (>30 min gap): view then click, no purchase
+        ev(9, 50, 1, "view"), ev(10, 51, 1, "click"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    got = {r["steps_completed"]: r["n_sessions"]
+           for r in analytics.events_session_funnel(events).collect()}
+    assert got == {3: 1, 2: 2, 1: 1, 0: 1}
