@@ -1671,3 +1671,87 @@ def events_session_funnel(
         .groupBy("steps_completed")
         .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
     )
+
+
+def events_anomaly_mad(events: DataFrame, threshold: float = 3.5) -> DataFrame:
+    """Robust daily-volume anomaly detection: modified z-score
+    0.6745·(x − median)/MAD per event_type (Iglewicz & Hoaglin 1993).
+
+    The mean/std variant (``events_anomaly_zscore``) lets one extreme day
+    inflate its own yardstick; median/MAD has a 50% breakdown point, so a
+    single spike cannot mask itself.  Exact ``percentile`` keeps it
+    oracle-checkable (the DuckDB twin is ``quantile_cont``); at extreme
+    scale swap for approx_percentile.  Dataflow: day-grain aggregate, two
+    tiny per-type percentile aggregates, one broadcast join back — no
+    window over history.  MAD = 0 (constant series) yields NULL scores,
+    not zero: flagging is undefined, and silently unflagged is a lie.
+    """
+    d = "decimal(25,6)"
+    daily = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast(d)).cast("double").alias("day_value"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(day_value, 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("day_value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs_dev, 0.5)").alias("mad"),
+        F.max("med").alias("med"),  # constant per type
+    )
+    score = F.when(
+        F.col("mad") > 0,
+        F.expr("CAST(0.6745 AS DOUBLE)")
+        * (F.col("day_value") - F.col("med"))
+        / F.col("mad"),
+    )
+    return daily.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        "day_value",
+        score.alias("mscore"),
+        (F.abs(F.coalesce(score, F.lit(0.0))) > threshold).alias("is_anomaly"),
+    )
+
+
+def fk_integrity_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    child→parent foreign key, the child row count, NULL-key count, and
+    ORPHAN count (non-null keys with no parent).
+
+    The data-quality gate a 100 TB ingest runs before anything joins:
+    every check ships ONLY the key column — a left-anti join against the
+    (broadcastable, dim-sized) parent key set — so the audit costs one
+    key projection per fact table, never a payload shuffle.  NULL keys
+    are counted separately (an equality join can never match them;
+    folding them into 'orphans' would misdiagnose the fix).
+
+    Returns (relation, n_rows, n_null_fk, n_orphans), one row per check.
+    """
+    checks = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for relation, child, fk, parent, pk in checks:
+        keys = tables[child].select(F.col(fk).alias("k"))
+        parents = F.broadcast(tables[parent].select(F.col(pk).alias("k")).distinct())
+        orphans = keys.filter(F.col("k").isNotNull()).join(parents, "k", "left_anti")
+        row = (
+            keys.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_fk"),
+            )
+            .crossJoin(orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans")))
+            .selectExpr(f"'{relation}' AS relation", "n_rows", "n_null_fk", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

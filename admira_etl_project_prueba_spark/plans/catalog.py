@@ -3621,3 +3621,82 @@ FROM per GROUP BY 1""",
 )
 def _q_session_funnel(spark, sf_dir):
     return analytics.events_session_funnel(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_anomaly_mad",
+    "Robust daily-volume anomalies: modified z-score 0.6745*(x-med)/MAD "
+    "per type (50% breakdown point vs mean/std); exact percentiles, "
+    "broadcast stats join, no history window.",
+    """WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+),
+med AS (SELECT event_type, quantile_cont(day_value, 0.5) AS med FROM daily GROUP BY 1),
+mad AS (
+  SELECT d.event_type, quantile_cont(ABS(day_value - med), 0.5) AS mad, MAX(med) AS med
+  FROM daily d JOIN med USING (event_type) GROUP BY d.event_type
+)
+SELECT d.event_type, day, day_value,
+       CASE WHEN mad > 0
+            THEN CAST(0.6745 AS DOUBLE) * (day_value - m.med) / mad END AS mscore,
+       COALESCE(ABS(CASE WHEN mad > 0
+            THEN CAST(0.6745 AS DOUBLE) * (day_value - m.med) / mad END), 0.0) > 3.5 AS is_anomaly
+FROM daily d JOIN mad m USING (event_type)""",
+)
+def _q_anomaly_mad(spark, sf_dir):
+    return analytics.events_anomaly_mad(load_events(spark, sf_dir))
+
+
+@_entry(
+    "fk_integrity_audit",
+    "Referential-integrity audit over the star schema: per FK, row/NULL/"
+    "orphan counts via key-only anti-joins against broadcast parent key "
+    "sets — the pre-join data-quality gate.",
+    """SELECT 'lineitem.l_orderkey -> orders' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_null_fk,
+       CAST(COUNT(CASE WHEN l_orderkey IS NOT NULL
+                        AND l_orderkey NOT IN (SELECT o_orderkey FROM orders) THEN 1 END) AS BIGINT) AS n_orphans
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_partkey -> part', COUNT(*),
+       COUNT(CASE WHEN l_partkey IS NULL THEN 1 END),
+       COUNT(CASE WHEN l_partkey IS NOT NULL
+                   AND l_partkey NOT IN (SELECT p_partkey FROM part) THEN 1 END)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_suppkey -> supplier', COUNT(*),
+       COUNT(CASE WHEN l_suppkey IS NULL THEN 1 END),
+       COUNT(CASE WHEN l_suppkey IS NOT NULL
+                   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier) THEN 1 END)
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_custkey -> customer', COUNT(*),
+       COUNT(CASE WHEN o_custkey IS NULL THEN 1 END),
+       COUNT(CASE WHEN o_custkey IS NOT NULL
+                   AND o_custkey NOT IN (SELECT c_custkey FROM customer) THEN 1 END)
+FROM orders
+UNION ALL
+SELECT 'customer.c_nationkey -> nation', COUNT(*),
+       COUNT(CASE WHEN c_nationkey IS NULL THEN 1 END),
+       COUNT(CASE WHEN c_nationkey IS NOT NULL
+                   AND c_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 END)
+FROM customer
+UNION ALL
+SELECT 'supplier.s_nationkey -> nation', COUNT(*),
+       COUNT(CASE WHEN s_nationkey IS NULL THEN 1 END),
+       COUNT(CASE WHEN s_nationkey IS NOT NULL
+                   AND s_nationkey NOT IN (SELECT n_nationkey FROM nation) THEN 1 END)
+FROM supplier
+UNION ALL
+SELECT 'nation.n_regionkey -> region', COUNT(*),
+       COUNT(CASE WHEN n_regionkey IS NULL THEN 1 END),
+       COUNT(CASE WHEN n_regionkey IS NOT NULL
+                   AND n_regionkey NOT IN (SELECT r_regionkey FROM region) THEN 1 END)
+FROM nation""",
+)
+def _q_fk_audit(spark, sf_dir):
+    names = ("lineitem", "orders", "part", "supplier", "customer", "nation", "region")
+    return analytics.fk_integrity_audit({n: _t(spark, sf_dir, n) for n in names})

@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "trade_pagerank",
     "cms_stopword_counts",
     "events_session_funnel",
+    "events_anomaly_mad",
+    "fk_integrity_audit",
 ]
 
 

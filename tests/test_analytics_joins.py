@@ -661,3 +661,62 @@ def test_session_funnel_enforces_order_within_session(spark):
     got = {r["steps_completed"]: r["n_sessions"]
            for r in analytics.events_session_funnel(events).collect()}
     assert got == {3: 1, 2: 2, 1: 1, 0: 1}
+
+
+def test_anomaly_mad_resists_single_spike(spark):
+    import datetime as _dt
+
+    # 9 quiet days + one 100x spike: MAD flags the spike; the spike's own
+    # magnitude cannot inflate the yardstick (50% breakdown point)
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        v = 1000.0 if day == 7 else 10.0 + (day % 3)
+        eid += 1
+        rows.append((eid, _dt.datetime(2024, 1, day, 12), 1, "view", v, None))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = {r["day"]: r for r in analytics.events_anomaly_mad(ev).collect()}
+    assert out["2024-01-07"]["is_anomaly"]
+    assert sum(1 for r in out.values() if r["is_anomaly"]) == 1
+
+
+def test_anomaly_mad_constant_series_yields_null_scores(spark):
+    import datetime as _dt
+
+    rows = [(d, _dt.datetime(2024, 1, d, 12), 1, "view", 5.0, None) for d in range(1, 6)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    out = analytics.events_anomaly_mad(ev).collect()
+    assert all(r["mscore"] is None and not r["is_anomaly"] for r in out)
+
+
+def test_fk_audit_counts_orphans_and_nulls(spark, sf_dir, t):
+    names = {"lineitem": t["lineitem"], "orders": t["orders"], "part": t["part"],
+             "supplier": t["supplier"], "customer": t["customer"],
+             "nation": t["nation"], "region": t["region"]}
+    clean = {r["relation"]: r for r in analytics.fk_integrity_audit(names).collect()}
+    assert all(r["n_orphans"] == 0 and r["n_null_fk"] == 0 for r in clean.values())
+    # plant one orphan and one NULL in orders.o_custkey
+    from pyspark.sql import functions as F
+    broken = names | {
+        "orders": names["orders"]
+        .withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") == names["orders"].first()["o_orderkey"],
+                   F.lit(10**9)).otherwise(F.col("o_custkey")),
+        )
+        .unionByName(
+            names["orders"].limit(1).withColumn("o_custkey", F.lit(None).cast("long"))
+        )
+    }
+    got = {r["relation"]: r for r in analytics.fk_integrity_audit(broken).collect()}
+    r = got["orders.o_custkey -> customer"]
+    assert r["n_orphans"] == 1 and r["n_null_fk"] == 1
+    # the audit ships keys only: every parent probe is a broadcast anti-join
+    plan = analytics.fk_integrity_audit(names)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
