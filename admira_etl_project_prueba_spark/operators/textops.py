@@ -1790,3 +1790,31 @@ def cms_estimate(
         est.join(exact, "token", "left")
         .selectExpr("token", "cms_count", "coalesce(exact_count, 0) AS exact_count")
     )
+
+
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff between two corpus versions: per doc_id, whether it
+    was ``added``, ``removed``, ``changed`` (same id, different content
+    hash) or ``unchanged``.
+
+    The incremental-ingest primitive: a re-crawl / re-delivery lands as a
+    full snapshot, and everything downstream (dedup stores, signature
+    stores, embedding caches) only wants the delta.  Each side reduces to
+    (doc_id, 128-bit md5) BEFORE the full-outer join, so the comparison
+    ships ids and 32-byte hashes — never document text — and the join is
+    a single co-partitioned shuffle on doc_id at any corpus size.
+
+    Returns (doc_id, status) for every doc_id in either snapshot.
+    """
+    def _hashed(df: DataFrame, col: str) -> DataFrame:
+        return df.selectExpr("doc_id", f"md5(text) AS {col}")
+
+    o = _hashed(old, "h_old")
+    n = _hashed(new, "h_new")
+    return o.join(n, "doc_id", "full_outer").selectExpr(
+        "doc_id",
+        "CASE WHEN h_old IS NULL THEN 'added' "
+        "WHEN h_new IS NULL THEN 'removed' "
+        "WHEN h_old <> h_new THEN 'changed' "
+        "ELSE 'unchanged' END AS status",
+    )

@@ -3700,3 +3700,30 @@ FROM nation""",
 def _q_fk_audit(spark, sf_dir):
     names = ("lineitem", "orders", "part", "supplier", "customer", "nation", "region")
     return analytics.fk_integrity_audit({n: _t(spark, sf_dir, n) for n in names})
+
+
+@_entry(
+    "corpus_diff",
+    "Snapshot diff (added/removed/changed/unchanged): both sides reduce "
+    "to (doc_id, md5) before ONE full-outer join — ids and 32-byte "
+    "hashes ship, never text.  old = doc_id%7<>0; new = all docs with "
+    "text suffixed for doc_id%11=0.",
+    """WITH o AS (SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 7 <> 0),
+n AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END) AS h_new
+      FROM documents)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN h_old IS NULL THEN 'added'
+            WHEN h_new IS NULL THEN 'removed'
+            WHEN h_old <> h_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
+)
+def _q_corpus_diff(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 7 != 0")
+    new = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 11 = 0 THEN concat(text, ' rev2') ELSE text END AS text",
+    )
+    return _tx.corpus_diff(old, new)

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "events_session_funnel",
     "events_anomaly_mad",
     "fk_integrity_audit",
+    "corpus_diff",
 ]
 
 

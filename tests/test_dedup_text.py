@@ -1064,3 +1064,14 @@ def test_cms_sketch_is_linear(spark):
         for k, v in g.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == gu
+
+
+def test_corpus_diff_statuses(spark):
+    old = docs(spark, [(1, "same", "en"), (2, "will change", "en"), (3, "gone", "en")])
+    new = docs(spark, [(1, "same", "en"), (2, "did change", "en"), (4, "fresh", "en")])
+    got = {r["doc_id"]: r["status"] for r in textops.corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # text never crosses the join: the join inputs are (doc_id, md5) only
+    plan = textops.corpus_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    assert "h_old" in plan and "h_new" in plan
+    assert "FullOuter" in plan
