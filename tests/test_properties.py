@@ -308,3 +308,67 @@ def test_pagination_partitions_the_result_exactly(spark, sf_dir):
         got.extend(tuple(r) for r in chunk)
         off += page
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter similarity join: exactness vs brute force on random corpora
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+doc_texts = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(texts=doc_texts, threshold=st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filter_join_equals_brute_force(spark, texts, threshold):
+    """AllPairs/PPJoin prefix + length + positional filtering must return
+    EXACTLY the brute-force pair set at any threshold — the filters are
+    prunes, never approximations.  Small vocabulary forces heavy shingle
+    collisions (the prefix filter's worst case)."""
+    from admira_etl_project_prueba_spark.operators import textops
+
+    d = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in textops.prefix_filter_jaccard_pairs(d, threshold=threshold).collect()}
+    brute = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in textops.ngram_jaccard_pairs(d, threshold=0.0, id_limit=10**9).collect()
+             if r["jaccard"] >= threshold}
+    assert got == brute
+
+
+# ---------------------------------------------------------------------------
+# pagerank: mass conservation + teleport floor on random digraphs
+# ---------------------------------------------------------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15),
+              st.integers(min_value=0, max_value=15)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(e=edge_lists)
+def test_pagerank_mass_and_floor_on_random_graphs(spark, e):
+    from admira_etl_project_prueba_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(e, "src long, dst long")
+    ranks = [r["rank"] for r in pagerank(edges, iters=2).collect()]
+    n = len({x for pair in e for x in pair})
+    assert len(ranks) == n
+    # conservation up to decimal(25,6) quantization of per-edge contributions
+    assert abs(sum(ranks) - 1.0) < max(1e-3, 2e-6 * len(e))
+    # every node keeps at least the teleport share
+    assert all(r >= 0.15 / n - 1e-9 for r in ranks)
