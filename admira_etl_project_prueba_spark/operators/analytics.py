@@ -1741,16 +1741,27 @@ def fk_integrity_audit(tables: dict[str, DataFrame]) -> DataFrame:
     out = None
     for relation, child, fk, parent, pk in checks:
         keys = tables[child].select(F.col(fk).alias("k"))
-        parents = F.broadcast(tables[parent].select(F.col(pk).alias("k")).distinct())
-        orphans = keys.filter(F.col("k").isNotNull()).join(parents, "k", "left_anti")
+        parents = F.broadcast(
+            tables[parent].select(F.col(pk).alias("k")).distinct()
+        ).withColumn("matched", F.lit(1))
+        # ONE pass: left-outer broadcast join marks each key, a single
+        # aggregate derives all three counts (a separate anti-join +
+        # crossJoin of 1-row aggs would plan a nested-loop join)
         row = (
-            keys.agg(
+            keys.join(parents, "k", "left")
+            .agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
                 .cast("long")
                 .alias("n_null_fk"),
+                F.sum(
+                    F.when(
+                        F.col("k").isNotNull() & F.col("matched").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
             )
-            .crossJoin(orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans")))
             .selectExpr(f"'{relation}' AS relation", "n_rows", "n_null_fk", "n_orphans")
         )
         out = row if out is None else out.unionByName(row)

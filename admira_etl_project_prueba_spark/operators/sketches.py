@@ -1,0 +1,164 @@
+"""Mergeable HyperLogLog registers as first-class DataFrame columns.
+
+Beyond the reference (which has no sketches): at 100 TB you cannot afford
+to rescan raw events for every COUNT(DISTINCT) — you materialize tiny
+per-partition register frames once and MERGE them (elementwise MAX) for
+any later rollup, exactly like production HLL columns in Druid/BigQuery.
+
+Engine-portable by construction, so the whole sketch is DuckDB-oracleable
+bit-for-bit (unlike ``approx_count_distinct``, whose HLL++ registers are
+engine-internal):
+
+* hash: HEX60 (first 15 md5 hex chars as a 60-bit int) — stable across
+  engines, versions and cluster sizes, which is what makes stored
+  register frames durable artifacts;
+* bucket = hash % m (m = 512, p = 9), remainder value = hash div m
+  (51 bits), all int64-exact;
+* register rho = 52 - length(bin(value)) (position of the leftmost 1 bit
+  in the 51-bit suffix, 52 when the suffix is all zeros) — ``bin()``
+  exists in both engines and integer string length replaces float
+  ``log2`` (whose float rounding misplaces ``floor(log2(2^k - 1))`` for
+  large k);
+* the indicator sum Z = sum_j 2^(-M_j) is kept EXACT by scaling to
+  2^52: S = sum_j 2^(52 - M_j) fits int64 (512 * 2^52 < 2^62), so the
+  raw estimate alpha * m^2 / Z = (alpha * m^2 * 2^52) / S is ONE double
+  division of a Python-literal numerator by an exact integer — bit-equal
+  in any IEEE engine, no float-summation order dependence.
+
+The small-range (linear-counting) correction needs ``ln``, which is not
+correctly-rounded-guaranteed across libms, so it is applied in
+:func:`hll_estimate` only when ``correct_small=True`` (default True for
+users; the oracle-gated catalog surface exposes the raw estimate plus the
+empty-bucket count V so the correction is recomputable downstream).
+
+Scale notes: registers for ANY group-by cardinality G cost G * m rows of
+two small ints — a per-day, per-type frame at 100 TB is megabytes.  The
+merge is an ordinary groupBy(bucket).max(register): associative,
+partial-aggregatable map-side, shuffle ships only registers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from admira_etl_project_prueba_spark.operators.textops import hex60
+
+#: number of registers (2^9) — relative error ~ 1.04/sqrt(512) = 4.6%
+M = 512
+#: suffix width in bits (60-bit hash minus 9 bucket bits)
+W = 51
+#: alpha_m for m >= 128 (Flajolet et al. 2007), baked as a double literal
+ALPHA = 0.7213 / (1.0 + 1.079 / M)
+#: exact-integer numerator scale: Z is summed as S = Z * 2^52
+SCALE = 1 << 52
+#: the one float constant both engines divide by S
+NUMERATOR = ALPHA * M * M * float(SCALE)
+
+
+def hll_registers(
+    df: DataFrame, value: str, groups: Sequence[str] = ()
+) -> DataFrame:
+    """Dense per-group HLL registers: one row per (groups..., bucket).
+
+    ``value`` is hashed as a string (HEX60) so any column type sketches
+    identically.  Dense output (empty buckets present with register 0)
+    makes downstream merges a plain groupBy-max with no outer-join
+    gymnastics; the m-row-per-group cost is the point of the sketch.
+    """
+    g = list(groups)
+    h = hex60(f"CAST({value} AS STRING)")
+    sparse = (
+        df.selectExpr(*g, f"{h} AS h")
+        .selectExpr(*g, f"h % {M} AS bucket", f"h div {M} AS v")
+        .selectExpr(
+            *g,
+            "bucket",
+            f"CAST(CASE WHEN v = 0 THEN {W + 1} ELSE {W + 1} - length(bin(v)) END AS INT) AS rho",
+        )
+        .groupBy(*g, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    # densify: groups × (0..m-1) scaffold, missing buckets → register 0.
+    # The scaffold explodes a sequence literal per group row (row-local
+    # generate — a crossJoin against range(M) would plan a nested loop).
+    if g:
+        scaffold = sparse.select(*g).distinct()
+    else:
+        scaffold = sparse.sparkSession.range(1).select()
+    scaffold = scaffold.select(
+        *g, F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("bucket")
+    ).withColumn("bucket", F.col("bucket").cast("int"))
+    return (
+        scaffold.join(sparse, g + ["bucket"], "left")
+        .select(*g, "bucket", F.coalesce("register", F.lit(0)).alias("register"))
+    )
+
+
+def hll_merge(registers: DataFrame, groups: Sequence[str] = ()) -> DataFrame:
+    """Union sketches: elementwise max over buckets, regrouped to ``groups``.
+
+    Input is any register frame (finer-grained groups allowed); output is
+    the merged register frame at the coarser grouping.  Associative and
+    idempotent — safe to apply repeatedly, in any partitioning.
+    """
+    return (
+        registers.groupBy(*list(groups), "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    groups: Sequence[str] = (),
+    correct_small: bool = True,
+) -> DataFrame:
+    """Cardinality estimate from a (dense or sparse) register frame.
+
+    Missing buckets count as register 0 via the bucket count: with k rows
+    present, (m - k) absent buckets each contribute 2^52 to S and one to V.
+    Columns: groups..., est_distinct (double), n_empty_buckets V,
+    indicator_scaled S (exact int).  With ``correct_small`` the standard
+    linear-counting branch (E <= 2.5m and V > 0 → m * ln(m / V)) replaces
+    the raw estimate — it uses ``ln``, hence excluded from the bit-exact
+    oracle surface.
+    """
+    g = list(groups)
+    agg = registers.groupBy(*g).agg(
+        F.expr(
+            f"CAST(SUM(shiftleft(CAST(1 AS BIGINT), 52 - register)) + "
+            f"({M} - COUNT(*)) * CAST({SCALE} AS BIGINT) AS BIGINT)"
+        ).alias("indicator_scaled"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) + "
+            f"({M} - COUNT(*)) AS BIGINT)"
+        ).alias("n_empty_buckets"),
+    )
+    est = agg.withColumn(
+        "est_distinct",
+        F.expr(f"CAST({NUMERATOR!r} AS DOUBLE) / CAST(indicator_scaled AS DOUBLE)"),
+    )
+    if correct_small:
+        est = est.withColumn(
+            "est_distinct",
+            F.expr(
+                f"CASE WHEN est_distinct <= 2.5 * {M} AND n_empty_buckets > 0 "
+                f"THEN {M} * ln({M} / CAST(n_empty_buckets AS DOUBLE)) "
+                "ELSE est_distinct END"
+            ),
+        )
+    return est.select(*g, "est_distinct", "n_empty_buckets", "indicator_scaled")
+
+
+def hll_distinct(
+    df: DataFrame,
+    value: str,
+    groups: Sequence[str] = (),
+    correct_small: bool = True,
+) -> DataFrame:
+    """One-shot convenience: registers → estimate at the same grouping."""
+    return hll_estimate(
+        hll_registers(df, value, groups), groups, correct_small=correct_small
+    )

@@ -3727,3 +3727,82 @@ def _q_corpus_diff(spark, sf_dir):
         "CASE WHEN doc_id % 11 = 0 THEN concat(text, ' rev2') ELSE text END AS text",
     )
     return _tx.corpus_diff(old, new)
+
+
+# -- mergeable HyperLogLog sketches (operators/sketches.py) ------------------
+
+from admira_etl_project_prueba_spark.operators import sketches as _sk
+
+#: DuckDB twin of sketches.hll_registers over events.user_id — dense
+#: per-group register frame (bucket scaffold via range(m), absent → 0)
+def _duck_hll_registers(groups_sql: str, group_cols: str) -> str:
+    h = _duck_hex60("CAST(user_id AS VARCHAR)")
+    return f"""WITH hashed AS (
+  SELECT {groups_sql}, {h} AS h FROM events
+),
+sparse AS (
+  SELECT {group_cols}, CAST(h % {_sk.M} AS INTEGER) AS bucket,
+         CAST(MAX(CASE WHEN h // {_sk.M} = 0 THEN {_sk.W + 1}
+                       ELSE {_sk.W + 1} - length(bin(h // {_sk.M})) END) AS INTEGER) AS register
+  FROM hashed GROUP BY ALL
+),
+scaffold AS (
+  SELECT {group_cols}, CAST(r.range AS INTEGER) AS bucket
+  FROM (SELECT DISTINCT {group_cols} FROM sparse) CROSS JOIN range({_sk.M}) r
+)
+SELECT {group_cols}, bucket, COALESCE(register, 0) AS register
+FROM scaffold LEFT JOIN sparse USING ({group_cols}, bucket)"""
+
+
+def _duck_hll_estimate(groups_sql: str, group_cols: str) -> str:
+    regs = _duck_hll_registers(groups_sql, group_cols)
+    return f"""WITH regs AS ({regs})
+SELECT {group_cols},
+       CAST({_sk.NUMERATOR!r} AS DOUBLE) / CAST(CAST(SUM(CAST(1 AS BIGINT) << (52 - register)) AS BIGINT) AS DOUBLE) AS est_distinct,
+       CAST(SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_buckets,
+       CAST(SUM(CAST(1 AS BIGINT) << (52 - register)) AS BIGINT) AS indicator_scaled
+FROM regs GROUP BY ALL"""
+
+
+@_entry(
+    "events_hll_registers",
+    "Mergeable HLL sketch REGISTERS per event_type (m=512, HEX60 hash, "
+    "integer-exact rho via bin() length): the stored artifact that makes "
+    "COUNT(DISTINCT) re-aggregatable without rescanning raw data — "
+    "groupBy ships 512 small ints per group, never user ids.",
+    _duck_hll_registers("event_type", "event_type"),
+)
+def _q_hll_registers(spark, sf_dir):
+    return _sk.hll_registers(load_events(spark, sf_dir), "user_id", ["event_type"])
+
+
+@_entry(
+    "events_hll_estimate",
+    "HLL cardinality estimate per event_type from the register frame: "
+    "indicator sum kept EXACT as sum(2^(52-rho)) in int64, so the raw "
+    "alpha*m^2/Z estimate is ONE literal/int64 double division — "
+    "bit-equal across engines (ln-based small-range correction excluded "
+    "from the oracle surface; V is exposed to apply it downstream).",
+    _duck_hll_estimate("event_type", "event_type"),
+)
+def _q_hll_estimate(spark, sf_dir):
+    return _sk.hll_distinct(
+        load_events(spark, sf_dir), "user_id", ["event_type"], correct_small=False
+    )
+
+
+@_entry(
+    "events_hll_merge_days",
+    "Sketch MERGE path: per-(type, day) registers max-merged to per-type, "
+    "then estimated — same output as the direct sketch, proving unions "
+    "of stored daily sketches answer arbitrary rollups without a rescan "
+    "(the oracle computes the direct sketch; equality IS the merge proof).",
+    _duck_hll_estimate("event_type", "event_type"),
+)
+def _q_hll_merge_days(spark, sf_dir):
+    ev = load_events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = _sk.hll_registers(ev, "user_id", ["event_type", "day"])
+    merged = _sk.hll_merge(daily, ["event_type"])
+    return _sk.hll_estimate(merged, ["event_type"], correct_small=False)

@@ -717,6 +717,8 @@ def test_fk_audit_counts_orphans_and_nulls(spark, sf_dir, t):
     got = {r["relation"]: r for r in analytics.fk_integrity_audit(broken).collect()}
     r = got["orders.o_custkey -> customer"]
     assert r["n_orphans"] == 1 and r["n_null_fk"] == 1
-    # the audit ships keys only: every parent probe is a broadcast anti-join
+    # the audit ships keys only: every parent probe is a broadcast
+    # left-outer join (single pass — no anti-join + nested-loop recombine)
     plan = analytics.fk_integrity_audit(names)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "NestedLoop" not in plan
