@@ -351,3 +351,70 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient.
+
+    Input is an undirected edge list (duplicates / self-loops / either
+    orientation tolerated).  Classic degree-ordered orientation (Cohen,
+    "Graph Twiddling in a MapReduce World", 2009): orient every edge from
+    its (degree, id)-smaller endpoint to the larger, which bounds every
+    out-neighborhood by O(sqrt(m)).  Wedge enumeration then joins the
+    oriented list with itself on src — total wedge volume is
+    sum(outdeg^2) = O(m^1.5) instead of sum(deg^2), which is what makes
+    triangle counting survive power-law skew at 100 TB (a celebrity node
+    with 10^7 neighbors contributes nothing to the self-join fan-out
+    because its edges all point INTO it).  A final equi-join against the
+    oriented list closes each wedge.  Three shuffles total (degree agg,
+    wedge join, closing join); only 2-int edge tuples ever ship.
+
+    Returns (node, degree, n_triangles, clustering_coeff) where
+    clustering_coeff = 2T / (deg * (deg - 1)), NULL for degree < 2.
+    """
+    e = (
+        edges.selectExpr(
+            f"least({src}, {dst}) AS u", f"greatest({src}, {dst}) AS v"
+        )
+        .filter("u < v")
+        .distinct()
+    )
+    both = e.selectExpr("u AS node").unionByName(e.selectExpr("v AS node"))
+    deg = both.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    with_deg = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    lt = "(du < dv) OR (du = dv AND u < v)"
+    oriented = with_deg.selectExpr(
+        f"CASE WHEN {lt} THEN u ELSE v END AS src",
+        f"CASE WHEN {lt} THEN v ELSE u END AS dst",
+        f"CASE WHEN {lt} THEN du ELSE dv END AS sdeg",
+        f"CASE WHEN {lt} THEN dv ELSE du END AS ddeg",
+    )
+    wedges = (
+        oriented.selectExpr("src AS a", "dst AS b", "ddeg AS db")
+        .join(oriented.selectExpr("src AS a", "dst AS c", "ddeg AS dc"), "a")
+        .filter("(db < dc) OR (db = dc AND b < c)")
+        .select("a", "b", "c")
+    )
+    tris = wedges.join(
+        oriented.selectExpr("src AS b", "dst AS c"), ["b", "c"], "left_semi"
+    )
+    per_node = (
+        tris.selectExpr("explode(array(a, b, c)) AS node")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CASE WHEN deg >= 2 THEN 2.0 * CAST(coalesce(n_triangles, 0) AS DOUBLE)"
+                " / (CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE)) END"
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -161,3 +161,24 @@ def test_pagerank_is_partitioning_invariant(spark):
     many = {r["node"]: r["rank"]
             for r in pagerank(edges(spark, e).repartition(13), iters=3).collect()}
     assert one == many  # decimal sums: bit-identical at any partitioning
+
+
+def test_triangle_counts_planted_graph(spark):
+    """K4 on {1,2,3,4} + pendant 5 + isolated edge (6,7); duplicates,
+    self-loops, and reversed orientations must not change the answer."""
+    from admira_etl_project_prueba_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(4, 5), (6, 7), (2, 1), (3, 3), (1, 2)]  # noise
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r for r in triangle_counts(df).collect()}
+    # K4: every node in C(3,2)=3 triangles; node 4 has degree 4 (pendant)
+    for n in (1, 2, 3):
+        assert got[n]["n_triangles"] == 3 and got[n]["degree"] == 3
+        assert abs(got[n]["clustering_coeff"] - 1.0) < 1e-12
+    assert got[4]["n_triangles"] == 3 and got[4]["degree"] == 4
+    assert abs(got[4]["clustering_coeff"] - 0.5) < 1e-12
+    assert got[5]["n_triangles"] == 0 and got[5]["clustering_coeff"] is None
+    assert got[6]["n_triangles"] == 0 and got[7]["degree"] == 1
+    # total triangles (each counted once per corner): 4 * 3 / 3 = 4 distinct
+    assert sum(r["n_triangles"] for r in got.values()) == 3 * 4
