@@ -1818,3 +1818,79 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         "WHEN h_old <> h_new THEN 'changed' "
         "ELSE 'unchanged' END AS status",
     )
+
+
+def bm25_rank(
+    documents: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """Ranked retrieval: rational-idf BM25 over the whitespace tokenizer.
+
+    Classic BM25 wraps the RSJ weight in ``ln``; libm ``ln`` is not
+    guaranteed correctly-rounded across engines, so this uses the raw
+    rational weight idf = (N - df + 0.5) / (df + 0.5) directly — per-term
+    rankings are identical (ln is monotone) and every arithmetic step is
+    IEEE-exact-reproducible, which keeps the operator oracle-checkable and
+    its scores stable across engine versions.
+
+    Scale shape: ONE corpus scan.  Per-doc term frequencies come from a
+    row-local ``filter`` of the token array against the (tiny, literal)
+    query-term list before the explode, so the shuffled frame is
+    (doc_id, term, tf) for MATCHING docs only — never the corpus
+    vocabulary.  Document frequencies reduce from that same frame; corpus
+    stats (N, avgdl) are a 1-row broadcast.  Per-term contributions are
+    summed as DECIMAL(25,6) (order-independent), cast to double at the
+    edge.  Output: top_n docs by (score DESC, doc_id) — deterministic.
+    """
+    terms_arr = "array(" + ", ".join(f"'{t}'" for t in query_terms) + ")"
+    dl = documents.selectExpr(
+        "doc_id", f"{TOKENS} AS toks"
+    ).selectExpr("doc_id", "toks", "CAST(size(toks) AS BIGINT) AS dl")
+    stats = dl.agg(
+        (F.sum(F.col("dl").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    tf = (
+        dl.selectExpr(
+            "doc_id",
+            "dl",
+            f"filter(toks, x -> array_contains({terms_arr}, x)) AS qt",
+        )
+        .filter("size(qt) > 0")
+        .selectExpr("doc_id", "dl", "explode(qt) AS term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    contrib = (
+        "CAST((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" * (CAST(tf AS DOUBLE) * CAST({k1 + 1.0!r} AS DOUBLE))"
+        f" / (CAST(tf AS DOUBLE) + CAST({k1!r} AS DOUBLE)"
+        f"    * (CAST({1.0 - b!r} AS DOUBLE)"
+        f"       + CAST({b!r} AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))"
+        f" AS {_DEC})"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(f"SUM({contrib})").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), "doc_id")
+        .limit(top_n)
+        .select(
+            "doc_id",
+            F.col("s").cast("double").alias("bm25_score"),
+            "n_terms_matched",
+        )
+    )

@@ -3862,3 +3862,58 @@ def _q_triangles(spark, sf_dir):
         .select("u", "v")
     )
     return _graph.triangle_counts(edges, "u", "v")
+
+
+# -- BM25 ranked retrieval (textops.bm25_rank) -------------------------------
+
+_BM25_TERMS = ("spark", "shuffle", "join")
+
+
+def _duck_bm25_sql(terms=_BM25_TERMS, k1=1.2, b=0.75, top_n=20) -> str:
+    tlist = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    return f"""WITH dl AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks,
+         CAST(len({_DUCK_TOKS}) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(SUM(CAST(dl AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avgdl,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl,
+               unnest(list_filter(toks, x -> list_contains({tlist}, x))) AS term
+        FROM dl)
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         SUM(CAST((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             * (CAST(tf AS DOUBLE) * CAST({k1 + 1.0!r} AS DOUBLE))
+             / (CAST(tf AS DOUBLE) + CAST({k1!r} AS DOUBLE)
+                * (CAST({1.0 - b!r} AS DOUBLE)
+                   + CAST({b!r} AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))
+             AS DECIMAL(25,6))) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(s AS DOUBLE) AS bm25_score, n_terms_matched
+FROM scored ORDER BY s DESC, doc_id LIMIT {top_n}"""
+
+
+@_entry(
+    "bm25_search",
+    "Ranked retrieval: rational-idf BM25 (ln-free RSJ weight — identical "
+    "per-term ranking, IEEE-reproducible scores) for a literal query-term "
+    "list.  ONE corpus scan: row-local array filter before the explode "
+    "ships (doc, term, tf) for matching docs only; corpus stats are a "
+    "1-row broadcast; decimal term-sum.",
+    _duck_bm25_sql(),
+)
+def _q_bm25(spark, sf_dir):
+    return _tx.bm25_rank(_t(spark, sf_dir, "documents"), list(_BM25_TERMS))

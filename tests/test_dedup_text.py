@@ -1075,3 +1075,27 @@ def test_corpus_diff_statuses(spark):
     plan = textops.corpus_diff(old, new)._jdf.queryExecution().executedPlan().toString()
     assert "h_old" in plan and "h_new" in plan
     assert "FullOuter" in plan
+
+
+def test_bm25_ranks_planted_relevant_doc_first(spark):
+    """A doc rich in rare query terms must outrank term-free and
+    common-term docs; docs with no query term don't appear at all."""
+    from admira_etl_project_prueba_spark.operators.textops import bm25_rank
+
+    filler = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, "quantum flux quantum flux quantum"),      # rare terms, high tf
+        (2, f"quantum {filler}"),                      # one rare term once
+        (3, f"{filler} {filler}"),                     # no query terms
+        (4, f"flux {filler} {filler} {filler}"),       # one term, long doc
+    ] + [(i, filler) for i in range(5, 30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_rank(docs, ["quantum", "flux"], top_n=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[0] == 1                       # both terms, highest tf
+    assert set(ids) == {1, 2, 4}             # term-free docs excluded
+    assert got[0]["n_terms_matched"] == 2
+    # doc 2 (short) must outrank doc 4 (same tf, longer): length norm
+    assert ids.index(2) < ids.index(4)
+    scores = [r["bm25_score"] for r in got]
+    assert scores == sorted(scores, reverse=True)

@@ -47,6 +47,7 @@ NESTED_LOOP_ALLOWED = {
     "q11_important_parts",      # 1-row scalar (total, n_parts) broadcast
     "q15_top_supplier",         # 1-row scalar MAX broadcast
     "tfidf_top_terms",          # 1-row corpus-size (N) broadcast
+    "bm25_search",              # 1-row corpus-stats (N, avgdl) broadcast
     "kmeans_centroids",         # k-row (model-sized) centroid broadcast per round
 }
 
