@@ -1894,3 +1894,35 @@ def bm25_rank(
             "n_terms_matched",
         )
     )
+
+
+def pps_sample(
+    df: DataFrame,
+    weight: str,
+    rate: float,
+    key: str = "doc_id",
+    salt: str = "pps",
+) -> DataFrame:
+    """Deterministic Poisson PPS sample: include each row independently
+    with probability p = min(1, rate * weight).
+
+    The inclusion test is INTEGER: hex60(key ⊕ salt) % 10^6 <
+    floor(p * 10^6) — one double multiply + floor, no transcendental, so
+    the sample is bit-reproducible across engines, runs, partitionings
+    and cluster sizes (the property that makes sampled-pipeline reruns
+    diffable).  Weighted-reservoir alternatives order by u^(1/w), whose
+    pow() is not correctly-rounded-guaranteed — the Poisson design is
+    what survives an engine swap.  Row-local scan→filter: no shuffle, no
+    state; union of per-shard samples IS the sample of the union.
+
+    Emits inclusion_prob and the Horvitz-Thompson weight 1/p so any
+    downstream sum/count stays unbiased: E[Σ 1/p over sample] = N.
+    """
+    p = f"least(CAST(1.0 AS DOUBLE), CAST({rate!r} AS DOUBLE) * CAST({weight} AS DOUBLE))"
+    h = hex60(f"concat(CAST({key} AS STRING), '|{salt}')")
+    return df.selectExpr(
+        "*",
+        f"{p} AS inclusion_prob",
+        f"CAST(1.0 AS DOUBLE) / {p} AS ht_weight",
+        f"{h} % 1000000 AS _u",
+    ).filter(f"_u < CAST(floor(inclusion_prob * 1000000) AS BIGINT)").drop("_u")

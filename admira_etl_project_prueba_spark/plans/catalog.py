@@ -3917,3 +3917,30 @@ FROM scored ORDER BY s DESC, doc_id LIMIT {top_n}"""
 )
 def _q_bm25(spark, sf_dir):
     return _tx.bm25_rank(_t(spark, sf_dir, "documents"), list(_BM25_TERMS))
+
+
+# -- deterministic weighted (PPS) sampling (textops.pps_sample) --------------
+
+_PPS_RATE = 0.001
+
+
+@_entry(
+    "pps_sample",
+    "Deterministic Poisson PPS sample of documents, p = min(1, rate * "
+    "n_chars): integer inclusion test hex60(key|salt) %% 1e6 < floor(p * "
+    "1e6) — bit-reproducible across engines/partitionings, row-local "
+    "(no shuffle), with Horvitz-Thompson 1/p weights for unbiased "
+    "downstream sums.",
+    f"""SELECT doc_id, source, lang, n_chars,
+       LEAST(CAST(1.0 AS DOUBLE), CAST({_PPS_RATE!r} AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS inclusion_prob,
+       CAST(1.0 AS DOUBLE) / LEAST(CAST(1.0 AS DOUBLE), CAST({_PPS_RATE!r} AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS ht_weight
+FROM documents
+WHERE {_duck_hex60("CAST(doc_id AS VARCHAR) || '|pps'")} % 1000000
+      < CAST(floor(LEAST(CAST(1.0 AS DOUBLE), CAST({_PPS_RATE!r} AS DOUBLE) * CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)""",
+)
+def _q_pps_sample(spark, sf_dir):
+    return _tx.pps_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars"),
+        weight="n_chars",
+        rate=_PPS_RATE,
+    )

@@ -1099,3 +1099,31 @@ def test_bm25_ranks_planted_relevant_doc_first(spark):
     assert ids.index(2) < ids.index(4)
     scores = [r["bm25_score"] for r in got]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_pps_sample_ht_estimator_and_determinism(spark, sf_dir):
+    """HT-weighted count estimates N within 3 sigma; sample is stable
+    across partitionings; p=1 rows are always kept."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from admira_etl_project_prueba_spark.operators.textops import pps_sample
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s = pps_sample(docs, "n_chars", 0.001)
+    rows = s.collect()
+    n = docs.count()
+    ht = sum(r["ht_weight"] for r in rows)
+    # Poisson sampling: Var(HT) = sum (1-p)/p; use the realized bound
+    var = sum((1 - r["inclusion_prob"]) / r["inclusion_prob"] ** 2 * r["inclusion_prob"]
+              for r in rows)  # plug-in estimate
+    assert abs(ht - n) <= 3 * math.sqrt(max(var, 1.0)) + 0.05 * n
+    # determinism: identical ids regardless of partitioning
+    ids = {r["doc_id"] for r in rows}
+    ids2 = {r["doc_id"] for r in pps_sample(docs.repartition(13), "n_chars", 0.001).collect()}
+    assert ids == ids2
+    # rows with p = 1 (rate*weight >= 1) are always included
+    certain = pps_sample(docs.withColumn("n_chars", F.lit(5000)), "n_chars", 0.001)
+    assert certain.count() == n
