@@ -577,3 +577,51 @@ def stream_token_sketch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_user_hll(
+    event_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    groups: tuple[str, ...] = ("event_type",),
+):
+    """Streaming HLL maintenance: each micro-batch's register frame is
+    max-merged into a persisted per-group register store — lifetime
+    distinct-user counts at fixed size (m small ints per group), never
+    reprocessing history.
+
+    Correctness rests on the sketch's MAX-merge algebra (idempotent,
+    commutative, associative — pinned by the batch merge test): the end
+    state equals a one-shot batch sketch over all inputs regardless of
+    micro-batch boundaries, and — unlike the additive count-min merge —
+    a replayed at-least-once batch is HARMLESS (max is idempotent), so
+    this needs no transactional sink for exactly-once counts.  The
+    merged frame is localCheckpoint-ed before overwriting its own
+    source.  Estimates come from reading the store through
+    sketches.hll_estimate.
+    """
+    from admira_etl_project_prueba_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    g = list(groups)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        delta = hll_registers(batch_df, "user_id", g)
+        try:
+            prev = spark.read.parquet(store_path)
+            merged = hll_merge(prev.unionByName(delta), g)
+        except Exception:
+            merged = delta
+        merged.localCheckpoint().write.mode("overwrite").parquet(store_path)
+
+    return (
+        event_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -503,3 +503,54 @@ def test_stream_token_sketch_equals_batch_sketch(spark, tmp_path):
     want = {(r["r"], r["bucket"]): r["cnt"]
             for r in cms_sketch(corpus, depth=2, width=64).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_user_hll_equals_batch_registers(spark, tmp_path):
+    """Max-merge sketch maintenance: after streaming micro-batches, the
+    persisted register store equals the one-shot batch sketch — and
+    REPLAYING a batch into the store changes nothing (max is idempotent,
+    so at-least-once delivery is harmless, unlike additive sketches)."""
+    from admira_etl_project_prueba_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+    from admira_etl_project_prueba_spark.streaming.ingest import stream_user_hll
+
+    rows = [(i, "click" if i % 2 else "view", i * 31 % 97) for i in range(200)]
+    src = tmp_path / "hll_in"
+    src.mkdir()
+    for fname, chunk in (("a.json", rows[:90]), ("b.json", rows[90:])):
+        with open(src / fname, "w") as fh:
+            for eid, etype, uid in chunk:
+                fh.write(
+                    json.dumps({"event_id": eid, "event_type": etype, "user_id": uid})
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    store = str(tmp_path / "hll_store")
+    q = stream_user_hll(stream, store, str(tmp_path / "hll_ckpt"))
+    q.awaitTermination(120)
+
+    def regs(df):
+        return {(r["event_type"], r["bucket"]): r["register"] for r in df.collect()}
+
+    got = regs(spark.read.parquet(store))
+    corpus = spark.createDataFrame(
+        rows, "event_id long, event_type string, user_id long"
+    )
+    want = regs(hll_registers(corpus, "user_id", ["event_type"]))
+    assert got == want and len(got) == 2 * 512
+    # replay: merging the full corpus sketch in again is a no-op
+    replayed = regs(
+        hll_merge(
+            spark.read.parquet(store).unionByName(
+                hll_registers(corpus, "user_id", ["event_type"])
+            ),
+            ["event_type"],
+        )
+    )
+    assert replayed == got
