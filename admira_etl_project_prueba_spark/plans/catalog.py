@@ -3944,3 +3944,82 @@ def _q_pps_sample(spark, sf_dir):
         weight="n_chars",
         rate=_PPS_RATE,
     )
+
+
+# -- SCD2 dimension handling (operators/scd.py) ------------------------------
+
+from admira_etl_project_prueba_spark.operators import scd as _scd
+
+_DUCK_SCD2_DIM = """WITH u AS (
+  SELECT user_id, event_type AS status,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP))
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+),
+latest AS (SELECT user_id, status, valid_from_us FROM u WHERE rn = 1),
+chg AS (
+  SELECT *, LAG(status) OVER w AS prev
+  FROM latest WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us)
+),
+comp AS (SELECT user_id, status, valid_from_us FROM chg
+         WHERE prev IS DISTINCT FROM status)
+SELECT user_id, status, valid_from_us,
+       LEAD(valid_from_us) OVER w AS valid_to_us,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       (LEAD(valid_from_us) OVER w) IS NULL AS is_current
+FROM comp WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us)"""
+
+
+def _scd2_dim(spark, sf_dir):
+    ev = load_events(spark, sf_dir).selectExpr(
+        "user_id",
+        "event_type AS status",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS us",
+        "event_id",
+    )
+    return _scd.scd2_build(ev, "user_id", ["status"], "us", "event_id")
+
+
+@_entry(
+    "scd2_user_status",
+    "Type-2 dimension from the event change log: same-instant dedup -> "
+    "change compression (consecutive equal attrs dropped) -> versioned "
+    "half-open [valid_from, valid_to) intervals; ONE shuffle on the key "
+    "drives all four window steps.  Integer microsecond time keeps the "
+    "whole surface exact.",
+    _DUCK_SCD2_DIM,
+)
+def _q_scd2_dim(spark, sf_dir):
+    return _scd2_dim(spark, sf_dir)
+
+
+@_entry(
+    "scd2_point_in_time",
+    "Point-in-time enrichment: each purchase fact joined to the status "
+    "version valid at fact time.  NOT a range join (non-equi = nested "
+    "loop at scale) — reuses the union + single-window as-of core; a "
+    "fact at exactly valid_from sees the new version.",
+    f"""WITH dim AS ({_DUCK_SCD2_DIM}),
+f AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS fact_ts_us
+      FROM events WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, f.fact_ts_us,
+       d.status AS status_asof, d.version AS version_asof
+FROM f ASOF LEFT JOIN dim d
+  ON f.user_id = d.user_id AND f.fact_ts_us >= d.valid_from_us""",
+)
+def _q_scd2_pit(spark, sf_dir):
+    facts = load_events(spark, sf_dir).filter("event_type = 'purchase'").selectExpr(
+        "event_id", "user_id", "unix_micros(CAST(ts AS TIMESTAMP)) AS fact_ts_us"
+    )
+    dim = _scd2_dim(spark, sf_dir)
+    out = _scd.scd2_point_in_time(
+        facts, dim, "user_id", "fact_ts_us", payload=["status", "version"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "fact_ts_us",
+        F.col("status_asof"),
+        F.col("version_asof"),
+    )

@@ -722,3 +722,49 @@ def test_fk_audit_counts_orphans_and_nulls(spark, sf_dir, t):
     plan = analytics.fk_integrity_audit(names)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "NestedLoop" not in plan
+
+
+def test_scd2_build_and_point_in_time(spark):
+    """Planted change log: same-instant dedup keeps the tiebreak-greatest
+    update, consecutive equal attrs compress away, intervals are
+    half-open, and the as-of probe sees the new version at its start."""
+    from admira_etl_project_prueba_spark.operators.scd import (
+        scd2_build,
+        scd2_point_in_time,
+    )
+
+    # (key, status, ts_us, seq)
+    updates = [
+        (1, "bronze", 100, 1),
+        (1, "silver", 100, 2),   # same instant: seq 2 wins, bronze vanishes
+        (1, "silver", 200, 3),   # no-op re-assert: compressed away
+        (1, "gold", 300, 4),
+        (2, "bronze", 150, 5),
+    ]
+    dim = scd2_build(
+        spark.createDataFrame(updates, ["k", "status", "us", "seq"]),
+        "k", ["status"], "us", "seq",
+    )
+    rows = {(r["k"], r["version"]): r for r in dim.collect()}
+    assert len(rows) == 3
+    assert rows[(1, 1)]["status"] == "silver"
+    assert rows[(1, 1)]["valid_from_us"] == 100
+    assert rows[(1, 1)]["valid_to_us"] == 300      # compressed: jumps to gold
+    assert rows[(1, 2)]["status"] == "gold" and rows[(1, 2)]["is_current"]
+    assert rows[(2, 1)]["valid_to_us"] is None
+
+    facts = spark.createDataFrame(
+        [(10, 1, 99), (11, 1, 100), (12, 1, 299), (13, 1, 300), (14, 2, 500)],
+        ["fact_id", "k", "fts"],
+    )
+    got = {
+        r["fact_id"]: (r["status_asof"], r["version_asof"])
+        for r in scd2_point_in_time(
+            facts, dim, "k", "fts", ["status", "version"]
+        ).collect()
+    }
+    assert got[10] == (None, None)          # before first version
+    assert got[11] == ("silver", 1)         # boundary: sees the NEW version
+    assert got[12] == ("silver", 1)
+    assert got[13] == ("gold", 2)
+    assert got[14] == ("bronze", 1)
