@@ -1766,3 +1766,55 @@ def fk_integrity_audit(tables: dict[str, DataFrame]) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def events_cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, tracked across week offsets.
+
+    ONE user-key shuffle does everything: per user, aggregate the first
+    week AND the distinct-week set together (collect_set of week starts
+    — bounded by the calendar, dozens of values at most), then explode
+    row-locally into (cohort, offset) pairs; the final matrix is a tiny
+    aggregate.  The naive formulation (distinct user-weeks JOIN
+    per-user minimum) re-shuffles the activity frame a second time on
+    the same key.  Week offsets are integer day-diffs div 7 between
+    week starts — no date-diff float edge cases.
+
+    Output: cohort_week, week_offset, n_active_users, n_cohort_users,
+    retention_rate (= active / cohort size, ≤ 1.0, offset 0 ≡ 1.0).
+    """
+    per_user = (
+        events.select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("aw")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("aw").alias("cw"),
+            F.collect_set("aw").alias("weeks"),
+        )
+    )
+    pairs = per_user.select(
+        "user_id", "cw", F.explode("weeks").alias("aw")
+    ).select(
+        "user_id",
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        F.expr("datediff(aw, cw) div 7").alias("week_offset"),
+    )
+    matrix = pairs.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_users")
+    )
+    base = (
+        per_user.groupBy(F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cohort_users"))
+    )
+    return matrix.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        F.col("week_offset").cast("int").alias("week_offset"),
+        "n_active_users",
+        "n_cohort_users",
+        (
+            F.col("n_active_users").cast("double")
+            / F.col("n_cohort_users").cast("double")
+        ).alias("retention_rate"),
+    )

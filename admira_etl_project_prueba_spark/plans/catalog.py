@@ -4023,3 +4023,35 @@ def _q_scd2_pit(spark, sf_dir):
         F.col("status_asof"),
         F.col("version_asof"),
     )
+
+
+@_entry(
+    "events_cohort_retention",
+    "Weekly cohort retention matrix: ONE user-key shuffle aggregates "
+    "first week + distinct-week set together (collect_set bounded by "
+    "the calendar), explodes row-locally to (cohort, offset), tiny final "
+    "aggregate + broadcast cohort sizes.  Integer week arithmetic.",
+    """WITH ua AS (
+  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS aw
+  FROM events
+),
+coh AS (SELECT user_id, MIN(aw) AS cw FROM ua GROUP BY 1),
+pairs AS (
+  SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+         CAST(datediff('day', cw, aw) // 7 AS INTEGER) AS week_offset
+  FROM ua JOIN coh USING (user_id)
+),
+matrix AS (
+  SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active_users
+  FROM pairs GROUP BY 1, 2
+),
+base AS (
+  SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort_users
+  FROM coh GROUP BY 1
+)
+SELECT cohort_week, week_offset, n_active_users, n_cohort_users,
+       CAST(n_active_users AS DOUBLE) / CAST(n_cohort_users AS DOUBLE) AS retention_rate
+FROM matrix JOIN base USING (cohort_week)""",
+)
+def _q_cohort_retention(spark, sf_dir):
+    return analytics.events_cohort_retention(load_events(spark, sf_dir))

@@ -93,6 +93,12 @@ BENCH_QUERIES = [
     "events_anomaly_mad",
     "fk_integrity_audit",
     "corpus_diff",
+    # round-4 (this session): sketches, graph, retrieval, SCD2
+    "events_hll_merge_days",
+    "cosupply_triangles",
+    "bm25_search",
+    "pps_sample",
+    "scd2_point_in_time",
 ]
 
 

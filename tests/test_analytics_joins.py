@@ -768,3 +768,21 @@ def test_scd2_build_and_point_in_time(spark):
     assert got[12] == ("silver", 1)
     assert got[13] == ("gold", 2)
     assert got[14] == ("bronze", 1)
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """Offset-0 retention is exactly 1.0; rates are proper fractions;
+    cohort sizes partition the user base."""
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    rows = analytics.events_cohort_retention(ev).collect()
+    assert rows
+    assert len({r["week_offset"] for r in rows}) > 1  # a matrix, not a point
+    for r in rows:
+        assert 0.0 < r["retention_rate"] <= 1.0
+        assert r["week_offset"] >= 0
+        if r["week_offset"] == 0:
+            assert r["n_active_users"] == r["n_cohort_users"]
+    sizes = {r["cohort_week"]: r["n_cohort_users"] for r in rows}
+    assert sum(sizes.values()) == ev.select("user_id").distinct().count()
