@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "bm25_search",
     "pps_sample",
     "scd2_point_in_time",
+    "events_cohort_retention",
 ]
 
 

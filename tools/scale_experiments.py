@@ -459,6 +459,49 @@ def main():
         "speedup": round(inner_res["sec"] / max(outer_res["sec"], 1e-9), 1),
     }
 
+    # -- HLL registers vs exact COUNT(DISTINCT): shuffle is sketch-sized ---
+    # Exact per-day distinct users must shuffle every distinct (day, user)
+    # pair — shuffle records grow with user cardinality, i.e. with the
+    # data.  The HLL path max-merges map-side, so the exchange carries at
+    # most groups x m register rows regardless of how many users exist:
+    # the 100 TB COUNT(DISTINCT) rollup at fixed network cost (4.6% rel
+    # error at m=512), and the registers are a reusable stored artifact.
+    def _hll_fns():
+        from pyspark.sql import functions as _F
+
+        from admira_etl_project_prueba_spark.operators.sketches import (
+            hll_distinct,
+        )
+        from admira_etl_project_prueba_spark.sources.tables import load_events
+
+        ev = load_events(spark, SF_DIR).withColumn(
+            "day", _F.date_format("ts", "yyyy-MM-dd")
+        )
+
+        def exact():
+            return ev.groupBy("day").agg(
+                _F.countDistinct("user_id").alias("n_users")
+            )
+
+        def sketch():
+            return hll_distinct(ev, "user_id", ["day"]).select(
+                "day", "est_distinct"
+            )
+
+        return exact, sketch
+
+    exact_fn, sketch_fn = _hll_fns()
+    exact_fn().collect()  # warm
+    exact_res = run_measured(spark, exact_fn)
+    sketch_res = run_measured(spark, sketch_fn)
+    results["hll_vs_exact_distinct_by_day"] = {
+        "exact_count_distinct": exact_res,
+        "hll_sketch": sketch_res,
+        "shuffle_record_ratio": round(
+            exact_res["shuffle_records"] / max(sketch_res["shuffle_records"], 1), 1
+        ),
+    }
+
     # -- IVF indexed probe at 200k vectors (index wins on query-time I/O) --
     results["ivf_index_200k"] = _ivf_200k_experiment(spark)
 
