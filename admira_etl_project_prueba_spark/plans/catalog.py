@@ -3812,10 +3812,18 @@ def _q_hll_merge_days(spark, sf_dir):
 
 _DUCK_TRI_LT_UV = "du.deg < dv.deg OR (du.deg = dv.deg AND u < v)"
 
+#: minimum shared orders for a co-supply edge — below this the TPC-H
+#: supplier universe (1k suppliers at sf0.1 vs 150k orders) degenerates
+#: toward a complete graph, which no triangle algorithm survives; real
+#: 100 TB co-occurrence graphs get the same treatment (min-support
+#: pruning) for the same reason.
+_TRI_MIN_SHARED = 5
+
 _DUCK_TRIANGLES = f"""WITH e AS (
-  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
   WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_SHARED}
 ),
 dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
@@ -3847,10 +3855,11 @@ FROM dg LEFT JOIN pn USING (node)"""
 @_entry(
     "cosupply_triangles",
     "Per-node triangle counts + clustering coefficient over the supplier "
-    "co-supply graph (suppliers sharing an order): degree-ordered edge "
-    "orientation bounds every out-neighborhood by O(sqrt(m)), so wedge "
-    "fan-out is O(m^1.5) regardless of power-law skew — a celebrity "
-    "node's edges all point INTO it.  Three shuffles, 2-int tuples only.",
+    "repeat-co-supply graph (>= 5 shared orders — min-support pruning "
+    "keeps the small TPC-H supplier universe out of the complete-graph "
+    "regime): degree-ordered edge orientation bounds every "
+    "out-neighborhood by O(sqrt(m)), so wedge fan-out is O(m^1.5) "
+    "regardless of power-law skew.  Three shuffles, 2-int tuples only.",
     _DUCK_TRIANGLES,
 )
 def _q_triangles(spark, sf_dir):
@@ -3859,6 +3868,9 @@ def _q_triangles(spark, sf_dir):
         li.selectExpr("l_orderkey", "l_suppkey AS u")
         .join(li.selectExpr("l_orderkey", "l_suppkey AS v"), "l_orderkey")
         .filter("u < v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _TRI_MIN_SHARED)
         .select("u", "v")
     )
     return _graph.triangle_counts(edges, "u", "v")
