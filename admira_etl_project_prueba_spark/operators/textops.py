@@ -1926,3 +1926,107 @@ def pps_sample(
         f"CAST(1.0 AS DOUBLE) / {p} AS ht_weight",
         f"{h} % 1000000 AS _u",
     ).filter(f"_u < CAST(floor(inclusion_prob * 1000000) AS BIGINT)").drop("_u")
+
+
+def write_text_index(documents: DataFrame, path: str, num_buckets: int = 64) -> None:
+    """Persist an inverted text index for BM25 retrieval: postings
+    (term, doc_id, tf, dl) written ``partitionBy(term_bucket)`` with
+    term_bucket = hex60(term) % num_buckets, plus a 1-row corpus-stats
+    table (n_docs, avgdl) under ``<path>/stats``.
+
+    The 100 TB retrieval shape: indexing is a once-per-ingest batch job
+    (one corpus scan); a query then reads ONLY the partition directories
+    its terms hash into — ~|query terms|/num_buckets of the index bytes,
+    never the corpus.  Document frequencies are NOT precomputed: df for
+    a term is derivable from that term's own (pruned) postings at query
+    time, which keeps the index append-mergeable (posting frames from
+    new shards union in; stats re-aggregate) without a global rebuild.
+    """
+    dl = documents.selectExpr("doc_id", f"{TOKENS} AS toks").selectExpr(
+        "doc_id", "toks", "CAST(size(toks) AS BIGINT) AS dl"
+    )
+    postings = (
+        dl.selectExpr("doc_id", "dl", "explode(toks) AS term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "term_bucket", F.expr(f"{hex60('term')} % {num_buckets}").cast("int")
+        )
+    )
+    (
+        postings.write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/postings")
+    )
+    stats = dl.agg(
+        (F.sum(F.col("dl").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_from_index(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Index-backed BM25: same scores and output as :func:`bm25_rank`
+    (shares its oracle), but the corpus is never touched — the
+    ``term_bucket IN (...)`` + ``term IN (...)`` literal predicates prune
+    the postings scan to the query terms' partition directories, so
+    query-time I/O stays ~|terms|/num_buckets of the index regardless of
+    corpus size.  Shares bm25_rank's arithmetic exactly (rational idf,
+    decimal term sum)."""
+    spark_terms = ", ".join(f"'{t}'" for t in query_terms)
+    buckets = ", ".join(
+        str(b_)
+        for b_ in sorted(
+            {
+                int(h, 16) % num_buckets
+                for h in (
+                    __import__("hashlib").md5(t.encode()).hexdigest()[:15]
+                    for t in query_terms
+                )
+            }
+        )
+    )
+    tf = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(f"term_bucket IN ({buckets}) AND term IN ({spark_terms})")
+        .select("doc_id", "dl", "term", "tf")
+    )
+    stats = spark.read.parquet(f"{index_path}/stats")
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    contrib = (
+        "CAST((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" * (CAST(tf AS DOUBLE) * CAST({k1 + 1.0!r} AS DOUBLE))"
+        f" / (CAST(tf AS DOUBLE) + CAST({k1!r} AS DOUBLE)"
+        f"    * (CAST({1.0 - b!r} AS DOUBLE)"
+        f"       + CAST({b!r} AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))"
+        f" AS {_DEC})"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(f"SUM({contrib})").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("s").desc(), "doc_id")
+        .limit(top_n)
+        .select(
+            "doc_id",
+            F.col("s").cast("double").alias("bm25_score"),
+            "n_terms_matched",
+        )
+    )

@@ -4067,3 +4067,54 @@ FROM matrix JOIN base USING (cohort_week)""",
 )
 def _q_cohort_retention(spark, sf_dir):
     return analytics.events_cohort_retention(load_events(spark, sf_dir))
+
+
+def _text_index_path(spark, sf_dir) -> str:
+    """Build (once per input-content identity) and return the cached
+    write_text_index path for sf_dir's documents table.  Same tag rules
+    as _ivf_index_path: digest every data file's (relpath, size,
+    mtime_ns) + a format version; build into a temp dir and atomically
+    rename so concurrent runs can't observe a half-written index."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    files = [src]
+    if os.path.isdir(src):
+        files = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(src)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+    h = hashlib.sha256(b"textidx-format-v1\n")
+    for p in files:
+        st = os.stat(p)
+        h.update(f"{os.path.relpath(p, sf_dir)}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    path = os.path.join(tempfile.gettempdir(), f"text_index_{h.hexdigest()[:16]}")
+    if not os.path.isdir(path):
+        tmp = tempfile.mkdtemp(prefix="text_index_build_")
+        _tx.write_text_index(_t(spark, sf_dir, "documents"), tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
+    return path
+
+
+@_entry(
+    "bm25_search_indexed",
+    "Index-backed BM25: same scores as bm25_search (shared oracle) but "
+    "the corpus is NEVER rescanned — postings live partitionBy("
+    "term_bucket = hex60(term) %% 64), so the literal term/bucket "
+    "predicates prune the scan to the query terms' directories "
+    "(~|terms|/64 of the index bytes at any corpus size).  df derives "
+    "from the pruned postings themselves, keeping the index "
+    "append-mergeable.",
+    _duck_bm25_sql(),
+)
+def _q_bm25_indexed(spark, sf_dir):
+    path = _text_index_path(spark, sf_dir)
+    return _tx.bm25_from_index(spark, path, list(_BM25_TERMS))

@@ -1127,3 +1127,45 @@ def test_pps_sample_ht_estimator_and_determinism(spark, sf_dir):
     # rows with p = 1 (rate*weight >= 1) are always included
     certain = pps_sample(docs.withColumn("n_chars", F.lit(5000)), "n_chars", 0.001)
     assert certain.count() == n
+
+
+def test_bm25_index_matches_scan_and_prunes_partitions(spark, sf_dir, tmp_path):
+    """Index-backed BM25 returns byte-identical results to the corpus
+    scan, and its postings read is partition-pruned to the query terms'
+    buckets (the corpus is never touched at query time)."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bm25_from_index,
+        bm25_rank,
+        write_text_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "tix")
+    write_text_index(docs, idx)
+    terms = ["spark", "join"]
+    want = [tuple(r) for r in bm25_rank(docs, terms).collect()]
+    got_df = bm25_from_index(spark, idx, terms)
+    got = [tuple(r) for r in got_df.collect()]
+    assert got == want and len(got) > 0
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan  # partition filter reached the scan
+    # pruned read: only the buckets the two terms hash into
+    import hashlib
+
+    buckets = {int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 64 for t in terms}
+    read_dirs = {
+        d.name
+        for d in (tmp_path / "tix" / "postings").iterdir()
+        if d.name.startswith("term_bucket=")
+    }
+    assert {f"term_bucket={b}" for b in buckets} <= read_dirs
+    scanned = (
+        spark.read.parquet(f"{idx}/postings")
+        .filter(
+            f"term_bucket IN ({', '.join(map(str, buckets))})"
+        )
+        .count()
+    )
+    total = spark.read.parquet(f"{idx}/postings").count()
+    assert scanned < total  # the pruned slice is a strict subset
