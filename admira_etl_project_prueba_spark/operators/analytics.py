@@ -1818,3 +1818,29 @@ def events_cohort_retention(events: DataFrame) -> DataFrame:
             / F.col("n_cohort_users").cast("double")
         ).alias("retention_rate"),
     )
+
+
+def events_debounce(events: DataFrame, within_seconds: int = 3600) -> DataFrame:
+    """Drop near-duplicate event deliveries: an event is suppressed when
+    the previous event of the same (user_id, event_type) lies within
+    ``within_seconds`` (default 1 h) — the cleanup for at-least-once
+    delivery and client retries re-emitting the same logical action.
+
+    One (user, type) shuffle, one lag window, integer microsecond
+    comparison.  Suppression chains deliberately do NOT reset: in a
+    burst e0..e3 each half-window apart, e1–e3 all suppress against their
+    predecessor (each is a plausible retry of it); anchor-based
+    semantics (keep e0, re-anchor at e2) would need a session-style
+    running id — that variant is ``sessionize`` with a small gap.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    return (
+        events.withColumn("us", F.expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+        .withColumn("prev_us", F.lag("us").over(w))
+        .filter(
+            F.col("prev_us").isNull()
+            | ((F.col("us") - F.col("prev_us")) > within_seconds * 1_000_000)
+        )
+        .drop("prev_us")
+        .select("event_id", "user_id", "event_type", "us", "value")
+    )

@@ -4118,3 +4118,23 @@ def _text_index_path(spark, sf_dir) -> str:
 def _q_bm25_indexed(spark, sf_dir):
     path = _text_index_path(spark, sf_dir)
     return _tx.bm25_from_index(spark, path, list(_BM25_TERMS))
+
+
+@_entry(
+    "events_debounce",
+    "At-least-once delivery cleanup: suppress an event when the previous "
+    "event of the same (user, type) lies within 1 h — one key shuffle, "
+    "one lag window, integer microsecond comparison.",
+    """WITH e AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS us, value,
+         LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, us, value
+FROM e WHERE prev_us IS NULL OR us - prev_us > 3600000000""",
+)
+def _q_debounce(spark, sf_dir):
+    return analytics.events_debounce(load_events(spark, sf_dir))

@@ -786,3 +786,26 @@ def test_cohort_retention_invariants(spark, sf_dir):
             assert r["n_active_users"] == r["n_cohort_users"]
     sizes = {r["cohort_week"]: r["n_cohort_users"] for r in rows}
     assert sum(sizes.values()) == ev.select("user_id").distinct().count()
+
+
+def test_debounce_suppresses_planted_retries(spark):
+    """Planted retry burst: chained suppression drops every follower
+    within the window; a different event_type never suppresses."""
+    rows = [
+        (1, 100, "click", 0),          # anchor (us)
+        (2, 100, "click", 2_000_000),  # retry: suppressed
+        (3, 100, "click", 4_000_000),  # chained retry: suppressed
+        (4, 100, "view", 2_000_000),   # other type: kept
+        (5, 100, "click", 20_000_000), # outside window: kept
+        (6, 200, "click", 1_000_000),  # other user: kept
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, us) for i, u, t, us in rows],
+        ["event_id", "user_id", "event_type", "us_in"],
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(timestamp_micros(us_in) AS TIMESTAMP_NTZ) AS ts",
+        "CAST(1.0 AS DOUBLE) AS value",
+    )
+    kept = {r["event_id"] for r in analytics.events_debounce(ev, 5).collect()}
+    assert kept == {1, 4, 5, 6}
