@@ -1844,3 +1844,63 @@ def events_debounce(events: DataFrame, within_seconds: int = 3600) -> DataFrame:
         .drop("prev_us")
         .select("event_id", "user_id", "event_type", "us", "value")
     )
+
+
+def events_linear_attribution(
+    events: DataFrame, lookback_days: int = 7
+) -> DataFrame:
+    """Multi-touch LINEAR attribution: each purchase splits one unit of
+    credit (and its revenue) equally across that user's click/view
+    touches in the preceding ``lookback_days`` window.
+
+    The touch↔conversion pairing is a USER-KEYED equi-join with a
+    row-local time filter — per-user fan-out is bounded by activity, so
+    the join shuffles user-aligned slices, never a cross product (the
+    naive range-join formulation is a nested loop at scale).  Credit
+    1/n and revenue v/n are summed as DECIMAL(25,6) — order-independent
+    across partitionings.  Conversions with NO in-window touch surface
+    in the 'unattributed' bucket so totals reconcile: summed credit
+    equals the conversion count exactly.
+    """
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    touches = events.filter(
+        F.col("event_type").isin("click", "view")
+    ).selectExpr("user_id", "event_type AS touch_type", f"{us} AS tus")
+    convs = events.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id", "event_id AS conv_id", f"{us} AS cus", "value"
+    )
+    lb = lookback_days * 86_400_000_000
+    pairs = convs.join(touches, "user_id").filter(
+        (F.col("tus") < F.col("cus")) & (F.col("cus") - F.col("tus") <= lb)
+    )
+    per_conv = pairs.groupBy("conv_id", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches")
+    )
+    credited = (
+        pairs.join(per_conv.select("conv_id", "n_touches"), "conv_id")
+        .selectExpr(
+            "touch_type",
+            "CAST(CAST(1.0 AS DOUBLE) / n_touches AS decimal(25,6)) AS credit",
+            "CAST(value / n_touches AS decimal(25,6)) AS rev",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.sum("credit").cast("double").alias("attributed_conversions"),
+            F.sum("rev").cast("double").alias("attributed_revenue"),
+        )
+    )
+    unattributed = (
+        convs.join(per_conv.select("conv_id"), "conv_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("attributed_conversions"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+        .selectExpr(
+            "'unattributed' AS touch_type",
+            "attributed_conversions",
+            "coalesce(attributed_revenue, 0.0) AS attributed_revenue",
+        )
+    )
+    return credited.unionByName(unattributed)

@@ -4138,3 +4138,50 @@ FROM e WHERE prev_us IS NULL OR us - prev_us > 3600000000""",
 )
 def _q_debounce(spark, sf_dir):
     return analytics.events_debounce(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_linear_attribution",
+    "Multi-touch linear attribution: each purchase splits a unit of "
+    "credit + its revenue equally across the user's click/view touches "
+    "in a 7-day lookback.  User-keyed equi-join with row-local time "
+    "filter (bounded per-user fan-out, not a range join); decimal credit "
+    "sums; no-touch conversions land in an 'unattributed' bucket so "
+    "credit totals reconcile with the conversion count.",
+    """WITH t AS (
+  SELECT user_id, event_type AS touch_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+  FROM events WHERE event_type IN ('click', 'view')
+),
+c AS (
+  SELECT user_id, event_id AS conv_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS cus, value
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT conv_id, value, touch_type
+  FROM c JOIN t USING (user_id)
+  WHERE tus < cus AND cus - tus <= CAST(604800 AS BIGINT) * 1000000
+),
+per_conv AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_touches FROM pairs GROUP BY 1
+),
+credited AS (
+  SELECT touch_type,
+         CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / n_touches AS DECIMAL(25,6))) AS DOUBLE)
+           AS attributed_conversions,
+         CAST(SUM(CAST(value / n_touches AS DECIMAL(25,6))) AS DOUBLE)
+           AS attributed_revenue
+  FROM pairs JOIN per_conv USING (conv_id) GROUP BY touch_type
+),
+unatt AS (
+  SELECT 'unattributed' AS touch_type,
+         CAST(COUNT(*) AS DOUBLE) AS attributed_conversions,
+         COALESCE(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 0.0)
+           AS attributed_revenue
+  FROM c WHERE conv_id NOT IN (SELECT conv_id FROM per_conv)
+)
+SELECT * FROM credited UNION ALL SELECT * FROM unatt""",
+)
+def _q_linear_attribution(spark, sf_dir):
+    return analytics.events_linear_attribution(load_events(spark, sf_dir))

@@ -809,3 +809,38 @@ def test_debounce_suppresses_planted_retries(spark):
     )
     kept = {r["event_id"] for r in analytics.events_debounce(ev, 5).collect()}
     assert kept == {1, 4, 5, 6}
+
+
+def test_linear_attribution_reconciles_and_splits(spark):
+    """Credit splits equally across in-window touches; totals reconcile
+    with the conversion count; out-of-window and no-touch paths work."""
+    day = 86_400_000_000
+    rows = [
+        # user 1: two touches then a 10.0 purchase → 0.5 credit each
+        (1, 1, "click", 1 * day, 0.0),
+        (2, 1, "view", 2 * day, 0.0),
+        (3, 1, "purchase", 3 * day, 10.0),
+        # user 2: only touch is OUTSIDE the 7-day lookback → unattributed
+        (4, 2, "click", 1 * day, 0.0),
+        (5, 2, "purchase", 10 * day, 7.0),
+        # user 3: touch AFTER the purchase → unattributed
+        (6, 3, "view", 5 * day, 0.0),
+        (7, 3, "purchase", 4 * day, 3.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "us_in", "value"]
+    ).selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(timestamp_micros(us_in) AS TIMESTAMP_NTZ) AS ts", "value",
+    )
+    got = {
+        r["touch_type"]: r
+        for r in analytics.events_linear_attribution(ev).collect()
+    }
+    assert got["click"]["attributed_conversions"] == 0.5
+    assert got["view"]["attributed_conversions"] == 0.5
+    assert got["click"]["attributed_revenue"] == 5.0
+    assert got["unattributed"]["attributed_conversions"] == 2.0
+    assert got["unattributed"]["attributed_revenue"] == 10.0
+    total_credit = sum(r["attributed_conversions"] for r in got.values())
+    assert total_credit == 3.0  # one unit per conversion, exactly
