@@ -48,6 +48,7 @@ NESTED_LOOP_ALLOWED = {
     "q15_top_supplier",         # 1-row scalar MAX broadcast
     "tfidf_top_terms",          # 1-row corpus-size (N) broadcast
     "bm25_search",              # 1-row corpus-stats (N, avgdl) broadcast
+    "bm25_search_indexed",      # same 1-row stats broadcast, postings-pruned
     "kmeans_centroids",         # k-row (model-sized) centroid broadcast per round
 }
 
