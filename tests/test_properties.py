@@ -372,3 +372,71 @@ def test_pagerank_mass_and_floor_on_random_graphs(spark, e):
     assert abs(sum(ranks) - 1.0) < max(1e-3, 2e-6 * len(e))
     # every node keeps at least the teleport share
     assert all(r >= 0.15 / n - 1e-9 for r in ranks)
+
+
+@given(
+    uids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60),
+    cut=st.integers(0, 59),
+)
+@PROP_SETTINGS
+def test_hll_split_merge_equals_whole(spark, uids, cut):
+    """For ANY row split, merging the parts' registers equals sketching
+    the whole — the exact algebra the streaming store relies on."""
+    from admira_etl_project_prueba_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    cut = min(cut, len(uids))
+    rows = [(u,) for u in uids]
+    whole = spark.createDataFrame(rows, ["uid"])
+    a = spark.createDataFrame(rows[:cut] or [(uids[0],)], ["uid"])
+    b = spark.createDataFrame(rows[cut:] or [(uids[-1],)], ["uid"])
+    # duplicated boundary rows are harmless: the sketch is idempotent
+    direct = {
+        r["bucket"]: r["register"]
+        for r in hll_registers(whole, "uid").collect()
+    }
+    merged = {
+        r["bucket"]: r["register"]
+        for r in hll_merge(
+            hll_registers(a, "uid").unionByName(hll_registers(b, "uid"))
+        ).collect()
+    }
+    assert merged == direct
+
+
+@given(
+    updates=st.lists(
+        st.tuples(
+            st.integers(1, 3),                      # key
+            st.sampled_from(["a", "b", "c"]),       # attr
+            st.integers(0, 20),                     # ts_us
+            st.integers(0, 100),                    # tiebreak seq
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@PROP_SETTINGS
+def test_scd2_intervals_partition_the_timeline(spark, updates):
+    """For ANY change log: per key, versions are dense 1..n, intervals
+    chain exactly (valid_to == next valid_from), never overlap, exactly
+    one open current version, and consecutive attrs always differ."""
+    from admira_etl_project_prueba_spark.operators.scd import scd2_build
+
+    df = spark.createDataFrame(updates, ["k", "attr", "us", "seq"])
+    out = sorted(
+        scd2_build(df, "k", ["attr"], "us", "seq").collect(),
+        key=lambda r: (r["k"], r["version"]),
+    )
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, vs in by_key.items():
+        assert [r["version"] for r in vs] == list(range(1, len(vs) + 1))
+        for prev, cur in zip(vs, vs[1:]):
+            assert prev["valid_to_us"] == cur["valid_from_us"]  # chained
+            assert prev["attr"] != cur["attr"]                  # compressed
+            assert not prev["is_current"]
+        assert vs[-1]["is_current"] and vs[-1]["valid_to_us"] is None
