@@ -162,3 +162,71 @@ def hll_distinct(
     return hll_estimate(
         hll_registers(df, value, groups), groups, correct_small=correct_small
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (membership) — completes the sketch triad: CMS counts,
+# HLL distincts, Bloom membership.
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: 8192 positions x 4 affine hash rows (same
+#: pairwise-independent family as the count-min sketch; arithmetic stays
+#: under 2^47 so it is exact in any engine's int64)
+BLOOM_M = 8192
+BLOOM_K = 4
+_M31 = 2_147_483_647
+
+
+def _bloom_pos_exprs(h: str) -> list[str]:
+    return [
+        f"CAST((({2 * r + 1} * {h} + {1000 * r + 7}) % {_M31}) % {BLOOM_M} AS INT)"
+        for r in range(BLOOM_K)
+    ]
+
+
+def bloom_positions(df: DataFrame, value: str) -> DataFrame:
+    """Bloom filter as a SET-BIT POSITIONS frame: distinct ``pos`` over
+    k affine hashes of each value — at most m rows total, regardless of
+    input size.
+
+    The set-of-positions representation keeps the sketch declarative and
+    engine-portable (a packed bitmap would need binary-blob UDFs):
+    UNION of two filters is ``unionByName().distinct()``, and the whole
+    artifact broadcasts in kilobytes.  The intended role is the 100 TB
+    dedup PREFILTER: ship the bloom instead of the full seen-key set,
+    drop the (1 - fill)^k of a batch that provably was never seen
+    map-side, and send only the survivors into the exact anti-join —
+    false positives cost a redundant exact check, never correctness.
+    """
+    h = f"({hex60(f'CAST({value} AS STRING)')} % {_M31})"
+    pos = ", ".join(_bloom_pos_exprs("h"))
+    return (
+        df.selectExpr(f"{h} AS h")
+        .selectExpr(f"explode(array({pos})) AS pos")
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    items: DataFrame, bloom: DataFrame, value: str, flag: str = "maybe_seen"
+) -> DataFrame:
+    """Append ``flag``: true iff ALL k positions of ``value`` are set in
+    ``bloom`` (no false negatives; false positives at the documented
+    rate).  The bloom side is broadcast; the probe is row-local explode +
+    broadcast semi-join + count — no shuffle of ``items``."""
+    h = f"({hex60(f'CAST({value} AS STRING)')} % {_M31})"
+    pos = ", ".join(_bloom_pos_exprs("_bh"))
+    probed = (
+        items.selectExpr("*", f"{h} AS _bh")
+        .selectExpr("*", f"explode(array({pos})) AS _pos")
+        .join(
+            F.broadcast(bloom.selectExpr("pos AS _pos", "1 AS _hit")),
+            "_pos",
+            "left",
+        )
+        .groupBy(*items.columns)
+        .agg(
+            (F.sum(F.coalesce("_hit", F.lit(0))) == F.lit(BLOOM_K)).alias(flag)
+        )
+    )
+    return probed

@@ -4185,3 +4185,55 @@ SELECT * FROM credited UNION ALL SELECT * FROM unatt""",
 )
 def _q_linear_attribution(spark, sf_dir):
     return analytics.events_linear_attribution(load_events(spark, sf_dir))
+
+
+# -- Bloom-filter dedup prefilter (operators/sketches.py) --------------------
+
+def _duck_bloom_sql() -> str:
+    norm = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    h = f"({_duck_hex60('ch')} % 2147483647)"
+    pos = ", ".join(
+        f"(({2 * r + 1} * h + {1000 * r + 7}) % 2147483647) % 8192"
+        for r in range(4)
+    )
+    return f"""WITH seen AS (
+  SELECT DISTINCT {norm} AS ch FROM documents WHERE doc_id % 7 = 0
+),
+sh AS (SELECT {h} AS h FROM (SELECT ch FROM seen)),
+bloom AS (SELECT DISTINCT unnest([{pos}]) AS pos FROM sh),
+batch AS (SELECT doc_id, {norm} AS ch FROM documents),
+bh AS (SELECT doc_id, ch, {h} AS h FROM batch),
+probes AS (SELECT doc_id, ch, unnest([{pos}]) AS pos FROM bh),
+flags AS (
+  SELECT doc_id, ch,
+         CAST(COUNT(CASE WHEN bloom.pos IS NOT NULL THEN 1 END) AS BIGINT) = 4
+           AS maybe_seen
+  FROM probes LEFT JOIN bloom USING (pos) GROUP BY doc_id, ch
+)
+SELECT doc_id, maybe_seen, ch IN (SELECT ch FROM seen) AS actually_seen
+FROM flags"""
+
+
+@_entry(
+    "bloom_dedup_prefilter",
+    "Bloom-filter dedup PREFILTER: the seen corpus's normalized content "
+    "hashes become a set-bit-positions frame (<= 8192 rows, broadcastable "
+    "kilobytes); each batch doc probes its 4 affine positions row-locally "
+    "against the broadcast — provably-unseen docs skip the exact "
+    "anti-join entirely.  No false negatives (actually_seen => "
+    "maybe_seen, pinned by pytest); false positives only cost a "
+    "redundant exact check.",
+    _duck_bloom_sql(),
+)
+def _q_bloom_prefilter(spark, sf_dir):
+    norm = "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) AS ch"
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter("doc_id % 7 = 0").selectExpr(norm).distinct()
+    batch = docs.selectExpr("doc_id", norm)
+    bloom = _sk.bloom_positions(seen, "ch")
+    flagged = _sk.bloom_maybe_contains(batch, bloom, "ch")
+    return flagged.join(
+        seen.selectExpr("ch", "true AS _s"), "ch", "left"
+    ).selectExpr(
+        "doc_id", "maybe_seen", "coalesce(_s, false) AS actually_seen"
+    )

@@ -75,3 +75,44 @@ def test_hll_registers_are_dense_and_bounded(spark):
     # ungrouped variant: one dense sketch
     flat = sk.hll_registers(df, "uid").collect()
     assert len(flat) == sk.M
+
+
+def test_bloom_no_false_negatives_and_prefilter_payoff(spark, sf_dir):
+    """Every actually-seen item flags maybe_seen (no false negatives);
+    the prefilter passes only a small superset of the true positives."""
+    from admira_etl_project_prueba_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["bloom_dedup_prefilter"].fn(spark, sf_dir).collect()
+    assert rows
+    fp = sum(1 for r in rows if r["maybe_seen"] and not r["actually_seen"])
+    for r in rows:
+        if r["actually_seen"]:
+            assert r["maybe_seen"], r
+    n_unseen = sum(1 for r in rows if not r["actually_seen"])
+    # 8192-bit filter vs ~70 seen hashes: fill ~3%, fp ~ fill^4 — tiny.
+    # Bound loosely: the prefilter must eliminate >90% of unseen docs.
+    assert fp <= 0.1 * max(n_unseen, 1), (fp, n_unseen)
+
+
+def test_bloom_union_is_distinct_union(spark):
+    """Merging blooms = union-distinct of position frames; probing the
+    merged filter sees members of both parts."""
+    from admira_etl_project_prueba_spark.operators import sketches as sk2
+    from pyspark.sql import functions as F
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(20)], ["v"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(20)], ["v"])
+    merged = (
+        sk2.bloom_positions(a, "v")
+        .unionByName(sk2.bloom_positions(b, "v"))
+        .distinct()
+    )
+    probe = a.unionByName(b).unionByName(
+        spark.createDataFrame([(f"c{i}",) for i in range(200)], ["v"])
+    )
+    got = {r["v"]: r["maybe_seen"] for r in sk2.bloom_maybe_contains(probe, merged, "v").collect()}
+    assert all(got[f"a{i}"] for i in range(20))
+    assert all(got[f"b{i}"] for i in range(20))
+    # unseen probes: mostly negative (40 items in 8192 bits)
+    neg = sum(1 for i in range(200) if not got[f"c{i}"])
+    assert neg >= 195
