@@ -1904,3 +1904,47 @@ def events_linear_attribution(
         )
     )
     return credited.unionByName(unattributed)
+
+
+EVENT_TYPES = ("click", "view", "signup", "purchase", "error")
+
+
+def events_daily_pivot(events: DataFrame) -> DataFrame:
+    """Day × event-type value matrix: pivot with an EXPLICIT type list.
+
+    Passing the pivot values avoids Spark's extra distinct-collect pass
+    over the data (a driver round-trip that also makes the output schema
+    data-dependent — poison for a 100 TB incremental pipeline where a
+    new event type must not silently reshape downstream tables).  One
+    shuffle; unobserved types yield 0.0 via the decimal-sum coalesce.
+    """
+    return (
+        events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.col("value").cast(_DEC).alias("v"),
+        )
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.sum("v"))
+        .select(
+            "day",
+            *[
+                F.coalesce(F.col(t).cast("double"), F.lit(0.0)).alias(f"{t}_value")
+                for t in EVENT_TYPES
+            ],
+        )
+    )
+
+
+def events_unpivot_daily(pivoted: DataFrame) -> DataFrame:
+    """Inverse melt: the wide day × type matrix back to long
+    (day, event_type, total_value) rows via the built-in unpivot —
+    row-local stack, no shuffle; zero-filled cells are kept so
+    unpivot(pivot(x)) is total on the (day × type) grid."""
+    return pivoted.unpivot(
+        "day",
+        [f"{t}_value" for t in EVENT_TYPES],
+        "event_type",
+        "total_value",
+    ).withColumn("event_type", F.expr("replace(event_type, '_value', '')"))

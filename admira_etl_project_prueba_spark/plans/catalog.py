@@ -4237,3 +4237,44 @@ def _q_bloom_prefilter(spark, sf_dir):
     ).selectExpr(
         "doc_id", "maybe_seen", "coalesce(_s, false) AS actually_seen"
     )
+
+
+_DUCK_PIVOT = """SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(25,6)) END), 0) AS DOUBLE) AS click_value,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(25,6)) END), 0) AS DOUBLE) AS view_value,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(25,6)) END), 0) AS DOUBLE) AS signup_value,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(25,6)) END), 0) AS DOUBLE) AS purchase_value,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(25,6)) END), 0) AS DOUBLE) AS error_value
+FROM events GROUP BY 1"""
+
+
+@_entry(
+    "events_daily_pivot",
+    "Day x type pivot with an EXPLICIT value list — no distinct-collect "
+    "driver pass, schema independent of the data (a new event type can't "
+    "silently reshape downstream tables).  One shuffle; absent cells 0.",
+    _DUCK_PIVOT,
+)
+def _q_daily_pivot(spark, sf_dir):
+    return analytics.events_daily_pivot(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_unpivot_daily",
+    "Inverse melt of the pivot (built-in unpivot/stack, row-local, no "
+    "shuffle): total on the day x type grid, so unpivot(pivot(x)) "
+    "round-trips including zero-filled cells.",
+    f"""WITH p AS ({_DUCK_PIVOT})
+SELECT day, replace(name, '_value', '') AS event_type, value AS total_value
+FROM (
+  SELECT day, unnest(['click_value', 'view_value', 'signup_value',
+                      'purchase_value', 'error_value']) AS name,
+         unnest([click_value, view_value, signup_value, purchase_value,
+                 error_value]) AS value
+  FROM p
+)""",
+)
+def _q_unpivot_daily(spark, sf_dir):
+    return analytics.events_unpivot_daily(
+        analytics.events_daily_pivot(load_events(spark, sf_dir))
+    )

@@ -844,3 +844,31 @@ def test_linear_attribution_reconciles_and_splits(spark):
     assert got["unattributed"]["attributed_revenue"] == 10.0
     total_credit = sum(r["attributed_conversions"] for r in got.values())
     assert total_credit == 3.0  # one unit per conversion, exactly
+
+
+def test_pivot_unpivot_roundtrip_and_conservation(spark, sf_dir):
+    """unpivot(pivot(x)) is total on the day x type grid, and pivoted
+    cell sums conserve the raw decimal total per type."""
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    wide = analytics.events_daily_pivot(ev)
+    long = analytics.events_unpivot_daily(wide)
+    n_days = wide.count()
+    assert long.count() == n_days * len(analytics.EVENT_TYPES)
+    raw = {
+        r["event_type"]: float(r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("s"))
+        .collect()
+    }
+    got = {
+        r["event_type"]: r["s"]
+        for r in long.groupBy("event_type")
+        .agg(F.sum(F.col("total_value").cast("decimal(25,6)")).cast("double").alias("s"))
+        .collect()
+    }
+    for t, v in raw.items():
+        assert got[t] == pytest.approx(v, abs=1e-6)
+    # schema is data-independent: explicit columns, fixed order
+    assert wide.columns == ["day"] + [f"{t}_value" for t in analytics.EVENT_TYPES]
