@@ -2030,3 +2030,40 @@ def bm25_from_index(
             "n_terms_matched",
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion: score(d) = Σ_i 1/(k + rank_i(d)) over the
+    input rankings (each a frame with ``id_col`` + ``rank``; absent docs
+    contribute nothing).
+
+    Rank fusion beats score fusion when the component scores live on
+    incomparable scales (BM25 vs cosine vs a quality prior) — only the
+    ORDER survives, which also makes the fusion engine-exact: every term
+    is the reciprocal of a small integer, summed in a fixed left-to-right
+    expression (outer-join columns, not an aggregate), so the result is
+    bit-reproducible.  Each component list is top-N bounded upstream;
+    the fusion joins tiny frames — cost lives in the retrievers.
+    """
+    fused = None
+    for i, r in enumerate(rankings):
+        ri = r.select(F.col(id_col), F.col("rank").alias(f"_r{i}"))
+        fused = ri if fused is None else fused.join(ri, id_col, "full_outer")
+    terms = " + ".join(
+        f"coalesce(CAST(1.0 AS DOUBLE) / ({k} + _r{i}), CAST(0.0 AS DOUBLE))"
+        for i in range(len(rankings))
+    )
+    return (
+        fused.selectExpr(
+            id_col,
+            f"{terms} AS rrf_score",
+            *[f"_r{i} AS rank_{i}" for i in range(len(rankings))],
+        )
+        .orderBy(F.col("rrf_score").desc(), id_col)
+        .limit(top_n)
+    )

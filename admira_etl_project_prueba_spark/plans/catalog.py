@@ -4278,3 +4278,65 @@ def _q_unpivot_daily(spark, sf_dir):
     return analytics.events_unpivot_daily(
         analytics.events_daily_pivot(load_events(spark, sf_dir))
     )
+
+
+# -- hybrid retrieval: RRF(BM25, quality prior) ------------------------------
+
+def _duck_rrf_sql(k: int = 60, n_list: int = 100, top_n: int = 20) -> str:
+    return f"""WITH bm AS ({_duck_bm25_sql(top_n=n_list)}),
+bmr AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id) AS INTEGER) AS r0
+  FROM bm
+),
+q AS (
+  SELECT doc_id,
+         CAST(len(list_distinct({_DUCK_TOKS})) AS DOUBLE)
+           / len({_DUCK_TOKS}) AS ttr
+  FROM documents
+),
+qr AS (
+  SELECT doc_id, CAST(rn AS INTEGER) AS r1 FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ttr DESC, doc_id) AS rn FROM q
+  ) WHERE rn <= {n_list}
+),
+fused AS (
+  SELECT COALESCE(bmr.doc_id, qr.doc_id) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / ({k} + r0), CAST(0.0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / ({k} + r1), CAST(0.0 AS DOUBLE)) AS rrf_score,
+         r0 AS rank_0, r1 AS rank_1
+  FROM bmr FULL OUTER JOIN qr ON bmr.doc_id = qr.doc_id
+)
+SELECT * FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {top_n}"""
+
+
+@_entry(
+    "hybrid_search_rrf",
+    "Hybrid retrieval: reciprocal-rank fusion of the BM25 top-100 with a "
+    "lexical-diversity quality prior top-100 — only ORDER survives into "
+    "the fusion, so incomparable score scales compose and every term is "
+    "a reciprocal of a small integer summed in fixed order "
+    "(bit-reproducible).  Component lists are top-N bounded (distributed "
+    "TakeOrdered), so the fusion joins 100-row frames.",
+    _duck_rrf_sql(),
+)
+def _q_hybrid_rrf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_list = 100
+    bm = _tx.bm25_rank(docs, list(_BM25_TERMS), top_n=n_list)
+    bmr = bm.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_score").desc(), "doc_id"))
+        .cast("int"),
+    ).select("doc_id", "rank")
+    q = _tx.quality_scores(docs).select("doc_id", "ttr")
+    qtop = q.orderBy(F.col("ttr").desc(), "doc_id").limit(n_list)
+    qr = qtop.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("ttr").desc(), "doc_id"))
+        .cast("int"),
+    ).select("doc_id", "rank")
+    return _tx.rrf_fuse([bmr, qr])

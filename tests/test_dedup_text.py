@@ -1169,3 +1169,19 @@ def test_bm25_index_matches_scan_and_prunes_partitions(spark, sf_dir, tmp_path):
     )
     total = spark.read.parquet(f"{idx}/postings").count()
     assert scanned < total  # the pruned slice is a strict subset
+
+
+def test_rrf_fusion_prefers_doubly_ranked_docs(spark):
+    """A doc present in BOTH lists outranks docs topping only one list
+    (the defining RRF property); absent docs contribute nothing."""
+    from admira_etl_project_prueba_spark.operators.textops import rrf_fuse
+
+    a = spark.createDataFrame([(1, 2), (2, 1), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(1, 3), (4, 1), (5, 2)], ["doc_id", "rank"])
+    got = rrf_fuse([a, b], k=60, top_n=10).collect()
+    assert got[0]["doc_id"] == 1  # 1/(60+2) + 1/(60+3) beats any single list
+    assert got[0]["rank_0"] == 2 and got[0]["rank_1"] == 3
+    scores = {r["doc_id"]: r["rrf_score"] for r in got}
+    assert scores[1] == 1 / 62 + 1 / 63
+    assert scores[2] == 1 / 61  # single-list doc: one term only
+    assert set(scores) == {1, 2, 3, 4, 5}
