@@ -49,6 +49,7 @@ NESTED_LOOP_ALLOWED = {
     "tfidf_top_terms",          # 1-row corpus-size (N) broadcast
     "bm25_search",              # 1-row corpus-stats (N, avgdl) broadcast
     "bm25_search_indexed",      # same 1-row stats broadcast, postings-pruned
+    "hybrid_search_rrf",        # embeds bm25's 1-row stats broadcast
     "kmeans_centroids",         # k-row (model-sized) centroid broadcast per round
 }
 
