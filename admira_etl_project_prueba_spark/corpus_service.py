@@ -128,6 +128,61 @@ class CorpusService:
             "request_id": new_request_id(request_id),
         }
 
+    # -- GET /corpus/search ---------------------------------------------------
+    def search(
+        self,
+        q: str | None,
+        mode: str = "bm25",
+        limit: int = 20,
+        request_id: str | None = None,
+    ) -> dict:
+        """Ranked retrieval over the documents corpus.
+
+        ``q`` is a whitespace-separated term list (missing/blank → 400,
+        mirroring the reference's required-param contract); ``mode`` is
+        ``bm25`` or ``hybrid`` (RRF with the lexical-diversity quality
+        prior); unknown modes → 400; non-positive limit clamps to 20.
+        """
+        if q is None or not q.strip():
+            raise ValidationError("missing required parameter: q")
+        if mode not in ("bm25", "hybrid"):
+            raise ValidationError(f"invalid mode: {mode}")
+        if limit is None or limit <= 0:
+            limit = 20
+        terms = [t.lower() for t in q.split()]
+        if mode == "bm25":
+            rows = textops.bm25_rank(self.documents, terms, top_n=limit)
+        else:
+            from pyspark.sql import Window
+
+            n_list = max(100, limit)
+            bm = textops.bm25_rank(self.documents, terms, top_n=n_list)
+            bmr = bm.withColumn(
+                "rank",
+                F.row_number()
+                .over(Window.orderBy(F.col("bm25_score").desc(), "doc_id"))
+                .cast("int"),
+            ).select("doc_id", "rank")
+            qual = (
+                textops.quality_scores(self.documents)
+                .select("doc_id", "ttr")
+                .orderBy(F.col("ttr").desc(), "doc_id")
+                .limit(n_list)
+            )
+            qr = qual.withColumn(
+                "rank",
+                F.row_number()
+                .over(Window.orderBy(F.col("ttr").desc(), "doc_id"))
+                .cast("int"),
+            ).select("doc_id", "rank")
+            rows = textops.rrf_fuse([bmr, qr], top_n=limit)
+        return {
+            "query": terms,
+            "mode": mode,
+            "data": [r.asDict() for r in rows.collect()],
+            "request_id": new_request_id(request_id),
+        }
+
     # -- GET /corpus/quality -------------------------------------------------
     def quality_report(self, request_id: str | None = None) -> dict:
         verdicts = (

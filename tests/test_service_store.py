@@ -523,3 +523,32 @@ def test_corpus_source_report_endpoint(spark):
     assert rep["data"][1]["keep_source"]
     with pytest.raises(ValidationError):
         svc.source_report(min_kept_fraction=2.0)
+
+
+def test_corpus_search_endpoint_contract(corpus_svc):
+    """GET /corpus/search: envelope, validation (missing q / bad mode),
+    limit clamp, bm25 vs hybrid parity with the underlying operators."""
+    from admira_etl_project_prueba_spark.service import ValidationError
+
+    out = corpus_svc.search(q="spark join", limit=5)
+    assert set(out) == {"query", "mode", "data", "request_id"}
+    assert out["mode"] == "bm25" and out["query"] == ["spark", "join"]
+    assert 0 < len(out["data"]) <= 5
+    assert list(out["data"][0]) == ["doc_id", "bm25_score", "n_terms_matched"]
+    scores = [d["bm25_score"] for d in out["data"]]
+    assert scores == sorted(scores, reverse=True)
+
+    hyb = corpus_svc.search(q="Spark JOIN", mode="hybrid", limit=5)
+    assert len(hyb["data"]) == 5
+    assert "rrf_score" in hyb["data"][0]
+
+    import pytest as _pt
+
+    with _pt.raises(ValidationError):
+        corpus_svc.search(q=None)
+    with _pt.raises(ValidationError):
+        corpus_svc.search(q="   ")
+    with _pt.raises(ValidationError):
+        corpus_svc.search(q="x", mode="vector")
+    clamped = corpus_svc.search(q="spark", limit=0)
+    assert len(clamped["data"]) <= 20
