@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "pps_sample",
     "scd2_point_in_time",
     "events_cohort_retention",
+    "bloom_dedup_prefilter",
+    "hybrid_search_rrf",
 ]
 
 
