@@ -71,3 +71,51 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_table(
+    spark,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet table into
+    ceil(rows / target_rows_per_file) right-sized files, optionally
+    re-clustered on ``sort_cols``.
+
+    The lakehouse maintenance job every streaming/upsert sink needs:
+    micro-batches and partition upserts leave thousands of KB-sized
+    files whose per-file open/footer costs dominate scans long before
+    data volume does.  One pass: count → repartitionByRange (sampled
+    ranges, no global sort) or round-robin when no sort is asked for →
+    locally sorted right-sized files.  Returns {files_before,
+    files_after, rows} so maintenance jobs can log/assert the effect.
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_files = max(1, math.ceil(rows / target_rows_per_file))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_path)
+
+    def _count(p):
+        return sum(
+            1
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+
+    return {
+        "files_before": _count(path),
+        "files_after": _count(out_path),
+        "rows": rows,
+    }

@@ -44,3 +44,33 @@ def test_unbucketed_same_join_shuffles(spark, bucket_db):
     b = df.selectExpr("k", "v AS v2")
     plan = a.join(b, "k")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan
+
+
+def test_compact_table_right_sizes_and_preserves_rows(spark, tmp_path):
+    """Many tiny files -> few right-sized files; rows conserved; sorted
+    variant keeps per-file ranges disjoint (data-skipping preserved)."""
+    from admira_etl_project_prueba_spark.operators.layout import compact_table
+
+    src = str(tmp_path / "fragmented")
+    spark.range(10_000).selectExpr("id", "id % 97 AS k").repartition(
+        64
+    ).write.parquet(src)
+    out = str(tmp_path / "compacted")
+    stats = compact_table(spark, src, out, target_rows_per_file=2_500, sort_cols=["id"])
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 4
+    assert stats["rows"] == 10_000
+    got = spark.read.parquet(out)
+    assert got.count() == 10_000
+    # disjoint per-file id ranges: max(file_i) < min(file_j) for some order
+    import pyspark.sql.functions as F
+
+    ranges = (
+        got.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in ranges)
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 < l2
