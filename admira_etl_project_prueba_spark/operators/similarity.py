@@ -686,3 +686,43 @@ def random_projection(embeddings: DataFrame, out_dim: int = 16) -> DataFrame:
             f"/ sqrt(CAST({out_dim} AS DOUBLE)) AS p{i}"
         )
     return t.selectExpr("vec_id", "label", *comps)
+
+
+def negative_samples(
+    embeddings: DataFrame, k: int = 4, salt: str = "neg"
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    anchor, ``k`` pseudo-random candidate ids drawn by engine-portable
+    hash (hex60(anchor|salt|j) mod n), keeping only TRUE negatives
+    (different label, different id).
+
+    Epoch-reproducible by construction — same corpus, same negatives, on
+    any engine or partitioning (vary ``salt`` per epoch for fresh draws).
+    Shape: row-local candidate generation (explode of a k-literal
+    sequence), then ONE equi-join against the id->label projection to
+    fetch candidate labels; with ~uniform labels the yield is
+    ~k * (1 - 1/n_labels) negatives per anchor.  Candidate ids map onto
+    the corpus's contiguous [0, n) id space; n is read once (1-row
+    aggregate collected at plan-build, like the strata enumerations).
+    """
+    from admira_etl_project_prueba_spark.operators.textops import hex60
+
+    n = embeddings.count()
+    anchors = embeddings.select("vec_id", F.col("label").alias("anchor_label"))
+    h = hex60(f"concat(CAST(vec_id AS STRING), '|{salt}|', CAST(j AS STRING))")
+    cands = anchors.select(
+        "vec_id",
+        "anchor_label",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    ).selectExpr("vec_id", "anchor_label", "j", f"{h} % {n} AS neg_vec_id")
+    labels = embeddings.select(
+        F.col("vec_id").alias("neg_vec_id"), F.col("label").alias("neg_label")
+    )
+    return (
+        cands.join(labels, "neg_vec_id")
+        .filter(
+            (F.col("neg_vec_id") != F.col("vec_id"))
+            & (F.col("neg_label") != F.col("anchor_label"))
+        )
+        .select("vec_id", "j", "anchor_label", "neg_vec_id", "neg_label")
+    )

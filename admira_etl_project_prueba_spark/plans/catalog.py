@@ -4340,3 +4340,24 @@ def _q_hybrid_rrf(spark, sf_dir):
         .cast("int"),
     ).select("doc_id", "rank")
     return _tx.rrf_fuse([bmr, qr])
+
+
+@_entry(
+    "contrastive_negative_samples",
+    "Deterministic negative sampling for contrastive training: k=4 "
+    "pseudo-random candidates per anchor via hex60(anchor|salt|j) mod n, "
+    "filtered to true negatives (different label and id).  Row-local "
+    "candidate generation + ONE equi-join for candidate labels; same "
+    "negatives on any engine/partitioning — epoch-reproducible.",
+    f"""WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+cands AS (
+  SELECT vec_id, label AS anchor_label, j,
+         {_duck_hex60("CAST(vec_id AS VARCHAR) || '|neg|' || CAST(j AS VARCHAR)")} % n AS neg_vec_id
+  FROM embeddings, n, (SELECT unnest([1, 2, 3, 4]) AS j)
+)
+SELECT c.vec_id, c.j, c.anchor_label, c.neg_vec_id, e.label AS neg_label
+FROM cands c JOIN embeddings e ON c.neg_vec_id = e.vec_id
+WHERE c.neg_vec_id <> c.vec_id AND e.label <> c.anchor_label""",
+)
+def _q_negative_samples(spark, sf_dir):
+    return _sim.negative_samples(_t(spark, sf_dir, "embeddings"))

@@ -393,3 +393,30 @@ def test_random_projection_norms_and_determinism(spark):
     for j in (0, 13, 63):
         assert sum(x * x for x in out[j]) == 1.0
     assert out[13] == out[100]
+
+
+def test_negative_samples_are_true_negatives_and_reproducible(spark, sf_dir):
+    """Every pair: different id AND different label; repeated runs and
+    repartitionings draw identical negatives; a new salt draws fresh ones."""
+    from admira_etl_project_prueba_spark.operators.similarity import negative_samples
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = negative_samples(emb, k=4).collect()
+    assert rows
+    for r in rows:
+        assert r["neg_vec_id"] != r["vec_id"]
+        assert r["neg_label"] != r["anchor_label"]
+        assert labels[r["neg_vec_id"]] == r["neg_label"]
+    key = {(r["vec_id"], r["j"], r["neg_vec_id"]) for r in rows}
+    again = {
+        (r["vec_id"], r["j"], r["neg_vec_id"])
+        for r in negative_samples(emb.repartition(7), k=4).collect()
+    }
+    assert key == again
+    fresh = {
+        (r["vec_id"], r["j"], r["neg_vec_id"])
+        for r in negative_samples(emb, k=4, salt="epoch2").collect()
+    }
+    assert fresh != key

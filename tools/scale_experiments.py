@@ -508,6 +508,44 @@ def main():
     # -- single- vs 16-file parquet layout: scan fan-out -------------------
     results["row_group_fanout_lineitem"] = _row_group_experiment(spark)
 
+    # -- AQE skew-join split: the straggler killer ------------------------
+    # 8M-row join where ONE key owns half the rows.  Without the split the
+    # stage is a single hot task everyone waits on ((7+1)/8 in the UI);
+    # with it, OptimizeSkewedJoin shards the hot partition at runtime
+    # (plan shows skew=true).  At 100 TB this is the difference between a
+    # join bounded by the hottest key and one bounded by the cluster.
+    skew = fresh_session(
+        spark__sql__autoBroadcastJoinThreshold="-1",
+        spark__sql__adaptive__autoBroadcastJoinThreshold="-1",
+    )
+    skew.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+    )
+    skew.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512k")
+
+    def _skew_q():
+        left = skew.range(8_000_000).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN 0 ELSE id % 10000 END AS k", "id AS v"
+        )
+        right = skew.range(10_000).selectExpr("id AS k", "id * 2 AS w")
+        return left.join(right, "k").selectExpr("sum(v + w) AS s")
+
+    probe = _skew_q()
+    probe.collect()  # warm; also materializes AQE's FINAL plan on probe
+    plan_with_split = probe._jdf.queryExecution().executedPlan().toString()
+    saved = run_measured(skew, _skew_q)
+    skew.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    _skew_q().collect()
+    straggler = run_measured(skew, _skew_q)
+    skew.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    results["aqe_skew_join_split"] = {
+        "skew_split_on": saved,
+        "skew_split_off": straggler,
+        "plan_marks_skew": "skew=true" in plan_with_split,
+        "speedup": round(straggler["sec"] / max(saved["sec"], 1e-9), 1),
+    }
+
+
     print(json.dumps({"sf_dir": SF_DIR, "experiments": results}))
 
 
