@@ -58,6 +58,23 @@ SCALE = 1 << 52
 NUMERATOR = ALPHA * M * M * float(SCALE)
 
 
+def hll_rho(df: DataFrame, value: str, keep: Sequence[str] = ()) -> DataFrame:
+    """Row-local HLL projection: (keep..., bucket, rho) per input row —
+    the shared front half of batch registers AND native streaming
+    window aggregation (the groupBy-max back half differs)."""
+    k = list(keep)
+    h = hex60(f"CAST({value} AS STRING)")
+    return (
+        df.selectExpr(*k, f"{h} AS h")
+        .selectExpr(*k, f"h % {M} AS bucket", f"h div {M} AS v")
+        .selectExpr(
+            *k,
+            "bucket",
+            f"CAST(CASE WHEN v = 0 THEN {W + 1} ELSE {W + 1} - length(bin(v)) END AS INT) AS rho",
+        )
+    )
+
+
 def hll_registers(
     df: DataFrame, value: str, groups: Sequence[str] = ()
 ) -> DataFrame:
@@ -69,15 +86,8 @@ def hll_registers(
     gymnastics; the m-row-per-group cost is the point of the sketch.
     """
     g = list(groups)
-    h = hex60(f"CAST({value} AS STRING)")
     sparse = (
-        df.selectExpr(*g, f"{h} AS h")
-        .selectExpr(*g, f"h % {M} AS bucket", f"h div {M} AS v")
-        .selectExpr(
-            *g,
-            "bucket",
-            f"CAST(CASE WHEN v = 0 THEN {W + 1} ELSE {W + 1} - length(bin(v)) END AS INT) AS rho",
-        )
+        hll_rho(df, value, g)
         .groupBy(*g, "bucket")
         .agg(F.max("rho").alias("register"))
     )

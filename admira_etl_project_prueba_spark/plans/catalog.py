@@ -198,6 +198,18 @@ FROM events GROUP BY 1""",
         "keys": ["event_type"],
         "rel_tol": {"approx_users": 0.10, "n_events": 0.0},
     },
+    "events_distinct_rollup_sketched": {
+        # lg_k=12 Datasketches HLL: rsd ~ 1.04/sqrt(4096) = 1.6%; 0.05
+        # allows 3 standard deviations on every grain including 'ALL'
+        "sql": """SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), COUNT(*) FROM events""",
+        "keys": ["day"],
+        "rel_tol": {"approx_users": 0.05, "n_events": 0.0},
+    },
     "events_approx_percentiles": {
         # GK accuracy=10000 ⇒ rank error n/10000 (~6 ranks at sf0.01);
         # 0.05 value-space headroom covers the rank→value translation

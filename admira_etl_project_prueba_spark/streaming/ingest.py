@@ -625,3 +625,38 @@ def stream_user_hll(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_user_hll(
+    event_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window distinct-user HLL registers as a NATIVE streaming
+    aggregation — no foreachBatch: the sketch's row-local (bucket, rho)
+    projection composes directly with watermark + tumbling window +
+    MAX, because max-merge is exactly what Spark's incremental
+    aggregation state does.  Append mode emits each window's register
+    frame once, when the watermark closes it — the sketch column lands
+    in the sink as a finished, further-mergeable artifact (week/month
+    rollups max-merge the stored rows; estimates via
+    sketches.hll_estimate, which accepts sparse frames).
+
+    State is bounded: at most m rows per open window, independent of
+    how many users stream through it.
+    """
+    from pyspark.sql.functions import window as F_window
+
+    from admira_etl_project_prueba_spark.operators.sketches import hll_rho
+
+    rho = hll_rho(event_stream.withWatermark("ts", watermark), "user_id", ["ts"])
+    return (
+        rho.groupBy(F_window("ts", window), "bucket")
+        .agg(F.max("rho").alias("register"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "bucket",
+            "register",
+        )
+    )

@@ -554,3 +554,93 @@ def test_stream_user_hll_equals_batch_registers(spark, tmp_path):
         )
     )
     assert replayed == got
+
+
+def test_windowed_user_hll_native_agg_matches_batch(spark, tmp_path):
+    """Closed-window register frames from the NATIVE streaming agg equal
+    the batch per-window sketch; estimates from the streamed (sparse)
+    frames match batch estimates exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from admira_etl_project_prueba_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from admira_etl_project_prueba_spark.streaming.ingest import windowed_user_hll
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for hour in range(3):  # three 1h windows of events
+        for i in range(120):
+            rows.append(
+                (eid, (base + dt.timedelta(hours=hour, minutes=i % 60)).isoformat(),
+                 (hour * 7 + i * 13) % 150)
+            )
+            eid += 1
+    # sentinel far in the future: pushes the watermark past all 3 windows
+    rows.append((eid, (base + dt.timedelta(days=2)).isoformat(), 1))
+
+    src = tmp_path / "whll_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as fh:
+        for r in rows[: len(rows) // 2]:
+            fh.write(json.dumps({"event_id": r[0], "ts": r[1], "user_id": r[2]}) + "\n")
+    with open(src / "b.json", "w") as fh:
+        for r in rows[len(rows) // 2:]:
+            fh.write(json.dumps({"event_id": r[0], "ts": r[1], "user_id": r[2]}) + "\n")
+
+    stream = (
+        spark.readStream.schema("event_id long, ts string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = str(tmp_path / "whll_out")
+    q = (
+        windowed_user_hll(stream, window="1 hour", watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "whll_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).filter(
+        F.col("window_start") < F.lit(base + dt.timedelta(hours=3))
+    )
+    batch = spark.createDataFrame(
+        [(r[0], dt.datetime.fromisoformat(r[1]), r[2]) for r in rows],
+        "event_id long, ts timestamp, user_id long",
+    )
+    want = hll_registers(
+        batch.withColumn("window_start", F.date_trunc("hour", "ts")),
+        "user_id",
+        ["window_start"],
+    ).filter(F.col("window_start") < F.lit(base + dt.timedelta(hours=3)))
+    g = {(r["window_start"], r["bucket"]): r["register"] for r in got.collect()}
+    # batch frame is dense; compare on the sparse support + estimates
+    w = {
+        (r["window_start"], r["bucket"]): r["register"]
+        for r in want.collect()
+        if r["register"] > 0
+    }
+    assert g == w and len({k[0] for k in g}) == 3
+    est_stream = {
+        r["window_start"]: r["est_distinct"]
+        for r in hll_estimate(
+            got.withColumnRenamed("window_start", "ws").withColumnRenamed(
+                "bucket", "bucket"
+            ).selectExpr("ws AS window_start", "bucket", "register"),
+            ["window_start"],
+        ).collect()
+    }
+    est_batch = {
+        r["window_start"]: r["est_distinct"]
+        for r in hll_estimate(want, ["window_start"]).collect()
+    }
+    assert est_stream == est_batch
