@@ -660,3 +660,69 @@ def windowed_user_hll(
             "register",
         )
     )
+
+
+def stream_token_sketch_idempotent(
+    doc_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Replay-safe variant of :func:`stream_token_sketch`: each
+    micro-batch's DELTA sketch is written to its own ``batch_id=``
+    partition (dynamic partition overwrite), so an at-least-once REPLAY
+    overwrites its previous write instead of double-counting — the
+    additive merge happens at READ time (sum over partitions), making
+    the store exactly-once w.r.t. batch ids without a transactional
+    sink.  Trade-off vs the in-place merge: reads aggregate
+    #batches × depth × width cells until :func:`compact_sketch_store`
+    folds history; writes never read the store (no read-modify-write
+    race).  Read through :func:`read_sketch_store`.
+    """
+    from admira_etl_project_prueba_spark.operators.textops import cms_sketch
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = cms_sketch(batch_df, depth, width).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        (
+            delta.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store_path)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_sketch_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Materialize the current sketch from a batch-partitioned store:
+    additive fold over all batch deltas (linearity)."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def compact_sketch_store(spark: SparkSession, store_path: str) -> None:
+    """Fold all batch deltas into a single batch_id=-1 partition so reads
+    stop paying per-batch fan-in; idempotent (re-running re-folds)."""
+    merged = read_sketch_store(spark, store_path).withColumn(
+        "batch_id", F.lit(-1).cast("long")
+    )
+    (
+        merged.localCheckpoint()  # store is input AND output of the fold
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "static")  # drop folded partitions
+        .parquet(store_path)
+    )

@@ -644,3 +644,73 @@ def test_windowed_user_hll_native_agg_matches_batch(spark, tmp_path):
         for r in hll_estimate(want, ["window_start"]).collect()
     }
     assert est_stream == est_batch
+
+
+def test_idempotent_sketch_store_survives_replay_and_compaction(spark, tmp_path):
+    """Batch-keyed CMS deltas: end state == one-shot batch sketch; a
+    REPLAYED batch overwrites its own partition (no double count);
+    compaction folds history without changing the read view."""
+    from admira_etl_project_prueba_spark.operators.textops import cms_sketch
+    from admira_etl_project_prueba_spark.streaming.ingest import (
+        compact_sketch_store,
+        read_sketch_store,
+        stream_token_sketch_idempotent,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "beta gamma delta epsilon"),
+        (3, "gamma delta epsilon zeta"),
+        (4, "alpha alpha beta unique"),
+    ]
+    src = tmp_path / "icms_in"
+    src.mkdir()
+    for fname, chunk in (("a.json", rows[:2]), ("b.json", rows[2:])):
+        with open(src / fname, "w") as fh:
+            for did, text in chunk:
+                fh.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    store = str(tmp_path / "icms_store")
+    q = stream_token_sketch_idempotent(
+        stream, store, str(tmp_path / "icms_ckpt"), depth=2, width=64
+    )
+    q.awaitTermination(120)
+
+    def snap():
+        return {(r["r"], r["bucket"]): r["cnt"]
+                for r in read_sketch_store(spark, store).collect()}
+
+    corpus = spark.createDataFrame(
+        [(d, t, "en") for d, t in rows], "doc_id long, text string, lang string"
+    )
+    want = {(r["r"], r["bucket"]): r["cnt"]
+            for r in cms_sketch(corpus, depth=2, width=64).collect()}
+    got = snap()
+    assert got == want and len(got) > 0
+
+    # replay batch 0 (first file's docs) by hand: same partition, no drift
+    from pyspark.sql import functions as F
+
+    replay = cms_sketch(
+        spark.createDataFrame(
+            [(d, t, "en") for d, t in rows[:2]],
+            "doc_id long, text string, lang string",
+        ),
+        depth=2, width=64,
+    ).withColumn("batch_id", F.lit(0).cast("long"))
+    (
+        replay.write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic").parquet(store)
+    )
+    assert snap() == want
+
+    compact_sketch_store(spark, store)
+    assert snap() == want
+    # compaction folded everything into the single batch_id=-1 partition
+    import os
+    parts = [d for d in os.listdir(store) if d.startswith("batch_id=")]
+    assert parts == ["batch_id=-1"]
