@@ -1948,3 +1948,53 @@ def events_unpivot_daily(pivoted: DataFrame) -> DataFrame:
         "event_type",
         "total_value",
     ).withColumn("event_type", F.expr("replace(event_type, '_value', '')"))
+
+
+def events_aqp_daily_totals(events: DataFrame, pct: int = 10) -> DataFrame:
+    """Approximate query processing: per-day value totals estimated from
+    a deterministic ``pct``% uniform sample, with a 95% CI — the
+    sample-then-estimate shape that answers dashboard-grade rollups
+    from a fixed fraction of a 100 TB fact table.
+
+    The sample predicate is the engine-portable hash bucket
+    (hex60(event_id) % 100 < pct), so the estimate is REPRODUCIBLE —
+    same rows, any engine, any partitioning — and pushes down to the
+    scan.  Estimator: Horvitz-Thompson scale-up (sum * 100/pct);
+    variance from the sample's sum of squares (exact decimal sums, one
+    sqrt — IEEE-correctly-rounded, so even the CI is bit-stable).
+    Output keeps n_sampled so consumers can see the support.
+    """
+    from admira_etl_project_prueba_spark.operators.textops import hex60
+
+    scale = 100.0 / pct
+    sampled = events.filter(
+        F.expr(f"{hex60('CAST(event_id AS STRING)')} % 100 < {pct}")
+    ).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("value").cast(_DEC).alias("v"),
+        (F.col("value") * F.col("value")).cast(_DEC).alias("v2"),
+    )
+    return (
+        sampled.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum("v").alias("s"),
+            F.sum("v2").alias("s2"),
+        )
+        .selectExpr(
+            "day",
+            "n_sampled",
+            f"CAST(s AS DOUBLE) * CAST({scale!r} AS DOUBLE) AS est_total",
+            # per-row variance of the HT estimator under Bernoulli(pct/100):
+            # var = (1/p - 1) * sum(v^2) / p ... collapsed to scale terms
+            f"CAST({scale!r} AS DOUBLE) * (CAST({scale!r} AS DOUBLE) - CAST(1.0 AS DOUBLE))"
+            " * CAST(s2 AS DOUBLE) AS est_var",
+        )
+        .selectExpr(
+            "day",
+            "n_sampled",
+            "est_total",
+            "est_total - CAST(1.96 AS DOUBLE) * sqrt(est_var) AS ci_low",
+            "est_total + CAST(1.96 AS DOUBLE) * sqrt(est_var) AS ci_high",
+        )
+    )

@@ -4373,3 +4373,38 @@ WHERE c.neg_vec_id <> c.vec_id AND e.label <> c.anchor_label""",
 )
 def _q_negative_samples(spark, sf_dir):
     return _sim.negative_samples(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "events_aqp_daily_totals",
+    "Approximate query processing: per-day totals from a deterministic "
+    "10%% hash-bucket sample with Horvitz-Thompson scale-up and a 95%% "
+    "CI — exact decimal sample sums, one correctly-rounded sqrt, so "
+    "even the interval is bit-stable; the sample predicate pushes down "
+    "to the scan.",
+    f"""WITH s AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(value AS DECIMAL(25,6)) AS v,
+         CAST(value * value AS DECIMAL(25,6)) AS v2
+  FROM events
+  WHERE {_duck_hex60("CAST(event_id AS VARCHAR)")} % 100 < 10
+),
+agg AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         SUM(v) AS sv, SUM(v2) AS sv2
+  FROM s GROUP BY 1
+),
+est AS (
+  SELECT day, n_sampled,
+         CAST(sv AS DOUBLE) * CAST(10.0 AS DOUBLE) AS est_total,
+         CAST(10.0 AS DOUBLE) * (CAST(10.0 AS DOUBLE) - CAST(1.0 AS DOUBLE))
+           * CAST(sv2 AS DOUBLE) AS est_var
+  FROM agg
+)
+SELECT day, n_sampled, est_total,
+       est_total - CAST(1.96 AS DOUBLE) * sqrt(est_var) AS ci_low,
+       est_total + CAST(1.96 AS DOUBLE) * sqrt(est_var) AS ci_high
+FROM est""",
+)
+def _q_aqp_daily(spark, sf_dir):
+    return analytics.events_aqp_daily_totals(load_events(spark, sf_dir))

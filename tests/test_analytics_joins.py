@@ -872,3 +872,28 @@ def test_pivot_unpivot_roundtrip_and_conservation(spark, sf_dir):
         assert got[t] == pytest.approx(v, abs=1e-6)
     # schema is data-independent: explicit columns, fixed order
     assert wide.columns == ["day"] + [f"{t}_value" for t in analytics.EVENT_TYPES]
+
+
+def test_aqp_estimates_cover_exact_totals(spark, sf_dir):
+    """The 95% CIs from the 10% deterministic sample cover the exact
+    per-day totals at roughly the nominal rate (>= 80% of days), and
+    estimates are unbiased enough to land within 3 CI half-widths."""
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    est = {r["day"]: r for r in analytics.events_aqp_daily_totals(ev).collect()}
+    exact = {
+        r["day"]: float(r["t"])
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).alias("t"))
+        .collect()
+    }
+    assert set(est) <= set(exact)
+    covered = sum(
+        1 for d, r in est.items() if r["ci_low"] <= exact[d] <= r["ci_high"]
+    )
+    assert covered >= 0.8 * len(est), (covered, len(est))
+    for d, r in est.items():
+        half = (r["ci_high"] - r["ci_low"]) / 2
+        assert abs(r["est_total"] - exact[d]) <= 3 * half
+        assert r["n_sampled"] > 0
