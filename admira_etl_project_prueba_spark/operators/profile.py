@@ -40,3 +40,33 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
         "_n AS n_rows",
         f"stack({len(cols)}, {stack}) AS (column, n_nonnull, n_distinct, min_str, max_str)",
     ).select("column", "n_rows", "n_nonnull", "n_distinct", "min_str", "max_str")
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_ids: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: how many
+    records sit in equivalence classes smaller than ``k`` (re-identifiable
+    under linkage attacks) — the release gate privacy reviews run before
+    a dataset leaves the pipeline, complementing direct-identifier
+    scrubbing (``redact_pii``), which does nothing about quasi-ids.
+
+    One groupBy on the quasi-id tuple, then a tiny histogram-of-class-
+    sizes aggregate: (class_size, n_classes, n_records, violates_k).
+    The suppression list (which records to drop/generalize) is the same
+    frame filtered to violators joined back — left to the caller, since
+    the remedy (suppress vs generalize) is policy.
+    """
+    classes = df.groupBy(*quasi_ids).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).cast("long").alias("n_records"),
+            (F.col("class_size") < k).alias("violates_k"),
+        )
+    )

@@ -4408,3 +4408,32 @@ FROM est""",
 )
 def _q_aqp_daily(spark, sf_dir):
     return analytics.events_aqp_daily_totals(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_k_anonymity",
+    "k-anonymity audit (k=5) over the quasi-identifier tuple (event_type,"
+    " day, floor(value/10)): histogram of equivalence-class sizes with "
+    "violation flags — the privacy release gate quasi-ids need and "
+    "direct-identifier scrubbing can't give.  One quasi-id groupBy + a "
+    "tiny histogram aggregate.",
+    """WITH classes AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(floor(value / 10) AS BIGINT) AS vb,
+         CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT class_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(class_size * COUNT(*) AS BIGINT) AS n_records,
+       class_size < 5 AS violates_k
+FROM classes GROUP BY class_size""",
+)
+def _q_k_anonymity(spark, sf_dir):
+    from admira_etl_project_prueba_spark.operators.profile import k_anonymity_audit
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.expr("CAST(floor(value / 10) AS BIGINT)").alias("vb"),
+    )
+    return k_anonymity_audit(ev, ["event_type", "day", "vb"], k=5)

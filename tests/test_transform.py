@@ -253,3 +253,22 @@ def test_read_jsonl_audited_splits_clean_and_corrupt(spark, tmp_path):
     bad = [r["raw_line"] for r in corrupt.collect()]
     assert len(bad) == 3 and all(b in "\n".join(lines) for b in bad)
     assert clean.count() + corrupt.count() == len(lines)
+
+
+def test_k_anonymity_audit_counts_violators(spark):
+    """Planted classes: sizes and violation flags exact; record counts
+    partition the input."""
+    from admira_etl_project_prueba_spark.operators.profile import k_anonymity_audit
+
+    rows = (
+        [("a", 1)] * 7      # one class of 7 (safe at k=5)
+        + [("b", 1)] * 3    # class of 3 (violates)
+        + [("c", 2)] * 3    # another class of 3 (violates)
+        + [("d", 9)]        # singleton (violates)
+    )
+    df = spark.createDataFrame(rows, ["q1", "q2"])
+    got = {r["class_size"]: r for r in k_anonymity_audit(df, ["q1", "q2"], k=5).collect()}
+    assert got[7]["n_classes"] == 1 and not got[7]["violates_k"]
+    assert got[3]["n_classes"] == 2 and got[3]["violates_k"]
+    assert got[1]["n_classes"] == 1 and got[1]["violates_k"]
+    assert sum(r["n_records"] for r in got.values()) == len(rows)
