@@ -1998,3 +1998,61 @@ def events_aqp_daily_totals(events: DataFrame, pct: int = 10) -> DataFrame:
             "est_total + CAST(1.96 AS DOUBLE) * sqrt(est_var) AS ci_high",
         )
     )
+
+
+def events_daily_autocorr(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Lag-1..max_lag autocorrelation of each type's daily-total series —
+    the seasonality detector behind "is this weekly-periodic?" checks
+    that moving averages and MAD anomalies can't answer.
+
+    ONE (type)-window shuffle: the daily reduction is lagged max_lag
+    times in the same ordered window, stacked row-locally, and reduced
+    to r_k = sum((x_t - mean)(x_{t-k} - mean)) / sum((x_t - mean)^2).
+    Cross-products are cast to DECIMAL(25,6) before summing
+    (order-independent); the final ratio is rounded to 6 decimals —
+    same cross-engine float policy as the OLS trend fit.
+    """
+    daily = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("value").cast(_DEC)).cast("double").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x_{k}") for k in range(1, max_lag + 1)],
+    )
+    stats = lagged.groupBy("event_type").agg(
+        (F.sum(F.col("x").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias("mean"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    centered = lagged.join(F.broadcast(stats), "event_type")
+    stacked = centered.selectExpr(
+        "event_type",
+        "n_days",
+        "CAST((x - mean) * (x - mean) AS decimal(25,6)) AS den_term",
+        "stack("
+        + str(max_lag)
+        + ", "
+        + ", ".join(
+            f"{k}, CAST((x - mean) * (x_{k} - mean) AS decimal(25,6))"
+            for k in range(1, max_lag + 1)
+        )
+        + ") AS (lag, num_term)",
+    )
+    return (
+        stacked.groupBy("event_type", "lag")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.sum("num_term").alias("num"),
+            F.sum("den_term").alias("den"),
+        )
+        .selectExpr(
+            "event_type",
+            "CAST(lag AS INT) AS lag",
+            "n_days",
+            # zero variance (constant series) => honest NULL, not an
+            # ANSI divide-by-zero throw / IEEE NaN
+            "CASE WHEN den <> 0 THEN "
+            "CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE) END AS acf",
+        )
+    )

@@ -4437,3 +4437,54 @@ def _q_k_anonymity(spark, sf_dir):
         F.expr("CAST(floor(value / 10) AS BIGINT)").alias("vb"),
     )
     return k_anonymity_audit(ev, ["event_type", "day", "vb"], k=5)
+
+
+def _duck_acf_sql(max_lag: int = 7) -> str:
+    lags = ", ".join(str(k) for k in range(1, max_lag + 1))
+    nums = ", ".join(
+        f"CAST((x - mean) * (x_{k} - mean) AS DECIMAL(25,6))"
+        for k in range(1, max_lag + 1)
+    )
+    lag_cols = ", ".join(
+        f"LAG(x, {k}) OVER w AS x_{k}" for k in range(1, max_lag + 1)
+    )
+    return f"""WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, x, {lag_cols}
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+stats AS (
+  SELECT event_type,
+         CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS mean,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1
+),
+centered AS (SELECT * FROM lagged JOIN stats USING (event_type)),
+stacked AS (
+  SELECT event_type, n_days,
+         CAST((x - mean) * (x - mean) AS DECIMAL(25,6)) AS den_term,
+         unnest([{lags}]) AS lag,
+         unnest([{nums}]) AS num_term
+  FROM centered
+)
+SELECT event_type, CAST(lag AS INTEGER) AS lag, MAX(n_days) AS n_days,
+       CASE WHEN SUM(den_term) <> 0 THEN
+         round(CAST(SUM(num_term) AS DOUBLE) / CAST(SUM(den_term) AS DOUBLE), 6)
+       END AS acf
+FROM stacked GROUP BY event_type, lag"""
+
+
+@_entry(
+    "events_daily_autocorr",
+    "Lag-1..7 autocorrelation of each type's daily totals (seasonality "
+    "detector): ONE type-window shuffle computes all lags; decimal-cast "
+    "cross products (order-independent sums); 6-decimal-rounded ratio — "
+    "same cross-engine float policy as the OLS trend fit.",
+    _duck_acf_sql(),
+)
+def _q_daily_autocorr(spark, sf_dir):
+    return analytics.events_daily_autocorr(load_events(spark, sf_dir))

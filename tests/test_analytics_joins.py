@@ -905,3 +905,27 @@ def test_aqp_estimates_cover_exact_totals(spark, sf_dir):
     tot_est = sum(r["est_total"] for r in est.values())
     tot = sum(exact[d] for d in est)
     assert abs(tot_est - tot) <= 0.15 * tot
+
+
+def test_autocorr_detects_planted_period(spark):
+    """A period-2 alternating series has strongly negative lag-1 ACF and
+    strongly positive lag-2 ACF; a constant series yields NULL (0/0)."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for d in range(28):
+        # alternating series for type 'alt'; constant for type 'flat'
+        rows.append(("alt", base + dt.timedelta(days=d), 100.0 if d % 2 == 0 else 10.0))
+        rows.append(("flat", base + dt.timedelta(days=d), 50.0))
+    ev = spark.createDataFrame(
+        [(i, t, ts, v) for i, (t, ts, v) in enumerate(rows)],
+        ["event_id", "event_type", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["event_type"], r["lag"]): r["acf"]
+        for r in analytics.events_daily_autocorr(ev).collect()
+    }
+    assert got[("alt", 1)] < -0.8
+    assert got[("alt", 2)] > 0.8
+    assert got[("flat", 1)] is None  # zero variance: 0/0 is honest NULL
