@@ -272,3 +272,26 @@ def test_k_anonymity_audit_counts_violators(spark):
     assert got[3]["n_classes"] == 2 and got[3]["violates_k"]
     assert got[1]["n_classes"] == 1 and got[1]["violates_k"]
     assert sum(r["n_records"] for r in got.values()) == len(rows)
+
+
+def test_quality_observation_rides_the_action(spark):
+    """Observation counters match direct computation and cost no second
+    scan — metrics available right after the ONE action."""
+    from pyspark.sql import functions as F
+
+    from admira_etl_project_prueba_spark.operators.profile import (
+        with_quality_observation,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None), (5, "e")], ["k", "s"]
+    )
+    observed, obs = with_quality_observation(df, ["s", "k"])
+    out = observed.filter(F.col("k") > 1).count()  # the caller's own action
+    assert out == 4
+    got = obs.get
+    # observe() sits ABOVE the source: counts reflect the full frame even
+    # though the action filtered afterward
+    assert got["n_rows"] == 5
+    assert got["n_null_s"] == 2
+    assert got["n_null_k"] == 0
