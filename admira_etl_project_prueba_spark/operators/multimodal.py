@@ -141,3 +141,44 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_index"),
     )
+
+
+def media_header_features(media: DataFrame) -> DataFrame:
+    """REAL container-header parsing with built-in SQL byte ops — no
+    native decoder needed: PNG width/height (IHDR, big-endian at fixed
+    offsets) and WAV sample-rate/channels (RIFF fmt chunk,
+    little-endian) come straight out of ``substring``+``hex``+``conv``
+    on the binary payload.  Row-local projection — scales like any
+    other scan — and it upgrades the multimodal story from "all decode
+    is stubbed" to "header metadata is engine-native; only pixel/sample
+    decode awaits a real codec".
+
+    Unknown containers (including JPEG, whose dimensions live in a
+    variable-position SOF marker that needs a scan loop, i.e. a real
+    decoder) yield container='unknown' and NULL dimensions.
+    """
+    def be32(start: int) -> str:  # 1-based byte offset
+        return f"CAST(conv(hex(substring(payload, {start}, 4)), 16, 10) AS INT)"
+
+    def le(start: int, nbytes: int) -> str:
+        parts = " || ".join(
+            f"hex(substring(payload, {start + i}, 1))"
+            for i in reversed(range(nbytes))
+        )
+        return f"CAST(conv({parts}, 16, 10) AS INT)"
+
+    return media.selectExpr(
+        "doc_id",
+        "media_type",
+        "CASE WHEN hex(substring(payload, 1, 4)) = '89504E47' THEN 'png' "
+        "     WHEN hex(substring(payload, 1, 4)) = '52494646' "
+        "      AND hex(substring(payload, 9, 4)) = '57415645' THEN 'wav' "
+        "     ELSE 'unknown' END AS container",
+        f"CASE WHEN hex(substring(payload, 1, 4)) = '89504E47' THEN {be32(17)} END AS width",
+        f"CASE WHEN hex(substring(payload, 1, 4)) = '89504E47' THEN {be32(21)} END AS height",
+        "CASE WHEN hex(substring(payload, 1, 4)) = '52494646' "
+        f"      AND hex(substring(payload, 9, 4)) = '57415645' THEN {le(25, 4)} END AS sample_rate",
+        "CASE WHEN hex(substring(payload, 1, 4)) = '52494646' "
+        f"      AND hex(substring(payload, 9, 4)) = '57415645' THEN {le(23, 2)} END AS n_channels",
+        "length(payload) AS n_bytes",
+    )

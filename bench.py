@@ -102,6 +102,11 @@ BENCH_QUERIES = [
     "events_cohort_retention",
     "bloom_dedup_prefilter",
     "hybrid_search_rrf",
+    "events_linear_attribution",
+    "events_daily_autocorr",
+    "scd2_user_status",
+    "events_aqp_daily_totals",
+    "contrastive_negative_samples",
 ]
 
 

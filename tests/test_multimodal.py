@@ -58,3 +58,40 @@ def test_unknown_media_type_raises(spark):
     m = multimodal.documents_as_media(docs(spark, [(1, "x", "en")]), media_type="hologram")
     with pytest.raises(Exception, match="hologram"):
         multimodal.extract_features(m).collect()
+
+
+def test_media_header_features_parse_real_png_and_wav_headers(spark):
+    """Engine-native header parsing: planted VALID PNG (IHDR 640x480)
+    and WAV (44100 Hz stereo) byte layouts parse exactly; arbitrary
+    bytes classify as unknown with NULL dimensions."""
+    import struct
+
+    from admira_etl_project_prueba_spark.operators.multimodal import (
+        media_header_features,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+    )
+    junk = b"\x00\x01\x02\x03 not a media file"
+    rows = [(1, "image", bytearray(png)), (2, "audio", bytearray(wav)),
+            (3, "image", bytearray(junk))]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    got = {r["doc_id"]: r for r in media_header_features(media).collect()}
+    assert got[1]["container"] == "png"
+    assert (got[1]["width"], got[1]["height"]) == (640, 480)
+    assert got[1]["sample_rate"] is None
+    assert got[2]["container"] == "wav"
+    assert (got[2]["sample_rate"], got[2]["n_channels"]) == (44100, 2)
+    assert got[2]["width"] is None
+    assert got[3]["container"] == "unknown"
+    assert got[3]["width"] is None and got[3]["sample_rate"] is None
+    # row-local projection: no exchange in the plan
+    plan = media_header_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
