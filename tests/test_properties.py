@@ -440,3 +440,34 @@ def test_scd2_intervals_partition_the_timeline(spark, updates):
             assert prev["attr"] != cur["attr"]                  # compressed
             assert not prev["is_current"]
         assert vs[-1]["is_current"] and vs[-1]["valid_to_us"] is None
+
+
+@given(
+    e=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@PROP_SETTINGS
+def test_triangle_counts_match_brute_force(spark, e):
+    """For ANY small graph (self-loops/dupes/reversed edges included):
+    per-node triangle counts equal the brute-force enumeration."""
+    from itertools import combinations
+
+    from admira_etl_project_prueba_spark.operators.graph import triangle_counts
+
+    edges = {(min(a, b), max(a, b)) for a, b in e if a != b}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {n: 0 for n in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                want[n] += 1
+    df = spark.createDataFrame(list(e), ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    # contract: self-loop-only nodes carry no non-loop edge, hence no row
+    assert got == want
