@@ -714,3 +714,103 @@ def test_idempotent_sketch_store_survives_replay_and_compaction(spark, tmp_path)
     import os
     parts = [d for d in os.listdir(store) if d.startswith("batch_id=")]
     assert parts == ["batch_id=-1"]
+
+
+def test_stream_scd2_matches_batch_and_prunes_buckets(spark, tmp_path):
+    """Streamed SCD2 store == batch scd2_build over the full change log;
+    a later batch touching ONE key rewrites only that key's bucket
+    partition; replaying incorporated updates changes nothing."""
+    from pyspark.sql import functions as F
+
+    from admira_etl_project_prueba_spark.operators.scd import scd2_build
+    from admira_etl_project_prueba_spark.streaming.ingest import stream_scd2
+
+    log = [
+        (1, "bronze", 100, 1), (1, "silver", 200, 2), (1, "silver", 250, 3),
+        (2, "bronze", 150, 4), (2, "gold", 400, 5),
+        (3, "trial", 120, 6),
+        (1, "gold", 300, 7), (3, "paid", 500, 8), (2, "gold", 600, 9),
+    ]
+    src = tmp_path / "scd_in"
+    src.mkdir()
+    for fname, chunk in (("a.json", log[:5]), ("b.json", log[5:])):
+        with open(src / fname, "w") as fh:
+            for k, a, us, seq in chunk:
+                fh.write(json.dumps({"k": k, "attr": a, "us": us, "seq": seq}) + "\n")
+
+    def mkstream(path):
+        return (
+            spark.readStream.schema("k long, attr string, us long, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(path))
+        )
+
+    store = str(tmp_path / "scd_store")
+    q = stream_scd2(
+        mkstream(src), store, str(tmp_path / "scd_ckpt"),
+        key="k", attrs=["attr"], ts_us="us", tiebreak="seq",
+    )
+    q.awaitTermination(120)
+
+    def snap():
+        return {
+            (r["k"], r["version"]): (r["attr"], r["valid_from_us"],
+                                     r["valid_to_us"], r["is_current"])
+            for r in spark.read.parquet(store).collect()
+        }
+
+    batch_log = spark.createDataFrame(log, ["k", "attr", "us", "seq"])
+    want = {
+        (r["k"], r["version"]): (r["attr"], r["valid_from_us"],
+                                 r["valid_to_us"], r["is_current"])
+        for r in scd2_build(batch_log, "k", ["attr"], "us", "seq").collect()
+    }
+    assert snap() == want and len(want) >= 6
+
+    # second stream: one update for key 3 only -> only 3's bucket rewritten
+    import os
+
+    def file_state(root):
+        out = {}
+        for r, _, fs in os.walk(root):
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(r, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = file_state(store)
+    src2 = tmp_path / "scd_in2"
+    src2.mkdir()
+    with open(src2 / "c.json", "w") as fh:
+        fh.write(json.dumps({"k": 3, "attr": "churned", "us": 700, "seq": 10}) + "\n")
+    q2 = stream_scd2(
+        mkstream(src2), store, str(tmp_path / "scd_ckpt2"),
+        key="k", attrs=["attr"], ts_us="us", tiebreak="seq",
+    )
+    q2.awaitTermination(120)
+    after = file_state(store)
+    from admira_etl_project_prueba_spark.operators.textops import hex60  # noqa: F401
+    import hashlib
+    b3 = int(hashlib.md5(b"3").hexdigest()[:15], 16) % 64
+    changed_buckets = set()
+    for p in set(before) | set(after):
+        if before.get(p) != after.get(p):
+            part = [s for s in p.split(os.sep) if s.startswith("key_bucket=")]
+            changed_buckets.add(part[0] if part else p)
+    assert changed_buckets == {f"key_bucket={b3}"}
+    got2 = snap()
+    assert got2[(3, 3)][0] == "churned" and got2[(3, 3)][3] is True
+    assert got2[(3, 2)] == ("paid", 500, 700, False)
+
+    # replay: feeding an already-incorporated update is a no-op
+    src3 = tmp_path / "scd_in3"
+    src3.mkdir()
+    with open(src3 / "d.json", "w") as fh:
+        fh.write(json.dumps({"k": 3, "attr": "churned", "us": 700, "seq": 10}) + "\n")
+    q3 = stream_scd2(
+        mkstream(src3), store, str(tmp_path / "scd_ckpt3"),
+        key="k", attrs=["attr"], ts_us="us", tiebreak="seq",
+    )
+    q3.awaitTermination(120)
+    assert snap() == got2
