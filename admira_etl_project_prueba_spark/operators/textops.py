@@ -1954,7 +1954,13 @@ def write_text_index(documents: DataFrame, path: str, num_buckets: int = 64) -> 
         )
     )
     (
-        postings.write.mode("overwrite")
+        # bucket-aligned shuffle before the partitioned write: each bucket
+        # lands in exactly one task => ONE file per bucket directory.  The
+        # default layout (every write task touching every bucket) explodes
+        # into tasks x buckets small files, and query-time file listing
+        # then swamps the pruning win.
+        postings.repartition("term_bucket")
+        .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(f"{path}/postings")
     )

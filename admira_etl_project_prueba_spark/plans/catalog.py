@@ -4101,7 +4101,7 @@ def _text_index_path(spark, sf_dir) -> str:
             for f in fs
             if not f.startswith((".", "_"))
         )
-    h = hashlib.sha256(b"textidx-format-v1\n")
+    h = hashlib.sha256(b"textidx-format-v2\n")
     for p in files:
         st = os.stat(p)
         h.update(f"{os.path.relpath(p, sf_dir)}|{st.st_size}|{st.st_mtime_ns}\n".encode())

@@ -314,6 +314,75 @@ def _ivf_200k_experiment(spark) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _text_index_100k_experiment(spark) -> dict:
+    """Inverted text index at a scale where it wins (mirror of the IVF
+    experiment for the retrieval path).
+
+    Builds a 100k-doc synthetic corpus (deterministic JVM-side token
+    generator), writes the partitionBy(term_bucket) postings index once,
+    then A/Bs one BM25 query:
+
+      * scan    — bm25_rank: tokenizes the whole corpus per query
+      * indexed — bm25_from_index: reads only the query terms' bucket
+        partitions; the corpus is never touched
+
+    Deciding metric: INPUT RECORDS per query — the scan path re-reads
+    every document at any corpus size, the indexed path reads
+    ~|terms|/64 of the postings."""
+    import shutil
+    import tempfile
+
+    from admira_etl_project_prueba_spark.operators import textops as tx
+
+    root = tempfile.mkdtemp(prefix="textidx100k_")
+    corpus_path = os.path.join(root, "documents_100k")
+    index_path = os.path.join(root, "text_index_100k")
+    n = 100_000
+    # 10k-word synthetic vocabulary: each term's df is ~400 of 100k docs,
+    # the Zipf-tail shape where posting pruning actually matters (a tiny
+    # vocab would put every term in every doc and the index reads as much
+    # as the scan)
+    try:
+        spark.sql(
+            f"""SELECT id AS doc_id,
+                   array_join(transform(sequence(1, 40),
+                     j -> concat('w', CAST((id * 31 + j * 17) %% 10000 AS STRING))), ' ')
+                     AS text
+            FROM range({n})""".replace('%%', '%')
+        ).repartition(16).write.mode("overwrite").parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+
+        t0 = time.perf_counter()
+        # 256 buckets: bucket granularity ~ postings/256, so a 3-term
+        # query reads ~1% of the index (64 buckets would make each
+        # bucket corpus-sized at only 100k docs and mask the pruning)
+        tx.write_text_index(corpus, index_path, num_buckets=256)
+        build_sec = round(time.perf_counter() - t0, 2)
+
+        terms = ["w123", "w456", "w789"]
+        scan = run_measured(spark, lambda: tx.bm25_rank(corpus, terms))
+        indexed = run_measured(
+            spark,
+            lambda: tx.bm25_from_index(spark, index_path, terms, num_buckets=256),
+        )
+        a = [tuple(r) for r in tx.bm25_rank(corpus, terms).collect()]
+        b = [tuple(r) for r in tx.bm25_from_index(
+            spark, index_path, terms, num_buckets=256).collect()]
+        assert a == b
+        return {
+            "corpus_docs": n,
+            "index_build_sec": build_sec,
+            "corpus_scan": scan,
+            "indexed": indexed,
+            "query_io_ratio_records": round(
+                scan["input_records"] / max(indexed["input_records"], 1), 1
+            ),
+            "query_speedup": round(scan["sec"] / max(indexed["sec"], 1e-9), 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _row_group_experiment(spark) -> dict:
     """Multi-row-group scan fan-out (VERDICT r3 item 7).
 
@@ -504,6 +573,9 @@ def main():
 
     # -- IVF indexed probe at 200k vectors (index wins on query-time I/O) --
     results["ivf_index_200k"] = _ivf_200k_experiment(spark)
+
+    # -- inverted text index at 100k docs (index wins on query-time I/O) ---
+    results["text_index_100k"] = _text_index_100k_experiment(spark)
 
     # -- single- vs 16-file parquet layout: scan fan-out -------------------
     results["row_group_fanout_lineitem"] = _row_group_experiment(spark)
