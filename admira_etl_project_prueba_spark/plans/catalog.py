@@ -4488,3 +4488,57 @@ FROM stacked GROUP BY event_type, lag"""
 )
 def _q_daily_autocorr(spark, sf_dir):
     return analytics.events_daily_autocorr(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_session_window_native",
+    "Sessionization via Spark's NATIVE session_window aggregation (the "
+    "same dataflow Structured Streaming uses for session state): one "
+    "shuffle, merge-on-overlap.  Boundary semantics differ from the "
+    "window-flag formulation by one edge: a gap of EXACTLY the timeout "
+    "starts a new session here (window merge needs next < prev + gap), "
+    "so the oracle flags is_new on >= — both formulations are exact, "
+    "the catalog carries both.",
+    f"""WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                   OR epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS session_start_us,
+       epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS session_end_us,
+       COUNT(*) AS n_events,
+       {_DSUM.format(x='value')} AS total_value
+FROM sess GROUP BY user_id, sid""",
+)
+def _q_session_window_native(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            (F.unix_micros(F.col("session_window.end")) - F.lit(1_800_000_000)).alias(
+                "session_end_us"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )

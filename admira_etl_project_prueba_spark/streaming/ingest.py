@@ -805,3 +805,43 @@ def stream_scd2(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_click_join(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    max_delay_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM interval join: each click pairs with its impression
+    (same user) at most ``max_delay_minutes`` earlier — the canonical
+    two-stream attribution shape, as a NATIVE streaming join.
+
+    Both sides carry watermarks and the join condition bounds
+    click_ts - imp_ts to [0, delay], which is what lets Spark EVICT
+    state: an impression older than watermark + delay can never match a
+    future click and is dropped.  Without the time bound the state store
+    grows forever — the interval predicate is a correctness AND a
+    liveness requirement.  Inner join: unmatched impressions simply
+    expire (the unattributed path is the batch linear-attribution op).
+    """
+    imp = impressions.withWatermark("imp_ts", watermark).select(
+        F.col("user_id").alias("imp_user"), "imp_id", "imp_ts"
+    )
+    clk = clicks.withWatermark("click_ts", watermark).select(
+        F.col("user_id").alias("click_user"), "click_id", "click_ts"
+    )
+    return imp.join(
+        clk,
+        F.expr(
+            f"""imp_user = click_user
+            AND click_ts >= imp_ts
+            AND click_ts <= imp_ts + INTERVAL {max_delay_minutes} MINUTES"""
+        ),
+    ).select(
+        F.col("imp_user").alias("user_id"),
+        "imp_id",
+        "click_id",
+        "imp_ts",
+        "click_ts",
+    )

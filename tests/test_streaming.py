@@ -814,3 +814,64 @@ def test_stream_scd2_matches_batch_and_prunes_buckets(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert snap() == got2
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Native stream-stream join with watermarks: the streamed pairs
+    equal the batch interval join; out-of-window and cross-user clicks
+    never pair."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from admira_etl_project_prueba_spark.streaming.ingest import stream_click_join
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(minutes):
+        return (base + dt.timedelta(minutes=minutes)).isoformat()
+
+    imps = [
+        {"user_id": 1, "imp_id": 10, "imp_ts": t(0)},
+        {"user_id": 1, "imp_id": 11, "imp_ts": t(60)},
+        {"user_id": 2, "imp_id": 20, "imp_ts": t(5)},
+        # sentinel to push the watermark past everything
+        {"user_id": 9, "imp_id": 99, "imp_ts": t(60 * 48)},
+    ]
+    clicks = [
+        {"user_id": 1, "click_id": 100, "click_ts": t(10)},   # pairs with 10
+        {"user_id": 1, "click_id": 101, "click_ts": t(75)},   # pairs with 11
+        {"user_id": 1, "click_id": 102, "click_ts": t(45)},   # 45m after 10: too late
+        {"user_id": 2, "click_id": 200, "click_ts": t(4)},    # BEFORE the imp: no pair
+        {"user_id": 3, "click_id": 300, "click_ts": t(6)},    # no impression at all
+        {"user_id": 9, "click_id": 999, "click_ts": t(60 * 48)},
+    ]
+    for name, rows in (("imps", imps), ("clicks", clicks)):
+        d = tmp_path / name
+        d.mkdir()
+        with open(d / "a.json", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    def rd(name, ts_col):
+        return (
+            spark.readStream.schema(
+                f"user_id long, {name[:-1]}_id long, {ts_col} string"
+            )
+            .json(str(tmp_path / name))
+            .withColumn(ts_col, F.to_timestamp(ts_col))
+        )
+
+    out = str(tmp_path / "ssj_out")
+    q = (
+        stream_click_join(rd("imps", "imp_ts"), rd("clicks", "click_ts"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["imp_id"], r["click_id"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(10, 100), (11, 101), (99, 999)}
