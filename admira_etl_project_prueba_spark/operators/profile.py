@@ -79,16 +79,20 @@ def with_quality_observation(df: DataFrame, cols: list[str], name: str = "qualit
     existing pass — no second scan), which is how a 100 TB pipeline gets
     its completeness dashboard for free instead of doubling its I/O.
 
-    Returns ``(df, observation)``; read ``observation.get`` AFTER an
-    action has materialized the frame.  Works per-query in batch; for
-    streams, the same metrics surface per micro-batch through
-    ``QueryProgressEvent.observedMetrics``.
+    Batch: returns ``(df, observation)`` — read ``observation.get``
+    AFTER an action has materialized the frame.  Streaming: Spark
+    forbids ``Observation`` handles (one value per micro-batch is
+    ill-posed), so the metrics are registered by NAME and surface per
+    micro-batch in ``query.recentProgress[i].observedMetrics[name]``;
+    the second tuple element is ``None``.
     """
     from pyspark.sql import Observation
 
-    obs = Observation(name)
     metrics = [F.count(F.lit(1)).alias("n_rows")] + [
         F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_null_{c}")
         for c in cols
     ]
+    if df.isStreaming:
+        return df.observe(name, *metrics), None
+    obs = Observation(name)
     return df.observe(obs, *metrics), obs

@@ -875,3 +875,44 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["imp_id"], r["click_id"]) for r in spark.read.parquet(out).collect()}
     assert got == {(10, 100), (11, 101), (99, 999)}
+
+
+def test_quality_observation_surfaces_in_streaming_progress(spark, tmp_path):
+    """The same observe() counters ride each micro-batch: per-batch
+    observedMetrics sum to the direct full-input computation — streaming
+    completeness dashboards without a second pass."""
+    from pyspark.sql import functions as F
+
+    from admira_etl_project_prueba_spark.operators.profile import (
+        with_quality_observation,
+    )
+
+    src = tmp_path / "obs_in"
+    src.mkdir()
+    rows = [(i, None if i % 3 == 0 else f"s{i}") for i in range(30)]
+    for fname, chunk in (("a.json", rows[:15]), ("b.json", rows[15:])):
+        with open(src / fname, "w") as fh:
+            for k, v in chunk:
+                fh.write(json.dumps({"k": k, "s": v}) + "\n")
+    stream = (
+        spark.readStream.schema("k long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    observed, _ = with_quality_observation(stream, ["s"])
+    q = (
+        observed.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    metrics = [
+        p["observedMetrics"]["quality"]
+        for p in (pr.asDict(recursive=True) if hasattr(pr, "asDict") else pr
+                  for pr in q.recentProgress)
+        if p.get("observedMetrics") and "quality" in p["observedMetrics"]
+    ]
+    assert metrics  # at least one micro-batch reported
+    assert sum(m["n_rows"] for m in metrics) == 30
+    assert sum(m["n_null_s"] for m in metrics) == 10
