@@ -169,3 +169,42 @@ class MetricsStore:
         """
         writer = batch.write.partitionBy("date")
         writer.mode("overwrite").parquet(self.path)
+
+
+def backfill_missing_dates(
+    store: MetricsStore,
+    source_dates: list[str],
+    build_batch,
+    batch_days: int = 7,
+) -> dict:
+    """Resumable backfill: materialize ONLY the dates the store lacks.
+
+    The manifest of completed work IS the store's date-partition listing —
+    no side-channel state file to desync; a killed run resumes exactly
+    where the partitions stop, and re-running a completed backfill is a
+    no-op (0 dates processed).  Missing dates are processed in
+    ``batch_days`` groups: each group is one ``build_batch(dates) ->
+    DataFrame`` call and one upsert, so a year-long backfill is ~52
+    bounded jobs instead of one giant plan (lineage, shuffle sizing, and
+    retry blast-radius all stay per-group).  Returns
+    {requested, already_present, processed, groups}.
+    """
+    have = set()
+    if store.exists():
+        have = {
+            d.split("=", 1)[1]
+            for d in os.listdir(store.path)
+            if d.startswith("date=")
+        }
+    missing = sorted(set(source_dates) - have)
+    groups = [
+        missing[i : i + batch_days] for i in range(0, len(missing), batch_days)
+    ]
+    for g in groups:
+        store.store(build_batch(g), mode="upsert")
+    return {
+        "requested": len(source_dates),
+        "already_present": len(set(source_dates) & have),
+        "processed": len(missing),
+        "groups": len(groups),
+    }

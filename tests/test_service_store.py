@@ -552,3 +552,46 @@ def test_corpus_search_endpoint_contract(corpus_svc):
         corpus_svc.search(q="x", mode="vector")
     clamped = corpus_svc.search(q="spark", limit=0)
     assert len(clamped["data"]) <= 20
+
+
+def test_backfill_processes_only_missing_dates(spark, tmp_path):
+    """The store's partition listing is the resume manifest: a partial
+    store only builds the gap, a complete one builds nothing, and the
+    builder is invoked once per date group."""
+    from admira_etl_project_prueba_spark.operators.transform import transform
+    from admira_etl_project_prueba_spark.schemas import ADS_SCHEMA, CRM_PARSED_SCHEMA
+    from admira_etl_project_prueba_spark.store import MetricsStore, backfill_missing_dates
+    import datetime as dt
+
+    ing = dt.datetime(2024, 1, 20, 12, 0, 0)
+
+    def mk_ads(dates):
+        rows = [
+            (d, "C-1", "google_ads", 10, 100, 5.0, "camp", "google", "cpc", ing)
+            for d in dates
+        ]
+        return spark.createDataFrame(rows, ADS_SCHEMA)
+
+    calls = []
+
+    def build(dates):
+        calls.append(list(dates))
+        return transform(mk_ads(dates), spark.createDataFrame([], CRM_PARSED_SCHEMA))
+
+    store = MetricsStore(spark, str(tmp_path / "bf_store"))
+    all_dates = [f"2024-01-{d:02d}" for d in range(1, 11)]
+    # seed the store with the first 4 dates
+    store.store(build(all_dates[:4]))
+    calls.clear()
+
+    out = backfill_missing_dates(store, all_dates, build, batch_days=3)
+    assert out == {"requested": 10, "already_present": 4, "processed": 6, "groups": 2}
+    assert [len(c) for c in calls] == [3, 3]
+    assert sorted(sum(calls, [])) == all_dates[4:]
+    dates_in_store = {r["date"] for r in store.read().select("date").distinct().collect()}
+    assert dates_in_store == set(all_dates)
+
+    # idempotent: nothing left to do
+    calls.clear()
+    out2 = backfill_missing_dates(store, all_dates, build)
+    assert out2["processed"] == 0 and calls == []
