@@ -471,3 +471,41 @@ def test_triangle_counts_match_brute_force(spark, e):
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     # contract: self-loop-only nodes carry no non-loop edge, hence no row
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["spark", "join", "flux", "alpha", "beta", "gamma"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=4,  # each example writes an index to disk
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_bm25_index_equals_scan_on_random_corpora(spark, tmp_path_factory, docs):
+    """For ANY corpus (empty docs, repeated terms, absent query terms):
+    the index-backed BM25 returns byte-identical results to the scan."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bm25_from_index,
+        bm25_rank,
+        write_text_index,
+    )
+
+    rows = [(i, " ".join(toks) if toks else "filler") for i, toks in enumerate(docs)]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = str(tmp_path_factory.mktemp("bmidx"))
+    write_text_index(corpus, idx, num_buckets=8)
+    terms = ["spark", "flux", "nosuchterm"]
+    want = [tuple(r) for r in bm25_rank(corpus, terms, top_n=10).collect()]
+    got = [
+        tuple(r)
+        for r in bm25_from_index(spark, idx, terms, top_n=10, num_buckets=8).collect()
+    ]
+    assert got == want
