@@ -2056,3 +2056,69 @@ def events_daily_autocorr(events: DataFrame, max_lag: int = 7) -> DataFrame:
             "CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE) END AS acf",
         )
     )
+
+
+def events_winsorize(
+    events: DataFrame, lo: float = 0.01, hi: float = 0.99
+) -> DataFrame:
+    """Winsorize values to the per-type [p_lo, p_hi] band — the robust
+    preprocessing step that tames heavy tails before means/regressions
+    (training pipelines clip reward/score columns the same way).
+
+    Exact percentiles per type (one aggregate over the groups), clamp
+    via broadcast join — two passes but the clamp pass is the SAME scan
+    shape any projection costs.  Emits original and clamped value plus
+    a was_clipped flag so downstream can audit the winsorization rate.
+    """
+    bounds = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {lo!r})").alias("p_lo"),
+        F.expr(f"percentile(value, {hi!r})").alias("p_hi"),
+    )
+    return (
+        events.join(F.broadcast(bounds), "event_type")
+        .selectExpr(
+            "event_id",
+            "event_type",
+            "value",
+            "CASE WHEN value < p_lo THEN p_lo WHEN value > p_hi THEN p_hi "
+            "ELSE value END AS value_winsorized",
+            "value < p_lo OR value > p_hi AS was_clipped",
+        )
+    )
+
+
+def events_value_histogram(events: DataFrame, n_bins: int = 20) -> DataFrame:
+    """Equi-width value histogram per event type: the distribution
+    profile behind drift checks and bin-packed visualizations.
+
+    Bin edges derive from the per-type min/max (one tiny aggregate,
+    broadcast back); bin index is integer floor arithmetic with the max
+    value folded into the last bin.  Densities are exact counts — no
+    sampling, one shuffle over (type, bin).
+    """
+    rng = events.groupBy("event_type").agg(
+        F.min("value").alias("v_min"), F.max("value").alias("v_max")
+    )
+    binned = events.join(F.broadcast(rng), "event_type").selectExpr(
+        "event_type",
+        "v_min",
+        "v_max",
+        f"CAST(least(CAST(floor((value - v_min) / (CASE WHEN v_max > v_min "
+        f"THEN (v_max - v_min) ELSE 1.0 END) * {n_bins}) AS INT), "
+        f"{n_bins - 1}) AS INT) AS bin",
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("v_min").alias("v_min"),
+            F.max("v_max").alias("v_max"),
+        )
+        .selectExpr(
+            "event_type",
+            "bin",
+            "n_events",
+            f"v_min + (v_max - v_min) * bin / {n_bins} AS bin_lo",
+            f"v_min + (v_max - v_min) * (bin + 1) / {n_bins} AS bin_hi",
+        )
+    )

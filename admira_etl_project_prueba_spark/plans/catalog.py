@@ -4542,3 +4542,47 @@ def _q_session_window_native(spark, sf_dir):
             "total_value",
         )
     )
+
+
+@_entry(
+    "events_winsorize",
+    "Winsorize values to the per-type [p1, p99] band (exact percentiles, "
+    "broadcast bounds, clamp + audit flag) — the robust preprocessing "
+    "step that tames heavy tails before means/regressions.",
+    """WITH b AS (
+  SELECT event_type, quantile_cont(value, 0.01) AS p_lo,
+         quantile_cont(value, 0.99) AS p_hi
+  FROM events GROUP BY 1
+)
+SELECT event_id, event_type, value,
+       CASE WHEN value < p_lo THEN p_lo WHEN value > p_hi THEN p_hi
+            ELSE value END AS value_winsorized,
+       value < p_lo OR value > p_hi AS was_clipped
+FROM events JOIN b USING (event_type)""",
+)
+def _q_winsorize(spark, sf_dir):
+    return analytics.events_winsorize(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_value_histogram",
+    "Equi-width 20-bin value histogram per type: per-type min/max "
+    "broadcast back, integer floor binning (max folds into the last "
+    "bin), exact counts — the distribution profile behind drift checks.",
+    """WITH rng AS (
+  SELECT event_type, MIN(value) AS v_min, MAX(value) AS v_max
+  FROM events GROUP BY 1
+),
+binned AS (
+  SELECT e.event_type, v_min, v_max,
+         CAST(LEAST(CAST(floor((value - v_min) / (CASE WHEN v_max > v_min
+              THEN (v_max - v_min) ELSE 1.0 END) * 20) AS INTEGER), 19) AS INTEGER) AS bin
+  FROM events e JOIN rng USING (event_type)
+)
+SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(v_min) + (MAX(v_max) - MAX(v_min)) * bin / 20 AS bin_lo,
+       MAX(v_min) + (MAX(v_max) - MAX(v_min)) * (bin + 1) / 20 AS bin_hi
+FROM binned GROUP BY event_type, bin""",
+)
+def _q_value_histogram(spark, sf_dir):
+    return analytics.events_value_histogram(load_events(spark, sf_dir))

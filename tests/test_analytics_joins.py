@@ -929,3 +929,36 @@ def test_autocorr_detects_planted_period(spark):
     assert got[("alt", 1)] < -0.8
     assert got[("alt", 2)] > 0.8
     assert got[("flat", 1)] is None  # zero variance: 0/0 is honest NULL
+
+
+def test_winsorize_clamps_only_the_tails(spark, sf_dir):
+    """Clipped fraction ≈ 2% by construction; clamped values sit inside
+    [p_lo, p_hi]; inliers pass through bit-identical."""
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = analytics.events_winsorize(ev).collect()
+    n = len(out)
+    clipped = [r for r in out if r["was_clipped"]]
+    assert 0 < len(clipped) <= 0.05 * n
+    for r in out:
+        if not r["was_clipped"]:
+            assert r["value_winsorized"] == r["value"]
+    # winsorized range per type is a subset of the raw range
+    for t in {r["event_type"] for r in out}:
+        vals = [r["value_winsorized"] for r in out if r["event_type"] == t]
+        raw = [r["value"] for r in out if r["event_type"] == t]
+        assert min(vals) >= min(raw) and max(vals) <= max(raw)
+
+
+def test_value_histogram_partitions_and_bounds(spark, sf_dir):
+    """Bin counts partition the events; every bin's [lo, hi) nests in the
+    type's [min, max]; max value folds into the last bin."""
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    rows = analytics.events_value_histogram(ev).collect()
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r["bin"] <= 19
+        assert r["bin_lo"] <= r["bin_hi"]
