@@ -2073,3 +2073,54 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), id_col)
         .limit(top_n)
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: directed pairs where containment(src → dst) =
+    |sh(src) ∩ sh(dst)| / |sh(src)| ≥ threshold — catches quotes,
+    excerpts and partial copies that symmetric Jaccard misses (a tweet
+    embedded in an article has tiny Jaccard but containment ≈ 1).
+
+    Scale shape: inverted-index join — explode shingles to postings,
+    DROP shingles whose document frequency exceeds ``max_shingle_df``
+    (boilerplate shingles would otherwise fan the self-join out
+    quadratically in df; real systems cap posting lengths the same
+    way), self-join the pruned postings on the shingle hash, and count
+    per ordered pair.  The measure is therefore defined on the
+    df-FILTERED shingle sets — both the intersection AND the |sh(src)|
+    denominator exclude capped shingles, so containment stays ≤ 1 and
+    the oracle mirrors exactly.  Pair fan-out is bounded by
+    sum(df²) ≤ max_df · postings.
+    """
+    sh = shingle_hashes(documents, k)
+    postings = sh.selectExpr("doc_id", "explode(sh) AS h")
+    rare = postings.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= max_shingle_df
+    )
+    pruned = postings.join(rare.select("h"), "h", "left_semi")
+    sizes = pruned.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    pairs = (
+        pruned.selectExpr("doc_id AS src_doc", "h")
+        .join(pruned.selectExpr("doc_id AS dst_doc", "h"), "h")
+        .filter("src_doc != dst_doc")
+        .groupBy("src_doc", "dst_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "src_doc"), "src_doc")
+        .selectExpr(
+            "src_doc",
+            "dst_doc",
+            "n_common",
+            "n_src",
+            "CAST(n_common AS DOUBLE) / CAST(n_src AS DOUBLE) AS containment",
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -4586,3 +4586,32 @@ FROM binned GROUP BY event_type, bin""",
 )
 def _q_value_histogram(spark, sf_dir):
     return analytics.events_value_histogram(load_events(spark, sf_dir))
+
+
+@_entry(
+    "containment_pairs",
+    "ASYMMETRIC near-dup (quote / partial-copy detection): directed "
+    "pairs with |sh(src) ∩ sh(dst)| / |sh(src)| >= 0.5 on the "
+    "df-capped shingle sets — inverted-index self-join whose fan-out is "
+    "bounded by max_df x postings (boilerplate shingles above df=100 "
+    "are dropped from BOTH the intersection and the denominator).",
+    f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sg AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM tok),
+shs AS (SELECT doc_id, {_DUCK_SH} AS sh FROM sg),
+postings AS (SELECT doc_id, unnest(sh) AS h FROM shs),
+rare AS (SELECT h FROM postings GROUP BY h HAVING COUNT(*) <= 100),
+pruned AS (SELECT doc_id, h FROM postings JOIN rare USING (h)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_src FROM pruned GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src_doc, dst_doc, n_common, n_src,
+       CAST(n_common AS DOUBLE) / CAST(n_src AS DOUBLE) AS containment
+FROM pairs JOIN sizes ON pairs.src_doc = sizes.doc_id
+WHERE CAST(n_common AS DOUBLE) / CAST(n_src AS DOUBLE) >= 0.5""",
+)
+def _q_containment(spark, sf_dir):
+    return _tx.containment_pairs(_t(spark, sf_dir, "documents"))

@@ -1185,3 +1185,24 @@ def test_rrf_fusion_prefers_doubly_ranked_docs(spark):
     assert scores[1] == 1 / 62 + 1 / 63
     assert scores[2] == 1 / 61  # single-list doc: one term only
     assert set(scores) == {1, 2, 3, 4, 5}
+
+
+def test_containment_detects_quotes_directionally(spark):
+    """A short quote embedded in a long article: containment quote→article
+    ≈ 1 (detected), article→quote small (not flagged) — the asymmetry
+    symmetric Jaccard misses."""
+    from admira_etl_project_prueba_spark.operators.textops import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"word{i}" for i in range(120))
+    rows = [
+        (1, quote),                         # the quote
+        (2, f"{filler} {quote} {filler}"),  # article embedding the quote
+        (3, " ".join(f"other{i}" for i in range(60))),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["src_doc"], r["dst_doc"]): r["containment"]
+           for r in containment_pairs(docs, threshold=0.5).collect()}
+    assert got[(1, 2)] == 1.0          # every quote shingle is in the article
+    assert (2, 1) not in got           # article is NOT contained in the quote
+    assert all(3 not in pair for pair in got)
