@@ -1937,11 +1937,12 @@ def events_daily_pivot(events: DataFrame) -> DataFrame:
     )
 
 
-def events_unpivot_daily(pivoted: DataFrame) -> DataFrame:
-    """Inverse melt: the wide day × type matrix back to long
-    (day, event_type, total_value) rows via the built-in unpivot —
-    row-local stack, no shuffle; zero-filled cells are kept so
-    unpivot(pivot(x)) is total on the (day × type) grid."""
+def events_unpivot_daily_values(pivoted: DataFrame) -> DataFrame:
+    """Inverse melt of :func:`events_daily_pivot` (the VALUE-sum pivot;
+    the count pivot's melt is :func:`events_unpivot_daily`): wide day ×
+    type matrix back to long (day, event_type, total_value) rows via the
+    built-in unpivot — row-local stack, no shuffle; zero-filled cells
+    are kept so unpivot(pivot(x)) is total on the (day × type) grid."""
     return pivoted.unpivot(
         "day",
         [f"{t}_value" for t in EVENT_TYPES],
@@ -2087,14 +2088,14 @@ def events_winsorize(
     )
 
 
-def events_value_histogram(events: DataFrame, n_bins: int = 20) -> DataFrame:
-    """Equi-width value histogram per event type: the distribution
-    profile behind drift checks and bin-packed visualizations.
+def events_value_histogram_minmax(events: DataFrame, n_bins: int = 20) -> DataFrame:
+    """DATA-DRIVEN equi-width histogram per event type: bin edges derive
+    from the per-type min/max (one tiny aggregate, broadcast back) — the
+    drift-profile complement to :func:`events_value_histogram`, whose
+    bins are FIXED [lo, hi) and therefore comparable across snapshots.
 
-    Bin edges derive from the per-type min/max (one tiny aggregate,
-    broadcast back); bin index is integer floor arithmetic with the max
-    value folded into the last bin.  Densities are exact counts — no
-    sampling, one shuffle over (type, bin).
+    Bin index is integer floor arithmetic with the max value folded into
+    the last bin.  Exact counts, one shuffle over (type, bin).
     """
     rng = events.groupBy("event_type").agg(
         F.min("value").alias("v_min"), F.max("value").alias("v_max")

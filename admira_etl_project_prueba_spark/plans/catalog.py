@@ -4272,10 +4272,10 @@ def _q_daily_pivot(spark, sf_dir):
 
 
 @_entry(
-    "events_unpivot_daily",
-    "Inverse melt of the pivot (built-in unpivot/stack, row-local, no "
-    "shuffle): total on the day x type grid, so unpivot(pivot(x)) "
-    "round-trips including zero-filled cells.",
+    "events_unpivot_daily_values",
+    "Inverse melt of the VALUE-sum pivot (built-in unpivot/stack, "
+    "row-local, no shuffle): total on the day x type grid, so "
+    "unpivot(pivot(x)) round-trips including zero-filled cells.",
     f"""WITH p AS ({_DUCK_PIVOT})
 SELECT day, replace(name, '_value', '') AS event_type, value AS total_value
 FROM (
@@ -4286,8 +4286,8 @@ FROM (
   FROM p
 )""",
 )
-def _q_unpivot_daily(spark, sf_dir):
-    return analytics.events_unpivot_daily(
+def _q_unpivot_daily_values(spark, sf_dir):
+    return analytics.events_unpivot_daily_values(
         analytics.events_daily_pivot(load_events(spark, sf_dir))
     )
 
@@ -4565,10 +4565,11 @@ def _q_winsorize(spark, sf_dir):
 
 
 @_entry(
-    "events_value_histogram",
-    "Equi-width 20-bin value histogram per type: per-type min/max "
-    "broadcast back, integer floor binning (max folds into the last "
-    "bin), exact counts — the distribution profile behind drift checks.",
+    "events_value_histogram_minmax",
+    "DATA-DRIVEN equi-width 20-bin histogram per type (per-type min/max "
+    "broadcast back, integer floor binning, max folds into the last "
+    "bin) — complements the fixed-bin events_value_histogram, whose "
+    "edges stay comparable across snapshots.",
     """WITH rng AS (
   SELECT event_type, MIN(value) AS v_min, MAX(value) AS v_max
   FROM events GROUP BY 1
@@ -4584,8 +4585,8 @@ SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n_events,
        MAX(v_min) + (MAX(v_max) - MAX(v_min)) * (bin + 1) / 20 AS bin_hi
 FROM binned GROUP BY event_type, bin""",
 )
-def _q_value_histogram(spark, sf_dir):
-    return analytics.events_value_histogram(load_events(spark, sf_dir))
+def _q_value_histogram_minmax(spark, sf_dir):
+    return analytics.events_value_histogram_minmax(load_events(spark, sf_dir))
 
 
 @_entry(

@@ -853,7 +853,7 @@ def test_pivot_unpivot_roundtrip_and_conservation(spark, sf_dir):
 
     ev = load_events(spark, sf_dir)
     wide = analytics.events_daily_pivot(ev)
-    long = analytics.events_unpivot_daily(wide)
+    long = analytics.events_unpivot_daily_values(wide)
     n_days = wide.count()
     assert long.count() == n_days * len(analytics.EVENT_TYPES)
     raw = {
@@ -951,13 +951,13 @@ def test_winsorize_clamps_only_the_tails(spark, sf_dir):
         assert min(vals) >= min(raw) and max(vals) <= max(raw)
 
 
-def test_value_histogram_partitions_and_bounds(spark, sf_dir):
+def test_value_histogram_minmax_partitions_and_bounds(spark, sf_dir):
     """Bin counts partition the events; every bin's [lo, hi) nests in the
     type's [min, max]; max value folds into the last bin."""
     from admira_etl_project_prueba_spark.sources.tables import load_events
 
     ev = load_events(spark, sf_dir)
-    rows = analytics.events_value_histogram(ev).collect()
+    rows = analytics.events_value_histogram_minmax(ev).collect()
     assert sum(r["n_events"] for r in rows) == ev.count()
     for r in rows:
         assert 0 <= r["bin"] <= 19
