@@ -4051,10 +4051,11 @@ def _q_scd2_pit(spark, sf_dir):
 
 @_entry(
     "events_cohort_retention",
-    "Weekly cohort retention matrix: ONE user-key shuffle aggregates "
-    "first week + distinct-week set together (collect_set bounded by "
-    "the calendar), explodes row-locally to (cohort, offset), tiny final "
-    "aggregate + broadcast cohort sizes.  Integer week arithmetic.",
+    "Weekly cohort retention with RATES: single user-key shuffle "
+    "(first week + distinct-week set aggregated together, row-local "
+    "explode) vs events_retention_cohorts' two-frame join formulation "
+    "— same family, coarser grain, plus cohort sizes and retention_rate "
+    "columns and one fewer shuffle.  Integer week arithmetic.",
     """WITH ua AS (
   SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS aw
   FROM events
