@@ -99,3 +99,36 @@ def read_jsonl_audited(
         full["_corrupt"].alias("raw_line")
     )
     return clean, corrupt
+
+
+def read_csv_audited(
+    spark,
+    path: str,
+    schema_ddl: str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`read_jsonl_audited`: schema-declared CSV read
+    with a malformed-record audit split instead of silent drops or job
+    aborts — the other format bulk data dumps actually arrive in.
+
+    Same PERMISSIVE + corrupt-column contract: rows that fail the
+    declared schema (wrong arity, untypeable cells) land raw in
+    ``corrupt``; clean rows come back fully typed.  No schema inference
+    pass — inference re-reads the data AND yields data-dependent types,
+    both wrong at 100 TB.
+    """
+    full = (
+        spark.read.schema(f"{schema_ddl}, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+    full = full.cache()  # required before filtering on the corrupt column
+    clean = full.filter("_corrupt IS NULL").drop("_corrupt")
+    corrupt = full.filter("_corrupt IS NOT NULL").select(
+        full["_corrupt"].alias("raw_line")
+    )
+    return clean, corrupt

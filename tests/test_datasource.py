@@ -169,3 +169,26 @@ def test_jsonl_shard_key_colocates(spark, tmp_path):
                     g = _json.loads(line)["group"]
                     seen.setdefault(g, set()).add(f)
     assert all(len(files) == 1 for files in seen.values())  # one shard per group
+
+
+def test_read_csv_audited_splits_clean_and_corrupt(spark, tmp_path):
+    """Typed rows parse; wrong-arity and untypeable rows quarantine with
+    the raw line; nothing silently drops."""
+    from admira_etl_project_prueba_spark.sources.sinks import read_csv_audited
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alpha,2.5\n"
+        "2,beta,notanumber\n"      # untypeable score
+        "3,gamma\n"                 # wrong arity
+        "4,delta,9.0\n"
+    )
+    clean, corrupt = read_csv_audited(
+        spark, str(p), "id long, name string, score double"
+    )
+    got = {r["id"]: (r["name"], r["score"]) for r in clean.collect()}
+    assert got == {1: ("alpha", 2.5), 4: ("delta", 9.0)}
+    bad = {r["raw_line"] for r in corrupt.collect()}
+    assert bad == {"2,beta,notanumber", "3,gamma"}
+    assert clean.count() + corrupt.count() == 4
