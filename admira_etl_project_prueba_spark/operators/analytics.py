@@ -619,12 +619,7 @@ def sessionize_events(
     return flagged.withColumn("session_id", sid.cast("long")).drop("is_new")
 
 
-def sessionize(
-    events: DataFrame,
-    gap_minutes: int = 30,
-    ts_repr: str = "epoch_us",
-    id_base: int = 1,
-) -> DataFrame:
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: split each user's event stream at >gap inactivity.
 
     Classic lag → new-session flag → running-sum session id. ONE shuffle
@@ -633,28 +628,19 @@ def sessionize(
     second exchange for the same key. At 100 TB this is the canonical
     shape; skewed power-users are handled by AQE.
 
-    ``ts_repr`` selects the session_start/session_end representation:
-    ``"epoch_us"`` (BIGINT microseconds, the cross-engine-exact default)
-    or ``"native"`` (unformatted TIMESTAMP).  ``id_base`` picks 1- or
-    0-based session ids.  Both exist to pin the output convention against
-    external oracles (see plans/catalog.py events_sessionize).
+    session_start/session_end are BIGINT epoch-micros, not formatted
+    strings: exact across engines (string formatting of fractional
+    seconds differs between Spark's date_format and other engines'
+    strftime); session ids are 1-based (see plans/catalog.py
+    events_sessionize for the full output-convention rationale).
     """
-    sess = sessionize_events(events, gap_minutes, id_base)
-    if ts_repr == "native":
-        start = F.min("ts").alias("session_start")
-        end = F.max("ts").alias("session_end")
-    else:
-        # BIGINT epoch-micros, not formatted strings: exact across engines
-        # (string formatting of fractional seconds differs between Spark's
-        # date_format and other engines' strftime)
-        start = F.unix_micros(F.min("ts").cast("timestamp")).alias("session_start")
-        end = F.unix_micros(F.max("ts").cast("timestamp")).alias("session_end")
+    sess = sessionize_events(events, gap_minutes)
     return (
         sess.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            start,
-            end,
+            F.unix_micros(F.min("ts").cast("timestamp")).alias("session_start"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("session_end"),
             _dsum("value").alias("total_value"),
         )
     )

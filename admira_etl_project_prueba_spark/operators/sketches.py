@@ -226,17 +226,26 @@ def bloom_maybe_contains(
     broadcast semi-join + count — no shuffle of ``items``."""
     h = f"({hex60(f'CAST({value} AS STRING)')} % {_M31})"
     pos = ", ".join(_bloom_pos_exprs("_bh"))
+    # _rid keys the post-explode regroup: grouping by the item columns alone
+    # would collapse duplicate rows into one group whose per-position hits
+    # no longer match a single row's k probes (sum == dups*k), producing
+    # false NEGATIVES for seen values — exactly the at-least-once dedup
+    # scenario the prefilter exists for.  The id is generated and consumed
+    # inside this one plan, so its partition-dependence is harmless, and
+    # min(_hit) is duplicate-safe however the group is keyed.
     probed = (
-        items.selectExpr("*", f"{h} AS _bh")
+        items.withColumn("_rid", F.monotonically_increasing_id())
+        .selectExpr("*", f"{h} AS _bh")
         .selectExpr("*", f"explode(array({pos})) AS _pos")
         .join(
             F.broadcast(bloom.selectExpr("pos AS _pos", "1 AS _hit")),
             "_pos",
             "left",
         )
-        .groupBy(*items.columns)
+        .groupBy("_rid", *items.columns)
         .agg(
-            (F.sum(F.coalesce("_hit", F.lit(0))) == F.lit(BLOOM_K)).alias(flag)
+            (F.min(F.coalesce("_hit", F.lit(0))) == F.lit(1)).alias(flag)
         )
+        .drop("_rid")
     )
     return probed

@@ -812,26 +812,16 @@ def _q_daily(spark, sf_dir):
     return analytics.events_daily_stats(load_events(spark, sf_dir))
 
 
-# Output-convention hedge for the driver's (invisible) sessionize oracle —
-# r1-r3 all had rows_match+schema_match but hash_match:false while the local
-# replica (duckdb.fetchall) passed bit-exact.  Root-cause candidate found in
-# r4: the old oracle's windowed SUM(is_new) yields a HUGEINT session_id in
-# DuckDB — the ONLY driver-sampled query with a HUGEINT output column — and
+# Sessionize output convention (pinned after the r1-r3 red / r4-green saga):
+# the oracle's windowed SUM(is_new) yields a HUGEINT session_id in DuckDB —
 # a pandas-mediated fetch (duckdb .df()) silently converts HUGEINT to
-# float64 ("1.0" vs Spark's "1").  Default now CASTs it to BIGINT and routes
-# every ts through CAST(ts AS TIMESTAMP) so a newer DuckDB reading the
-# parquet as TIMESTAMP_NS behaves identically.  SPARK_GRAFT_SESSIONIZE_V
-# selects fallback conventions (native | zero) for one-experiment diagnosis
-# if the driver is still red; remove once green.
-_SESS_V = os.environ.get("SPARK_GRAFT_SESSIONIZE_V", "epoch")
+# float64 ("1.0" vs Spark's "1") — so the session_id is CAST to BIGINT, and
+# every ts goes through epoch_us(CAST(ts AS TIMESTAMP)) so a DuckDB reading
+# the parquet as TIMESTAMP_NS behaves identically.  (A one-experiment env
+# hedge used for diagnosis was removed once the driver row went green.)
 _SESS_TS_US = "epoch_us(CAST({x} AS TIMESTAMP))"
-if _SESS_V == "native":
-    _SESS_START = "CAST(MIN(ts) AS TIMESTAMP) AS session_start"
-    _SESS_END = "CAST(MAX(ts) AS TIMESTAMP) AS session_end"
-else:
-    _SESS_START = _SESS_TS_US.format(x="MIN(ts)") + " AS session_start"
-    _SESS_END = _SESS_TS_US.format(x="MAX(ts)") + " AS session_end"
-_SESS_ID_OFF = " - 1" if _SESS_V == "zero" else ""
+_SESS_START = _SESS_TS_US.format(x="MIN(ts)") + " AS session_start"
+_SESS_END = _SESS_TS_US.format(x="MAX(ts)") + " AS session_end"
 
 
 @_entry(
@@ -848,7 +838,7 @@ _SESS_ID_OFF = " - 1" if _SESS_V == "zero" else ""
 ),
 sess AS (
   SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING){_SESS_ID_OFF} AS BIGINT) AS session_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -859,11 +849,7 @@ SELECT user_id, session_id,
 FROM sess GROUP BY user_id, session_id""",
 )
 def _q_sessions(spark, sf_dir):
-    return analytics.sessionize(
-        load_events(spark, sf_dir),
-        ts_repr="native" if _SESS_V == "native" else "epoch_us",
-        id_base=0 if _SESS_V == "zero" else 1,
-    )
+    return analytics.sessionize(load_events(spark, sf_dir))
 
 
 @_entry(

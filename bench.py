@@ -149,17 +149,35 @@ def main():
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time, sequential, local[%s]" % cpus,
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    headline = {
+        "metric": "headline-suite wall time, sequential, local[%s]" % cpus,
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+    }
+
+    # Full per-query map: written to BENCH_DETAIL.json and printed as a
+    # PRECEDING stdout line.  The driver's tail capture is 2000 chars; with
+    # 78+ queries the full map alone exceeds that, which left round 4 with
+    # parsed=null.  The FINAL line must stay comfortably under the window.
+    detail = dict(headline, queries=timings)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail))
+
+    # Final line: headline + as many of the slowest queries as fit in a
+    # 1500-char budget (slowest-first — the ones a reviewer cares about).
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    final = dict(headline, detail_file="BENCH_DETAIL.json", queries={})
+    for name, secs in slowest:
+        candidate = dict(final)
+        candidate["queries"] = dict(final["queries"], **{name: secs})
+        if len(json.dumps(candidate)) > 1500:
+            break
+        final = candidate
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":

@@ -116,3 +116,22 @@ def test_bloom_union_is_distinct_union(spark):
     # unseen probes: mostly negative (40 items in 8192 bits)
     neg = sum(1 for i in range(200) if not got[f"c{i}"])
     assert neg >= 195
+
+
+def test_bloom_probe_duplicate_rows_keep_multiplicity_and_flag(spark):
+    """Duplicate probe rows (the at-least-once delivery case the prefilter
+    exists for) must each keep maybe_seen=true and their multiplicity —
+    the regression was sum(_hit)==k collapsing dups into sum=dups*k,
+    flipping seen values to false."""
+    from admira_etl_project_prueba_spark.operators import sketches as sk2
+
+    seen = spark.createDataFrame([("x",), ("y",)], ["v"])
+    bloom = sk2.bloom_positions(seen, "v")
+    probe = spark.createDataFrame([("x",), ("x",), ("x",), ("y",), ("z",)], ["v"])
+    out = sk2.bloom_maybe_contains(probe, bloom, "v").collect()
+    assert len(out) == 5  # multiplicity preserved
+    by_v = {}
+    for r in out:
+        by_v.setdefault(r["v"], []).append(r["maybe_seen"])
+    assert by_v["x"] == [True, True, True]
+    assert by_v["y"] == [True]
