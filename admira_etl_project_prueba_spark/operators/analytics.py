@@ -1844,14 +1844,22 @@ def events_linear_attribution(
     the join shuffles user-aligned slices, never a cross product (the
     naive range-join formulation is a nested loop at scale).  Credit
     1/n and revenue v/n are summed as DECIMAL(25,6) — order-independent
-    across partitionings.  Conversions with NO in-window touch surface
-    in the 'unattributed' bucket so totals reconcile: summed credit
-    equals the conversion count exactly.
+    across partitionings.  The per-touch share rounds to 6 decimals, so
+    the conversion's rounding residual (1 - n·round(1/n), and likewise
+    for revenue) is assigned to its FIRST touch (earliest tus, event_id
+    tiebreak — deterministic): per-conversion credit sums to EXACTLY 1
+    and revenue to exactly its decimal value.  Conversions with NO
+    in-window touch surface in the 'unattributed' bucket, so summed
+    credit equals the conversion count exactly — a hard reconciliation
+    invariant, not an approximation.
     """
     us = "unix_micros(CAST(ts AS TIMESTAMP))"
     touches = events.filter(
         F.col("event_type").isin("click", "view")
-    ).selectExpr("user_id", "event_type AS touch_type", f"{us} AS tus")
+    ).selectExpr(
+        "user_id", "event_type AS touch_type", f"{us} AS tus",
+        "event_id AS touch_id",
+    )
     convs = events.filter(F.col("event_type") == "purchase").selectExpr(
         "user_id", "event_id AS conv_id", f"{us} AS cus", "value"
     )
@@ -1862,12 +1870,28 @@ def events_linear_attribution(
     per_conv = pairs.groupBy("conv_id", "value").agg(
         F.count(F.lit(1)).cast("long").alias("n_touches")
     )
+    # the join on conv_id and the first-touch window share the conv_id
+    # partitioning — one exchange serves both
+    w_first = Window.partitionBy("conv_id").orderBy("tus", "touch_id")
     credited = (
         pairs.join(per_conv.select("conv_id", "n_touches"), "conv_id")
+        .withColumn("rn", F.row_number().over(w_first))
         .selectExpr(
             "touch_type",
-            "CAST(CAST(1.0 AS DOUBLE) / n_touches AS decimal(25,6)) AS credit",
-            "CAST(value / n_touches AS decimal(25,6)) AS rev",
+            "rn",
+            "n_touches",
+            "CAST(CAST(1.0 AS DOUBLE) / n_touches AS decimal(25,6)) AS base_credit",
+            "CAST(value / n_touches AS decimal(25,6)) AS base_rev",
+            "CAST(value AS decimal(25,6)) AS vdec",
+        )
+        .selectExpr(
+            "touch_type",
+            "base_credit + IF(rn = 1,"
+            " CAST(1.0 AS decimal(25,6)) - base_credit * n_touches,"
+            " CAST(0.0 AS decimal(25,6))) AS credit",
+            "base_rev + IF(rn = 1,"
+            " vdec - base_rev * n_touches,"
+            " CAST(0.0 AS decimal(25,6))) AS rev",
         )
         .groupBy("touch_type")
         .agg(

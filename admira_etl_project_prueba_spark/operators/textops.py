@@ -1845,7 +1845,11 @@ def bm25_rank(
     summed as DECIMAL(25,6) (order-independent), cast to double at the
     edge.  Output: top_n docs by (score DESC, doc_id) — deterministic.
     """
-    terms_arr = "array(" + ", ".join(f"'{t}'" for t in query_terms) + ")"
+    # Terms enter the plan as F.lit() literals, never interpolated into SQL
+    # text: a term containing a quote (or any Spark SQL expression) is then
+    # just data, not parser input — user-facing callers (corpus_service
+    # /corpus/search) feed raw query strings here.
+    terms_arr = F.array(*[F.lit(t) for t in query_terms])
     dl = documents.selectExpr(
         "doc_id", f"{TOKENS} AS toks"
     ).selectExpr("doc_id", "toks", "CAST(size(toks) AS BIGINT) AS dl")
@@ -1856,10 +1860,10 @@ def bm25_rank(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
     tf = (
-        dl.selectExpr(
+        dl.select(
             "doc_id",
             "dl",
-            f"filter(toks, x -> array_contains({terms_arr}, x)) AS qt",
+            F.filter("toks", lambda x: F.array_contains(terms_arr, x)).alias("qt"),
         )
         .filter("size(qt) > 0")
         .selectExpr("doc_id", "dl", "explode(qt) AS term")
@@ -1989,22 +1993,21 @@ def bm25_from_index(
     query-time I/O stays ~|terms|/num_buckets of the index regardless of
     corpus size.  Shares bm25_rank's arithmetic exactly (rational idf,
     decimal term sum)."""
-    spark_terms = ", ".join(f"'{t}'" for t in query_terms)
-    buckets = ", ".join(
-        str(b_)
-        for b_ in sorted(
-            {
-                int(h, 16) % num_buckets
-                for h in (
-                    __import__("hashlib").md5(t.encode()).hexdigest()[:15]
-                    for t in query_terms
-                )
-            }
-        )
+    buckets = sorted(
+        {
+            int(h, 16) % num_buckets
+            for h in (
+                __import__("hashlib").md5(t.encode()).hexdigest()[:15]
+                for t in query_terms
+            )
+        }
     )
     tf = (
         spark.read.parquet(f"{index_path}/postings")
-        .filter(f"term_bucket IN ({buckets}) AND term IN ({spark_terms})")
+        # isin() builds In(literal...) predicates — same partition pruning
+        # and parquet pushdown as interpolated SQL, but terms stay data
+        # (no parser exposure for quote-bearing user input).
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(query_terms))
         .select("doc_id", "dl", "term", "tf")
     )
     stats = spark.read.parquet(f"{index_path}/stats")

@@ -4145,11 +4145,14 @@ def _q_debounce(spark, sf_dir):
     "credit + its revenue equally across the user's click/view touches "
     "in a 7-day lookback.  User-keyed equi-join with row-local time "
     "filter (bounded per-user fan-out, not a range join); decimal credit "
-    "sums; no-touch conversions land in an 'unattributed' bucket so "
-    "credit totals reconcile with the conversion count.",
+    "sums with the per-conversion rounding residual assigned to the "
+    "first touch (exact reconciliation); no-touch conversions land in "
+    "an 'unattributed' bucket so credit totals equal the conversion "
+    "count exactly.",
     """WITH t AS (
   SELECT user_id, event_type AS touch_type,
-         epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         event_id AS touch_id
   FROM events WHERE event_type IN ('click', 'view')
 ),
 c AS (
@@ -4158,20 +4161,33 @@ c AS (
   FROM events WHERE event_type = 'purchase'
 ),
 pairs AS (
-  SELECT conv_id, value, touch_type
+  SELECT conv_id, value, touch_type, tus, touch_id
   FROM c JOIN t USING (user_id)
   WHERE tus < cus AND cus - tus <= CAST(604800 AS BIGINT) * 1000000
 ),
 per_conv AS (
   SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_touches FROM pairs GROUP BY 1
 ),
+shares AS (
+  SELECT touch_type,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tus, touch_id) AS rn,
+         n_touches,
+         CAST(CAST(1.0 AS DOUBLE) / n_touches AS DECIMAL(25,6)) AS base_credit,
+         CAST(value / n_touches AS DECIMAL(25,6)) AS base_rev,
+         CAST(value AS DECIMAL(25,6)) AS vdec
+  FROM pairs JOIN per_conv USING (conv_id)
+),
 credited AS (
   SELECT touch_type,
-         CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / n_touches AS DECIMAL(25,6))) AS DOUBLE)
+         CAST(SUM(base_credit + CASE WHEN rn = 1
+                  THEN CAST(1.0 AS DECIMAL(25,6)) - base_credit * n_touches
+                  ELSE CAST(0.0 AS DECIMAL(25,6)) END) AS DOUBLE)
            AS attributed_conversions,
-         CAST(SUM(CAST(value / n_touches AS DECIMAL(25,6))) AS DOUBLE)
+         CAST(SUM(base_rev + CASE WHEN rn = 1
+                  THEN vdec - base_rev * n_touches
+                  ELSE CAST(0.0 AS DECIMAL(25,6)) END) AS DOUBLE)
            AS attributed_revenue
-  FROM pairs JOIN per_conv USING (conv_id) GROUP BY touch_type
+  FROM shares GROUP BY touch_type
 ),
 unatt AS (
   SELECT 'unattributed' AS touch_type,

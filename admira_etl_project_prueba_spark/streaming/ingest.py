@@ -430,6 +430,24 @@ def stream_near_dup_matches(
     )
 
 
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    """True iff the store path exists, via the Hadoop FileSystem of the
+    session (works for local paths and for HDFS/S3A URIs alike).
+
+    Stateful streams use this to distinguish FIRST BATCH (store genuinely
+    absent → start from the delta) from a FAILING READ (permissions,
+    corrupt footer, concurrent writer).  A bare ``except Exception``
+    around the read conflated the two, and the subsequent overwrite then
+    silently discarded all accumulated state on any transient failure —
+    now only a confirmed-missing path falls back; every other error
+    propagates so the micro-batch retries instead of destroying history.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _interval_us(interval: str) -> int:
     """'2 hours' → microseconds (the units Structured Streaming uses)."""
     n, unit = interval.split()
@@ -560,15 +578,16 @@ def stream_token_sketch(
             return
         spark = batch_df.sparkSession
         delta = cms_sketch(batch_df, depth, width)
-        try:
+        if _store_exists(spark, store_path):
+            # read errors propagate → micro-batch retries (see _store_exists)
             prev = spark.read.parquet(store_path)
             merged = (
                 prev.unionByName(delta)
                 .groupBy("r", "bucket")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
-        except Exception:
-            merged = delta
+        else:
+            merged = delta  # confirmed first batch
         merged.localCheckpoint().write.mode("overwrite").parquet(store_path)
 
     return (
@@ -612,11 +631,13 @@ def stream_user_hll(
             return
         spark = batch_df.sparkSession
         delta = hll_registers(batch_df, "user_id", g)
-        try:
+        if _store_exists(spark, store_path):
+            # read errors propagate → micro-batch retries; falling back to
+            # delta here would overwrite (lose) all accumulated registers
             prev = spark.read.parquet(store_path)
             merged = hll_merge(prev.unionByName(delta), g)
-        except Exception:
-            merged = delta
+        else:
+            merged = delta  # confirmed first batch
         merged.localCheckpoint().write.mode("overwrite").parquet(store_path)
 
     return (
@@ -713,12 +734,57 @@ def read_sketch_store(spark: SparkSession, store_path: str) -> DataFrame:
     )
 
 
-def compact_sketch_store(spark: SparkSession, store_path: str) -> None:
-    """Fold all batch deltas into a single batch_id=-1 partition so reads
-    stop paying per-batch fan-in; idempotent (re-running re-folds)."""
-    merged = read_sketch_store(spark, store_path).withColumn(
-        "batch_id", F.lit(-1).cast("long")
+def last_committed_batch_id(spark: SparkSession, checkpoint_dir: str) -> int | None:
+    """Highest batch id with a COMMIT marker in a streaming checkpoint
+    (``<checkpoint>/commits/<id>``), or None if nothing committed yet.
+    Listing goes through the Hadoop FileSystem so it works wherever the
+    checkpoint lives (local, HDFS, S3A)."""
+    jvm = spark._jvm
+    cpath = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/commits")
+    fs = cpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(cpath):
+        return None
+    ids = [
+        int(name)
+        for name in (
+            st.getPath().getName() for st in fs.listStatus(cpath)
+        )
+        if name.isdigit()
+    ]
+    return max(ids) if ids else None
+
+
+def compact_sketch_store(
+    spark: SparkSession, store_path: str, checkpoint_dir: str | None = None
+) -> None:
+    """Fold batch deltas into a single batch_id=-1 partition so reads stop
+    paying per-batch fan-in; idempotent (re-running re-folds).
+
+    Exactly-once interaction with a LIVE stream: a delta partition may be
+    on disk for a batch whose checkpoint commit then failed — the stream
+    will REPLAY that batch and rewrite its partition.  If compaction had
+    already folded the uncommitted delta into batch_id=-1, the replayed
+    partition would double-count at read time.  Pass the stream's
+    ``checkpoint_dir`` and compaction folds ONLY partitions with
+    batch_id ≤ the last COMMITTED batch id (plus prior compactions),
+    leaving in-doubt deltas as-is.  Without a checkpoint_dir, the caller
+    must guarantee the stream is stopped with its last batch committed.
+    """
+    store = spark.read.parquet(store_path)
+    if checkpoint_dir is not None:
+        last = last_committed_batch_id(spark, checkpoint_dir)
+        committed = F.col("batch_id") <= F.lit(-1 if last is None else last)
+        leftover = store.filter(~committed)
+        store = store.filter(committed)
+    else:
+        leftover = None
+    merged = (
+        store.groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .withColumn("batch_id", F.lit(-1).cast("long"))
     )
+    if leftover is not None:
+        merged = merged.unionByName(leftover.select(*merged.columns))
     (
         merged.localCheckpoint()  # store is input AND output of the fold
         .write.mode("overwrite")
@@ -768,10 +834,12 @@ def stream_scd2(
             "key_bucket", F.expr(bucket).cast("int")
         )
         buckets = [r["key_bucket"] for r in batch.select("key_bucket").distinct().collect()]
-        blist = ", ".join(str(b) for b in buckets)
-        try:
+        if _store_exists(spark, store_path):
+            # read errors propagate → micro-batch retries; falling back to
+            # the bare batch would rewrite touched buckets WITHOUT their
+            # history, silently truncating the dimension
             current = spark.read.parquet(store_path).filter(
-                f"key_bucket IN ({blist})"
+                F.col("key_bucket").isin(buckets)
             )
             # each stored version was opened by exactly one update: replay it
             prior = current.select(
@@ -782,8 +850,8 @@ def stream_scd2(
                 "key_bucket",
             )
             merged = prior.unionByName(batch)
-        except Exception:
-            merged = batch
+        else:
+            merged = batch  # confirmed first batch
         # keep the winning tiebreak per (key, ts) so replays stay idempotent
         rebuilt = scd2_build(merged, key, attrs, ts_us, tiebreak).join(
             merged.groupBy(key, F.col(ts_us).alias("valid_from_us")).agg(

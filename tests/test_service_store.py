@@ -554,6 +554,36 @@ def test_corpus_search_endpoint_contract(corpus_svc):
     assert len(clamped["data"]) <= 20
 
 
+def test_corpus_search_hostile_terms_are_data_not_sql(corpus_svc, spark, tmp_path):
+    """Quote-bearing / expression-shaped query terms must flow through as
+    literals, not SQL text: no AnalysisException 500, no expression
+    evaluation (regression: terms were interpolated into selectExpr /
+    filter strings, so q=\"o'brien\" crashed and crafted terms reached the
+    Spark SQL parser).  Covers both the scan path and the index path."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bm25_from_index,
+        bm25_rank,
+        write_text_index,
+    )
+
+    hostile = "o'brien ')) , x)) union reflect('java.lang.System','getenv')--"
+    out = corpus_svc.search(q=hostile, limit=5)
+    assert out["query"][0] == "o'brien"
+    assert isinstance(out["data"], list)  # executed, didn't parse-crash
+
+    # a doc actually containing the quoted token must still match it
+    docs = spark.createDataFrame(
+        [(1, "meet o'brien tomorrow"), (2, "plain text here")], ["doc_id", "text"]
+    )
+    got = bm25_rank(docs, ["o'brien"], top_n=5).collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+    idx = str(tmp_path / "hostile_idx")
+    write_text_index(docs, idx, num_buckets=4)
+    via_idx = bm25_from_index(spark, idx, ["o'brien"], num_buckets=4).collect()
+    assert [r["doc_id"] for r in via_idx] == [1]
+
+
 def test_backfill_processes_only_missing_dates(spark, tmp_path):
     """The store's partition listing is the resume manifest: a partial
     store only builds the gap, a complete one builds nothing, and the

@@ -716,6 +716,70 @@ def test_idempotent_sketch_store_survives_replay_and_compaction(spark, tmp_path)
     assert parts == ["batch_id=-1"]
 
 
+def test_checkpoint_aware_compaction_skips_uncommitted_delta(spark, tmp_path):
+    """A delta partition written for a batch whose checkpoint commit never
+    landed must NOT be folded into batch_id=-1: the stream will replay
+    that batch and rewrite the partition, and a folded copy would then
+    double-count.  compact_sketch_store(checkpoint_dir=...) folds only
+    committed batches; the replay then leaves the read view exact."""
+    from pyspark.sql import functions as F
+
+    from admira_etl_project_prueba_spark.operators.textops import cms_sketch
+    from admira_etl_project_prueba_spark.streaming.ingest import (
+        compact_sketch_store,
+        read_sketch_store,
+        stream_token_sketch_idempotent,
+    )
+
+    committed_rows = [(1, "alpha beta"), (2, "beta gamma")]
+    doubt_rows = [(3, "gamma delta")]
+    src = tmp_path / "ccms_in"
+    src.mkdir()
+    with open(src / "a.json", "w") as fh:
+        for did, text in committed_rows:
+            fh.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    store = str(tmp_path / "ccms_store")
+    ckpt = str(tmp_path / "ccms_ckpt")
+    stream_token_sketch_idempotent(stream, store, ckpt, depth=2, width=64).awaitTermination(120)
+
+    def mk(rows, batch_id):
+        return cms_sketch(
+            spark.createDataFrame(
+                [(d, t, "en") for d, t in rows],
+                "doc_id long, text string, lang string",
+            ),
+            depth=2, width=64,
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+
+    # simulate: batch 1's delta hit the store but its commit marker didn't
+    (
+        mk(doubt_rows, 1).write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic").parquet(store)
+    )
+
+    def snap():
+        return {(r["r"], r["bucket"]): r["cnt"]
+                for r in read_sketch_store(spark, store).collect()}
+
+    want = snap()  # written deltas: exact view before AND after replay
+    compact_sketch_store(spark, store, checkpoint_dir=ckpt)
+    import os
+    parts = sorted(d for d in os.listdir(store) if d.startswith("batch_id="))
+    assert parts == ["batch_id=-1", "batch_id=1"]  # in-doubt delta survives
+    assert snap() == want
+
+    # the stream replays batch 1: rewrite of its own partition, no drift
+    (
+        mk(doubt_rows, 1).write.mode("overwrite").partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic").parquet(store)
+    )
+    assert snap() == want
+
+
 def test_stream_scd2_matches_batch_and_prunes_buckets(spark, tmp_path):
     """Streamed SCD2 store == batch scd2_build over the full change log;
     a later batch touching ONE key rewrites only that key's bucket
