@@ -153,9 +153,15 @@ def media_header_features(media: DataFrame) -> DataFrame:
     is stubbed" to "header metadata is engine-native; only pixel/sample
     decode awaits a real codec".
 
-    Unknown containers (including JPEG, whose dimensions live in a
-    variable-position SOF marker that needs a scan loop, i.e. a real
-    decoder) yield container='unknown' and NULL dimensions.
+    JPEG dimensions live in a variable-position SOF segment, so they need
+    a walk, not a fixed offset: a bounded ``aggregate`` over the segment
+    chain (marker FF xx + big-endian length) advances pos → pos + 2 + len
+    until it reaches an SOF marker (C0–CF minus the non-frame C4/C8/CC —
+    baseline SOF0 and progressive SOF2 both included) and reads
+    height/width from its payload.  Still row-local and exchange-free;
+    the walk is capped at 32 segments and anything malformed (fill
+    bytes, truncation, >32 header segments, SOS before SOF) falls back
+    to honest NULL dimensions rather than a guess.
     """
     def be32(start: int) -> str:  # 1-based byte offset
         return f"CAST(conv(hex(substring(payload, {start}, 4)), 16, 10) AS INT)"
@@ -167,18 +173,46 @@ def media_header_features(media: DataFrame) -> DataFrame:
         )
         return f"CAST(conv({parts}, 16, 10) AS INT)"
 
+    # SOF walk state: (pos, w, h); a terminal state parks pos at 2^30 so
+    # every later iteration is a no-op (aggregate has no early exit)
+    _be16 = "CAST(conv(hex(substring(payload, {p}, 2)), 16, 10) AS INT)"
+    _mark = "hex(substring(payload, acc.pos + 1, 1))"
+    _sof = "('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF')"
+    _stop = "CAST(1073741823 AS INT)"
+    jpeg_walk = f"""aggregate(
+      sequence(1, 32),
+      named_struct('pos', CAST(3 AS INT), 'w', CAST(NULL AS INT), 'h', CAST(NULL AS INT)),
+      (acc, i) -> CASE
+        WHEN acc.w IS NOT NULL OR acc.pos + 8 > length(payload)
+             OR hex(substring(payload, acc.pos, 1)) <> 'FF'
+             OR {_mark} IN ('DA', 'D9')
+          THEN named_struct('pos', {_stop}, 'w', acc.w, 'h', acc.h)
+        WHEN {_mark} IN {_sof}
+          THEN named_struct('pos', {_stop},
+                            'w', {_be16.format(p='acc.pos + 7')},
+                            'h', {_be16.format(p='acc.pos + 5')})
+        ELSE named_struct('pos', acc.pos + 2 + {_be16.format(p='acc.pos + 2')},
+                          'w', CAST(NULL AS INT), 'h', CAST(NULL AS INT))
+      END,
+      acc -> acc)"""
+
     return media.selectExpr(
-        "doc_id",
-        "media_type",
+        "*",
         "CASE WHEN hex(substring(payload, 1, 4)) = '89504E47' THEN 'png' "
         "     WHEN hex(substring(payload, 1, 4)) = '52494646' "
         "      AND hex(substring(payload, 9, 4)) = '57415645' THEN 'wav' "
+        "     WHEN hex(substring(payload, 1, 2)) = 'FFD8' THEN 'jpeg' "
         "     ELSE 'unknown' END AS container",
-        f"CASE WHEN hex(substring(payload, 1, 4)) = '89504E47' THEN {be32(17)} END AS width",
-        f"CASE WHEN hex(substring(payload, 1, 4)) = '89504E47' THEN {be32(21)} END AS height",
-        "CASE WHEN hex(substring(payload, 1, 4)) = '52494646' "
-        f"      AND hex(substring(payload, 9, 4)) = '57415645' THEN {le(25, 4)} END AS sample_rate",
-        "CASE WHEN hex(substring(payload, 1, 4)) = '52494646' "
-        f"      AND hex(substring(payload, 9, 4)) = '57415645' THEN {le(23, 2)} END AS n_channels",
+        f"CASE WHEN hex(substring(payload, 1, 2)) = 'FFD8' THEN {jpeg_walk} END AS _jpeg",
+    ).selectExpr(
+        "doc_id",
+        "media_type",
+        "container",
+        f"CASE WHEN container = 'png' THEN {be32(17)} "
+        "      WHEN container = 'jpeg' THEN _jpeg.w END AS width",
+        f"CASE WHEN container = 'png' THEN {be32(21)} "
+        "      WHEN container = 'jpeg' THEN _jpeg.h END AS height",
+        f"CASE WHEN container = 'wav' THEN {le(25, 4)} END AS sample_rate",
+        f"CASE WHEN container = 'wav' THEN {le(23, 2)} END AS n_channels",
         "length(payload) AS n_bytes",
     )

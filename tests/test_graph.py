@@ -182,3 +182,20 @@ def test_triangle_counts_planted_graph(spark):
     assert got[6]["n_triangles"] == 0 and got[7]["degree"] == 1
     # total triangles (each counted once per corner): 4 * 3 / 3 = 4 distinct
     assert sum(r["n_triangles"] for r in got.values()) == 3 * 4
+
+
+def test_no_stale_label_cc_overrides_in_source():
+    """dedup_clusters defaults to the O(log^2 n) star algorithm; no caller
+    in the package may silently pin the diameter-dependent label
+    propagation variant (round-3 advice: star is the 100 TB default)."""
+    import pathlib
+
+    import admira_etl_project_prueba_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = [
+        str(p)
+        for p in root.rglob("*.py")
+        if 'algorithm="label"' in p.read_text() or "algorithm='label'" in p.read_text()
+    ]
+    assert offenders == []

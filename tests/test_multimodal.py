@@ -95,3 +95,50 @@ def test_media_header_features_parse_real_png_and_wav_headers(spark):
     # row-local projection: no exchange in the plan
     plan = media_header_features(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_media_header_features_walk_jpeg_sof_segments(spark):
+    """JPEG dimensions via the bounded segment walk: baseline SOF0 and
+    progressive SOF2 parse through preceding variable-length segments;
+    malformed chains (fill bytes / SOS first / truncation) stay honest
+    NULL; the walk adds no exchange."""
+    import struct
+
+    from admira_etl_project_prueba_spark.operators.multimodal import (
+        media_header_features,
+    )
+
+    def seg(marker, payload):  # length field includes itself
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def sof(marker, w, h):
+        # precision=8, 3 components (9 bytes of component specs)
+        return seg(marker, struct.pack(">BHH", 8, h, w) + b"\x00" * 9)
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes(range(64)))
+    soi = b"\xff\xd8"
+    baseline = soi + app0 + dqt + sof(0xC0, 1920, 1080) + seg(0xDA, b"\x00" * 10)
+    progressive = soi + app0 + sof(0xC2, 320, 240)
+    exif_heavy = soi + seg(0xE1, b"Exif\x00\x00" + b"\x55" * 700) + dqt + sof(0xC0, 12, 34)
+    sos_first = soi + seg(0xDA, b"\x00" * 4) + sof(0xC0, 99, 99)  # dims after scan: unreachable
+    truncated = soi + app0[:5]
+    rows = [
+        (1, "image", bytearray(baseline)),
+        (2, "image", bytearray(progressive)),
+        (3, "image", bytearray(exif_heavy)),
+        (4, "image", bytearray(sos_first)),
+        (5, "image", bytearray(truncated)),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    got = {r["doc_id"]: r for r in media_header_features(media).collect()}
+    for did in (1, 2, 3, 4, 5):
+        assert got[did]["container"] == "jpeg"
+        assert got[did]["sample_rate"] is None
+    assert (got[1]["width"], got[1]["height"]) == (1920, 1080)
+    assert (got[2]["width"], got[2]["height"]) == (320, 240)
+    assert (got[3]["width"], got[3]["height"]) == (12, 34)
+    assert got[4]["width"] is None and got[4]["height"] is None
+    assert got[5]["width"] is None and got[5]["height"] is None
+    plan = media_header_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
