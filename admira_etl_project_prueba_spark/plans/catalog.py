@@ -227,6 +227,22 @@ FROM events GROUP BY 1""",
             "n_events": 0.0,
         },
     },
+    "stratified_sample": {
+        # sampleBy's RNG is engine-specific, so membership can't be
+        # hash-matched — but the per-stratum sampled COUNT is a binomial
+        # whose relative sigma at sf0.01 is ~0.10 (en: 218·0.3, es:
+        # 73·0.6); 0.45 allows >4 sigma.  count_by makes the harness
+        # aggregate the sampled rows per stratum first; the exact key-set
+        # compare also proves no other stratum leaks into the sample.
+        "count_by": ["lang"],
+        "count_col": "n_sampled",
+        "sql": """SELECT lang,
+       COUNT(*) * (CASE lang WHEN 'en' THEN 0.3 WHEN 'es' THEN 0.6 END)
+         AS n_sampled
+FROM documents WHERE lang IN ('en', 'es') GROUP BY lang""",
+        "keys": ["lang"],
+        "rel_tol": {"n_sampled": 0.45},
+    },
 }
 
 
@@ -2552,9 +2568,17 @@ def _q_mm_meta(spark, sf_dir):
 @_entry(
     "multimodal_features",
     "Arrow-batched mapInPandas decode+featurize plumbing (decoder is a "
-    "deterministic stub; schema/batching/partitioning are real). "
-    "Non-SQL-expressible: rows-only check; exact values covered in pytest.",
-    None,
+    "deterministic stub; schema/batching/partitioning are real).  The "
+    "opaque feature vector is excluded from the gate projection, so the "
+    "remaining metadata columns ARE SQL-expressible: the stub's "
+    "byte-length arithmetic is the oracle.",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
+       CAST(64 + octet_length(encode(text)) % 48 AS INT) AS height,
+       CAST(1 AS INT) AS n_frames
+FROM documents""",
 )
 def _q_mm_features(spark, sf_dir):
     m = _mm.documents_as_media(_t(spark, sf_dir, "documents"))
@@ -2566,8 +2590,15 @@ def _q_mm_features(spark, sf_dir):
 @_entry(
     "multimodal_frame_sample",
     "1→N frame-sampling expansion over decoded n_frames (video plumbing). "
-    "Non-SQL-expressible (depends on the stub decoder): rows-only check.",
-    None,
+    "The stub decoder's frame count is byte-length arithmetic, so the "
+    "expansion is oracle-able: unnest(range(0, n_frames, 10)) mirrors "
+    "Spark's explode(sequence(0, n_frames-1, 10)).",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'video' AS media_type,
+       CAST(1 + octet_length(encode(text)) % 250 AS INT) AS n_frames,
+       CAST(unnest(range(0, 1 + octet_length(encode(text)) % 250, 10)) AS INT)
+         AS frame_index
+FROM documents""",
 )
 def _q_mm_frames(spark, sf_dir):
     m = _mm.documents_as_media(_t(spark, sf_dir, "documents"), media_type="video")

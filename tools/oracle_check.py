@@ -53,7 +53,19 @@ def _bounded_check(con, spec, scols, srows):
     Joins on spec['keys'] and asserts |spark - ref| / max(|ref|, 1e-12)
     ≤ spec['rel_tol'][col] per bounded column (0.0 ⇒ exact).  Returns an
     error string, or None when every row/column is within bounds.
+
+    A spec with 'count_by' first reduces the Spark ROWS to per-group
+    counts (group cols + 'count_col') — for sampling ops whose membership
+    is engine-specific but whose group sizes are statistically bounded.
     """
+    if "count_by" in spec:
+        idx = [scols.index(c) for c in spec["count_by"]]
+        counts: dict[tuple, int] = {}
+        for row in srows:
+            k = tuple(row[i] for i in idx)
+            counts[k] = counts.get(k, 0) + 1
+        scols = list(spec["count_by"]) + [spec["count_col"]]
+        srows = [k + (n,) for k, n in counts.items()]
     res = con.execute(spec["sql"])
     rcols = [d[0] for d in res.description]
     ref = {
