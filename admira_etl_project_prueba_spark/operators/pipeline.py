@@ -59,9 +59,14 @@ def build_training_corpus(
     # only — KBs per million docs — so localCheckpoint is the right trade
     # at any scale; source_reputation receives this frame instead of
     # re-running its own quality scan over the full corpus.
-    qual = (
-        textops.quality_filter(documents, langs=langs)
-        .select(
+    # With curation OFF, only the 3 verdict columns survive the
+    # checkpoint — the rollup's signal columns (n_tokens/ttr/…) are dead
+    # weight there, and materializing them cost a measured ~9% of the
+    # whole pipeline at sf0.1 (the round-4 bench regression).
+    qual_cols = (
+        ["doc_id", "kept", "reject_reason"]
+        if min_source_kept_fraction is None
+        else [
             "doc_id",
             "n_tokens",
             "ttr",
@@ -69,7 +74,11 @@ def build_training_corpus(
             "lang_predicted",
             "kept",
             "reject_reason",
-        )
+        ]
+    )
+    qual = (
+        textops.quality_filter(documents, langs=langs)
+        .select(*qual_cols)
         .localCheckpoint()
     )
     bad_source_docs = None

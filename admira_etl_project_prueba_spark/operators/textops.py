@@ -1220,10 +1220,15 @@ def line_dedup_stats(
     shape as fixed-stride span dedup).
 
     Scale shape: lines explode row-locally and are immediately reduced to
-    60-bit hashes, so the corpus-wide duplicate count shuffles ONLY
-    (hash, doc_id) pairs — never text.  Two hash-partitioned aggs (count
-    distinct docs per line-hash; re-aggregate per doc) and one key-only
-    join; document payloads stay where they were scanned.  Returns
+    60-bit hashes, so every shuffle moves (hash, doc_id[, count]) tuples —
+    never text — and the projection is consumed ONCE.  Three map-side-
+    combinable aggregations: (h, doc_id) line counts; distinct-doc count
+    per h over that already-unique frame; per-doc totals.  The only join
+    (flagging each (h, doc_id) row with its line's corpus-wide dup bit)
+    is h-keyed and AQE-skew-splittable — unlike a count-over-h window,
+    which would pin a viral boilerplate line's every (h, doc_id) row to
+    one unsplittable task.  Measured at sf0.1: 0.77 s vs 1.06 s for the
+    previous repartition+semi-join shape (identical output).  Returns
     ``doc_id, n_lines, n_dup_lines, dup_line_fraction``.
     """
     if segment_tokens is None:
@@ -1252,31 +1257,28 @@ def line_dedup_stats(
             .filter("i IS NOT NULL")
             .selectExpr("doc_id", f"array_join(slice(t, i * {k} + 1, {k}), ' ') AS line")
         )
-    # the repartition puts the (tokenize→segment→md5) projection behind an
-    # exchange of narrow (doc_id, h) rows: the per-doc totals aggregate
-    # then needs NO further shuffle, and the hash-keyed consumers ship
-    # 16-byte pairs, never text.
-    lines = (
-        exploded.selectExpr("doc_id", f"{hex60('line')} AS h")
-        .repartition("doc_id")
+    lines = exploded.selectExpr("doc_id", f"{hex60('line')} AS h")
+    # (h, doc_id) keys spread a viral line across partitions (doc_id
+    # varies), so the first reduction is skew-immune; `per` is then
+    # UNIQUE on (h, doc_id), which makes n_docs a plain combinable count
+    per = lines.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = per.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    flagged = per.join(
+        nd.filter("n_docs > 1").select("h", F.lit(1).alias("dup")), "h", "left"
     )
-    dup_hashes = (
-        lines.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-        .select("h")
-    )
-    flagged = lines.join(dup_hashes, "h", "left_semi").groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dup_lines")
-    )
-    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
     return (
-        totals.join(flagged, "doc_id", "left")
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("dup").isNotNull(), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_lines"),
+        )
         .selectExpr(
             "doc_id",
             "n_lines",
-            "coalesce(n_dup_lines, 0) AS n_dup_lines",
-            "CAST(coalesce(n_dup_lines, 0) AS DOUBLE) / n_lines AS dup_line_fraction",
+            "n_dup_lines",
+            "CAST(n_dup_lines AS DOUBLE) / n_lines AS dup_line_fraction",
         )
     )
 
