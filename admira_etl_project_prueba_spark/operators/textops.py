@@ -625,6 +625,133 @@ def token_budget_sample(
     return out.select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
+def _hashed_bigram_counts(df: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, b, c): per-document hashed-bigram bucket counts — the
+    DSIR feature projection.  Explodes the bigram INDEX and builds the
+    bigram per exploded row (the interpreted-HOF trap documented at
+    line_dedup_stats makes exploding a transform()-built array re-run
+    the lambda per output row); explode_outer dodges the inferred
+    size()>0 scan filter."""
+    bg = "concat_ws(' ', element_at(t, i), element_at(t, i + 1))"
+    return (
+        df.selectExpr("doc_id", f"{TOKENS} AS t")
+        .selectExpr(
+            "doc_id",
+            "t",
+            "explode_outer(CASE WHEN size(t) < 2 THEN array() "
+            "ELSE sequence(1, size(t) - 1) END) AS i",
+        )
+        .filter("i IS NOT NULL")
+        .selectExpr("doc_id", f"{hex60(bg)} % {n_buckets} AS b")
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_importance_weights(
+    documents: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every source-pool document by how
+    much more likely its hashed-bigram profile is under the TARGET
+    domain's bag-of-bigrams model than under the source pool's own.
+
+    log w(doc) = Σ_b c_b · (ln p̂_target(b) − ln p̂_source(b)) over the
+    doc's hashed-bigram buckets, with add-one smoothing over
+    ``n_buckets``.  Positive ⇒ looks like the target domain; the weight
+    is the resampling key for target-matched pretraining mixtures.
+
+    Scale shape: features reduce map-side to (doc_id, bucket, count) —
+    the corpus text never shuffles; both bucket distributions aggregate
+    to ≤ n_buckets rows and the per-bucket log-ratio frame BROADCASTS
+    into the scoring join, so the only data-sized shuffles are the two
+    feature aggregations.  Cross-engine exactness: the log-ratio is
+    computed ONCE PER BUCKET and rounded to the decimal(25,6) grid
+    before the per-document Σ c_b · ratio — integer × decimal products
+    summed as decimal are order-independent and engine-exact, so the
+    whole surface stays hash-oracle-able despite the ln (ulp differences
+    are absorbed by the per-bucket rounding, not amplified per
+    document).  Documents with <2 tokens surface with NULL log_weight
+    and n_bigrams=0; ``target`` must be non-empty.
+    """
+    src_feats = _hashed_bigram_counts(documents, n_buckets)
+    scnt = src_feats.groupBy("b").agg(F.sum("c").alias("s_cnt"))
+    tcnt = (
+        _hashed_bigram_counts(target, n_buckets)
+        .groupBy("b")
+        .agg(F.sum("c").alias("t_cnt"))
+    )
+    s_tot = src_feats.agg(F.sum("c").alias("s_tot"))
+    t_tot = tcnt.agg(F.sum("t_cnt").alias("t_tot"))
+    dist = (
+        scnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(s_tot))
+        .crossJoin(F.broadcast(t_tot))
+        .selectExpr(
+            "b",
+            f"CAST(round(ln((coalesce(t_cnt, 0) + 1) / CAST(t_tot + {n_buckets} AS DOUBLE))"
+            f" - ln((s_cnt + 1) / CAST(s_tot + {n_buckets} AS DOUBLE)), 6) AS {_DEC})"
+            " AS log_ratio",
+        )
+    )
+    weights = (
+        src_feats.join(F.broadcast(dist), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("log_ratio")).alias("w"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(weights, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(w AS DOUBLE) AS log_weight",
+            "coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams",
+        )
+    )
+
+
+def dsir_resample(
+    documents: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 4096,
+    salt: str = "dsir1",
+) -> DataFrame:
+    """Gumbel-top-k importance resampling over the DSIR weights: draw k
+    documents WITHOUT replacement with probability ∝ exp(log_weight),
+    deterministically — the Gumbel noise comes from the engine-portable
+    md5 hash of (doc_id, salt), so the sample is reproducible across
+    runs, partitionings and cluster sizes (pinned in pytest).
+
+    key = log_weight + Gumbel(u),  u = (hex60(doc_id⊕salt) % 1e6 + 0.5) / 1e6
+    and the k largest keys are the sample (ties broken by doc_id) — the
+    standard Gumbel-max reduction of weighted sampling to a top-k, which
+    Spark executes as TakeOrdered (per-partition heaps + driver merge of
+    k rows), never a global sort.  Documents with no bigram features
+    carry zero weight mass and are excluded.
+    """
+    w = dsir_importance_weights(documents, target, n_buckets).filter(
+        F.col("log_weight").isNotNull()
+    )
+    keyed = hex60(f"concat(doc_id, '_', '{salt}')")
+    u = f"(({keyed} % 1000000) + 0.5) / 1000000.0"
+    return (
+        w.selectExpr(
+            "doc_id",
+            "log_weight",
+            "n_bigrams",
+            f"log_weight + (-ln(-ln({u}))) AS gumbel_key",
+        )
+        .orderBy(F.col("gumbel_key").desc(), "doc_id")
+        .limit(int(k))
+    )
+
+
 def token_frequencies(documents: DataFrame, top_k: int = 100) -> DataFrame:
     """Corpus token frequencies (vocabulary building): global count and
     document frequency per token, deterministic top-k.

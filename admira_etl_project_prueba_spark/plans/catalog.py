@@ -1736,6 +1736,53 @@ def _q_mixture_sample(spark, sf_dir):
 
 
 @_entry(
+    "dsir_importance_weights",
+    "DSIR importance weights (Xie et al. 2023): per-doc hashed-bigram "
+    "log-likelihood ratio of the target domain (lang='en') vs the source "
+    "pool, add-one smoothed over 4096 buckets.  Per-BUCKET log-ratio "
+    "rounded to the decimal grid before the per-doc Σ c·ratio keeps the "
+    "ln surface hash-oracle-able; bucket dists broadcast, text never "
+    "shuffles.",
+    f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sf AS (
+  SELECT doc_id, {_duck_hex60("bg")} % 4096 AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])) AS bg
+    FROM tok WHERE len(t) >= 2
+  ) GROUP BY doc_id, b
+),
+tf AS (
+  SELECT b, SUM(c) AS t_cnt
+  FROM sf JOIN documents USING (doc_id)
+  WHERE lang = 'en' GROUP BY b
+),
+sc AS (SELECT b, SUM(c) AS s_cnt FROM sf GROUP BY b),
+tots AS (SELECT (SELECT SUM(c) FROM sf) AS s_tot,
+                (SELECT SUM(c) FROM sf JOIN documents USING (doc_id)
+                 WHERE lang = 'en') AS t_tot),
+dist AS (
+  SELECT b,
+         CAST(round(ln((COALESCE(t_cnt, 0) + 1) / CAST(t_tot + 4096 AS DOUBLE))
+               - ln((s_cnt + 1) / CAST(s_tot + 4096 AS DOUBLE)), 6)
+              AS DECIMAL(25,6)) AS log_ratio
+  FROM sc LEFT JOIN tf USING (b), tots
+),
+w AS (
+  SELECT doc_id, SUM(c * log_ratio) AS w, CAST(SUM(c) AS BIGINT) AS n_bigrams
+  FROM sf JOIN dist USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(w.w AS DOUBLE) AS log_weight,
+       COALESCE(w.n_bigrams, 0) AS n_bigrams
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id""",
+)
+def _q_dsir_weights(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _tx.dsir_importance_weights(docs, docs.filter("lang = 'en'"))
+
+
+@_entry(
     "token_budget_sample",
     "Deterministic per-source TOKEN-budget sampling: each source keeps a "
     "stable md5-ranked prefix of docs whose cumulative tokens fit its "

@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "scd2_user_status",
     "events_aqp_daily_totals",
     "contrastive_negative_samples",
+    # round-5 additions
+    "dsir_importance_weights",
 ]
 
 

@@ -1206,3 +1206,58 @@ def test_containment_detects_quotes_directionally(spark):
     assert got[(1, 2)] == 1.0          # every quote shingle is in the article
     assert (2, 1) not in got           # article is NOT contained in the quote
     assert all(3 not in pair for pair in got)
+
+
+def test_dsir_weights_favor_target_domain_docs(spark):
+    """DSIR: docs sharing the target domain's bigrams score higher than
+    off-domain docs; featureless (<2-token) docs surface with NULL
+    weight and n_bigrams=0."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        dsir_importance_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon alpha beta") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # target-like
+            (2, "beta gamma delta epsilon alpha"),   # target-like
+            (3, "zeta eta theta iota kappa"),        # off-domain
+            (4, "lambda mu nu xi omicron"),          # off-domain
+            (5, "single"),                           # no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dsir_importance_weights(pool, target).collect()}
+    assert len(got) == 5
+    assert got[5]["log_weight"] is None and got[5]["n_bigrams"] == 0
+    for tgt_like in (1, 2):
+        for off in (3, 4):
+            assert got[tgt_like]["log_weight"] > got[off]["log_weight"], (tgt_like, off)
+    assert got[1]["n_bigrams"] == 4
+
+
+def test_dsir_resample_is_deterministic_and_weight_biased(spark):
+    """Gumbel-top-k resample: reproducible across partitionings (hash
+    noise, not RNG) and biased toward high-weight docs — with a strong
+    weight gap the target-like docs dominate the sample."""
+    from admira_etl_project_prueba_spark.operators.textops import dsir_resample
+
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta epsilon alpha beta gamma") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    rows = [(i, "alpha beta gamma delta epsilon alpha beta") for i in range(10)] + [
+        (i, "zeta eta theta iota kappa lambda mu") for i in range(10, 40)
+    ]
+    pool = spark.createDataFrame(rows, ["doc_id", "text"])
+    picked = [r["doc_id"] for r in dsir_resample(pool, target, k=8).collect()]
+    again = [
+        r["doc_id"]
+        for r in dsir_resample(pool.repartition(7), target, k=8).collect()
+    ]
+    assert picked == again  # partitioning-invariant
+    n_target_like = sum(1 for d in picked if d < 10)
+    assert n_target_like >= 6  # weight mass concentrates the sample
