@@ -183,6 +183,37 @@ class CorpusService:
             "request_id": new_request_id(request_id),
         }
 
+    # -- GET /corpus/weights --------------------------------------------------
+    def importance_weights(
+        self,
+        target_lang: str | None,
+        limit: int = 20,
+        request_id: str | None = None,
+    ) -> dict:
+        """DSIR importance weights against a target language's documents:
+        the top-``limit`` docs most target-domain-like.  Missing/blank
+        target_lang → 400; a target_lang matching NO documents → 404
+        (like an unknown vec_id); non-positive limit clamps to 20.
+        """
+        if target_lang is None or not str(target_lang).strip():
+            raise ValidationError("missing required parameter: target_lang")
+        if limit is None or limit <= 0:
+            limit = 20
+        target = self.documents.filter(F.col("lang") == target_lang)
+        if target.limit(1).count() == 0:
+            raise NotFoundError(f"no documents with lang: {target_lang}")
+        w = (
+            textops.dsir_importance_weights(self.documents, target)
+            .filter(F.col("log_weight").isNotNull())
+            .orderBy(F.col("log_weight").desc(), "doc_id")
+            .limit(limit)
+        )
+        return {
+            "target_lang": target_lang,
+            "data": [r.asDict() for r in w.collect()],
+            "request_id": new_request_id(request_id),
+        }
+
     # -- GET /corpus/quality -------------------------------------------------
     def quality_report(self, request_id: str | None = None) -> dict:
         verdicts = (

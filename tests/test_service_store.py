@@ -554,6 +554,29 @@ def test_corpus_search_endpoint_contract(corpus_svc):
     assert len(clamped["data"]) <= 20
 
 
+def test_corpus_weights_endpoint_contract(corpus_svc):
+    """GET /corpus/weights: envelope, descending order, validation
+    (missing target_lang → 400, unknown → 404), limit clamp."""
+    from admira_etl_project_prueba_spark.corpus_service import NotFoundError
+    from admira_etl_project_prueba_spark.service import ValidationError
+    import pytest as _pt
+
+    out = corpus_svc.importance_weights(target_lang="en", limit=5)
+    assert set(out) == {"target_lang", "data", "request_id"}
+    assert 0 < len(out["data"]) <= 5
+    assert list(out["data"][0]) == ["doc_id", "log_weight", "n_bigrams"]
+    ws = [d["log_weight"] for d in out["data"]]
+    assert ws == sorted(ws, reverse=True)
+    with _pt.raises(ValidationError):
+        corpus_svc.importance_weights(target_lang=None)
+    with _pt.raises(ValidationError):
+        corpus_svc.importance_weights(target_lang="  ")
+    with _pt.raises(NotFoundError):
+        corpus_svc.importance_weights(target_lang="tlh")
+    clamped = corpus_svc.importance_weights(target_lang="en", limit=0)
+    assert len(clamped["data"]) <= 20
+
+
 def test_corpus_search_hostile_terms_are_data_not_sql(corpus_svc, spark, tmp_path):
     """Quote-bearing / expression-shaped query terms must flow through as
     literals, not SQL text: no AnalysisException 500, no expression

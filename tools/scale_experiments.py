@@ -430,6 +430,11 @@ def _growth_law_experiment(spark) -> dict:
         for label, n in zip(("1x", "10x"), sizes_1x_10x):
             res[label] = run_measured(spark, lambda n=n: mk(n))
             res[label]["output_rows"] = mk(n).count()
+            # drop the finished size's localCheckpoint blocks (pagerank
+            # checkpoints per round) before the next one allocates — the
+            # suite OOM'd on broadcast build when these accumulated
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
         return {
             **res,
             # shuffle-record growth can overshoot the semantic exponent
@@ -679,6 +684,9 @@ def main():
     results["row_group_fanout_lineitem"] = _row_group_experiment(spark)
 
     # -- 10x growth laws for the similarity/graph heavyweights -------------
+    # own session: the 10x inputs need the full heap, not what's left
+    # after the index experiments' cached blocks
+    spark = fresh_session()
     results["growth_laws_10x"] = _growth_law_experiment(spark)
 
     # -- AQE skew-join split: the straggler killer ------------------------
