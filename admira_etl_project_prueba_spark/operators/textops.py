@@ -676,6 +676,21 @@ def dsir_importance_weights(
     document).  Documents with <2 tokens surface with NULL log_weight
     and n_bigrams=0; ``target`` must be non-empty.
     """
+    dist = dsir_dists(documents, target, n_buckets)
+    return _dsir_score(documents, dist, n_buckets)
+
+
+def dsir_dists(
+    documents: DataFrame, target: DataFrame, n_buckets: int = 4096
+) -> DataFrame:
+    """The DSIR 'model': a DENSE (b, log_ratio) frame over all
+    ``n_buckets`` hashed-bigram buckets — buckets unseen in either corpus
+    carry the smoothed-unseen ratio, so scoring is total (a future doc
+    can hash anywhere).  Always exactly n_buckets rows (KBs) — persist
+    it with :func:`write_dsir_dists` and score ingest batches against
+    the frozen model without re-aggregating the training-time corpora.
+    """
+    spark = documents.sparkSession
     src_feats = _hashed_bigram_counts(documents, n_buckets)
     scnt = src_feats.groupBy("b").agg(F.sum("c").alias("s_cnt"))
     tcnt = (
@@ -685,19 +700,39 @@ def dsir_importance_weights(
     )
     s_tot = src_feats.agg(F.sum("c").alias("s_tot"))
     t_tot = tcnt.agg(F.sum("t_cnt").alias("t_tot"))
-    dist = (
-        scnt.join(tcnt, "b", "left")
+    all_buckets = spark.range(n_buckets).selectExpr("CAST(id AS BIGINT) AS b")
+    return (
+        all_buckets.join(F.broadcast(scnt), "b", "left")
+        .join(F.broadcast(tcnt), "b", "left")
         .crossJoin(F.broadcast(s_tot))
         .crossJoin(F.broadcast(t_tot))
         .selectExpr(
             "b",
             f"CAST(round(ln((coalesce(t_cnt, 0) + 1) / CAST(t_tot + {n_buckets} AS DOUBLE))"
-            f" - ln((s_cnt + 1) / CAST(s_tot + {n_buckets} AS DOUBLE)), 6) AS {_DEC})"
+            f" - ln((coalesce(s_cnt, 0) + 1) / CAST(s_tot + {n_buckets} AS DOUBLE)), 6) AS {_DEC})"
             " AS log_ratio",
         )
     )
+
+
+def write_dsir_dists(
+    documents: DataFrame, target: DataFrame, path: str, n_buckets: int = 4096
+) -> None:
+    """Persist the DSIR model (once-per-ingest batch job; see
+    :func:`dsir_dists`).  Reads broadcast into every later scoring join —
+    batch (:func:`dsir_weights_from_dists`) or streaming
+    (``streaming.stream_dsir_weights``)."""
+    dsir_dists(documents, target, n_buckets).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _dsir_score(documents: DataFrame, dist: DataFrame, n_buckets: int) -> DataFrame:
+    """Score docs against a (dense or corpus-derived) log-ratio frame —
+    the shared core of the inline and from-artifact DSIR paths."""
     weights = (
-        src_feats.join(F.broadcast(dist), "b")
+        _hashed_bigram_counts(documents, n_buckets)
+        .join(F.broadcast(dist), "b")
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("c") * F.col("log_ratio")).alias("w"),
@@ -713,6 +748,15 @@ def dsir_importance_weights(
             "coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams",
         )
     )
+
+
+def dsir_weights_from_dists(
+    spark, documents: DataFrame, dist_path: str, n_buckets: int = 4096
+) -> DataFrame:
+    """Score documents against a PERSISTED DSIR model — the production
+    shape: the model is frozen at mixture-design time, new data is scored
+    as it arrives without touching the original corpora."""
+    return _dsir_score(documents, spark.read.parquet(dist_path), n_buckets)
 
 
 def dsir_resample(

@@ -514,6 +514,45 @@ def stream_decontaminate(
     )
 
 
+def stream_dsir_weights(
+    doc_stream: DataFrame,
+    dist_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 4096,
+):
+    """Streaming DSIR scoring: weight every arriving document against a
+    PERSISTED model (``textops.write_dsir_dists``) and append the
+    verdicts — the mixture-design scorer running at ingest time.
+
+    foreachBatch, stateless across batches: per micro-batch the shared
+    batch scoring core runs with the dense (n_buckets-row, KBs) log-ratio
+    frame broadcast — features reduce map-side within the batch, the
+    corpus-time distributions are never recomputed, and no streaming
+    state store is involved (each doc's weight depends only on itself and
+    the frozen model).  At-least-once replays rewrite the same verdict
+    rows (weights are deterministic), so the appended log is
+    re-aggregation-safe by doc_id.
+    """
+    from admira_etl_project_prueba_spark.operators.textops import (
+        dsir_weights_from_dists,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        scored = dsir_weights_from_dists(spark, batch_df, dist_path, n_buckets)
+        scored.write.mode("append").parquet(out_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_latest_per_user(events_stream: DataFrame) -> DataFrame:
     """Streaming twin of the batch ``events_latest_per_user`` CDC
     compaction: the continuously-maintained current-state table (each

@@ -980,3 +980,49 @@ def test_quality_observation_surfaces_in_streaming_progress(spark, tmp_path):
     assert metrics  # at least one micro-batch reported
     assert sum(m["n_rows"] for m in metrics) == 30
     assert sum(m["n_null_s"] for m in metrics) == 10
+
+
+def test_stream_dsir_weights_match_batch(spark, tmp_path):
+    """Streamed DSIR verdicts from a persisted model == batch scoring:
+    the model freezes the corpus-time distributions, so per-doc weights
+    are identical however the docs are micro-batched."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        dsir_importance_weights,
+        dsir_weights_from_dists,
+        write_dsir_dists,
+    )
+    from admira_etl_project_prueba_spark.streaming.ingest import stream_dsir_weights
+
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(5)] + [
+        (i, "zeta eta theta iota kappa") for i in range(5, 10)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    target = corpus.filter("doc_id < 5")
+    dists = str(tmp_path / "dsir_model")
+    write_dsir_dists(corpus, target, dists)
+
+    # from-artifact batch path == inline path (model built from same corpus)
+    inline = {tuple(r) for r in dsir_importance_weights(corpus, target).collect()}
+    frozen = {
+        tuple(r)
+        for r in dsir_weights_from_dists(spark, corpus, dists).collect()
+    }
+    assert frozen == inline
+
+    src = tmp_path / "dsir_in"
+    src.mkdir()
+    for fname, chunk in (("a.json", rows[:6]), ("b.json", rows[6:])):
+        with open(src / fname, "w") as fh:
+            for did, text in chunk:
+                fh.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = str(tmp_path / "dsir_out")
+    stream_dsir_weights(
+        stream, dists, out, str(tmp_path / "dsir_ckpt")
+    ).awaitTermination(120)
+    streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert streamed == inline
