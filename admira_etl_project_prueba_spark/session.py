@@ -78,6 +78,15 @@ def get_spark(
         builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.maxResultSize", "2g")
+        # Static conf, effective only for the session that launches the
+        # JVM: the 1g default is absurd for a local[32] driver that IS the
+        # whole cluster (broadcast builds + localCheckpoint blocks live in
+        # this heap — the scale-experiment suite OOM'd broadcast builds at
+        # 1g).  Cluster deployments size executors separately.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         # 128 MiB input splits: good parallelism without tiny-task overhead.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

@@ -51,6 +51,7 @@ NESTED_LOOP_ALLOWED = {
     "bm25_search_indexed",      # same 1-row stats broadcast, postings-pruned
     "hybrid_search_rrf",        # embeds bm25's 1-row stats broadcast
     "kmeans_centroids",         # k-row (model-sized) centroid broadcast per round
+    "dsir_importance_weights",  # two 1-row corpus-total broadcasts into the dist
 }
 
 
