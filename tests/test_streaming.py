@@ -1026,3 +1026,51 @@ def test_stream_dsir_weights_match_batch(spark, tmp_path):
     ).awaitTermination(120)
     streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert streamed == inline
+
+
+def test_row_local_sampling_ops_compose_with_streams(spark, tmp_path):
+    """mixture_sample and pps_sample are row-local + broadcast-join only,
+    so the SAME operator code runs on a streaming frame unchanged — and,
+    because membership is hash-deterministic (not RNG), the streamed
+    sample equals the batch sample over the same rows regardless of
+    micro-batching."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        mixture_sample,
+        pps_sample,
+    )
+
+    rows = [(i, f"src{i % 3}", 1.0 + (i % 7)) for i in range(60)]
+    batch = spark.createDataFrame(rows, "doc_id long, source string, weight double")
+    src = tmp_path / "mix_in"
+    src.mkdir()
+    for fname, chunk in (("a.json", rows[:25]), ("b.json", rows[25:])):
+        with open(src / fname, "w") as fh:
+            for did, s, w in chunk:
+                fh.write(json.dumps({"doc_id": did, "source": s, "weight": w}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, source string, weight double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+
+    def run(op, name):
+        out = str(tmp_path / f"{name}_out")
+        q = (
+            op(stream).writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    rates = {"src0": 0.4, "src1": 0.8}
+    got = run(lambda df: mixture_sample(df, rates=rates), "mix")
+    want = {r["doc_id"] for r in mixture_sample(batch, rates=rates).collect()}
+    assert got == want and 0 < len(want) < 60
+
+    got = run(lambda df: pps_sample(df, weight="weight", rate=0.05), "pps")
+    want = {r["doc_id"] for r in pps_sample(batch, weight="weight", rate=0.05).collect()}
+    assert got == want
