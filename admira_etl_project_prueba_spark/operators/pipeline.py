@@ -144,3 +144,69 @@ def build_training_corpus(
             ).alias("status"),
         )
     )
+
+
+def build_retrieval_index(
+    documents: DataFrame,
+    path: str,
+    embeddings: DataFrame | None = None,
+    target_lang: str = "en",
+    langs: tuple[str, ...] = ("en", "es", "de", "fr"),
+    num_buckets: int = 64,
+    n_centroids: int = 16,
+) -> dict:
+    """The INDEXING flagship: one once-per-ingest batch job that curates
+    the corpus and materializes every query-time artifact of the
+    persisted-store layer (docs/STORES.md) under ``path``:
+
+    * ``<path>/text_index``  — inverted BM25 postings over the CURATED
+      corpus (quality-kept, exact-dedup survivors), bucket-partitioned
+      so queries read ~|terms|/num_buckets of the index;
+    * ``<path>/ivf_index``   — IVF inverted lists over ``embeddings``
+      (when supplied), partition-pruned at probe time;
+    * ``<path>/dsir_model``  — the frozen DSIR mixture model
+      (target = ``target_lang`` docs vs the full pool);
+    * ``<path>/manifest``    — 1-row parquet recording corpus/curation
+      counts, so downstream jobs can sanity-check index freshness
+      without rescanning anything.
+
+    Composition, not new dataflow: every stage is an already-gated
+    operator, and the curation semi-join (quality ∧ exact-survivor)
+    prunes the corpus BEFORE tokenization, so the expensive index build
+    runs over the documents a retrieval user would actually want served.
+    Returns the manifest row as a dict.
+    """
+    from admira_etl_project_prueba_spark.operators import similarity
+
+    kept_q = (
+        textops.quality_filter(documents, langs=langs)
+        .filter("kept")
+        .select("doc_id")
+    )
+    survivors = textops.dedup_exact(documents).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    curated = documents.join(kept_q, "doc_id", "left_semi").join(
+        survivors, "doc_id", "left_semi"
+    )
+    textops.write_text_index(curated, f"{path}/text_index", num_buckets=num_buckets)
+    textops.write_dsir_dists(
+        documents, documents.filter(F.col("lang") == target_lang), f"{path}/dsir_model"
+    )
+    if embeddings is not None:
+        similarity.write_ivf_index(
+            embeddings, f"{path}/ivf_index", n_centroids=n_centroids
+        )
+    manifest = {
+        "n_docs": documents.count(),
+        "n_curated": curated.count(),
+        "n_embeddings": embeddings.count() if embeddings is not None else 0,
+        "text_index_buckets": num_buckets,
+        "ivf_centroids": n_centroids if embeddings is not None else 0,
+        "dsir_target_lang": target_lang,
+    }
+    spark = documents.sparkSession
+    spark.createDataFrame([manifest]).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/manifest"
+    )
+    return manifest

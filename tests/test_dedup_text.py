@@ -1261,3 +1261,71 @@ def test_dsir_resample_is_deterministic_and_weight_biased(spark):
     assert picked == again  # partitioning-invariant
     n_target_like = sum(1 for d in picked if d < 10)
     assert n_target_like >= 6  # weight mass concentrates the sample
+
+
+def test_build_retrieval_index_artifacts_and_query_parity(spark, sf_dir, tmp_path):
+    """The indexing flagship materializes every query-time artifact and
+    queries through them match direct computation: indexed BM25 == scan
+    BM25 over the same curated corpus; frozen DSIR == inline; IVF probe
+    == inline assignment; the manifest reconciles with the corpus."""
+    from admira_etl_project_prueba_spark.operators import similarity
+    from admira_etl_project_prueba_spark.operators.pipeline import (
+        build_retrieval_index,
+    )
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bm25_from_index,
+        bm25_rank,
+        dedup_exact,
+        dsir_importance_weights,
+        dsir_weights_from_dists,
+        quality_filter,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "retrieval")
+    manifest = build_retrieval_index(docs, root, embeddings=embs)
+    assert 0 < manifest["n_curated"] <= manifest["n_docs"]
+    assert manifest["n_embeddings"] == embs.count()
+
+    # text index: parity with a scan over the SAME curated corpus (the
+    # build's lang allow-list drops e.g. zh — mirror it exactly)
+    curated = docs.join(
+        quality_filter(docs, langs=("en", "es", "de", "fr"))
+        .filter("kept")
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).join(
+        dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    terms = ["spark", "join", "table"]
+    want = [tuple(r) for r in bm25_rank(curated, terms).collect()]
+    got = [tuple(r) for r in bm25_from_index(spark, f"{root}/text_index", terms).collect()]
+    assert got == want and len(got) > 0
+
+    # DSIR model: frozen scoring == inline
+    target = docs.filter("lang = 'en'")
+    inline = {tuple(r) for r in dsir_importance_weights(docs, target).collect()}
+    frozen = {
+        tuple(r)
+        for r in dsir_weights_from_dists(spark, docs, f"{root}/dsir_model").collect()
+    }
+    assert frozen == inline
+
+    # IVF index: probe parity with inline assignment
+    a = similarity.ivf_topk(embs, query_vec_id=7, k=5).collect()
+    b = similarity.ivf_topk_from_index(
+        spark, embs, f"{root}/ivf_index", query_vec_id=7, k=5
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in a] == [
+        (r["vec_id"], r["cosine"]) for r in b
+    ]
+
+    # manifest readable as the 1-row freshness record
+    m = spark.read.parquet(f"{root}/manifest").collect()
+    assert len(m) == 1 and m[0]["n_docs"] == manifest["n_docs"]
