@@ -2300,3 +2300,234 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM scoring & corpus distribution drift
+# ---------------------------------------------------------------------------
+
+def _hashed_token_counts(df: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, b, c): per-document hashed-UNIGRAM bucket counts — the
+    feature projection shared by the LM scorer and the KL drift monitor.
+    Explode reduces map-side to bucket counts before any shuffle, so
+    shuffle volume is O(rows · distinct-buckets-per-doc), never corpus
+    tokens; NULL/empty tokens (split of blank text) are dropped on both
+    engines identically."""
+    return (
+        df.selectExpr("doc_id", f"explode_outer({TOKENS}) AS token")
+        .filter("token IS NOT NULL AND token != ''")
+        .selectExpr("doc_id", f"{hex60('token')} % {n_buckets} AS b")
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def lm_dists(reference: DataFrame, n_buckets: int = 8192) -> DataFrame:
+    """The LM 'model': a DENSE (b, logp) frame — add-one-smoothed hashed
+    unigram log-probabilities of a REFERENCE corpus (the CCNet-style
+    quality-LM analog: a real KenLM is file-bound; the hashed-unigram
+    bag model is its mergeable, engine-portable stand-in).  Dense over
+    all n_buckets so scoring is total: a future doc can hash anywhere
+    and unseen buckets carry the smoothed-floor probability.  Always
+    exactly n_buckets rows (KBs) — persist with :func:`write_lm_dists`
+    and score ingest batches against the frozen model.
+
+    Cross-engine exactness: ln runs ONCE PER BUCKET and is rounded to
+    the decimal(25,6) grid there (the DSIR convention) — per-document
+    scores are then integer×decimal sums, order-independent and exact.
+    """
+    spark = reference.sparkSession
+    cnt = (
+        _hashed_token_counts(reference, n_buckets)
+        .groupBy("b")
+        .agg(F.sum("c").alias("r_cnt"))
+    )
+    tot = cnt.agg(F.sum("r_cnt").alias("r_tot"))
+    dense = spark.range(n_buckets).selectExpr("CAST(id AS BIGINT) AS b")
+    return (
+        dense.join(F.broadcast(cnt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "b",
+            f"CAST(round(ln((coalesce(r_cnt, 0) + 1) / "
+            f"CAST(r_tot + {n_buckets} AS DOUBLE)), 6) AS {_DEC}) AS logp",
+        )
+    )
+
+
+def write_lm_dists(
+    reference: DataFrame, path: str, n_buckets: int = 8192
+) -> None:
+    """Persist the LM model (once-per-corpus batch job; see
+    :func:`lm_dists`) — broadcast-read by every later scoring join,
+    batch (:func:`lm_scores_from_dists`) or streaming
+    (``streaming.stream_lm_scores``)."""
+    lm_dists(reference, n_buckets).coalesce(1).write.mode("overwrite").parquet(
+        path
+    )
+
+
+def lm_cross_entropy(
+    documents: DataFrame, reference: DataFrame, n_buckets: int = 8192
+) -> DataFrame:
+    """CCNet-style LM quality scoring: per-document cross-entropy (nats
+    per token) of the doc's hashed-unigram profile under the reference
+    corpus LM — the classic 'perplexity filter' signal (low = fluent /
+    reference-like, high = gibberish or off-domain), computed without a
+    file-bound LM so it runs as a pure DataFrame plan.
+
+    ce(doc) = −Σ_b c_b · logp̂_ref(b) / Σ_b c_b
+
+    Scale shape: features reduce map-side to (doc_id, bucket, count) —
+    text never shuffles; the dense n_buckets-row model BROADCASTS into
+    the scoring join, so the only data-sized shuffle is the feature
+    aggregation.  Docs with no tokens surface with NULL cross_entropy
+    and n_tokens=0 (never silently dropped).
+    """
+    return lm_scores_from_frame(documents, lm_dists(reference, n_buckets), n_buckets)
+
+
+def lm_scores_from_frame(
+    documents: DataFrame, dist: DataFrame, n_buckets: int
+) -> DataFrame:
+    """Score docs against a (dense) logp frame — shared by the inline,
+    from-artifact and streaming LM paths."""
+    scored = (
+        _hashed_token_counts(documents, n_buckets)
+        .join(F.broadcast(dist), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("logp")).alias("w"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "CAST(-w AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS cross_entropy",
+            "coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens",
+        )
+    )
+
+
+def lm_scores_from_dists(
+    spark, documents: DataFrame, dist_path: str, n_buckets: int = 8192
+) -> DataFrame:
+    """Score documents against a PERSISTED LM model — the production
+    shape: the model is frozen at curation time, new data is scored as
+    it arrives without touching the reference corpus."""
+    return lm_scores_from_frame(
+        documents, spark.read.parquet(dist_path), n_buckets
+    )
+
+
+def source_token_kl(documents: DataFrame, n_buckets: int = 4096) -> DataFrame:
+    """Per-source distribution drift: KL(p̂_source ‖ q̂_corpus) over
+    hashed-unigram buckets, add-one smoothed — the standing curation
+    monitor for 'which ingest feed no longer looks like the corpus'
+    (a spiking KL flags scraper rot, language drift, or template spam
+    before any downstream filter sees it).
+
+    kl(s) = Σ_b c_sb · (ln p̂_s(b) − ln q̂(b)) / Σ_b c_sb
+
+    with p̂_s = (c_sb+1)/(tot_s+B) and q̂ = (c_b+1)/(tot+B).  The
+    count-weighted form keeps the surface exact: both ln terms are
+    computed on the POST-AGGREGATION (source × bucket) frame — at most
+    |sources|·n_buckets rows regardless of corpus size — and their
+    difference is rounded to the decimal(25,6) grid before the exact
+    integer×decimal sum.  One corpus-sized shuffle (map-side-reduced
+    bucket counts); the global bucket frame derives from the per-source
+    one, and both totals broadcast.  NULL sources bucket under
+    ``UNKNOWN_SOURCE``.
+    """
+    per = (
+        documents.selectExpr(
+            f"coalesce(source, '{UNKNOWN_SOURCE}') AS source",
+            "doc_id",
+            f"explode_outer({TOKENS}) AS token",
+        )
+        .filter("token IS NOT NULL AND token != ''")
+        .selectExpr("source", f"{hex60('token')} % {n_buckets} AS b")
+        .groupBy("source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stot = per.groupBy("source").agg(F.sum("c").alias("s_tot"))
+    glob = per.groupBy("b").agg(F.sum("c").alias("g_cnt"))
+    gtot = glob.agg(F.sum("g_cnt").alias("g_tot"))
+    terms = (
+        per.join(F.broadcast(stot), "source")
+        .join(F.broadcast(glob), "b")
+        .crossJoin(F.broadcast(gtot))
+        .selectExpr(
+            "source",
+            "c",
+            "s_tot",
+            f"CAST(round(ln((c + 1) / CAST(s_tot + {n_buckets} AS DOUBLE))"
+            f" - ln((g_cnt + 1) / CAST(g_tot + {n_buckets} AS DOUBLE)), 6)"
+            f" AS {_DEC}) AS lr",
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.sum(F.col("c") * F.col("lr")).alias("w"),
+            F.max("s_tot").cast("long").alias("n_tokens"),
+        )
+        .selectExpr(
+            "source",
+            "CAST(w AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS kl_nats",
+            "n_tokens",
+        )
+    )
+
+
+def source_overlap_matrix(
+    documents: DataFrame, normalized: bool = True, key_sql: str | None = None
+) -> DataFrame:
+    """Cross-source exact-duplicate contamination matrix: for every
+    source pair (a ≤ b), the number of duplicate DOC PAIRS sharing a
+    content hash — the curation diagnostic for 'feed X is re-crawling
+    feed Y' (off-diagonal) vs 'feed X re-serves itself' (diagonal,
+    counted as C(n,2) within each hash).
+
+    Grouped pair expansion, not a self-join: per content hash the
+    (source, count) list is collected once and pairs expand row-locally
+    — ONE shuffle of 128-bit hashes (text never shuffles), pair fan-out
+    bounded by |sources|² per hash.  Exact integer arithmetic
+    throughout; zero-pair combinations are omitted (sparse matrix).
+    NULL sources bucket under ``UNKNOWN_SOURCE``.
+
+    ``key_sql`` swaps the duplicate key for a coarser fingerprint (e.g.
+    a normalized-prefix hash for shared-boilerplate detection) without
+    changing the pairing math — any SQL expression over ``text``.
+    """
+    key = key_sql or (
+        "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' '))"
+        if normalized
+        else "md5(text)"
+    )
+    per = (
+        documents.selectExpr(
+            f"{key} AS content_hash",
+            f"coalesce(source, '{UNKNOWN_SOURCE}') AS source",
+        )
+        .groupBy("content_hash", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per.groupBy("content_hash")
+        .agg(F.sort_array(F.collect_list(F.struct("source", "c"))).alias("s"))
+        .selectExpr(
+            "explode(flatten(transform(s, (x, i) -> "
+            "transform(slice(s, i + 1, size(s)), y -> struct("
+            "x.source AS source_a, y.source AS source_b, "
+            "CASE WHEN x.source = y.source THEN (x.c * (x.c - 1)) DIV 2 "
+            "ELSE x.c * y.c END AS np))))) AS p"
+        )
+        .selectExpr("p.source_a", "p.source_b", "p.np")
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("np").cast("long").alias("dup_pairs"))
+        .filter(F.col("dup_pairs") > 0)
+    )

@@ -4709,3 +4709,117 @@ WHERE CAST(n_common AS DOUBLE) / CAST(n_src AS DOUBLE) >= 0.5""",
 )
 def _q_containment(spark, sf_dir):
     return _tx.containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+# -- LM quality scoring & corpus drift (textops.lm_*, source_*) -------------
+
+@_entry(
+    "lm_cross_entropy_scores",
+    "CCNet-style LM quality filter: per-doc cross-entropy (nats/token) "
+    "under an add-one-smoothed hashed-unigram LM of the reference slice "
+    "(lang='en') — per-BUCKET ln rounded to the decimal grid (DSIR "
+    "convention) keeps the surface hash-oracle-able; the dense 8192-row "
+    "model broadcasts, text never shuffles.",
+    f"""WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents
+  ) WHERE t IS NOT NULL AND t != ''
+),
+feats AS (
+  SELECT doc_id, {_duck_hex60("t")} % 8192 AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY doc_id, b
+),
+ref AS (
+  SELECT b, SUM(c) AS r_cnt
+  FROM feats JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b
+),
+tots AS (SELECT (SELECT SUM(c) FROM feats JOIN documents USING (doc_id)
+                 WHERE lang = 'en') AS r_tot),
+dist AS (
+  SELECT b.b,
+         CAST(round(ln((COALESCE(r_cnt, 0) + 1) / CAST(r_tot + 8192 AS DOUBLE)), 6)
+              AS DECIMAL(25,6)) AS logp
+  FROM (SELECT unnest(range(8192)) AS b) b LEFT JOIN ref ON b.b = ref.b, tots
+),
+w AS (
+  SELECT doc_id, SUM(c * logp) AS w, CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM feats JOIN dist USING (b) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(-w.w AS DOUBLE) / CAST(w.n_tokens AS DOUBLE) AS cross_entropy,
+       COALESCE(w.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id""",
+)
+def _q_lm_cross_entropy(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _tx.lm_cross_entropy(docs, docs.filter("lang = 'en'"))
+
+
+@_entry(
+    "source_token_kl",
+    "Per-source distribution drift: count-weighted KL(source ‖ corpus) "
+    "over 4096 hashed-unigram buckets, add-one smoothed — the standing "
+    "'which feed stopped looking like the corpus' monitor.  Both ln "
+    "terms computed on the post-agg (source × bucket) frame and "
+    "grid-rounded before the exact integer×decimal sum; one map-side-"
+    "reduced corpus shuffle.",
+    f"""WITH tok AS (
+  SELECT source, t FROM (
+    SELECT COALESCE(source, '{_tx.UNKNOWN_SOURCE}') AS source,
+           unnest({_DUCK_TOKS}) AS t FROM documents
+  ) WHERE t IS NOT NULL AND t != ''
+),
+per AS (
+  SELECT source, {_duck_hex60("t")} % 4096 AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, b
+),
+stot AS (SELECT source, SUM(c) AS s_tot FROM per GROUP BY source),
+gl AS (SELECT b, SUM(c) AS g_cnt FROM per GROUP BY b),
+gtot AS (SELECT SUM(g_cnt) AS g_tot FROM gl),
+terms AS (
+  SELECT per.source, per.c, stot.s_tot,
+         CAST(round(ln((per.c + 1) / CAST(stot.s_tot + 4096 AS DOUBLE))
+               - ln((gl.g_cnt + 1) / CAST(gtot.g_tot + 4096 AS DOUBLE)), 6)
+              AS DECIMAL(25,6)) AS lr
+  FROM per JOIN stot USING (source) JOIN gl USING (b), gtot
+)
+SELECT source,
+       CAST(SUM(c * lr) AS DOUBLE) / CAST(MAX(s_tot) AS DOUBLE) AS kl_nats,
+       CAST(MAX(s_tot) AS BIGINT) AS n_tokens
+FROM terms GROUP BY source""",
+)
+def _q_source_kl(spark, sf_dir):
+    return _tx.source_token_kl(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "source_overlap_matrix",
+    "Cross-source shared-content contamination matrix: duplicate doc "
+    "PAIRS per source pair (a <= b) sharing a content fingerprint — "
+    "diagonal = C(n,2) within-feed self-duplication, off-diagonal = "
+    "feed-to-feed recrawl.  Grouped row-local pair expansion after ONE "
+    "hash shuffle (the self-join shape would shuffle twice); exact "
+    "integer arithmetic; zero pairs omitted.  This entry exercises the "
+    "30-char normalized-PREFIX fingerprint (shared-boilerplate "
+    "detection — the synthetic corpus has no byte-exact duplicates, "
+    "which would make the default key vacuous here); the exact-hash "
+    "default is pinned by planted-duplicate pytest.",
+    f"""WITH h AS (
+  SELECT md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 30)) AS ch,
+         COALESCE(source, '{_tx.UNKNOWN_SOURCE}') AS source
+  FROM documents
+),
+c AS (SELECT ch, source, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY ch, source)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(CASE WHEN a.source = b.source THEN (a.c * (a.c - 1)) // 2
+                ELSE a.c * b.c END) AS BIGINT) AS dup_pairs
+FROM c a JOIN c b ON a.ch = b.ch AND a.source <= b.source
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN a.source = b.source THEN (a.c * (a.c - 1)) // 2
+           ELSE a.c * b.c END) > 0""",
+)
+def _q_source_overlap(spark, sf_dir):
+    return _tx.source_overlap_matrix(
+        _t(spark, sf_dir, "documents"),
+        key_sql="md5(substring(regexp_replace(lower(trim(text)), "
+        "'\\\\s+', ' '), 1, 30))",
+    )

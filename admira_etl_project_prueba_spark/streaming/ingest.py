@@ -553,6 +553,43 @@ def stream_dsir_weights(
     )
 
 
+def stream_lm_scores(
+    doc_stream: DataFrame,
+    dist_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8192,
+):
+    """Streaming LM quality scoring: cross-entropy every arriving
+    document against a PERSISTED reference LM
+    (``textops.write_lm_dists``) and append the verdicts — the CCNet
+    perplexity-filter shape running at ingest time.
+
+    Same contract as :func:`stream_dsir_weights`: foreachBatch,
+    stateless across batches (each doc's score depends only on itself
+    and the frozen model, which broadcasts at KB size), deterministic
+    under at-least-once replay so the appended log is
+    re-aggregation-safe by doc_id.
+    """
+    from admira_etl_project_prueba_spark.operators.textops import (
+        lm_scores_from_dists,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        scored = lm_scores_from_dists(spark, batch_df, dist_path, n_buckets)
+        scored.write.mode("append").parquet(out_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_latest_per_user(events_stream: DataFrame) -> DataFrame:
     """Streaming twin of the batch ``events_latest_per_user`` CDC
     compaction: the continuously-maintained current-state table (each

@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "contrastive_negative_samples",
     # round-5 additions
     "dsir_importance_weights",
+    "lm_cross_entropy_scores",
+    "source_token_kl",
+    "source_overlap_matrix",
 ]
 
 

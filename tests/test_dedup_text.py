@@ -1329,3 +1329,141 @@ def test_build_retrieval_index_artifacts_and_query_parity(spark, sf_dir, tmp_pat
     # manifest readable as the 1-row freshness record
     m = spark.read.parquet(f"{root}/manifest").collect()
     assert len(m) == 1 and m[0]["n_docs"] == manifest["n_docs"]
+
+
+def test_lm_cross_entropy_orders_fluent_before_gibberish(spark):
+    """LM scoring: docs drawn from the reference distribution score a
+    LOWER cross-entropy than all-OOV gibberish (every unseen bucket
+    carries the smoothed floor probability); tokenless docs surface
+    with NULL score and n_tokens=0, never dropped."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        lm_cross_entropy,
+    )
+
+    ref = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon alpha beta") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),       # reference-like
+            (2, "qzx wvu tsr qpo nml kji"),      # all-OOV gibberish
+            (3, "   "),                          # tokenless
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in lm_cross_entropy(pool, ref).collect()}
+    assert len(got) == 3
+    assert got[3]["cross_entropy"] is None and got[3]["n_tokens"] == 0
+    assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 6
+    assert 0 < got[1]["cross_entropy"] < got[2]["cross_entropy"]
+
+
+def test_lm_frozen_scoring_matches_inline_and_streams(spark, tmp_path):
+    """The persisted LM model reproduces inline scoring exactly, batch
+    and streaming (the model freezes the reference distribution, so
+    micro-batching cannot change a verdict)."""
+    import json as _json
+
+    from admira_etl_project_prueba_spark.operators.textops import (
+        lm_cross_entropy,
+        lm_scores_from_dists,
+        write_lm_dists,
+    )
+    from admira_etl_project_prueba_spark.streaming.ingest import stream_lm_scores
+
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(5)] + [
+        (i, "zeta eta theta iota kappa") for i in range(5, 10)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = corpus.filter("doc_id < 5")
+    path = str(tmp_path / "lm_model")
+    write_lm_dists(ref, path)
+
+    inline = {tuple(r) for r in lm_cross_entropy(corpus, ref).collect()}
+    frozen = {
+        tuple(r) for r in lm_scores_from_dists(spark, corpus, path).collect()
+    }
+    assert frozen == inline and len(inline) == 10
+
+    src = tmp_path / "lm_in"
+    src.mkdir()
+    for fname, chunk in (("a.json", rows[:6]), ("b.json", rows[6:])):
+        with open(src / fname, "w") as fh:
+            for did, text in chunk:
+                fh.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = str(tmp_path / "lm_out")
+    stream_lm_scores(
+        stream, path, out, str(tmp_path / "lm_ckpt")
+    ).awaitTermination(120)
+    streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert streamed == inline
+
+
+def test_source_token_kl_flags_drifted_source(spark):
+    """KL drift monitor: a feed whose token distribution diverges from
+    the corpus scores a higher KL than feeds that match it; NULL
+    sources bucket under UNKNOWN_SOURCE; n_tokens are per-source
+    totals."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        UNKNOWN_SOURCE,
+        source_token_kl,
+    )
+
+    common = "alpha beta gamma delta epsilon"
+    rows = (
+        [(i, common, "feedA") for i in range(10)]
+        + [(100 + i, common, "feedB") for i in range(10)]
+        + [(200 + i, "zzz yyy xxx www vvv", "feedC") for i in range(10)]
+        + [(300, common, None)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in source_token_kl(docs).collect()}
+    assert set(got) == {"feedA", "feedB", "feedC", UNKNOWN_SOURCE}
+    assert got["feedA"]["n_tokens"] == 50 and got[UNKNOWN_SOURCE]["n_tokens"] == 5
+    assert got["feedC"]["kl_nats"] > got["feedA"]["kl_nats"]
+    assert got["feedC"]["kl_nats"] > got["feedB"]["kl_nats"]
+    # matching feeds sit near each other; the drifted one is far out
+    assert abs(got["feedA"]["kl_nats"] - got["feedB"]["kl_nats"]) < 0.05
+
+
+def test_source_overlap_matrix_counts_planted_duplicates(spark):
+    """Exact-dup contamination matrix on planted duplicates: diagonal
+    counts C(n,2) within a feed, off-diagonal counts cross products,
+    whitespace-normalized matching, NULL source bucketed, zero pairs
+    omitted."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        UNKNOWN_SOURCE,
+        source_overlap_matrix,
+    )
+
+    rows = [
+        (1, "shared doc", "x"),
+        (2, "shared  doc", "x"),       # normalized-equal to 1 (double space)
+        (3, "shared doc", "y"),
+        (4, "only in y", "y"),
+        (5, "unique one", "x"),
+        (6, "shared doc", None),       # NULL source joins the party
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r["dup_pairs"]
+        for r in source_overlap_matrix(docs).collect()
+    }
+    assert got[("x", "x")] == 1            # C(2,2) within x
+    assert got[("x", "y")] == 2            # 2 x-copies x 1 y-copy
+    assert got[(UNKNOWN_SOURCE, "x")] == 2
+    assert got[(UNKNOWN_SOURCE, "y")] == 1
+    assert ("y", "y") not in got           # no within-y duplicates
+    assert all(a <= b for a, b in got)     # canonical pair order
+    # non-normalized mode treats the double-space copy as distinct
+    raw = {
+        (r["source_a"], r["source_b"]): r["dup_pairs"]
+        for r in source_overlap_matrix(docs, normalized=False).collect()
+    }
+    assert ("x", "x") not in raw and raw[("x", "y")] == 1

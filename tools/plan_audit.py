@@ -52,6 +52,8 @@ NESTED_LOOP_ALLOWED = {
     "hybrid_search_rrf",        # embeds bm25's 1-row stats broadcast
     "kmeans_centroids",         # k-row (model-sized) centroid broadcast per round
     "dsir_importance_weights",  # two 1-row corpus-total broadcasts into the dist
+    "lm_cross_entropy_scores",  # 1-row reference-total broadcast into the dist
+    "source_token_kl",          # 1-row corpus-total broadcast into the terms
 }
 
 
