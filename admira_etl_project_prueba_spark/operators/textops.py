@@ -2336,22 +2336,83 @@ def lm_dists(reference: DataFrame, n_buckets: int = 8192) -> DataFrame:
     the decimal(25,6) grid there (the DSIR convention) — per-document
     scores are then integer×decimal sums, order-independent and exact.
     """
+    return lm_dists_from_counts(lm_counts(reference, n_buckets), n_buckets)
+
+
+def lm_counts(reference: DataFrame, n_buckets: int = 8192) -> DataFrame:
+    """The LM SUFFICIENT STATISTICS: dense (b, cnt) bucket counts.
+    Counts are MERGEABLE (log-probs are not) — persist these with
+    :func:`write_lm_counts` when the reference corpus grows over time,
+    fold each ingest batch in with :func:`merge_lm_counts`, and the
+    up-to-date model is a pure projection away
+    (:func:`lm_dists_from_counts`)."""
     spark = reference.sparkSession
     cnt = (
         _hashed_token_counts(reference, n_buckets)
         .groupBy("b")
-        .agg(F.sum("c").alias("r_cnt"))
+        .agg(F.sum("c").alias("cnt"))
     )
-    tot = cnt.agg(F.sum("r_cnt").alias("r_tot"))
     dense = spark.range(n_buckets).selectExpr("CAST(id AS BIGINT) AS b")
-    return (
-        dense.join(F.broadcast(cnt), "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .selectExpr(
-            "b",
-            f"CAST(round(ln((coalesce(r_cnt, 0) + 1) / "
-            f"CAST(r_tot + {n_buckets} AS DOUBLE)), 6) AS {_DEC}) AS logp",
-        )
+    return dense.join(F.broadcast(cnt), "b", "left").selectExpr(
+        "b", "coalesce(cnt, CAST(0 AS BIGINT)) AS cnt"
+    )
+
+
+def lm_dists_from_counts(counts: DataFrame, n_buckets: int) -> DataFrame:
+    """Derive the (b, logp) model from dense bucket counts — the
+    smoothing + grid-rounded-ln projection shared by the one-shot and
+    incremental model paths."""
+    tot = counts.agg(F.sum("cnt").alias("r_tot"))
+    return counts.crossJoin(F.broadcast(tot)).selectExpr(
+        "b",
+        f"CAST(round(ln((cnt + 1) / "
+        f"CAST(r_tot + {n_buckets} AS DOUBLE)), 6) AS {_DEC}) AS logp",
+    )
+
+
+def write_lm_counts(
+    reference: DataFrame, path: str, n_buckets: int = 8192
+) -> None:
+    """Persist the mergeable LM statistics (see :func:`lm_counts`)."""
+    lm_counts(reference, n_buckets).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def merge_lm_counts(
+    spark, path: str, new_batch: DataFrame, n_buckets: int = 8192
+) -> None:
+    """Fold a new reference batch into the persisted LM statistics —
+    incremental model maintenance without re-reading the corpus: the
+    store stays dense at exactly n_buckets rows, the batch reduces
+    map-side to bucket increments and BROADCASTS into the fold, and the
+    result is localCheckpointed before the overwrite (the store is input
+    AND output of the fold — same discipline as the sketch-store
+    compaction).  ``lm_dists_from_counts`` of the merged store equals a
+    from-scratch model over the concatenated corpus exactly (integer
+    count merge, smoothing applied after)."""
+    old = spark.read.parquet(path)
+    inc = (
+        _hashed_token_counts(new_batch, n_buckets)
+        .groupBy("b")
+        .agg(F.sum("c").alias("inc"))
+    )
+    merged = old.join(F.broadcast(inc), "b", "left").selectExpr(
+        "b", "CAST(cnt + coalesce(inc, 0) AS BIGINT) AS cnt"
+    )
+    merged.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def lm_scores_from_counts(
+    spark, documents: DataFrame, counts_path: str, n_buckets: int = 8192
+) -> DataFrame:
+    """Score documents against the INCREMENTAL count store — the
+    always-current sibling of the frozen :func:`lm_scores_from_dists`
+    path."""
+    return lm_scores_from_frame(
+        documents,
+        lm_dists_from_counts(spark.read.parquet(counts_path), n_buckets),
+        n_buckets,
     )
 
 

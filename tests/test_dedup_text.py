@@ -1467,3 +1467,48 @@ def test_source_overlap_matrix_counts_planted_duplicates(spark):
         for r in source_overlap_matrix(docs, normalized=False).collect()
     }
     assert ("x", "x") not in raw and raw[("x", "y")] == 1
+
+
+def test_lm_count_store_merge_equals_rebuild(spark, tmp_path):
+    """Incremental LM maintenance: folding a new batch into the
+    persisted count store yields EXACTLY the model a from-scratch build
+    over the concatenated corpus produces (integer merge, smoothing
+    after) — so scores from the merged store match the full rebuild
+    bit-for-bit."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        lm_cross_entropy,
+        lm_scores_from_counts,
+        merge_lm_counts,
+        write_lm_counts,
+    )
+
+    first = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(5)],
+        "doc_id long, text string",
+    )
+    second = spark.createDataFrame(
+        [(100 + i, "zeta eta theta alpha beta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lm_counts")
+    write_lm_counts(first, path)
+    merge_lm_counts(spark, path, second)
+
+    pool = spark.createDataFrame(
+        [(1, "alpha beta zeta"), (2, "qqq www eee"), (3, "")],
+        "doc_id long, text string",
+    )
+    incremental = {
+        tuple(r) for r in lm_scores_from_counts(spark, pool, path).collect()
+    }
+    rebuilt = {
+        tuple(r)
+        for r in lm_cross_entropy(pool, first.unionByName(second)).collect()
+    }
+    assert incremental == rebuilt and len(incremental) == 3
+
+    # the store stays dense and integer-exact across merges
+    store = spark.read.parquet(path)
+    assert store.count() == 8192
+    total = store.agg({"cnt": "sum"}).collect()[0][0]
+    assert total == 5 * 5 + 3 * 5
