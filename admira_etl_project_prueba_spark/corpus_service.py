@@ -214,6 +214,63 @@ class CorpusService:
             "request_id": new_request_id(request_id),
         }
 
+    # -- GET /corpus/perplexity ----------------------------------------------
+    def perplexity_outliers(
+        self,
+        reference_lang: str | None,
+        limit: int = 20,
+        request_id: str | None = None,
+    ) -> dict:
+        """LM-quality outliers: the top-``limit`` HIGHEST cross-entropy
+        documents under a reference-language LM — the review queue a
+        perplexity filter produces (gibberish / off-domain first).
+        Same validation contract as /corpus/weights: missing/blank
+        reference_lang → 400, no matching documents → 404, non-positive
+        limit clamps to 20."""
+        if reference_lang is None or not str(reference_lang).strip():
+            raise ValidationError("missing required parameter: reference_lang")
+        if limit is None or limit <= 0:
+            limit = 20
+        ref = self.documents.filter(F.col("lang") == reference_lang)
+        if ref.limit(1).count() == 0:
+            raise NotFoundError(f"no documents with lang: {reference_lang}")
+        scored = (
+            textops.lm_cross_entropy(self.documents, ref)
+            .filter(F.col("cross_entropy").isNotNull())
+            .orderBy(F.col("cross_entropy").desc(), "doc_id")
+            .limit(limit)
+        )
+        return {
+            "reference_lang": reference_lang,
+            "data": [r.asDict() for r in scored.collect()],
+            "request_id": new_request_id(request_id),
+        }
+
+    # -- GET /corpus/drift ---------------------------------------------------
+    def drift_report(
+        self,
+        kl_threshold: float = 0.5,
+        request_id: str | None = None,
+    ) -> dict:
+        """Per-source distribution-drift report: KL(source ‖ corpus)
+        sorted worst-first, sources above ``kl_threshold`` flagged — the
+        standing 'which feed rotted' monitor.  Negative threshold → 400."""
+        if kl_threshold < 0.0:
+            raise ValidationError(
+                f"kl_threshold out of range: {kl_threshold}"
+            )
+        rep = textops.source_token_kl(self.documents).orderBy(
+            F.col("kl_nats").desc(), F.col("source").asc()
+        )
+        rows = [dict(r.asDict(), drifted=r["kl_nats"] > kl_threshold)
+                for r in rep.collect()]
+        return {
+            "data": rows,
+            "n_sources": len(rows),
+            "n_drifted": sum(1 for r in rows if r["drifted"]),
+            "request_id": new_request_id(request_id),
+        }
+
     # -- GET /corpus/quality -------------------------------------------------
     def quality_report(self, request_id: str | None = None) -> dict:
         verdicts = (

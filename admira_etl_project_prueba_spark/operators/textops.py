@@ -2493,7 +2493,11 @@ def source_token_kl(documents: DataFrame, n_buckets: int = 4096) -> DataFrame:
 
     kl(s) = Σ_b c_sb · (ln p̂_s(b) − ln q̂(b)) / Σ_b c_sb
 
-    with p̂_s = (c_sb+1)/(tot_s+B) and q̂ = (c_b+1)/(tot+B).  The
+    with p̂_s = (c_sb+1)/(tot_s+B) and q̂ = (c_b+1)/(tot+B).  Because
+    the empirical weights pair with SMOOTHED distributions, the
+    estimator can sit slightly below 0 when B ≫ per-source tokens —
+    rankings (drifted feeds first) are what it is for; compare feeds
+    against each other, not against an absolute 0.  The
     count-weighted form keeps the surface exact: both ln terms are
     computed on the POST-AGGREGATION (source × bucket) frame — at most
     |sources|·n_buckets rows regardless of corpus size — and their

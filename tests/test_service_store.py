@@ -648,3 +648,49 @@ def test_backfill_processes_only_missing_dates(spark, tmp_path):
     calls.clear()
     out2 = backfill_missing_dates(store, all_dates, build)
     assert out2["processed"] == 0 and calls == []
+
+
+def test_corpus_perplexity_endpoint_contract(corpus_svc):
+    """GET /corpus/perplexity: envelope, worst-first order, validation
+    (missing reference_lang → 400, unknown → 404), limit clamp."""
+    from admira_etl_project_prueba_spark.corpus_service import NotFoundError
+    from admira_etl_project_prueba_spark.service import ValidationError
+    import pytest as _pt
+
+    out = corpus_svc.perplexity_outliers(reference_lang="en", limit=5)
+    assert set(out) == {"reference_lang", "data", "request_id"}
+    assert 0 < len(out["data"]) <= 5
+    assert list(out["data"][0]) == ["doc_id", "cross_entropy", "n_tokens"]
+    ces = [d["cross_entropy"] for d in out["data"]]
+    assert ces == sorted(ces, reverse=True)
+    with _pt.raises(ValidationError):
+        corpus_svc.perplexity_outliers(reference_lang=None)
+    with _pt.raises(ValidationError):
+        corpus_svc.perplexity_outliers(reference_lang="  ")
+    with _pt.raises(NotFoundError):
+        corpus_svc.perplexity_outliers(reference_lang="tlh")
+    clamped = corpus_svc.perplexity_outliers(reference_lang="en", limit=0)
+    assert len(clamped["data"]) <= 20
+
+
+def test_corpus_drift_endpoint_contract(corpus_svc):
+    """GET /corpus/drift: worst-first KL rows with threshold flags,
+    negative threshold → 400."""
+    from admira_etl_project_prueba_spark.service import ValidationError
+    import pytest as _pt
+
+    out = corpus_svc.drift_report(kl_threshold=0.0)
+    assert set(out) == {"data", "n_sources", "n_drifted", "request_id"}
+    assert out["n_sources"] == len(out["data"]) > 0
+    kls = [d["kl_nats"] for d in out["data"]]
+    assert kls == sorted(kls, reverse=True)
+    # flag bookkeeping is consistent with the threshold (the smoothed
+    # estimator can sit below 0 when B >> per-source tokens, so no
+    # assumption about sign here)
+    assert out["n_drifted"] == sum(1 for d in out["data"] if d["drifted"])
+    assert all((d["kl_nats"] > 0.0) == d["drifted"] for d in out["data"])
+    assert all(set(d) == {"source", "kl_nats", "n_tokens", "drifted"}
+               for d in out["data"])
+    assert corpus_svc.drift_report(kl_threshold=1e9)["n_drifted"] == 0
+    with _pt.raises(ValidationError):
+        corpus_svc.drift_report(kl_threshold=-0.1)
