@@ -483,6 +483,25 @@ def _growth_law_experiment(spark) -> dict:
             ),
         ),
     }
+
+    # -- LM scoring: corpus grows, model doesn't --------------------------
+    # The reference LM is FIXED (2k docs) while the scored corpus grows
+    # 10x: per-doc features reduce map-side to (doc_id, bucket, count), so
+    # the only data-sized shuffle tracks the corpus linearly, and the
+    # broadcast model side is pinned at exactly 8192 rows by construction
+    # (the dense-frame invariant the count-store pytest also asserts).
+    ref = near_dup_corpus(2_000)
+    out["lm_cross_entropy"] = dict(
+        docs_1x=10_000,
+        ref_docs=2_000,
+        model_rows=tx.lm_dists(ref).count(),
+        **measure(
+            "lm",
+            lambda n: tx.lm_cross_entropy(near_dup_corpus(n), ref),
+            (10_000, 100_000),
+            "linear feature shuffle; model constant (8192-row broadcast)",
+        ),
+    )
     return out
 
 
@@ -731,4 +750,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) > 1 and _sys.argv[1] == "growth":
+        # re-run just the 10x growth-law rehearsal (minutes, not the
+        # full suite) — used when a new operator joins the table
+        print(
+            json.dumps(
+                {"growth_laws_10x": _growth_law_experiment(fresh_session())}
+            )
+        )
+    else:
+        main()
