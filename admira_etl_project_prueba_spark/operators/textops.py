@@ -2507,7 +2507,19 @@ def source_token_kl(documents: DataFrame, n_buckets: int = 4096) -> DataFrame:
     one, and both totals broadcast.  NULL sources bucket under
     ``UNKNOWN_SOURCE``.
     """
-    per = (
+    return kl_from_source_bucket_counts(
+        source_bucket_counts(documents, n_buckets), n_buckets
+    )
+
+
+def source_bucket_counts(
+    documents: DataFrame, n_buckets: int = 4096
+) -> DataFrame:
+    """(source, b, c): per-source hashed-unigram bucket counts — the
+    mergeable sufficient statistics behind the KL drift monitor (counts
+    add across batches; the KL projection is applied at read time).
+    Bounded at |sources|·n_buckets rows however large the corpus."""
+    return (
         documents.selectExpr(
             f"coalesce(source, '{UNKNOWN_SOURCE}') AS source",
             "doc_id",
@@ -2518,6 +2530,15 @@ def source_token_kl(documents: DataFrame, n_buckets: int = 4096) -> DataFrame:
         .groupBy("source", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def kl_from_source_bucket_counts(
+    per: DataFrame, n_buckets: int
+) -> DataFrame:
+    """Derive the per-source KL report from (source, b, c) counts — the
+    smoothing + grid-rounded-ln projection shared by the one-shot
+    (:func:`source_token_kl`) and streaming-store
+    (``streaming.source_kl_from_store``) paths."""
     stot = per.groupBy("source").agg(F.sum("c").alias("s_tot"))
     glob = per.groupBy("b").agg(F.sum("c").alias("g_cnt"))
     gtot = glob.agg(F.sum("g_cnt").alias("g_tot"))

@@ -800,6 +800,65 @@ def stream_token_sketch_idempotent(
     )
 
 
+def stream_source_token_counts(
+    doc_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 4096,
+):
+    """Streaming feed-drift statistics: maintain the per-(source,
+    bucket) token-count sufficient stats as batch-keyed delta
+    partitions — the same exactly-once-w.r.t.-batch-ids contract as the
+    idempotent CMS store (a replayed micro-batch overwrites its own
+    partition instead of double-counting; counts merge additively at
+    read time).  The KL drift report derives on demand via
+    :func:`source_kl_from_store` — a |sources|·n_buckets-bounded
+    projection, so the monitor never re-reads the corpus.
+    """
+    from admira_etl_project_prueba_spark.operators.textops import (
+        source_bucket_counts,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = source_bucket_counts(batch_df, n_buckets).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        (
+            delta.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store_path)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def source_kl_from_store(
+    spark: SparkSession, store_path: str, n_buckets: int = 4096
+) -> DataFrame:
+    """The KL drift report over a :func:`stream_source_token_counts`
+    store: additive fold of the batch deltas, then the shared
+    smoothing + grid-rounded-ln projection — identical to running
+    ``textops.source_token_kl`` over everything the stream has seen."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        kl_from_source_bucket_counts,
+    )
+
+    per = (
+        spark.read.parquet(store_path)
+        .groupBy("source", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    return kl_from_source_bucket_counts(per, n_buckets)
+
+
 def read_sketch_store(spark: SparkSession, store_path: str) -> DataFrame:
     """Materialize the current sketch from a batch-partitioned store:
     additive fold over all batch deltas (linearity)."""

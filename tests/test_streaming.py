@@ -1074,3 +1074,63 @@ def test_row_local_sampling_ops_compose_with_streams(spark, tmp_path):
     got = run(lambda df: pps_sample(df, weight="weight", rate=0.05), "pps")
     want = {r["doc_id"] for r in pps_sample(batch, weight="weight", rate=0.05).collect()}
     assert got == want
+
+
+def test_stream_source_counts_store_matches_batch_kl(spark, tmp_path):
+    """The streamed per-source count store derives EXACTLY the batch KL
+    report however the docs were micro-batched, and a replayed batch
+    (same batch_id rewrite) cannot double-count."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        source_bucket_counts,
+        source_token_kl,
+    )
+    from admira_etl_project_prueba_spark.streaming.ingest import (
+        source_kl_from_store,
+        stream_source_token_counts,
+    )
+
+    rows = (
+        [(i, "alpha beta gamma delta", "feedA") for i in range(6)]
+        + [(100 + i, "alpha beta gamma epsilon", "feedB") for i in range(6)]
+        + [(200 + i, "zzz yyy xxx www", "feedC") for i in range(4)]
+    )
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    src = tmp_path / "drift_in"
+    src.mkdir()
+    for fname, chunk in (("a.json", rows[:7]), ("b.json", rows[7:])):
+        with open(src / fname, "w") as fh:
+            for did, text, source in chunk:
+                fh.write(
+                    json.dumps({"doc_id": did, "text": text, "source": source})
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    store = str(tmp_path / "drift_store")
+    stream_source_token_counts(
+        stream, store, str(tmp_path / "drift_ckpt")
+    ).awaitTermination(120)
+
+    want = {tuple(r) for r in source_token_kl(corpus).collect()}
+    got = {tuple(r) for r in source_kl_from_store(spark, store).collect()}
+    assert got == want and len(got) == 3
+
+    # replay simulation: rewriting batch 0's delta partition changes nothing
+    first_batch = spark.createDataFrame(rows[:7], "doc_id long, text string, source string")
+    from pyspark.sql import functions as F
+
+    delta = source_bucket_counts(first_batch).withColumn(
+        "batch_id", F.lit(0).cast("long")
+    )
+    (
+        delta.write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(store)
+    )
+    replayed = {tuple(r) for r in source_kl_from_store(spark, store).collect()}
+    assert replayed == want
