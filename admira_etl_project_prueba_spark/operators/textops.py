@@ -2617,3 +2617,48 @@ def source_overlap_matrix(
         .agg(F.sum("np").cast("long").alias("dup_pairs"))
         .filter(F.col("dup_pairs") > 0)
     )
+
+
+def lsh_recall_report(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Self-evaluation of the LSH approximation against EXACT ground
+    truth: recall of the banded MinHash pipeline
+    (:func:`lsh_candidate_pairs`) measured against the prefix-filtered
+    exact Jaccard join (:func:`prefix_filter_jaccard_pairs`) on the SAME
+    shingle sets — the number an operator owner quotes when asked 'what
+    does the fast path miss?'.
+
+    One row: n_true_pairs (exact pairs ≥ threshold), n_candidates (all
+    LSH candidates, any similarity), n_captured (candidates verifying
+    ≥ threshold — a subset of the truth by construction, so
+    n_captured/n_true_pairs IS recall), recall, and
+    candidate_precision (verification pass-rate — how much verify work
+    the bands waste).  Both sub-pipelines are the production operators
+    themselves, so the report measures what actually runs; each is
+    scale-safe on its own (prefix-pruned / banded), and the final
+    combine is a 1-row × 1-row scalar join.  Tune num_perm/band_size
+    until recall at the operating threshold is acceptable; re-run per
+    corpus — S-curve math says where bands SHOULD land, this measures
+    where they DO.
+    """
+    truth = prefix_filter_jaccard_pairs(documents, threshold, k)
+    cand = lsh_candidate_pairs(documents, num_perm, band_size, k)
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    c = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum((F.col("jaccard") >= threshold).cast("long")).alias("_cap"),
+    )
+    return c.crossJoin(F.broadcast(t)).selectExpr(
+        "n_true_pairs",
+        "n_candidates",
+        "coalesce(_cap, CAST(0 AS BIGINT)) AS n_captured",
+        "CASE WHEN n_true_pairs > 0 THEN "
+        "CAST(coalesce(_cap, 0) AS DOUBLE) / n_true_pairs END AS recall",
+        "CASE WHEN n_candidates > 0 THEN "
+        "CAST(coalesce(_cap, 0) AS DOUBLE) / n_candidates END AS candidate_precision",
+    )

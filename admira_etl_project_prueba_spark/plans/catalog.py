@@ -4823,3 +4823,62 @@ def _q_source_overlap(spark, sf_dir):
         key_sql="md5(substring(regexp_replace(lower(trim(text)), "
         "'\\\\s+', ' '), 1, 30))",
     )
+
+
+@_entry(
+    "lsh_recall_report",
+    "Approximation self-evaluation: recall + candidate precision of the "
+    "banded MinHash-LSH pipeline against the EXACT prefix-filtered "
+    "Jaccard join on the same shingle sets — candidates verifying >= "
+    "threshold are a subset of the truth by construction, so the ratio "
+    "IS recall.  Both sides are the production operators; the combine "
+    "is a 1-row scalar join.",
+    f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sg AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM tok),
+shs AS (SELECT doc_id, {_DUCK_SH} AS sh FROM sg),
+tp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS inter,
+         len(a.sh) AS la, len(b.sh) AS lb
+  FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) + len(b.sh) > 0
+),
+truth AS (
+  SELECT doc_a FROM tp WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+),
+sig AS (
+        SELECT doc_id, unnest({'[' + ', '.join(str(p) for p in range(16)) + ']'}) AS perm,
+               unnest([{", ".join(f"coalesce(list_min(list_transform(sh, h -> ({2*p+1} * h + {1000*p+7}) % 2147483647)), 2147483647)" for p in range(16))}]) AS minhash
+        FROM shs),
+bands AS (
+  SELECT doc_id, perm // 2 AS band,
+         MIN(minhash) AS lo, MAX(minhash) AS hi, SUM(minhash) AS s
+  FROM sig GROUP BY doc_id, perm // 2
+),
+bkt AS (SELECT doc_id, concat_ws('_', band, lo, hi, s) AS bucket FROM bands),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bkt a JOIN bkt b USING (bucket)
+  WHERE a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+         (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) AS jaccard
+  FROM cand
+  JOIN shs sa ON sa.doc_id = cand.doc_a
+  JOIN shs sb ON sb.doc_id = cand.doc_b
+  WHERE len(sa.sh) + len(sb.sh) > 0
+)
+SELECT t.n_true_pairs, v.n_candidates, v.n_captured,
+       CASE WHEN t.n_true_pairs > 0
+            THEN CAST(v.n_captured AS DOUBLE) / t.n_true_pairs END AS recall,
+       CASE WHEN v.n_candidates > 0
+            THEN CAST(v.n_captured AS DOUBLE) / v.n_candidates END AS candidate_precision
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth) t,
+     (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(COALESCE(SUM(CASE WHEN jaccard >= 0.5 THEN 1 END), 0) AS BIGINT)
+               AS n_captured
+      FROM ver) v""",
+)
+def _q_lsh_recall(spark, sf_dir):
+    return _tx.lsh_recall_report(_t(spark, sf_dir, "documents"))

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "lm_cross_entropy_scores",
     "source_token_kl",
     "source_overlap_matrix",
+    "lsh_recall_report",
 ]
 
 

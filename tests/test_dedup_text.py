@@ -1512,3 +1512,27 @@ def test_lm_count_store_merge_equals_rebuild(spark, tmp_path):
     assert store.count() == 8192
     total = store.agg({"cnt": "sum"}).collect()[0][0]
     assert total == 5 * 5 + 3 * 5
+
+
+def test_lsh_recall_report_invariants_and_exact_copies(spark):
+    """Recall report invariants: captured ⊆ candidates and ⊆ truth; on
+    exact-copy pairs (Jaccard 1.0, identical signatures in every band)
+    recall is exactly 1.0 and the report is deterministic."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        lsh_recall_report,
+    )
+
+    rows = (
+        # 3 exact-copy pairs, each group's vocabulary fully disjoint
+        [(i, " ".join(f"g{i // 2}w{j}" for j in range(8))) for i in range(6)]
+        + [(100 + i, f"unique doc number {i} with tokens t{i} u{i} v{i} w{i}")
+           for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_recall_report(docs).collect()[0]
+    assert r["n_true_pairs"] == 3 and r["n_captured"] == 3
+    assert r["recall"] == 1.0
+    assert r["n_captured"] <= r["n_candidates"]
+    assert 0.0 < r["candidate_precision"] <= 1.0
+    again = lsh_recall_report(docs.repartition(5)).collect()[0]
+    assert tuple(again) == tuple(r)  # hash-deterministic, partition-invariant

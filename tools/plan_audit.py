@@ -54,6 +54,7 @@ NESTED_LOOP_ALLOWED = {
     "dsir_importance_weights",  # two 1-row corpus-total broadcasts into the dist
     "lm_cross_entropy_scores",  # 1-row reference-total broadcast into the dist
     "source_token_kl",          # 1-row corpus-total broadcast into the terms
+    "lsh_recall_report",        # 1-row x 1-row scalar combine of two aggregates
 }
 
 
