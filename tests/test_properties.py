@@ -509,3 +509,49 @@ def test_bm25_index_equals_scan_on_random_corpora(spark, tmp_path_factory, docs)
         for r in bm25_from_index(spark, idx, terms, top_n=10, num_buckets=8).collect()
     ]
     assert got == want
+
+
+TOKENS_TXT = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "δélta", "x1", ""]),
+    max_size=6,
+).map(" ".join)
+
+
+@PROP_SETTINGS
+@given(
+    texts=st.lists(TOKENS_TXT, min_size=1, max_size=9),
+    cut_a=st.integers(0, 9),
+    cut_b=st.integers(0, 9),
+)
+def test_lm_count_store_merge_is_split_invariant(spark, tmp_path_factory, texts, cut_a, cut_b):
+    """For ANY corpus (unicode tokens, empty/blank docs) and ANY 3-way
+    split, building the count store from the first part and folding the
+    other two in — in either order — equals the from-scratch model over
+    the whole corpus: integer sufficient statistics make maintenance
+    associative and order-free."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        lm_cross_entropy,
+        lm_scores_from_counts,
+        merge_lm_counts,
+        write_lm_counts,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    lo, hi = sorted((min(cut_a, len(rows)), min(cut_b, len(rows))))
+    parts = [rows[:lo], rows[lo:hi], rows[hi:]]
+    frames = [
+        spark.createDataFrame(p, "doc_id long, text string") if p else None
+        for p in parts
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    path = str(tmp_path_factory.mktemp("lm_prop") / "counts")
+    # build from the first non-empty part, fold the rest in
+    non_empty = [f for f in frames if f is not None]
+    write_lm_counts(non_empty[0], path)
+    for f in non_empty[1:]:
+        merge_lm_counts(spark, path, f)
+
+    got = {tuple(r) for r in lm_scores_from_counts(spark, corpus, path).collect()}
+    want = {tuple(r) for r in lm_cross_entropy(corpus, corpus).collect()}
+    assert got == want
