@@ -166,6 +166,9 @@ def build_retrieval_index(
       (when supplied), partition-pruned at probe time;
     * ``<path>/dsir_model``  — the frozen DSIR mixture model
       (target = ``target_lang`` docs vs the full pool);
+    * ``<path>/lm_model``    — the frozen reference LM (hashed-unigram
+      logp over the ``target_lang`` slice) for perplexity-filter
+      scoring of future ingest, batch or streaming;
     * ``<path>/manifest``    — 1-row parquet recording corpus/curation
       counts, so downstream jobs can sanity-check index freshness
       without rescanning anything.
@@ -190,9 +193,9 @@ def build_retrieval_index(
         survivors, "doc_id", "left_semi"
     )
     textops.write_text_index(curated, f"{path}/text_index", num_buckets=num_buckets)
-    textops.write_dsir_dists(
-        documents, documents.filter(F.col("lang") == target_lang), f"{path}/dsir_model"
-    )
+    target = documents.filter(F.col("lang") == target_lang)
+    textops.write_dsir_dists(documents, target, f"{path}/dsir_model")
+    textops.write_lm_dists(target, f"{path}/lm_model")
     if embeddings is not None:
         similarity.write_ivf_index(
             embeddings, f"{path}/ivf_index", n_centroids=n_centroids
@@ -204,6 +207,7 @@ def build_retrieval_index(
         "text_index_buckets": num_buckets,
         "ivf_centroids": n_centroids if embeddings is not None else 0,
         "dsir_target_lang": target_lang,
+        "lm_reference_lang": target_lang,
     }
     spark = documents.sparkSession
     spark.createDataFrame([manifest]).coalesce(1).write.mode("overwrite").parquet(

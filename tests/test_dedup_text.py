@@ -1317,6 +1317,19 @@ def test_build_retrieval_index_artifacts_and_query_parity(spark, sf_dir, tmp_pat
     }
     assert frozen == inline
 
+    # LM model: frozen perplexity scoring == inline over the same slice
+    from admira_etl_project_prueba_spark.operators.textops import (
+        lm_cross_entropy,
+        lm_scores_from_dists,
+    )
+
+    lm_inline = {tuple(r) for r in lm_cross_entropy(docs, target).collect()}
+    lm_frozen = {
+        tuple(r)
+        for r in lm_scores_from_dists(spark, docs, f"{root}/lm_model").collect()
+    }
+    assert lm_frozen == lm_inline
+
     # IVF index: probe parity with inline assignment
     a = similarity.ivf_topk(embs, query_vec_id=7, k=5).collect()
     b = similarity.ivf_topk_from_index(
