@@ -271,6 +271,28 @@ class CorpusService:
             "request_id": new_request_id(request_id),
         }
 
+    # -- GET /corpus/recall --------------------------------------------------
+    def recall_report(
+        self,
+        threshold: float = 0.5,
+        request_id: str | None = None,
+    ) -> dict:
+        """LSH approximation health check: measured recall + candidate
+        precision of the banded near-dup pipeline against the exact
+        prefix-filtered join at ``threshold`` — what an operator owner
+        checks before trusting the fast path on a new corpus.
+        Threshold outside (0, 1] → 400."""
+        if not (0.0 < threshold <= 1.0):
+            raise ValidationError(f"threshold out of range: {threshold}")
+        row = (
+            textops.lsh_recall_report(self.documents, threshold=threshold)
+            .collect()[0]
+            .asDict()
+        )
+        row["threshold"] = threshold
+        row["request_id"] = new_request_id(request_id)
+        return row
+
     # -- GET /corpus/quality -------------------------------------------------
     def quality_report(self, request_id: str | None = None) -> dict:
         verdicts = (

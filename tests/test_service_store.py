@@ -694,3 +694,23 @@ def test_corpus_drift_endpoint_contract(corpus_svc):
     assert corpus_svc.drift_report(kl_threshold=1e9)["n_drifted"] == 0
     with _pt.raises(ValidationError):
         corpus_svc.drift_report(kl_threshold=-0.1)
+
+
+def test_corpus_recall_endpoint_contract(corpus_svc):
+    """GET /corpus/recall: measured LSH recall envelope; out-of-range
+    threshold → 400."""
+    from admira_etl_project_prueba_spark.service import ValidationError
+    import pytest as _pt
+
+    out = corpus_svc.recall_report()
+    assert set(out) == {
+        "n_true_pairs", "n_candidates", "n_captured",
+        "recall", "candidate_precision", "threshold", "request_id",
+    }
+    assert out["n_captured"] <= out["n_candidates"]
+    if out["n_true_pairs"] > 0:
+        assert 0.0 <= out["recall"] <= 1.0
+    with _pt.raises(ValidationError):
+        corpus_svc.recall_report(threshold=0.0)
+    with _pt.raises(ValidationError):
+        corpus_svc.recall_report(threshold=1.5)
