@@ -2662,3 +2662,120 @@ def lsh_recall_report(
         "CASE WHEN n_candidates > 0 THEN "
         "CAST(coalesce(_cap, 0) AS DOUBLE) / n_candidates END AS candidate_precision",
     )
+
+
+# ---------------------------------------------------------------------------
+# phrase search (positional retrieval)
+# ---------------------------------------------------------------------------
+
+def _phrase_occurrences(postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """Anchor-trick phrase matching over (doc_id, pos, token) postings:
+    a posting matching phrase term i votes for anchor = pos − i, and an
+    anchor collecting ALL k distinct i's is one exact consecutive
+    occurrence — one groupBy, no k-way self-join, overlapping matches
+    counted correctly ('a a a' contains 'a a' twice).  Terms enter the
+    plan as Column literals (isin / array(lit…)) — user phrases are
+    data, never SQL text (the BM25-injection lesson)."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    terms = [t.lower() for t in phrase]
+    k = len(terms)
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    m = postings.filter(F.col("token").isin(terms)).select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.element_at(term_arr, i + F.lit(1)) == F.col("token"),
+            )
+        ).alias("idx"),
+    )
+    hits = (
+        m.select("doc_id", (F.col("pos") - F.col("idx")).alias("anchor"), "idx")
+        .groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("idx").alias("_n"))
+        .filter(F.col("_n") == k)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+
+
+def phrase_search(documents: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact consecutive-phrase search over the corpus: (doc_id,
+    n_occurrences) for every document containing the phrase.
+
+    Scale shape: the positional explode is FILTERED to the phrase's own
+    terms before anything shuffles, so shuffle volume is the phrase
+    terms' document frequency, not corpus tokens; the anchor aggregate
+    keys on (doc_id, anchor) within that df-bounded set.  The corpus
+    scan itself is the linear cost — the indexed variant
+    (:func:`phrase_search_from_index`) removes it.
+    """
+    toks = documents.selectExpr(
+        "doc_id", f"posexplode_outer({TOKENS}) AS (pos, token)"
+    )
+    return _phrase_occurrences(toks, phrase)
+
+
+def write_positional_index(
+    documents: DataFrame, path: str, num_buckets: int = 64
+) -> None:
+    """Persist a POSITIONAL inverted index: postings (term, doc_id,
+    positions sorted-array) written ``partitionBy(term_bucket)`` with the
+    same one-file-per-bucket discipline as :func:`write_text_index` —
+    phrase queries then read only their terms' bucket directories
+    (~|terms|/num_buckets of the index), never the corpus.  Positions
+    make the index strictly stronger than the BM25 one: tf = size
+    (positions), so ranked retrieval could share it; kept separate so
+    each artifact stays append-mergeable on its own."""
+    toks = documents.selectExpr(
+        "doc_id", f"posexplode_outer({TOKENS}) AS (pos, token)"
+    ).filter("token IS NOT NULL AND token != ''")
+    postings = (
+        toks.groupBy("doc_id", F.col("token").alias("term"))
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn(
+            "term_bucket", F.expr(f"{hex60('term')} % {num_buckets}").cast("int")
+        )
+    )
+    (
+        postings.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/postings")
+    )
+
+
+def phrase_search_from_index(
+    spark,
+    index_path: str,
+    phrase: list[str],
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Index-backed phrase search: same output as :func:`phrase_search`
+    (parity-pinned in pytest) with the corpus never touched — bucket +
+    term literal predicates prune the positional postings to the
+    phrase's partition directories, then the shared anchor math runs on
+    the re-exploded positions."""
+    terms = [t.lower() for t in phrase]
+    buckets = sorted(
+        {
+            int(h, 16) % num_buckets
+            for h in (
+                __import__("hashlib").md5(t.encode()).hexdigest()[:15]
+                for t in terms
+            )
+        }
+    )
+    posting = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+        .select(
+            "doc_id",
+            F.col("term").alias("token"),
+            F.explode("positions").alias("pos"),
+        )
+    )
+    return _phrase_occurrences(posting, terms)

@@ -4882,3 +4882,34 @@ FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth) t,
 )
 def _q_lsh_recall(spark, sf_dir):
     return _tx.lsh_recall_report(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "phrase_search",
+    "Exact consecutive-phrase search ('slow hash batch') via the anchor "
+    "trick: each posting matching phrase term i votes (doc, pos - i); "
+    "an anchor with all k distinct i's is one occurrence — one groupBy, "
+    "no k-way self-join, overlap-correct.  Postings are filtered to the "
+    "phrase's terms BEFORE any shuffle (df-bounded, never corpus "
+    "tokens); indexed variant reads only the terms' bucket dirs "
+    "(parity-pinned in pytest).",
+    f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+pos AS (
+  SELECT doc_id, unnest(t) AS token, unnest(range(len(t))) AS pos FROM tok
+),
+ph AS (SELECT * FROM (VALUES (0, 'slow'), (1, 'hash'), (2, 'batch')) AS v(idx, term)),
+m AS (
+  SELECT doc_id, pos - idx AS anchor, idx
+  FROM pos JOIN ph ON token = term
+),
+hits AS (
+  SELECT doc_id, anchor FROM m
+  GROUP BY doc_id, anchor HAVING COUNT(DISTINCT idx) = 3
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM hits GROUP BY doc_id""",
+)
+def _q_phrase_search(spark, sf_dir):
+    return _tx.phrase_search(
+        _t(spark, sf_dir, "documents"), ["slow", "hash", "batch"]
+    )

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "source_token_kl",
     "source_overlap_matrix",
     "lsh_recall_report",
+    "phrase_search",
 ]
 
 

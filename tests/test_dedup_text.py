@@ -1549,3 +1549,50 @@ def test_lsh_recall_report_invariants_and_exact_copies(spark):
     assert 0.0 < r["candidate_precision"] <= 1.0
     again = lsh_recall_report(docs.repartition(5)).collect()[0]
     assert tuple(again) == tuple(r)  # hash-deterministic, partition-invariant
+
+
+def test_phrase_search_overlaps_repeats_and_index_parity(spark, sf_dir, tmp_path):
+    """Phrase anchor math: overlapping matches count ('a a a' contains
+    'a a' twice), repeated-term phrases work, scattered terms without
+    adjacency do NOT match, single-term phrases degenerate to term
+    counts — and the positional-index path returns EXACTLY the scan
+    path's answer on the real corpus."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        phrase_search,
+        phrase_search_from_index,
+        write_positional_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    rows = [
+        (1, "a a a"),                       # 'a a' twice (overlap)
+        (2, "slow hash batch end"),         # one occurrence
+        (3, "slow x hash y batch"),         # terms present, never adjacent
+        (4, "slow hash batch slow hash batch"),  # two occurrences
+        (5, "nothing relevant here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_search(docs, ["slow", "hash", "batch"]).collect()}
+    assert got == {2: 1, 4: 2}
+    aa = {r["doc_id"]: r["n_occurrences"]
+          for r in phrase_search(docs, ["a", "a"]).collect()}
+    assert aa == {1: 2}
+    single = {r["doc_id"]: r["n_occurrences"]
+              for r in phrase_search(docs, ["slow"]).collect()}
+    assert single == {2: 1, 3: 1, 4: 2}
+
+    # index == scan parity; planted docs guarantee non-vacuous matches
+    # (sf0.001 happens not to contain this phrase — sf0.01 does, and the
+    # catalog oracle covers that), real corpus unioned in so the bucket
+    # pruning runs against full-vocabulary partition directories
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    both = corpus.unionByName(docs.selectExpr("doc_id + 100000 AS doc_id", "text"))
+    idx = str(tmp_path / "pos_index")
+    write_positional_index(both, idx)
+    want = {tuple(r) for r in phrase_search(both, ["slow", "hash", "batch"]).collect()}
+    via_idx = {
+        tuple(r)
+        for r in phrase_search_from_index(spark, idx, ["slow", "hash", "batch"]).collect()
+    }
+    assert via_idx == want and len(want) >= 2
