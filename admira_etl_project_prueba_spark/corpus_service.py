@@ -140,17 +140,25 @@ class CorpusService:
 
         ``q`` is a whitespace-separated term list (missing/blank → 400,
         mirroring the reference's required-param contract); ``mode`` is
-        ``bm25`` or ``hybrid`` (RRF with the lexical-diversity quality
-        prior); unknown modes → 400; non-positive limit clamps to 20.
+        ``bm25``, ``hybrid`` (RRF with the lexical-diversity quality
+        prior) or ``phrase`` (exact consecutive match, ranked by
+        occurrence count); unknown modes → 400; non-positive limit
+        clamps to 20.
         """
         if q is None or not q.strip():
             raise ValidationError("missing required parameter: q")
-        if mode not in ("bm25", "hybrid"):
+        if mode not in ("bm25", "hybrid", "phrase"):
             raise ValidationError(f"invalid mode: {mode}")
         if limit is None or limit <= 0:
             limit = 20
         terms = [t.lower() for t in q.split()]
-        if mode == "bm25":
+        if mode == "phrase":
+            rows = (
+                textops.phrase_search(self.documents, terms)
+                .orderBy(F.col("n_occurrences").desc(), "doc_id")
+                .limit(limit)
+            )
+        elif mode == "bm25":
             rows = textops.bm25_rank(self.documents, terms, top_n=limit)
         else:
             from pyspark.sql import Window

@@ -714,3 +714,15 @@ def test_corpus_recall_endpoint_contract(corpus_svc):
         corpus_svc.recall_report(threshold=0.0)
     with _pt.raises(ValidationError):
         corpus_svc.recall_report(threshold=1.5)
+
+
+def test_corpus_search_phrase_mode(corpus_svc):
+    """GET /corpus/search?mode=phrase: exact consecutive matching ranked
+    by occurrence count; quote-bearing input stays data (no SQL parse)."""
+    out = corpus_svc.search(q="slow hash batch", mode="phrase", limit=5)
+    assert out["mode"] == "phrase" and out["query"] == ["slow", "hash", "batch"]
+    assert len(out["data"]) <= 5
+    counts = [d["n_occurrences"] for d in out["data"]]
+    assert counts == sorted(counts, reverse=True)
+    hostile = corpus_svc.search(q="x') OR ('1'='1", mode="phrase")
+    assert hostile["data"] == []
