@@ -418,3 +418,60 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             ).alias("clustering_coeff"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iters: int = 3,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan et
+    al. 2007): every node starts as its own community and each round
+    adopts the most frequent label among its neighbors, ties to the
+    SMALLEST label — a fully deterministic LPA (the classic asynchronous
+    variant is order-dependent; synchronous + fixed ``iters`` + min-label
+    tie-break makes every round a pure function of the previous one, so
+    results are reproducible across engines and partitionings — same
+    spirit as the decimal-exact pagerank).  Fixed iteration count also
+    bounds the known bipartite-oscillation mode.
+
+    Scale shape: per round ONE shuffle — (node, neighbor_label) pairs
+    reduce map-side to (node, label, count), then a struct-max picks the
+    winner with no window sort.  The symmetrized edge list is a loop
+    invariant and the label frame has two consumers per round, so both
+    are localCheckpointed (docs/SCALE.md iterative-loop rule: a lazy
+    chain would replay round k-1 per consumer, ~2^k jobs).  Labels are
+    node-sized (KBs per million nodes).
+
+    Returns (node, label): label = the elected community id (a node id).
+    """
+    sym = (
+        edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+        .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
+        .filter("a != b")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .selectExpr("node", "node AS label")
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        nb = sym.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .selectExpr("node", "-m.nl AS label")
+            .localCheckpoint()
+        )
+    return labels.selectExpr("node", "CAST(label AS BIGINT) AS label")

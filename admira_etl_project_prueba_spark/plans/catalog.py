@@ -4913,3 +4913,57 @@ def _q_phrase_search(spark, sf_dir):
     return _tx.phrase_search(
         _t(spark, sf_dir, "documents"), ["slow", "hash", "batch"]
     )
+
+
+def _duck_lpa_sql(iters: int = 3) -> str:
+    """Unrolled synchronous-LPA oracle over the co-supply graph — each
+    round is a mode-with-min-tiebreak window, exactly the struct-max the
+    Spark operator computes."""
+    rounds, prev = "", "r0"
+    for i in range(1, iters + 1):
+        rounds += f""",
+nb{i} AS (SELECT e.a AS node, l.label FROM sym e JOIN {prev} l ON e.b = l.node),
+cnt{i} AS (SELECT node, label, COUNT(*) AS c FROM nb{i} GROUP BY node, label),
+r{i} AS (SELECT node, label FROM (
+  SELECT node, label,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+  FROM cnt{i}) WHERE rn = 1)"""
+        prev = f"r{i}"
+    return f"""WITH co AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_SHARED}
+),
+sym AS (SELECT u AS a, v AS b FROM co UNION SELECT v AS a, u AS b FROM co),
+r0 AS (SELECT DISTINCT a AS node, a AS label FROM sym){rounds}
+SELECT node, CAST(label AS BIGINT) AS label FROM {prev}"""
+
+
+@_entry(
+    "cosupply_communities",
+    "Deterministic synchronous label-propagation communities over the "
+    "min-support co-supply graph: 3 fixed rounds, most-frequent neighbor "
+    "label with min-label tie-break — per round ONE map-side-reduced "
+    "(node, label, count) shuffle and a struct-max election (no window "
+    "sort); loop invariants localCheckpointed like pagerank.",
+    _duck_lpa_sql(),
+)
+def _q_lpa(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_suppkey")).alias("s"))
+        .selectExpr(
+            "explode(flatten(transform(s, (x, i) -> "
+            "transform(slice(s, i + 2, size(s)), y -> struct(x AS u, y AS v))"
+            "))) AS p"
+        )
+        .selectExpr("p.u", "p.v")
+        .filter("u < v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _TRI_MIN_SHARED)
+        .select("u", "v")
+    )
+    return _graph.label_propagation(edges)

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "source_overlap_matrix",
     "lsh_recall_report",
     "phrase_search",
+    "cosupply_communities",
 ]
 
 

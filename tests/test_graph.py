@@ -199,3 +199,25 @@ def test_no_stale_label_cc_overrides_in_source():
         if 'algorithm="label"' in p.read_text() or "algorithm='label'" in p.read_text()
     ]
     assert offenders == []
+
+
+def test_label_propagation_separates_planted_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 synchronous
+    rounds each clique converges to its minimum node id and the bridge
+    does not merge them; result is partitioning-invariant (deterministic
+    min-label tie-break, no RNG)."""
+    from admira_etl_project_prueba_spark.operators.graph import label_propagation
+
+    def clique(nodes):
+        return [(a, b) for a in nodes for b in nodes if a < b]
+
+    edges_rows = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    edges = spark.createDataFrame(edges_rows, "u long, v long")
+    got = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+    again = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges.repartition(7)).collect()
+    }
+    assert again == got
