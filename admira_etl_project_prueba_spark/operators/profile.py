@@ -96,3 +96,65 @@ def with_quality_observation(df: DataFrame, cols: list[str], name: str = "qualit
         return df.observe(name, *metrics), None
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    columns: list[str] | None = None,
+    null_rate_tol: float = 0.05,
+    distinct_ratio_tol: float = 0.10,
+) -> DataFrame:
+    """Snapshot-to-snapshot data-contract audit: join the one-pass
+    profiles of two corpus snapshots per column and flag what moved —
+    null-rate shifts (a feed started emitting empties), distinct-ratio
+    shifts (an id column started repeating / a category exploded), and
+    string-range movement (new min/max — schema-ish drift visible
+    without a schema).  The standing check an ingest pipeline runs
+    before accepting a snapshot.
+
+    Scale shape: each side is profile_columns' single scan + single
+    aggregate; the join is |columns|-row × |columns|-row.  Rates are
+    IEEE double divisions of exact counts — deterministic cross-engine.
+    Flag logic: drifted = |Δnull_rate| > null_rate_tol OR
+    |Δdistinct_ratio| > distinct_ratio_tol OR the string range moved.
+    """
+    po = profile_columns(old, columns).selectExpr(
+        "column",
+        "n_rows AS n_rows_old",
+        "CASE WHEN n_rows > 0 THEN 1.0 - CAST(n_nonnull AS DOUBLE) / n_rows END"
+        " AS null_rate_old",
+        "CASE WHEN n_rows > 0 THEN CAST(n_distinct AS DOUBLE) / n_rows END"
+        " AS distinct_ratio_old",
+        "min_str AS min_str_old",
+        "max_str AS max_str_old",
+    )
+    pn = profile_columns(new, columns).selectExpr(
+        "column",
+        "n_rows AS n_rows_new",
+        "CASE WHEN n_rows > 0 THEN 1.0 - CAST(n_nonnull AS DOUBLE) / n_rows END"
+        " AS null_rate_new",
+        "CASE WHEN n_rows > 0 THEN CAST(n_distinct AS DOUBLE) / n_rows END"
+        " AS distinct_ratio_new",
+        "min_str AS min_str_new",
+        "max_str AS max_str_new",
+    )
+    return po.join(pn, "column").selectExpr(
+        "column",
+        "n_rows_old",
+        "n_rows_new",
+        "null_rate_old",
+        "null_rate_new",
+        "null_rate_new - null_rate_old AS null_rate_delta",
+        "distinct_ratio_old",
+        "distinct_ratio_new",
+        "distinct_ratio_new - distinct_ratio_old AS distinct_ratio_delta",
+        # null-safe compares: an all-NULL column's (NULL, NULL) range is
+        # unchanged, not unknown
+        "NOT (min_str_old <=> min_str_new) OR NOT (max_str_old <=> max_str_new)"
+        " AS range_moved",
+        f"abs(null_rate_new - null_rate_old) > CAST({null_rate_tol!r} AS DOUBLE)"
+        f" OR abs(distinct_ratio_new - distinct_ratio_old) > CAST({distinct_ratio_tol!r} AS DOUBLE)"
+        " OR NOT (min_str_old <=> min_str_new) OR NOT (max_str_old <=> max_str_new)"
+        " AS drifted",
+    )

@@ -4967,3 +4967,62 @@ def _q_lpa(spark, sf_dir):
         .select("u", "v")
     )
     return _graph.label_propagation(edges)
+
+
+def _duck_profile_long(name: str, where: str) -> str:
+    """Long-form one-pass profile CTE pair over documents (drift oracle
+    helper) — mirrors profile.profile_columns exactly."""
+    cols = ["doc_id", "text", "lang", "source"]
+    aggs = ", ".join(
+        f"COUNT({c}) AS nn_{c}, COUNT(DISTINCT {c}) AS nd_{c}, "
+        f"MIN(CAST({c} AS VARCHAR)) AS mn_{c}, MAX(CAST({c} AS VARCHAR)) AS mx_{c}"
+        for c in cols
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column, n_rows, nn_{c} AS n_nonnull, nd_{c} AS n_distinct, "
+        f"mn_{c} AS min_str, mx_{c} AS max_str FROM {name}_w"
+        for c in cols
+    )
+    return (
+        f"{name}_w AS (SELECT COUNT(*) AS n_rows, {aggs} FROM documents {where}),\n"
+        f"{name} AS (\n{arms}\n)"
+    )
+
+
+@_entry(
+    "profile_drift",
+    "Snapshot data-contract audit: per-column join of two one-pass "
+    "profiles (old = even doc_ids, new = full corpus) with null-rate / "
+    "distinct-ratio deltas, null-safe string-range movement, and a "
+    "drifted flag — the accept/reject check an ingest pipeline runs "
+    "before taking a snapshot.  Each side is ONE scan + ONE aggregate; "
+    "the join is |columns| rows.",
+    f"""WITH {_duck_profile_long("po", "WHERE doc_id % 2 = 0")},
+{_duck_profile_long("pn", "")}
+SELECT po."column" AS "column",
+       po.n_rows AS n_rows_old, pn.n_rows AS n_rows_new,
+       CASE WHEN po.n_rows > 0 THEN 1.0 - CAST(po.n_nonnull AS DOUBLE) / po.n_rows END AS null_rate_old,
+       CASE WHEN pn.n_rows > 0 THEN 1.0 - CAST(pn.n_nonnull AS DOUBLE) / pn.n_rows END AS null_rate_new,
+       (CASE WHEN pn.n_rows > 0 THEN 1.0 - CAST(pn.n_nonnull AS DOUBLE) / pn.n_rows END)
+       - (CASE WHEN po.n_rows > 0 THEN 1.0 - CAST(po.n_nonnull AS DOUBLE) / po.n_rows END) AS null_rate_delta,
+       CASE WHEN po.n_rows > 0 THEN CAST(po.n_distinct AS DOUBLE) / po.n_rows END AS distinct_ratio_old,
+       CASE WHEN pn.n_rows > 0 THEN CAST(pn.n_distinct AS DOUBLE) / pn.n_rows END AS distinct_ratio_new,
+       (CASE WHEN pn.n_rows > 0 THEN CAST(pn.n_distinct AS DOUBLE) / pn.n_rows END)
+       - (CASE WHEN po.n_rows > 0 THEN CAST(po.n_distinct AS DOUBLE) / po.n_rows END) AS distinct_ratio_delta,
+       po.min_str IS DISTINCT FROM pn.min_str OR po.max_str IS DISTINCT FROM pn.max_str AS range_moved,
+       abs((CASE WHEN pn.n_rows > 0 THEN 1.0 - CAST(pn.n_nonnull AS DOUBLE) / pn.n_rows END)
+           - (CASE WHEN po.n_rows > 0 THEN 1.0 - CAST(po.n_nonnull AS DOUBLE) / po.n_rows END)) > 0.05
+       OR abs((CASE WHEN pn.n_rows > 0 THEN CAST(pn.n_distinct AS DOUBLE) / pn.n_rows END)
+              - (CASE WHEN po.n_rows > 0 THEN CAST(po.n_distinct AS DOUBLE) / po.n_rows END)) > 0.1
+       OR po.min_str IS DISTINCT FROM pn.min_str
+       OR po.max_str IS DISTINCT FROM pn.max_str AS drifted
+FROM po JOIN pn ON po."column" = pn."column"
+""",
+)
+def _q_profile_drift(spark, sf_dir):
+    from admira_etl_project_prueba_spark.operators.profile import profile_drift
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    return profile_drift(docs.filter("doc_id % 2 = 0"), docs)

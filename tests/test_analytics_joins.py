@@ -962,3 +962,28 @@ def test_value_histogram_minmax_partitions_and_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r["bin"] <= 19
         assert r["bin_lo"] <= r["bin_hi"]
+
+
+def test_profile_drift_flags_planted_changes(spark):
+    """Data-contract audit: injected nulls move null_rate past the
+    tolerance, a collapsed id column moves distinct_ratio, a stable
+    column stays un-flagged, and an all-NULL column's (NULL, NULL)
+    range counts as unchanged (null-safe compare)."""
+    from admira_etl_project_prueba_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame(
+        [(i, f"u{i}", "stable", None) for i in range(100)],
+        "id long, uniq string, const string, empty string",
+    )
+    new = spark.createDataFrame(
+        # 20% null ids (null-rate drift), uniq collapsed to 2 values
+        # (distinct-ratio drift), const/empty unchanged
+        [(None if i % 5 == 0 else i, f"u{i % 2}", "stable", None)
+         for i in range(100)],
+        "id long, uniq string, const string, empty string",
+    )
+    got = {r["column"]: r for r in profile_drift(old, new).collect()}
+    assert got["id"]["drifted"] and got["id"]["null_rate_delta"] > 0.15
+    assert got["uniq"]["drifted"] and got["uniq"]["distinct_ratio_delta"] < -0.9
+    assert not got["const"]["drifted"] and not got["const"]["range_moved"]
+    assert not got["empty"]["range_moved"]  # NULL range == NULL range
