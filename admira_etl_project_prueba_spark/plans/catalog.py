@@ -5026,3 +5026,112 @@ def _q_profile_drift(spark, sf_dir):
         "doc_id", "text", "lang", "source"
     )
     return profile_drift(docs.filter("doc_id % 2 = 0"), docs)
+
+
+# -- round-5 curation additions ---------------------------------------------
+
+@_entry(
+    "dup_cluster_profile",
+    "Duplication histogram: for every exact-dup cluster size, the number "
+    "of clusters, documents, and corpus fraction.  Hash-only shuffles; "
+    "the histogram frame is tiny (distinct cluster sizes), corpus total "
+    "joins as a 1-row broadcast scalar.",
+    """WITH c AS (SELECT md5(text) AS h, COUNT(*) AS n_copies FROM documents GROUP BY 1),
+hist AS (SELECT n_copies, COUNT(*) AS n_clusters FROM c GROUP BY 1),
+t AS (SELECT COUNT(*) AS total FROM documents)
+SELECT n_copies, n_clusters, n_copies * n_clusters AS n_docs,
+       CAST(n_copies * n_clusters AS DOUBLE) / total AS pct_docs
+FROM hist, t""",
+)
+def _q_dup_profile(spark, sf_dir):
+    return _tx.dup_cluster_profile(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "quality_calibrated",
+    "Source-relative quality calibration: type-token ratio re-expressed "
+    "as a per-source percentile (percent_rank) plus a global percentile, "
+    "so one keep-threshold means the same thing across feeds.  Windows "
+    "shuffle (score, doc_id) pairs only, never text.",
+    f"""WITH tok AS (SELECT doc_id, coalesce(source, '{_tx.UNKNOWN_SOURCE}') AS source,
+                     {_DUCK_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, source,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS quality_raw
+      FROM tok)
+SELECT doc_id, source, quality_raw,
+       percent_rank() OVER (PARTITION BY source ORDER BY quality_raw, doc_id) AS q_pct_source,
+       percent_rank() OVER (ORDER BY quality_raw, doc_id) AS q_pct_global
+FROM s""",
+)
+def _q_quality_calibrated(spark, sf_dir):
+    return _tx.quality_calibrated(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "ngram_novelty_scores",
+    "Per-document n-gram novelty: fraction of a doc's distinct 3-token "
+    "shingles appearing in no other document (memorization-risk / "
+    "boilerplate diagnostic).  Shuffles (hash, doc) then (doc, flag) "
+    "pairs; shingle-less docs report NULL novelty, not a fake 1.0.",
+    f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+sg AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM tok),
+shs AS (SELECT doc_id, {_DUCK_SH} AS sh FROM sg),
+rws AS (SELECT doc_id, unnest(sh) AS h FROM shs),
+df AS (SELECT h, COUNT(*) AS df FROM rws GROUP BY h),
+per AS (SELECT rws.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN df.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        FROM rws JOIN df USING (h) GROUP BY rws.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, CAST(0 AS BIGINT)) AS n_shingles,
+       coalesce(p.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+       CASE WHEN coalesce(p.n_shingles, 0) > 0 THEN
+         1.0 - CAST(coalesce(p.n_shared, 0) AS DOUBLE) / p.n_shingles END AS novelty
+FROM documents d LEFT JOIN per p USING (doc_id)""",
+)
+def _q_ngram_novelty(spark, sf_dir):
+    return _tx.ngram_novelty_scores(_t(spark, sf_dir, "documents"))
+
+
+_FORGET_IDS = [1, 2, 3]
+
+
+@_entry(
+    "forget_propagation",
+    "Right-to-be-forgotten propagation: the listed doc ids plus every "
+    "exact (normalized) duplicate of their content — a broadcast "
+    "semi-join against the corpus hash projection, one scan, no text "
+    "shuffle.",
+    f"""WITH h AS (SELECT doc_id,
+        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ch
+        FROM documents)
+SELECT doc_id,
+       CASE WHEN doc_id IN ({", ".join(str(i) for i in _FORGET_IDS)})
+            THEN 'listed' ELSE 'duplicate_of_listed' END AS reason
+FROM h
+WHERE ch IN (SELECT ch FROM h
+             WHERE doc_id IN ({", ".join(str(i) for i in _FORGET_IDS)}))""",
+)
+def _q_forget(spark, sf_dir):
+    return _tx.forget_propagation(
+        _t(spark, sf_dir, "documents"), _FORGET_IDS, normalized=True
+    )
+
+
+@_entry(
+    "bpe_merge_candidates",
+    "First-round BPE merge statistics: corpus-weighted adjacent "
+    "character-pair frequencies inside tokens, top 50 — the quantity a "
+    "tokenizer trainer maximizes.  Pair explosion runs over the "
+    "VOCABULARY (distinct tokens), not the corpus.",
+    f"""WITH tok AS (SELECT unnest({_DUCK_TOKS}) AS token FROM documents),
+tc AS (SELECT token, COUNT(*) AS cnt FROM tok
+       WHERE token IS NOT NULL AND token != '' GROUP BY token),
+p AS (SELECT unnest(list_transform(range(1, length(token)),
+                                   i -> substring(token, i, 2))) AS pair, cnt
+      FROM tc WHERE length(token) >= 2)
+SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq
+FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""",
+)
+def _q_bpe_merges(spark, sf_dir):
+    return _tx.bpe_merge_candidates(_t(spark, sf_dir, "documents"), top_n=50)

@@ -115,6 +115,11 @@ BENCH_QUERIES = [
     "lsh_recall_report",
     "phrase_search",
     "cosupply_communities",
+    "dup_cluster_profile",
+    "quality_calibrated",
+    "ngram_novelty_scores",
+    "forget_propagation",
+    "bpe_merge_candidates",
 ]
 
 

@@ -1,0 +1,137 @@
+"""Round-5 curation operators — planted-fixture tests for the paths the
+synthetic corpus doesn't exercise (it has no exact duplicates): the
+duplication histogram, deletion propagation across duplicates, per-source
+quality calibration, n-gram novelty, and BPE merge statistics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from admira_etl_project_prueba_spark.operators import textops
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "one two three four five six seven eight nine ten"
+    return docs(
+        spark,
+        [
+            (1, a, "en", "feed_x"),
+            (2, a, "en", "feed_y"),            # exact dup of 1, other source
+            (3, "  " + a.upper() + " ", "en", "feed_y"),  # normalized dup of 1
+            (4, b, "en", "feed_x"),
+            (5, b, "en", "feed_x"),            # exact dup of 4
+            (6, "unique words entirely here now", "en", "feed_y"),
+            (7, "zz", "en", None),             # < 3 tokens ⇒ shingle-less
+        ],
+    )
+
+
+def test_dup_cluster_profile_histogram(corpus):
+    rows = {
+        r["n_copies"]: r
+        for r in textops.dup_cluster_profile(corpus).collect()
+    }
+    # exact (non-normalized): {a: docs 1,2} size 2, {b: docs 4,5} size 2,
+    # docs 3, 6, 7 singletons
+    assert rows[2]["n_clusters"] == 2 and rows[2]["n_docs"] == 4
+    assert rows[1]["n_clusters"] == 3 and rows[1]["n_docs"] == 3
+    assert abs(rows[2]["pct_docs"] - 4 / 7) < 1e-12
+    assert sum(r["n_docs"] for r in rows.values()) == 7
+
+
+def test_dup_cluster_profile_normalized_merges_case_variants(corpus):
+    rows = {
+        r["n_copies"]: r
+        for r in textops.dup_cluster_profile(corpus, normalized=True).collect()
+    }
+    # normalized: doc 3 joins {1,2} ⇒ one size-3 cluster, one size-2, two singletons
+    assert rows[3]["n_clusters"] == 1
+    assert rows[2]["n_clusters"] == 1
+    assert rows[1]["n_clusters"] == 2
+
+
+def test_forget_propagation_reaches_duplicates(corpus):
+    out = {
+        r["doc_id"]: r["reason"]
+        for r in textops.forget_propagation(corpus, [1]).collect()
+    }
+    # normalized propagation: listed doc 1, plus exact dup 2 AND case-variant 3
+    assert out == {1: "listed", 2: "duplicate_of_listed", 3: "duplicate_of_listed"}
+
+
+def test_forget_propagation_exact_mode_skips_case_variant(corpus):
+    out = {
+        r["doc_id"]: r["reason"]
+        for r in textops.forget_propagation(corpus, [1], normalized=False).collect()
+    }
+    assert out == {1: "listed", 2: "duplicate_of_listed"}
+
+
+def test_forget_propagation_empty_list_raises(corpus):
+    with pytest.raises(ValueError):
+        textops.forget_propagation(corpus, [])
+
+
+def test_quality_calibrated_percentiles_are_source_relative(corpus):
+    rows = {r["doc_id"]: r for r in textops.quality_calibrated(corpus).collect()}
+    assert rows[7]["source"] == textops.UNKNOWN_SOURCE
+    # within each source the max-quality doc has pct 1.0 (unless alone)
+    for src in {"feed_x", "feed_y"}:
+        grp = [r for r in rows.values() if r["source"] == src]
+        top = max(grp, key=lambda r: (r["quality_raw"], r["doc_id"]))
+        assert top["q_pct_source"] == 1.0
+    # the single (unknown)-source doc: percent_rank over n=1 is 0
+    assert rows[7]["q_pct_source"] == 0.0
+    # global percentile is a valid rank: all docs in [0, 1], exactly one 0
+    pcts = sorted(r["q_pct_global"] for r in rows.values())
+    assert pcts[0] == 0.0 and pcts[-1] == 1.0
+
+
+def test_ngram_novelty_planted(corpus):
+    rows = {
+        r["doc_id"]: r for r in textops.ngram_novelty_scores(corpus).collect()
+    }
+    # docs 1/2/3 share ALL their shingles (same normalized text tokens
+    # differ for 3 — uppercase is lowered by the tokenizer, so 3 matches too)
+    assert rows[1]["novelty"] == 0.0 and rows[2]["novelty"] == 0.0
+    assert rows[3]["novelty"] == 0.0
+    # doc 6 is fully novel
+    assert rows[6]["novelty"] == 1.0
+    assert rows[6]["n_shared"] == 0
+    # doc 7 has < 3 tokens: no shingles, NULL novelty (not a fake 1.0)
+    assert rows[7]["n_shingles"] == 0 and rows[7]["novelty"] is None
+    # every document appears exactly once
+    assert sorted(rows) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_bpe_merge_candidates_counts_weighted_pairs(spark):
+    d = docs(
+        spark,
+        [
+            (1, "aaa ab", "en", "s"),
+            (2, "aaa", "en", "s"),
+            (3, "b", "en", "s"),  # length-1 token contributes no pair
+        ],
+    )
+    out = {r["pair"]: r["freq"] for r in textops.bpe_merge_candidates(d).collect()}
+    # 'aaa' occurs 2× and holds 2 'aa' pairs each ⇒ 4; 'ab' occurs once ⇒ 1
+    assert out == {"aa": 4, "ab": 1}
+
+
+def test_bpe_merge_candidates_top_n_and_determinism(corpus):
+    top = textops.bpe_merge_candidates(corpus, top_n=5)
+    rows = top.collect()
+    assert len(rows) == 5
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    # deterministic across runs (ordering ties broken by pair)
+    assert rows == textops.bpe_merge_candidates(corpus, top_n=5).collect()

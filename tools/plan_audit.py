@@ -55,6 +55,7 @@ NESTED_LOOP_ALLOWED = {
     "lm_cross_entropy_scores",  # 1-row reference-total broadcast into the dist
     "source_token_kl",          # 1-row corpus-total broadcast into the terms
     "lsh_recall_report",        # 1-row x 1-row scalar combine of two aggregates
+    "dup_cluster_profile",      # 1-row corpus-total broadcast into the histogram
 }
 
 
