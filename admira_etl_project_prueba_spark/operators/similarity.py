@@ -726,3 +726,93 @@ def negative_samples(
         )
         .select("vec_id", "j", "anchor_label", "neg_vec_id", "neg_label")
     )
+
+
+def knn_label_accuracy(
+    embeddings: DataFrame, n_centroids: int = 16, k: int = 5
+) -> DataFrame:
+    """Embedding-quality evaluation: leave-one-out k-NN label accuracy,
+    bounded by IVF clusters.  For every vector, take its k nearest
+    cluster-mates by cosine, majority-vote their labels (ties → larger
+    count first, then smaller label), and score the vote against the
+    vector's own label; report per-label (n_vecs, n_correct, accuracy).
+    The standard cheap probe of "do these embeddings separate the
+    classes?" before spending a training run on them.
+
+    Deterministic end to end: neighbor ranking ties break on vec_id,
+    vote ties on (count DESC, label ASC); vectors whose cluster holds no
+    other vector are excluded (no neighbors ⇒ no vote) rather than
+    scored against a fabricated default.
+
+    Scale shape: the same cluster-bounded candidate generation as
+    semantic_dedup_pairs — the equi-join on centroid_id caps candidates
+    at Σ|cluster|², never corpus²; per-vector norms are computed ONCE
+    before the join (the aggregate() fold is interpreted — inlining it
+    per pair measurably multiplies fold work); the top-k window
+    partitions by query vec_id over cluster-local rows only; the vote
+    and report are count shuffles of int pairs.  At 100 TB the
+    assignment comes from the persisted IVF index, so candidates are
+    co-partitioned pruned I/O.
+    """
+    a = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
+    t = (
+        _as_double(embeddings, "v")
+        .join(a, "vec_id")
+        .selectExpr("vec_id", "label", "centroid_id", "v", f"{_norm('v')} AS nrm")
+    )
+    q = t.selectExpr(
+        "vec_id", "label AS own_label", "centroid_id", "v AS vq", "nrm AS nq"
+    )
+    nb = t.selectExpr(
+        "vec_id AS nb_id", "label AS nb_label", "centroid_id", "v AS vn", "nrm AS nn"
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        q.join(nb, "centroid_id")
+        .filter(F.col("vec_id") != F.col("nb_id"))
+        .withColumn(
+            "cosine",
+            F.expr(
+                f"CASE WHEN nq > 0 AND nn > 0 THEN {_dot('vq', 'vn')} / (nq * nn) "
+                "ELSE 0.0 END"
+            ),
+        )
+        .select("vec_id", "own_label", "nb_id", "nb_label", "cosine")
+    )
+    topk = scored.withColumn(
+        "_r",
+        F.row_number().over(
+            W.partitionBy("vec_id").orderBy(F.desc("cosine"), "nb_id")
+        ),
+    ).filter(F.col("_r") <= k)
+    # majority vote as ONE hash aggregate per vector: max of
+    # (votes, -label) struct ⇒ most votes, smallest label on ties.
+    votes = topk.groupBy("vec_id", "own_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    winner = votes.groupBy("vec_id", "own_label").agg(
+        F.max(
+            F.struct(F.col("n_votes"), (-F.col("nb_label")).alias("neg_l"))
+        ).alias("m")
+    ).select(
+        "vec_id",
+        "own_label",
+        (-F.col("m.neg_l")).cast("int").alias("predicted_label"),
+    )
+    return (
+        winner.groupBy(F.col("own_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(
+                (F.col("predicted_label") == F.col("own_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .selectExpr(
+            "label",
+            "n_vecs",
+            "n_correct",
+            "CAST(n_correct AS DOUBLE) / n_vecs AS accuracy",
+        )
+        .orderBy("label")
+    )

@@ -3004,3 +3004,120 @@ def bpe_merge_candidates(documents: DataFrame, top_n: int = 50) -> DataFrame:
         .orderBy(F.desc("freq"), "pair")
         .limit(int(top_n))
     )
+
+
+def curriculum_stages(documents: DataFrame, n_stages: int = 4) -> DataFrame:
+    """Length-based curriculum assignment: every document gets a training
+    stage 1..n_stages by global token-count order (short/easy first —
+    the standard curriculum-learning schedule for LM pretraining data).
+    Returns (doc_id, source, n_tokens, stage), deterministic via the
+    (n_tokens, doc_id) tie-break.
+
+    Scale shape: one row-local scoring projection, then a single ntile
+    window.  The global window shuffles (n_tokens, doc_id) pairs only —
+    two ints per document, never text — and ntile needs one sort pass;
+    at 100 TB the same assignment is computed from a sampled quantile
+    grid (approx_quantile edges + a broadcast range join) if the exact
+    global sort is not worth it, trading exactness for zero global
+    order.  The exact form stays the oracle.
+    """
+    from pyspark.sql import Window as W
+
+    scored = documents.selectExpr(
+        "doc_id",
+        f"coalesce(source, '{UNKNOWN_SOURCE}') AS source",
+        f"size({TOKENS}) AS n_tokens",
+    )
+    w = W.partitionBy().orderBy("n_tokens", "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.ntile(int(n_stages)).over(w).alias("stage"),
+    )
+
+
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility profile: how many characters one
+    whitespace token spans in each language, plus corpus volume — the
+    pre-training question "will a tokenizer trained elsewhere fit this
+    language mix?" answered from counts alone (CJK-like scripts show low
+    chars-per-token under whitespace splitting; that skew is exactly
+    what this surfaces).  Returns one row per language: n_docs,
+    n_tokens, n_chars, chars_per_token, tokens_per_doc.
+
+    Scale shape: a row-local (lang, n_tokens, n_chars) projection then
+    ONE map-side-combined groupBy on language — the shuffle carries at
+    most |languages| × partitions rows of four ints.  Exact integer
+    sums; the two ratios are single IEEE divisions (bit-stable across
+    engines).
+    """
+    per_doc = documents.selectExpr(
+        "coalesce(lang, '(unknown)') AS lang",
+        f"size({TOKENS}) AS t",
+        "length(text) AS c",
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("n_chars"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token",
+            "CAST(n_tokens AS DOUBLE) / n_docs AS tokens_per_doc",
+        )
+        .orderBy("lang")
+    )
+
+
+def lang_source_mismatch(documents: DataFrame) -> DataFrame:
+    """Language/source contamination: documents whose declared language
+    differs from their source's dominant language — the crawl-hygiene
+    check that catches feed mislabeling and injected foreign content
+    before language-filtered training mixes are drawn.  Returns
+    (doc_id, source, lang, dominant_lang, dominant_share) for mismatched
+    docs only; ties on the dominant language break to the smaller lang.
+
+    Scale shape: per-(source, lang) counts are map-side combined into a
+    frame bounded by |sources| × |languages| (model-sized); the dominant
+    pick is one hash-agg argmax over that tiny frame; the verdict joins
+    back by broadcast — ONE corpus scan, no text shuffle, no window over
+    the corpus.
+    """
+    tagged = documents.selectExpr(
+        "doc_id",
+        f"coalesce(source, '{UNKNOWN_SOURCE}') AS source",
+        "coalesce(lang, '(unknown)') AS lang",
+    )
+    counts = tagged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # argmax with a smallest-STRING tie-break can't ride one max-struct
+    # (struct max would need a descending string field); two hash aggs
+    # over the tiny counts frame stay exact and add no corpus work.
+    top_n = counts.groupBy("source").agg(F.max("n").alias("n"))
+    dominant = (
+        counts.join(top_n, ["source", "n"])
+        .groupBy("source")
+        .agg(
+            F.min("lang").alias("dominant_lang"),
+            F.max("n").alias("n_dom"),
+        )
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("n_total"))
+    dom = dominant.join(totals, "source").selectExpr(
+        "source",
+        "dominant_lang",
+        "CAST(n_dom AS DOUBLE) / n_total AS dominant_share",
+    )
+    return (
+        tagged.join(F.broadcast(dom), "source")
+        .filter(F.col("lang") != F.col("dominant_lang"))
+        .select("doc_id", "source", "lang", "dominant_lang", "dominant_share")
+    )

@@ -5135,3 +5135,105 @@ FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""",
 )
 def _q_bpe_merges(spark, sf_dir):
     return _tx.bpe_merge_candidates(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+@_entry(
+    "curriculum_stages",
+    "Length-based curriculum assignment: global ntile over "
+    "(token count, doc_id) gives each document a training stage 1..4.  "
+    "The window shuffles two ints per doc, never text.",
+    f"""WITH s AS (SELECT doc_id, coalesce(source, '{_tx.UNKNOWN_SOURCE}') AS source,
+                   CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents)
+SELECT doc_id, source, n_tokens,
+       ntile(4) OVER (ORDER BY n_tokens, doc_id) AS stage
+FROM s""",
+)
+def _q_curriculum(spark, sf_dir):
+    return _tx.curriculum_stages(_t(spark, sf_dir, "documents"), n_stages=4)
+
+
+@_entry(
+    "tokenizer_fertility",
+    "Per-language tokenizer fertility profile: chars-per-token and "
+    "tokens-per-doc from exact integer sums — one map-side-combined "
+    "groupBy on language.",
+    f"""WITH p AS (SELECT coalesce(lang, '(unknown)') AS lang,
+                   len({_DUCK_TOKS}) AS t, length(text) AS c
+            FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS n_tokens,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       CAST(SUM(c) AS DOUBLE) / SUM(t) AS chars_per_token,
+       CAST(SUM(t) AS DOUBLE) / COUNT(*) AS tokens_per_doc
+FROM p GROUP BY lang ORDER BY lang""",
+)
+def _q_fertility(spark, sf_dir):
+    return _tx.tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "lang_source_mismatch",
+    "Language/source contamination: docs whose lang differs from their "
+    "source's dominant language (ties to the smaller lang).  Counts "
+    "frame is |sources|x|langs|; verdict joins back by broadcast — one "
+    "corpus scan, no text shuffle.",
+    f"""WITH tagged AS (SELECT doc_id, coalesce(source, '{_tx.UNKNOWN_SOURCE}') AS source,
+                        coalesce(lang, '(unknown)') AS lang FROM documents),
+c AS (SELECT source, lang, COUNT(*) AS n FROM tagged GROUP BY source, lang),
+top_n AS (SELECT source, MAX(n) AS n FROM c GROUP BY source),
+dom AS (SELECT c.source, MIN(c.lang) AS dominant_lang, MAX(c.n) AS n_dom
+        FROM c JOIN top_n USING (source, n) GROUP BY c.source),
+tot AS (SELECT source, SUM(n) AS n_total FROM c GROUP BY source),
+d AS (SELECT dom.source, dominant_lang,
+             CAST(n_dom AS DOUBLE) / n_total AS dominant_share
+      FROM dom JOIN tot USING (source))
+SELECT doc_id, tagged.source, lang, dominant_lang, dominant_share
+FROM tagged JOIN d USING (source)
+WHERE lang <> dominant_lang""",
+)
+def _q_lang_mismatch(spark, sf_dir):
+    return _tx.lang_source_mismatch(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "knn_label_accuracy",
+    "Embedding-quality eval: leave-one-out 5-NN label accuracy per "
+    "label, candidates bounded by IVF cluster (never corpus^2); "
+    "neighbor ties -> vec_id, vote ties -> count DESC then label ASC.",
+    f"""WITH {_DUCK_IVF_ASSIGN},
+tt AS (SELECT t.vec_id, t.label, a.centroid_id, t.v
+       FROM t JOIN assign a ON t.vec_id = a.vec_id),
+pairs AS (
+  SELECT q.vec_id, q.label AS own_label, n.vec_id AS nb_id,
+         n.label AS nb_label,
+         CASE WHEN {_duck_norm('q.v')} > 0 AND {_duck_norm('n.v')} > 0
+              THEN {_duck_dot('q.v', 'n.v')}
+                   / ({_duck_norm('q.v')} * {_duck_norm('n.v')})
+              ELSE 0.0 END AS cosine
+  FROM tt q JOIN tt n ON q.centroid_id = n.centroid_id
+  WHERE q.vec_id <> n.vec_id
+),
+topk AS (
+  SELECT vec_id, own_label, nb_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, nb_id) AS _r
+  FROM pairs QUALIFY _r <= 5
+),
+votes AS (SELECT vec_id, own_label, nb_label, COUNT(*) AS n_votes
+          FROM topk GROUP BY vec_id, own_label, nb_label),
+winner AS (
+  SELECT vec_id, own_label, nb_label AS predicted_label
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY n_votes DESC, nb_label) AS _w FROM votes)
+  WHERE _w = 1
+)
+SELECT own_label AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN predicted_label = own_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN predicted_label = own_label THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS accuracy
+FROM winner GROUP BY own_label ORDER BY label""",
+)
+def _q_knn_acc(spark, sf_dir):
+    return _sim.knn_label_accuracy(_t(spark, sf_dir, "embeddings"))

@@ -120,6 +120,10 @@ BENCH_QUERIES = [
     "ngram_novelty_scores",
     "forget_propagation",
     "bpe_merge_candidates",
+    "curriculum_stages",
+    "tokenizer_fertility",
+    "lang_source_mismatch",
+    "knn_label_accuracy",
 ]
 
 

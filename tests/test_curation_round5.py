@@ -135,3 +135,98 @@ def test_bpe_merge_candidates_top_n_and_determinism(corpus):
     assert freqs == sorted(freqs, reverse=True)
     # deterministic across runs (ordering ties broken by pair)
     assert rows == textops.bpe_merge_candidates(corpus, top_n=5).collect()
+
+
+def test_curriculum_stages_orders_by_length(corpus):
+    rows = {r["doc_id"]: r for r in textops.curriculum_stages(corpus).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5, 6, 7]
+    # shortest doc (7: 'zz') is stage 1; longest (4/5: 10 tokens) stage 4
+    assert rows[7]["stage"] == 1
+    assert rows[5]["stage"] == 4
+    # stages are monotone in (n_tokens, doc_id) order
+    ordered = sorted(rows.values(), key=lambda r: (r["n_tokens"], r["doc_id"]))
+    stages = [r["stage"] for r in ordered]
+    assert stages == sorted(stages)
+    # bucket sizes differ by at most one
+    from collections import Counter
+    sizes = Counter(stages)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_tokenizer_fertility_exact_counts(spark):
+    d = docs(
+        spark,
+        [
+            (1, "aa bb", "en", "s"),      # 2 tokens, 5 chars
+            (2, "ccc", "en", "s"),        # 1 token, 3 chars
+            (3, "dddd", "fr", "s"),       # 1 token, 4 chars
+            (4, "e f", None, "s"),        # lang NULL -> (unknown)
+        ],
+    )
+    rows = {r["lang"]: r for r in textops.tokenizer_fertility(d).collect()}
+    en = rows["en"]
+    assert (en["n_docs"], en["n_tokens"], en["n_chars"]) == (2, 3, 8)
+    assert en["chars_per_token"] == 8 / 3
+    assert rows["fr"]["tokens_per_doc"] == 1.0
+    assert rows["(unknown)"]["n_tokens"] == 2
+
+
+def test_lang_source_mismatch_flags_minority_lang(spark):
+    d = docs(
+        spark,
+        [
+            (1, "x", "en", "a"),
+            (2, "x", "en", "a"),
+            (3, "x", "fr", "a"),   # minority in a -> flagged
+            (4, "x", "fr", "b"),
+            (5, "x", "en", "b"),   # 1-1 tie in b: dominant = min lang 'en'
+        ],
+    )
+    out = {r["doc_id"]: r for r in textops.lang_source_mismatch(d).collect()}
+    assert set(out) == {3, 4}
+    assert out[3]["dominant_lang"] == "en"
+    assert abs(out[3]["dominant_share"] - 2 / 3) < 1e-12
+    # tie in source b resolves to the smaller lang -> fr doc flagged
+    assert out[4]["dominant_lang"] == "en"
+    assert out[4]["dominant_share"] == 0.5
+
+
+def test_knn_label_accuracy_separable_clusters(spark):
+    from admira_etl_project_prueba_spark.operators import similarity
+
+    # two tight, well-separated label groups in 4-d; centroids are the
+    # first 2 vectors (one per group) so IVF splits them cleanly
+    rows = []
+    for i in range(6):
+        rows.append((i * 2, [10.0 + i * 0.01, 0.0, 0.0, 1.0], 0))
+        rows.append((i * 2 + 1, [0.0, 10.0 + i * 0.01, 0.0, 1.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["label"]: r
+        for r in similarity.knn_label_accuracy(emb, n_centroids=2, k=3).collect()
+    }
+    assert set(out) == {0, 1}
+    for lbl in (0, 1):
+        assert out[lbl]["n_vecs"] == 6
+        assert out[lbl]["n_correct"] == 6
+        assert out[lbl]["accuracy"] == 1.0
+
+
+def test_knn_label_accuracy_excludes_neighborless_vectors(spark):
+    from admira_etl_project_prueba_spark.operators import similarity
+
+    # centroid universe = first 2 vectors; vec 2 sits alone in cluster 1
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.0, 1.0], 1),
+            (2, [0.0, 0.9], 1),
+            (3, [0.9, 0.1], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.knn_label_accuracy(emb, n_centroids=2, k=3)
+    total = sum(r["n_vecs"] for r in out.collect())
+    assert total == 4  # every vector has >= 1 cluster-mate here

@@ -56,6 +56,7 @@ NESTED_LOOP_ALLOWED = {
     "source_token_kl",          # 1-row corpus-total broadcast into the terms
     "lsh_recall_report",        # 1-row x 1-row scalar combine of two aggregates
     "dup_cluster_profile",      # 1-row corpus-total broadcast into the histogram
+    "knn_label_accuracy",       # embeds ivf_assign's n_centroids-row argmax
 }
 
 
