@@ -249,3 +249,146 @@ def bloom_maybe_contains(
         .drop("_rid")
     )
     return probed
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-grid histogram → quantile estimates.  The third leg of the
+# sketch-store triad (HLL = distinct counts, CMS = frequencies, this =
+# quantiles): a bounded-domain equi-width histogram is an EXACT, integer-
+# additive sufficient statistic, so unlike t-digest/KLL it merges bit-
+# identically on any engine and any split of the data — the property every
+# other store in this repo is built around — while bounding quantile error
+# by one bin width.
+# ---------------------------------------------------------------------------
+
+def value_histogram(
+    events: DataFrame,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-event-type fixed-grid histogram counts — the mergeable
+    sufficient statistic behind :func:`histogram_quantiles`.  Values
+    clamp into [lo, hi): bin = clamp(floor((v - lo)/width), 0, n_bins-1).
+
+    Scale shape: bin id is row-local arithmetic, the groupBy is map-side
+    combined, and the shuffled frame is at most |types| × n_bins rows of
+    three ints — cardinality-independent, like the HLL register frame.
+    """
+    width = (hi - lo) / n_bins
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(n_bins - 1),
+        ),
+    )
+    return (
+        events.select("event_type", b.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from a fixed-grid histogram: for each event
+    type and q, rank = ceil(q·total) and the estimate interpolates
+    linearly inside the first bin whose cumulative count reaches the
+    rank — deterministic to the bit (integer ranks, one IEEE divide and
+    fused edge arithmetic), error bounded by one bin width on [lo, hi].
+
+    Scale shape: everything after the histogram runs on the
+    |types| × n_bins frame — the cumulative window partitions by type
+    over ≤ n_bins rows, the q fan-out is a literal explode, and the
+    rank pick is an equi-filter.  The corpus is never touched.
+    """
+    width = (hi - lo) / n_bins
+    from pyspark.sql import Window as W
+
+    cum = hist.withColumn(
+        "cum",
+        F.sum("n").over(
+            W.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    totals = hist.groupBy("event_type").agg(F.sum("n").alias("total"))
+    ranks = totals.select(
+        "event_type",
+        "total",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn(
+        "rank",
+        F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("total"))).cast("long"),
+    )
+    picked = ranks.join(cum, "event_type").filter(
+        (F.col("cum") >= F.col("rank")) & (F.col("cum") - F.col("n") < F.col("rank"))
+    )
+    return picked.selectExpr(
+        "event_type",
+        "q",
+        "total",
+        "rank",
+        "bin",
+        f"{lo!r} + {width!r} * (bin + CAST(rank - (cum - n) AS DOUBLE) / n)"
+        " AS estimate",
+    ).orderBy("event_type", "q")
+
+
+def write_histogram_store(
+    events: DataFrame,
+    path: str,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 256,
+) -> None:
+    """Persist the histogram sufficient statistic (one small file — the
+    frame is ≤ |types| × n_bins rows regardless of corpus size)."""
+    value_histogram(events, lo, hi, n_bins).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def merge_histogram_store(
+    spark,
+    path: str,
+    new_batch: DataFrame,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 256,
+) -> None:
+    """Fold a new event batch into the persisted histogram — incremental
+    quantile maintenance without re-reading history: the batch reduces
+    map-side to ≤ |types| × n_bins increments, merges by integer
+    addition (bit-identical to a from-scratch rebuild over the union),
+    and the result is localCheckpointed before the overwrite because the
+    store is input AND output of the fold (the same read-before-
+    overwrite discipline as merge_lm_counts)."""
+    old = spark.read.parquet(path)
+    delta = value_histogram(new_batch, lo, hi, n_bins)
+    merged = (
+        old.unionByName(delta)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    merged.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def quantiles_from_store(
+    spark,
+    path: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates straight off the persisted histogram — the
+    read side never touches the event corpus."""
+    return histogram_quantiles(spark.read.parquet(path), qs, lo, hi, n_bins)

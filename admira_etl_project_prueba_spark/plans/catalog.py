@@ -5237,3 +5237,38 @@ FROM winner GROUP BY own_label ORDER BY label""",
 )
 def _q_knn_acc(spark, sf_dir):
     return _sim.knn_label_accuracy(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "events_quantiles_histogram",
+    "Quantile estimates from a mergeable fixed-grid histogram (256 bins "
+    "on [0, 512)): rank = ceil(q*total), linear interpolation inside the "
+    "rank's bin — bit-deterministic (integer ranks, one IEEE divide), "
+    "error bounded by one bin width.  Everything after the map-side-"
+    "combined histogram runs on a |types|x256 frame.",
+    """WITH h AS (
+  SELECT event_type,
+         greatest(0, least(CAST(floor((value - 0.0) / 2.0) AS BIGINT), 255)) AS bin,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+c AS (SELECT event_type, bin, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h),
+t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM h GROUP BY 1),
+r AS (SELECT event_type, total, q,
+             greatest(CAST(1 AS BIGINT), CAST(ceil(q * total) AS BIGINT)) AS rank
+      FROM t, (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q))
+SELECT r.event_type, q, total, rank, bin,
+       0.0 + 2.0 * (bin + CAST(rank - (cum - n) AS DOUBLE) / n) AS estimate
+FROM r JOIN c ON r.event_type = c.event_type
+WHERE cum >= rank AND cum - n < rank
+ORDER BY r.event_type, q""",
+)
+def _q_quantiles_hist(spark, sf_dir):
+    from admira_etl_project_prueba_spark.operators import sketches as _sk
+
+    ev = load_events(spark, sf_dir)
+    return _sk.histogram_quantiles(
+        _sk.value_histogram(ev, 0.0, 512.0, 256), (0.5, 0.9, 0.99), 0.0, 512.0, 256
+    )

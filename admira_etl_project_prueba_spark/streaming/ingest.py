@@ -1048,3 +1048,55 @@ def stream_click_join(
         "imp_ts",
         "click_ts",
     )
+
+
+def stream_value_histogram(
+    event_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 256,
+):
+    """Streaming quantile maintenance: fold each micro-batch's fixed-grid
+    value histogram into a batch-keyed delta partition — the same
+    exactly-once-w.r.t.-batch-ids contract as the idempotent CMS store
+    (a replayed micro-batch overwrites its OWN partition instead of
+    double-counting; deltas merge by integer addition at read time).
+    Quantiles derive on demand via :func:`read_histogram_store` +
+    ``sketches.histogram_quantiles`` — the monitor never re-reads the
+    event corpus, and the store is ≤ |types| × n_bins rows per batch.
+    """
+    from admira_etl_project_prueba_spark.operators.sketches import (
+        value_histogram,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = value_histogram(batch_df, lo, hi, n_bins).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        (
+            delta.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store_path)
+        )
+
+    return (
+        event_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_histogram_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Materialize the current histogram from a batch-partitioned store:
+    additive fold over all batch deltas (linearity of counts)."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "lang_source_mismatch",
     "knn_label_accuracy",
+    "events_quantiles_histogram",
 ]
 
 
