@@ -392,3 +392,86 @@ def quantiles_from_store(
     """Quantile estimates straight off the persisted histogram — the
     read side never touches the event corpus."""
     return histogram_quantiles(spark.read.parquet(path), qs, lo, hi, n_bins)
+
+
+def value_psi(
+    ref_events: DataFrame,
+    cur_events: DataFrame,
+    lo: float = 0.0,
+    hi: float = 512.0,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Population stability index per event type between a reference and
+    a current event window — the standard go/no-go drift gate for scoring
+    and ingest monitors (rule of thumb: < 0.1 stable, > 0.25 investigate).
+
+        psi = Σ_b (p̂_b − q̂_b) · ln(p̂_b / q̂_b)
+
+    over the FULL n_bins fixed grid with add-one smoothing
+    (p̂ = (c_ref+1)/(tot_ref+B)), so empty buckets are well-defined on
+    both sides.  Exactness seam (the source_token_kl convention): the
+    ln difference is computed once per (type, bin) on the
+    post-aggregation frame and rounded to the decimal(25,6) grid; the
+    weight (p̂−q̂) is cleared of its denominators so the sum is exact
+    INTEGER×decimal — psi_num = Σ N_b·lr with
+    N_b = (c_r+1)(tot_c+B) − (c_c+1)(tot_r+B), divided once by the
+    constant (tot_r+B)(tot_c+B).  Hash-identical on any engine and any
+    partitioning.
+
+    Scale shape: two map-side-combined histograms reduce each corpus to
+    ≤ |types| × n_bins rows; the full-grid enumeration, joins and the
+    exact sum all run on that model-sized frame; totals broadcast.
+
+    Returns (event_type, n_ref, n_cur, psi), present types from either
+    side, ordered by type.
+    """
+    hr = value_histogram(ref_events, lo, hi, n_bins).withColumnRenamed("n", "c_r")
+    hc = value_histogram(cur_events, lo, hi, n_bins).withColumnRenamed("n", "c_c")
+    types = (
+        hr.select("event_type").union(hc.select("event_type")).distinct()
+    )
+    grid = types.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    )
+    tot_r = hr.groupBy("event_type").agg(F.sum("c_r").alias("tot_r"))
+    tot_c = hc.groupBy("event_type").agg(F.sum("c_c").alias("tot_c"))
+    cells = (
+        grid.join(hr, ["event_type", "bin"], "left")
+        .join(hc, ["event_type", "bin"], "left")
+        .join(F.broadcast(tot_r), "event_type", "left")
+        .join(F.broadcast(tot_c), "event_type", "left")
+        .selectExpr(
+            "event_type",
+            "coalesce(c_r, CAST(0 AS BIGINT)) AS c_r",
+            "coalesce(c_c, CAST(0 AS BIGINT)) AS c_c",
+            "coalesce(tot_r, CAST(0 AS BIGINT)) AS tot_r",
+            "coalesce(tot_c, CAST(0 AS BIGINT)) AS tot_c",
+        )
+    )
+    b = int(n_bins)
+    terms = cells.selectExpr(
+        "event_type",
+        "tot_r",
+        "tot_c",
+        f"(c_r + 1) * (tot_c + {b}) - (c_c + 1) * (tot_r + {b}) AS n_b",
+        f"CAST(round(ln((c_r + 1) / CAST(tot_r + {b} AS DOUBLE))"
+        f" - ln((c_c + 1) / CAST(tot_c + {b} AS DOUBLE)), 6)"
+        " AS DECIMAL(25,6)) AS lr",
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.sum(F.col("n_b") * F.col("lr")).alias("num"),
+            F.max("tot_r").cast("long").alias("n_ref"),
+            F.max("tot_c").cast("long").alias("n_cur"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            f"CAST(num AS DOUBLE) / (CAST(n_ref + {b} AS DOUBLE)"
+            f" * CAST(n_cur + {b} AS DOUBLE)) AS psi",
+        )
+        .orderBy("event_type")
+    )

@@ -5272,3 +5272,57 @@ def _q_quantiles_hist(spark, sf_dir):
     return _sk.histogram_quantiles(
         _sk.value_histogram(ev, 0.0, 512.0, 256), (0.5, 0.9, 0.99), 0.0, 512.0, 256
     )
+
+
+@_entry(
+    "events_value_psi",
+    "Population stability index per event type between the even- and "
+    "odd-id halves of the stream — full 16-bin grid, add-one smoothing, "
+    "the grid-rounded-ln + integer*decimal exact-sum seam (psi_num = "
+    "sum N_b*lr with denominators cleared; one double divide at the "
+    "end).  Everything after the two histograms is model-sized.",
+    """WITH hr AS (
+  SELECT event_type,
+         greatest(0, least(CAST(floor((value - 0.0) / 32.0) AS BIGINT), 15)) AS bin,
+         COUNT(*) AS c_r
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+hc AS (
+  SELECT event_type,
+         greatest(0, least(CAST(floor((value - 0.0) / 32.0) AS BIGINT), 15)) AS bin,
+         COUNT(*) AS c_c
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type FROM (SELECT event_type FROM hr
+          UNION ALL SELECT event_type FROM hc)),
+grid AS (SELECT event_type, CAST(unnest(range(0, 16)) AS BIGINT) AS bin FROM types),
+tr AS (SELECT event_type, SUM(c_r) AS tot_r FROM hr GROUP BY 1),
+tc AS (SELECT event_type, SUM(c_c) AS tot_c FROM hc GROUP BY 1),
+cells AS (
+  SELECT g.event_type, g.bin,
+         coalesce(hr.c_r, 0) AS c_r, coalesce(hc.c_c, 0) AS c_c,
+         coalesce(tr.tot_r, 0) AS tot_r, coalesce(tc.tot_c, 0) AS tot_c
+  FROM grid g
+  LEFT JOIN hr ON g.event_type = hr.event_type AND g.bin = hr.bin
+  LEFT JOIN hc ON g.event_type = hc.event_type AND g.bin = hc.bin
+  LEFT JOIN tr ON g.event_type = tr.event_type
+  LEFT JOIN tc ON g.event_type = tc.event_type),
+terms AS (
+  SELECT event_type, tot_r, tot_c,
+         (c_r + 1) * (tot_c + 16) - (c_c + 1) * (tot_r + 16) AS n_b,
+         CAST(round(ln((c_r + 1) / CAST(tot_r + 16 AS DOUBLE))
+               - ln((c_c + 1) / CAST(tot_c + 16 AS DOUBLE)), 6)
+              AS DECIMAL(25,6)) AS lr
+  FROM cells)
+SELECT event_type,
+       CAST(MAX(tot_r) AS BIGINT) AS n_ref,
+       CAST(MAX(tot_c) AS BIGINT) AS n_cur,
+       CAST(SUM(n_b * lr) AS DOUBLE)
+         / (CAST(MAX(tot_r) + 16 AS DOUBLE) * CAST(MAX(tot_c) + 16 AS DOUBLE)) AS psi
+FROM terms GROUP BY event_type ORDER BY event_type""",
+)
+def _q_value_psi(spark, sf_dir):
+    from admira_etl_project_prueba_spark.operators import sketches as _sk
+
+    ev = load_events(spark, sf_dir)
+    return _sk.value_psi(
+        ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+    )

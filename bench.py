@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "lang_source_mismatch",
     "knn_label_accuracy",
     "events_quantiles_histogram",
+    "events_value_psi",
 ]
 
 

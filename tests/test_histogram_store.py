@@ -117,3 +117,39 @@ def test_stream_value_histogram_replay_safe(spark, tmp_path):
         for r in read_histogram_store(spark, str(tmp_path / "store")).collect()
     }
     assert second == batch
+
+
+def test_psi_zero_on_identical_windows(spark):
+    d = _ev(spark, [("t", float(v)) for v in range(0, 500, 7)])
+    out = sk.value_psi(d, d).collect()
+    assert len(out) == 1
+    # identical counts clear the integer weight exactly: psi == 0.0, not ~0
+    assert out[0]["psi"] == 0.0
+    assert out[0]["n_ref"] == out[0]["n_cur"]
+
+
+def test_psi_flags_planted_shift(spark):
+    ref = _ev(spark, [("t", float(v % 50)) for v in range(400)])
+    same = _ev(spark, [("t", float((v * 13) % 50)) for v in range(400)])
+    shifted = _ev(spark, [("t", 300.0 + float(v % 50)) for v in range(400)])
+    psi_same = sk.value_psi(ref, same).collect()[0]["psi"]
+    psi_shift = sk.value_psi(ref, shifted).collect()[0]["psi"]
+    # same support => stable; disjoint support => far past the 0.25 alarm
+    assert abs(psi_same) < 0.1
+    assert psi_shift > 0.25
+    # each side reports types the other lacks, smoothed, not dropped
+    extra = _ev(spark, [("only_cur", 1.0)] * 10)
+    rows = {r["event_type"]: r for r in sk.value_psi(ref, extra).collect()}
+    assert set(rows) == {"t", "only_cur"}
+    assert rows["only_cur"]["n_ref"] == 0 and rows["only_cur"]["n_cur"] == 10
+
+
+def test_psi_is_partitioning_invariant(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    a, b = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+    base = {r["event_type"]: r["psi"] for r in sk.value_psi(a, b).collect()}
+    rep = {
+        r["event_type"]: r["psi"]
+        for r in sk.value_psi(a.repartition(17), b.repartition(3)).collect()
+    }
+    assert base == rep  # exact-sum seam: bit-equal under any partitioning
