@@ -433,3 +433,61 @@ class CorpusService:
         out["threshold"] = threshold
         out["request_id"] = new_request_id(request_id)
         return out
+
+    # -- GET /corpus/dup_profile ----------------------------------------------
+    def dup_profile(
+        self, normalized: bool = False, request_id: str | None = None
+    ) -> dict:
+        """Duplication histogram of the corpus: for each duplicate-cluster
+        size, the cluster/document counts and corpus fraction, plus the
+        headline dup_share (fraction of docs that are removable copies) —
+        the one-page 'is a dedup pass worth it?' answer."""
+        rows = [
+            r.asDict()
+            for r in textops.dup_cluster_profile(
+                self.documents, normalized=normalized
+            ).collect()
+        ]
+        n_docs = sum(r["n_docs"] for r in rows)
+        n_clusters = sum(r["n_clusters"] for r in rows)
+        return {
+            "data": rows,
+            "n_docs": n_docs,
+            "dup_share": (n_docs - n_clusters) / n_docs if n_docs else 0.0,
+            "normalized": normalized,
+            "request_id": new_request_id(request_id),
+        }
+
+    # -- GET /corpus/fertility --------------------------------------------------
+    def fertility_report(self, request_id: str | None = None) -> dict:
+        """Per-language tokenizer fertility profile (chars/token,
+        tokens/doc) — 'will a tokenizer trained elsewhere fit this
+        language mix?' from counts alone."""
+        rows = textops.tokenizer_fertility(self.documents)
+        return {
+            "data": [r.asDict() for r in rows.collect()],
+            "request_id": new_request_id(request_id),
+        }
+
+    # -- GET /corpus/lang_mismatch ----------------------------------------------
+    def lang_mismatch_report(
+        self, limit: int = 100, request_id: str | None = None
+    ) -> dict:
+        """Language/source contamination: docs whose declared language
+        differs from their source's dominant language, worst sources
+        first (by per-source mismatch count), clamped to ``limit`` rows
+        like the reference's pagination."""
+        if limit is None or limit <= 0:
+            limit = 100  # silent clamp, reference convention
+        mm = textops.lang_source_mismatch(self.documents)
+        per_source = (
+            mm.groupBy("source", "dominant_lang")
+            .agg(F.count(F.lit(1)).alias("n_mismatched"))
+            .orderBy(F.col("n_mismatched").desc(), F.col("source").asc())
+        )
+        total = mm.count()
+        return {
+            "data": [r.asDict() for r in per_source.limit(limit).collect()],
+            "n_mismatched_docs": total,
+            "request_id": new_request_id(request_id),
+        }

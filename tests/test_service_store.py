@@ -726,3 +726,52 @@ def test_corpus_search_phrase_mode(corpus_svc):
     assert counts == sorted(counts, reverse=True)
     hostile = corpus_svc.search(q="x') OR ('1'='1", mode="phrase")
     assert hostile["data"] == []
+
+
+def test_corpus_dup_profile_envelope(corpus_svc):
+    """GET /corpus/dup_profile: histogram rows + headline dup_share; the
+    synthetic corpus has no exact dups, so every cluster is a singleton."""
+    out = corpus_svc.dup_profile()
+    assert out["n_docs"] == sum(r["n_docs"] for r in out["data"])
+    assert out["dup_share"] == 0.0
+    assert out["data"][0]["n_copies"] == 1
+    assert out["normalized"] is False and out["request_id"]
+
+
+def test_corpus_dup_profile_counts_planted_dups(spark):
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+
+    docs = spark.createDataFrame(
+        [(1, "same text", "en", "a"), (2, "same text", "en", "b"),
+         (3, "other", "en", "a")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = CorpusService(spark, documents=docs).dup_profile()
+    assert out["n_docs"] == 3
+    assert abs(out["dup_share"] - 1 / 3) < 1e-12  # one removable copy of three
+
+
+def test_corpus_fertility_report(corpus_svc):
+    out = corpus_svc.fertility_report()
+    assert out["request_id"]
+    by_lang = {r["lang"]: r for r in out["data"]}
+    for r in by_lang.values():
+        assert r["n_tokens"] > 0 and r["chars_per_token"] > 0
+
+
+def test_corpus_lang_mismatch_clamps_and_ranks(spark):
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en" if i % 5 else "fr", "a") for i in range(1, 21)]
+        + [(100, "x", "de", "b"), (101, "x", "de", "b")],
+        "doc_id long, text string, lang string, source string",
+    )
+    svc = CorpusService(spark, documents=docs)
+    out = svc.lang_mismatch_report()
+    # source a: dominant en, the 4 fr docs mismatch; source b: uniform de
+    assert out["n_mismatched_docs"] == 4
+    assert out["data"][0]["source"] == "a"
+    assert out["data"][0]["dominant_lang"] == "en"
+    # limit <= 0 silently clamps to the default instead of erroring
+    assert svc.lang_mismatch_report(limit=0)["data"] == out["data"]
