@@ -752,7 +752,10 @@ def knn_label_accuracy(
     partitions by query vec_id over cluster-local rows only; the vote
     and report are count shuffles of int pairs.  At 100 TB the
     assignment comes from the persisted IVF index, so candidates are
-    co-partitioned pruned I/O.
+    co-partitioned pruned I/O.  Provisioning rule (measured, SCALE.md):
+    n_centroids must TRACK the corpus — at 10× vectors a fixed centroid
+    count grew candidate pairs 101.5× (quadratic hazard) while scaling
+    the list count held them to 10.4× (linear).
     """
     a = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
     t = (

@@ -230,3 +230,38 @@ def test_knn_label_accuracy_excludes_neighborless_vectors(spark):
     out = similarity.knn_label_accuracy(emb, n_centroids=2, k=3)
     total = sum(r["n_vecs"] for r in out.collect())
     assert total == 4  # every vector has >= 1 cluster-mate here
+
+
+def test_round5_ops_are_partitioning_invariant(corpus, spark):
+    """Deterministic tie-breaks make every round-5 op bit-stable under any
+    physical layout — the property the oracle gate implicitly relies on."""
+    from admira_etl_project_prueba_spark.operators import similarity
+
+    for fn in (
+        textops.curriculum_stages,
+        textops.quality_calibrated,
+        textops.ngram_novelty_scores,
+        textops.tokenizer_fertility,
+        textops.lang_source_mismatch,
+        textops.dup_cluster_profile,
+    ):
+        base = sorted(map(tuple, fn(corpus).collect()))
+        rep = sorted(map(tuple, fn(corpus.repartition(7)).collect()))
+        assert base == rep, fn.__name__
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 7) % 5), 1.0], i % 3) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    base = sorted(
+        map(tuple, similarity.knn_label_accuracy(emb, n_centroids=4).collect())
+    )
+    rep = sorted(
+        map(
+            tuple,
+            similarity.knn_label_accuracy(
+                emb.repartition(11), n_centroids=4
+            ).collect(),
+        )
+    )
+    assert base == rep

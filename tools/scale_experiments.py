@@ -505,6 +505,127 @@ def _growth_law_experiment(spark) -> dict:
     return out
 
 
+
+
+def _growth_law_r5_experiment(spark) -> dict:
+    """10x growth rehearsal for the round-5 heavyweights.
+
+    * label_propagation (3 rounds) on a constant-degree graph: one
+      map-side-reduced (node, neighbor-label) shuffle per round -> TH(m)
+      per round, linear in edges.
+    * knn_label_accuracy: the candidate volume is SUM |cluster|^2.  With
+      a FIXED centroid count a 10x corpus means 10x-larger clusters and
+      ~100x pairs (the hazard); growing centroids WITH the corpus caps
+      cluster capacity and keeps pair volume ~linear (the documented
+      operating rule: n_centroids tracks corpus size, exactly how a real
+      IVF index is provisioned).  Both arms are measured.
+    * source_overlap_matrix: grouped pair expansion bounded by dup-
+      cluster size -> linear at constant cluster size (brute force over
+      source pairs would be corpus^2).
+    """
+    from admira_etl_project_prueba_spark.operators import graph as g
+    from admira_etl_project_prueba_spark.operators import similarity as sim
+    from admira_etl_project_prueba_spark.operators import textops as tx
+
+    def const_degree_edges(n_nodes, m):
+        return spark.sql(
+            f"""SELECT CAST(id % {n_nodes} AS BIGINT) AS u,
+                   CAST((id * 2654435761) % {n_nodes} AS BIGINT) AS v
+            FROM range({m})"""
+        ).filter("u <> v")
+
+    def spiky_embeddings(n):
+        # 16-dim vectors with a +3 spike at dim (id % 10): ten natural
+        # cosine clusters, labels follow the spike
+        return spark.sql(
+            f"""SELECT id AS vec_id, CAST(id % 10 AS INT) AS label,
+                   transform(sequence(0, 15),
+                     j -> CAST(sin(id * 0.37 + j) AS FLOAT)
+                          + CAST(CASE WHEN j = id % 10 THEN 3.0
+                                 ELSE 0.0 END AS FLOAT)) AS embedding
+            FROM range({n})"""
+        )
+
+    def dup_corpus(n):
+        # constant cluster size 4: every 4 ids share one normalized text,
+        # sources rotate so overlap pairs spread across the matrix
+        return spark.sql(
+            f"""SELECT id AS doc_id,
+                   concat('shared text block ',
+                          CAST(CAST(id / 4 AS BIGINT) AS STRING)) AS text,
+                   concat('src_', CAST(id % 8 AS STRING)) AS source
+            FROM range({n})"""
+        )
+
+    def measure(mk, sizes, extra_counter=None):
+        res = {}
+        for label, n in zip(("1x", "10x"), sizes):
+            res[label] = run_measured(spark, lambda n=n: mk(n))
+            res[label]["output_rows"] = mk(n).count()
+            if extra_counter is not None:
+                res[label]["candidate_pairs"] = extra_counter(n)
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+        res["records_ratio"] = round(
+            res["10x"]["shuffle_records"] / max(res["1x"]["shuffle_records"], 1), 1
+        )
+        if extra_counter is not None:
+            res["pairs_ratio"] = round(
+                res["10x"]["candidate_pairs"] / max(res["1x"]["candidate_pairs"], 1),
+                1,
+            )
+        return res
+
+    def knn_pairs(n, k):
+        a = sim.ivf_assign(spiky_embeddings(n), n_centroids=k)
+        sizes = a.groupBy("centroid_id").count().selectExpr(
+            "CAST(sum(count * (count - 1)) AS BIGINT) AS p"
+        )
+        return sizes.collect()[0]["p"]
+
+    out = {}
+    out["label_propagation_3iter"] = dict(
+        edges_1x=80_000,
+        theoretical="linear: one (node, label) shuffle per round",
+        **measure(
+            lambda n: g.label_propagation(const_degree_edges(n, 8 * n), iters=3),
+            (10_000, 100_000),
+        ),
+    )
+    out["knn_fixed_centroids"] = dict(
+        vecs_1x=2_000,
+        n_centroids="32 at BOTH sizes",
+        theoretical="quadratic pair volume (~100x) - the hazard arm",
+        **measure(
+            lambda n: sim.knn_label_accuracy(spiky_embeddings(n), n_centroids=32),
+            (2_000, 20_000),
+            extra_counter=lambda n: knn_pairs(n, 32),
+        ),
+    )
+    def knn_scaled(n):
+        k = max(32, n // 64)  # centroid count tracks corpus size
+        return sim.knn_label_accuracy(spiky_embeddings(n), n_centroids=k)
+    out["knn_scaled_centroids"] = dict(
+        vecs_1x=2_000,
+        n_centroids="n/64 (32 -> 312)",
+        theoretical="linear pair volume - the provisioning rule",
+        **measure(
+            knn_scaled,
+            (2_000, 20_000),
+            extra_counter=lambda n: knn_pairs(n, max(32, n // 64)),
+        ),
+    )
+    out["source_overlap_matrix"] = dict(
+        docs_1x=20_000,
+        theoretical="linear at constant dup-cluster size",
+        **measure(
+            lambda n: tx.source_overlap_matrix(dup_corpus(n)),
+            (20_000, 200_000),
+        ),
+    )
+    return out
+
+
 def _row_group_experiment(spark) -> dict:
     """Multi-row-group scan fan-out (VERDICT r3 item 7).
 
@@ -752,7 +873,13 @@ def main():
 if __name__ == "__main__":
     import sys as _sys
 
-    if len(_sys.argv) > 1 and _sys.argv[1] == "growth":
+    if len(_sys.argv) > 1 and _sys.argv[1] == "growth5":
+        print(
+            json.dumps(
+                {"growth_laws_10x_r5": _growth_law_r5_experiment(fresh_session())}
+            )
+        )
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "growth":
         # re-run just the 10x growth-law rehearsal (minutes, not the
         # full suite) — used when a new operator joins the table
         print(
