@@ -3121,3 +3121,147 @@ def lang_source_mismatch(documents: DataFrame) -> DataFrame:
         .filter(F.col("lang") != F.col("dominant_lang"))
         .select("doc_id", "source", "lang", "dominant_lang", "dominant_share")
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    train_pct: int = 80,
+    salt: str = "v1",
+) -> DataFrame:
+    """Near-dup-aware train/test split: assignment hashes the duplicate
+    CLUSTER id (connected component over near-dup pairs), not the doc id,
+    so a document and its near-duplicates always land in the SAME split —
+    the contamination mode a plain per-doc split cannot prevent (train/
+    test leakage through paraphrase-level copies is the classic eval
+    inflation bug).  Returns (doc_id, component, split), deterministic
+    and stable as the corpus grows, like :func:`train_test_split`.
+
+    Scale shape: the component pass is the O(log² n) star clustering
+    over banded LSH pairs (hash-only shuffles); the split itself is
+    row-local hash arithmetic on the component id — no extra shuffle
+    beyond the clustering the dedup pipeline already runs.
+    """
+    from admira_etl_project_prueba_spark.operators.graph import dedup_clusters
+
+    if pairs is None:
+        pairs = lsh_candidate_pairs(documents)
+    cc = dedup_clusters(documents, pairs)
+    keyed = f"concat(component, '_', '{salt}')"
+    bucket = f"{hex60(keyed)} % 100"
+    return cc.selectExpr(
+        "doc_id",
+        "component",
+        f"CASE WHEN {bucket} < {train_pct} THEN 'train' ELSE 'test' END AS split",
+    )
+
+
+def oov_rate(documents: DataFrame, reference: DataFrame) -> DataFrame:
+    """Per-source out-of-vocabulary rate against a reference corpus: the
+    share of token OCCURRENCES whose token never appears in the
+    reference — the cheap 'will a tokenizer/model trained on A choke on
+    B?' audit, and the vocabulary-side complement of the distributional
+    KL monitor.  Returns (source, n_tokens, n_oov, oov_rate).
+
+    Scale shape: the corpus reduces map-side to (source, token, count)
+    and the reference to its distinct-token vocabulary; the flag join is
+    hash-partitioned on token (broadcastable when the vocab is
+    model-sized); the final per-source fold shuffles |sources| rows.
+    Token text shuffles once on each side — no document text moves.
+    """
+    corpus = (
+        documents.selectExpr(
+            f"coalesce(source, '{UNKNOWN_SOURCE}') AS source",
+            f"explode_outer({TOKENS}) AS token",
+        )
+        .filter("token IS NOT NULL AND token != ''")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        reference.selectExpr(f"explode_outer({TOKENS}) AS token")
+        .filter("token IS NOT NULL AND token != ''")
+        .select("token")
+        .distinct()
+        .withColumn("_known", F.lit(1))
+    )
+    return (
+        corpus.join(vocab, "token", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_known").isNull(), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "n_oov",
+            "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate",
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_plan(
+    documents: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Data-mixture sampling plan: given target mixture weights per
+    source and a total token budget, compute each source's sampling
+    rate, expected token yield, and saturation verdict — the planning
+    step BEFORE :func:`mixture_sample` draws documents.  Also reports
+    ``max_exact_budget`` (the largest budget at which NO source
+    saturates = min over sources of n_tokens/weight): above it the
+    realized mixture deviates from the target and the planner should
+    re-weight or accept the under-served source.
+
+    Exact arithmetic end to end: token counts are integer sums, targets
+    and rates single IEEE operations.  Sources present in the corpus but
+    absent from ``weights`` get weight 0 (rate 0) rather than being
+    dropped, so the plan is a complete audit of the corpus.
+
+    Scale shape: ONE map-side-combined groupBy over (source) — the plan
+    frame is |sources| rows; the weight table enters as a broadcast
+    literal frame and the global min is a 1-row broadcast scalar.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    toks = (
+        documents.selectExpr(
+            f"coalesce(source, '{UNKNOWN_SOURCE}') AS source",
+            f"size({TOKENS}) AS t",
+        )
+        .groupBy("source")
+        .agg(F.sum("t").cast("long").alias("n_tokens"))
+    )
+    spark = documents.sparkSession
+    w = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        "source string, weight double",
+    )
+    base = toks.join(F.broadcast(w), "source", "left").selectExpr(
+        "source",
+        "n_tokens",
+        "coalesce(weight, 0.0) AS weight",
+        f"coalesce(weight, 0.0) * {int(budget_tokens)} AS target_tokens",
+    )
+    feasible = base.filter("weight > 0").agg(
+        F.min(F.col("n_tokens") / F.col("weight")).alias("max_exact_budget")
+    )
+    return (
+        base.crossJoin(F.broadcast(feasible))
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "weight",
+            "target_tokens",
+            "least(1.0, target_tokens / n_tokens) AS rate",
+            "least(1.0, target_tokens / n_tokens) * n_tokens AS expected_tokens",
+            "target_tokens > n_tokens AS saturated",
+            "max_exact_budget",
+        )
+        .orderBy("source")
+    )

@@ -5326,3 +5326,102 @@ def _q_value_psi(spark, sf_dir):
     return _sk.value_psi(
         ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
     )
+
+
+_LEAKAGE_SPLIT_SQL = f"""WITH RECURSIVE lshp AS ({_duck_lsh_pairs_sql()}),
+strong AS (SELECT doc_a, doc_b FROM lshp WHERE jaccard > 0.5),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM strong
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM strong
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.label FROM walk w JOIN edges e ON e.b = w.node
+),
+cc AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node),
+assign AS (
+  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node)
+SELECT doc_id, component,
+       CASE WHEN {_duck_hex60("component || '_' || 'v1'")} % 100 < 80
+            THEN 'train' ELSE 'test' END AS split
+FROM assign"""
+
+
+@_entry(
+    "leakage_safe_split",
+    "Near-dup-aware train/test split: the split hashes the duplicate "
+    "CLUSTER id (star connected components over banded LSH pairs), so a "
+    "doc and its near-duplicates always share a split — the eval-"
+    "contamination guard a per-doc split cannot give.  Row-local hash "
+    "after the clustering the dedup pipeline already runs.",
+    _LEAKAGE_SPLIT_SQL,
+)
+def _q_leakage_split(spark, sf_dir):
+    return _tx.leakage_safe_split(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "oov_rate",
+    "Per-source out-of-vocabulary rate of the odd-id half against the "
+    "even-id half's vocabulary: share of token occurrences unseen in the "
+    "reference.  Corpus reduces map-side to (source, token, count); "
+    "vocab joins on token; per-source fold shuffles |sources| rows.",
+    f"""WITH ref AS (
+  SELECT DISTINCT token FROM (
+    SELECT unnest({_DUCK_TOKS}) AS token FROM documents WHERE doc_id % 2 = 0)
+  WHERE token IS NOT NULL AND token != ''),
+cor AS (
+  SELECT source, token, COUNT(*) AS c FROM (
+    SELECT coalesce(source, '{_tx.UNKNOWN_SOURCE}') AS source,
+           unnest({_DUCK_TOKS}) AS token
+    FROM documents WHERE doc_id % 2 = 1)
+  WHERE token IS NOT NULL AND token != '' GROUP BY source, token)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN ref.token IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN ref.token IS NULL THEN c ELSE 0 END) AS DOUBLE)
+         / SUM(c) AS oov_rate
+FROM cor LEFT JOIN ref ON cor.token = ref.token
+GROUP BY source ORDER BY source""",
+)
+def _q_oov_rate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return _tx.oov_rate(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0")
+    )
+
+
+_MIXTURE_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIXTURE_BUDGET = 20_000
+
+
+@_entry(
+    "mixture_plan",
+    "Data-mixture sampling plan: per-source rate, expected yield, and "
+    "saturation verdict for a target weighting and token budget, plus "
+    "max_exact_budget (largest budget with no saturated source).  One "
+    "groupBy to a |sources|-row frame; weights broadcast as literals.",
+    f"""WITH toks AS (
+  SELECT coalesce(source, '{_tx.UNKNOWN_SOURCE}') AS source,
+         CAST(SUM(len({_DUCK_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+w(source, weight) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(_MIXTURE_WEIGHTS.items()))}),
+base AS (
+  SELECT t.source, n_tokens, coalesce(w.weight, 0.0) AS weight,
+         coalesce(w.weight, 0.0) * {_MIXTURE_BUDGET} AS target_tokens
+  FROM toks t LEFT JOIN w ON t.source = w.source),
+f AS (SELECT MIN(n_tokens / weight) AS max_exact_budget FROM base WHERE weight > 0)
+SELECT source, n_tokens, weight, target_tokens,
+       least(1.0, target_tokens / n_tokens) AS rate,
+       least(1.0, target_tokens / n_tokens) * n_tokens AS expected_tokens,
+       target_tokens > n_tokens AS saturated,
+       max_exact_budget
+FROM base, f ORDER BY source""",
+)
+def _q_mixture_plan(spark, sf_dir):
+    return _tx.mixture_plan(
+        _t(spark, sf_dir, "documents"), _MIXTURE_WEIGHTS, _MIXTURE_BUDGET
+    )

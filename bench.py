@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     "knn_label_accuracy",
     "events_quantiles_histogram",
     "events_value_psi",
+    "leakage_safe_split",
+    "oov_rate",
+    "mixture_plan",
 ]
 
 

@@ -265,3 +265,82 @@ def test_round5_ops_are_partitioning_invariant(corpus, spark):
         )
     )
     assert base == rep
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    # 3 clusters of exact near-dups (high shingle overlap) + 2 singletons
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    did = 0
+    for c in range(3):
+        stem = base.replace("alpha", f"stem{c}")
+        for j in range(4):
+            rows.append((did, stem + f" tail{j}", "en", "s"))
+            did += 1
+    rows += [(100, "totally different words here now", "en", "s"),
+             (101, "another unrelated document body text", "en", "s")]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = textops.leakage_safe_split(d).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    comp_of = {r["doc_id"]: r["component"] for r in out}
+    # every member of a component shares its split — the leakage guard
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_comp.values())
+    # the three planted clusters are actually clusters (not all singletons)
+    assert len(set(comp_of[i] for i in range(4))) == 1
+    assert len(set(split_of.values())) >= 1  # both labels possible, not required
+
+
+def test_oov_rate_planted(spark):
+    ref = spark.createDataFrame(
+        [(1, "known words only", "en", "r")],
+        "doc_id long, text string, lang string, source string",
+    )
+    cur = spark.createDataFrame(
+        [(2, "known words plus novel ones", "en", "a"),
+         (3, "known known", "en", "b")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["source"]: r for r in textops.oov_rate(cur, ref).collect()}
+    # source a: 5 tokens, 'plus' 'novel' 'ones' unseen -> 3/5
+    assert out["a"]["n_tokens"] == 5 and out["a"]["n_oov"] == 3
+    assert out["a"]["oov_rate"] == 3 / 5
+    assert out["b"]["n_oov"] == 0 and out["b"]["oov_rate"] == 0.0
+
+
+def test_mixture_plan_rates_and_saturation(spark):
+    d = spark.createDataFrame(
+        [(i, "w " * 10, "en", "big") for i in range(10)]
+        + [(100 + i, "w " * 10, "en", "small") for i in range(2)],
+        "doc_id long, text string, lang string, source string",
+    )
+    # tokens: trim drops the trailing space, so 10 per doc: big=100, small=20
+    plan = {r["source"]: r for r in textops.mixture_plan(
+        d, {"big": 0.5, "small": 0.5}, budget_tokens=100
+    ).collect()}
+    assert plan["big"]["target_tokens"] == 50.0
+    assert not plan["big"]["saturated"]
+    assert plan["small"]["saturated"]  # target 50 > 22 available
+    assert plan["small"]["rate"] == 1.0
+    assert plan["small"]["expected_tokens"] == plan["small"]["n_tokens"]
+    # max exact budget: small caps it at 20 / 0.5 = 40
+    assert plan["big"]["max_exact_budget"] == 40.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        textops.mixture_plan(d, {"big": 1.0}, budget_tokens=0)
+
+
+def test_mixture_plan_unweighted_source_is_audited_not_dropped(spark):
+    d = spark.createDataFrame(
+        [(1, "a b", "en", "x"), (2, "a b", "en", "y")],
+        "doc_id long, text string, lang string, source string",
+    )
+    plan = {r["source"]: r for r in textops.mixture_plan(
+        d, {"x": 1.0}, budget_tokens=10
+    ).collect()}
+    assert set(plan) == {"x", "y"}
+    assert plan["y"]["weight"] == 0.0 and plan["y"]["rate"] == 0.0

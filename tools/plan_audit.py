@@ -57,6 +57,7 @@ NESTED_LOOP_ALLOWED = {
     "lsh_recall_report",        # 1-row x 1-row scalar combine of two aggregates
     "dup_cluster_profile",      # 1-row corpus-total broadcast into the histogram
     "knn_label_accuracy",       # embeds ivf_assign's n_centroids-row argmax
+    "mixture_plan",             # 1-row max_exact_budget broadcast into the plan
 }
 
 
