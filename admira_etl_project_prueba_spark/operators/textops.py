@@ -3265,3 +3265,50 @@ def mixture_plan(
         )
         .orderBy("source")
     )
+
+
+def packing_stats(
+    documents: DataFrame,
+    token_budget: int = 512,
+    docs_per_shard: int | None = 1_000_000,
+) -> DataFrame:
+    """Packing-efficiency report for :func:`sequence_pack`: one row per
+    shard with the sequence count the packed stream cuts into
+    (ceil(total/budget) — offset packing is padding-free except the
+    tail), the tail waste in tokens, and how many documents straddle a
+    pack boundary (each straddle is a training sequence cut
+    mid-document — the quality cost of offset packing).  The go/no-go
+    check before materializing a packed layout.
+
+    Scale shape: rides sequence_pack's per-shard window (already
+    partition-parallel), then folds to ONE row per shard — the report
+    frame is |shards|-sized.  Exact integer arithmetic (ceil via
+    integer DIV, no float rounding); the utilization is one IEEE
+    divide.
+    """
+    packed = sequence_pack(documents, token_budget, docs_per_shard)
+    b = int(token_budget)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(
+                (
+                    F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / b)
+                    > F.col("pack_id")
+                ).cast("long")
+            ).alias("n_straddling"),
+        )
+        .selectExpr(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            f"(total_tokens + {b} - 1) DIV {b} AS n_sequences",
+            f"((total_tokens + {b} - 1) DIV {b}) * {b} - total_tokens AS tail_waste_tokens",
+            f"CAST(total_tokens AS DOUBLE) / (((total_tokens + {b} - 1) DIV {b}) * {b})"
+            " AS utilization",
+            "n_straddling",
+        )
+        .orderBy("shard")
+    )

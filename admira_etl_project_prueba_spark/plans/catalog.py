@@ -5425,3 +5425,38 @@ def _q_mixture_plan(spark, sf_dir):
     return _tx.mixture_plan(
         _t(spark, sf_dir, "documents"), _MIXTURE_WEIGHTS, _MIXTURE_BUDGET
     )
+
+
+@_entry(
+    "packing_stats",
+    "Sequence-packing efficiency per shard: sequences the packed stream "
+    "cuts into (exact integer ceil), tail waste, utilization, and docs "
+    "straddling a pack boundary.  Rides the per-shard cumsum window, "
+    "then folds to a |shards|-row report.",
+    f"""WITH toks AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens, doc_id // 100 AS shard
+  FROM documents),
+p AS (
+  SELECT shard, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS start_offset
+  FROM toks),
+q AS (SELECT shard, n_tokens, start_offset,
+             start_offset // 512 AS pack_id FROM p)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS n_sequences,
+       CAST(((SUM(n_tokens) + 511) // 512) * 512 - SUM(n_tokens) AS BIGINT)
+         AS tail_waste_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE)
+         / (((SUM(n_tokens) + 511) // 512) * 512) AS utilization,
+       CAST(SUM(CASE WHEN (start_offset + n_tokens - 1) // 512 > pack_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+FROM q GROUP BY shard ORDER BY shard""",
+)
+def _q_packing_stats(spark, sf_dir):
+    return _tx.packing_stats(
+        _t(spark, sf_dir, "documents"), token_budget=512, docs_per_shard=100
+    )

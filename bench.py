@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "leakage_safe_split",
     "oov_rate",
     "mixture_plan",
+    "packing_stats",
 ]
 
 

@@ -344,3 +344,30 @@ def test_mixture_plan_unweighted_source_is_audited_not_dropped(spark):
     ).collect()}
     assert set(plan) == {"x", "y"}
     assert plan["y"]["weight"] == 0.0 and plan["y"]["rate"] == 0.0
+
+
+def test_packing_stats_exact_counts(spark):
+    # shard 0: doc 0 (3 tokens), doc 1 (4 tokens) with budget 5:
+    # stream = 7 tokens -> 2 sequences, tail waste 3; doc 1 starts at
+    # offset 3 and ends at 6 -> straddles the 5-token boundary
+    d = spark.createDataFrame(
+        [(0, "a b c", "en", "s"), (1, "d e f g", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = textops.packing_stats(d, token_budget=5, docs_per_shard=None).collect()[0]
+    assert (r["n_docs"], r["total_tokens"]) == (2, 7)
+    assert r["n_sequences"] == 2 and r["tail_waste_tokens"] == 3
+    assert r["n_straddling"] == 1
+    assert r["utilization"] == 7 / 10
+
+
+def test_packing_stats_giant_doc_counts_all_sequences(spark):
+    # one 23-token doc at budget 5 occupies ceil(23/5)=5 sequences even
+    # though only one pack_id holds a document START
+    d = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(23)), "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    r = textops.packing_stats(d, token_budget=5, docs_per_shard=None).collect()[0]
+    assert r["n_sequences"] == 5 and r["tail_waste_tokens"] == 2
+    assert r["n_straddling"] == 1
