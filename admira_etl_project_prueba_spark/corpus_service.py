@@ -491,3 +491,17 @@ class CorpusService:
             "n_mismatched_docs": total,
             "request_id": new_request_id(request_id),
         }
+
+    # -- GET /corpus/health -------------------------------------------------
+    def health_report(self, request_id: str | None = None) -> dict:
+        """The one-call corpus health dashboard: every curation
+        diagnostic (size, dup share, shingle sharing, fertility,
+        contamination, quality keep rate) as {section: {key: value}}."""
+        from admira_etl_project_prueba_spark.operators.profile import (
+            corpus_health_report,
+        )
+
+        out: dict = {}
+        for r in corpus_health_report(self.documents).collect():
+            out.setdefault(r["section"], {})[r["key"]] = r["value"]
+        return {"data": out, "request_id": new_request_id(request_id)}

@@ -158,3 +158,99 @@ def profile_drift(
         " OR NOT (min_str_old <=> min_str_new) OR NOT (max_str_old <=> max_str_new)"
         " AS drifted",
     )
+
+
+def corpus_health_report(documents: DataFrame) -> DataFrame:
+    """The one-frame corpus health dashboard: every round-5 curation
+    diagnostic rolled into long form (section, key, value) — size,
+    duplication share, shingle-sharing rate, per-language tokenizer
+    fertility, language/source contamination rate, and the quality-filter
+    keep rate.  The single query an ingest owner runs (and a monitor
+    diffs) before deciding what the corpus needs next.
+
+    Every value is a ratio of EXACT integer aggregates with one IEEE
+    divide at the end — no double accumulations — so the report is
+    bit-identical on any engine and any partitioning, like the PSI/KL
+    monitors.  Each section is one or two map-side-combined aggregates
+    over a single corpus scan's projection; the unioned report frame is
+    a handful of rows.
+    """
+    from admira_etl_project_prueba_spark.operators import textops as tx
+
+    toks = documents.selectExpr(
+        f"size({tx.TOKENS}) AS t", "length(text) AS c"
+    )
+    size_f = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("tk"),
+    ).selectExpr(
+        "stack(3, 'size', 'n_docs', CAST(n AS DOUBLE),"
+        " 'size', 'n_tokens', CAST(tk AS DOUBLE),"
+        " 'size', 'tokens_per_doc', CAST(tk AS DOUBLE) / n)"
+        " AS (section, key, value)"
+    )
+    dup_f = documents.selectExpr(
+        "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) AS h"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("h").alias("d"),
+    ).selectExpr(
+        "stack(1, 'dup', 'dup_share', CAST(n - d AS DOUBLE) / n)"
+        " AS (section, key, value)"
+    )
+    novelty_f = (
+        tx.ngram_novelty_scores(documents)
+        .agg(
+            F.sum("n_shingles").alias("s"),
+            F.sum("n_shared").alias("sh"),
+        )
+        .selectExpr(
+            "stack(1, 'novelty', 'shared_shingle_rate',"
+            " CASE WHEN s > 0 THEN CAST(sh AS DOUBLE) / s ELSE 0.0 END)"
+            " AS (section, key, value)"
+        )
+    )
+    fert_f = tx.tokenizer_fertility(documents).selectExpr(
+        "'fertility' AS section", "lang AS key", "chars_per_token AS value"
+    )
+    tagged = documents.selectExpr(
+        f"coalesce(source, '{tx.UNKNOWN_SOURCE}') AS source",
+        "coalesce(lang, '(unknown)') AS lang",
+    )
+    counts = tagged.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    top_n = counts.groupBy("source").agg(F.max("n").alias("n"))
+    dominant = (
+        counts.join(top_n, ["source", "n"])
+        .groupBy("source")
+        .agg(F.min("lang").alias("dominant_lang"))
+    )
+    mm_f = (
+        tagged.join(F.broadcast(dominant), "source")
+        .agg(
+            F.sum((F.col("lang") != F.col("dominant_lang")).cast("long")).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .selectExpr(
+            "stack(1, 'lang_mismatch', 'mismatch_rate', CAST(m AS DOUBLE) / n)"
+            " AS (section, key, value)"
+        )
+    )
+    quality_f = (
+        tx.quality_filter(documents, langs=("en", "es", "de", "fr"))
+        .agg(
+            F.sum(F.col("kept").cast("long")).alias("k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .selectExpr(
+            "stack(1, 'quality', 'kept_fraction', CAST(k AS DOUBLE) / n)"
+            " AS (section, key, value)"
+        )
+    )
+    return (
+        size_f.unionByName(dup_f)
+        .unionByName(novelty_f)
+        .unionByName(fert_f)
+        .unionByName(mm_f)
+        .unionByName(quality_f)
+        .orderBy("section", "key")
+    )

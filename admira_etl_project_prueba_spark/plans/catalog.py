@@ -5460,3 +5460,59 @@ def _q_packing_stats(spark, sf_dir):
     return _tx.packing_stats(
         _t(spark, sf_dir, "documents"), token_budget=512, docs_per_shard=100
     )
+
+
+@_entry(
+    "corpus_health_report",
+    "One-frame corpus health dashboard in long form (section, key, "
+    "value): size, duplication share, shingle-sharing rate, per-language "
+    "fertility, lang/source contamination rate, quality keep rate.  "
+    "Every value is a ratio of exact integer aggregates with one IEEE "
+    "divide — bit-identical on any engine/partitioning.",
+    f"""WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKS} AS t, length(text) AS c,
+         coalesce(lang, '(unknown)') AS lang,
+         coalesce(source, '{_tx.UNKNOWN_SOURCE}') AS source
+  FROM documents),
+size_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(len(t)) AS BIGINT) AS tk FROM tok),
+dup_agg AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS d
+  FROM documents),
+sg AS (SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM tok),
+shs AS (SELECT doc_id, {_DUCK_SH} AS sh FROM sg),
+rws AS (SELECT doc_id, unnest(sh) AS h FROM shs),
+dfc AS (SELECT h, COUNT(*) AS df FROM rws GROUP BY h),
+nov AS (SELECT CAST(COUNT(*) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shd
+        FROM rws JOIN dfc USING (h)),
+c2 AS (SELECT source, lang, COUNT(*) AS n FROM tok GROUP BY source, lang),
+topn AS (SELECT source, MAX(n) AS n FROM c2 GROUP BY source),
+dom AS (SELECT c2.source, MIN(c2.lang) AS dominant_lang
+        FROM c2 JOIN topn USING (source, n) GROUP BY c2.source),
+mm AS (SELECT CAST(SUM(CASE WHEN tok.lang <> dom.dominant_lang THEN 1 ELSE 0 END) AS BIGINT) AS m,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM tok JOIN dom USING (source)),
+qf AS ({_duck_quality_filter_sql()}),
+qa AS (SELECT CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS k,
+              CAST(COUNT(*) AS BIGINT) AS n FROM qf)
+SELECT * FROM (
+  SELECT 'size' AS section, 'n_docs' AS key, CAST(n AS DOUBLE) AS value FROM size_agg
+  UNION ALL SELECT 'size', 'n_tokens', CAST(tk AS DOUBLE) FROM size_agg
+  UNION ALL SELECT 'size', 'tokens_per_doc', CAST(tk AS DOUBLE) / n FROM size_agg
+  UNION ALL SELECT 'dup', 'dup_share', CAST(n - d AS DOUBLE) / n FROM dup_agg
+  UNION ALL SELECT 'novelty', 'shared_shingle_rate',
+    CASE WHEN s > 0 THEN CAST(shd AS DOUBLE) / s ELSE 0.0 END FROM nov
+  UNION ALL SELECT 'fertility', lang, CAST(SUM(c) AS DOUBLE) / SUM(len(t))
+    FROM tok GROUP BY lang
+  UNION ALL SELECT 'lang_mismatch', 'mismatch_rate', CAST(m AS DOUBLE) / n FROM mm
+  UNION ALL SELECT 'quality', 'kept_fraction', CAST(k AS DOUBLE) / n FROM qa
+) ORDER BY section, key""",
+)
+def _q_health_report(spark, sf_dir):
+    from admira_etl_project_prueba_spark.operators.profile import (
+        corpus_health_report,
+    )
+
+    return corpus_health_report(_t(spark, sf_dir, "documents"))

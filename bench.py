@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "oov_rate",
     "mixture_plan",
     "packing_stats",
+    "corpus_health_report",
 ]
 
 

@@ -371,3 +371,32 @@ def test_packing_stats_giant_doc_counts_all_sequences(spark):
     r = textops.packing_stats(d, token_budget=5, docs_per_shard=None).collect()[0]
     assert r["n_sequences"] == 5 and r["tail_waste_tokens"] == 2
     assert r["n_straddling"] == 1
+
+
+def test_corpus_health_report_planted(corpus):
+    from admira_etl_project_prueba_spark.operators.profile import (
+        corpus_health_report,
+    )
+
+    rows = {
+        (r["section"], r["key"]): r["value"]
+        for r in corpus_health_report(corpus).collect()
+    }
+    assert rows[("size", "n_docs")] == 7.0
+    # exact normalized dup share: docs 2,3,5 are removable copies
+    assert abs(rows[("dup", "dup_share")] - 3 / 7) < 1e-12
+    assert ("fertility", "en") in rows
+    assert 0.0 <= rows[("quality", "kept_fraction")] <= 1.0
+    assert 0.0 <= rows[("novelty", "shared_shingle_rate")] <= 1.0
+    assert rows[("lang_mismatch", "mismatch_rate")] == 0.0  # all en per source
+
+
+def test_corpus_health_endpoint_envelope(spark, corpus):
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+
+    out = CorpusService(spark, documents=corpus).health_report()
+    assert out["request_id"]
+    assert set(out["data"]) == {
+        "size", "dup", "novelty", "fertility", "lang_mismatch", "quality"
+    }
+    assert out["data"]["size"]["n_docs"] == 7.0
