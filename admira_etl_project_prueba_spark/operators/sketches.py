@@ -425,8 +425,24 @@ def value_psi(
     Returns (event_type, n_ref, n_cur, psi), present types from either
     side, ordered by type.
     """
-    hr = value_histogram(ref_events, lo, hi, n_bins).withColumnRenamed("n", "c_r")
-    hc = value_histogram(cur_events, lo, hi, n_bins).withColumnRenamed("n", "c_c")
+    return psi_from_histograms(
+        value_histogram(ref_events, lo, hi, n_bins),
+        value_histogram(cur_events, lo, hi, n_bins),
+        n_bins,
+    )
+
+
+def psi_from_histograms(
+    ref_hist: DataFrame, cur_hist: DataFrame, n_bins: int = 16
+) -> DataFrame:
+    """PSI from two (event_type, bin, n) histogram frames — the seam
+    :func:`value_psi` computes through, exposed so persisted/streaming
+    histogram stores (``streaming.read_histogram_store``) can be diffed
+    WITHOUT re-reading any event corpus: a reference snapshot store vs
+    the live store is the standing drift monitor, and both inputs here
+    are model-sized."""
+    hr = ref_hist.withColumnRenamed("n", "c_r")
+    hc = cur_hist.withColumnRenamed("n", "c_c")
     types = (
         hr.select("event_type").union(hc.select("event_type")).distinct()
     )

@@ -153,3 +153,20 @@ def test_psi_is_partitioning_invariant(spark, sf_dir):
         for r in sk.value_psi(a.repartition(17), b.repartition(3)).collect()
     }
     assert base == rep  # exact-sum seam: bit-equal under any partitioning
+
+
+def test_psi_from_stores_matches_inline(spark, sf_dir, tmp_path):
+    """PSI over two persisted histogram stores == PSI computed inline from
+    the raw events — the standing drift monitor never re-reads events."""
+    ev = load_events(spark, sf_dir)
+    a, b = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+    pa, pb = str(tmp_path / "ref"), str(tmp_path / "cur")
+    sk.write_histogram_store(a, pa, n_bins=16)
+    sk.write_histogram_store(b, pb, n_bins=16)
+    from_store = sorted(
+        map(tuple, sk.psi_from_histograms(
+            spark.read.parquet(pa), spark.read.parquet(pb), 16
+        ).collect())
+    )
+    inline = sorted(map(tuple, sk.value_psi(a, b).collect()))
+    assert from_store == inline
