@@ -216,3 +216,81 @@ def media_header_features(media: DataFrame) -> DataFrame:
         f"CASE WHEN container = 'wav' THEN {le(23, 2)} END AS n_channels",
         "length(payload) AS n_bytes",
     )
+
+
+def audio_window_plan(
+    media: DataFrame, window_ms: int = 1000, hop_ms: int = 500
+) -> DataFrame:
+    """Audio analysis-window segmentation from engine-native WAV header
+    fields — the audio twin of :func:`frame_sample_plan`: 1→N expansion
+    of each clip into overlapping (window_ms, hop_ms) analysis windows,
+    the layout every downstream feature extractor (spectrogram, VAD,
+    embedding) consumes.  Only the canonical RIFF layout (16-byte fmt
+    chunk, 'data' chunk immediately after) is parsed; anything else gets
+    honest NULL audio fields and zero windows rather than a guess —
+    the same contract as the JPEG SOF walk.
+
+    n_samples derives from the data-chunk byte size over the frame size
+    (block align); windows are emitted while start < duration, so a
+    clip shorter than one window still yields its single partial
+    window.  Row-local arithmetic + one explode — no exchange, scales
+    like any scan.
+    """
+    def le(start: int, nbytes: int) -> str:
+        parts = " || ".join(
+            f"hex(substring(payload, {start + i}, 1))"
+            for i in reversed(range(nbytes))
+        )
+        return f"CAST(conv({parts}, 16, 10) AS INT)"
+
+    canonical = (
+        "hex(substring(payload, 1, 4)) = '52494646'"
+        " AND hex(substring(payload, 9, 4)) = '57415645'"
+        f" AND {le(17, 4)} = 16"
+        " AND hex(substring(payload, 37, 4)) = '64617461'"
+    )
+    parsed = media.selectExpr(
+        "doc_id",
+        f"CASE WHEN {canonical} THEN {le(25, 4)} END AS sample_rate",
+        f"CASE WHEN {canonical} THEN {le(23, 2)} END AS n_channels",
+        f"CASE WHEN {canonical} THEN {le(35, 2)} END AS bits_per_sample",
+        f"CASE WHEN {canonical} THEN {le(41, 4)} END AS data_bytes",
+    ).selectExpr(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "CASE WHEN n_channels > 0 AND bits_per_sample > 0 THEN "
+        "  CAST(data_bytes AS BIGINT) DIV (n_channels * (bits_per_sample DIV 8)) "
+        "END AS n_samples",
+    ).selectExpr(
+        "*",
+        "CASE WHEN sample_rate > 0 THEN "
+        "  (n_samples * CAST(1000 AS BIGINT)) DIV sample_rate END AS duration_ms",
+    )
+    w, h = int(window_ms), int(hop_ms)
+    return parsed.selectExpr(
+        "*",
+        "CASE WHEN duration_ms IS NOT NULL AND duration_ms > 0 THEN "
+        f"  sequence(CAST(0 AS BIGINT), duration_ms - 1, {h}) "
+        "  ELSE CAST(array() AS ARRAY<BIGINT>) END AS _starts",
+    ).selectExpr(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "n_samples",
+        "duration_ms",
+        "posexplode_outer(_starts) AS (window_index, start_ms)",
+    ).selectExpr(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "n_samples",
+        "duration_ms",
+        "window_index",
+        "start_ms",
+        f"CASE WHEN start_ms IS NOT NULL THEN least(start_ms + {w}, duration_ms) "
+        "END AS end_ms",
+    )

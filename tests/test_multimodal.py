@@ -142,3 +142,43 @@ def test_media_header_features_walk_jpeg_sof_segments(spark):
     assert got[5]["width"] is None and got[5]["height"] is None
     plan = media_header_features(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_audio_window_plan_segments_canonical_wav(spark):
+    """A canonical 44100 Hz stereo 16-bit WAV holding exactly 2.0 s of
+    samples expands into (1000ms, 500ms) overlapping windows; the last
+    window clamps to the clip end; junk rows yield one NULL-field row."""
+    import struct
+
+    from admira_etl_project_prueba_spark.operators.multimodal import (
+        audio_window_plan,
+    )
+
+    n_samples = 2 * 44100
+    data_bytes = n_samples * 2 * 2  # stereo, 16-bit
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + data_bytes) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        + b"data" + struct.pack("<I", data_bytes)
+    )
+    rows = [(1, "audio", bytearray(wav)), (2, "audio", bytearray(b"junk"))]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    got = audio_window_plan(media).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    w1 = sorted(by_doc[1], key=lambda r: r["window_index"])
+    assert w1[0]["sample_rate"] == 44100 and w1[0]["n_channels"] == 2
+    assert w1[0]["n_samples"] == n_samples and w1[0]["duration_ms"] == 2000
+    # starts at 0,500,1000,1500 — 4 windows; ends clamp to 2000
+    assert [r["start_ms"] for r in w1] == [0, 500, 1000, 1500]
+    assert [r["end_ms"] for r in w1] == [1000, 1500, 2000, 2000]
+    # junk: one row, NULL fields, no windows
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0]["sample_rate"] is None
+    assert by_doc[2][0]["window_index"] is None
+    # row-local: no exchange in the plan
+    plan = audio_window_plan(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
