@@ -294,3 +294,63 @@ def audio_window_plan(
         f"CASE WHEN start_ms IS NOT NULL THEN least(start_ms + {w}, duration_ms) "
         "END AS end_ms",
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, max_side: int = 64
+) -> DataFrame:
+    """Aspect-preserving resize plumbing via Arrow-batched
+    ``mapInPandas`` — the preprocessing stage every vision pipeline runs
+    before featurization.  The OUTPUT GEOMETRY is real (source dims from
+    the deterministic stub decoder, scaled so the longer side equals
+    ``max_side``, never upscaled, aspect ratio preserved with
+    floor-rounding and a 1-px floor); the pixel work is a clearly-marked
+    stub that emits a deterministic payload slice sized
+    proportionally to the area reduction — a real codec swap changes
+    only the pandas body, exactly like :func:`extract_features`.
+
+    Scale shape: iterator-of-batches streaming, one task per partition,
+    no shuffle — the resized payloads are strictly smaller than the
+    inputs, so the stage SHRINKS the data in flight (the property that
+    makes resize-early the right order at 100 TB).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in RESIZED_SCHEMA.fields}
+            for doc_id, mt, p in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                payload = bytes(p)
+                shape = _fake_decode(payload, mt)
+                sw, sh = shape["width"], shape["height"]
+                scale = min(1.0, max_side / max(sw, sh))
+                w, h = max(1, int(sw * scale)), max(1, int(sh * scale))
+                # STUB pixel work: emit a payload slice proportional to
+                # the area reduction (deterministic; a real resampler
+                # replaces just these two lines)
+                keep = max(1, int(len(payload) * (w * h) / (sw * sh)))
+                out_payload = payload[:keep]
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mt)
+                rows["src_width"].append(sw)
+                rows["src_height"].append(sh)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["payload"].append(out_payload)
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)

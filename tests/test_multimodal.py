@@ -182,3 +182,36 @@ def test_audio_window_plan_segments_canonical_wav(spark):
     # row-local: no exchange in the plan
     plan = audio_window_plan(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_resize_media_geometry_and_determinism(spark):
+    """Aspect-preserving geometry: longer side == max_side, never
+    upscaled, deterministic payload; batching via mapInPandas (no
+    exchange, no row UDF)."""
+    from admira_etl_project_prueba_spark.operators.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 500, "en", "s"), (2, "y" * 40, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    media = documents_as_media(docs)
+    out = {r["doc_id"]: r for r in resize_media(media, max_side=16).collect()}
+    for r in out.values():
+        assert max(r["width"], r["height"]) <= 16
+        assert r["width"] >= 1 and r["height"] >= 1
+        # aspect preserved within floor-rounding
+        if max(r["src_width"], r["src_height"]) > 16:
+            assert max(r["width"], r["height"]) == 16
+        else:  # small sources are never upscaled
+            assert (r["width"], r["height"]) == (r["src_width"], r["src_height"])
+        assert len(bytes(r["payload"])) <= r["src_width"] * r["src_height"] * 100
+    # deterministic across runs
+    again = {r["doc_id"]: r for r in resize_media(media, max_side=16).collect()}
+    assert {k: bytes(v["payload"]) for k, v in out.items()} == {
+        k: bytes(v["payload"]) for k, v in again.items()
+    }
+    plan = resize_media(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
