@@ -3312,3 +3312,74 @@ def packing_stats(
         )
         .orderBy("shard")
     )
+
+
+def kwic(documents: DataFrame, term: str, width: int = 3) -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of ``term`` with
+    up to ``width`` tokens of left/right context — the corpus-
+    exploration view behind every 'show me how this word is used'
+    request (and the manual-review surface for contamination/PII hits).
+    Returns (doc_id, pos, left_ctx, right_ctx), deterministic.
+
+    Scale shape: the positional explode filters to the term BEFORE
+    anything shuffles, so downstream volume is the term's document
+    frequency; context slicing is row-local array arithmetic on the
+    token array riding the matched rows only.  The corpus scan is the
+    linear cost — :func:`kwic_from_index` removes it.
+    """
+    w = int(width)
+    t = term.lower()
+    toks = documents.selectExpr("doc_id", f"{TOKENS} AS t")
+    return (
+        toks.selectExpr("doc_id", "t", "posexplode_outer(t) AS (pos, token)")
+        .filter(F.col("token") == F.lit(t))
+        .selectExpr(
+            "doc_id",
+            "pos",
+            f"array_join(slice(t, greatest(1, pos + 1 - {w}), least({w}, pos)), ' ')"
+            " AS left_ctx",
+            f"array_join(slice(t, pos + 2, {w}), ' ') AS right_ctx",
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+def kwic_from_index(
+    spark,
+    index_path: str,
+    documents: DataFrame,
+    term: str,
+    width: int = 3,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Index-backed KWIC: the positional index (bucket + term literal
+    predicates → one partition directory) finds the matching (doc_id,
+    positions) WITHOUT scanning the corpus; only the matching documents
+    are then read back for context — a semi-join-pruned corpus read
+    bounded by the term's document frequency.  Output is parity-pinned
+    against :func:`kwic`.
+    """
+    t = term.lower()
+    bucket = (
+        int(__import__("hashlib").md5(t.encode()).hexdigest()[:15], 16)
+        % num_buckets
+    )
+    posting = spark.read.parquet(f"{index_path}/postings").filter(
+        (F.col("term_bucket") == bucket) & (F.col("term") == F.lit(t))
+    )
+    hits = posting.select("doc_id", F.explode("positions").alias("pos"))
+    ctx = documents.join(
+        hits.select("doc_id").distinct(), "doc_id", "left_semi"
+    ).selectExpr("doc_id", f"{TOKENS} AS t")
+    w = int(width)
+    return (
+        hits.join(ctx, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "pos",
+            f"array_join(slice(t, greatest(1, pos + 1 - {w}), least({w}, pos)), ' ')"
+            " AS left_ctx",
+            f"array_join(slice(t, pos + 2, {w}), ' ') AS right_ctx",
+        )
+        .orderBy("doc_id", "pos")
+    )

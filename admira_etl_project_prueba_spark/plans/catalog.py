@@ -5516,3 +5516,23 @@ def _q_health_report(spark, sf_dir):
     )
 
     return corpus_health_report(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
+    "kwic_spark",
+    "Keyword-in-context concordance for 'spark': every occurrence with "
+    "3 tokens of left/right context.  Positional explode filters to the "
+    "term BEFORE any shuffle (volume = term df, not corpus tokens); "
+    "context slicing is row-local on matched rows only.",
+    f"""WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+hits AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, t
+  FROM tok, unnest(range(1, len(t) + 1)) AS u(i)
+  WHERE t[CAST(i AS INT)] = 'spark')
+SELECT doc_id, pos,
+       coalesce(array_to_string(t[greatest(1, pos + 1 - 3) : pos], ' '), '') AS left_ctx,
+       coalesce(array_to_string(t[pos + 2 : pos + 4], ' '), '') AS right_ctx
+FROM hits ORDER BY doc_id, pos""",
+)
+def _q_kwic(spark, sf_dir):
+    return _tx.kwic(_t(spark, sf_dir, "documents"), "spark", width=3)

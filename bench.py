@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "mixture_plan",
     "packing_stats",
     "corpus_health_report",
+    "kwic_spark",
 ]
 
 

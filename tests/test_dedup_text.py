@@ -1596,3 +1596,37 @@ def test_phrase_search_overlaps_repeats_and_index_parity(spark, sf_dir, tmp_path
         for r in phrase_search_from_index(spark, idx, ["slow", "hash", "batch"]).collect()
     }
     assert via_idx == want and len(want) >= 2
+
+
+def test_kwic_contexts_and_index_parity(spark, sf_dir, tmp_path):
+    """KWIC: exact contexts at doc edges and mid-doc; the index-backed
+    variant (postings prune + semi-join-pruned corpus read) returns the
+    identical concordance."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        kwic,
+        kwic_from_index,
+        write_positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark runs fast queries", "en", "s"),       # pos 0: empty left
+            (2, "we love spark", "en", "s"),                 # pos 2: empty right
+            (3, "a b c spark d e f spark", "en", "s"),       # mid + tail hits
+            (4, "no match here", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = [tuple(r) for r in kwic(docs, "SPARK", width=3).collect()]
+    assert got == [
+        (1, 0, "", "runs fast queries"),
+        (2, 2, "we love", ""),
+        (3, 3, "a b c", "d e f"),
+        (3, 7, "d e f", ""),
+    ]
+    idx = str(tmp_path / "posidx")
+    write_positional_index(docs, idx)
+    from_index = [
+        tuple(r) for r in kwic_from_index(spark, idx, docs, "spark", width=3).collect()
+    ]
+    assert from_index == got
