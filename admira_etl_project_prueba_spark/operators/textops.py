@@ -3383,3 +3383,44 @@ def kwic_from_index(
         )
         .orderBy("doc_id", "pos")
     )
+
+
+def write_training_shards(
+    documents: DataFrame,
+    path: str,
+    token_budget: int = 512,
+    docs_per_shard: int | None = 1_000_000,
+) -> None:
+    """Materialize the packed training layout: parquet partitioned by
+    ``shard``, each row carrying (doc_id, pack_id, start_offset,
+    n_tokens, text) in stream order — exactly what a pretraining loader
+    consumes shard-by-shard, with every offset precomputed so the loader
+    never re-tokenizes.  The write applies the one-file-per-partition
+    discipline (repartition("shard") BEFORE partitionBy — the measured
+    19× build fix from the text index): without it every task touches
+    every shard directory and the layout degenerates into
+    tasks × shards small files.
+    """
+    packed = sequence_pack(documents, token_budget, docs_per_shard)
+    out = documents.select("doc_id", "text").join(packed, "doc_id").select(
+        "shard", "pack_id", "start_offset", "n_tokens", "doc_id", "text"
+    )
+    (
+        out.repartition("shard")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+def read_training_shard(spark, path: str, shard: int) -> DataFrame:
+    """Partition-pruned read of ONE training shard, in stream order —
+    the loader-side contract of :func:`write_training_shards` (the
+    filter prunes to the shard directory; no other shard's bytes are
+    touched)."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("shard") == int(shard))
+        .orderBy("doc_id")
+    )

@@ -400,3 +400,30 @@ def test_corpus_health_endpoint_envelope(spark, corpus):
         "size", "dup", "novelty", "fertility", "lang_mismatch", "quality"
     }
     assert out["data"]["size"]["n_docs"] == 7.0
+
+
+def test_training_shards_round_trip(spark, tmp_path, sf_dir):
+    """Shard sink round-trip: partition-pruned per-shard reads return the
+    stream in doc order with offsets intact (cumulative-sum invariant),
+    one parquet file per shard directory."""
+    import glob
+
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards")
+    textops.write_training_shards(
+        docs, path, token_budget=512, docs_per_shard=100
+    )
+    shard0 = textops.read_training_shard(spark, path, 0).collect()
+    assert [r["doc_id"] for r in shard0] == sorted(r["doc_id"] for r in shard0)
+    # offsets reconstruct the contiguous stream: start_{i+1} = start_i + n_i
+    for a, b in zip(shard0, shard0[1:]):
+        assert b["start_offset"] == a["start_offset"] + a["n_tokens"]
+    assert shard0[0]["start_offset"] == 0
+    # every doc_id 0..99 is in shard 0 and text survived
+    assert len(shard0) == 100 and all(r["text"] for r in shard0)
+    # one file per shard directory (repartition-before-partitionBy)
+    for d in glob.glob(f"{path}/shard=*"):
+        files = [f for f in glob.glob(f"{d}/*.parquet")]
+        assert len(files) == 1, d
