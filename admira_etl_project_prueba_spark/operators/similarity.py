@@ -819,3 +819,46 @@ def knn_label_accuracy(
         )
         .orderBy("label")
     )
+
+
+def embedding_drift(ref: DataFrame, cur: DataFrame) -> DataFrame:
+    """Embedding-space drift monitor: per-label L2 shift between the
+    class prototypes (decimal-exact centroids) of a reference and a
+    current window — the embedding-side sibling of the token-KL and
+    value-PSI monitors (embedding model silently retrained / feature
+    pipeline drifted ⇒ prototypes move even when token stats don't).
+    Returns (label, n_ref, n_cur, l2_shift) for labels present in both
+    windows, ordered by label.
+
+    Exactness seam: centroids are already associative decimal means;
+    each squared per-dim difference is quantized to decimal(25,6) before
+    the cross-dim sum (the same grid convention as the ln surfaces), so
+    the final sqrt sees a bit-identical argument on any engine or
+    partitioning.
+
+    Scale shape: both centroid passes reduce map-side to
+    |labels| × |dims| partial sums; everything after is model-sized.
+    """
+    a = label_centroids(ref).selectExpr(
+        "label", "dim", "centroid AS ca", "n_vectors AS n_ref"
+    )
+    b = label_centroids(cur).selectExpr(
+        "label", "dim", "centroid AS cb", "n_vectors AS n_cur"
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .selectExpr(
+            "label",
+            "n_ref",
+            "n_cur",
+            "CAST((ca - cb) * (ca - cb) AS DECIMAL(25,6)) AS d2",
+        )
+        .groupBy("label")
+        .agg(
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+            F.sum("d2").alias("ss"),
+        )
+        .selectExpr("label", "n_ref", "n_cur", "sqrt(CAST(ss AS DOUBLE)) AS l2_shift")
+        .orderBy("label")
+    )

@@ -5536,3 +5536,42 @@ FROM hits ORDER BY doc_id, pos""",
 )
 def _q_kwic(spark, sf_dir):
     return _tx.kwic(_t(spark, sf_dir, "documents"), "spark", width=3)
+
+
+@_entry(
+    "embedding_drift",
+    "Per-label L2 shift between the decimal-exact class prototypes of "
+    "the even- and odd-id halves — the embedding-side drift monitor "
+    "(sibling of token-KL and value-PSI).  Squared dim differences are "
+    "decimal(25,6)-quantized before the cross-dim sum, so the sqrt sees "
+    "a bit-identical argument on any engine; everything after the two "
+    "centroid passes is model-sized.",
+    """WITH ea AS (
+  SELECT label, CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings WHERE vec_id % 2 = 0),
+eb AS (
+  SELECT label, CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings WHERE vec_id % 2 = 1),
+ca AS (SELECT label, dim,
+              CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS c, COUNT(*) AS n
+       FROM ea GROUP BY label, dim),
+cb AS (SELECT label, dim,
+              CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS c, COUNT(*) AS n
+       FROM eb GROUP BY label, dim),
+j AS (SELECT ca.label,
+             CAST(MAX(ca.n) AS BIGINT) AS n_ref,
+             CAST(MAX(cb.n) AS BIGINT) AS n_cur,
+             SUM(CAST((ca.c - cb.c) * (ca.c - cb.c) AS DECIMAL(25,6))) AS ss
+      FROM ca JOIN cb USING (label, dim) GROUP BY ca.label)
+SELECT label, n_ref, n_cur, sqrt(CAST(ss AS DOUBLE)) AS l2_shift
+FROM j ORDER BY label""",
+)
+def _q_embedding_drift(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.embedding_drift(
+        emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+    )

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "packing_stats",
     "corpus_health_report",
     "kwic_spark",
+    "embedding_drift",
 ]
 
 

@@ -420,3 +420,30 @@ def test_negative_samples_are_true_negatives_and_reproducible(spark, sf_dir):
         for r in negative_samples(emb, k=4, salt="epoch2").collect()
     }
     assert fresh != key
+
+
+def test_embedding_drift_zero_on_identical_and_planted_shift(spark):
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        embedding_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0], i % 2) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    # identical windows: exact zero shift (decimal seam, not ~0)
+    out = {r["label"]: r for r in embedding_drift(ref, ref).collect()}
+    assert set(out) == {0, 1}
+    assert all(r["l2_shift"] == 0.0 for r in out.values())
+    # plant a +4 shift on dim 1 of label 1's vectors only
+    cur = spark.createDataFrame(
+        [(i, [1.0, 2.0 + (4.0 if i % 2 else 0.0), 3.0], i % 2) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out2 = {r["label"]: r for r in embedding_drift(ref, cur).collect()}
+    assert out2[0]["l2_shift"] == 0.0
+    assert abs(out2[1]["l2_shift"] - 4.0) < 1e-5
+    # partitioning invariance (decimal-quantized cross-dim sum)
+    rep = {r["label"]: r["l2_shift"]
+           for r in embedding_drift(ref.repartition(7), cur.repartition(3)).collect()}
+    assert rep == {k: v["l2_shift"] for k, v in out2.items()}
