@@ -1,0 +1,163 @@
+"""Runnable HTTP tier: the reference's routes mounted 1:1 over the
+framework-free service layer (stdlib ThreadingHTTPServer — no web
+framework in the container, none needed).
+
+Route table parity: /root/reference/cmd/server/main.go via
+internal/api/handlers.go:41-59 —
+
+    GET  /healthz            GET  /readyz
+    POST /ingest/run?since=  POST /export/run?date=
+    GET  /metrics/channel?channel=&from=&to=&limit=&offset=
+    GET  /metrics/funnel?utm_campaign=&from=&to=
+    GET  /debug/ads?date=    GET  /debug/crm?date=
+    GET  /debug/matches?utm_campaign=
+
+Status mapping preserved: ValidationError → 400, EmptyExportError /
+NotFoundError → 404, anything else → 500 with the error string.  The
+inbound ``X-Request-ID`` header is echoed into every envelope (the
+reference's middleware contract, middleware.go:11-37).
+
+Run:  python -m admira_etl_project_prueba_spark.serve [--port 8080]
+(config from env/.env exactly like the reference's pkg/config).
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from admira_etl_project_prueba_spark.operators.export import EmptyExportError
+from admira_etl_project_prueba_spark.service import (
+    MetricsService,
+    ValidationError,
+)
+
+
+def _int(qs: dict, name: str, default: int) -> int:
+    try:
+        return int(qs.get(name, [default])[0])
+    except (TypeError, ValueError):
+        return default
+
+
+def _first(qs: dict, name: str) -> str | None:
+    vals = qs.get(name)
+    return vals[0] if vals else None
+
+
+def make_handler(svc: MetricsService):
+    """Bind the service into a request-handler class (stdlib pattern)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default; stderr stays clean
+            pass
+
+        def _send(self, code: int, body: dict) -> None:
+            # rows carry datetimes (ingested_at); stringify like gin
+            # marshals time.Time rather than failing the response
+            payload = json.dumps(body, default=str).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _dispatch(self, method: str) -> None:
+            url = urlparse(self.path)
+            qs = parse_qs(url.query)
+            rid = self.headers.get("X-Request-ID")
+            try:
+                route = (method, url.path)
+                if route == ("GET", "/healthz"):
+                    return self._send(200, svc.healthz())
+                if route == ("GET", "/readyz"):
+                    return self._send(200, svc.readyz())
+                if route == ("POST", "/ingest/run"):
+                    return self._send(
+                        200, svc.ingest_run(since=_first(qs, "since"), request_id=rid)
+                    )
+                if route == ("POST", "/export/run"):
+                    return self._send(
+                        200, svc.export_run(date=_first(qs, "date"), request_id=rid)
+                    )
+                if route == ("GET", "/metrics/channel"):
+                    return self._send(
+                        200,
+                        svc.metrics_channel(
+                            channel=_first(qs, "channel"),
+                            date_from=_first(qs, "from"),
+                            date_to=_first(qs, "to"),
+                            limit=_int(qs, "limit", 100),
+                            offset=_int(qs, "offset", 0),
+                            request_id=rid,
+                        ),
+                    )
+                if route == ("GET", "/metrics/funnel"):
+                    return self._send(
+                        200,
+                        svc.metrics_funnel(
+                            utm_campaign=_first(qs, "utm_campaign"),
+                            date_from=_first(qs, "from"),
+                            date_to=_first(qs, "to"),
+                            request_id=rid,
+                        ),
+                    )
+                if route == ("GET", "/debug/ads"):
+                    return self._send(
+                        200, svc.debug_ads(date=_first(qs, "date"), request_id=rid)
+                    )
+                if route == ("GET", "/debug/crm"):
+                    return self._send(
+                        200, svc.debug_crm(date=_first(qs, "date"), request_id=rid)
+                    )
+                if route == ("GET", "/debug/matches"):
+                    return self._send(
+                        200,
+                        svc.debug_matches(
+                            utm_campaign=_first(qs, "utm_campaign"), request_id=rid
+                        ),
+                    )
+                return self._send(404, {"error": f"no route: {method} {url.path}"})
+            except ValidationError as exc:
+                return self._send(400, {"error": str(exc)})
+            except (EmptyExportError, LookupError) as exc:
+                return self._send(404, {"error": str(exc)})
+            except Exception as exc:  # 500 with the error string, like gin
+                return self._send(500, {"error": str(exc)})
+
+        def do_GET(self):
+            self._dispatch("GET")
+
+        def do_POST(self):
+            self._dispatch("POST")
+
+    return Handler
+
+
+def serve(svc: MetricsService, port: int = 8080) -> ThreadingHTTPServer:
+    """Start the HTTP tier on ``port``; returns the (running) server so
+    callers/tests own its lifecycle (``shutdown()`` to stop)."""
+    server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(svc))
+    import threading
+
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
+
+
+def main() -> None:  # pragma: no cover - thin CLI shell over serve()
+    import argparse
+
+    from admira_etl_project_prueba_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args()
+    svc = MetricsService(get_spark())
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(svc))
+    print(f"listening on :{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

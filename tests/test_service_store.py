@@ -775,3 +775,85 @@ def test_corpus_lang_mismatch_clamps_and_ranks(spark):
     assert out["data"][0]["dominant_lang"] == "en"
     # limit <= 0 silently clamps to the default instead of erroring
     assert svc.lang_mismatch_report(limit=0)["data"] == out["data"]
+
+
+def test_http_tier_routes_reference_contract(spark, tmp_path):
+    """The runnable stdlib HTTP tier mounts the reference's route table
+    1:1 (cmd/server/main.go -> handlers.go:41-59): 200 envelopes on the
+    happy path, 400 on validation, 404 on empty export / unknown route,
+    and the inbound X-Request-ID echoed — all over a real socket."""
+    import urllib.error
+    import urllib.request
+
+    from admira_etl_project_prueba_spark.serve import serve
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = (
+                {"external": {"ads": {"performance": ADS}}}
+                if self.path == "/ads"
+                else {"external": {"crm": {"opportunities": CRM}}}
+            )
+            payload = json.dumps(body).encode()
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(payload)
+
+    upstream = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=upstream.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{upstream.server_address[1]}"
+    svc = MetricsService(
+        spark,
+        Config(
+            ads_api_url=f"{base}/ads",
+            crm_api_url=f"{base}/crm",
+            store_path=str(tmp_path / "facts"),
+            max_retries=2,
+            backoff_ms=1,
+        ),
+    )
+    server = serve(svc, port=0)
+    port = server.server_address[1]
+    api = f"http://127.0.0.1:{port}"
+
+    def call(method, path, rid=None):
+        req = urllib.request.Request(api + path, method=method)
+        if rid:
+            req.add_header("X-Request-ID", rid)
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as exc:
+            return exc.code, json.loads(exc.read())
+
+    try:
+        assert call("GET", "/healthz") == (200, {"status": "healthy"})
+        assert call("GET", "/readyz")[0] == 200
+        code, body = call("POST", "/ingest/run?since=2024-01-01", rid="req-abc-123")
+        assert code == 200 and body["metrics_processed"] == 3
+        assert body["request_id"] == "req-abc-123"  # middleware echo
+        code, body = call(
+            "GET",
+            "/metrics/channel?channel=google_ads&from=2024-01-01&to=2024-12-31",
+        )
+        # ads C-1 plus the CRM row (channel inferred google_ads from utm)
+        assert code == 200 and len(body["data"]) == 2
+        assert body["pagination"]["total"] == 2
+        code, body = call("GET", "/metrics/funnel?utm_campaign=x&from=2024-01-01&to=2024-12-31")
+        assert code == 200 and len(body["data"]) == 2
+        # validation contract -> 400
+        assert call("GET", "/metrics/channel?channel=&from=x&to=y")[0] == 400
+        assert call("POST", "/ingest/run?since=not-a-date")[0] == 400
+        # empty export day -> 404 (reference handlers.go:227-230)
+        assert call("POST", "/export/run?date=1999-01-01")[0] == 404
+        # unknown route -> 404
+        assert call("GET", "/nope")[0] == 404
+        # debug endpoints round-trip over the socket
+        code, body = call("GET", "/debug/matches?utm_campaign=x")
+        assert code == 200 and body["ads_count"] == 1 and body["crm_count"] == 1
+    finally:
+        server.shutdown()
+        upstream.shutdown()
