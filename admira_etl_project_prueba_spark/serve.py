@@ -33,6 +33,10 @@ from admira_etl_project_prueba_spark.service import (
     ValidationError,
 )
 
+# the corpus tier raises the SAME ValidationError class (corpus_service
+# imports it from service), and its NotFoundError subclasses LookupError —
+# the status mapping below covers both tiers with no extra imports
+
 
 def _int(qs: dict, name: str, default: int) -> int:
     try:
@@ -46,8 +50,10 @@ def _first(qs: dict, name: str) -> str | None:
     return vals[0] if vals else None
 
 
-def make_handler(svc: MetricsService):
-    """Bind the service into a request-handler class (stdlib pattern)."""
+def make_handler(svc: MetricsService, corpus=None):
+    """Bind the service(s) into a request-handler class (stdlib
+    pattern).  ``corpus`` (a CorpusService) additionally mounts the
+    beyond-reference GET /corpus/* routes."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet by default; stderr stays clean
@@ -118,6 +124,36 @@ def make_handler(svc: MetricsService):
                             utm_campaign=_first(qs, "utm_campaign"), request_id=rid
                         ),
                     )
+                if corpus is not None and method == "GET":
+                    if url.path == "/corpus/health":
+                        return self._send(200, corpus.health_report(request_id=rid))
+                    if url.path == "/corpus/dedup":
+                        return self._send(200, corpus.dedup_summary(request_id=rid))
+                    if url.path == "/corpus/dup_profile":
+                        return self._send(200, corpus.dup_profile(request_id=rid))
+                    if url.path == "/corpus/fertility":
+                        return self._send(200, corpus.fertility_report(request_id=rid))
+                    if url.path == "/corpus/lang_mismatch":
+                        return self._send(
+                            200,
+                            corpus.lang_mismatch_report(
+                                limit=_int(qs, "limit", 100), request_id=rid
+                            ),
+                        )
+                    if url.path == "/corpus/search":
+                        return self._send(
+                            200,
+                            corpus.search(
+                                q=_first(qs, "q"),
+                                mode=_first(qs, "mode") or "bm25",
+                                limit=_int(qs, "limit", 20),
+                                request_id=rid,
+                            ),
+                        )
+                    if url.path == "/corpus/drift":
+                        return self._send(200, corpus.drift_report(request_id=rid))
+                    if url.path == "/corpus/quality":
+                        return self._send(200, corpus.quality_report(request_id=rid))
                 return self._send(404, {"error": f"no route: {method} {url.path}"})
             except ValidationError as exc:
                 return self._send(400, {"error": str(exc)})
@@ -135,10 +171,10 @@ def make_handler(svc: MetricsService):
     return Handler
 
 
-def serve(svc: MetricsService, port: int = 8080) -> ThreadingHTTPServer:
+def serve(svc: MetricsService, port: int = 8080, corpus=None) -> ThreadingHTTPServer:
     """Start the HTTP tier on ``port``; returns the (running) server so
     callers/tests own its lifecycle (``shutdown()`` to stop)."""
-    server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(svc))
+    server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(svc, corpus))
     import threading
 
     threading.Thread(target=server.serve_forever, daemon=True).start()

@@ -857,3 +857,45 @@ def test_http_tier_routes_reference_contract(spark, tmp_path):
     finally:
         server.shutdown()
         upstream.shutdown()
+
+
+def test_http_tier_mounts_corpus_routes(spark, tmp_path, sf_dir):
+    """serve(corpus=...) adds the beyond-reference GET /corpus/* routes:
+    health/dup_profile/search round-trip over the socket, validation maps
+    to 400, and without a corpus the same paths are 404."""
+    import urllib.error
+    import urllib.request
+
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.serve import serve
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    svc = MetricsService(
+        spark, Config(store_path=str(tmp_path / "facts"), backoff_ms=1)
+    )
+    corpus = CorpusService(spark, documents=load_table(spark, sf_dir, "documents"))
+    server = serve(svc, port=0, corpus=corpus)
+    bare = serve(svc, port=0)  # no corpus mounted
+    api = f"http://127.0.0.1:{server.server_address[1]}"
+    bare_api = f"http://127.0.0.1:{bare.server_address[1]}"
+
+    def call(base, path):
+        try:
+            with urllib.request.urlopen(base + path, timeout=120) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as exc:
+            return exc.code, json.loads(exc.read())
+
+    try:
+        code, body = call(api, "/corpus/health")
+        assert code == 200 and "size" in body["data"]
+        code, body = call(api, "/corpus/dup_profile")
+        assert code == 200 and body["dup_share"] == 0.0
+        code, body = call(api, "/corpus/search?q=spark&limit=3")
+        assert code == 200 and len(body["data"]) == 3
+        assert call(api, "/corpus/search?q=")[0] == 400
+        assert call(api, "/corpus/search?q=x&mode=bogus")[0] == 400
+        assert call(bare_api, "/corpus/health")[0] == 404
+    finally:
+        server.shutdown()
+        bare.shutdown()
