@@ -5575,3 +5575,67 @@ def _q_embedding_drift(spark, sf_dir):
     return _sim.embedding_drift(
         emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
     )
+
+
+def _duck_kcore_sql(k: int = 3, iters: int = 8) -> str:
+    """Unrolled DuckDB twin of graph.k_core over the co-supply graph:
+    one (degree-filter → edge-prune) CTE pair per peeling round."""
+    ctes = [
+        f"""e AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_SHARED})""",
+        "s0 AS MATERIALIZED (SELECT u, v FROM (SELECT u, v FROM e UNION SELECT v, u FROM e))",
+    ]
+    prev = "s0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT u FROM (SELECT u, COUNT(*) AS deg FROM {prev} "
+            f"GROUP BY u) WHERE deg >= {k})"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT s.u, s.v FROM {prev} s "
+            f"JOIN a{i} x ON s.u = x.u JOIN a{i} y ON s.v = y.u)"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+fd AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM {prev} GROUP BY u),
+nodes AS (SELECT DISTINCT u AS node FROM s0)
+SELECT node, coalesce(fd.deg, CAST(0 AS BIGINT)) AS degree,
+       coalesce(fd.deg, CAST(0 AS BIGINT)) >= {k} AS in_kcore
+FROM nodes LEFT JOIN fd ON nodes.node = fd.u
+ORDER BY node"""
+    )
+
+
+@_entry(
+    "cosupply_kcore",
+    "k-core peeling (k=3, 8 fixed rounds) over the min-support co-supply "
+    "graph: every supplier with its final in-subgraph degree and a "
+    "dense-core verdict.  One degree agg + two endpoint semi-joins of "
+    "2-int edges per round (TH(m), PageRank's per-round bound); edge "
+    "frame localCheckpointed so no round replays its predecessors.",
+    _duck_kcore_sql(),
+)
+def _q_kcore(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_suppkey")).alias("s"))
+        .selectExpr(
+            "explode(flatten(transform(s, (x, i) -> "
+            "transform(slice(s, i + 2, size(s)), y -> struct(x AS u, y AS v))"
+            "))) AS p"
+        )
+        .selectExpr("p.u", "p.v")
+        .filter("u < v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _TRI_MIN_SHARED)
+        .select("u", "v")
+    )
+    return _graph.k_core(edges, k=3, iters=8)

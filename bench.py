@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "corpus_health_report",
     "kwic_spark",
     "embedding_drift",
+    "cosupply_kcore",
 ]
 
 

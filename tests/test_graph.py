@@ -221,3 +221,25 @@ def test_label_propagation_separates_planted_cliques(spark):
         for r in label_propagation(edges.repartition(7)).collect()
     }
     assert again == got
+
+
+def test_k_core_planted_core_and_cascade(spark):
+    """A 4-clique (3-core) with a pendant chain: the chain peels away in
+    CASCADING rounds (c depends on d's removal), the clique survives."""
+    from admira_etl_project_prueba_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),  # 4-clique
+         (4, 5), (5, 6), (6, 7)],                          # pendant chain
+        "u long, v long",
+    )
+    out = {r["node"]: r for r in k_core(edges, k=3, iters=8).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5, 6, 7]
+    for n in (1, 2, 3, 4):
+        assert out[n]["in_kcore"] and out[n]["degree"] == 3
+    for n in (5, 6, 7):
+        assert not out[n]["in_kcore"] and out[n]["degree"] == 0
+    # k=2: the chain still peels (leaf cascade), the clique survives
+    out2 = {r["node"]: r for r in k_core(edges, k=2, iters=8).collect()}
+    assert all(out2[n]["in_kcore"] for n in (1, 2, 3, 4))
+    assert not any(out2[n]["in_kcore"] for n in (5, 6, 7))
