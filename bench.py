@@ -155,6 +155,13 @@ def main():
     # noise on identical code — too coarse to attribute a real regression
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     names = [n for n in BENCH_QUERIES if n in CATALOG]
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c: targeted re-timing for regression
+    # triage.  The detail file is NOT rewritten on subset runs — partial
+    # maps must never shadow a full suite's record.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in wanted]
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
@@ -189,6 +196,9 @@ def main():
     # 78+ queries the full map alone exceeds that, which left round 4 with
     # parsed=null.  The FINAL line must stay comfortably under the window.
     detail = dict(headline, queries=timings)
+    if only:
+        print(json.dumps(detail))
+        return
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
