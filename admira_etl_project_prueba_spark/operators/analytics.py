@@ -2133,3 +2133,56 @@ def events_value_histogram_minmax(events: DataFrame, n_bins: int = 20) -> DataFr
             f"v_min + (v_max - v_min) * (bin + 1) / {n_bins} AS bin_hi",
         )
     )
+
+
+def events_anomaly_dow(events: DataFrame, threshold: float = 2.0) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: each (event_type, day)'s
+    total value z-scored against the type's distribution FOR THAT DAY OF
+    WEEK — "is this Monday abnormal for a Monday?" — which catches
+    weekday/weekend-pattern breaks the plain z-score
+    (:func:`events_anomaly_zscore`) washes out, and stays silent on
+    ordinary weekly swing the plain score falsely flags.
+
+    Day-of-week derives from the epoch day number modulo 7 (0 =
+    Thursday, 1970-01-01) — pure integer arithmetic, identical on every
+    engine, no locale-dependent calendar call.  Same exactness seam as
+    the plain z-score: decimal moments, population std, NULL z when a
+    (type, dow) cell has no spread.  Two hash aggregates + one
+    broadcast join; the stats frame is |types| × 7 rows.
+    """
+    d = "decimal(25,6)"
+    daily = (
+        events.groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.sum(F.col("value").cast(d)).cast("double").alias("day_value"))
+        .withColumn(
+            "dow",
+            (F.datediff(F.col("day").cast("date"), F.lit("1970-01-01").cast("date")) % 7)
+            .cast("int"),
+        )
+    )
+    stats = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("day_value").cast(d)).cast("double").alias("s1"),
+        F.sum((F.col("day_value") * F.col("day_value")).cast(d))
+        .cast("double")
+        .alias("s2"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("s1") / n
+    var = F.col("s2") / n - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std > 0, (F.col("day_value") - mean) / std)
+    return (
+        daily.join(F.broadcast(stats), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "dow",
+            "day_value",
+            z.alias("zscore_dow"),
+            (F.abs(F.coalesce(z, F.lit(0.0))) > threshold).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -5639,3 +5639,41 @@ def _q_kcore(spark, sf_dir):
         .select("u", "v")
     )
     return _graph.k_core(edges, k=3, iters=8)
+
+
+@_entry(
+    "events_anomaly_dow",
+    "Seasonality-adjusted anomaly flags: day totals z-scored against the "
+    "type's SAME-day-of-week distribution (weekly-pattern breaks that "
+    "the plain z-score washes out).  Dow = epoch-day mod 7 (engine-"
+    "agnostic integer arithmetic); decimal moments; |types|x7 stats "
+    "frame broadcast back.",
+    f"""WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         {_DSUM.format(x='value')} AS day_value
+  FROM events GROUP BY 1, 2
+),
+dd AS (
+  SELECT *, CAST((CAST(day AS DATE) - DATE '1970-01-01') % 7 AS INTEGER) AS dow
+  FROM daily
+),
+stats AS (
+  SELECT event_type, dow, COUNT(*) AS n_days,
+         {_DSUM.format(x='day_value')} AS s1,
+         {_DSUM.format(x='day_value * day_value')} AS s2
+  FROM dd GROUP BY 1, 2
+),
+j AS (
+  SELECT d.event_type, d.day, d.dow, d.day_value,
+         s1 / n_days AS mean,
+         sqrt(greatest(s2 / n_days - (s1 / n_days) * (s1 / n_days), 0.0)) AS std
+  FROM dd d JOIN stats USING (event_type, dow)
+)
+SELECT event_type, day, dow, day_value,
+       CASE WHEN std > 0 THEN (day_value - mean) / std END AS zscore_dow,
+       abs(COALESCE(CASE WHEN std > 0 THEN (day_value - mean) / std END, 0.0)) > 2.0
+         AS is_anomaly
+FROM j ORDER BY event_type, day""",
+)
+def _q_anomaly_dow(spark, sf_dir):
+    return analytics.events_anomaly_dow(load_events(spark, sf_dir))

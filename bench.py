@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "kwic_spark",
     "embedding_drift",
     "cosupply_kcore",
+    "events_anomaly_dow",
 ]
 
 

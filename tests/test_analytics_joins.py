@@ -987,3 +987,40 @@ def test_profile_drift_flags_planted_changes(spark):
     assert got["uniq"]["drifted"] and got["uniq"]["distinct_ratio_delta"] < -0.9
     assert not got["const"]["drifted"] and not got["const"]["range_moved"]
     assert not got["empty"]["range_moved"]  # NULL range == NULL range
+
+
+def test_events_anomaly_dow_catches_weekly_pattern_break(spark):
+    """A type with a strong weekly pattern (high Mondays): a normal Monday
+    is NOT anomalous under the dow-adjusted score, but a Monday-sized
+    total landing on a Tuesday is — the case the plain z-score misses or
+    inverts."""
+    import datetime as dt
+
+    from admira_etl_project_prueba_spark.operators.analytics import (
+        events_anomaly_dow,
+    )
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    for week in range(6):
+        for d in range(7):
+            ts = base + dt.timedelta(days=week * 7 + d)
+            val = 100.0 if d == 0 else 10.0  # Mondays 10x the rest
+            rows.append((eid, ts, 1, "t", val, "{}"))
+            eid += 1
+    # week 6: the Monday spike lands on TUESDAY instead
+    ts = base + dt.timedelta(days=42)
+    rows.append((eid, ts, 1, "t", 10.0, "{}"))        # quiet Monday
+    rows.append((eid + 1, ts + dt.timedelta(days=1), 1, "t", 100.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["day"]: r for r in events_anomaly_dow(ev).collect()}
+    assert not out["2024-01-08"]["is_anomaly"]   # normal Monday: normal
+    assert out["2024-02-13"]["is_anomaly"]       # Monday-sized Tuesday: flagged
+    assert out["2024-02-12"]["is_anomaly"]       # quiet Monday: flagged too
+    # dow is epoch-day mod 7: 2024-01-01 (Monday) -> 19723 % 7 == 4
+    assert out["2024-01-01"]["dow"] == 4
