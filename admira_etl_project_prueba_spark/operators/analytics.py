@@ -2186,3 +2186,57 @@ def events_anomaly_dow(events: DataFrame, threshold: float = 2.0) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def user_rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM segmentation: every user scored 1-4 on Recency (days since
+    last purchase, newer = higher), Frequency (purchase count), and
+    Monetary (decimal-exact purchase value), quartiled by ntile — the
+    classic marketing segmentation grid (a "444" is a best customer,
+    "111" is churned-cheap).  Only purchase events count, matching the
+    funnel ops' revenue convention.
+
+    Determinism: the anchor date is the corpus max purchase timestamp
+    (data-derived, not wall clock); every ntile ordering carries a
+    user_id tie-break; monetary sums ride the decimal seam.  One user-
+    grain aggregate, then three windows over (metric, user_id) int/
+    double pairs — text-free, model-thin shuffles.  At 100 TB the
+    global ntile sort becomes a sampled-quantile range assignment, the
+    same trade documented on curriculum_stages.
+    """
+    from pyspark.sql import Window as W
+
+    purchases = events.filter(F.col("event_type") == "purchase")
+    anchor = purchases.agg(F.max("ts").alias("anchor"))
+    per_user = (
+        purchases.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .selectExpr(
+            "user_id",
+            "datediff(CAST(anchor AS DATE), CAST(last_ts AS DATE)) AS recency_days",
+            "frequency",
+            "monetary",
+        )
+    )
+    r = W.partitionBy().orderBy(F.desc("recency_days"), "user_id")  # newer last ⇒ higher ntile
+    f = W.partitionBy().orderBy("frequency", "user_id")
+    m = W.partitionBy().orderBy("monetary", "user_id")
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r).alias("r_score"),
+        F.ntile(4).over(f).alias("f_score"),
+        F.ntile(4).over(m).alias("m_score"),
+    ).selectExpr(
+        "*",
+        "concat(r_score, f_score, m_score) AS segment",
+    ).orderBy("user_id")

@@ -5677,3 +5677,31 @@ FROM j ORDER BY event_type, day""",
 )
 def _q_anomaly_dow(spark, sf_dir):
     return analytics.events_anomaly_dow(load_events(spark, sf_dir))
+
+
+@_entry(
+    "user_rfm_segments",
+    "RFM segmentation: per-user recency/frequency/monetary quartiles "
+    "(ntile with user_id tie-breaks, data-derived anchor date, decimal "
+    "monetary sums) + the 3-digit segment code.  One user-grain "
+    "aggregate then three text-free global windows.",
+    f"""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+anchor AS (SELECT MAX(ts) AS a FROM p),
+u AS (
+  SELECT user_id,
+         date_diff('day', CAST(MAX(ts) AS DATE),
+                   CAST((SELECT a FROM anchor) AS DATE)) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         {_DSUM.format(x='value')} AS monetary
+  FROM p GROUP BY user_id)
+SELECT user_id, recency_days, frequency, monetary,
+       ntile(4) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+       ntile(4) OVER (ORDER BY frequency, user_id) AS f_score,
+       ntile(4) OVER (ORDER BY monetary, user_id) AS m_score,
+       CAST(ntile(4) OVER (ORDER BY recency_days DESC, user_id) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY frequency, user_id) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY monetary, user_id) AS VARCHAR) AS segment
+FROM u ORDER BY user_id""",
+)
+def _q_rfm(spark, sf_dir):
+    return analytics.user_rfm_segments(load_events(spark, sf_dir))

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "embedding_drift",
     "cosupply_kcore",
     "events_anomaly_dow",
+    "user_rfm_segments",
 ]
 
 

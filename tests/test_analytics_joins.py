@@ -1024,3 +1024,34 @@ def test_events_anomaly_dow_catches_weekly_pattern_break(spark):
     assert out["2024-02-12"]["is_anomaly"]       # quiet Monday: flagged too
     # dow is epoch-day mod 7: 2024-01-01 (Monday) -> 19723 % 7 == 4
     assert out["2024-01-01"]["dow"] == 4
+
+
+def test_user_rfm_segments_planted(spark):
+    import datetime as dt
+
+    from admira_etl_project_prueba_spark.operators.analytics import (
+        user_rfm_segments,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # user 1: recent, frequent, big spender; user 4: old, rare, cheap
+    spec = {1: (30, 8, 100.0), 2: (20, 6, 50.0), 3: (10, 4, 20.0), 4: (0, 2, 5.0)}
+    for uid, (day, n, val) in spec.items():
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(days=day, hours=i), uid,
+                         "purchase", val, "{}"))
+            eid += 1
+        rows.append((eid, base + dt.timedelta(days=day), uid, "view", 1.0, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["user_id"]: r for r in user_rfm_segments(ev).collect()}
+    assert set(out) == {1, 2, 3, 4}          # view-only rows don't create users
+    assert out[1]["segment"] == "444" and out[4]["segment"] == "111"
+    assert out[1]["recency_days"] == 0        # anchor is the max purchase ts
+    assert out[4]["recency_days"] == 30
+    assert out[2]["frequency"] == 6 and out[2]["monetary"] == 300.0

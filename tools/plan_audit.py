@@ -58,6 +58,7 @@ NESTED_LOOP_ALLOWED = {
     "dup_cluster_profile",      # 1-row corpus-total broadcast into the histogram
     "knn_label_accuracy",       # embeds ivf_assign's n_centroids-row argmax
     "mixture_plan",             # 1-row max_exact_budget broadcast into the plan
+    "user_rfm_segments",        # 1-row anchor-date broadcast into the user frame
 }
 
 
