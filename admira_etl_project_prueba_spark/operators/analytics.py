@@ -2240,3 +2240,100 @@ def user_rfm_segments(events: DataFrame) -> DataFrame:
         "*",
         "concat(r_score, f_score, m_score) AS segment",
     ).orderBy("user_id")
+
+
+def events_position_attribution(
+    events: DataFrame, lookback_days: int = 7
+) -> DataFrame:
+    """Multi-touch POSITION-BASED (U-shaped) attribution: 40% of each
+    purchase's credit to the user's first in-window touch, 40% to the
+    last, the remaining 20% split equally across the middles (1 touch ⇒
+    100%, 2 touches ⇒ 50/50) — the journey-shaped model marketers run
+    NEXT to linear attribution to see whether discovery or closing
+    touches drive conversions.
+
+    Same machinery and exactness contract as
+    :func:`events_linear_attribution`: user-keyed equi-join with a
+    row-local time filter, decimal(25,6) credit/revenue shares, the
+    per-conversion rounding residual assigned to the deterministic
+    first touch so credit sums to EXACTLY the conversion count, and an
+    'unattributed' bucket for no-touch conversions (hard
+    reconciliation, not approximation).
+    """
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    touches = events.filter(
+        F.col("event_type").isin("click", "view")
+    ).selectExpr(
+        "user_id", "event_type AS touch_type", f"{us} AS tus",
+        "event_id AS touch_id",
+    )
+    convs = events.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id", "event_id AS conv_id", f"{us} AS cus", "value"
+    )
+    lb = lookback_days * 86_400_000_000
+    pairs = convs.join(touches, "user_id").filter(
+        (F.col("tus") < F.col("cus")) & (F.col("cus") - F.col("tus") <= lb)
+    )
+    per_conv = pairs.groupBy("conv_id", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches")
+    )
+    w_first = Window.partitionBy("conv_id").orderBy("tus", "touch_id")
+    dec = "decimal(25,6)"
+    weight = (
+        "CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE) "
+        "WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE) "
+        "WHEN rn = 1 OR rn = n_touches THEN CAST(0.4 AS DOUBLE) "
+        "ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2) END"
+    )
+    credit_total = (
+        f"CASE WHEN n_touches <= 2 THEN CAST(1.0 AS {dec}) "
+        f"ELSE CAST(0.8 AS {dec}) "
+        f" + CAST(CAST(0.2 AS DOUBLE) / (n_touches - 2) AS {dec}) * (n_touches - 2) END"
+    )
+    rev_total = (
+        f"CASE WHEN n_touches = 1 THEN CAST(value AS {dec}) "
+        f"WHEN n_touches = 2 THEN CAST(value * 0.5 AS {dec}) * 2 "
+        f"ELSE CAST(value * 0.4 AS {dec}) * 2 "
+        f" + CAST(value * 0.2 / (n_touches - 2) AS {dec}) * (n_touches - 2) END"
+    )
+    credited = (
+        pairs.join(per_conv.select("conv_id", "n_touches"), "conv_id")
+        .withColumn("rn", F.row_number().over(w_first))
+        .selectExpr(
+            "touch_type",
+            "rn",
+            "n_touches",
+            f"CAST({weight} AS {dec}) AS base_credit",
+            f"CAST(value * ({weight}) AS {dec}) AS base_rev",
+            f"CAST(value AS {dec}) AS vdec",
+            f"{credit_total} AS credit_total",
+            f"{rev_total} AS rev_total",
+        )
+        .selectExpr(
+            "touch_type",
+            f"base_credit + IF(rn = 1, CAST(1.0 AS {dec}) - credit_total,"
+            f" CAST(0.0 AS {dec})) AS credit",
+            f"base_rev + IF(rn = 1, vdec - rev_total,"
+            f" CAST(0.0 AS {dec})) AS rev",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.sum("credit").cast("double").alias("attributed_conversions"),
+            F.sum("rev").cast("double").alias("attributed_revenue"),
+        )
+    )
+    unattributed = (
+        convs.join(per_conv.select("conv_id"), "conv_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("attributed_conversions"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+        .selectExpr(
+            "'unattributed' AS touch_type",
+            "attributed_conversions",
+            "coalesce(attributed_revenue, 0.0) AS attributed_revenue",
+        )
+    )
+    return credited.unionByName(unattributed)

@@ -5705,3 +5705,85 @@ FROM u ORDER BY user_id""",
 )
 def _q_rfm(spark, sf_dir):
     return analytics.user_rfm_segments(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_position_attribution",
+    "U-shaped multi-touch attribution: 40/20/40 first/middles/last "
+    "credit per purchase (1 touch 100%, 2 touches 50/50), decimal "
+    "shares with the per-conversion rounding residual on the first "
+    "touch (credit reconciles to the conversion count exactly), "
+    "no-touch conversions bucketed 'unattributed'.  Same user-keyed "
+    "equi-join shape as linear attribution.",
+    """WITH t AS (
+  SELECT user_id, event_type AS touch_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         event_id AS touch_id
+  FROM events WHERE event_type IN ('click', 'view')
+),
+c AS (
+  SELECT user_id, event_id AS conv_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS cus, value
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT conv_id, value, touch_type, tus, touch_id
+  FROM c JOIN t USING (user_id)
+  WHERE tus < cus AND cus - tus <= CAST(604800 AS BIGINT) * 1000000
+),
+per_conv AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_touches FROM pairs GROUP BY 1
+),
+shares AS (
+  SELECT touch_type,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tus, touch_id) AS rn,
+         n_touches, value,
+         CAST(value AS DECIMAL(25,6)) AS vdec
+  FROM pairs JOIN per_conv USING (conv_id)
+),
+wsh AS (
+  SELECT touch_type, rn, n_touches, vdec,
+         CAST(CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
+              WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+              WHEN rn = 1 OR rn = n_touches THEN CAST(0.4 AS DOUBLE)
+              ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2) END AS DECIMAL(25,6))
+           AS base_credit,
+         CAST(value * (CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
+              WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+              WHEN rn = 1 OR rn = n_touches THEN CAST(0.4 AS DOUBLE)
+              ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2) END) AS DECIMAL(25,6))
+           AS base_rev,
+         CASE WHEN n_touches <= 2 THEN CAST(1.0 AS DECIMAL(25,6))
+              ELSE CAST(0.8 AS DECIMAL(25,6))
+                   + CAST(CAST(0.2 AS DOUBLE) / (n_touches - 2) AS DECIMAL(25,6))
+                     * (n_touches - 2) END AS credit_total,
+         CASE WHEN n_touches = 1 THEN CAST(value AS DECIMAL(25,6))
+              WHEN n_touches = 2 THEN CAST(value * 0.5 AS DECIMAL(25,6)) * 2
+              ELSE CAST(value * 0.4 AS DECIMAL(25,6)) * 2
+                   + CAST(value * 0.2 / (n_touches - 2) AS DECIMAL(25,6))
+                     * (n_touches - 2) END AS rev_total
+  FROM shares
+),
+credited AS (
+  SELECT touch_type,
+         CAST(SUM(base_credit + CASE WHEN rn = 1
+                  THEN CAST(1.0 AS DECIMAL(25,6)) - credit_total
+                  ELSE CAST(0.0 AS DECIMAL(25,6)) END) AS DOUBLE)
+           AS attributed_conversions,
+         CAST(SUM(base_rev + CASE WHEN rn = 1
+                  THEN vdec - rev_total
+                  ELSE CAST(0.0 AS DECIMAL(25,6)) END) AS DOUBLE)
+           AS attributed_revenue
+  FROM wsh GROUP BY touch_type
+),
+un AS (
+  SELECT 'unattributed' AS touch_type,
+         CAST(COUNT(*) AS DOUBLE) AS attributed_conversions,
+         coalesce(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 0.0)
+           AS attributed_revenue
+  FROM c LEFT JOIN per_conv USING (conv_id) WHERE n_touches IS NULL
+)
+SELECT * FROM credited UNION ALL SELECT * FROM un""",
+)
+def _q_position_attr(spark, sf_dir):
+    return analytics.events_position_attribution(load_events(spark, sf_dir))

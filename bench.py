@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "cosupply_kcore",
     "events_anomaly_dow",
     "user_rfm_segments",
+    "events_position_attribution",
 ]
 
 

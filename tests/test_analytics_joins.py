@@ -1055,3 +1055,42 @@ def test_user_rfm_segments_planted(spark):
     assert out[1]["recency_days"] == 0        # anchor is the max purchase ts
     assert out[4]["recency_days"] == 30
     assert out[2]["frequency"] == 6 and out[2]["monetary"] == 300.0
+
+
+def test_position_attribution_u_shape_and_reconciliation(spark):
+    """4 touches: 0.4/0.1/0.1/0.4 split; reconciliation invariants hold
+    exactly (credit total == conversion count; revenue total == purchase
+    revenue) including the no-touch 'unattributed' bucket."""
+    import datetime as dt
+
+    from admira_etl_project_prueba_spark.operators.analytics import (
+        events_position_attribution,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        # user 1: click, view, view, click then a 100.0 purchase
+        (1, base + dt.timedelta(hours=0), 1, "click", 0.0, "{}"),
+        (2, base + dt.timedelta(hours=1), 1, "view", 0.0, "{}"),
+        (3, base + dt.timedelta(hours=2), 1, "view", 0.0, "{}"),
+        (4, base + dt.timedelta(hours=3), 1, "click", 0.0, "{}"),
+        (5, base + dt.timedelta(hours=4), 1, "purchase", 100.0, "{}"),
+        # user 2: purchase with no touches -> unattributed
+        (6, base, 2, "purchase", 30.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["touch_type"]: r for r in events_position_attribution(ev).collect()}
+    # first(click)=0.4 + last(click)=0.4, middles(view)=0.1 each
+    assert abs(out["click"]["attributed_conversions"] - 0.8) < 1e-9
+    assert abs(out["view"]["attributed_conversions"] - 0.2) < 1e-9
+    assert abs(out["click"]["attributed_revenue"] - 80.0) < 1e-9
+    assert abs(out["view"]["attributed_revenue"] - 20.0) < 1e-9
+    assert out["unattributed"]["attributed_conversions"] == 1.0
+    assert out["unattributed"]["attributed_revenue"] == 30.0
+    # hard reconciliation: totals equal conversions / revenue EXACTLY
+    assert sum(r["attributed_conversions"] for r in out.values()) == 2.0
+    assert sum(r["attributed_revenue"] for r in out.values()) == 130.0
