@@ -2337,3 +2337,59 @@ def events_position_attribution(
         )
     )
     return credited.unionByName(unattributed)
+
+
+def basket_part_lift(
+    lineitem: DataFrame, min_support: int = 3, top_n: int = 50
+) -> DataFrame:
+    """Market-basket association rules over order baskets: for every
+    part pair co-occurring in ≥ ``min_support`` orders, the support,
+    confidence (both directions folded into the a→b orientation with
+    a < b), and lift — P(ab)/(P(a)·P(b)), the classic 'bought together
+    more than chance' signal behind recommendations and bundling.
+    Top ``top_n`` pairs by lift (ties → pair id order), deterministic.
+
+    Exactness: counts are integers; lift = (n_ab·N)/(n_a·n_b) is ONE
+    IEEE divide of exact integer products — engine-identical.
+
+    Scale shape: the pair expansion is the grouped row-local pattern
+    (collect per order, expand C(items,2) locally — bounded by max
+    basket size, ~7 in TPC-H), so lineitem shuffles ONCE; item counts
+    broadcast back into the |pairs|-row frame; min-support prunes
+    before any join.  The same shape as the co-supply graph builder,
+    with the statistics kept instead of thresholded away.
+    """
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("s"))
+        .selectExpr(
+            "explode(flatten(transform(s, (x, i) -> "
+            "transform(slice(s, i + 2, size(s)), y -> struct(x AS a, y AS b))"
+            "))) AS p"
+        )
+        .selectExpr("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_support))
+    )
+    ia = item.selectExpr("l_partkey AS a", "n_item AS n_a")
+    ib = item.selectExpr("l_partkey AS b", "n_item AS n_b")
+    return (
+        pairs.join(ia, "a")
+        .join(ib, "b")
+        .selectExpr(
+            "a AS part_a",
+            "b AS part_b",
+            "n_ab",
+            "CAST(n_a AS BIGINT) AS n_a",
+            "CAST(n_b AS BIGINT) AS n_b",
+            "CAST(n_ab AS DOUBLE) / n_a AS confidence_a_to_b",
+            "CAST(n_ab AS DOUBLE) / n_b AS confidence_b_to_a",
+            f"CAST(n_ab AS DOUBLE) * {n_orders} / (CAST(n_a AS DOUBLE) * n_b) AS lift",
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(int(top_n))
+    )

@@ -5787,3 +5787,33 @@ SELECT * FROM credited UNION ALL SELECT * FROM un""",
 )
 def _q_position_attr(spark, sf_dir):
     return analytics.events_position_attribution(load_events(spark, sf_dir))
+
+
+@_entry(
+    "basket_part_lift",
+    "Market-basket association rules: part pairs co-occurring in >= 3 "
+    "orders with support, both confidences, and lift = n_ab*N/(n_a*n_b) "
+    "(one IEEE divide of exact integer products), top 50 by lift.  "
+    "Grouped row-local pair expansion (basket-size-bounded) shuffles "
+    "lineitem once; item counts broadcast into the pruned pair frame.",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM li GROUP BY 1),
+p AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT pa AS part_a, pb AS part_b, n_ab,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       CAST(n_ab AS DOUBLE) / ia.n_item AS confidence_a_to_b,
+       CAST(n_ab AS DOUBLE) / ib.n_item AS confidence_b_to_a,
+       CAST(n_ab AS DOUBLE) * n_orders / (CAST(ia.n_item AS DOUBLE) * ib.n_item)
+         AS lift
+FROM p JOIN item ia ON p.pa = ia.l_partkey
+       JOIN item ib ON p.pb = ib.l_partkey
+       CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b LIMIT 50""",
+)
+def _q_basket_lift(spark, sf_dir):
+    return analytics.basket_part_lift(_t(spark, sf_dir, "lineitem"))

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "events_anomaly_dow",
     "user_rfm_segments",
     "events_position_attribution",
+    "basket_part_lift",
 ]
 
 

@@ -1094,3 +1094,25 @@ def test_position_attribution_u_shape_and_reconciliation(spark):
     # hard reconciliation: totals equal conversions / revenue EXACTLY
     assert sum(r["attributed_conversions"] for r in out.values()) == 2.0
     assert sum(r["attributed_revenue"] for r in out.values()) == 130.0
+
+
+def test_basket_part_lift_planted(spark):
+    """Parts 10 and 11 co-occur in 3 of 6 baskets while each appears in
+    4 -> lift 1.125; part 99 never pairs above support and is absent."""
+    from admira_etl_project_prueba_spark.operators.analytics import (
+        basket_part_lift,
+    )
+
+    baskets = {
+        1: [10, 11, 99], 2: [10, 11], 3: [10, 11],
+        4: [10, 20], 5: [11, 20], 6: [20, 99],
+    }
+    rows = [(o, p) for o, parts in baskets.items() for p in parts]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {(r["part_a"], r["part_b"]): r
+           for r in basket_part_lift(li, min_support=3, top_n=10).collect()}
+    assert set(out) == {(10, 11)}
+    r = out[(10, 11)]
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (3, 4, 4)
+    assert r["confidence_a_to_b"] == 0.75
+    assert r["lift"] == 3 * 6 / (4 * 4)  # 1.125
