@@ -2393,3 +2393,90 @@ def basket_part_lift(
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(int(top_n))
     )
+
+
+def events_decay_attribution(
+    events: DataFrame, lookback_days: int = 7
+) -> DataFrame:
+    """Multi-touch TIME-DECAY attribution: each purchase's credit is
+    split over the user's in-window click/view touches with weight
+    halving per day of age (today's touch counts 2× yesterday's) — the
+    recency-shaped model completing the trio next to linear and
+    U-shaped.
+
+    Exactness: the raw weight 2^-age_days is an EXACT double (age ≤
+    lookback ⇒ a handful of exact powers of two, whose per-conversion
+    sums are exact in IEEE regardless of order), the normalized share
+    rounds to decimal(25,6), and the rounding residual — measured with
+    a decimal window sum per conversion — goes to the deterministic
+    first touch, so credit reconciles to the conversion count exactly
+    and revenue to its decimal total, same contract as the other two
+    models.  No-touch conversions land in 'unattributed'.
+    """
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    touches = events.filter(
+        F.col("event_type").isin("click", "view")
+    ).selectExpr(
+        "user_id", "event_type AS touch_type", f"{us} AS tus",
+        "event_id AS touch_id",
+    )
+    convs = events.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id", "event_id AS conv_id", f"{us} AS cus", "value"
+    )
+    lb = lookback_days * 86_400_000_000
+    dec = "decimal(25,6)"
+    pairs = (
+        convs.join(touches, "user_id")
+        .filter((F.col("tus") < F.col("cus")) & (F.col("cus") - F.col("tus") <= lb))
+        .selectExpr(
+            "conv_id", "value", "touch_type", "tus", "touch_id",
+            # age in whole days, 0..lookback ⇒ weight an exact power of two
+            "CAST(1.0 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT),"
+            " CAST((cus - tus) DIV 86400000000 AS INT)) AS DOUBLE) AS w",
+        )
+    )
+    w_conv = Window.partitionBy("conv_id")
+    w_first = Window.partitionBy("conv_id").orderBy("tus", "touch_id")
+    shares = (
+        pairs.withColumn("w_sum", F.sum("w").over(w_conv))
+        .withColumn("rn", F.row_number().over(w_first))
+        .selectExpr(
+            "conv_id",
+            "touch_type",
+            "rn",
+            f"CAST(w / w_sum AS {dec}) AS base_credit",
+            f"CAST(value * w / w_sum AS {dec}) AS base_rev",
+            f"CAST(value AS {dec}) AS vdec",
+        )
+        .withColumn("credit_total", F.sum("base_credit").over(Window.partitionBy("conv_id")))
+        .withColumn("rev_total", F.sum("base_rev").over(Window.partitionBy("conv_id")))
+    )
+    credited = (
+        shares.selectExpr(
+            "touch_type",
+            f"base_credit + IF(rn = 1, CAST(1.0 AS {dec}) - credit_total,"
+            f" CAST(0.0 AS {dec})) AS credit",
+            f"base_rev + IF(rn = 1, vdec - rev_total,"
+            f" CAST(0.0 AS {dec})) AS rev",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.sum("credit").cast("double").alias("attributed_conversions"),
+            F.sum("rev").cast("double").alias("attributed_revenue"),
+        )
+    )
+    unattributed = (
+        convs.join(pairs.select("conv_id").distinct(), "conv_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("attributed_conversions"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("attributed_revenue"),
+        )
+        .selectExpr(
+            "'unattributed' AS touch_type",
+            "attributed_conversions",
+            "coalesce(attributed_revenue, 0.0) AS attributed_revenue",
+        )
+    )
+    return credited.unionByName(unattributed)

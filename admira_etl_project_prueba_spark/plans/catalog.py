@@ -5817,3 +5817,67 @@ ORDER BY lift DESC, part_a, part_b LIMIT 50""",
 )
 def _q_basket_lift(spark, sf_dir):
     return analytics.basket_part_lift(_t(spark, sf_dir, "lineitem"))
+
+
+@_entry(
+    "events_decay_attribution",
+    "Time-decay multi-touch attribution: weight halves per day of touch "
+    "age (exact powers of two, so per-conversion weight sums are "
+    "IEEE-exact in any order), shares decimal-rounded with the residual "
+    "on the first touch — credit reconciles to the conversion count "
+    "exactly; no-touch conversions bucketed 'unattributed'.",
+    """WITH t AS (
+  SELECT user_id, event_type AS touch_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+         event_id AS touch_id
+  FROM events WHERE event_type IN ('click', 'view')
+),
+c AS (
+  SELECT user_id, event_id AS conv_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS cus, value
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT conv_id, value, touch_type, tus, touch_id,
+         CAST(1.0 AS DOUBLE)
+           / CAST((CAST(1 AS BIGINT) << CAST((cus - tus) // 86400000000 AS INTEGER))
+                  AS DOUBLE) AS w
+  FROM c JOIN t USING (user_id)
+  WHERE tus < cus AND cus - tus <= CAST(604800 AS BIGINT) * 1000000
+),
+shares AS (
+  SELECT conv_id, touch_type,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tus, touch_id) AS rn,
+         CAST(w / SUM(w) OVER (PARTITION BY conv_id) AS DECIMAL(25,6)) AS base_credit,
+         CAST(value * w / SUM(w) OVER (PARTITION BY conv_id) AS DECIMAL(25,6)) AS base_rev,
+         CAST(value AS DECIMAL(25,6)) AS vdec
+  FROM pairs
+),
+tot AS (
+  SELECT *, SUM(base_credit) OVER (PARTITION BY conv_id) AS credit_total,
+         SUM(base_rev) OVER (PARTITION BY conv_id) AS rev_total
+  FROM shares
+),
+credited AS (
+  SELECT touch_type,
+         CAST(SUM(base_credit + CASE WHEN rn = 1
+                  THEN CAST(1.0 AS DECIMAL(25,6)) - CAST(credit_total AS DECIMAL(25,6))
+                  ELSE CAST(0.0 AS DECIMAL(25,6)) END) AS DOUBLE)
+           AS attributed_conversions,
+         CAST(SUM(base_rev + CASE WHEN rn = 1
+                  THEN vdec - CAST(rev_total AS DECIMAL(25,6))
+                  ELSE CAST(0.0 AS DECIMAL(25,6)) END) AS DOUBLE)
+           AS attributed_revenue
+  FROM tot GROUP BY touch_type
+),
+un AS (
+  SELECT 'unattributed' AS touch_type,
+         CAST(COUNT(*) AS DOUBLE) AS attributed_conversions,
+         coalesce(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 0.0)
+           AS attributed_revenue
+  FROM c WHERE conv_id NOT IN (SELECT conv_id FROM pairs)
+)
+SELECT * FROM credited UNION ALL SELECT * FROM un""",
+)
+def _q_decay_attr(spark, sf_dir):
+    return analytics.events_decay_attribution(load_events(spark, sf_dir))

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "user_rfm_segments",
     "events_position_attribution",
     "basket_part_lift",
+    "events_decay_attribution",
 ]
 
 

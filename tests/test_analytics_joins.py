@@ -1116,3 +1116,34 @@ def test_basket_part_lift_planted(spark):
     assert (r["n_ab"], r["n_a"], r["n_b"]) == (3, 4, 4)
     assert r["confidence_a_to_b"] == 0.75
     assert r["lift"] == 3 * 6 / (4 * 4)  # 1.125
+
+
+def test_decay_attribution_halves_per_day_and_reconciles(spark):
+    """Two touches 0 and 1 day old: weights 1 and 0.5 -> shares 2/3 and
+    1/3; totals reconcile exactly including the unattributed bucket."""
+    import datetime as dt
+
+    from admira_etl_project_prueba_spark.operators.analytics import (
+        events_decay_attribution,
+    )
+
+    conv = dt.datetime(2024, 3, 10, 12)
+    rows = [
+        (1, conv - dt.timedelta(days=1, minutes=1), 1, "click", 0.0, "{}"),
+        (2, conv - dt.timedelta(minutes=1), 1, "view", 0.0, "{}"),
+        (3, conv, 1, "purchase", 90.0, "{}"),
+        (4, conv, 2, "purchase", 10.0, "{}"),  # no touches
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["touch_type"]: r for r in events_decay_attribution(ev).collect()}
+    assert abs(out["view"]["attributed_conversions"] - 2 / 3) < 1e-6
+    assert abs(out["click"]["attributed_conversions"] - 1 / 3) < 1e-6
+    assert abs(out["view"]["attributed_revenue"] - 60.0) < 1e-4
+    assert out["unattributed"]["attributed_conversions"] == 1.0
+    # exact reconciliation despite decimal rounding of the 1/3 share
+    assert sum(r["attributed_conversions"] for r in out.values()) == 2.0
+    assert sum(r["attributed_revenue"] for r in out.values()) == 100.0
