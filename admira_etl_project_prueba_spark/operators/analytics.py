@@ -2480,3 +2480,51 @@ def events_decay_attribution(
         )
     )
     return credited.unionByName(unattributed)
+
+
+def events_session_paths(
+    events: DataFrame, gap_minutes: int = 30, top_n: int = 25
+) -> DataFrame:
+    """Session journey analysis: the top event-type PATHS users actually
+    walk within a session ('view>view>purchase'), with session counts,
+    share of all sessions, and the conversion flag — the behavioral
+    complement to funnel queries, which test a path you hypothesize
+    while this surfaces the paths that exist.
+
+    Builds on :func:`sessionize_events` (same one-shuffle core); the
+    path string is an ORDERED in-session concat via sort_array over
+    (ts, event_id, type) structs — deterministic under any
+    partitioning, event_id tie-break.  The path aggregate shuffles one
+    short string per session; share = sessions/total is one IEEE divide
+    of exact counts.  Top ``top_n`` by count (ties → path) keeps the
+    report frame bounded no matter how long the tail of unique paths.
+    """
+    sess = sessionize_events(events, gap_minutes)
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    paths = (
+        sess.selectExpr(
+            "user_id", "session_id",
+            f"struct({us} AS o, event_id, event_type) AS e",
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.expr(
+                "array_join(transform(sort_array(collect_list(e)),"
+                " x -> x.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    total = paths.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "path",
+            "n_sessions",
+            "CAST(n_sessions AS DOUBLE) / n_total AS share",
+            "CASE WHEN path LIKE '%purchase%' THEN true ELSE false END AS converting",
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(int(top_n))
+    )

@@ -5881,3 +5881,39 @@ SELECT * FROM credited UNION ALL SELECT * FROM un""",
 )
 def _q_decay_attr(spark, sf_dir):
     return analytics.events_decay_attribution(load_events(spark, sf_dir))
+
+
+@_entry(
+    "events_session_paths",
+    "Top-25 in-session event-type journeys ('view>view>purchase'): the "
+    "behavioral complement to hypothesized funnels.  Rides the proven "
+    "sessionize core; ordered path via sort-by-(ts,event_id); one short "
+    "string shuffles per session; share is one IEEE divide of counts.",
+    f"""WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG({_SESS_TS_US.format(x='ts')}) OVER w IS NULL
+                   OR {_SESS_TS_US.format(x='ts')} - LAG({_SESS_TS_US.format(x='ts')}) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY {_SESS_TS_US.format(x='ts')}, event_id)
+           AS path
+  FROM sess GROUP BY user_id, session_id
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM paths)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT n_total FROM tot) AS share,
+       CASE WHEN path LIKE '%purchase%' THEN true ELSE false END AS converting
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 25""",
+)
+def _q_session_paths(spark, sf_dir):
+    return analytics.events_session_paths(load_events(spark, sf_dir))

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "events_position_attribution",
     "basket_part_lift",
     "events_decay_attribution",
+    "events_session_paths",
 ]
 
 

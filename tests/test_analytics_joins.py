@@ -1147,3 +1147,37 @@ def test_decay_attribution_halves_per_day_and_reconciles(spark):
     # exact reconciliation despite decimal rounding of the 1/3 share
     assert sum(r["attributed_conversions"] for r in out.values()) == 2.0
     assert sum(r["attributed_revenue"] for r in out.values()) == 100.0
+
+
+def test_events_session_paths_planted(spark):
+    import datetime as dt
+
+    from admira_etl_project_prueba_spark.operators.analytics import (
+        events_session_paths,
+    )
+
+    base = dt.datetime(2024, 4, 1)
+    rows = []
+    eid = 0
+    # 3 users walk view>click>purchase in one session; 1 user walks
+    # view>view; a >30min gap splits user 9 into two single-event sessions
+    for uid in (1, 2, 3):
+        for i, et in enumerate(["view", "click", "purchase"]):
+            rows.append((eid, base + dt.timedelta(minutes=i), uid, et, 1.0, "{}"))
+            eid += 1
+    rows.append((eid, base, 5, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, base + dt.timedelta(minutes=1), 5, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, base, 9, "view", 1.0, "{}")); eid += 1
+    rows.append((eid, base + dt.timedelta(minutes=45), 9, "view", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["path"]: r for r in events_session_paths(ev).collect()}
+    # 6 sessions total: 3 converting, 1 view>view, 2 lone views
+    assert out["view>click>purchase"]["n_sessions"] == 3
+    assert out["view>click>purchase"]["converting"] is True
+    assert out["view>click>purchase"]["share"] == 0.5
+    assert out["view"]["n_sessions"] == 2 and out["view"]["converting"] is False
+    assert out["view>view"]["n_sessions"] == 1

@@ -59,6 +59,7 @@ NESTED_LOOP_ALLOWED = {
     "knn_label_accuracy",       # embeds ivf_assign's n_centroids-row argmax
     "mixture_plan",             # 1-row max_exact_budget broadcast into the plan
     "user_rfm_segments",        # 1-row anchor-date broadcast into the user frame
+    "events_session_paths",     # 1-row session-total broadcast into the paths
 }
 
 
