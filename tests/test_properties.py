@@ -555,3 +555,55 @@ def test_lm_count_store_merge_is_split_invariant(spark, tmp_path_factory, texts,
     got = {tuple(r) for r in lm_scores_from_counts(spark, corpus, path).collect()}
     want = {tuple(r) for r in lm_cross_entropy(corpus, corpus).collect()}
     assert got == want
+
+
+# -- attribution trio: reconciliation is an invariant, not a coincidence ----
+
+_attr_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),              # user_id
+        st.integers(min_value=0, max_value=10 * 86_400),    # offset seconds
+        st.sampled_from(["click", "view", "purchase", "error"]),
+        st.floats(min_value=0.0, max_value=500.0,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_attr_events)
+@PROP_SETTINGS
+def test_attribution_models_reconcile_exactly(spark, rows):
+    """For ANY event stream, each attribution model's summed credit equals
+    the purchase count EXACTLY and summed revenue equals total purchase
+    revenue to decimal precision — including the unattributed bucket.
+    (The residual-to-first-touch seam makes this an identity, so plain
+    == on the credit side, not approx.)"""
+    from admira_etl_project_prueba_spark.operators.analytics import (
+        events_decay_attribution,
+        events_linear_attribution,
+        events_position_attribution,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=off), uid, et, round(v, 2), "{}")
+            for i, (uid, off, et, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    n_purch = sum(1 for (_, _, et, _) in rows if et == "purchase")
+    rev = sum(round(v, 2) for (_, _, et, v) in rows if et == "purchase")
+    for model in (
+        events_linear_attribution,
+        events_position_attribution,
+        events_decay_attribution,
+    ):
+        out = model(ev).collect()
+        got_conv = sum(r["attributed_conversions"] for r in out)
+        got_rev = sum(r["attributed_revenue"] for r in out)
+        assert got_conv == float(n_purch), model.__name__
+        assert got_rev == pytest.approx(rev, abs=1e-6), model.__name__
