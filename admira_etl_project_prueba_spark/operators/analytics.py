@@ -2528,3 +2528,65 @@ def events_session_paths(
         .orderBy(F.desc("n_sessions"), "path")
         .limit(int(top_n))
     )
+
+
+def cohort_ltv(events: DataFrame) -> DataFrame:
+    """Weekly cohort LTV curves: users grouped by first-activity week,
+    with per-week-offset purchase revenue and the CUMULATIVE revenue per
+    cohort user — the money companion to
+    :func:`events_cohort_retention` (retention says who came back, LTV
+    says what they were worth by age N).
+
+    One user-key shuffle assigns cohorts (min week rides the same
+    aggregate as the revenue events via a join on the per-user frame);
+    revenue sums are decimal(25,6) end to end INCLUDING the cumulative
+    window (exact running sums — no float accumulation across offsets);
+    ltv_per_user is one IEEE divide per output cell.  The matrix is
+    calendar-bounded, so the cumulative window runs on a tiny frame.
+
+    Output: cohort_week, week_offset, n_cohort_users, revenue,
+    cum_revenue, cum_ltv_per_user — ordered.
+    """
+    dec = "decimal(25,6)"
+    first = (
+        events.select("user_id", F.date_trunc("week", F.col("ts")).alias("aw"))
+        .groupBy("user_id")
+        .agg(F.min("aw").alias("cw"))
+    )
+    cohort_sizes = first.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort_users")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("aw"),
+        F.col("value").cast(dec).alias("v"),
+    )
+    cells = (
+        purchases.join(first, "user_id")
+        .selectExpr(
+            "cw",
+            "CAST(datediff(CAST(aw AS DATE), CAST(cw AS DATE)) DIV 7 AS INT)"
+            " AS week_offset",
+            "v",
+        )
+        .groupBy("cw", "week_offset")
+        .agg(F.sum("v").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cw")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("cum_revenue", F.sum("revenue").over(w))
+        .join(F.broadcast(cohort_sizes), "cw")
+        .selectExpr(
+            "date_format(cw, 'yyyy-MM-dd') AS cohort_week",
+            "week_offset",
+            "n_cohort_users",
+            "CAST(revenue AS DOUBLE) AS revenue",
+            "CAST(cum_revenue AS DOUBLE) AS cum_revenue",
+            "CAST(cum_revenue AS DOUBLE) / n_cohort_users AS cum_ltv_per_user",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -5917,3 +5917,45 @@ ORDER BY n_sessions DESC, path LIMIT 25""",
 )
 def _q_session_paths(spark, sf_dir):
     return analytics.events_session_paths(load_events(spark, sf_dir))
+
+
+@_entry(
+    "cohort_ltv",
+    "Weekly cohort LTV curves: per-offset purchase revenue and the "
+    "decimal-exact CUMULATIVE revenue per cohort user (the money "
+    "companion to cohort retention).  One user-key shuffle; the "
+    "cumulative window runs on the calendar-bounded matrix.",
+    """WITH first AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cw
+  FROM events GROUP BY user_id
+),
+sizes AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_cohort_users
+          FROM first GROUP BY cw),
+p AS (
+  SELECT e.user_id, date_trunc('week', e.ts) AS aw,
+         CAST(e.value AS DECIMAL(25,6)) AS v, f.cw
+  FROM events e JOIN first f USING (user_id)
+  WHERE e.event_type = 'purchase'
+),
+cells AS (
+  SELECT cw,
+         CAST((CAST(aw AS DATE) - CAST(cw AS DATE)) // 7 AS INTEGER)
+           AS week_offset,
+         SUM(v) AS revenue
+  FROM p GROUP BY 1, 2
+),
+cum AS (
+  SELECT *, SUM(revenue) OVER (PARTITION BY cw ORDER BY week_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue
+  FROM cells
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+       n_cohort_users,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(cum_revenue AS DOUBLE) AS cum_revenue,
+       CAST(cum_revenue AS DOUBLE) / n_cohort_users AS cum_ltv_per_user
+FROM cum JOIN sizes USING (cw)
+ORDER BY cohort_week, week_offset""",
+)
+def _q_cohort_ltv(spark, sf_dir):
+    return analytics.cohort_ltv(load_events(spark, sf_dir))

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "basket_part_lift",
     "events_decay_attribution",
     "events_session_paths",
+    "cohort_ltv",
 ]
 
 

@@ -1181,3 +1181,33 @@ def test_events_session_paths_planted(spark):
     assert out["view>click>purchase"]["share"] == 0.5
     assert out["view"]["n_sessions"] == 2 and out["view"]["converting"] is False
     assert out["view>view"]["n_sessions"] == 1
+
+
+def test_cohort_ltv_cumulative_per_user(spark):
+    import datetime as dt
+
+    from admira_etl_project_prueba_spark.operators.analytics import cohort_ltv
+
+    w0 = dt.datetime(2024, 1, 1)  # a Monday (week start both engines)
+    rows = [
+        # cohort w0: users 1,2 join; user 1 buys 10 in w0 and 30 in w1
+        (1, w0, 1, "view", 0.0, "{}"),
+        (2, w0 + dt.timedelta(days=1), 1, "purchase", 10.0, "{}"),
+        (3, w0, 2, "view", 0.0, "{}"),
+        (4, w0 + dt.timedelta(days=8), 1, "purchase", 30.0, "{}"),
+        # cohort w1: user 3 joins and buys 5
+        (5, w0 + dt.timedelta(days=7), 3, "purchase", 5.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {(r["cohort_week"], r["week_offset"]): r for r in cohort_ltv(ev).collect()}
+    a = out[("2024-01-01", 0)]
+    assert (a["n_cohort_users"], a["revenue"], a["cum_revenue"]) == (2, 10.0, 10.0)
+    assert a["cum_ltv_per_user"] == 5.0
+    b = out[("2024-01-01", 1)]
+    assert (b["revenue"], b["cum_revenue"], b["cum_ltv_per_user"]) == (30.0, 40.0, 20.0)
+    c = out[("2024-01-08", 0)]
+    assert (c["n_cohort_users"], c["cum_ltv_per_user"]) == (1, 5.0)
