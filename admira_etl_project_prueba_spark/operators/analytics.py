@@ -2590,3 +2590,71 @@ def cohort_ltv(events: DataFrame) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def supplier_lead_time(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Operational lead-time profile per supplier: ship lag (days from
+    order date to line ship date) summarized as count, exact integer-sum
+    mean, and exact p50/p90 (ceil-rank convention, deterministic
+    tie-break on order/line keys) — the supplier-scorecard query behind
+    'who is slow, and how slow at the tail?'.
+
+    Lag is whole-day integer arithmetic; the mean is one IEEE divide of
+    exact sums; the percentile pick is a per-supplier row_number (the
+    orderkey join shuffles on o_orderkey; the window re-shuffles on
+    supplier — two shuffles of 3-int rows total, no text, no
+    approximation).  At 100 TB the exact window trades against the
+    mergeable histogram store (events_quantiles_histogram) — this is the
+    exact-per-key form, right while |suppliers| × lines-per-supplier
+    stays window-friendly.
+    """
+    lags = lineitem.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate"
+    ).join(
+        orders.selectExpr("o_orderkey AS l_orderkey", "o_orderdate"),
+        "l_orderkey",
+    ).selectExpr(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) AS lag_days",
+    )
+    counts = lags.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("lag_days").cast("long").alias("lag_sum"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "lag_days", "l_orderkey", "l_linenumber"
+    )
+    ranked = lags.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(counts), "l_suppkey"
+    )
+    return (
+        ranked.groupBy("l_suppkey")
+        .agg(
+            F.max("n_lines").alias("n_lines"),
+            F.max("lag_sum").alias("lag_sum"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(F.lit(1), F.ceil(F.col("n_lines") * 0.5)),
+                    F.col("lag_days"),
+                )
+            ).alias("p50_days"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.greatest(F.lit(1), F.ceil(F.col("n_lines") * 0.9)),
+                    F.col("lag_days"),
+                )
+            ).alias("p90_days"),
+        )
+        .selectExpr(
+            "l_suppkey AS suppkey",
+            "n_lines",
+            "CAST(lag_sum AS DOUBLE) / n_lines AS mean_days",
+            "CAST(p50_days AS INT) AS p50_days",
+            "CAST(p90_days AS INT) AS p90_days",
+        )
+        .orderBy("suppkey")
+    )

@@ -5959,3 +5959,41 @@ ORDER BY cohort_week, week_offset""",
 )
 def _q_cohort_ltv(spark, sf_dir):
     return analytics.cohort_ltv(load_events(spark, sf_dir))
+
+
+@_entry(
+    "supplier_lead_time",
+    "Supplier lead-time scorecard: whole-day ship lag per line, exact "
+    "integer-sum mean and exact p50/p90 via per-supplier ceil-rank "
+    "row_number picks (deterministic order/line tie-break) — two "
+    "shuffles of 3-int rows, no approximation.",
+    """WITH lags AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+c AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(lag_days) AS BIGINT) AS lag_sum
+      FROM lags GROUP BY 1),
+r AS (
+  SELECT l_suppkey, lag_days,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                            ORDER BY lag_days, l_orderkey, l_linenumber) AS rn
+  FROM lags
+)
+SELECT r.l_suppkey AS suppkey, c.n_lines,
+       CAST(c.lag_sum AS DOUBLE) / c.n_lines AS mean_days,
+       CAST(MAX(CASE WHEN rn = greatest(CAST(1 AS BIGINT),
+                     CAST(ceil(c.n_lines * 0.5) AS BIGINT))
+                THEN lag_days END) AS INTEGER) AS p50_days,
+       CAST(MAX(CASE WHEN rn = greatest(CAST(1 AS BIGINT),
+                     CAST(ceil(c.n_lines * 0.9) AS BIGINT))
+                THEN lag_days END) AS INTEGER) AS p90_days
+FROM r JOIN c USING (l_suppkey)
+GROUP BY r.l_suppkey, c.n_lines, c.lag_sum
+ORDER BY suppkey""",
+)
+def _q_lead_time(spark, sf_dir):
+    return analytics.supplier_lead_time(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )

@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "events_decay_attribution",
     "events_session_paths",
     "cohort_ltv",
+    "supplier_lead_time",
 ]
 
 

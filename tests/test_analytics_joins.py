@@ -1211,3 +1211,24 @@ def test_cohort_ltv_cumulative_per_user(spark):
     assert (b["revenue"], b["cum_revenue"], b["cum_ltv_per_user"]) == (30.0, 40.0, 20.0)
     c = out[("2024-01-08", 0)]
     assert (c["n_cohort_users"], c["cum_ltv_per_user"]) == (1, 5.0)
+
+
+def test_supplier_lead_time_exact_percentiles(spark):
+    import datetime as dt
+
+    from admira_etl_project_prueba_spark.operators.analytics import (
+        supplier_lead_time,
+    )
+
+    o = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame([(1, o)], "o_orderkey long, o_orderdate timestamp")
+    # supplier 7 ships lines with lags 1..10 days on one order
+    li = spark.createDataFrame(
+        [(1, 7, i, o + dt.timedelta(days=i)) for i in range(1, 11)],
+        "l_orderkey long, l_suppkey long, l_linenumber int, l_shipdate timestamp",
+    )
+    r = supplier_lead_time(li, orders).collect()[0]
+    assert r["suppkey"] == 7 and r["n_lines"] == 10
+    assert r["mean_days"] == 5.5
+    assert r["p50_days"] == 5   # ceil(10*0.5) = rank 5 -> lag 5
+    assert r["p90_days"] == 9   # ceil(10*0.9) = rank 9 -> lag 9
