@@ -2149,11 +2149,15 @@ def write_text_index(documents: DataFrame, path: str, num_buckets: int = 64) -> 
         .partitionBy("term_bucket")
         .parquet(f"{path}/postings")
     )
+    # dl_sum (exact decimal) rides along so merge_text_index can fold new
+    # batches into avgdl EXACTLY instead of reconstructing it from the
+    # rounded double mean
     stats = dl.agg(
         (F.sum(F.col("dl").cast(_DEC)).cast("double") / F.count(F.lit(1))).alias(
             "avgdl"
         ),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("dl").cast(_DEC)).alias("dl_sum"),
     )
     stats.write.mode("overwrite").parquet(f"{path}/stats")
 
@@ -3424,3 +3428,56 @@ def read_training_shard(spark, path: str, shard: int) -> DataFrame:
         .filter(F.col("shard") == int(shard))
         .orderBy("doc_id")
     )
+
+
+def merge_text_index(
+    spark, path: str, new_documents: DataFrame, num_buckets: int = 64
+) -> None:
+    """Append-merge a NEW document batch into the persisted BM25 index —
+    the incremental maintenance the index layout was designed for, now
+    as an operation: the batch's postings APPEND into the existing
+    bucket directories (no old posting is read or rewritten — one extra
+    file per touched bucket per batch, compacted by a rebuild when file
+    counts warrant), and the corpus stats fold EXACTLY via the stored
+    decimal dl_sum, so the merged index is bit-identical to a
+    from-scratch rebuild over the union (pytest-pinned).  Contract: new
+    doc_ids must be new — re-ingesting an id duplicates its postings
+    (use the rebuild path for corrections, like the LSH store's
+    new-wins merge).
+
+    Scale shape: indexing cost is one scan of the NEW batch only; the
+    repartition-before-partitionBy discipline keeps the append at one
+    file per bucket; stats are a 1-row read + 1-row write.
+    """
+    dl = new_documents.selectExpr("doc_id", f"{TOKENS} AS toks").selectExpr(
+        "doc_id", "toks", "CAST(size(toks) AS BIGINT) AS dl"
+    )
+    postings = (
+        dl.selectExpr("doc_id", "dl", "explode(toks) AS term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn(
+            "term_bucket", F.expr(f"{hex60('term')} % {num_buckets}").cast("int")
+        )
+    )
+    (
+        postings.repartition("term_bucket")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/postings")
+    )
+    old = spark.read.parquet(f"{path}/stats")
+    batch = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("b_docs"),
+        F.sum(F.col("dl").cast(_DEC)).alias("b_sum"),
+    )
+    merged = (
+        old.crossJoin(F.broadcast(batch))
+        .selectExpr(
+            "CAST(dl_sum + b_sum AS DOUBLE) / (n_docs + b_docs) AS avgdl",
+            "n_docs + b_docs AS n_docs",
+            f"CAST(dl_sum + b_sum AS {_DEC}) AS dl_sum",
+        )
+        .localCheckpoint()
+    )
+    merged.write.mode("overwrite").parquet(f"{path}/stats")

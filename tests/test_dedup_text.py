@@ -1630,3 +1630,40 @@ def test_kwic_contexts_and_index_parity(spark, sf_dir, tmp_path):
         tuple(r) for r in kwic_from_index(spark, idx, docs, "spark", width=3).collect()
     ]
     assert from_index == got
+
+
+def test_text_index_merge_equals_rebuild(spark, sf_dir, tmp_path):
+    """Appending a batch into the BM25 index == rebuilding over the
+    union, bit-for-bit: postings multiset identical, stats (incl. the
+    exact decimal dl_sum fold) identical, and an indexed BM25 query
+    returns the same ranked rows from either index."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bm25_from_index,
+        merge_text_index,
+        write_text_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    write_text_index(a, inc)
+    merge_text_index(spark, inc, b)
+    write_text_index(docs, full)
+
+    def postings(p):
+        return sorted(
+            map(tuple, spark.read.parquet(f"{p}/postings").collect())
+        )
+
+    assert postings(inc) == postings(full)
+    s_inc = spark.read.parquet(f"{inc}/stats").collect()[0]
+    s_full = spark.read.parquet(f"{full}/stats").collect()[0]
+    assert (s_inc["n_docs"], s_inc["avgdl"], s_inc["dl_sum"]) == (
+        s_full["n_docs"], s_full["avgdl"], s_full["dl_sum"]
+    )
+    q = ["spark", "query"]
+    got = [tuple(r) for r in bm25_from_index(spark, inc, q).collect()]
+    want = [tuple(r) for r in bm25_from_index(spark, full, q).collect()]
+    assert got == want and len(got) > 0
