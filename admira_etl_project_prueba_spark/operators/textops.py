@@ -3481,3 +3481,32 @@ def merge_text_index(
         .localCheckpoint()
     )
     merged.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def merge_positional_index(
+    documents: DataFrame, path: str, num_buckets: int = 64
+) -> None:
+    """Append-merge a NEW document batch into the positional index —
+    even simpler than :func:`merge_text_index` because positions are
+    strictly per-document state: the batch's postings append into the
+    existing bucket directories and there is no global statistic to
+    fold.  Same contract: new doc_ids only (rebuild for corrections);
+    one extra file per touched bucket per batch; indexing cost is one
+    scan of the new batch.
+    """
+    toks = documents.selectExpr(
+        "doc_id", f"posexplode_outer({TOKENS}) AS (pos, token)"
+    ).filter("token IS NOT NULL AND token != ''")
+    postings = (
+        toks.groupBy("doc_id", F.col("token").alias("term"))
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .withColumn(
+            "term_bucket", F.expr(f"{hex60('term')} % {num_buckets}").cast("int")
+        )
+    )
+    (
+        postings.repartition("term_bucket")
+        .write.mode("append")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/postings")
+    )

@@ -1667,3 +1667,34 @@ def test_text_index_merge_equals_rebuild(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in bm25_from_index(spark, inc, q).collect()]
     want = [tuple(r) for r in bm25_from_index(spark, full, q).collect()]
     assert got == want and len(got) > 0
+
+
+def test_positional_index_merge_equals_rebuild(spark, tmp_path):
+    """Appending a batch into the positional index == rebuilding over
+    the union: identical postings and identical phrase results."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        merge_positional_index,
+        phrase_search,
+        phrase_search_from_index,
+        write_positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} alpha beta", "en", "s") for i in range(40)],
+        "doc_id long, text string, lang string, source string",
+    )
+    a = docs.filter("doc_id < 25")
+    b = docs.filter("doc_id >= 25")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    write_positional_index(a, inc)
+    merge_positional_index(b, inc)
+    write_positional_index(docs, full)
+    phrase = ["alpha", "beta"]
+    got = sorted(
+        map(tuple, phrase_search_from_index(spark, inc, phrase).collect())
+    )
+    want = sorted(
+        map(tuple, phrase_search_from_index(spark, full, phrase).collect())
+    )
+    direct = sorted(map(tuple, phrase_search(docs, phrase).collect()))
+    assert got == want == direct and len(got) == 40
