@@ -626,6 +626,90 @@ def _growth_law_r5_experiment(spark) -> dict:
     return out
 
 
+
+def _index_merge_experiment(spark) -> dict:
+    """Incremental-index claim, measured: merging a FIXED 2k-doc batch
+    into a small (10k) vs a 10x (100k) existing BM25 index should cost
+    the same — merge reads only the new batch and a 1-row stats file,
+    never the standing postings.  The rebuild-over-union alternative is
+    the control arm that DOES grow with history."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from admira_etl_project_prueba_spark.operators import textops as tx
+
+    def corpus(n, base=0):
+        return spark.sql(
+            f"""SELECT id + {base} AS doc_id,
+                   concat_ws(' ', transform(sequence(1, 20),
+                     j -> concat('w', CAST((id * 7 + j * 13) % 5000 AS STRING))))
+                     AS text
+            FROM range({n})"""
+        )
+
+    # warm the JVM/codegen on a throwaway index so the first measured arm
+    # doesn't absorb session warmup (it made rebuild@10x read FASTER)
+    import shutil as _sh
+    warm = tempfile.mkdtemp(prefix="idxwarm_")
+    tx.write_text_index(corpus(2_000), warm)
+    _sh.rmtree(warm, ignore_errors=True)
+
+    out = {}
+    for label, n_hist in (("hist_10k", 10_000), ("hist_100k", 100_000)):
+        d = tempfile.mkdtemp(prefix="idxmerge_")
+        try:
+            # materialize history + batch as parquet so "input records"
+            # measures real source reads on both arms
+            hist_pq, batch_pq = d + "_hist.pq", d + "_batch.pq"
+            corpus(n_hist).write.mode("overwrite").parquet(hist_pq)
+            corpus(2_000, base=10_000_000).write.mode("overwrite").parquet(batch_pq)
+            tx.write_text_index(spark.read.parquet(hist_pq), d)
+
+            def metered(fn):
+                before = _totals(spark)
+                t0 = _t.perf_counter()
+                fn()
+                sec = _t.perf_counter() - t0
+                _t.sleep(0.5)
+                after = _totals(spark)
+                return {
+                    "sec": round(sec, 2),
+                    "input_records": after["input_records"]
+                    - before["input_records"],
+                }
+
+            out[label] = {
+                "merge": metered(
+                    lambda: tx.merge_text_index(
+                        spark, d, spark.read.parquet(batch_pq)
+                    )
+                ),
+                "rebuild": metered(
+                    lambda: tx.write_text_index(
+                        spark.read.parquet(hist_pq).union(
+                            spark.read.parquet(batch_pq)
+                        ),
+                        d + "_rebuild",
+                    )
+                ),
+            }
+            shutil.rmtree(d + "_rebuild", ignore_errors=True)
+            shutil.rmtree(hist_pq, ignore_errors=True)
+            shutil.rmtree(batch_pq, ignore_errors=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    out["merge_input_ratio_10x_history"] = round(
+        out["hist_100k"]["merge"]["input_records"]
+        / max(out["hist_10k"]["merge"]["input_records"], 1), 2
+    )
+    out["rebuild_input_ratio_10x_history"] = round(
+        out["hist_100k"]["rebuild"]["input_records"]
+        / max(out["hist_10k"]["rebuild"]["input_records"], 1), 2
+    )
+    return out
+
+
 def _row_group_experiment(spark) -> dict:
     """Multi-row-group scan fan-out (VERDICT r3 item 7).
 
@@ -873,7 +957,9 @@ def main():
 if __name__ == "__main__":
     import sys as _sys
 
-    if len(_sys.argv) > 1 and _sys.argv[1] == "growth5":
+    if len(_sys.argv) > 1 and _sys.argv[1] == "idxmerge":
+        print(json.dumps({"index_merge": _index_merge_experiment(fresh_session())}))
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "growth5":
         print(
             json.dumps(
                 {"growth_laws_10x_r5": _growth_law_r5_experiment(fresh_session())}
