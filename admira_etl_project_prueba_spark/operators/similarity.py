@@ -862,3 +862,50 @@ def embedding_drift(ref: DataFrame, cur: DataFrame) -> DataFrame:
         .selectExpr("label", "n_ref", "n_cur", "sqrt(CAST(ss AS DOUBLE)) AS l2_shift")
         .orderBy("label")
     )
+
+
+def merge_ivf_index(
+    spark, path: str, new_embeddings: DataFrame, n_centroids: int = 16
+) -> None:
+    """Append-merge a NEW vector batch into the persisted IVF index —
+    the list layout's incremental maintenance: the centroid vectors are
+    read back OUT OF THE INDEX (they are its ``vec_id < n_centroids``
+    rows — a stats-pruned point-read, no corpus access), the batch is
+    assigned by the same deterministic cosine argmax, and the new rows
+    append into their ``centroid_id`` partition directories.  Because
+    the centroid set is unchanged, existing assignments stay valid and
+    the merged index equals a from-scratch rebuild over the union,
+    row-for-row (pytest-pinned; new vec_ids must exceed the centroid
+    ids, which a growing corpus satisfies by construction).
+
+    Cost is batch-sized: one scan of the new batch plus the k-row
+    centroid read.  When drift accumulates (cluster occupancy skews —
+    watch it via the per-partition row counts), retrain via the k-means
+    trainer and rebuild; that is the IVF operational cycle.
+    """
+    cents = (
+        spark.read.parquet(path)
+        .filter(F.col("vec_id") < n_centroids)
+        .selectExpr(
+            "vec_id AS centroid_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS q",
+        )
+    )
+    t = _as_double(new_embeddings, "v")
+    scored = with_cosine(t.crossJoin(F.broadcast(cents)))
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cosine"), (-F.col("centroid_id")).alias("neg_cid"))
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.neg_cid")).cast("long").alias("centroid_id"))
+    )
+    (
+        new_embeddings.select("vec_id", "label", "embedding")
+        .join(best, "vec_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )

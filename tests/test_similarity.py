@@ -447,3 +447,34 @@ def test_embedding_drift_zero_on_identical_and_planted_shift(spark):
     rep = {r["label"]: r["l2_shift"]
            for r in embedding_drift(ref.repartition(7), cur.repartition(3)).collect()}
     assert rep == {k: v["l2_shift"] for k, v in out2.items()}
+
+
+def test_ivf_index_merge_equals_rebuild(spark, sf_dir, tmp_path):
+    """Appending a vector batch into the IVF index == rebuilding over the
+    union (same centroid set, same deterministic argmax): identical index
+    rows and identical indexed top-k answers."""
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        ivf_topk_from_index,
+        merge_ivf_index,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter("vec_id < 300")
+    new = emb.filter("vec_id >= 300")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    write_ivf_index(old, inc)
+    merge_ivf_index(spark, inc, new)
+    write_ivf_index(emb, full)
+
+    def rows(p):
+        return sorted(
+            (r["vec_id"], r["centroid_id"], r["label"])
+            for r in spark.read.parquet(p).collect()
+        )
+
+    assert rows(inc) == rows(full)
+    got = [tuple(r) for r in ivf_topk_from_index(spark, emb, inc).collect()]
+    want = [tuple(r) for r in ivf_topk_from_index(spark, emb, full).collect()]
+    assert got == want and len(got) > 0
