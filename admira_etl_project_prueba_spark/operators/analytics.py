@@ -805,15 +805,40 @@ def events_funnel_ordered(events: DataFrame) -> DataFrame:
 
 
 def supplier_revenue_distribution(
-    supplier: DataFrame, lineitem: DataFrame
+    supplier: DataFrame, lineitem: DataFrame, exact: bool = True
 ) -> DataFrame:
     """Relative-standing windows over the per-supplier revenue aggregate:
-    percent_rank and cume_dist on the reduced (|suppliers|-row) set."""
+    percent_rank and cume_dist on the reduced (|suppliers|-row) set.
+
+    ``exact=False`` is the 100 TB mode (suppliers scale with the fact
+    table): both relative standings become cdf estimates from a 99-edge
+    approx_percentile grid — one mergeable sketch aggregate, a 1-row
+    broadcast, row-local arithmetic, no single-partition sort (the same
+    trade as quality_calibrated's global percentile; tolerance pinned in
+    tests/test_sampled_quantiles.py).  The exact form stays the oracle.
+    """
     rev = (
         lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(_dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
     )
+    if not exact:
+        from admira_etl_project_prueba_spark.functions.quantiles import (
+            bucket_expr,
+            quantile_edges,
+        )
+
+        edges = quantile_edges(rev, {"_e": "revenue"}, 100)
+        above = f"({bucket_expr('revenue', '_e', descending=True)}) - 1"
+        return rev.crossJoin(F.broadcast(edges)).selectExpr(
+            "s_suppkey",
+            "s_name",
+            "revenue",
+            # desc percent_rank ≈ fraction of the grid above this revenue
+            f"CAST({above} AS DOUBLE) / 99.0 AS pct_rank",
+            # desc cume_dist ≈ P(revenue' >= revenue): one grid step higher
+            f"CAST(({above}) + 1 AS DOUBLE) / 100.0 AS cume",
+        )
     w = Window.orderBy(F.col("revenue").desc())
     return rev.select(
         "s_suppkey",
@@ -898,14 +923,29 @@ def events_pivot_daily(events: DataFrame) -> DataFrame:
     )
 
 
-def user_value_quartiles(events: DataFrame) -> DataFrame:
+def user_value_quartiles(events: DataFrame, exact: bool = True) -> DataFrame:
     """NTILE(4) quartile assignment over per-user exact totals.
 
     Aggregate first (events → users, one shuffle), then the rank window
     runs on the reduced set.  Quartile boundaries via deterministic total
     ordering (value desc, user_id) so the split is reproducible.
+
+    ``exact=False`` is the 100×-scale mode: the global ntile window (an
+    ``Exchange SinglePartition`` + one-task sort of the whole user frame)
+    is replaced by approx_percentile edges + a 1-row broadcast + row-local
+    assignment — no global order anywhere in the plan (see
+    functions/quantiles.py; parity tolerance pinned in
+    tests/test_sampled_quantiles.py).  The exact form stays the oracle.
     """
     per_user = events.groupBy("user_id").agg(_dsum("value").alias("total_value"))
+    if not exact:
+        from admira_etl_project_prueba_spark.functions.quantiles import (
+            with_sampled_buckets,
+        )
+
+        return with_sampled_buckets(
+            per_user, [("quartile", "total_value", True)], 4
+        ).select("user_id", "total_value", "quartile")
     w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
     return per_user.select(
         "user_id", "total_value", F.ntile(4).over(w).cast("int").alias("quartile")
@@ -968,17 +1008,20 @@ def events_approx_distinct(events: DataFrame, rsd: float = 0.02) -> DataFrame:
 def top_users_by_value(events: DataFrame, k: int = 50) -> DataFrame:
     """Global top-k users by exact total value, with dense ranking.
 
-    The per-user aggregate shuffles once; the global rank on the (tiny)
-    aggregate is a single-partition window — fine because its input is
-    already reduced to |users| rows, and orderBy+limit keeps it a TakeOrdered
-    at scale.
+    The per-user aggregate shuffles once; the top-k itself is
+    ``orderBy().limit(k)`` — physically ``TakeOrderedAndProject`` (each
+    partition keeps its local top-k, the driver merges k-row heaps), so
+    NO task ever sorts the full user frame.  The rank column is derived
+    by a window AFTER the limit, over exactly k rows — bounded by
+    construction, not by data size.
     """
     per_user = events.groupBy("user_id").agg(_dsum("value").alias("total_value"))
+    top = per_user.orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    ).limit(int(k))
     w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
-    return (
-        per_user.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("user_id", "total_value", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "user_id", "total_value", "rnk"
     )
 
 
@@ -2188,7 +2231,7 @@ def events_anomaly_dow(events: DataFrame, threshold: float = 2.0) -> DataFrame:
     )
 
 
-def user_rfm_segments(events: DataFrame) -> DataFrame:
+def user_rfm_segments(events: DataFrame, exact: bool = True) -> DataFrame:
     """RFM segmentation: every user scored 1-4 on Recency (days since
     last purchase, newer = higher), Frequency (purchase count), and
     Monetary (decimal-exact purchase value), quartiled by ntile — the
@@ -2200,9 +2243,15 @@ def user_rfm_segments(events: DataFrame) -> DataFrame:
     (data-derived, not wall clock); every ntile ordering carries a
     user_id tie-break; monetary sums ride the decimal seam.  One user-
     grain aggregate, then three windows over (metric, user_id) int/
-    double pairs — text-free, model-thin shuffles.  At 100 TB the
-    global ntile sort becomes a sampled-quantile range assignment, the
-    same trade documented on curriculum_stages.
+    double pairs — text-free, model-thin shuffles.
+
+    ``exact=False`` is the 100 TB mode: the three consecutive global
+    ntile sorts (each an ``Exchange SinglePartition`` over the whole
+    user frame) become ONE approx_percentile aggregate (all three edge
+    arrays from a single sketch pass) + a 1-row broadcast + row-local
+    assignments — no global order in the plan.  Parity tolerance is
+    pinned in tests/test_sampled_quantiles.py; the exact form stays the
+    oracle.
     """
     from pyspark.sql import Window as W
 
@@ -2225,6 +2274,33 @@ def user_rfm_segments(events: DataFrame) -> DataFrame:
             "monetary",
         )
     )
+    if not exact:
+        from admira_etl_project_prueba_spark.functions.quantiles import (
+            with_sampled_buckets,
+        )
+
+        return (
+            with_sampled_buckets(
+                per_user,
+                [
+                    ("r_score", "recency_days", True),  # fewer days ⇒ higher score
+                    ("f_score", "frequency", False),
+                    ("m_score", "monetary", False),
+                ],
+                4,
+            )
+            .selectExpr(
+                "user_id",
+                "recency_days",
+                "frequency",
+                "monetary",
+                "r_score",
+                "f_score",
+                "m_score",
+                "concat(r_score, f_score, m_score) AS segment",
+            )
+            .orderBy("user_id")
+        )
     r = W.partitionBy().orderBy(F.desc("recency_days"), "user_id")  # newer last ⇒ higher ntile
     f = W.partitionBy().orderBy("frequency", "user_id")
     m = W.partitionBy().orderBy("monetary", "user_id")

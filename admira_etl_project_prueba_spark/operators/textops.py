@@ -2850,7 +2850,7 @@ def dup_cluster_profile(
     )
 
 
-def quality_calibrated(documents: DataFrame) -> DataFrame:
+def quality_calibrated(documents: DataFrame, exact: bool = True) -> DataFrame:
     """Source-relative quality calibration: each document's lexical
     diversity (type-token ratio) re-expressed as a percentile WITHIN its
     source, plus the global percentile — so a single threshold like
@@ -2865,6 +2865,14 @@ def quality_calibrated(documents: DataFrame) -> DataFrame:
     pattern), the global one is a single-partition sort over (score,
     doc_id) pairs ONLY (two columns shuffle, not text).  Deterministic:
     doc_id tie-break makes both ranks reproducible.
+
+    ``exact=False`` is the 100 TB mode: the GLOBAL percent_rank (the
+    single-partition sort) is replaced by a 99-edge approx_percentile
+    grid — ``q_pct_global`` becomes the fraction of grid edges below the
+    score (cdf estimate, ±1 centile + sketch error; tolerance pinned in
+    tests/test_sampled_quantiles.py).  The per-source window stays in
+    both modes: it is partitioned, so no task ever holds more than one
+    source's (score, doc_id) pairs.  The exact form stays the oracle.
     """
     from pyspark.sql import Window as W
 
@@ -2878,6 +2886,32 @@ def quality_calibrated(documents: DataFrame) -> DataFrame:
         "CAST(size(array_distinct(t)) AS DOUBLE) / size(t) AS quality_raw",
     )
     by_src = W.partitionBy("source").orderBy("quality_raw", "doc_id")
+    if not exact:
+        from admira_etl_project_prueba_spark.functions.quantiles import (
+            bucket_expr,
+            quantile_edges,
+        )
+
+        edges = quantile_edges(scored, {"_e_g": "quality_raw"}, 100)
+        return (
+            scored.crossJoin(F.broadcast(edges))
+            .select(
+                "doc_id",
+                "source",
+                "quality_raw",
+                "_e_g",
+                F.percent_rank().over(by_src).alias("q_pct_source"),
+            )
+            .selectExpr(
+                "doc_id",
+                "source",
+                "quality_raw",
+                "q_pct_source",
+                # bucket 1..100 → cdf estimate on the percent_rank [0,1] scale
+                f"CAST(({bucket_expr('quality_raw', '_e_g')}) - 1 AS DOUBLE)"
+                " / 99.0 AS q_pct_global",
+            )
+        )
     overall = W.partitionBy().orderBy("quality_raw", "doc_id")
     return scored.select(
         "doc_id",
@@ -3010,7 +3044,9 @@ def bpe_merge_candidates(documents: DataFrame, top_n: int = 50) -> DataFrame:
     )
 
 
-def curriculum_stages(documents: DataFrame, n_stages: int = 4) -> DataFrame:
+def curriculum_stages(
+    documents: DataFrame, n_stages: int = 4, exact: bool = True
+) -> DataFrame:
     """Length-based curriculum assignment: every document gets a training
     stage 1..n_stages by global token-count order (short/easy first —
     the standard curriculum-learning schedule for LM pretraining data).
@@ -3019,11 +3055,12 @@ def curriculum_stages(documents: DataFrame, n_stages: int = 4) -> DataFrame:
 
     Scale shape: one row-local scoring projection, then a single ntile
     window.  The global window shuffles (n_tokens, doc_id) pairs only —
-    two ints per document, never text — and ntile needs one sort pass;
-    at 100 TB the same assignment is computed from a sampled quantile
-    grid (approx_quantile edges + a broadcast range join) if the exact
-    global sort is not worth it, trading exactness for zero global
-    order.  The exact form stays the oracle.
+    two ints per document, never text.  ``exact=False`` is the 100 TB
+    mode: approx_percentile edges + a 1-row broadcast + row-local stage
+    assignment (functions/quantiles.py) — no ``Exchange
+    SinglePartition`` sort anywhere in the plan, rank error bounded by
+    the sketch accuracy (parity pinned in
+    tests/test_sampled_quantiles.py).  The exact form stays the oracle.
     """
     from pyspark.sql import Window as W
 
@@ -3032,6 +3069,19 @@ def curriculum_stages(documents: DataFrame, n_stages: int = 4) -> DataFrame:
         f"coalesce(source, '{UNKNOWN_SOURCE}') AS source",
         f"size({TOKENS}) AS n_tokens",
     )
+    if not exact:
+        from admira_etl_project_prueba_spark.functions.quantiles import (
+            with_sampled_buckets,
+        )
+
+        return with_sampled_buckets(
+            scored, [("stage", "n_tokens", False)], int(n_stages)
+        ).select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "stage",
+        )
     w = W.partitionBy().orderBy("n_tokens", "doc_id")
     return scored.select(
         "doc_id",

@@ -1062,6 +1062,21 @@ def _q_supplier_dist(spark, sf_dir):
 
 
 @_entry(
+    "supplier_revenue_distribution_sampled",
+    "Scale-safe relative standing: percent_rank/cume_dist become cdf "
+    "estimates from a 99-edge approx_percentile grid (1-row broadcast, "
+    "row-local arithmetic, no single-partition sort) — the 100 TB form "
+    "of supplier_revenue_distribution (engine-specific sketch ⇒ "
+    "rows-only check; tolerance vs exact pinned in pytest).",
+    None,
+)
+def _q_supplier_dist_sampled(spark, sf_dir):
+    return analytics.supplier_revenue_distribution(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem"), exact=False
+    )
+
+
+@_entry(
     "events_type_trend",
     "Grouped applyInPandas model fitting: per-type OLS trend over the "
     "JVM-side daily reduction (Python sees days, never events).  Gate "
@@ -1126,6 +1141,19 @@ FROM per_user""",
 )
 def _q_quartiles(spark, sf_dir):
     return analytics.user_value_quartiles(load_events(spark, sf_dir))
+
+
+@_entry(
+    "user_value_quartiles_sampled",
+    "Scale-safe quartile assignment: approx_percentile edges (mergeable "
+    "GK sketch, one aggregate) + 1-row broadcast + row-local bucketing — "
+    "no Exchange SinglePartition sort anywhere in the plan (the 100 TB "
+    "form of user_value_quartiles; engine-specific sketch ⇒ rows-only "
+    "check, ±1-bucket parity vs exact pinned in pytest).",
+    None,
+)
+def _q_quartiles_sampled(spark, sf_dir):
+    return analytics.user_value_quartiles(load_events(spark, sf_dir), exact=False)
 
 
 @_entry(
@@ -5068,6 +5096,19 @@ def _q_quality_calibrated(spark, sf_dir):
 
 
 @_entry(
+    "quality_calibrated_sampled",
+    "Scale-safe quality calibration: the global percent_rank (a "
+    "single-partition sort) becomes a 99-edge approx_percentile grid "
+    "cdf estimate; the per-source window stays (partitioned).  "
+    "Engine-specific sketch ⇒ rows-only check; centile tolerance vs "
+    "exact pinned in pytest.",
+    None,
+)
+def _q_quality_calibrated_sampled(spark, sf_dir):
+    return _tx.quality_calibrated(_t(spark, sf_dir, "documents"), exact=False)
+
+
+@_entry(
     "ngram_novelty_scores",
     "Per-document n-gram novelty: fraction of a doc's distinct 3-token "
     "shingles appearing in no other document (memorization-risk / "
@@ -5151,6 +5192,20 @@ FROM s""",
 )
 def _q_curriculum(spark, sf_dir):
     return _tx.curriculum_stages(_t(spark, sf_dir, "documents"), n_stages=4)
+
+
+@_entry(
+    "curriculum_stages_sampled",
+    "Scale-safe curriculum assignment: approx_percentile token-count "
+    "edges + 1-row broadcast + row-local stage bucketing — the global "
+    "ntile sort eliminated (engine-specific sketch ⇒ rows-only check; "
+    "parity vs exact pinned in pytest).",
+    None,
+)
+def _q_curriculum_sampled(spark, sf_dir):
+    return _tx.curriculum_stages(
+        _t(spark, sf_dir, "documents"), n_stages=4, exact=False
+    )
 
 
 @_entry(
@@ -5705,6 +5760,19 @@ FROM u ORDER BY user_id""",
 )
 def _q_rfm(spark, sf_dir):
     return analytics.user_rfm_segments(load_events(spark, sf_dir))
+
+
+@_entry(
+    "user_rfm_segments_sampled",
+    "Scale-safe RFM: ONE approx_percentile aggregate yields all three "
+    "edge arrays (recency/frequency/monetary), broadcast 1-row, buckets "
+    "assigned row-locally — replaces the three consecutive global ntile "
+    "sorts with zero global order (engine-specific sketch ⇒ rows-only "
+    "check; ±1-bucket parity vs exact pinned in pytest).",
+    None,
+)
+def _q_rfm_sampled(spark, sf_dir):
+    return analytics.user_rfm_segments(load_events(spark, sf_dir), exact=False)
 
 
 @_entry(

@@ -10,6 +10,14 @@ test scale:
 * ``BatchEvalPython`` — row-at-a-time Python in the hot path (the 10-100×
   slow path).  Arrow-vectorized ``ArrowEvalPython`` / ``MapInPandas`` /
   ``FlatMapGroupsInPandas*`` are the sanctioned Python hops.
+* ``Exchange SinglePartition`` feeding a ``Sort``/``Window`` — the global
+  window sort: ONE task sorts the whole frame, the exact anti-pattern
+  class where a correct-at-test-scale query dies at 100×.  Allowed only
+  when the sorted set is bounded by construction: the exchange's subtree
+  carries a ``Limit``/``TakeOrdered`` (k-row frame), or the query is
+  allowlisted as model-sized with a pointer at its scale-safe sampled
+  mode.  1-row scalar aggregates (whose parent is an Aggregate, not a
+  Sort) are inherently fine and never flagged.
 * per-query Exchange count — shuffles are the scale currency; printed so
   regressions are visible in review.
 
@@ -59,8 +67,84 @@ NESTED_LOOP_ALLOWED = {
     "knn_label_accuracy",       # embeds ivf_assign's n_centroids-row argmax
     "mixture_plan",             # 1-row max_exact_budget broadcast into the plan
     "user_rfm_segments",        # 1-row anchor-date broadcast into the user frame
+    "user_rfm_segments_sampled",     # same anchor broadcast + 1-row edges broadcast
+    "user_value_quartiles_sampled",  # 1-row quantile-edges broadcast
+    "curriculum_stages_sampled",     # 1-row quantile-edges broadcast
+    "quality_calibrated_sampled",    # 1-row quantile-grid broadcast
+    "supplier_revenue_distribution_sampled",  # 1-row quantile-grid broadcast
+    "basket_part_lift",         # 1-row order-count broadcast into the pair frame
     "events_session_paths",     # 1-row session-total broadcast into the paths
 }
+
+# Queries whose single-partition window sort is the INTENDED exact form:
+# each runs on a reduced, model-thin frame (per-user / per-doc scalars,
+# never text) and has a documented scale-safe sampled twin that assigns
+# the same buckets from approx_percentile edges with no global order —
+# the exact form stays ONLY because it is the DuckDB oracle.
+SINGLE_PARTITION_SORT_ALLOWED = {
+    "user_value_quartiles",   # sampled twin: user_value_quartiles_sampled
+    "user_rfm_segments",      # sampled twin: user_rfm_segments_sampled
+    "curriculum_stages",      # sampled twin: curriculum_stages_sampled
+    "quality_calibrated",     # sampled twin: quality_calibrated_sampled
+    "supplier_revenue_distribution",  # twin: supplier_revenue_distribution_sampled
+    # day-grain time series: the window input is the post-aggregation
+    # calendar frame — bounded by elapsed DAYS (36.5k rows/century), not
+    # by fact-table size; an ordered global window over it is the
+    # intended shape at any corpus scale
+    "events_moving_avg",
+    "events_daily_gapfill",
+    # the offset-cumsum window runs over the per-partition COUNT frame
+    # (one row per shuffle partition — thousands of rows at any scale);
+    # the corpus itself is range-partitioned and never single-partitioned
+    "documents_contiguous_ids",
+}
+
+
+_ART = re.compile(r"^[\s:+*\-]*")
+
+
+def _depth(line: str) -> int:
+    """Tree depth of a plan line = width of the leading tree art."""
+    return _ART.match(line).end()
+
+
+def single_partition_sort_hits(plan: str) -> list[str]:
+    """Occurrences of the global-window-sort anti-pattern: an ``Exchange
+    SinglePartition`` whose parent chain is a Sort/Window and whose
+    subtree is NOT bounded by a Limit/TakeOrdered.  Returns the parent
+    operator line for each hit (empty list = plan is scale-clean)."""
+    lines = plan.splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = _depth(line)
+        # nearest 2 ancestors: lines above with strictly smaller depth
+        parents, cur = [], d
+        for j in range(i - 1, -1, -1):
+            pj = _depth(lines[j])
+            if pj < cur:
+                parents.append(_ART.sub("", lines[j]))
+                cur = pj
+            if len(parents) == 2 or cur == 0:
+                break
+        # "Sort [" / "Window [" are the window-sort operators; SortAggregate
+        # (a 1-row scalar aggregate) must NOT match
+        if not any(re.match(r"(Sort|Window)\s*\[", p) for p in parents):
+            continue  # scalar-aggregate / shuffle exchange — fine
+        # bounded subtree? (a limit above a window is NOT a bound on the sort)
+        subtree = []
+        for j in range(i + 1, len(lines)):
+            if _depth(lines[j]) <= d:
+                break
+            subtree.append(lines[j])
+        if any(
+            re.search(r"TakeOrderedAndProject|GlobalLimit|CollectLimit", s)
+            for s in subtree
+        ):
+            continue  # sorts at most k rows by construction
+        hits.append(parents[0] if parents else _ART.sub("", line))
+    return hits
 
 
 def audit(sf_dir: str) -> int:
@@ -80,6 +164,12 @@ def audit(sf_dir: str) -> int:
             flags.append("NESTED_LOOP")
         if "BatchEvalPython" in plan:
             flags.append("ROW_PYTHON")
+        sp_hits = single_partition_sort_hits(plan)
+        if sp_hits and name not in SINGLE_PARTITION_SORT_ALLOWED:
+            flags.append(f"SINGLE_PARTITION_SORT×{len(sp_hits)}")
+        elif sp_hits:
+            print(f"      {name}: {len(sp_hits)} allowlisted single-partition "
+                  f"sort(s) — see SINGLE_PARTITION_SORT_ALLOWED rationale")
         status = "FLAG" if flags else "ok"
         print(f"{status:4}  {name}: exchanges={exchanges}"
               + (f"  [{', '.join(flags)}]" if flags else ""))
