@@ -2361,30 +2361,31 @@ def events_position_attribution(
         "WHEN rn = 1 OR rn = n_touches THEN CAST(0.4 AS DOUBLE) "
         "ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2) END"
     )
-    credit_total = (
-        f"CASE WHEN n_touches <= 2 THEN CAST(1.0 AS {dec}) "
-        f"ELSE CAST(0.8 AS {dec}) "
-        f" + CAST(CAST(0.2 AS DOUBLE) / (n_touches - 2) AS {dec}) * (n_touches - 2) END"
-    )
-    rev_total = (
-        f"CASE WHEN n_touches = 1 THEN CAST(value AS {dec}) "
-        f"WHEN n_touches = 2 THEN CAST(value * 0.5 AS {dec}) * 2 "
-        f"ELSE CAST(value * 0.4 AS {dec}) * 2 "
-        f" + CAST(value * 0.2 / (n_touches - 2) AS {dec}) * (n_touches - 2) END"
-    )
+    # Per-conversion totals are DECIMAL WINDOW SUMS of the very same
+    # per-row shares being released — not a closed-form re-derivation.
+    # The closed form multiplied IEEE doubles in a fixed association
+    # order (value*0.4 then *2, …); any engine associating differently
+    # would compute a different "total" than the sum of its own rows and
+    # the residual would stop reconciling.  Summing the rows themselves
+    # makes credit ≡ n_conversions and revenue ≡ Σvalue by construction
+    # on every engine, independent of libm/association behavior.
+    w_conv = Window.partitionBy("conv_id")
     credited = (
         pairs.join(per_conv.select("conv_id", "n_touches"), "conv_id")
         .withColumn("rn", F.row_number().over(w_first))
         .selectExpr(
+            "conv_id",
             "touch_type",
             "rn",
             "n_touches",
             f"CAST({weight} AS {dec}) AS base_credit",
             f"CAST(value * ({weight}) AS {dec}) AS base_rev",
             f"CAST(value AS {dec}) AS vdec",
-            f"{credit_total} AS credit_total",
-            f"{rev_total} AS rev_total",
         )
+        .withColumn(
+            "credit_total", F.sum("base_credit").over(w_conv).cast(dec)
+        )
+        .withColumn("rev_total", F.sum("base_rev").over(w_conv).cast(dec))
         .selectExpr(
             "touch_type",
             f"base_credit + IF(rn = 1, CAST(1.0 AS {dec}) - credit_total,"

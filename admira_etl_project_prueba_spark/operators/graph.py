@@ -464,17 +464,26 @@ def label_propagation(
             labels.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "label")
         cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        # min over struct(-count, label): maximizes the count, then takes
+        # the SMALLEST label — struct ordering is lexicographic on any
+        # orderable label type (string community ids included), so the
+        # tie-break never negates the label itself (which would restrict
+        # the operator to numeric ids)
         labels = (
             cnt.groupBy("node")
             .agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
                 ).alias("m")
             )
-            .selectExpr("node", "-m.nl AS label")
+            .selectExpr("node", "m.l AS label")
             .localCheckpoint()
         )
-    return labels.selectExpr("node", "CAST(label AS BIGINT) AS label")
+    # widen integral ids to BIGINT for a stable output schema; string or
+    # other orderable id types pass through unchanged
+    if dict(labels.dtypes)["label"] in ("tinyint", "smallint", "int", "bigint"):
+        return labels.selectExpr("node", "CAST(label AS BIGINT) AS label")
+    return labels.select("node", "label")
 
 
 def k_core(
@@ -483,19 +492,27 @@ def k_core(
     iters: int = 8,
     src: str = "u",
     dst: str = "v",
+    until_converged: bool = False,
 ) -> DataFrame:
-    """Fixed-iteration k-core peeling: repeatedly delete nodes of degree
-    < k; what survives is the k-core — the standard dense-substructure
-    extractor (spam rings, tight supplier cliques, community cores)
-    complementing triangles (local density) and label propagation
-    (partition structure).  Returns every node of the input graph with
-    its final in-subgraph ``degree`` (0 once peeled) and an ``in_kcore``
-    verdict, deterministic.
+    """k-core peeling: repeatedly delete nodes of degree < k; what
+    survives is the k-core — the standard dense-substructure extractor
+    (spam rings, tight supplier cliques, community cores) complementing
+    triangles (local density) and label propagation (partition
+    structure).  Returns every node of the input graph with its final
+    in-subgraph ``degree`` (0 once peeled) and an ``in_kcore`` verdict,
+    deterministic.
 
-    ``iters`` bounds the peeling rounds (a converged graph makes extra
-    rounds no-ops); the cascade depth rarely exceeds a handful of rounds
-    on real graphs, and a FIXED count keeps the operator engine-exact
-    (the oracle unrolls the same rounds).
+    Termination contract: with ``until_converged=False`` the peeling
+    runs AT MOST ``iters`` rounds — this matches the unrolled DuckDB
+    oracle round-for-round, but a cascade DEEPER than ``iters`` (e.g. a
+    long path at k=2 peels two endpoints per round) is truncated: nodes
+    the full peeling would remove are still reported ``in_kcore``.
+    ``until_converged=True`` iterates to the fixpoint instead — the TRUE
+    k-core — at the cost of no longer matching a fixed-round oracle.
+    Both modes early-exit as soon as a round removes nothing (the edge
+    frame is localCheckpointed, so the per-round convergence count reads
+    materialized blocks — no recompute), which makes extra budgeted
+    rounds free and the fixed mode's result identical to before.
 
     Scale shape: each round is ONE degree aggregation plus two
     semi-joins of the 2-int edge list on its endpoint — Θ(m) per round,
@@ -508,7 +525,10 @@ def k_core(
         e.union(e.selectExpr("v AS u", "u AS v")).distinct().localCheckpoint()
     )
     all_nodes = cur.select(F.col("u").alias("node")).distinct()
-    for _ in range(int(iters)):
+    n_cur = cur.count()
+    rounds = 0
+    while n_cur > 0 and (until_converged or rounds < int(iters)):
+        rounds += 1
         deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         alive = deg.filter(F.col("deg") >= int(k)).select("u")
         cur = (
@@ -516,6 +536,10 @@ def k_core(
             .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
             .localCheckpoint()
         )
+        n_next = cur.count()
+        if n_next == n_cur:  # fixpoint: every further round is a no-op
+            break
+        n_cur = n_next
     final_deg = cur.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     return (
         all_nodes.join(final_deg, all_nodes.node == final_deg.u, "left")

@@ -243,7 +243,13 @@ def write_ivf_index(
     query time.  That is the 100 TB shape: assignment is a once-per-ingest
     batch job; a query touches ~n_probe/n_centroids of the index bytes.
     Consumers that only need the assignment (vec_id, centroid_id) read the
-    same table with column pruning."""
+    same table with column pruning.
+
+    A 1-row sidecar manifest (``<path>__manifest``) records
+    ``n_centroids`` so incremental merges can VALIDATE the centroid
+    contract instead of trusting the caller — a merge with the wrong
+    ``n_centroids`` would silently misread real vectors as centroids
+    (see :func:`merge_ivf_index`)."""
     assign = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
     (
         embeddings.select("vec_id", "label", "embedding")
@@ -252,6 +258,19 @@ def write_ivf_index(
         .partitionBy("centroid_id")
         .parquet(path)
     )
+    spark = embeddings.sparkSession
+    (
+        spark.createDataFrame([(int(n_centroids),)], "n_centroids int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_ivf_manifest_path(path))
+    )
+
+
+def _ivf_manifest_path(path: str) -> str:
+    """Sidecar location: OUTSIDE the index directory so Spark's partition
+    discovery over the centroid_id layout never sees it."""
+    return path.rstrip("/") + "__manifest"
 
 
 def ivf_topk_from_index(
@@ -878,11 +897,40 @@ def merge_ivf_index(
     row-for-row (pytest-pinned; new vec_ids must exceed the centroid
     ids, which a growing corpus satisfies by construction).
 
+    Contract VALIDATION (not trust): ``n_centroids`` is checked against
+    the index's sidecar manifest (written by :func:`write_ivf_index`) —
+    a mismatch raises ``ValueError`` before any write, because merging
+    with the wrong centroid count would misread real vectors as
+    centroids and assign the batch against garbage.  The batch's vec_ids
+    are likewise checked to exceed the centroid id range.  Indexes
+    predating the manifest merge under the caller's value and gain a
+    manifest on the way out.
+
     Cost is batch-sized: one scan of the new batch plus the k-row
     centroid read.  When drift accumulates (cluster occupancy skews —
     watch it via the per-partition row counts), retrain via the k-means
     trainer and rebuild; that is the IVF operational cycle.
     """
+    manifest = _ivf_manifest_path(path)
+    stored = None
+    try:
+        stored = spark.read.parquet(manifest).first()["n_centroids"]
+    except Exception:  # legacy index without a manifest
+        pass
+    if stored is not None and int(stored) != int(n_centroids):
+        raise ValueError(
+            f"merge_ivf_index: index at {path} was built with "
+            f"n_centroids={stored}, merge called with {n_centroids} — "
+            "a mismatched merge would misread vectors as centroids; "
+            "rebuild via write_ivf_index to change the centroid count"
+        )
+    min_vec = new_embeddings.agg(F.min("vec_id")).first()[0]
+    if min_vec is not None and int(min_vec) < int(n_centroids):
+        raise ValueError(
+            f"merge_ivf_index: batch contains vec_id={min_vec} inside the "
+            f"centroid id range [0, {n_centroids}) — centroid rows are "
+            "immutable under append-merge; rebuild for corrections"
+        )
     cents = (
         spark.read.parquet(path)
         .filter(F.col("vec_id") < n_centroids)
@@ -909,3 +957,10 @@ def merge_ivf_index(
         .partitionBy("centroid_id")
         .parquet(path)
     )
+    if stored is None:  # upgrade legacy indexes in passing
+        (
+            spark.createDataFrame([(int(n_centroids),)], "n_centroids int")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(manifest)
+        )

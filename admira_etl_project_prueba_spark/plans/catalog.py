@@ -5803,14 +5803,14 @@ per_conv AS (
   SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_touches FROM pairs GROUP BY 1
 ),
 shares AS (
-  SELECT touch_type,
+  SELECT conv_id, touch_type,
          ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tus, touch_id) AS rn,
          n_touches, value,
          CAST(value AS DECIMAL(25,6)) AS vdec
   FROM pairs JOIN per_conv USING (conv_id)
 ),
 wsh AS (
-  SELECT touch_type, rn, n_touches, vdec,
+  SELECT conv_id, touch_type, rn, n_touches, vdec,
          CAST(CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
               WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
               WHEN rn = 1 OR rn = n_touches THEN CAST(0.4 AS DOUBLE)
@@ -5820,17 +5820,18 @@ wsh AS (
               WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
               WHEN rn = 1 OR rn = n_touches THEN CAST(0.4 AS DOUBLE)
               ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2) END) AS DECIMAL(25,6))
-           AS base_rev,
-         CASE WHEN n_touches <= 2 THEN CAST(1.0 AS DECIMAL(25,6))
-              ELSE CAST(0.8 AS DECIMAL(25,6))
-                   + CAST(CAST(0.2 AS DOUBLE) / (n_touches - 2) AS DECIMAL(25,6))
-                     * (n_touches - 2) END AS credit_total,
-         CASE WHEN n_touches = 1 THEN CAST(value AS DECIMAL(25,6))
-              WHEN n_touches = 2 THEN CAST(value * 0.5 AS DECIMAL(25,6)) * 2
-              ELSE CAST(value * 0.4 AS DECIMAL(25,6)) * 2
-                   + CAST(value * 0.2 / (n_touches - 2) AS DECIMAL(25,6))
-                     * (n_touches - 2) END AS rev_total
+           AS base_rev
   FROM shares
+),
+-- per-conversion totals are decimal window sums of the SAME rows being
+-- released, so the residual reconciles on any engine by construction
+tot AS (
+  SELECT *,
+         CAST(SUM(base_credit) OVER (PARTITION BY conv_id) AS DECIMAL(25,6))
+           AS credit_total,
+         CAST(SUM(base_rev) OVER (PARTITION BY conv_id) AS DECIMAL(25,6))
+           AS rev_total
+  FROM wsh
 ),
 credited AS (
   SELECT touch_type,
@@ -5842,7 +5843,7 @@ credited AS (
                   THEN vdec - rev_total
                   ELSE CAST(0.0 AS DECIMAL(25,6)) END) AS DOUBLE)
            AS attributed_revenue
-  FROM wsh GROUP BY touch_type
+  FROM tot GROUP BY touch_type
 ),
 un AS (
   SELECT 'unattributed' AS touch_type,

@@ -243,3 +243,47 @@ def test_k_core_planted_core_and_cascade(spark):
     out2 = {r["node"]: r for r in k_core(edges, k=2, iters=8).collect()}
     assert all(out2[n]["in_kcore"] for n in (1, 2, 3, 4))
     assert not any(out2[n]["in_kcore"] for n in (5, 6, 7))
+
+
+def test_k_core_until_converged_beats_truncation(spark):
+    """A 30-node path at k=2 peels two endpoints per round — deeper than
+    the 8-round budget.  Fixed mode truncates (and says so in its
+    contract); until_converged reaches the true (empty) 2-core.  On a
+    shallow graph both modes agree, so the early-exit is a pure
+    optimization."""
+    from admira_etl_project_prueba_spark.operators.graph import k_core
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "u long, v long"
+    )
+    fixed = {r["node"]: r["in_kcore"] for r in k_core(path, k=2, iters=8).collect()}
+    assert sum(fixed.values()) > 0  # truncated: middle of the path survives
+    full = {
+        r["node"]: r["in_kcore"]
+        for r in k_core(path, k=2, until_converged=True).collect()
+    }
+    assert sum(full.values()) == 0  # the true 2-core of a path is empty
+    # shallow cascade: fixed-8 and converged agree exactly
+    clique = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 7)],
+        "u long, v long",
+    )
+    a = sorted(map(tuple, k_core(clique, k=3, iters=8).collect()))
+    b = sorted(map(tuple, k_core(clique, k=3, until_converged=True).collect()))
+    assert a == b
+
+
+def test_label_propagation_string_ids(spark):
+    """The min-label tie-break is type-agnostic: string node ids elect
+    the lexicographically smallest community label (the old
+    negate-the-label trick required numeric ids)."""
+    from admira_etl_project_prueba_spark.operators.graph import label_propagation
+
+    def clique(nodes):
+        return [(a, b) for a in nodes for b in nodes if a < b]
+
+    rows = clique(["ant", "bee", "cat", "dog"]) + clique(["wolf", "yak", "zebu"])
+    edges = spark.createDataFrame(rows, "u string, v string")
+    got = {r["node"]: r["label"] for r in label_propagation(edges).collect()}
+    assert {got[n] for n in ("ant", "bee", "cat", "dog")} == {"ant"}
+    assert {got[n] for n in ("wolf", "yak", "zebu")} == {"wolf"}

@@ -478,3 +478,40 @@ def test_ivf_index_merge_equals_rebuild(spark, sf_dir, tmp_path):
     got = [tuple(r) for r in ivf_topk_from_index(spark, emb, inc).collect()]
     want = [tuple(r) for r in ivf_topk_from_index(spark, emb, full).collect()]
     assert got == want and len(got) > 0
+
+
+def test_ivf_merge_validates_manifest_and_id_range(spark, sf_dir, tmp_path):
+    """The index sidecar manifest makes the centroid contract a CHECK,
+    not a convention: merging with the wrong n_centroids raises before
+    any write, as does a batch whose vec_ids collide with the centroid
+    id range; a legacy index (no manifest) merges under the caller's
+    value and gains a manifest."""
+    import pytest as _pytest
+
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        _ivf_manifest_path,
+        merge_ivf_index,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter("vec_id < 300")
+    new = emb.filter("vec_id >= 300")
+    path = str(tmp_path / "idx")
+    write_ivf_index(old, path, n_centroids=16)
+    assert (
+        spark.read.parquet(_ivf_manifest_path(path)).first()["n_centroids"] == 16
+    )
+    with _pytest.raises(ValueError, match="n_centroids=16"):
+        merge_ivf_index(spark, path, new, n_centroids=8)
+    with _pytest.raises(ValueError, match="centroid id range"):
+        merge_ivf_index(spark, path, emb.filter("vec_id < 5"), n_centroids=16)
+    # legacy upgrade path: drop the manifest, merge, manifest reappears
+    import shutil
+
+    shutil.rmtree(_ivf_manifest_path(path))
+    merge_ivf_index(spark, path, new, n_centroids=16)
+    assert (
+        spark.read.parquet(_ivf_manifest_path(path)).first()["n_centroids"] == 16
+    )
