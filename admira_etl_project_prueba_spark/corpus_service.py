@@ -258,21 +258,72 @@ class CorpusService:
     def drift_report(
         self,
         kl_threshold: float = 0.5,
+        base: str | None = None,
+        current: str | None = None,
+        psi_threshold: float = 0.25,
+        n_bins: int = 256,
         request_id: str | None = None,
     ) -> dict:
-        """Per-source distribution-drift report: KL(source ‖ corpus)
-        sorted worst-first, sources above ``kl_threshold`` flagged — the
-        standing 'which feed rotted' monitor.  Negative threshold → 400."""
+        """Distribution-drift report, two modes:
+
+        * default — per-source KL(source ‖ corpus) over the documents
+          corpus, sorted worst-first, sources above ``kl_threshold``
+          flagged: the standing 'which feed rotted' monitor.
+        * ``base=&current=`` — PSI between two PERSISTED histogram
+          snapshots (``write_histogram_store``/``merge_histogram_store``
+          outputs): the go/no-go gate diffs two model-sized stores
+          WITHOUT re-reading any event corpus (rule of thumb:
+          psi < 0.1 stable, > 0.25 investigate — the default
+          ``psi_threshold``).  ``n_bins`` must match the stores' grid
+          (write_histogram_store default).
+
+        Negative thresholds → 400; giving only one of base/current →
+        400; an unreadable snapshot path → 404."""
         if kl_threshold < 0.0:
+            raise ValidationError(f"kl_threshold out of range: {kl_threshold}")
+        if (base is None) != (current is None):
             raise ValidationError(
-                f"kl_threshold out of range: {kl_threshold}"
+                "base and current must be provided together"
             )
+        if base is not None:
+            if psi_threshold < 0.0:
+                raise ValidationError(
+                    f"psi_threshold out of range: {psi_threshold}"
+                )
+            from admira_etl_project_prueba_spark.operators.sketches import (
+                psi_from_histograms,
+            )
+
+            def _read(path: str) -> DataFrame:
+                try:
+                    return self.spark.read.parquet(path)
+                except Exception as exc:
+                    raise NotFoundError(
+                        f"histogram snapshot not readable: {path}"
+                    ) from exc
+
+            rep = psi_from_histograms(_read(base), _read(current), int(n_bins))
+            rows = [
+                dict(r.asDict(), drifted=r["psi"] > psi_threshold)
+                for r in rep.collect()
+            ]
+            return {
+                "mode": "psi",
+                "base": base,
+                "current": current,
+                "psi_threshold": psi_threshold,
+                "data": rows,
+                "n_types": len(rows),
+                "n_drifted": sum(1 for r in rows if r["drifted"]),
+                "request_id": new_request_id(request_id),
+            }
         rep = textops.source_token_kl(self.documents).orderBy(
             F.col("kl_nats").desc(), F.col("source").asc()
         )
         rows = [dict(r.asDict(), drifted=r["kl_nats"] > kl_threshold)
                 for r in rep.collect()]
         return {
+            "mode": "kl",
             "data": rows,
             "n_sources": len(rows),
             "n_drifted": sum(1 for r in rows if r["drifted"]),

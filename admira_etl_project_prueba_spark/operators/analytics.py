@@ -2433,11 +2433,17 @@ def basket_part_lift(
     (collect per order, expand C(items,2) locally — bounded by max
     basket size, ~7 in TPC-H), so lineitem shuffles ONCE; item counts
     broadcast back into the |pairs|-row frame; min-support prunes
-    before any join.  The same shape as the co-supply graph builder,
-    with the statistics kept instead of thresholded away.
+    before any join.  The order total rides in as a broadcast 1-row
+    aggregate (the q22_lapsed_customers shape) — ONE action, no
+    driver-side pre-count interpolated as a literal (that was a second
+    full lineitem pass before the real plan ever ran).  The same shape
+    as the co-supply graph builder, with the statistics kept instead of
+    thresholded away.
     """
     li = lineitem.select("l_orderkey", "l_partkey").distinct()
-    n_orders = li.select("l_orderkey").distinct().count()
+    n_orders = li.groupBy().agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
     item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     pairs = (
         li.groupBy("l_orderkey")
@@ -2457,6 +2463,7 @@ def basket_part_lift(
     return (
         pairs.join(ia, "a")
         .join(ib, "b")
+        .crossJoin(F.broadcast(n_orders))
         .selectExpr(
             "a AS part_a",
             "b AS part_b",
@@ -2465,7 +2472,7 @@ def basket_part_lift(
             "CAST(n_b AS BIGINT) AS n_b",
             "CAST(n_ab AS DOUBLE) / n_a AS confidence_a_to_b",
             "CAST(n_ab AS DOUBLE) / n_b AS confidence_b_to_a",
-            f"CAST(n_ab AS DOUBLE) * {n_orders} / (CAST(n_a AS DOUBLE) * n_b) AS lift",
+            "CAST(n_ab AS DOUBLE) * n_orders / (CAST(n_a AS DOUBLE) * n_b) AS lift",
         )
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(int(top_n))

@@ -12,6 +12,24 @@ internal/api/handlers.go:41-59 —
     GET  /debug/ads?date=    GET  /debug/crm?date=
     GET  /debug/matches?utm_campaign=
 
+With a ``CorpusService`` mounted, the beyond-reference corpus surface is
+served 1:1 (every service method has a route, every method param a query
+param):
+
+    GET  /corpus/health       /corpus/dedup?normalized=
+    GET  /corpus/dedup/pairs?method=&limit=&offset=
+    GET  /corpus/dup_profile?normalized=   /corpus/similar?vec_id=&k=
+    GET  /corpus/weights?target_lang=&limit=
+    GET  /corpus/perplexity?reference_lang=&limit=
+    GET  /corpus/recall?threshold=         /corpus/languages
+    GET  /corpus/sources?min_kept_fraction=   /corpus/pii
+    GET  /corpus/boilerplate?threshold=&segment_tokens=
+    GET  /corpus/search?q=&mode=&limit=    /corpus/fertility
+    GET  /corpus/lang_mismatch?limit=      /corpus/quality
+    GET  /corpus/drift?kl_threshold=  |  ?base=&current=&psi_threshold=
+         (the latter diffs two persisted histogram snapshots via PSI)
+    POST /corpus/assemble?train_pct=&salt=
+
 Status mapping preserved: ValidationError → 400, EmptyExportError /
 NotFoundError → 404, anything else → 500 with the error string.  The
 inbound ``X-Request-ID`` header is echoed into every envelope (the
@@ -43,6 +61,20 @@ def _int(qs: dict, name: str, default: int) -> int:
         return int(qs.get(name, [default])[0])
     except (TypeError, ValueError):
         return default
+
+
+def _float(qs: dict, name: str, default: float) -> float:
+    try:
+        return float(qs.get(name, [default])[0])
+    except (TypeError, ValueError):
+        return default
+
+
+def _bool(qs: dict, name: str, default: bool = False) -> bool:
+    vals = qs.get(name)
+    if not vals:
+        return default
+    return str(vals[0]).lower() in ("1", "true", "yes")
 
 
 def _first(qs: dict, name: str) -> str | None:
@@ -128,9 +160,71 @@ def make_handler(svc: MetricsService, corpus=None):
                     if url.path == "/corpus/health":
                         return self._send(200, corpus.health_report(request_id=rid))
                     if url.path == "/corpus/dedup":
-                        return self._send(200, corpus.dedup_summary(request_id=rid))
+                        return self._send(
+                            200,
+                            corpus.dedup_summary(
+                                normalized=_bool(qs, "normalized"),
+                                request_id=rid,
+                            ),
+                        )
+                    if url.path == "/corpus/dedup/pairs":
+                        return self._send(
+                            200,
+                            corpus.near_dup_pairs(
+                                method=_first(qs, "method") or "minhash",
+                                limit=_int(qs, "limit", 100),
+                                offset=_int(qs, "offset", 0),
+                                request_id=rid,
+                            ),
+                        )
                     if url.path == "/corpus/dup_profile":
-                        return self._send(200, corpus.dup_profile(request_id=rid))
+                        return self._send(
+                            200,
+                            corpus.dup_profile(
+                                normalized=_bool(qs, "normalized"),
+                                request_id=rid,
+                            ),
+                        )
+                    if url.path == "/corpus/similar":
+                        vec = _first(qs, "vec_id")
+                        try:
+                            vec_id = int(vec) if vec is not None else None
+                        except ValueError:
+                            raise ValidationError(f"invalid vec_id: {vec!r}")
+                        return self._send(
+                            200,
+                            corpus.similar_docs(
+                                vec_id=vec_id,
+                                k=_int(qs, "k", 10),
+                                request_id=rid,
+                            ),
+                        )
+                    if url.path == "/corpus/weights":
+                        return self._send(
+                            200,
+                            corpus.importance_weights(
+                                target_lang=_first(qs, "target_lang"),
+                                limit=_int(qs, "limit", 20),
+                                request_id=rid,
+                            ),
+                        )
+                    if url.path == "/corpus/perplexity":
+                        return self._send(
+                            200,
+                            corpus.perplexity_outliers(
+                                reference_lang=_first(qs, "reference_lang"),
+                                limit=_int(qs, "limit", 20),
+                                request_id=rid,
+                            ),
+                        )
+                    if url.path == "/corpus/recall":
+                        return self._send(
+                            200,
+                            corpus.recall_report(
+                                threshold=_float(qs, "threshold", 0.5),
+                                request_id=rid,
+                            ),
+                        )
                     if url.path == "/corpus/fertility":
                         return self._send(200, corpus.fertility_report(request_id=rid))
                     if url.path == "/corpus/lang_mismatch":
@@ -138,6 +232,31 @@ def make_handler(svc: MetricsService, corpus=None):
                             200,
                             corpus.lang_mismatch_report(
                                 limit=_int(qs, "limit", 100), request_id=rid
+                            ),
+                        )
+                    if url.path == "/corpus/languages":
+                        return self._send(
+                            200, corpus.language_breakdown(request_id=rid)
+                        )
+                    if url.path == "/corpus/sources":
+                        return self._send(
+                            200,
+                            corpus.source_report(
+                                min_kept_fraction=_float(
+                                    qs, "min_kept_fraction", 0.5
+                                ),
+                                request_id=rid,
+                            ),
+                        )
+                    if url.path == "/corpus/pii":
+                        return self._send(200, corpus.pii_report(request_id=rid))
+                    if url.path == "/corpus/boilerplate":
+                        return self._send(
+                            200,
+                            corpus.boilerplate_report(
+                                threshold=_float(qs, "threshold", 0.5),
+                                segment_tokens=_int(qs, "segment_tokens", 3),
+                                request_id=rid,
                             ),
                         )
                     if url.path == "/corpus/search":
@@ -151,9 +270,31 @@ def make_handler(svc: MetricsService, corpus=None):
                             ),
                         )
                     if url.path == "/corpus/drift":
-                        return self._send(200, corpus.drift_report(request_id=rid))
+                        return self._send(
+                            200,
+                            corpus.drift_report(
+                                kl_threshold=_float(qs, "kl_threshold", 0.5),
+                                base=_first(qs, "base"),
+                                current=_first(qs, "current"),
+                                psi_threshold=_float(qs, "psi_threshold", 0.25),
+                                n_bins=_int(qs, "n_bins", 256),
+                                request_id=rid,
+                            ),
+                        )
                     if url.path == "/corpus/quality":
                         return self._send(200, corpus.quality_report(request_id=rid))
+                if corpus is not None and (method, url.path) == (
+                    "POST",
+                    "/corpus/assemble",
+                ):
+                    return self._send(
+                        200,
+                        corpus.assemble(
+                            train_pct=_int(qs, "train_pct", 80),
+                            salt=_first(qs, "salt") or "v1",
+                            request_id=rid,
+                        ),
+                    )
                 return self._send(404, {"error": f"no route: {method} {url.path}"})
             except ValidationError as exc:
                 return self._send(400, {"error": str(exc)})
