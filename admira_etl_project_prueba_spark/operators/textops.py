@@ -3560,3 +3560,60 @@ def merge_positional_index(
         .partitionBy("term_bucket")
         .parquet(f"{path}/postings")
     )
+
+
+def index_files_per_bucket(spark, path: str) -> DataFrame:
+    """Posting-file fan-out of an incremental index store: (term_bucket,
+    n_files), engine-portable via ``input_file_name`` (works on any
+    filesystem Spark reads, not just local).  Each :func:`merge_text_index`
+    / :func:`merge_positional_index` batch appends ONE file per touched
+    bucket, so n_files ≈ 1 + merges-since-compaction — the number an
+    index owner watches to schedule :func:`compact_index_store`."""
+    return (
+        spark.read.parquet(f"{path}/postings")
+        .select("term_bucket", F.input_file_name().alias("f"))
+        .distinct()
+        .groupBy("term_bucket")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_files"))
+    )
+
+
+def needs_compaction(spark, path: str, max_files_per_bucket: int = 8) -> bool:
+    """The compaction trigger: True when any bucket's posting-file count
+    exceeds the threshold (small-file reads start dominating probe
+    latency long before correctness is affected — results are identical
+    at any fan-out)."""
+    return (
+        index_files_per_bucket(spark, path)
+        .filter(F.col("n_files") > int(max_files_per_bucket))
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
+def compact_index_store(spark, path: str) -> None:
+    """Compact an incremental text/positional index back to ONE posting
+    file per bucket — the missing third leg of the index lifecycle
+    (build → append-merge × N → compact), so reclaiming the merge
+    fan-out no longer requires a full corpus-scan rebuild.
+
+    The postings are read, localCheckpointed (the store is input AND
+    output — the same read-before-overwrite discipline as
+    merge_histogram_store / merge_lm_counts), repartitioned BY the
+    bucket column (each bucket lands in exactly one task ⇒ exactly one
+    file per directory) and overwritten in place.  Query results are
+    bit-identical before and after (pytest-pinned): compaction moves
+    bytes, never values.  Cost is INDEX-sized, not corpus-sized — the
+    postings frame is read and written once, with no tokenization and
+    no touch of the documents table; stats sidecars (text index) are
+    already 1-row and are left alone.
+    """
+    src = f"{path}/postings"
+    postings = spark.read.parquet(src).localCheckpoint()
+    (
+        postings.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(src)
+    )

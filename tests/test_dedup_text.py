@@ -1698,3 +1698,57 @@ def test_positional_index_merge_equals_rebuild(spark, tmp_path):
     )
     direct = sorted(map(tuple, phrase_search(docs, phrase).collect()))
     assert got == want == direct and len(got) == 40
+
+
+def test_index_compaction_restores_one_file_per_bucket(spark, sf_dir, tmp_path):
+    """build → merge × 2 → compact: the merge fan-out (one extra posting
+    file per touched bucket per batch) trips the threshold trigger,
+    compaction brings every bucket back to ONE file, and both indexed
+    BM25 and indexed phrase results are bit-identical across the cycle."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bm25_from_index,
+        compact_index_store,
+        index_files_per_bucket,
+        merge_positional_index,
+        merge_text_index,
+        needs_compaction,
+        phrase_search_from_index,
+        write_positional_index,
+        write_text_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bm25")
+    write_text_index(docs.filter("doc_id % 3 = 0"), idx)
+    merge_text_index(spark, idx, docs.filter("doc_id % 3 = 1"))
+    merge_text_index(spark, idx, docs.filter("doc_id % 3 = 2"))
+    fan = {r["term_bucket"]: r["n_files"] for r in
+           index_files_per_bucket(spark, idx).collect()}
+    assert max(fan.values()) >= 3  # base + 2 merges touched hot buckets
+    assert needs_compaction(spark, idx, max_files_per_bucket=2)
+    q = ["spark", "query"]
+    before = [tuple(r) for r in bm25_from_index(spark, idx, q).collect()]
+    compact_index_store(spark, idx)
+    after_fan = {r["term_bucket"]: r["n_files"] for r in
+                 index_files_per_bucket(spark, idx).collect()}
+    assert set(after_fan.values()) == {1}
+    assert not needs_compaction(spark, idx, max_files_per_bucket=2)
+    after = [tuple(r) for r in bm25_from_index(spark, idx, q).collect()]
+    assert after == before and len(after) > 0
+
+    pidx = str(tmp_path / "pos")
+    pdocs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} alpha beta", "en", "s") for i in range(40)],
+        "doc_id long, text string, lang string, source string",
+    )
+    write_positional_index(pdocs.filter("doc_id < 20"), pidx)
+    merge_positional_index(pdocs.filter("doc_id >= 20"), pidx)
+    phrase = ["alpha", "beta"]
+    pb = sorted(map(tuple, phrase_search_from_index(spark, pidx, phrase).collect()))
+    compact_index_store(spark, pidx)
+    pf = {r["term_bucket"]: r["n_files"] for r in
+          index_files_per_bucket(spark, pidx).collect()}
+    assert set(pf.values()) == {1}
+    pa = sorted(map(tuple, phrase_search_from_index(spark, pidx, phrase).collect()))
+    assert pa == pb and len(pa) == 40
