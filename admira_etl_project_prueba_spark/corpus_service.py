@@ -163,6 +163,14 @@ class CorpusService:
         else:
             from pyspark.sql import Window
 
+            # Both rank windows below run over frames ALREADY bounded to
+            # n_list rows by a distributed TakeOrdered (bm25_rank ends in
+            # orderBy().limit(); qual is orderBy().limit()), so each
+            # single-partition window sorts ≤ n_list rows at any corpus
+            # size — tools/plan_audit.single_partition_sort_hits treats
+            # limit-bounded subtrees as clean, and the catalog's
+            # hybrid_search_rrf (same shape) is NOT allowlisted, so a
+            # regression to an unbounded sort fails the audit gate.
             n_list = max(100, limit)
             bm = textops.bm25_rank(self.documents, terms, top_n=n_list)
             bmr = bm.withColumn(

@@ -117,10 +117,12 @@ BENCH_QUERIES = [
     "cosupply_communities",
     "dup_cluster_profile",
     "quality_calibrated",
+    "quality_calibrated_sampled",
     "ngram_novelty_scores",
     "forget_propagation",
     "bpe_merge_candidates",
     "curriculum_stages",
+    "curriculum_stages_sampled",
     "tokenizer_fertility",
     "lang_source_mismatch",
     "knn_label_accuracy",
@@ -136,6 +138,9 @@ BENCH_QUERIES = [
     "cosupply_kcore",
     "events_anomaly_dow",
     "user_rfm_segments",
+    "user_rfm_segments_sampled",
+    "user_value_quartiles_sampled",
+    "supplier_revenue_distribution_sampled",
     "events_position_attribution",
     "basket_part_lift",
     "events_decay_attribution",

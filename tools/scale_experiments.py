@@ -627,6 +627,131 @@ def _growth_law_r5_experiment(spark) -> dict:
 
 
 
+def _growth_law_r7_experiment(spark) -> dict:
+    """10x growth rehearsal for the round-7 heavyweights (VERDICT r6 #8).
+
+    * leakage_safe_split: claimed ZERO extra shuffle over the bare
+      LSH+CC clustering it reuses (the split is row-local hash
+      arithmetic on the component id).  Measured two ways: the split's
+      shuffle records vs the bare clustering's at the same size
+      (ratio ~= 1.0), and the 10x corpus growth law of the whole op.
+    * basket_part_lift: the pair expansion is sum_orders C(basket, 2) —
+      linear in ORDERS at constant basket size, quadratic in BASKET
+      SIZE.  Both arms measured: 10x orders at basket=6 (linear), and
+      4x basket at fixed orders (C(24,2)/C(6,2) = 18.4x pair hazard).
+    * supplier_lead_time: per-supplier exact-percentile window over
+      3-int rows — linear in lines at a fixed supplier population (the
+      documented operating range; the histogram store is the trade once
+      lines-per-supplier outgrows a window partition).
+    """
+    from admira_etl_project_prueba_spark.operators import analytics as an
+    from admira_etl_project_prueba_spark.operators import graph as g
+    from admira_etl_project_prueba_spark.operators import textops as tx
+
+    filler = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi"
+    )
+
+    def near_dup_corpus(n):
+        # clusters of 4 exact copies over a 16-token text: LSH bands all
+        # collide within a cluster, pairs stay C(4,2)-bounded per cluster
+        return spark.sql(
+            f"""SELECT id AS doc_id,
+                   concat('{filler} block ',
+                          CAST(CAST(id / 4 AS BIGINT) AS STRING)) AS text,
+                   'en' AS lang,
+                   concat('src_', CAST(id % 8 AS STRING)) AS source
+            FROM range({n})"""
+        )
+
+    def basket_lineitem(n_orders, basket):
+        return spark.sql(
+            f"""SELECT CAST(id DIV {basket} AS BIGINT) AS l_orderkey,
+                   CAST(id % {5 * basket} + 10 * (id DIV {basket} % 7)
+                        AS BIGINT) AS l_partkey
+            FROM range({n_orders * basket})"""
+        )
+
+    def lead_time_tables(n_lines):
+        li = spark.sql(
+            f"""SELECT CAST(id % {n_lines // 4} AS BIGINT) AS l_orderkey,
+                   CAST(id % 200 AS BIGINT) AS l_suppkey,
+                   CAST(id AS INT) AS l_linenumber,
+                   date_add(DATE'1995-01-01',
+                            CAST((id * 37) % 900 AS INT)) AS l_shipdate
+            FROM range({n_lines})"""
+        )
+        orders = spark.sql(
+            f"""SELECT CAST(id AS BIGINT) AS o_orderkey,
+                   date_add(DATE'1995-01-01',
+                            CAST((id * 17) % 800 AS INT)) AS o_orderdate
+            FROM range({n_lines // 4})"""
+        )
+        return li, orders
+
+    def measure(mk, sizes):
+        res = {}
+        for label, n in zip(("1x", "10x"), sizes):
+            res[label] = run_measured(spark, lambda n=n: mk(n))
+            res[label]["output_rows"] = mk(n).count()
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+        res["records_ratio"] = round(
+            res["10x"]["shuffle_records"] / max(res["1x"]["shuffle_records"], 1), 1
+        )
+        return res
+
+    out = {}
+    out["leakage_safe_split"] = dict(
+        docs_1x=10_000,
+        theoretical="linear; split adds ~0 shuffle over bare clustering",
+        **measure(lambda n: tx.leakage_safe_split(near_dup_corpus(n)),
+                  (10_000, 100_000)),
+    )
+    bare = run_measured(
+        spark,
+        lambda: g.dedup_clusters(
+            near_dup_corpus(100_000),
+            tx.lsh_candidate_pairs(near_dup_corpus(100_000)),
+        ),
+    )
+    out["leakage_safe_split"]["bare_clustering_10x"] = bare
+    out["leakage_safe_split"]["split_vs_clustering_records_ratio"] = round(
+        out["leakage_safe_split"]["10x"]["shuffle_records"]
+        / max(bare["shuffle_records"], 1),
+        2,
+    )
+    out["basket_lift_orders_10x"] = dict(
+        orders_1x=5_000,
+        basket="6 at BOTH sizes",
+        theoretical="linear in orders at constant basket size",
+        **measure(
+            lambda n: an.basket_part_lift(basket_lineitem(n, 6), min_support=3),
+            (5_000, 50_000),
+        ),
+    )
+    out["basket_lift_basket_4x"] = dict(
+        orders="5,000 at BOTH sizes",
+        basket_1x=6,
+        theoretical="C(24,2)/C(6,2) = 18.4x pairs from 4x basket — the hazard",
+        **measure(
+            lambda b: an.basket_part_lift(basket_lineitem(5_000, b), min_support=3),
+            (6, 24),
+        ),
+    )
+    out["supplier_lead_time"] = dict(
+        lines_1x=20_000,
+        suppliers="200 at BOTH sizes",
+        theoretical="linear: two shuffles of 3-int rows per line",
+        **measure(
+            lambda n: an.supplier_lead_time(*lead_time_tables(n)),
+            (20_000, 200_000),
+        ),
+    )
+    return out
+
+
 def _index_merge_experiment(spark) -> dict:
     """Incremental-index claim, measured: merging a FIXED 2k-doc batch
     into a small (10k) vs a 10x (100k) existing BM25 index should cost
@@ -963,6 +1088,12 @@ if __name__ == "__main__":
         print(
             json.dumps(
                 {"growth_laws_10x_r5": _growth_law_r5_experiment(fresh_session())}
+            )
+        )
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "growth7":
+        print(
+            json.dumps(
+                {"growth_laws_10x_r7": _growth_law_r7_experiment(fresh_session())}
             )
         )
     elif len(_sys.argv) > 1 and _sys.argv[1] == "growth":
