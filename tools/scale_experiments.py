@@ -648,18 +648,18 @@ def _growth_law_r7_experiment(spark) -> dict:
     from admira_etl_project_prueba_spark.operators import graph as g
     from admira_etl_project_prueba_spark.operators import textops as tx
 
-    filler = (
-        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
-        "lambda mu nu xi omicron pi"
-    )
-
     def near_dup_corpus(n):
-        # clusters of 4 exact copies over a 16-token text: LSH bands all
-        # collide within a cluster, pairs stay C(4,2)-bounded per cluster
+        # clusters of 4 exact copies over a 16-token text whose EVERY
+        # token carries the cluster id: docs in different clusters share
+        # ZERO shingles (a shared filler prefix would make the whole
+        # corpus one near-dup family and LSH would correctly explode
+        # toward all-pairs — measured the hard way), so candidate pairs
+        # stay C(4,2)-bounded per cluster
         return spark.sql(
             f"""SELECT id AS doc_id,
-                   concat('{filler} block ',
-                          CAST(CAST(id / 4 AS BIGINT) AS STRING)) AS text,
+                   array_join(transform(sequence(1, 16),
+                       j -> concat('w', CAST(CAST(id / 4 AS BIGINT) AS STRING),
+                                   'x', CAST(j AS STRING))), ' ') AS text,
                    'en' AS lang,
                    concat('src_', CAST(id % 8 AS STRING)) AS source
             FROM range({n})"""
