@@ -243,6 +243,64 @@ FROM documents WHERE lang IN ('en', 'es') GROUP BY lang""",
         "keys": ["lang"],
         "rel_tol": {"n_sampled": 0.45},
     },
+    # -- sampled quantile twins: every DETERMINISTIC column is checked
+    # exactly (rel_tol 0.0) per row against the same DuckDB CTEs the
+    # exact entries hash against; the sketch-derived bucket/percentile
+    # columns are engine-specific by design and are pinned instead
+    # against the exact Spark mode in tests/test_sampled_quantiles.py
+    # (±1 bucket / centile tolerances).  So the local gate proves the
+    # aggregate + join layer exactly, and pytest bounds the sketch.
+    "user_value_quartiles_sampled": {
+        "sql": """SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id""",
+        "keys": ["user_id"],
+        "rel_tol": {"total_value": 0.0},
+    },
+    "user_rfm_segments_sampled": {
+        "sql": """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+anchor AS (SELECT MAX(ts) AS a FROM p)
+SELECT user_id,
+       date_diff('day', CAST(MAX(ts) AS DATE),
+                 CAST((SELECT a FROM anchor) AS DATE)) AS recency_days,
+       CAST(COUNT(*) AS BIGINT) AS frequency,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS monetary
+FROM p GROUP BY user_id""",
+        "keys": ["user_id"],
+        "rel_tol": {"recency_days": 0.0, "frequency": 0.0, "monetary": 0.0},
+    },
+    "curriculum_stages_sampled": {
+        "sql": """SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
+         AS n_tokens
+FROM documents""",
+        "keys": ["doc_id"],
+        "rel_tol": {"n_tokens": 0.0},
+    },
+    "quality_calibrated_sampled": {
+        "sql": """WITH tok AS (SELECT doc_id,
+                    coalesce(source, '(unknown)') AS source,
+                    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+             FROM documents),
+s AS (SELECT doc_id, source,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS quality_raw
+      FROM tok)
+SELECT doc_id, quality_raw,
+       percent_rank() OVER (PARTITION BY source ORDER BY quality_raw, doc_id)
+         AS q_pct_source
+FROM s""",
+        "keys": ["doc_id"],
+        "rel_tol": {"quality_raw": 0.0, "q_pct_source": 0.0},
+    },
+    "supplier_revenue_distribution_sampled": {
+        "sql": """SELECT s_suppkey,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey""",
+        "keys": ["s_suppkey"],
+        "rel_tol": {"revenue": 0.0},
+    },
 }
 
 
