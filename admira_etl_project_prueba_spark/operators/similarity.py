@@ -964,3 +964,40 @@ def merge_ivf_index(
             .write.mode("overwrite")
             .parquet(manifest)
         )
+
+
+def ivf_files_per_list(spark, path: str) -> DataFrame:
+    """Posting-file fan-out of the IVF index: (centroid_id, n_files).
+    Each :func:`merge_ivf_index` batch appends one file per touched
+    list partition, so n_files ≈ 1 + merges-since-compaction — the
+    occupancy/fan-out monitor the index owner watches alongside
+    per-list row counts."""
+    return (
+        spark.read.parquet(path)
+        .select("centroid_id", F.input_file_name().alias("f"))
+        .distinct()
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_files"))
+    )
+
+
+def compact_ivf_index(spark, path: str) -> None:
+    """Compact the append-merged IVF index back to ONE file per list
+    partition — the same lifecycle leg as the text index's
+    ``compact_index_store`` (build → append-merge × N → compact):
+    reclaiming merge fan-out without the corpus-scan rebuild that
+    retraining requires.  Rows are read, localCheckpointed (the store is
+    input AND output), repartitioned BY centroid_id (each list lands in
+    exactly one task ⇒ one file per directory) and overwritten in
+    place; the sidecar manifest lives OUTSIDE the index directory and
+    is untouched.  Results are bit-identical (pytest): compaction moves
+    bytes, never assignments.  Cost is index-sized — one read + write
+    of the lists, no corpus access, no re-assignment.
+    """
+    rows = spark.read.parquet(path).localCheckpoint()
+    (
+        rows.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )

@@ -515,3 +515,47 @@ def test_ivf_merge_validates_manifest_and_id_range(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(_ivf_manifest_path(path)).first()["n_centroids"] == 16
     )
+
+
+def test_ivf_compaction_restores_one_file_per_list(spark, sf_dir, tmp_path):
+    """build → merge × 2 → compact: merge fan-out (one file per touched
+    list per batch) collapses back to ONE file per centroid partition,
+    probe results are bit-identical across the cycle, and the sidecar
+    manifest survives compaction."""
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        _ivf_manifest_path,
+        compact_ivf_index,
+        ivf_files_per_list,
+        ivf_topk_from_index,
+        merge_ivf_index,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb.filter("vec_id < 200"), path)
+    merge_ivf_index(spark, path, emb.filter("vec_id >= 200 AND vec_id < 350"))
+    merge_ivf_index(spark, path, emb.filter("vec_id >= 350"))
+    fan = {r["centroid_id"]: r["n_files"]
+           for r in ivf_files_per_list(spark, path).collect()}
+    assert max(fan.values()) >= 3
+    before = [tuple(r) for r in ivf_topk_from_index(spark, emb, path).collect()]
+    rows_before = sorted(
+        (r["vec_id"], r["centroid_id"], r["label"])
+        for r in spark.read.parquet(path).collect()
+    )
+    compact_ivf_index(spark, path)
+    after_fan = {r["centroid_id"]: r["n_files"]
+                 for r in ivf_files_per_list(spark, path).collect()}
+    assert set(after_fan.values()) == {1}
+    after = [tuple(r) for r in ivf_topk_from_index(spark, emb, path).collect()]
+    rows_after = sorted(
+        (r["vec_id"], r["centroid_id"], r["label"])
+        for r in spark.read.parquet(path).collect()
+    )
+    assert after == before and len(after) > 0
+    assert rows_after == rows_before
+    assert (
+        spark.read.parquet(_ivf_manifest_path(path)).first()["n_centroids"] == 16
+    )
