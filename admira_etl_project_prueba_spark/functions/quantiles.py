@@ -20,8 +20,10 @@ Semantics vs exact ntile: ntile splits ties across buckets to equalize
 bucket SIZES; range assignment puts equal values in the same bucket.  On
 tie-free values the two agree wherever the sketch edges are exact
 (accuracy=10000 makes them exact below 10k rows); the parity-tolerance
-contract is pinned in tests/test_sampled_quantiles.py.  The exact form
-stays the oracle everywhere — callers opt in with ``exact=False``.
+contract is pinned in tests/test_sampled_quantiles.py.  This sampled
+form is the DEFAULT for every quantile-family operator (a bare call
+must be scale-safe); the exact single-partition form is opt-in via
+``exact=True`` and survives only as the DuckDB-oracle twin.
 """
 
 from __future__ import annotations
@@ -67,14 +69,21 @@ def bucket_expr(value_col: str, edges_col: str, descending: bool = False) -> str
     below it (ntile ranks it inside the lower bucket).  Descending
     (ntile ORDER BY v DESC): bucket = 1 + |{e : v <= e}| — the largest
     values land in bucket 1, and a value equal to an edge falls PAST it
-    (desc rank order puts it after the strictly-greater values).  NULL
-    values (NULL edges array from an empty input) yield NULL, mirroring
-    ntile's behavior on no rows.
+    (desc rank order puts it after the strictly-greater values).
+
+    NULL contract: a NULL VALUE yields a NULL bucket (the fold would
+    otherwise silently place it in bucket 1 ascending / bucket
+    1+|edges| descending — neither matches exact ntile, which sorts
+    NULLS LAST ascending and NULLS LAST under desc too; callers that
+    need ntile's NULL placement must coalesce before bucketing).  A
+    NULL EDGES array (empty input) also yields NULL, mirroring ntile
+    over no rows.
     """
     cmp = "<=" if descending else ">"
     return (
+        f"IF({value_col} IS NULL, NULL, "
         f"1 + aggregate({edges_col}, 0, "
-        f"(acc, e) -> acc + IF(CAST({value_col} AS DOUBLE) {cmp} e, 1, 0))"
+        f"(acc, e) -> acc + IF(CAST({value_col} AS DOUBLE) {cmp} e, 1, 0)))"
     )
 
 

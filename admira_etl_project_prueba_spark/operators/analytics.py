@@ -805,17 +805,19 @@ def events_funnel_ordered(events: DataFrame) -> DataFrame:
 
 
 def supplier_revenue_distribution(
-    supplier: DataFrame, lineitem: DataFrame, exact: bool = True
+    supplier: DataFrame, lineitem: DataFrame, exact: bool = False
 ) -> DataFrame:
     """Relative-standing windows over the per-supplier revenue aggregate:
     percent_rank and cume_dist on the reduced (|suppliers|-row) set.
 
-    ``exact=False`` is the 100 TB mode (suppliers scale with the fact
+    The DEFAULT is the 100 TB mode (suppliers scale with the fact
     table): both relative standings become cdf estimates from a 99-edge
     approx_percentile grid — one mergeable sketch aggregate, a 1-row
     broadcast, row-local arithmetic, no single-partition sort (the same
     trade as quality_calibrated's global percentile; tolerance pinned in
-    tests/test_sampled_quantiles.py).  The exact form stays the oracle.
+    tests/test_sampled_quantiles.py).  ``exact=True`` opts into the
+    single-partition percent_rank/cume_dist form — it survives as the
+    DuckDB-oracle twin, not as something a bare caller should get.
     """
     rev = (
         lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -923,19 +925,18 @@ def events_pivot_daily(events: DataFrame) -> DataFrame:
     )
 
 
-def user_value_quartiles(events: DataFrame, exact: bool = True) -> DataFrame:
-    """NTILE(4) quartile assignment over per-user exact totals.
+def user_value_quartiles(events: DataFrame, exact: bool = False) -> DataFrame:
+    """Quartile assignment over per-user exact totals.
 
-    Aggregate first (events → users, one shuffle), then the rank window
-    runs on the reduced set.  Quartile boundaries via deterministic total
-    ordering (value desc, user_id) so the split is reproducible.
-
-    ``exact=False`` is the 100×-scale mode: the global ntile window (an
-    ``Exchange SinglePartition`` + one-task sort of the whole user frame)
-    is replaced by approx_percentile edges + a 1-row broadcast + row-local
-    assignment — no global order anywhere in the plan (see
-    functions/quantiles.py; parity tolerance pinned in
-    tests/test_sampled_quantiles.py).  The exact form stays the oracle.
+    Aggregate first (events → users, one shuffle), then assign quartiles
+    on the reduced set.  The DEFAULT is the 100×-scale mode: the global
+    ntile window (an ``Exchange SinglePartition`` + one-task sort of the
+    whole user frame) is replaced by approx_percentile edges + a 1-row
+    broadcast + row-local assignment — no global order anywhere in the
+    plan (see functions/quantiles.py; parity tolerance pinned in
+    tests/test_sampled_quantiles.py).  ``exact=True`` opts into the
+    NTILE(4) form (deterministic total ordering value desc, user_id) —
+    kept only as the DuckDB-oracle twin.
     """
     per_user = events.groupBy("user_id").agg(_dsum("value").alias("total_value"))
     if not exact:
@@ -2231,7 +2232,7 @@ def events_anomaly_dow(events: DataFrame, threshold: float = 2.0) -> DataFrame:
     )
 
 
-def user_rfm_segments(events: DataFrame, exact: bool = True) -> DataFrame:
+def user_rfm_segments(events: DataFrame, exact: bool = False) -> DataFrame:
     """RFM segmentation: every user scored 1-4 on Recency (days since
     last purchase, newer = higher), Frequency (purchase count), and
     Monetary (decimal-exact purchase value), quartiled by ntile — the
@@ -2245,13 +2246,13 @@ def user_rfm_segments(events: DataFrame, exact: bool = True) -> DataFrame:
     grain aggregate, then three windows over (metric, user_id) int/
     double pairs — text-free, model-thin shuffles.
 
-    ``exact=False`` is the 100 TB mode: the three consecutive global
+    The DEFAULT is the 100 TB mode: the three consecutive global
     ntile sorts (each an ``Exchange SinglePartition`` over the whole
     user frame) become ONE approx_percentile aggregate (all three edge
     arrays from a single sketch pass) + a 1-row broadcast + row-local
     assignments — no global order in the plan.  Parity tolerance is
-    pinned in tests/test_sampled_quantiles.py; the exact form stays the
-    oracle.
+    pinned in tests/test_sampled_quantiles.py; ``exact=True`` opts into
+    the three-ntile form, kept only as the DuckDB-oracle twin.
     """
     from pyspark.sql import Window as W
 

@@ -2850,7 +2850,7 @@ def dup_cluster_profile(
     )
 
 
-def quality_calibrated(documents: DataFrame, exact: bool = True) -> DataFrame:
+def quality_calibrated(documents: DataFrame, exact: bool = False) -> DataFrame:
     """Source-relative quality calibration: each document's lexical
     diversity (type-token ratio) re-expressed as a percentile WITHIN its
     source, plus the global percentile — so a single threshold like
@@ -2866,13 +2866,14 @@ def quality_calibrated(documents: DataFrame, exact: bool = True) -> DataFrame:
     doc_id) pairs ONLY (two columns shuffle, not text).  Deterministic:
     doc_id tie-break makes both ranks reproducible.
 
-    ``exact=False`` is the 100 TB mode: the GLOBAL percent_rank (the
+    The DEFAULT is the 100 TB mode: the GLOBAL percent_rank (the
     single-partition sort) is replaced by a 99-edge approx_percentile
     grid — ``q_pct_global`` becomes the fraction of grid edges below the
     score (cdf estimate, ±1 centile + sketch error; tolerance pinned in
     tests/test_sampled_quantiles.py).  The per-source window stays in
     both modes: it is partitioned, so no task ever holds more than one
-    source's (score, doc_id) pairs.  The exact form stays the oracle.
+    source's (score, doc_id) pairs.  ``exact=True`` opts into the global
+    percent_rank form, kept only as the DuckDB-oracle twin.
     """
     from pyspark.sql import Window as W
 
@@ -3045,7 +3046,7 @@ def bpe_merge_candidates(documents: DataFrame, top_n: int = 50) -> DataFrame:
 
 
 def curriculum_stages(
-    documents: DataFrame, n_stages: int = 4, exact: bool = True
+    documents: DataFrame, n_stages: int = 4, exact: bool = False
 ) -> DataFrame:
     """Length-based curriculum assignment: every document gets a training
     stage 1..n_stages by global token-count order (short/easy first —
@@ -3053,14 +3054,15 @@ def curriculum_stages(
     Returns (doc_id, source, n_tokens, stage), deterministic via the
     (n_tokens, doc_id) tie-break.
 
-    Scale shape: one row-local scoring projection, then a single ntile
-    window.  The global window shuffles (n_tokens, doc_id) pairs only —
-    two ints per document, never text.  ``exact=False`` is the 100 TB
-    mode: approx_percentile edges + a 1-row broadcast + row-local stage
-    assignment (functions/quantiles.py) — no ``Exchange
-    SinglePartition`` sort anywhere in the plan, rank error bounded by
-    the sketch accuracy (parity pinned in
-    tests/test_sampled_quantiles.py).  The exact form stays the oracle.
+    Scale shape: one row-local scoring projection, then stage
+    assignment.  The DEFAULT is the 100 TB mode: approx_percentile
+    edges + a 1-row broadcast + row-local stage assignment
+    (functions/quantiles.py) — no ``Exchange SinglePartition`` sort
+    anywhere in the plan, rank error bounded by the sketch accuracy
+    (parity pinned in tests/test_sampled_quantiles.py).  ``exact=True``
+    opts into the global ntile window (shuffles (n_tokens, doc_id)
+    pairs — two ints per document, never text — but sorts them on ONE
+    task); it survives only as the DuckDB-oracle twin.
     """
     from pyspark.sql import Window as W
 

@@ -243,65 +243,56 @@ FROM documents WHERE lang IN ('en', 'es') GROUP BY lang""",
         "keys": ["lang"],
         "rel_tol": {"n_sampled": 0.45},
     },
-    # -- sampled quantile twins: every DETERMINISTIC column is checked
-    # exactly (rel_tol 0.0) per row against the same DuckDB CTEs the
-    # exact entries hash against; the sketch-derived bucket/percentile
-    # columns are engine-specific by design and are pinned instead
-    # against the exact Spark mode in tests/test_sampled_quantiles.py
-    # (±1 bucket / centile tolerances).  So the local gate proves the
-    # aggregate + join layer exactly, and pytest bounds the sketch.
-    "user_value_quartiles_sampled": {
-        "sql": """SELECT user_id,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
-FROM events GROUP BY user_id""",
-        "keys": ["user_id"],
-        "rel_tol": {"total_value": 0.0},
-    },
-    "user_rfm_segments_sampled": {
-        "sql": """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-anchor AS (SELECT MAX(ts) AS a FROM p)
-SELECT user_id,
-       date_diff('day', CAST(MAX(ts) AS DATE),
-                 CAST((SELECT a FROM anchor) AS DATE)) AS recency_days,
-       CAST(COUNT(*) AS BIGINT) AS frequency,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS monetary
-FROM p GROUP BY user_id""",
-        "keys": ["user_id"],
-        "rel_tol": {"recency_days": 0.0, "frequency": 0.0, "monetary": 0.0},
-    },
-    "curriculum_stages_sampled": {
-        "sql": """SELECT doc_id,
-       CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT)
-         AS n_tokens
-FROM documents""",
-        "keys": ["doc_id"],
-        "rel_tol": {"n_tokens": 0.0},
-    },
-    "quality_calibrated_sampled": {
-        "sql": """WITH tok AS (SELECT doc_id,
-                    coalesce(source, '(unknown)') AS source,
-                    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-             FROM documents),
-s AS (SELECT doc_id, source,
-             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS quality_raw
-      FROM tok)
-SELECT doc_id, quality_raw,
-       percent_rank() OVER (PARTITION BY source ORDER BY quality_raw, doc_id)
-         AS q_pct_source
-FROM s""",
-        "keys": ["doc_id"],
-        "rel_tol": {"quality_raw": 0.0, "q_pct_source": 0.0},
-    },
-    "supplier_revenue_distribution_sampled": {
-        "sql": """SELECT s_suppkey,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6)))
-            AS DOUBLE) AS revenue
-FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-GROUP BY s_suppkey""",
-        "keys": ["s_suppkey"],
-        "rel_tol": {"revenue": 0.0},
-    },
+    # The five sampled quantile twins (user_value_quartiles_sampled,
+    # user_rfm_segments_sampled, curriculum_stages_sampled,
+    # quality_calibrated_sampled, supplier_revenue_distribution_sampled)
+    # graduated from bounded specs to EXACT DuckDB oracles in round 8:
+    # below the sketch accuracy (10k rows per metric frame — every gate
+    # SF qualifies) Spark's approx_percentile/GK edges are exactly the
+    # order statistics at rank ceil(p·n), so the whole sampled output is
+    # expressible as exact SQL (see _gk_edges_cte).  Only the two
+    # engine-sketch-valued entries (events_approx_distinct/_percentiles)
+    # remain inherently bounded.
 }
+
+
+def _gk_edges_cte(src: str, val: str, probs: list[float], rk: str, ed: str) -> str:
+    """CTE pair replicating Spark ``approx_percentile``'s Greenwald-
+    Khanna edges EXACTLY at test scale, for the sampled-twin oracles.
+
+    Below the sketch accuracy (n < 10 000) GK keeps every sample with
+    g=1, delta=0 (the compress threshold 2·ε·n stays < 1), so
+    ``query(p)`` returns precisely the order statistic at 1-indexed rank
+    ``ceil(p · n)`` of the DOUBLE-cast values.  ``ceil`` runs on the
+    same IEEE-754 product in both engines: the prob literals are the
+    identical shortest-repr doubles Spark's edge_expr embeds
+    (functions/quantiles.py:38), and the list is cast DOUBLE[] because
+    DuckDB would otherwise parse them as DECIMALs — decimal 0.07·100
+    is exactly 7 while the double product is 7.000000000000001, an
+    off-by-one rank flip vs Spark.  So the rank math is bit-identical.
+    This is a TEST-SCALE oracle: valid for any gate SF (all metric
+    frames < 10k rows), NOT a general sketch equivalence.
+
+    Emits ``{rk}`` (value, rank, n) and ``{ed}`` (one edge row per
+    prob, duplicates preserved — the row-local bucket folds count edge
+    multiplicity exactly like Spark's ``aggregate`` over the edges
+    array).
+    """
+    plist = ", ".join(repr(p) for p in probs)
+    return f"""{rk} AS (
+  SELECT CAST({val} AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (ORDER BY CAST({val} AS DOUBLE)) AS rn,
+         COUNT(*) OVER () AS n
+  FROM {src}
+),
+{ed} AS (
+  SELECT r.v FROM (SELECT UNNEST(CAST([{plist}] AS DOUBLE[])) AS p) pr
+  JOIN {rk} r ON r.rn = CAST(ceil(pr.p * r.n) AS BIGINT)
+)"""
+
+
+_Q3 = [i / 4 for i in range(1, 4)]      # quartile edge probs, as Spark emits them
+_Q99 = [i / 100 for i in range(1, 100)]  # 99-edge centile grid
 
 
 def _entry(name: str, doc: str, oracle: Optional[str]):
@@ -1115,7 +1106,7 @@ FROM rev""",
 )
 def _q_supplier_dist(spark, sf_dir):
     return analytics.supplier_revenue_distribution(
-        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem")
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem"), exact=True
     )
 
 
@@ -1124,9 +1115,25 @@ def _q_supplier_dist(spark, sf_dir):
     "Scale-safe relative standing: percent_rank/cume_dist become cdf "
     "estimates from a 99-edge approx_percentile grid (1-row broadcast, "
     "row-local arithmetic, no single-partition sort) — the 100 TB form "
-    "of supplier_revenue_distribution (engine-specific sketch ⇒ "
-    "rows-only check; tolerance vs exact pinned in pytest).",
-    None,
+    "of supplier_revenue_distribution, and since round 8 the DEFAULT.  "
+    "Hash-exact oracle via _gk_edges_cte (GK edges are exact order "
+    "statistics at gate SF); grid-vs-rank tolerance additionally pinned "
+    "in pytest.",
+    f"""WITH rev AS (
+  SELECT s_suppkey, s_name,
+         {_DSUM.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+{_gk_edges_cte('rev', 'revenue', _Q99, 'rk', 'ed')},
+cnt AS (
+  SELECT r.s_suppkey, COUNT(CASE WHEN r.revenue <= e.v THEN 1 END) AS a
+  FROM rev r CROSS JOIN ed e GROUP BY r.s_suppkey
+)
+SELECT r.s_suppkey, r.s_name, r.revenue,
+       CAST(c.a AS DOUBLE) / 99.0 AS pct_rank,
+       CAST(c.a + 1 AS DOUBLE) / 100.0 AS cume
+FROM rev r JOIN cnt c USING (s_suppkey)""",
 )
 def _q_supplier_dist_sampled(spark, sf_dir):
     return analytics.supplier_revenue_distribution(
@@ -1198,7 +1205,7 @@ SELECT user_id, total_value,
 FROM per_user""",
 )
 def _q_quartiles(spark, sf_dir):
-    return analytics.user_value_quartiles(load_events(spark, sf_dir))
+    return analytics.user_value_quartiles(load_events(spark, sf_dir), exact=True)
 
 
 @_entry(
@@ -1206,9 +1213,22 @@ def _q_quartiles(spark, sf_dir):
     "Scale-safe quartile assignment: approx_percentile edges (mergeable "
     "GK sketch, one aggregate) + 1-row broadcast + row-local bucketing — "
     "no Exchange SinglePartition sort anywhere in the plan (the 100 TB "
-    "form of user_value_quartiles; engine-specific sketch ⇒ rows-only "
-    "check, ±1-bucket parity vs exact pinned in pytest).",
-    None,
+    "form of user_value_quartiles, and since round 8 the DEFAULT).  "
+    "Hash-exact oracle: below sketch accuracy the GK edges are the "
+    "order statistics at rank ceil(p·n) (_gk_edges_cte), so the bucket "
+    "fold is exact SQL at gate SF; ±1-bucket parity vs the exact twin "
+    "additionally pinned in pytest.",
+    f"""WITH per_user AS (
+  SELECT user_id, {_DSUM.format(x='value')} AS total_value
+  FROM events GROUP BY user_id
+),
+{_gk_edges_cte('per_user', 'total_value', _Q3, 'rk', 'ed')},
+cnt AS (
+  SELECT u.user_id, COUNT(CASE WHEN u.total_value <= e.v THEN 1 END) AS a
+  FROM per_user u CROSS JOIN ed e GROUP BY u.user_id
+)
+SELECT u.user_id, u.total_value, CAST(1 + c.a AS INTEGER) AS quartile
+FROM per_user u JOIN cnt c USING (user_id)""",
 )
 def _q_quartiles_sampled(spark, sf_dir):
     return analytics.user_value_quartiles(load_events(spark, sf_dir), exact=False)
@@ -5150,17 +5170,32 @@ SELECT doc_id, source, quality_raw,
 FROM s""",
 )
 def _q_quality_calibrated(spark, sf_dir):
-    return _tx.quality_calibrated(_t(spark, sf_dir, "documents"))
+    return _tx.quality_calibrated(_t(spark, sf_dir, "documents"), exact=True)
 
 
 @_entry(
     "quality_calibrated_sampled",
     "Scale-safe quality calibration: the global percent_rank (a "
     "single-partition sort) becomes a 99-edge approx_percentile grid "
-    "cdf estimate; the per-source window stays (partitioned).  "
-    "Engine-specific sketch ⇒ rows-only check; centile tolerance vs "
-    "exact pinned in pytest.",
-    None,
+    "cdf estimate; the per-source window stays (partitioned).  Since "
+    "round 8 the DEFAULT.  Hash-exact oracle: _gk_edges_cte grid (GK "
+    "edges exact at gate SF) + the same grid-fraction arithmetic; "
+    "centile tolerance vs the exact twin additionally pinned in pytest.",
+    f"""WITH tok AS (SELECT doc_id, coalesce(source, '{_tx.UNKNOWN_SOURCE}') AS source,
+                     {_DUCK_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, source,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS quality_raw
+      FROM tok),
+{_gk_edges_cte('s', 'quality_raw', _Q99, 'rk', 'ed')},
+g AS (
+  SELECT s.doc_id, COUNT(CASE WHEN s.quality_raw > e.v THEN 1 END) AS a
+  FROM s CROSS JOIN ed e GROUP BY s.doc_id
+)
+SELECT s.doc_id, s.source, s.quality_raw,
+       percent_rank() OVER (PARTITION BY source ORDER BY quality_raw, doc_id)
+         AS q_pct_source,
+       CAST(g.a AS DOUBLE) / 99.0 AS q_pct_global
+FROM s JOIN g USING (doc_id)""",
 )
 def _q_quality_calibrated_sampled(spark, sf_dir):
     return _tx.quality_calibrated(_t(spark, sf_dir, "documents"), exact=False)
@@ -5249,16 +5284,29 @@ SELECT doc_id, source, n_tokens,
 FROM s""",
 )
 def _q_curriculum(spark, sf_dir):
-    return _tx.curriculum_stages(_t(spark, sf_dir, "documents"), n_stages=4)
+    return _tx.curriculum_stages(
+        _t(spark, sf_dir, "documents"), n_stages=4, exact=True
+    )
 
 
 @_entry(
     "curriculum_stages_sampled",
     "Scale-safe curriculum assignment: approx_percentile token-count "
     "edges + 1-row broadcast + row-local stage bucketing — the global "
-    "ntile sort eliminated (engine-specific sketch ⇒ rows-only check; "
-    "parity vs exact pinned in pytest).",
-    None,
+    "ntile sort eliminated; since round 8 the DEFAULT.  Hash-exact "
+    "oracle: _gk_edges_cte edges (GK exact at gate SF) + the same "
+    "row-local fold; parity vs the exact twin additionally pinned in "
+    "pytest.",
+    f"""WITH s AS (SELECT doc_id, coalesce(source, '{_tx.UNKNOWN_SOURCE}') AS source,
+                   CAST(len({_DUCK_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents),
+{_gk_edges_cte('s', 'n_tokens', _Q3, 'rk', 'ed')},
+c AS (
+  SELECT s.doc_id, COUNT(CASE WHEN CAST(s.n_tokens AS DOUBLE) > e.v THEN 1 END) AS a
+  FROM s CROSS JOIN ed e GROUP BY s.doc_id
+)
+SELECT s.doc_id, s.source, s.n_tokens, CAST(1 + c.a AS INTEGER) AS stage
+FROM s JOIN c USING (doc_id)""",
 )
 def _q_curriculum_sampled(spark, sf_dir):
     return _tx.curriculum_stages(
@@ -5817,7 +5865,7 @@ SELECT user_id, recency_days, frequency, monetary,
 FROM u ORDER BY user_id""",
 )
 def _q_rfm(spark, sf_dir):
-    return analytics.user_rfm_segments(load_events(spark, sf_dir))
+    return analytics.user_rfm_segments(load_events(spark, sf_dir), exact=True)
 
 
 @_entry(
@@ -5825,9 +5873,39 @@ def _q_rfm(spark, sf_dir):
     "Scale-safe RFM: ONE approx_percentile aggregate yields all three "
     "edge arrays (recency/frequency/monetary), broadcast 1-row, buckets "
     "assigned row-locally — replaces the three consecutive global ntile "
-    "sorts with zero global order (engine-specific sketch ⇒ rows-only "
-    "check; ±1-bucket parity vs exact pinned in pytest).",
-    None,
+    "sorts with zero global order; since round 8 the DEFAULT.  "
+    "Hash-exact oracle: three _gk_edges_cte rank CTEs (GK edges exact "
+    "at gate SF) + the same row-local comparison folds; ±1-bucket "
+    "parity vs the exact twin additionally pinned in pytest.",
+    f"""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+anchor AS (SELECT MAX(ts) AS a FROM p),
+u AS (
+  SELECT user_id,
+         date_diff('day', CAST(MAX(ts) AS DATE),
+                   CAST((SELECT a FROM anchor) AS DATE)) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         {_DSUM.format(x='value')} AS monetary
+  FROM p GROUP BY user_id),
+{_gk_edges_cte('u', 'recency_days', _Q3, 'rkr', 'edr')},
+{_gk_edges_cte('u', 'frequency', _Q3, 'rkf', 'edf')},
+{_gk_edges_cte('u', 'monetary', _Q3, 'rkm', 'edm')},
+s AS (
+  SELECT u.user_id,
+         1 + (SELECT COUNT(*) FROM edr e
+              WHERE CAST(u.recency_days AS DOUBLE) <= e.v) AS r_score,
+         1 + (SELECT COUNT(*) FROM edf e
+              WHERE CAST(u.frequency AS DOUBLE) > e.v) AS f_score,
+         1 + (SELECT COUNT(*) FROM edm e
+              WHERE u.monetary > e.v) AS m_score
+  FROM u
+)
+SELECT u.user_id, u.recency_days, u.frequency, u.monetary,
+       CAST(s.r_score AS INTEGER) AS r_score,
+       CAST(s.f_score AS INTEGER) AS f_score,
+       CAST(s.m_score AS INTEGER) AS m_score,
+       CAST(s.r_score AS VARCHAR) || CAST(s.f_score AS VARCHAR)
+         || CAST(s.m_score AS VARCHAR) AS segment
+FROM u JOIN s USING (user_id)""",
 )
 def _q_rfm_sampled(spark, sf_dir):
     return analytics.user_rfm_segments(load_events(spark, sf_dir), exact=False)

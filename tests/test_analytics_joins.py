@@ -1049,7 +1049,7 @@ def test_user_rfm_segments_planted(spark):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
-    out = {r["user_id"]: r for r in user_rfm_segments(ev).collect()}
+    out = {r["user_id"]: r for r in user_rfm_segments(ev, exact=True).collect()}
     assert set(out) == {1, 2, 3, 4}          # view-only rows don't create users
     assert out[1]["segment"] == "444" and out[4]["segment"] == "111"
     assert out[1]["recency_days"] == 0        # anchor is the max purchase ts

@@ -82,7 +82,10 @@ def test_forget_propagation_empty_list_raises(corpus):
 
 
 def test_quality_calibrated_percentiles_are_source_relative(corpus):
-    rows = {r["doc_id"]: r for r in textops.quality_calibrated(corpus).collect()}
+    rows = {
+        r["doc_id"]: r
+        for r in textops.quality_calibrated(corpus, exact=True).collect()
+    }
     assert rows[7]["source"] == textops.UNKNOWN_SOURCE
     # within each source the max-quality doc has pct 1.0 (unless alone)
     for src in {"feed_x", "feed_y"}:
@@ -138,7 +141,10 @@ def test_bpe_merge_candidates_top_n_and_determinism(corpus):
 
 
 def test_curriculum_stages_orders_by_length(corpus):
-    rows = {r["doc_id"]: r for r in textops.curriculum_stages(corpus).collect()}
+    rows = {
+        r["doc_id"]: r
+        for r in textops.curriculum_stages(corpus, exact=True).collect()
+    }
     assert sorted(rows) == [1, 2, 3, 4, 5, 6, 7]
     # shortest doc (7: 'zz') is stage 1; longest (4/5: 10 tokens) stage 4
     assert rows[7]["stage"] == 1

@@ -57,7 +57,7 @@ def test_sampled_buckets_equal_exact_ntile_on_tiefree_data(spark):
 
 def test_user_value_quartiles_sampled_parity(spark, sf_dir):
     ev = _events(spark, sf_dir)
-    ex = analytics.user_value_quartiles(ev).selectExpr("user_id", "quartile AS qe")
+    ex = analytics.user_value_quartiles(ev, exact=True).selectExpr("user_id", "quartile AS qe")
     ap = analytics.user_value_quartiles(ev, exact=False)
     assert ap.columns == ["user_id", "total_value", "quartile"]
     j = ex.join(ap.selectExpr("user_id", "quartile AS qa"), "user_id")
@@ -69,7 +69,7 @@ def test_user_value_quartiles_sampled_parity(spark, sf_dir):
 
 def test_user_rfm_segments_sampled_parity(spark, sf_dir):
     ev = _events(spark, sf_dir)
-    ex = analytics.user_rfm_segments(ev).selectExpr(
+    ex = analytics.user_rfm_segments(ev, exact=True).selectExpr(
         "user_id", "r_score AS re", "f_score AS fe", "m_score AS me"
     )
     ap = analytics.user_rfm_segments(ev, exact=False)
@@ -94,7 +94,7 @@ def test_user_rfm_segments_sampled_parity(spark, sf_dir):
 
 def test_curriculum_stages_sampled_parity(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    ex = textops.curriculum_stages(docs).selectExpr("doc_id", "stage AS se")
+    ex = textops.curriculum_stages(docs, exact=True).selectExpr("doc_id", "stage AS se")
     ap = textops.curriculum_stages(docs, exact=False)
     assert ap.columns == ["doc_id", "source", "n_tokens", "stage"]
     j = ex.join(ap.selectExpr("doc_id", "stage AS sa"), "doc_id")
@@ -106,7 +106,7 @@ def test_curriculum_stages_sampled_parity(spark, sf_dir):
 
 def test_quality_calibrated_sampled_parity(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    ex = textops.quality_calibrated(docs)
+    ex = textops.quality_calibrated(docs, exact=True)
     ap = textops.quality_calibrated(docs, exact=False)
     assert ap.columns == ex.columns
     j = ex.selectExpr("doc_id", "q_pct_global AS ge", "q_pct_source AS se").join(
@@ -126,7 +126,7 @@ def test_quality_calibrated_sampled_parity(spark, sf_dir):
 def test_supplier_revenue_distribution_sampled_parity(spark, sf_dir):
     sup = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
-    ex = analytics.supplier_revenue_distribution(sup, li).selectExpr(
+    ex = analytics.supplier_revenue_distribution(sup, li, exact=True).selectExpr(
         "s_suppkey", "pct_rank AS pe", "cume AS ce"
     )
     ap = analytics.supplier_revenue_distribution(sup, li, exact=False)
@@ -169,6 +169,29 @@ def test_sampled_plan_has_no_single_partition_sort(spark, sf_dir, sampled, exact
     )
     # the exact twin is exactly the anti-pattern the detector exists for
     assert len(single_partition_sort_hits(plan_e)) >= 1
+
+
+def test_bare_default_calls_are_scale_safe(spark, sf_dir):
+    """The round-8 contract: a BARE call to every quantile-family
+    operator (no ``exact`` argument) must get the sampled, scale-safe
+    plan — zero un-bounded single-partition sorts.  The exact
+    single-partition form is opt-in (``exact=True``) and survives only
+    as the DuckDB-oracle twin in the catalog."""
+    ev = _events(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    bare = {
+        "user_value_quartiles": analytics.user_value_quartiles(ev),
+        "user_rfm_segments": analytics.user_rfm_segments(ev),
+        "supplier_revenue_distribution":
+            analytics.supplier_revenue_distribution(sup, li),
+        "curriculum_stages": textops.curriculum_stages(docs),
+        "quality_calibrated": textops.quality_calibrated(docs),
+    }
+    for name, df in bare.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert single_partition_sort_hits(plan) == [], name
 
 
 def test_top_users_plan_is_take_ordered(spark, sf_dir):

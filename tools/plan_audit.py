@@ -129,8 +129,12 @@ def single_partition_sort_hits(plan: str) -> list[str]:
             if len(parents) == 2 or cur == 0:
                 break
         # "Sort [" / "Window [" are the window-sort operators; SortAggregate
-        # (a 1-row scalar aggregate) must NOT match
-        if not any(re.match(r"(Sort|Window)\s*\[", p) for p in parents):
+        # (a 1-row scalar aggregate) must NOT match.  Whole-stage codegen
+        # prints them as "*(3) Sort [...]" — the leading-art strip leaves
+        # the "(3) " stage id, so the match allows that optional prefix
+        if not any(
+            re.match(r"(?:\(\d+\)\s*)?(Sort|Window)\s*\[", p) for p in parents
+        ):
             continue  # scalar-aggregate / shuffle exchange — fine
         # bounded subtree? (a limit above a window is NOT a bound on the sort)
         subtree = []
