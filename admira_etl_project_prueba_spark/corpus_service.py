@@ -48,11 +48,20 @@ class CorpusService:
         documents: DataFrame,
         embeddings: DataFrame | None = None,
         pairs_table: DataFrame | None = None,
+        ivf_index_path: str | None = None,
+        text_index_path: str | None = None,
     ):
         self.spark = spark
         self.documents = documents
         self.embeddings = embeddings
         self.pairs_table = pairs_table  # precomputed near-dup pairs, if any
+        # persisted index stores, if the deployment maintains them —
+        # enables the maintenance-scheduling surface (index_health, the
+        # /corpus/similar index block) so an operator can SEE when
+        # compaction or retrain is due instead of discovering it as
+        # probe-latency drift
+        self.ivf_index_path = ivf_index_path
+        self.text_index_path = text_index_path
 
     # -- GET /corpus/dedup/pairs --------------------------------------------
     def near_dup_pairs(
@@ -122,11 +131,70 @@ class CorpusService:
         if self.embeddings.filter(F.col("vec_id") == vec_id).limit(1).count() == 0:
             raise NotFoundError(f"unknown vec_id: {vec_id}")
         rows = similarity.cosine_topk(self.embeddings, query_vec_id=vec_id, k=k)
-        return {
+        out = {
             "query": vec_id,
             "data": [r.asDict() for r in rows.collect()],
             "request_id": new_request_id(request_id),
         }
+        if self.ivf_index_path is not None:
+            # surface the ANN store's maintenance state alongside results
+            # so probe-latency drift is explainable at the API edge
+            out["index"] = self._ivf_health()
+        return out
+
+    def _ivf_health(self) -> dict:
+        """Maintenance state of the persisted IVF index: file fan-out
+        (compaction due?) and occupancy skew (retrain due?).  Both are
+        index-metadata-sized reads (n_lists rows), never corpus scans."""
+        fan = similarity.ivf_files_per_list(self.spark, self.ivf_index_path)
+        occ = similarity.ivf_occupancy_report(self.spark, self.ivf_index_path)
+        f = fan.agg(
+            F.count(F.lit(1)).alias("n_lists"), F.max("n_files").alias("mx")
+        ).first()
+        s = occ.agg(F.max("skew").alias("mx")).first()
+        max_files = int(f["mx"]) if f["mx"] is not None else 0
+        max_skew = float(s["mx"]) if s["mx"] is not None else 0.0
+        return {
+            "path": self.ivf_index_path,
+            "n_lists": int(f["n_lists"]),
+            "max_files_per_list": max_files,
+            "needs_compaction": max_files > 8,
+            "max_occupancy_skew": round(max_skew, 4),
+            "needs_retrain": max_skew > 4.0,
+        }
+
+    def _text_index_health(self) -> dict:
+        """Maintenance state of the persisted text index: posting-file
+        fan-out per term bucket and the compaction trigger."""
+        fan = textops.index_files_per_bucket(self.spark, self.text_index_path)
+        f = fan.agg(
+            F.count(F.lit(1)).alias("n_buckets"), F.max("n_files").alias("mx")
+        ).first()
+        max_files = int(f["mx"]) if f["mx"] is not None else 0
+        return {
+            "path": self.text_index_path,
+            "n_buckets": int(f["n_buckets"]),
+            "max_files_per_bucket": max_files,
+            "needs_compaction": max_files > 8,
+        }
+
+    # -- GET /corpus/index_health --------------------------------------------
+    def index_health(self, request_id: str | None = None) -> dict:
+        """Maintenance dashboard for the persisted index stores this
+        deployment owns: per-index file fan-out and (IVF) occupancy
+        skew, with the compaction/retrain triggers evaluated — the
+        scheduling surface for ``compact_index_store`` /
+        ``compact_ivf_index`` / retrain.  Indexes not configured on the
+        service are reported absent rather than erroring, so the route
+        is safe to poll."""
+        out: dict = {"data": {}, "request_id": new_request_id(request_id)}
+        out["data"]["ivf"] = (
+            self._ivf_health() if self.ivf_index_path is not None else None
+        )
+        out["data"]["text"] = (
+            self._text_index_health() if self.text_index_path is not None else None
+        )
+        return out
 
     # -- GET /corpus/search ---------------------------------------------------
     def search(

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from admira_etl_project_prueba_spark.functions.fs import path_exists, swap_into_place
+
 DIM = 64  # embedding dimensionality in the testdata tables
 
 #: deterministic "random" hyperplanes: plane i, component j (1-based j)
@@ -912,11 +914,14 @@ def merge_ivf_index(
     trainer and rebuild; that is the IVF operational cycle.
     """
     manifest = _ivf_manifest_path(path)
+    # ONLY a confirmed-missing manifest is "legacy index"; a failing
+    # READ (permissions, transient IO, corrupt parquet) must propagate —
+    # swallowing it would skip the n_centroids validation in exactly the
+    # failure cases it exists for, then overwrite the manifest below
+    # with the caller's value, legitimizing a possible mismatch.
     stored = None
-    try:
+    if path_exists(spark, manifest):
         stored = spark.read.parquet(manifest).first()["n_centroids"]
-    except Exception:  # legacy index without a manifest
-        pass
     if stored is not None and int(stored) != int(n_centroids):
         raise ValueError(
             f"merge_ivf_index: index at {path} was built with "
@@ -981,23 +986,99 @@ def ivf_files_per_list(spark, path: str) -> DataFrame:
     )
 
 
+def ivf_occupancy_report(spark, path: str) -> DataFrame:
+    """Per-list occupancy of the persisted IVF index: (centroid_id,
+    n_vectors, share, skew) — the drift monitor :func:`merge_ivf_index`
+    tells index owners to watch.  ``share`` is the list's fraction of
+    all indexed vectors; ``skew`` is occupancy relative to uniform
+    (n_vectors / (total / n_lists)) — 1.0 everywhere is a perfectly
+    balanced index, and a hot list's probe cost grows linearly with its
+    skew.  Centroid self-rows (vec_id < n_centroids, read from the
+    sidecar manifest) are excluded so the counts reflect real vectors.
+
+    Scale shape: one column-pruned scan of the index (vec_id,
+    centroid_id only), one map-side-combined groupBy on centroid_id,
+    and a 1-row total broadcast — register-sized output (n_lists rows).
+    """
+    n_centroids = int(
+        spark.read.parquet(_ivf_manifest_path(path)).first()["n_centroids"]
+    )
+    per_list = (
+        spark.read.parquet(path)
+        .filter(F.col("vec_id") >= n_centroids)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    total = per_list.agg(
+        F.sum("n_vectors").alias("_total"), F.count(F.lit(1)).alias("_lists")
+    )
+    return (
+        per_list.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "CAST(centroid_id AS INT) AS centroid_id",
+            "n_vectors",
+            "CAST(n_vectors AS DOUBLE) / _total AS share",
+            "CAST(n_vectors AS DOUBLE) * _lists / _total AS skew",
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def needs_ivf_retrain(spark, path: str, skew_threshold: float = 4.0) -> bool:
+    """The retrain trigger :func:`merge_ivf_index` documents: True when
+    any list's occupancy skew exceeds the threshold — the centroids no
+    longer partition the vector space evenly, so probes of hot lists
+    scan far more than corpus/n_lists vectors and recall/latency both
+    degrade.  The fix is the full cycle (k-means retrain + rebuild via
+    :func:`write_ivf_index`), which is why this is a monitor, not an
+    automatic action.  Mirrors ``textops.needs_compaction``'s shape."""
+    return (
+        ivf_occupancy_report(spark, path)
+        .filter(F.col("skew") > float(skew_threshold))
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
+def needs_ivf_compaction(spark, path: str, max_files_per_list: int = 8) -> bool:
+    """The IVF compaction trigger: True when any list partition's file
+    count exceeds the threshold (append-merge fan-out — small-file reads
+    start dominating probe latency long before correctness is affected).
+    The IVF twin of ``textops.needs_compaction``; fix via
+    :func:`compact_ivf_index`."""
+    return (
+        ivf_files_per_list(spark, path)
+        .filter(F.col("n_files") > int(max_files_per_list))
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
 def compact_ivf_index(spark, path: str) -> None:
     """Compact the append-merged IVF index back to ONE file per list
     partition — the same lifecycle leg as the text index's
     ``compact_index_store`` (build → append-merge × N → compact):
     reclaiming merge fan-out without the corpus-scan rebuild that
-    retraining requires.  Rows are read, localCheckpointed (the store is
-    input AND output), repartitioned BY centroid_id (each list lands in
-    exactly one task ⇒ one file per directory) and overwritten in
-    place; the sidecar manifest lives OUTSIDE the index directory and
-    is untouched.  Results are bit-identical (pytest): compaction moves
-    bytes, never assignments.  Cost is index-sized — one read + write
-    of the lists, no corpus access, no re-assignment.
+    retraining requires.  Rows are repartitioned BY centroid_id (each
+    list lands in exactly one task ⇒ one file per directory), written to
+    a SIBLING temp directory, then swapped into place by rename
+    (functions/fs.swap_into_place) — the original index is never deleted
+    before the compacted copy is fully written, so an executor loss or
+    mid-write failure cannot destroy the only copy (an in-place
+    ``mode('overwrite')`` deletes the directory first).  The sidecar
+    manifest lives OUTSIDE the index directory and is untouched.
+    Results are bit-identical (pytest): compaction moves bytes, never
+    assignments.  Cost is index-sized — one read + write of the lists,
+    no corpus access, no re-assignment.
     """
-    rows = spark.read.parquet(path).localCheckpoint()
+    tmp = path.rstrip("/") + "__compacting"
     (
-        rows.repartition("centroid_id")
+        spark.read.parquet(path)
+        .repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
-        .parquet(path)
+        .parquet(tmp)
     )
+    swap_into_place(spark, tmp, path)

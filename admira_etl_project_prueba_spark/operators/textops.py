@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from admira_etl_project_prueba_spark.functions.fs import swap_into_place
+
 # ---------------------------------------------------------------------------
 # portable primitives
 # ---------------------------------------------------------------------------
@@ -3600,11 +3602,12 @@ def compact_index_store(spark, path: str) -> None:
     (build → append-merge × N → compact), so reclaiming the merge
     fan-out no longer requires a full corpus-scan rebuild.
 
-    The postings are read, localCheckpointed (the store is input AND
-    output — the same read-before-overwrite discipline as
-    merge_histogram_store / merge_lm_counts), repartitioned BY the
-    bucket column (each bucket lands in exactly one task ⇒ exactly one
-    file per directory) and overwritten in place.  Query results are
+    The postings are repartitioned BY the bucket column (each bucket
+    lands in exactly one task ⇒ exactly one file per directory), written
+    to a SIBLING temp directory, then swapped into place by rename
+    (functions/fs.swap_into_place) — the original postings are never
+    deleted before the compacted copy is fully written, so a mid-write
+    failure cannot destroy the only copy.  Query results are
     bit-identical before and after (pytest-pinned): compaction moves
     bytes, never values.  Cost is INDEX-sized, not corpus-sized — the
     postings frame is read and written once, with no tokenization and
@@ -3612,10 +3615,12 @@ def compact_index_store(spark, path: str) -> None:
     already 1-row and are left alone.
     """
     src = f"{path}/postings"
-    postings = spark.read.parquet(src).localCheckpoint()
+    tmp = f"{path}/postings__compacting"
     (
-        postings.repartition("term_bucket")
+        spark.read.parquet(src)
+        .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(src)
+        .parquet(tmp)
     )
+    swap_into_place(spark, tmp, src)

@@ -28,6 +28,7 @@ param):
     GET  /corpus/lang_mismatch?limit=      /corpus/quality
     GET  /corpus/drift?kl_threshold=  |  ?base=&current=&psi_threshold=
          (the latter diffs two persisted histogram snapshots via PSI)
+    GET  /corpus/index_health   (index maintenance: fan-out, skew, triggers)
     POST /corpus/assemble?train_pct=&salt=
 
 Status mapping preserved: ValidationError → 400, EmptyExportError /
@@ -113,7 +114,12 @@ def make_handler(svc: MetricsService, corpus=None):
                     return self._send(200, svc.readyz())
                 if route == ("POST", "/ingest/run"):
                     return self._send(
-                        200, svc.ingest_run(since=_first(qs, "since"), request_id=rid)
+                        200,
+                        svc.ingest_run(
+                            since=_first(qs, "since"),
+                            store_mode=_first(qs, "store_mode") or "upsert",
+                            request_id=rid,
+                        ),
                     )
                 if route == ("POST", "/export/run"):
                     return self._send(
@@ -283,13 +289,21 @@ def make_handler(svc: MetricsService, corpus=None):
                         )
                     if url.path == "/corpus/quality":
                         return self._send(200, corpus.quality_report(request_id=rid))
+                    if url.path == "/corpus/index_health":
+                        return self._send(200, corpus.index_health(request_id=rid))
                 if corpus is not None and (method, url.path) == (
                     "POST",
                     "/corpus/assemble",
                 ):
+                    langs = _first(qs, "langs")
                     return self._send(
                         200,
                         corpus.assemble(
+                            langs=(
+                                tuple(x for x in langs.split(",") if x)
+                                if langs
+                                else ("en", "es", "de", "fr")
+                            ),
                             train_pct=_int(qs, "train_pct", 80),
                             salt=_first(qs, "salt") or "v1",
                             request_id=rid,

@@ -997,3 +997,46 @@ def test_http_tier_mounts_full_corpus_surface(spark, tmp_path, sf_dir):
         assert call("/corpus/assemble?train_pct=0", method="POST")[0] == 400
     finally:
         server.shutdown()
+
+
+def test_index_health_endpoint_and_similar_index_block(spark, sf_dir, tmp_path):
+    """index_health reports the maintenance state (fan-out + occupancy
+    skew + triggers) for the configured index stores, absent indexes are
+    null, and /corpus/similar carries the IVF block when a store is
+    configured (and not otherwise)."""
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        merge_ivf_index,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.operators.textops import write_text_index
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = str(tmp_path / "ivf")
+    txt = str(tmp_path / "txt")
+    write_ivf_index(emb.filter("vec_id < 300"), ivf)
+    merge_ivf_index(spark, ivf, emb.filter("vec_id >= 300"))
+    write_text_index(docs, txt, num_buckets=8)
+
+    svc = CorpusService(
+        spark, documents=docs, embeddings=emb,
+        ivf_index_path=ivf, text_index_path=txt,
+    )
+    r = svc.index_health()
+    assert set(r) == {"data", "request_id"}
+    h = r["data"]["ivf"]
+    assert h["n_lists"] > 0 and h["max_files_per_list"] >= 2  # merge fan-out
+    assert h["needs_compaction"] is False and h["needs_retrain"] is False
+    assert h["max_occupancy_skew"] > 0
+    t = r["data"]["text"]
+    assert t["n_buckets"] > 0 and t["max_files_per_bucket"] >= 1
+    assert t["needs_compaction"] is False
+
+    sim = svc.similar_docs(vec_id=5, k=3)
+    assert sim["index"]["n_lists"] == h["n_lists"]
+
+    bare = CorpusService(spark, documents=docs, embeddings=emb)
+    assert bare.index_health()["data"] == {"ivf": None, "text": None}
+    assert "index" not in bare.similar_docs(vec_id=5, k=3)

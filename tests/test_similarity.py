@@ -559,3 +559,53 @@ def test_ivf_compaction_restores_one_file_per_list(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(_ivf_manifest_path(path)).first()["n_centroids"] == 16
     )
+
+
+def test_ivf_occupancy_report_and_retrain_trigger(spark, tmp_path):
+    """A deliberately skewed index (all real vectors in one list) reports
+    skew = n_lists on the hot list and trips needs_ivf_retrain; a
+    balanced index reports skew 1.0 everywhere and does not."""
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        ivf_occupancy_report,
+        needs_ivf_compaction,
+        needs_ivf_retrain,
+    )
+
+    def write_fake_index(path, assignment):
+        # (vec_id, centroid_id) rows; centroid self-rows 0..3
+        rows = [(cid, [float(cid)], 0, cid) for cid in range(4)] + [
+            (vid, [1.0], 0, cid) for vid, cid in assignment
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int, centroid_id long"
+        )
+        df.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+        (
+            spark.createDataFrame([(4,)], "n_centroids int")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path + "__manifest")
+        )
+
+    hot = str(tmp_path / "hot")
+    write_fake_index(hot, [(vid, 0) for vid in range(10, 30)])
+    rep = {r["centroid_id"]: r for r in ivf_occupancy_report(spark, hot).collect()}
+    # only the hot list has real vectors; centroid self-rows are excluded
+    assert set(rep) == {0}
+    assert rep[0]["n_vectors"] == 20
+    assert rep[0]["share"] == 1.0 and rep[0]["skew"] == 1.0  # 1 populated list
+    assert not needs_ivf_retrain(spark, hot)
+
+    skewed = str(tmp_path / "skewed")
+    write_fake_index(
+        skewed,
+        [(vid, 0) for vid in range(10, 40)] + [(100, 1), (101, 2), (102, 3)],
+    )
+    rep = {r["centroid_id"]: r for r in ivf_occupancy_report(spark, skewed).collect()}
+    assert rep[0]["n_vectors"] == 30 and rep[1]["n_vectors"] == 1
+    # 4 populated lists, 33 vectors: hot skew = 30 / (33/4) ≈ 3.64
+    assert rep[0]["skew"] == pytest.approx(30 * 4 / 33)
+    assert needs_ivf_retrain(spark, skewed, skew_threshold=3.0)
+    assert not needs_ivf_retrain(spark, skewed, skew_threshold=5.0)
+    # single write ⇒ one file per list ⇒ no compaction due
+    assert not needs_ivf_compaction(spark, skewed)
