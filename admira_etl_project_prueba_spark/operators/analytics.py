@@ -1036,8 +1036,10 @@ def events_approx_percentiles(
     per-partition sketches merge in O(sketch), so the shuffle is flat in
     row count — the only quantile shape that works at 100 TB, where exact
     percentile must shuffle every distinct value.  ``accuracy`` bounds
-    rank error at n/accuracy.  Engine-specific sketch ⇒ rows-only gate;
-    the error bound vs exact is pinned in pytest.
+    rank error at n/accuracy — and below accuracy rows per group the GK
+    answer IS the exact order statistic at rank ceil(p·n), which is how
+    the catalog entry hash-matches a DuckDB rank oracle at gate SF; the
+    at-scale error bound vs exact is pinned in pytest.
     """
     return events.groupBy("event_type").agg(
         F.expr(

@@ -367,18 +367,24 @@ def merge_histogram_store(
     quantile maintenance without re-reading history: the batch reduces
     map-side to ≤ |types| × n_bins increments, merges by integer
     addition (bit-identical to a from-scratch rebuild over the union),
-    and the result is localCheckpointed before the overwrite because the
-    store is input AND output of the fold (the same read-before-
-    overwrite discipline as merge_lm_counts)."""
+    and the result is written to a SIBLING directory then swapped into
+    place by rename (functions/fs.swap_into_place) because the store is
+    input AND output of the fold — an in-place overwrite deletes the
+    only copy before the write job finishes, so any mid-write failure
+    would destroy the store (the same crash-safety discipline as
+    index compaction and merge_lm_counts)."""
+    from admira_etl_project_prueba_spark.functions.fs import swap_into_place
+
     old = spark.read.parquet(path)
     delta = value_histogram(new_batch, lo, hi, n_bins)
     merged = (
         old.unionByName(delta)
         .groupBy("event_type", "bin")
         .agg(F.sum("n").cast("long").alias("n"))
-        .localCheckpoint()
     )
-    merged.coalesce(1).write.mode("overwrite").parquet(path)
+    tmp = path.rstrip("/") + "__merging"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    swap_into_place(spark, tmp, path)
 
 
 def quantiles_from_store(

@@ -2400,9 +2400,11 @@ def merge_lm_counts(
     incremental model maintenance without re-reading the corpus: the
     store stays dense at exactly n_buckets rows, the batch reduces
     map-side to bucket increments and BROADCASTS into the fold, and the
-    result is localCheckpointed before the overwrite (the store is input
-    AND output of the fold — same discipline as the sketch-store
-    compaction).  ``lm_dists_from_counts`` of the merged store equals a
+    result is written to a sibling directory and swapped into place by
+    rename (the store is input AND output of the fold, and an in-place
+    overwrite would delete the only copy before the write finishes —
+    same crash-safety discipline as index compaction).
+    ``lm_dists_from_counts`` of the merged store equals a
     from-scratch model over the concatenated corpus exactly (integer
     count merge, smoothing applied after)."""
     old = spark.read.parquet(path)
@@ -2414,7 +2416,9 @@ def merge_lm_counts(
     merged = old.join(F.broadcast(inc), "b", "left").selectExpr(
         "b", "CAST(cnt + coalesce(inc, 0) AS BIGINT) AS cnt"
     )
-    merged.localCheckpoint().coalesce(1).write.mode("overwrite").parquet(path)
+    tmp = path.rstrip("/") + "__merging"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    swap_into_place(spark, tmp, path)
 
 
 def lm_scores_from_counts(

@@ -210,23 +210,10 @@ SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), COUNT(*) FROM events""",
         "keys": ["day"],
         "rel_tol": {"approx_users": 0.05, "n_events": 0.0},
     },
-    "events_approx_percentiles": {
-        # GK accuracy=10000 ⇒ rank error n/10000 (~6 ranks at sf0.01);
-        # 0.05 value-space headroom covers the rank→value translation
-        "sql": """SELECT event_type,
-       quantile_cont(value, 0.5) AS p50_approx,
-       quantile_cont(value, 0.9) AS p90_approx,
-       quantile_cont(value, 0.99) AS p99_approx,
-       COUNT(*) AS n_events
-FROM events GROUP BY 1""",
-        "keys": ["event_type"],
-        "rel_tol": {
-            "p50_approx": 0.05,
-            "p90_approx": 0.05,
-            "p99_approx": 0.05,
-            "n_events": 0.0,
-        },
-    },
+    # events_approx_percentiles graduated to a hash-exact GK-rank oracle
+    # in round 8 (every per-type group < sketch accuracy at gate SF) —
+    # see its catalog entry.  Only the HLL-sketch-valued entries and the
+    # engine-RNG sample below remain inherently bounded.
     "stratified_sample": {
         # sampleBy's RNG is engine-specific, so membership can't be
         # hash-matched — but the per-stratum sampled COUNT is a binomial
@@ -1282,9 +1269,32 @@ def _q_approx_distinct(spark, sf_dir):
 @_entry(
     "events_approx_percentiles",
     "Greenwald-Khanna quantile sketch: approximate p50/p90/p99 of value "
-    "per type — mergeable, shuffle flat in row count (engine-specific "
-    "sketch ⇒ rows-only check; rank-error bound pinned in pytest).",
-    None,
+    "per type — mergeable, shuffle flat in row count.  Hash-exact "
+    "oracle: every per-type group is under the sketch accuracy at gate "
+    "SF, so the GK answers are the order statistics at rank ceil(p·n) "
+    "per group (the partitioned form of _gk_edges_cte); the rank-error "
+    "bound at scale stays pinned in pytest.",
+    """WITH rk AS (
+  SELECT event_type, value AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+pr AS (SELECT UNNEST(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS p,
+              UNNEST([1, 2, 3]) AS i),
+ed AS (
+  SELECT r.event_type, pr.i, r.v
+  FROM pr JOIN rk r ON r.rn = CAST(ceil(pr.p * r.n) AS BIGINT)
+),
+cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1)
+SELECT cnt.event_type,
+       MAX(CASE WHEN i = 1 THEN v END) AS p50_approx,
+       MAX(CASE WHEN i = 2 THEN v END) AS p90_approx,
+       MAX(CASE WHEN i = 3 THEN v END) AS p99_approx,
+       cnt.n_events
+FROM cnt JOIN ed ON cnt.event_type = ed.event_type
+GROUP BY cnt.event_type, cnt.n_events""",
 )
 def _q_approx_percentiles(spark, sf_dir):
     return analytics.events_approx_percentiles(load_events(spark, sf_dir))

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from admira_etl_project_prueba_spark.functions.dates import parse_flexible_timestamp
+from admira_etl_project_prueba_spark.functions.fs import swap_into_place
 from admira_etl_project_prueba_spark.operators.transform import transform
 from admira_etl_project_prueba_spark.schemas import (
     ADS_ENVELOPE_SCHEMA,
@@ -448,6 +449,21 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def _write_swapped(spark: SparkSession, merged: DataFrame, store_path: str) -> None:
+    """Crash-safe store fold: when the store exists (it is the fold's
+    INPUT), write the merged frame to a sibling directory and swap it in
+    by rename — an in-place ``mode('overwrite')`` deletes the only copy
+    before the write job finishes, so a mid-write failure (executor
+    loss, OOM) would destroy all accumulated state.  First batch (no
+    store yet) writes directly."""
+    if _store_exists(spark, store_path):
+        tmp = store_path.rstrip("/") + "__merging"
+        merged.write.mode("overwrite").parquet(tmp)
+        swap_into_place(spark, tmp, store_path)
+    else:
+        merged.write.mode("overwrite").parquet(store_path)
+
+
 def _interval_us(interval: str) -> int:
     """'2 hours' → microseconds (the units Structured Streaming uses)."""
     n, unit = interval.split()
@@ -640,9 +656,10 @@ def stream_token_sketch(
     Correctness rests on sketch LINEARITY (sketch(A ∪ B) = sketch(A) +
     sketch(B), pinned by the batch test): the end state equals a one-shot
     batch sketch over all inputs regardless of micro-batch boundaries.
-    The merged frame is localCheckpoint-ed BEFORE the overwrite — the
-    store is both input and output of the merge, and an unmaterialized
-    overwrite would corrupt its own source.  foreachBatch is
+    The merged frame is staged to a sibling directory and swapped into
+    place by rename — the store is both input and output of the merge,
+    and an in-place overwrite would delete its own source before the
+    write finishes.  foreachBatch is
     at-least-once on failure/retry: a replayed batch double-counts; an
     exactly-once deployment keys writes by batch_id in a transactional
     sink (same caveat as every additive foreachBatch merge).
@@ -664,7 +681,7 @@ def stream_token_sketch(
             )
         else:
             merged = delta  # confirmed first batch
-        merged.localCheckpoint().write.mode("overwrite").parquet(store_path)
+        _write_swapped(spark, merged, store_path)
 
     return (
         doc_stream.writeStream.foreachBatch(process)
@@ -691,9 +708,9 @@ def stream_user_hll(
     micro-batch boundaries, and — unlike the additive count-min merge —
     a replayed at-least-once batch is HARMLESS (max is idempotent), so
     this needs no transactional sink for exactly-once counts.  The
-    merged frame is localCheckpoint-ed before overwriting its own
-    source.  Estimates come from reading the store through
-    sketches.hll_estimate.
+    merged frame is staged to a sibling directory and rename-swapped
+    over its own source (crash-safe fold).  Estimates come from reading
+    the store through sketches.hll_estimate.
     """
     from admira_etl_project_prueba_spark.operators.sketches import (
         hll_merge,
@@ -714,7 +731,7 @@ def stream_user_hll(
             merged = hll_merge(prev.unionByName(delta), g)
         else:
             merged = delta  # confirmed first batch
-        merged.localCheckpoint().write.mode("overwrite").parquet(store_path)
+        _write_swapped(spark, merged, store_path)
 
     return (
         event_stream.writeStream.foreachBatch(process)
@@ -920,13 +937,13 @@ def compact_sketch_store(
     )
     if leftover is not None:
         merged = merged.unionByName(leftover.select(*merged.columns))
-    (
-        merged.localCheckpoint()  # store is input AND output of the fold
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "static")  # drop folded partitions
-        .parquet(store_path)
-    )
+    # store is input AND output of the fold: stage the folded layout in a
+    # sibling directory and swap it in by rename — an in-place static
+    # overwrite deletes every partition before the write job finishes,
+    # so a mid-write failure would destroy the only copy of the store
+    tmp = store_path.rstrip("/") + "__compacting"
+    merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    swap_into_place(spark, tmp, store_path)
 
 
 def stream_scd2(

@@ -627,6 +627,64 @@ def _growth_law_r5_experiment(spark) -> dict:
 
 
 
+def _growth_law_r8_experiment(spark) -> dict:
+    """10x growth rehearsal for lsh_recall_report (VERDICT r7 #8) — the
+    last bench heavyweight composing measured parts without its own
+    end-to-end row.
+
+    The report runs BOTH production sub-pipelines over one materialized
+    shingle projection: the exact prefix-filtered Jaccard join (truth)
+    and the banded MinHash candidates, combined by a 1-row x 1-row
+    scalar join.  On a constant-cluster-size corpus (clusters of 4, no
+    cross-cluster shingles) true pairs grow linearly (C(4,2) * N/4),
+    the AllPairs prefix bound keeps the exact side's candidate volume
+    linear, and banding keeps the LSH side per-bucket-bounded — so the
+    WHOLE report should track the corpus ~linearly, and recall itself
+    should be size-independent (the S-curve depends on similarity, not
+    corpus size).
+    """
+    from admira_etl_project_prueba_spark.operators import textops as tx
+
+    def near_dup_corpus(n):
+        # same generator as the r7 rehearsal: clusters of 4 exact copies,
+        # zero shared shingles across clusters
+        return spark.sql(
+            f"""SELECT id AS doc_id,
+                   array_join(transform(sequence(1, 16),
+                       j -> concat('w', CAST(CAST(id / 4 AS BIGINT) AS STRING),
+                                   'x', CAST(j AS STRING))), ' ') AS text,
+                   'en' AS lang,
+                   concat('src_', CAST(id % 8 AS STRING)) AS source
+            FROM range({n})"""
+        )
+
+    res = {}
+    for label, n in zip(("1x", "10x"), (10_000, 100_000)):
+        res[label] = run_measured(
+            spark, lambda n=n: tx.lsh_recall_report(near_dup_corpus(n))
+        )
+        row = tx.lsh_recall_report(near_dup_corpus(n)).collect()[0]
+        res[label]["n_true_pairs"] = row["n_true_pairs"]
+        res[label]["n_candidates"] = row["n_candidates"]
+        res[label]["recall"] = row["recall"]
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+    res["records_ratio"] = round(
+        res["10x"]["shuffle_records"] / max(res["1x"]["shuffle_records"], 1), 1
+    )
+    res["true_pairs_ratio"] = round(
+        res["10x"]["n_true_pairs"] / max(res["1x"]["n_true_pairs"], 1), 1
+    )
+    res["candidates_ratio"] = round(
+        res["10x"]["n_candidates"] / max(res["1x"]["n_candidates"], 1), 1
+    )
+    res["theoretical"] = (
+        "linear both sides (prefix-bounded truth, banded candidates); "
+        "recall size-independent"
+    )
+    return {"lsh_recall_report": dict(docs_1x=10_000, **res)}
+
+
 def _growth_law_r7_experiment(spark) -> dict:
     """10x growth rehearsal for the round-7 heavyweights (VERDICT r6 #8).
 
@@ -1094,6 +1152,12 @@ if __name__ == "__main__":
         print(
             json.dumps(
                 {"growth_laws_10x_r7": _growth_law_r7_experiment(fresh_session())}
+            )
+        )
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "growth8":
+        print(
+            json.dumps(
+                {"growth_laws_10x_r8": _growth_law_r8_experiment(fresh_session())}
             )
         )
     elif len(_sys.argv) > 1 and _sys.argv[1] == "growth":
