@@ -130,9 +130,30 @@ class CorpusService:
             k = 10  # silent clamp, like limit/offset
         if self.embeddings.filter(F.col("vec_id") == vec_id).limit(1).count() == 0:
             raise NotFoundError(f"unknown vec_id: {vec_id}")
-        rows = similarity.cosine_topk(self.embeddings, query_vec_id=vec_id, k=k)
+        if self.ivf_index_path is not None:
+            # a configured index IS the scale path: the probe prunes to
+            # n_probe partition directories of the index instead of
+            # re-scoring the whole embeddings corpus per request
+            n_centroids = int(
+                self.spark.read.parquet(
+                    similarity._ivf_manifest_path(self.ivf_index_path)
+                ).first()["n_centroids"]
+            )
+            rows = similarity.ivf_topk_from_index(
+                self.spark,
+                self.embeddings,
+                self.ivf_index_path,
+                query_vec_id=vec_id,
+                k=k,
+                n_centroids=n_centroids,
+            ).select("vec_id", "label", "cosine")
+            method = "ivf_index"
+        else:
+            rows = similarity.cosine_topk(self.embeddings, query_vec_id=vec_id, k=k)
+            method = "exact"
         out = {
             "query": vec_id,
+            "method": method,
             "data": [r.asDict() for r in rows.collect()],
             "request_id": new_request_id(request_id),
         }

@@ -197,17 +197,22 @@ def main():
     total = 0.0
     for name in names:
         fn = CATALOG[name].fn
-        times = [run_once(fn) for _ in range(reps)]  # steady state: JIT/page cache
+        times = [run_once(fn) for _ in range(reps)]
         if min(times) < 1.0:
             times += [run_once(fn) for _ in range(subsec_extra)]
         best = min(times)
-        med = sorted(times)[len(times) // 2]
+        # steady-state reps only: the FIRST rep pays per-query plan
+        # compilation (codegen) and would inflate the noise band with a
+        # one-off cost that cross-round best-time compares never see
+        steady = times[1:] if len(times) > 1 else times
+        med = sorted(steady)[len(steady) // 2]
         n = fn(spark, sf_dir).count()  # rows reported, outside the timing
         timings[name] = round(best, 4)
         medians[name] = round(med, 4)
-        # relative sample spread: (max-min)/best — the noise band this
-        # run actually exhibited; deltas inside it are unattributable
-        spreads[name] = round((max(times) - best) / best, 3)
+        # relative sample spread over the steady reps: (max-min)/min —
+        # the noise band this run actually exhibited; cross-round best
+        # deltas inside either round's band are unattributable
+        spreads[name] = round((max(steady) - min(steady)) / min(steady), 3)
         total += best
         print(
             f"# {name}: best {best:.3f}s  median {med:.3f}s  "

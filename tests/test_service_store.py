@@ -1036,7 +1036,14 @@ def test_index_health_endpoint_and_similar_index_block(spark, sf_dir, tmp_path):
 
     sim = svc.similar_docs(vec_id=5, k=3)
     assert sim["index"]["n_lists"] == h["n_lists"]
+    # with a configured index the endpoint probes IT (pruned read),
+    # never re-scores the whole corpus; the method is declared
+    assert sim["method"] == "ivf_index" and len(sim["data"]) == 3
+    cos = [r["cosine"] for r in sim["data"]]
+    assert cos == sorted(cos, reverse=True)
+    assert all(r["vec_id"] != 5 for r in sim["data"])
 
     bare = CorpusService(spark, documents=docs, embeddings=emb)
     assert bare.index_health()["data"] == {"ivf": None, "text": None}
-    assert "index" not in bare.similar_docs(vec_id=5, k=3)
+    bare_sim = bare.similar_docs(vec_id=5, k=3)
+    assert "index" not in bare_sim and bare_sim["method"] == "exact"
