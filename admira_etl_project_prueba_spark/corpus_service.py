@@ -62,6 +62,14 @@ class CorpusService:
         # probe-latency drift
         self.ivf_index_path = ivf_index_path
         self.text_index_path = text_index_path
+        # memoized per instance: health is two index-wide scans and the
+        # manifest a point-read — fine on the explicit monitoring route,
+        # wrong to repeat on EVERY /corpus/similar (the hot path this
+        # service exists to keep at n_probe pruned reads).  index_health()
+        # always recomputes and refreshes these.
+        self._ivf_health_cache: dict | None = None
+        self._text_health_cache: dict | None = None
+        self._ivf_n_centroids: int | None = None
 
     # -- GET /corpus/dedup/pairs --------------------------------------------
     def near_dup_pairs(
@@ -134,11 +142,13 @@ class CorpusService:
             # a configured index IS the scale path: the probe prunes to
             # n_probe partition directories of the index instead of
             # re-scoring the whole embeddings corpus per request
-            n_centroids = int(
-                self.spark.read.parquet(
-                    similarity._ivf_manifest_path(self.ivf_index_path)
-                ).first()["n_centroids"]
-            )
+            if self._ivf_n_centroids is None:
+                self._ivf_n_centroids = int(
+                    self.spark.read.parquet(
+                        similarity._ivf_manifest_path(self.ivf_index_path)
+                    ).first()["n_centroids"]
+                )
+            n_centroids = self._ivf_n_centroids
             rows = similarity.ivf_topk_from_index(
                 self.spark,
                 self.embeddings,
@@ -159,14 +169,18 @@ class CorpusService:
         }
         if self.ivf_index_path is not None:
             # surface the ANN store's maintenance state alongside results
-            # so probe-latency drift is explainable at the API edge
-            out["index"] = self._ivf_health()
+            # so probe-latency drift is explainable at the API edge —
+            # MEMOIZED: the health scan must not ride every query
+            if self._ivf_health_cache is None:
+                self._ivf_health_cache = self._ivf_health()
+            out["index"] = self._ivf_health_cache
         return out
 
     def _ivf_health(self) -> dict:
         """Maintenance state of the persisted IVF index: file fan-out
-        (compaction due?) and occupancy skew (retrain due?).  Both are
-        index-metadata-sized reads (n_lists rows), never corpus scans."""
+        (compaction due?) and occupancy skew (retrain due?).  The
+        OUTPUT is n_lists rows, but computing it scans the index —
+        which is why callers memoize (``index_health`` refreshes)."""
         fan = similarity.ivf_files_per_list(self.spark, self.ivf_index_path)
         occ = similarity.ivf_occupancy_report(self.spark, self.ivf_index_path)
         f = fan.agg(
@@ -179,9 +193,9 @@ class CorpusService:
             "path": self.ivf_index_path,
             "n_lists": int(f["n_lists"]),
             "max_files_per_list": max_files,
-            "needs_compaction": max_files > 8,
+            "needs_compaction": max_files > similarity.MAX_FILES_PER_LIST,
             "max_occupancy_skew": round(max_skew, 4),
-            "needs_retrain": max_skew > 4.0,
+            "needs_retrain": max_skew > similarity.RETRAIN_SKEW_THRESHOLD,
         }
 
     def _text_index_health(self) -> dict:
@@ -196,24 +210,30 @@ class CorpusService:
             "path": self.text_index_path,
             "n_buckets": int(f["n_buckets"]),
             "max_files_per_bucket": max_files,
-            "needs_compaction": max_files > 8,
+            "needs_compaction": max_files > textops.MAX_FILES_PER_BUCKET,
         }
 
     # -- GET /corpus/index_health --------------------------------------------
     def index_health(self, request_id: str | None = None) -> dict:
         """Maintenance dashboard for the persisted index stores this
         deployment owns: per-index file fan-out and (IVF) occupancy
-        skew, with the compaction/retrain triggers evaluated — the
-        scheduling surface for ``compact_index_store`` /
-        ``compact_ivf_index`` / retrain.  Indexes not configured on the
+        skew, with the compaction/retrain triggers evaluated (the
+        thresholds are the operator-level defaults —
+        ``similarity.RETRAIN_SKEW_THRESHOLD`` etc. — so the API verdict
+        can't drift from the batch triggers) — the scheduling surface
+        for ``compact_index_store`` / ``compact_ivf_index`` / retrain.
+        Always recomputes, and refreshes the memoized copy that
+        /corpus/similar attaches.  Indexes not configured on the
         service are reported absent rather than erroring, so the route
         is safe to poll."""
         out: dict = {"data": {}, "request_id": new_request_id(request_id)}
-        out["data"]["ivf"] = (
-            self._ivf_health() if self.ivf_index_path is not None else None
-        )
+        if self.ivf_index_path is not None:
+            self._ivf_health_cache = self._ivf_health()
+        if self.text_index_path is not None:
+            self._text_health_cache = self._text_index_health()
+        out["data"]["ivf"] = self._ivf_health_cache if self.ivf_index_path else None
         out["data"]["text"] = (
-            self._text_index_health() if self.text_index_path is not None else None
+            self._text_health_cache if self.text_index_path else None
         )
         return out
 

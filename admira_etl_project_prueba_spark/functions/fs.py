@@ -31,6 +31,27 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def recover_swap(spark: SparkSession, dst: str) -> bool:
+    """Heal the one crash window :func:`swap_into_place` leaves open.
+
+    A crash between the swap's two renames leaves the only copy of the
+    store at ``dst__old`` with ``dst`` absent.  Callers that treat
+    "store absent" as "first run" (streaming folds, legacy-index
+    branches) MUST call this before the existence check — otherwise the
+    post-crash restart silently resets the store to the current batch
+    and the NEXT successful swap deletes the ``__old`` recovery copy,
+    turning a recoverable crash into permanent, error-free data loss.
+    Returns True when a recovery rename was performed.
+    """
+    fs, jdst, jvm = _fs_and_path(spark, dst)
+    jold = jvm.org.apache.hadoop.fs.Path(dst.rstrip("/") + "__old")
+    if not fs.exists(jdst) and fs.exists(jold):
+        if not fs.rename(jold, jdst):
+            raise IOError(f"recover_swap: rename {jold} -> {dst} failed")
+        return True
+    return False
+
+
 def swap_into_place(spark: SparkSession, tmp: str, dst: str) -> None:
     """Replace ``dst`` with ``tmp`` via two directory renames.
 

@@ -71,13 +71,17 @@ def bucket_expr(value_col: str, edges_col: str, descending: bool = False) -> str
     values land in bucket 1, and a value equal to an edge falls PAST it
     (desc rank order puts it after the strictly-greater values).
 
-    NULL contract: a NULL VALUE yields a NULL bucket (the fold would
-    otherwise silently place it in bucket 1 ascending / bucket
-    1+|edges| descending — neither matches exact ntile, which sorts
-    NULLS LAST ascending and NULLS LAST under desc too; callers that
-    need ntile's NULL placement must coalesce before bucketing).  A
-    NULL EDGES array (empty input) also yields NULL, mirroring ntile
-    over no rows.
+    NULL contract: a NULL VALUE yields a NULL bucket, explicitly.  The
+    raw fold would put NULLs in bucket 1 in BOTH orientations (every
+    IF(NULL cmp e) takes the else branch) — which happens to match
+    exact ntile ascending (Spark default NULLS FIRST) but contradicts
+    it descending (desc default NULLS LAST ⇒ last bucket), a silent
+    per-orientation divergence.  Emitting NULL makes the seam visible
+    instead; callers that need ntile's NULL placement must coalesce to
+    an extreme value before bucketing (ascending: below the minimum;
+    descending: also below the minimum, which desc ranks last).  A NULL
+    EDGES array (empty input) also yields NULL, mirroring ntile over no
+    rows.
     """
     cmp = "<=" if descending else ">"
     return (

@@ -25,9 +25,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from admira_etl_project_prueba_spark.functions.fs import path_exists, swap_into_place
+from admira_etl_project_prueba_spark.functions.fs import (
+    path_exists,
+    recover_swap,
+    swap_into_place,
+)
 
 DIM = 64  # embedding dimensionality in the testdata tables
+
+#: shared maintenance-trigger defaults — the service tier's verdicts
+#: (corpus_service._ivf_health) read THESE so API monitoring can never
+#: silently diverge from the operator-level triggers below
+RETRAIN_SKEW_THRESHOLD = 4.0
+MAX_FILES_PER_LIST = 8
 
 #: deterministic "random" hyperplanes: plane i, component j (1-based j)
 #: value in [-1, 1): ((LCG(i·DIM+j) mod 2001) - 1000) / 1000
@@ -990,11 +1000,14 @@ def ivf_occupancy_report(spark, path: str) -> DataFrame:
     """Per-list occupancy of the persisted IVF index: (centroid_id,
     n_vectors, share, skew) — the drift monitor :func:`merge_ivf_index`
     tells index owners to watch.  ``share`` is the list's fraction of
-    all indexed vectors; ``skew`` is occupancy relative to uniform
-    (n_vectors / (total / n_lists)) — 1.0 everywhere is a perfectly
-    balanced index, and a hot list's probe cost grows linearly with its
-    skew.  Centroid self-rows (vec_id < n_centroids, read from the
-    sidecar manifest) are excluded so the counts reflect real vectors.
+    all indexed vectors; ``skew`` is occupancy relative to uniform over
+    the index's FULL list universe (n_vectors / (total / n_centroids),
+    manifest-declared) — 1.0 everywhere is a perfectly balanced index,
+    and a hot list's probe cost grows linearly with its skew.  The
+    denominator is n_centroids, not the populated-list count: empty
+    lists are exactly the imbalance signal (all vectors in one of k
+    lists must read skew = k, not 1.0).  Centroid self-rows (vec_id <
+    n_centroids) are excluded so the counts reflect real vectors.
 
     Scale shape: one column-pruned scan of the index (vec_id,
     centroid_id only), one map-side-combined groupBy on centroid_id,
@@ -1009,22 +1022,22 @@ def ivf_occupancy_report(spark, path: str) -> DataFrame:
         .groupBy("centroid_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
     )
-    total = per_list.agg(
-        F.sum("n_vectors").alias("_total"), F.count(F.lit(1)).alias("_lists")
-    )
+    total = per_list.agg(F.sum("n_vectors").alias("_total"))
     return (
         per_list.crossJoin(F.broadcast(total))
         .selectExpr(
             "CAST(centroid_id AS INT) AS centroid_id",
             "n_vectors",
             "CAST(n_vectors AS DOUBLE) / _total AS share",
-            "CAST(n_vectors AS DOUBLE) * _lists / _total AS skew",
+            f"CAST(n_vectors AS DOUBLE) * {n_centroids} / _total AS skew",
         )
         .orderBy("centroid_id")
     )
 
 
-def needs_ivf_retrain(spark, path: str, skew_threshold: float = 4.0) -> bool:
+def needs_ivf_retrain(
+    spark, path: str, skew_threshold: float = RETRAIN_SKEW_THRESHOLD
+) -> bool:
     """The retrain trigger :func:`merge_ivf_index` documents: True when
     any list's occupancy skew exceeds the threshold — the centroids no
     longer partition the vector space evenly, so probes of hot lists
@@ -1041,7 +1054,9 @@ def needs_ivf_retrain(spark, path: str, skew_threshold: float = 4.0) -> bool:
     )
 
 
-def needs_ivf_compaction(spark, path: str, max_files_per_list: int = 8) -> bool:
+def needs_ivf_compaction(
+    spark, path: str, max_files_per_list: int = MAX_FILES_PER_LIST
+) -> bool:
     """The IVF compaction trigger: True when any list partition's file
     count exceeds the threshold (append-merge fan-out — small-file reads
     start dominating probe latency long before correctness is affected).
@@ -1074,6 +1089,7 @@ def compact_ivf_index(spark, path: str) -> None:
     no corpus access, no re-assignment.
     """
     tmp = path.rstrip("/") + "__compacting"
+    recover_swap(spark, path)  # heal a crashed prior swap before reading
     (
         spark.read.parquet(path)
         .repartition("centroid_id")

@@ -373,8 +373,12 @@ def merge_histogram_store(
     only copy before the write job finishes, so any mid-write failure
     would destroy the store (the same crash-safety discipline as
     index compaction and merge_lm_counts)."""
-    from admira_etl_project_prueba_spark.functions.fs import swap_into_place
+    from admira_etl_project_prueba_spark.functions.fs import (
+        recover_swap,
+        swap_into_place,
+    )
 
+    recover_swap(spark, path)  # heal a crashed prior swap before reading
     old = spark.read.parquet(path)
     delta = value_histogram(new_batch, lo, hi, n_bins)
     merged = (

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from admira_etl_project_prueba_spark.functions.fs import swap_into_place
+from admira_etl_project_prueba_spark.functions.fs import recover_swap, swap_into_place
 
 # ---------------------------------------------------------------------------
 # portable primitives
@@ -2407,6 +2407,7 @@ def merge_lm_counts(
     ``lm_dists_from_counts`` of the merged store equals a
     from-scratch model over the concatenated corpus exactly (integer
     count merge, smoothing applied after)."""
+    recover_swap(spark, path)  # heal a crashed prior swap before reading
     old = spark.read.parquet(path)
     inc = (
         _hashed_token_counts(new_batch, n_buckets)
@@ -3586,7 +3587,14 @@ def index_files_per_bucket(spark, path: str) -> DataFrame:
     )
 
 
-def needs_compaction(spark, path: str, max_files_per_bucket: int = 8) -> bool:
+#: shared compaction-trigger default — corpus_service._text_index_health
+#: reads this so the API verdict tracks the operator-level trigger
+MAX_FILES_PER_BUCKET = 8
+
+
+def needs_compaction(
+    spark, path: str, max_files_per_bucket: int = MAX_FILES_PER_BUCKET
+) -> bool:
     """The compaction trigger: True when any bucket's posting-file count
     exceeds the threshold (small-file reads start dominating probe
     latency long before correctness is affected — results are identical
@@ -3620,6 +3628,7 @@ def compact_index_store(spark, path: str) -> None:
     """
     src = f"{path}/postings"
     tmp = f"{path}/postings__compacting"
+    recover_swap(spark, src)  # heal a crashed prior swap before reading
     (
         spark.read.parquet(src)
         .repartition("term_bucket")

@@ -113,12 +113,15 @@ def make_handler(svc: MetricsService, corpus=None):
                 if route == ("GET", "/readyz"):
                     return self._send(200, svc.readyz())
                 if route == ("POST", "/ingest/run"):
+                    # optional params are passed ONLY when supplied, so the
+                    # service's own defaults stay the single source of truth
+                    kw = {}
+                    if _first(qs, "store_mode"):
+                        kw["store_mode"] = _first(qs, "store_mode")
                     return self._send(
                         200,
                         svc.ingest_run(
-                            since=_first(qs, "since"),
-                            store_mode=_first(qs, "store_mode") or "upsert",
-                            request_id=rid,
+                            since=_first(qs, "since"), request_id=rid, **kw
                         ),
                     )
                 if route == ("POST", "/export/run"):
@@ -295,18 +298,21 @@ def make_handler(svc: MetricsService, corpus=None):
                     "POST",
                     "/corpus/assemble",
                 ):
+                    # langs only passed when supplied — the service's
+                    # default tuple stays the single source of truth
+                    kw = {}
                     langs = _first(qs, "langs")
+                    if langs:
+                        kw["langs"] = tuple(
+                            x.strip() for x in langs.split(",") if x.strip()
+                        )
                     return self._send(
                         200,
                         corpus.assemble(
-                            langs=(
-                                tuple(x for x in langs.split(",") if x)
-                                if langs
-                                else ("en", "es", "de", "fr")
-                            ),
                             train_pct=_int(qs, "train_pct", 80),
                             salt=_first(qs, "salt") or "v1",
                             request_id=rid,
+                            **kw,
                         ),
                     )
                 return self._send(404, {"error": f"no route: {method} {url.path}"})

@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from admira_etl_project_prueba_spark.functions.dates import parse_flexible_timestamp
-from admira_etl_project_prueba_spark.functions.fs import swap_into_place
+from admira_etl_project_prueba_spark.functions.fs import (
+    path_exists,
+    recover_swap,
+    swap_into_place,
+)
 from admira_etl_project_prueba_spark.operators.transform import transform
 from admira_etl_project_prueba_spark.schemas import (
     ADS_ENVELOPE_SCHEMA,
@@ -432,8 +436,7 @@ def stream_near_dup_matches(
 
 
 def _store_exists(spark: SparkSession, path: str) -> bool:
-    """True iff the store path exists, via the Hadoop FileSystem of the
-    session (works for local paths and for HDFS/S3A URIs alike).
+    """True iff the store exists, healing a crashed swap first.
 
     Stateful streams use this to distinguish FIRST BATCH (store genuinely
     absent → start from the delta) from a FAILING READ (permissions,
@@ -442,11 +445,17 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     silently discarded all accumulated state on any transient failure —
     now only a confirmed-missing path falls back; every other error
     propagates so the micro-batch retries instead of destroying history.
+
+    ``recover_swap`` runs first: a crash between ``swap_into_place``'s
+    two renames leaves the only copy at ``path__old`` — without the
+    recovery, the restarted stream would read "absent", take the
+    first-batch path, and the next successful swap would delete the
+    recovery copy (silent total state loss).  Existence itself is
+    ``functions/fs.path_exists`` (one implementation of the
+    exists-vs-failing-read seam, not two to keep in sync).
     """
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(jpath))
+    recover_swap(spark, path)
+    return path_exists(spark, path)
 
 
 def _write_swapped(spark: SparkSession, merged: DataFrame, store_path: str) -> None:
@@ -922,6 +931,7 @@ def compact_sketch_store(
     leaving in-doubt deltas as-is.  Without a checkpoint_dir, the caller
     must guarantee the stream is stopped with its last batch committed.
     """
+    recover_swap(spark, store_path)  # heal a crashed prior swap first
     store = spark.read.parquet(store_path)
     if checkpoint_dir is not None:
         last = last_committed_batch_id(spark, checkpoint_dir)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -205,18 +206,23 @@ def main():
         # compilation (codegen) and would inflate the noise band with a
         # one-off cost that cross-round best-time compares never see
         steady = times[1:] if len(times) > 1 else times
-        med = sorted(steady)[len(steady) // 2]
+        med = statistics.median(steady)
         n = fn(spark, sf_dir).count()  # rows reported, outside the timing
         timings[name] = round(best, 4)
         medians[name] = round(med, 4)
         # relative sample spread over the steady reps: (max-min)/min —
         # the noise band this run actually exhibited; cross-round best
-        # deltas inside either round's band are unattributable
-        spreads[name] = round((max(steady) - min(steady)) / min(steady), 3)
+        # deltas inside either round's band are unattributable.  With
+        # fewer than 2 steady samples there IS no band — omit the entry
+        # rather than record a fake-tight 0.0 the reading rule would
+        # misinterpret as "every delta is attributable".
+        if len(steady) >= 2:
+            spreads[name] = round((max(steady) - min(steady)) / min(steady), 3)
         total += best
         print(
             f"# {name}: best {best:.3f}s  median {med:.3f}s  "
-            f"spread {spreads[name]:.0%}  ({n} rows, {len(times)} reps)",
+            f"spread {spreads.get(name, float('nan')):.0%}  "
+            f"({n} rows, {len(times)} reps)",
             file=sys.stderr,
         )
 

@@ -43,3 +43,33 @@ def test_swap_clears_stale_old_from_prior_crash(spark, tmp_path):
     swap_into_place(spark, tmp, dst)
     assert _marker(dst) == "new"
     assert not os.path.exists(dst + "__old")
+
+
+def test_recover_swap_heals_crashed_rename_window(spark, tmp_path):
+    """Crash between swap_into_place's two renames leaves only dst__old;
+    recover_swap must restore it so a restarted fold does NOT mistake
+    the store for absent (which would reset state and later delete the
+    recovery copy)."""
+    from admira_etl_project_prueba_spark.functions.fs import recover_swap
+
+    dst = str(tmp_path / "store")
+    # simulate the crash window: dst missing, __old holds the only copy
+    _mkstore(dst + "__old", "survivor")
+    assert recover_swap(spark, dst) is True
+    assert _marker(dst) == "survivor"
+    assert not os.path.exists(dst + "__old")
+    # idempotent: nothing to do when dst is healthy
+    assert recover_swap(spark, dst) is False
+    # no-op when neither exists
+    assert recover_swap(spark, str(tmp_path / "nothing")) is False
+
+
+def test_streaming_store_exists_recovers_crashed_swap(spark, tmp_path):
+    """The streaming fold's first-batch check must heal the crashed-swap
+    window instead of reporting 'absent' (the silent-reset hazard)."""
+    from admira_etl_project_prueba_spark.streaming.ingest import _store_exists
+
+    dst = str(tmp_path / "sketch_store")
+    _mkstore(dst + "__old", "counts")
+    assert _store_exists(spark, dst) is True   # recovered, not "first batch"
+    assert _marker(dst) == "counts"

@@ -593,8 +593,12 @@ def test_ivf_occupancy_report_and_retrain_trigger(spark, tmp_path):
     # only the hot list has real vectors; centroid self-rows are excluded
     assert set(rep) == {0}
     assert rep[0]["n_vectors"] == 20
-    assert rep[0]["share"] == 1.0 and rep[0]["skew"] == 1.0  # 1 populated list
-    assert not needs_ivf_retrain(spark, hot)
+    # skew is measured against the manifest's FULL list universe (4), not
+    # the populated-list count — total collapse into 1 of 4 lists must
+    # read 4.0, the exact imbalance the retrain monitor exists to catch
+    assert rep[0]["share"] == 1.0 and rep[0]["skew"] == 4.0
+    assert needs_ivf_retrain(spark, hot, skew_threshold=3.0)
+    assert not needs_ivf_retrain(spark, hot, skew_threshold=4.5)
 
     skewed = str(tmp_path / "skewed")
     write_fake_index(
