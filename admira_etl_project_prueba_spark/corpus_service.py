@@ -186,9 +186,12 @@ class CorpusService:
         f = fan.agg(
             F.count(F.lit(1)).alias("n_lists"), F.max("n_files").alias("mx")
         ).first()
-        s = occ.agg(F.max("skew").alias("mx")).first()
+        s = occ.agg(
+            F.max("skew").alias("mx"), F.sum("n_vectors").alias("n")
+        ).first()
         max_files = int(f["mx"]) if f["mx"] is not None else 0
         max_skew = float(s["mx"]) if s["mx"] is not None else 0.0
+        n_vectors = int(s["n"]) if s["n"] is not None else 0
         return {
             "path": self.ivf_index_path,
             "n_lists": int(f["n_lists"]),
@@ -196,6 +199,13 @@ class CorpusService:
             "needs_compaction": max_files > similarity.MAX_FILES_PER_LIST,
             "max_occupancy_skew": round(max_skew, 4),
             "needs_retrain": max_skew > similarity.RETRAIN_SKEW_THRESHOLD,
+            # WHAT to retrain to when needs_retrain trips: the measured
+            # provisioning rule (lists track the corpus at
+            # TARGET_VECTORS_PER_LIST occupancy) over the real-vector
+            # count the occupancy scan already produced
+            "recommended_n_centroids": max(
+                1, -(-n_vectors // similarity.TARGET_VECTORS_PER_LIST)
+            ),
         }
 
     def _text_index_health(self) -> dict:
@@ -236,6 +246,57 @@ class CorpusService:
             self._text_health_cache if self.text_index_path else None
         )
         return out
+
+    # -- POST /corpus/index_retrain --------------------------------------------
+    def index_retrain(
+        self, n_centroids: int | None = None, request_id: str | None = None
+    ) -> dict:
+        """The ACT side of the retrain loop ``index_health`` monitors:
+        run ``similarity.retrain_ivf_index`` on the configured IVF store
+        (``n_centroids=None`` → the measured provisioning rule via
+        ``recommended_n_centroids``).  Refreshes the memoized centroid
+        count the /corpus/similar probe uses — a stale value would probe
+        the retrained layout with the OLD list universe — and drops the
+        memoized health block so the next read reflects the new layout.
+        404 (LookupError) when no IVF store is configured: retraining
+        nothing is an operator error, not an empty success."""
+        if self.ivf_index_path is None:
+            raise LookupError("no IVF index configured on this service")
+        k = similarity.retrain_ivf_index(
+            self.spark, self.ivf_index_path, n_centroids
+        )
+        self._ivf_n_centroids = int(k)
+        self._ivf_health_cache = None
+        return {
+            "data": {"path": self.ivf_index_path, "n_centroids": int(k)},
+            "request_id": new_request_id(request_id),
+        }
+
+    # -- POST /corpus/index_compact --------------------------------------------
+    def index_compact(self, request_id: str | None = None) -> dict:
+        """The ACT side of the compaction triggers ``index_health``
+        evaluates: compact every configured index store (IVF lists back
+        to one file per centroid partition; text postings to one file
+        per term bucket) and report which ran.  Results are
+        bit-identical by the operators' contract — this moves bytes,
+        never assignments or postings.  Memoized health blocks are
+        dropped so the next read reflects the compacted fan-out.  404
+        when NO store is configured (nothing to compact)."""
+        if self.ivf_index_path is None and self.text_index_path is None:
+            raise LookupError("no index stores configured on this service")
+        compacted: list[str] = []
+        if self.ivf_index_path is not None:
+            similarity.compact_ivf_index(self.spark, self.ivf_index_path)
+            self._ivf_health_cache = None
+            compacted.append("ivf")
+        if self.text_index_path is not None:
+            textops.compact_index_store(self.spark, self.text_index_path)
+            self._text_health_cache = None
+            compacted.append("text")
+        return {
+            "data": {"compacted": compacted},
+            "request_id": new_request_id(request_id),
+        }
 
     # -- GET /corpus/search ---------------------------------------------------
     def search(

@@ -39,6 +39,13 @@ DIM = 64  # embedding dimensionality in the testdata tables
 RETRAIN_SKEW_THRESHOLD = 4.0
 MAX_FILES_PER_LIST = 8
 
+#: the provisioning rule docs/SCALE.md measured (k-NN rehearsal: fixed
+#: 32 lists at 10× corpus → 101.5× pair volume; lists TRACKING the
+#: corpus at ~64 vectors/list → 10.4×): cluster-bounded ops stay linear
+#: only when list CAPACITY is bounded, so recommended_n_centroids sizes
+#: the list count to hold this occupancy
+TARGET_VECTORS_PER_LIST = 64
+
 #: deterministic "random" hyperplanes: plane i, component j (1-based j)
 #: value in [-1, 1): ((LCG(i·DIM+j) mod 2001) - 1000) / 1000
 _PLANE_VAL = "((((1103515245 * CAST({idx} AS BIGINT) + 12345) % 2001) + 2001) % 2001 - 1000) / 1000.0"
@@ -1098,3 +1105,75 @@ def compact_ivf_index(spark, path: str) -> None:
         .parquet(tmp)
     )
     swap_into_place(spark, tmp, path)
+
+
+def recommended_n_centroids(
+    spark, path: str, target_per_list: int = TARGET_VECTORS_PER_LIST
+) -> int:
+    """The list count the index SHOULD have at its current size, per the
+    measured provisioning rule (``TARGET_VECTORS_PER_LIST``): enough
+    lists that average occupancy stays at the target, so probe cost per
+    list is bounded as the corpus grows.  One column-pruned count of the
+    index's real vectors (centroid self-rows excluded via the manifest);
+    pair with :func:`needs_ivf_retrain` to decide WHEN and this to
+    decide WHAT to retrain to."""
+    old_k = int(
+        spark.read.parquet(_ivf_manifest_path(path)).first()["n_centroids"]
+    )
+    n = (
+        spark.read.parquet(path)
+        .filter(F.col("vec_id") >= old_k)
+        .count()
+    )
+    return max(1, -(-n // int(target_per_list)))  # ceil div
+
+
+def retrain_ivf_index(spark, path: str, n_centroids: int | None = None) -> int:
+    """Close the maintenance loop :func:`needs_ivf_retrain` monitors:
+    re-partition the index under a NEW centroid count, from the index
+    alone — the lists carry the vectors themselves, so retraining is one
+    index-sized read + re-assignment + write, with NO corpus rescan.
+    ``n_centroids=None`` retrains to :func:`recommended_n_centroids`
+    (the measured linear-scaling provisioning rule); returns the count
+    actually used.  Seed-centroid contract unchanged: the new centroids
+    are the index's ``vec_id < n_centroids`` rows (all present, since
+    the index holds every corpus vector), so existing probes
+    (:func:`ivf_topk_from_index`, the service tier) keep working with
+    the new manifest value.  The result equals :func:`write_ivf_index`
+    over the same vectors at the new count, row-for-row
+    (pytest-pinned), and lands compacted (one file per list).
+
+    Crash safety: the new layout and manifest are both written to
+    SIBLING temp directories, then swapped in by rename — the original
+    index is never deleted before the retrained copy is complete.  The
+    one remaining window (between the index swap and the manifest swap)
+    leaves a new-k index under an old-k manifest — degraded probe
+    breadth, never corruption — and re-running retrain heals it: both
+    swaps recover first, then the rebuild re-derives everything from
+    the surviving index.
+    """
+    manifest = _ivf_manifest_path(path)
+    recover_swap(spark, path)
+    recover_swap(spark, manifest)
+    if n_centroids is None:
+        n_centroids = recommended_n_centroids(spark, path)
+    vectors = spark.read.parquet(path).select("vec_id", "label", "embedding")
+    assign = ivf_assign(vectors, n_centroids).select("vec_id", "centroid_id")
+    tmp = path.rstrip("/") + "__retraining"
+    (
+        vectors.join(assign, "vec_id")
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    mtmp = manifest.rstrip("/") + "__retraining"
+    (
+        spark.createDataFrame([(int(n_centroids),)], "n_centroids int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(mtmp)
+    )
+    swap_into_place(spark, tmp, path)
+    swap_into_place(spark, mtmp, manifest)
+    return int(n_centroids)

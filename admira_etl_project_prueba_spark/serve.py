@@ -296,6 +296,23 @@ def make_handler(svc: MetricsService, corpus=None):
                         return self._send(200, corpus.index_health(request_id=rid))
                 if corpus is not None and (method, url.path) == (
                     "POST",
+                    "/corpus/index_retrain",
+                ):
+                    # n_centroids only passed when supplied — omitting it
+                    # selects the service's provisioning-rule default
+                    kw = {}
+                    if _first(qs, "n_centroids"):
+                        kw["n_centroids"] = _int(qs, "n_centroids", 0)
+                    return self._send(
+                        200, corpus.index_retrain(request_id=rid, **kw)
+                    )
+                if corpus is not None and (method, url.path) == (
+                    "POST",
+                    "/corpus/index_compact",
+                ):
+                    return self._send(200, corpus.index_compact(request_id=rid))
+                if corpus is not None and (method, url.path) == (
+                    "POST",
                     "/corpus/assemble",
                 ):
                     # langs only passed when supplied — the service's

@@ -97,6 +97,11 @@ CORPUS_ROUTES = {
     ),
     "quality_report": ("GET", "/corpus/quality", {"request_id": RID}),
     "index_health": ("GET", "/corpus/index_health", {"request_id": RID}),
+    "index_retrain": (
+        "POST", "/corpus/index_retrain?n_centroids=12",
+        {"n_centroids": 12, "request_id": RID},
+    ),
+    "index_compact": ("POST", "/corpus/index_compact", {"request_id": RID}),
     "assemble": (
         "POST", "/corpus/assemble?train_pct=70&salt=s2&langs=en,fr",
         {

@@ -1030,6 +1030,9 @@ def test_index_health_endpoint_and_similar_index_block(spark, sf_dir, tmp_path):
     assert h["n_lists"] > 0 and h["max_files_per_list"] >= 2  # merge fan-out
     assert h["needs_compaction"] is False and h["needs_retrain"] is False
     assert h["max_occupancy_skew"] > 0
+    # the provisioning rule surfaced: ceil(real vectors / target-per-list);
+    # the sf0.001 corpus has 842 vectors, 16 of them centroid self-rows
+    assert h["recommended_n_centroids"] == -(-(emb.count() - 16) // 64)
     t = r["data"]["text"]
     assert t["n_buckets"] > 0 and t["max_files_per_bucket"] >= 1
     assert t["needs_compaction"] is False
@@ -1047,3 +1050,70 @@ def test_index_health_endpoint_and_similar_index_block(spark, sf_dir, tmp_path):
     assert bare.index_health()["data"] == {"ivf": None, "text": None}
     bare_sim = bare.similar_docs(vec_id=5, k=3)
     assert "index" not in bare_sim and bare_sim["method"] == "exact"
+
+
+def test_index_retrain_and_compact_service_cycle(spark, sf_dir, tmp_path):
+    """The ACT side of the maintenance loop: POST-backed retrain adopts
+    the provisioning-rule count, refreshes the memoized centroid count
+    the /corpus/similar probe uses (a stale value would probe the new
+    layout with the old list universe), and compaction collapses merge
+    fan-out back to one file per list/bucket.  Unconfigured stores 404
+    (LookupError) instead of reporting empty success."""
+    import pytest as _pytest
+
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        merge_ivf_index,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.operators.textops import write_text_index
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf, txt = str(tmp_path / "ivf"), str(tmp_path / "txt")
+    write_ivf_index(emb.filter("vec_id < 300"), ivf)
+    merge_ivf_index(spark, ivf, emb.filter("vec_id >= 300"))  # fan-out >= 2
+    write_text_index(docs, txt, num_buckets=8)
+    svc = CorpusService(
+        spark, documents=docs, embeddings=emb,
+        ivf_index_path=ivf, text_index_path=txt,
+    )
+
+    before = svc.similar_docs(vec_id=5, k=3)  # memoizes n_centroids=16
+    assert before["method"] == "ivf_index"
+
+    r = svc.index_retrain()  # provisioning-rule default
+    want_k = -(-(emb.count() - 16) // 64)  # ceil(real vectors / target)
+    assert r["data"] == {"path": ivf, "n_centroids": want_k}
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        _ivf_manifest_path,
+    )
+
+    assert (
+        spark.read.parquet(_ivf_manifest_path(ivf)).first()["n_centroids"]
+        == want_k
+    )
+    # the probe must use the NEW centroid count against the new layout
+    after = svc.similar_docs(vec_id=5, k=3)
+    assert after["method"] == "ivf_index" and len(after["data"]) == 3
+    cos = [row["cosine"] for row in after["data"]]
+    assert cos == sorted(cos, reverse=True)
+    # populated lists ≤ the manifest universe (duplicate vectors can let
+    # one centroid win another's self-row), and the health block is the
+    # retrained store's, not the memoized pre-retrain one
+    assert 0 < after["index"]["n_lists"] <= want_k
+    assert after["index"]["recommended_n_centroids"] == want_k
+
+    c = svc.index_compact()
+    assert c["data"]["compacted"] == ["ivf", "text"]
+    h = svc.index_health()["data"]
+    assert h["ivf"]["max_files_per_list"] == 1
+    assert h["text"]["max_files_per_bucket"] == 1
+    assert h["ivf"]["n_lists"] == after["index"]["n_lists"]
+
+    bare = CorpusService(spark, documents=docs, embeddings=emb)
+    with _pytest.raises(LookupError):
+        bare.index_retrain()
+    with _pytest.raises(LookupError):
+        bare.index_compact()

@@ -613,3 +613,82 @@ def test_ivf_occupancy_report_and_retrain_trigger(spark, tmp_path):
     assert not needs_ivf_retrain(spark, skewed, skew_threshold=5.0)
     # single write ⇒ one file per list ⇒ no compaction due
     assert not needs_ivf_compaction(spark, skewed)
+
+
+def test_ivf_retrain_equals_fresh_rebuild(spark, sf_dir, tmp_path):
+    """Retraining the index to a new centroid count == write_ivf_index
+    over the same vectors at that count, row-for-row — the retrain
+    derives everything from the index itself (no corpus access), updates
+    the manifest, and lands compacted (one file per list)."""
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        _ivf_manifest_path,
+        ivf_files_per_list,
+        ivf_topk_from_index,
+        retrain_ivf_index,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path, fresh = str(tmp_path / "idx"), str(tmp_path / "fresh")
+    write_ivf_index(emb, path, n_centroids=8)
+    assert retrain_ivf_index(spark, path, n_centroids=24) == 24
+    assert (
+        spark.read.parquet(_ivf_manifest_path(path)).first()["n_centroids"] == 24
+    )
+    write_ivf_index(emb, fresh, n_centroids=24)
+
+    def rows(p):
+        return sorted(
+            (r["vec_id"], r["centroid_id"], r["label"])
+            for r in spark.read.parquet(p).collect()
+        )
+
+    assert rows(path) == rows(fresh)
+    # retrain compacts as a side effect: one file per list partition
+    assert ivf_files_per_list(spark, path).agg({"n_files": "max"}).first()[0] == 1
+    # probes keep working against the retrained index + new manifest value
+    got = [
+        tuple(r)
+        for r in ivf_topk_from_index(spark, emb, path, n_centroids=24).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in ivf_topk_from_index(spark, emb, fresh, n_centroids=24).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_ivf_retrain_recommended_count_and_crash_recovery(spark, sf_dir, tmp_path):
+    """recommended_n_centroids sizes lists to the measured occupancy
+    target (ceil of real vectors / target); retrain with n_centroids=None
+    adopts it, and a crashed prior swap (only path__old present) is
+    healed before the rebuild instead of failing or resetting."""
+    import os
+    import shutil
+
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        _ivf_manifest_path,
+        recommended_n_centroids,
+        retrain_ivf_index,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 200")
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, n_centroids=4)
+    # 200 vectors, 4 of them centroid self-rows -> 196 real
+    assert recommended_n_centroids(spark, path, target_per_list=50) == 4  # ceil(196/50)
+    assert recommended_n_centroids(spark, path, target_per_list=64) == 4  # ceil(196/64)=4
+    assert recommended_n_centroids(spark, path, target_per_list=10) == 20
+    # simulate the crash window: index renamed to __old, dst absent
+    shutil.move(path, path + "__old")
+    k = retrain_ivf_index(spark, path, n_centroids=10)
+    assert k == 10
+    assert not os.path.exists(path + "__old")
+    assert (
+        spark.read.parquet(_ivf_manifest_path(path)).first()["n_centroids"] == 10
+    )
+    # all 200 vectors survived the recovery + retrain
+    assert spark.read.parquet(path).count() == 200
