@@ -685,6 +685,133 @@ def _growth_law_r8_experiment(spark) -> dict:
     return {"lsh_recall_report": dict(docs_1x=10_000, **res)}
 
 
+def _measured_once(spark, fn) -> dict:
+    """Single metered execution for SIDE-EFFECTING ops (index writes,
+    retrains) where repeat timing would measure a different store state:
+    wall seconds + the same physical deltas as run_measured."""
+    before = _totals(spark)
+    t0 = time.perf_counter()
+    fn()
+    sec = time.perf_counter() - t0
+    time.sleep(0.5)
+    after = _totals(spark)
+    return {
+        "sec": round(sec, 4),
+        "shuffle_mb": round(
+            (after["shuffle_write_bytes"] - before["shuffle_write_bytes"]) / 1e6, 3
+        ),
+        "shuffle_records": after["shuffle_write_records"]
+        - before["shuffle_write_records"],
+        "tasks": after["tasks"] - before["tasks"],
+    }
+
+
+def _growth_law_r9_experiment(spark) -> dict:
+    """10x growth rehearsal for (a) build_training_corpus — the #1 bench
+    heavyweight, which composes measured parts (quality scan, LSH+CC
+    clustering, split) but has no end-to-end row of its own — and (b)
+    retrain_ivf_index, the round-8 maintenance op.
+
+    (a) corpus: clusters of 4 exact copies with English stopwords
+    INTERLEAVED between cluster-specific tokens, so every document
+    passes the quality gate (lang_predicted=en via stopword hits,
+    stopword_ratio 0.5) while every 3-token shingle still carries a
+    cluster token — zero cross-cluster shingles, the same
+    constant-cluster-size growth geometry as the dedup rehearsals.
+    Expected: the pipeline is its stages, fused by Catalyst — one
+    quality scan (linear), the LSH+CC clustering (linear at constant
+    cluster size), a row-local split — so end-to-end wall and shuffle
+    should track the corpus ~linearly.
+
+    (b) retrain at CORPUS-TRACKING list count (the provisioning rule,
+    ~64 vectors/list): vectors 2k→20k, lists 32→312.  Expected and
+    HONESTLY quadratic in the scored-row count: assignment materializes
+    n×k cosine rows (the true IVF training cost — 64k → 6.2M, ~97×),
+    all CPU-local under one broadcast; the SHUFFLE stays linear in n
+    (argmax partial-agg + repartition carry n rows each).  At extreme
+    scale the documented escape is sampled k-means training
+    (kmeans_centroids) + capped k — the rehearsal pins where that
+    crossover thinking must start.
+    """
+    from admira_etl_project_prueba_spark.operators import pipeline as pl
+    from admira_etl_project_prueba_spark.operators import similarity as sim
+
+    def corpus(n):
+        return spark.sql(
+            f"""SELECT id AS doc_id,
+                   array_join(flatten(transform(sequence(1, 16),
+                       j -> array('the',
+                                  concat('w', CAST(CAST(id / 4 AS BIGINT) AS STRING),
+                                         'x', CAST(j AS STRING))))), ' ') AS text,
+                   'en' AS lang,
+                   concat('src_', CAST(id % 8 AS STRING)) AS source
+            FROM range({n})"""
+        )
+
+    res = {}
+    for label, n in zip(("1x", "10x"), (10_000, 100_000)):
+        res[label] = run_measured(
+            spark, lambda n=n: pl.build_training_corpus(corpus(n))
+        )
+        verdicts = (
+            pl.build_training_corpus(corpus(n))
+            .groupBy("status")
+            .count()
+            .collect()
+        )
+        res[label]["status"] = {r["status"]: r["count"] for r in verdicts}
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+    res["records_ratio"] = round(
+        res["10x"]["shuffle_records"] / max(res["1x"]["shuffle_records"], 1), 1
+    )
+    res["theoretical"] = (
+        "linear: quality scan + constant-cluster LSH/CC + row-local split"
+    )
+    out = {"build_training_corpus": dict(docs_1x=10_000, **res)}
+
+    # -- (b) retrain at corpus-tracking k -----------------------------------
+    import tempfile
+
+    def vectors(n):
+        # deterministic pseudo-random 64-dim embeddings (hash-mixed), so
+        # assignment actually distributes across lists
+        return spark.sql(
+            f"""SELECT id AS vec_id,
+                   transform(sequence(1, 64),
+                       j -> CAST(((id * 2654435761 + j * 40503) % 1000)
+                                 / 1000.0 AS FLOAT)) AS embedding,
+                   CAST(id % 10 AS INT) AS label
+            FROM range({n})"""
+        )
+
+    rt = {}
+    for label, n in zip(("1x", "10x"), (2_000, 20_000)):
+        path = tempfile.mkdtemp() + "/ivf"
+        sim.write_ivf_index(vectors(n), path, n_centroids=16)
+        k = sim.recommended_n_centroids(spark, path)
+        m = _measured_once(
+            spark, lambda p=path, k=k: sim.retrain_ivf_index(spark, p, k)
+        )
+        m["n_centroids"] = k
+        m["scored_rows"] = n * k
+        rt[label] = m
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+    rt["records_ratio"] = round(
+        rt["10x"]["shuffle_records"] / max(rt["1x"]["shuffle_records"], 1), 1
+    )
+    rt["scored_rows_ratio"] = round(
+        rt["10x"]["scored_rows"] / max(rt["1x"]["scored_rows"], 1), 1
+    )
+    rt["theoretical"] = (
+        "shuffle linear in n; assignment CPU n*k (quadratic when k tracks "
+        "the corpus) — sampled-kmeans + capped k is the extreme-scale escape"
+    )
+    out["retrain_ivf_index"] = dict(vectors_1x=2_000, **rt)
+    return out
+
+
 def _growth_law_r7_experiment(spark) -> dict:
     """10x growth rehearsal for the round-7 heavyweights (VERDICT r6 #8).
 
@@ -1152,6 +1279,12 @@ if __name__ == "__main__":
         print(
             json.dumps(
                 {"growth_laws_10x_r7": _growth_law_r7_experiment(fresh_session())}
+            )
+        )
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "growth9":
+        print(
+            json.dumps(
+                {"growth_laws_10x_r9": _growth_law_r9_experiment(fresh_session())}
             )
         )
     elif len(_sys.argv) > 1 and _sys.argv[1] == "growth8":
