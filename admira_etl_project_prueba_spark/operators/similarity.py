@@ -1023,9 +1023,18 @@ def ivf_occupancy_report(spark, path: str) -> DataFrame:
     n_centroids = int(
         spark.read.parquet(_ivf_manifest_path(path)).first()["n_centroids"]
     )
+    return ivf_occupancy_of(spark.read.parquet(path), n_centroids)
+
+
+def ivf_occupancy_of(assignments: DataFrame, n_centroids: int) -> DataFrame:
+    """The occupancy/skew math itself, over any assignment-shaped frame
+    (vec_id, centroid_id, ...) — shared by the path-reading report above
+    and the oracle-gated catalog entry, so the monitor's arithmetic is
+    hash-verified, not just pytest-asserted.  Same contract: skew is
+    relative to uniform over the FULL ``n_centroids`` universe, centroid
+    self-rows (vec_id < n_centroids) excluded."""
     per_list = (
-        spark.read.parquet(path)
-        .filter(F.col("vec_id") >= n_centroids)
+        assignments.filter(F.col("vec_id") >= n_centroids)
         .groupBy("centroid_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
     )
@@ -1036,7 +1045,7 @@ def ivf_occupancy_report(spark, path: str) -> DataFrame:
             "CAST(centroid_id AS INT) AS centroid_id",
             "n_vectors",
             "CAST(n_vectors AS DOUBLE) / _total AS share",
-            f"CAST(n_vectors AS DOUBLE) * {n_centroids} / _total AS skew",
+            f"CAST(n_vectors AS DOUBLE) * {int(n_centroids)} / _total AS skew",
         )
         .orderBy("centroid_id")
     )

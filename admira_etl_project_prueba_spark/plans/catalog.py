@@ -237,9 +237,11 @@ FROM documents WHERE lang IN ('en', 'es') GROUP BY lang""",
     # below the sketch accuracy (10k rows per metric frame — every gate
     # SF qualifies) Spark's approx_percentile/GK edges are exactly the
     # order statistics at rank ceil(p·n), so the whole sampled output is
-    # expressible as exact SQL (see _gk_edges_cte).  Only the two
-    # engine-sketch-valued entries (events_approx_distinct/_percentiles)
-    # remain inherently bounded.
+    # expressible as exact SQL (see _gk_edges_cte).  events_approx_
+    # percentiles graduated the same way (accuracy pinned above every
+    # gate SF's group size).  The inherently-bounded residue is exactly
+    # the three entries above: the two HLL-sketch-valued counts and the
+    # engine-RNG sample.
 }
 
 
@@ -2521,6 +2523,29 @@ def _q_quantize(spark, sf_dir):
 )
 def _q_ivf_assign(spark, sf_dir):
     return _sim.ivf_assign(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "ann_ivf_occupancy",
+    "Per-list occupancy/share/skew of the IVF assignment — the retrain "
+    "monitor's arithmetic, hash-gated: skew is occupancy vs uniform over "
+    "the FULL 16-list universe (empty lists are imbalance signal, not "
+    "denominator shrinkage), centroid self-rows excluded.",
+    f"""WITH {_DUCK_IVF_ASSIGN},
+per AS (
+  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM assign WHERE vec_id >= 16 GROUP BY 1
+), tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS t FROM per)
+SELECT CAST(centroid_id AS INT) AS centroid_id,
+       n_vectors,
+       CAST(n_vectors AS DOUBLE) / t AS share,
+       CAST(n_vectors AS DOUBLE) * 16 / t AS skew
+FROM per, tot ORDER BY centroid_id""",
+)
+def _q_ivf_occupancy(spark, sf_dir):
+    return _sim.ivf_occupancy_of(
+        _sim.ivf_assign(_t(spark, sf_dir, "embeddings")), n_centroids=16
+    )
 
 
 _IVF_TOPK_SQL = f"""WITH {_DUCK_IVF_ASSIGN},

@@ -74,6 +74,7 @@ NESTED_LOOP_ALLOWED = {
     "supplier_revenue_distribution_sampled",  # 1-row quantile-grid broadcast
     "basket_part_lift",         # 1-row order-count broadcast into the pair frame
     "events_session_paths",     # 1-row session-total broadcast into the paths
+    "ann_ivf_occupancy",        # 1-row vector-total broadcast into the per-list frame
 }
 
 # Queries whose single-partition window sort is the INTENDED exact form:
