@@ -171,16 +171,29 @@ def corpus_health_report(documents: DataFrame) -> DataFrame:
     Every value is a ratio of EXACT integer aggregates with one IEEE
     divide at the end — no double accumulations — so the report is
     bit-identical on any engine and any partitioning, like the PSI/KL
-    monitors.  Each section is one or two map-side-combined aggregates
-    over a single corpus scan's projection; the unioned report frame is
-    a handful of rows.
+    monitors.
+
+    Scan structure (the 100 TB shape): Spark has no scan-sharing across
+    union branches, so a naive union of per-section aggregates re-reads
+    AND re-tokenizes the full corpus once per section.  Instead the four
+    count-based sections (size, dup, fertility, contamination) share ONE
+    materialized narrow projection — tokenize, normalize-hash and tag
+    each row exactly once into (h, t, c, source, lang), localCheckpointed
+    at ~a few dozen bytes/doc — and only the quality verdict (owned by
+    quality_filter's signal expression) and the shingle-explode novelty
+    section keep their own scans: 3 corpus passes total instead of 6,
+    with one tokenization of the text instead of three.
     """
     from admira_etl_project_prueba_spark.operators import textops as tx
 
-    toks = documents.selectExpr(
-        f"size({tx.TOKENS}) AS t", "length(text) AS c"
-    )
-    size_f = toks.agg(
+    base = documents.selectExpr(
+        "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) AS h",
+        f"size({tx.TOKENS}) AS t",
+        "length(text) AS c",
+        f"coalesce(source, '{tx.UNKNOWN_SOURCE}') AS source",
+        "coalesce(lang, '(unknown)') AS lang",
+    ).localCheckpoint()
+    size_f = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("t").alias("tk"),
     ).selectExpr(
@@ -189,9 +202,7 @@ def corpus_health_report(documents: DataFrame) -> DataFrame:
         " 'size', 'tokens_per_doc', CAST(tk AS DOUBLE) / n)"
         " AS (section, key, value)"
     )
-    dup_f = documents.selectExpr(
-        "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) AS h"
-    ).agg(
+    dup_f = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("h").alias("d"),
     ).selectExpr(
@@ -210,13 +221,21 @@ def corpus_health_report(documents: DataFrame) -> DataFrame:
             " AS (section, key, value)"
         )
     )
-    fert_f = tx.tokenizer_fertility(documents).selectExpr(
-        "'fertility' AS section", "lang AS key", "chars_per_token AS value"
+    # tokenizer_fertility's chars_per_token over the shared frame (same
+    # coalesced lang, same exact integer sums, same single IEEE divide)
+    fert_f = (
+        base.groupBy("lang")
+        .agg(
+            F.sum("t").cast("long").alias("n_tokens"),
+            F.sum("c").cast("long").alias("n_chars"),
+        )
+        .selectExpr(
+            "'fertility' AS section",
+            "lang AS key",
+            "CAST(n_chars AS DOUBLE) / n_tokens AS value",
+        )
     )
-    tagged = documents.selectExpr(
-        f"coalesce(source, '{tx.UNKNOWN_SOURCE}') AS source",
-        "coalesce(lang, '(unknown)') AS lang",
-    )
+    tagged = base.select("source", "lang")
     counts = tagged.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
     top_n = counts.groupBy("source").agg(F.max("n").alias("n"))
     dominant = (
