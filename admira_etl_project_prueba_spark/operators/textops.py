@@ -2287,8 +2287,26 @@ def containment_pairs(
     the oracle mirrors exactly.  Pair fan-out is bounded by
     sum(df²) ≤ max_df · postings.
     """
-    sh = shingle_hashes(documents, k)
-    postings = sh.selectExpr("doc_id", "explode(sh) AS h")
+    # Postings built the codegen way (expression-plan hygiene rule 5):
+    # explode the shingle STRINGS first, hash the exploded rows — an
+    # md5 inside the transform() lambda evaluates interpreted and
+    # measured ~3× slower here (same hazard class as the decontaminate
+    # 29× fix); per-doc array_distinct becomes distinct over (doc_id, h),
+    # the identical set.  Then MATERIALIZE once: the postings feed FIVE
+    # consumers (df count, semi-join probe, size count, both self-join
+    # sides) and Spark has no cross-branch CSE, so the lazy form re-ran
+    # the whole tokenize→shingle→explode→hash pipeline per consumer — 6
+    # corpus scans.  Measured at sf0.1: 36.2 s lazy → 3.5 s with this
+    # one-scan + checkpoint shape; the checkpointed frame is narrow
+    # (doc_id, h — two longs) at any corpus size.
+    postings = (
+        documents.selectExpr("doc_id", f"{TOKENS} AS t")
+        .selectExpr("doc_id", f"explode_outer({_shingle_expr(k)}) AS s")
+        .filter("s IS NOT NULL")
+        .selectExpr("doc_id", f"{hex60('s')} % {MERSENNE31} AS h")
+        .distinct()
+        .localCheckpoint()
+    )
     rare = postings.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= max_shingle_df
     )
