@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     # when assignment is corpus-scale.
     "events_in_spike_windows",
     "simhash_near_dup_pairs",
+    "containment_pairs",
     "lsh_incremental_pairs",
     "text_repetition_scores",
     "decontaminate",
