@@ -22,9 +22,16 @@ recomputing LSH per HTTP request is only for ad-hoc exploration.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from admira_etl_project_prueba_spark.functions.fs import (
+    path_exists,
+    path_mtime,
+    recover_swap,
+)
 from admira_etl_project_prueba_spark.operators import similarity, textops
 from admira_etl_project_prueba_spark.operators.queries import page_info, paginate
 from admira_etl_project_prueba_spark.service import ValidationError, new_request_id
@@ -65,11 +72,20 @@ class CorpusService:
         # memoized per instance: health is two index-wide scans and the
         # manifest a point-read — fine on the explicit monitoring route,
         # wrong to repeat on EVERY /corpus/similar (the hot path this
-        # service exists to keep at n_probe pruned reads).  index_health()
-        # always recomputes and refreshes these.
+        # service exists to keep at n_probe pruned reads).  Keyed by the
+        # manifest directory's mtime (ONE metadata RPC per request):
+        # swap_into_place replaces the manifest by rename, so an
+        # OUT-OF-PROCESS retrain changes the mtime and invalidates both
+        # memos — without the key, a second worker would probe the
+        # retrained layout with the old centroid count forever.
         self._ivf_health_cache: dict | None = None
-        self._text_health_cache: dict | None = None
         self._ivf_n_centroids: int | None = None
+        self._ivf_manifest_mtime: int | None = None
+        # rename-swap maintenance (retrain/compact) must not interleave
+        # with itself: two concurrent POSTs would race the same
+        # dst/dst__old renames.  In-process serialization; cross-process
+        # deployments schedule maintenance from one place.
+        self._maintenance_lock = threading.Lock()
 
     # -- GET /corpus/dedup/pairs --------------------------------------------
     def near_dup_pairs(
@@ -138,27 +154,24 @@ class CorpusService:
             k = 10  # silent clamp, like limit/offset
         if self.embeddings.filter(F.col("vec_id") == vec_id).limit(1).count() == 0:
             raise NotFoundError(f"unknown vec_id: {vec_id}")
-        if self.ivf_index_path is not None:
+        index_ready = self.ivf_index_path is not None and self._ivf_index_ready()
+        if index_ready:
             # a configured index IS the scale path: the probe prunes to
             # n_probe partition directories of the index instead of
             # re-scoring the whole embeddings corpus per request
-            if self._ivf_n_centroids is None:
-                self._ivf_n_centroids = int(
-                    self.spark.read.parquet(
-                        similarity._ivf_manifest_path(self.ivf_index_path)
-                    ).first()["n_centroids"]
-                )
-            n_centroids = self._ivf_n_centroids
             rows = similarity.ivf_topk_from_index(
                 self.spark,
                 self.embeddings,
                 self.ivf_index_path,
                 query_vec_id=vec_id,
                 k=k,
-                n_centroids=n_centroids,
+                n_centroids=self._ivf_n_centroids,
             ).select("vec_id", "label", "cosine")
             method = "ivf_index"
         else:
+            # no index configured — or configured but not written yet
+            # (fresh deployment before the first write_ivf_index): serve
+            # the exact path instead of 500ing the first queries
             rows = similarity.cosine_topk(self.embeddings, query_vec_id=vec_id, k=k)
             method = "exact"
         out = {
@@ -171,10 +184,34 @@ class CorpusService:
             # surface the ANN store's maintenance state alongside results
             # so probe-latency drift is explainable at the API edge —
             # MEMOIZED: the health scan must not ride every query
-            if self._ivf_health_cache is None:
-                self._ivf_health_cache = self._ivf_health()
-            out["index"] = self._ivf_health_cache
+            if index_ready:
+                if self._ivf_health_cache is None:
+                    self._ivf_health_cache = self._ivf_health()
+                out["index"] = self._ivf_health_cache
+            else:
+                out["index"] = {"path": self.ivf_index_path, "absent": True}
         return out
+
+    def _ivf_index_ready(self) -> bool:
+        """True when the configured IVF store and its manifest exist
+        (healing a crashed swap first), refreshing the memoized centroid
+        count whenever the manifest directory's mtime changed — i.e.
+        after ANY retrain, including one run by a different process
+        (``functions/fs.path_mtime``: a rename-swap installs a new
+        directory object).  One metadata RPC on the no-change path."""
+        manifest = similarity._ivf_manifest_path(self.ivf_index_path)
+        recover_swap(self.spark, self.ivf_index_path)
+        recover_swap(self.spark, manifest)
+        mt = path_mtime(self.spark, manifest)
+        if mt == -1 or not path_exists(self.spark, self.ivf_index_path):
+            return False
+        if self._ivf_n_centroids is None or mt != self._ivf_manifest_mtime:
+            self._ivf_n_centroids = int(
+                self.spark.read.parquet(manifest).first()["n_centroids"]
+            )
+            self._ivf_manifest_mtime = mt
+            self._ivf_health_cache = None  # layout changed — health is stale
+        return True
 
     def _ivf_health(self) -> dict:
         """Maintenance state of the persisted IVF index: file fan-out
@@ -233,18 +270,29 @@ class CorpusService:
         can't drift from the batch triggers) — the scheduling surface
         for ``compact_index_store`` / ``compact_ivf_index`` / retrain.
         Always recomputes, and refreshes the memoized copy that
-        /corpus/similar attaches.  Indexes not configured on the
-        service are reported absent rather than erroring, so the route
-        is safe to poll."""
+        /corpus/similar attaches.  SAFE TO POLL in every state: indexes
+        not configured are null, and a configured store that does not
+        exist yet (fresh deployment before the first build) reports
+        ``{"path": ..., "absent": true}`` instead of erroring."""
         out: dict = {"data": {}, "request_id": new_request_id(request_id)}
         if self.ivf_index_path is not None:
-            self._ivf_health_cache = self._ivf_health()
+            if self._ivf_index_ready():
+                self._ivf_health_cache = self._ivf_health()
+                out["data"]["ivf"] = self._ivf_health_cache
+            else:
+                out["data"]["ivf"] = {"path": self.ivf_index_path, "absent": True}
+        else:
+            out["data"]["ivf"] = None
         if self.text_index_path is not None:
-            self._text_health_cache = self._text_index_health()
-        out["data"]["ivf"] = self._ivf_health_cache if self.ivf_index_path else None
-        out["data"]["text"] = (
-            self._text_health_cache if self.text_index_path else None
-        )
+            postings = f"{self.text_index_path}/postings"
+            recover_swap(self.spark, postings)
+            out["data"]["text"] = (
+                self._text_index_health()
+                if path_exists(self.spark, postings)
+                else {"path": self.text_index_path, "absent": True}
+            )
+        else:
+            out["data"]["text"] = None
         return out
 
     # -- POST /corpus/index_retrain --------------------------------------------
@@ -259,14 +307,20 @@ class CorpusService:
         the retrained layout with the OLD list universe — and drops the
         memoized health block so the next read reflects the new layout.
         404 (LookupError) when no IVF store is configured: retraining
-        nothing is an operator error, not an empty success."""
+        nothing is an operator error, not an empty success.  Serialized
+        against other in-process maintenance (the rename swaps must not
+        interleave)."""
         if self.ivf_index_path is None:
             raise LookupError("no IVF index configured on this service")
-        k = similarity.retrain_ivf_index(
-            self.spark, self.ivf_index_path, n_centroids
-        )
-        self._ivf_n_centroids = int(k)
-        self._ivf_health_cache = None
+        with self._maintenance_lock:
+            k = similarity.retrain_ivf_index(
+                self.spark, self.ivf_index_path, n_centroids
+            )
+            self._ivf_n_centroids = int(k)
+            self._ivf_manifest_mtime = path_mtime(
+                self.spark, similarity._ivf_manifest_path(self.ivf_index_path)
+            )
+            self._ivf_health_cache = None
         return {
             "data": {"path": self.ivf_index_path, "n_centroids": int(k)},
             "request_id": new_request_id(request_id),
@@ -279,20 +333,26 @@ class CorpusService:
         to one file per centroid partition; text postings to one file
         per term bucket) and report which ran.  Results are
         bit-identical by the operators' contract — this moves bytes,
-        never assignments or postings.  Memoized health blocks are
+        never assignments or postings.  The memoized IVF health block is
         dropped so the next read reflects the compacted fan-out.  404
-        when NO store is configured (nothing to compact)."""
+        when NO store is configured (nothing to compact); stores
+        configured but not yet written are skipped (compacting nothing
+        is a no-op, not an error).  Serialized against other in-process
+        maintenance (the rename swaps must not interleave)."""
         if self.ivf_index_path is None and self.text_index_path is None:
             raise LookupError("no index stores configured on this service")
         compacted: list[str] = []
-        if self.ivf_index_path is not None:
-            similarity.compact_ivf_index(self.spark, self.ivf_index_path)
-            self._ivf_health_cache = None
-            compacted.append("ivf")
-        if self.text_index_path is not None:
-            textops.compact_index_store(self.spark, self.text_index_path)
-            self._text_health_cache = None
-            compacted.append("text")
+        with self._maintenance_lock:
+            if self.ivf_index_path is not None and self._ivf_index_ready():
+                similarity.compact_ivf_index(self.spark, self.ivf_index_path)
+                self._ivf_health_cache = None
+                compacted.append("ivf")
+            if self.text_index_path is not None:
+                postings = f"{self.text_index_path}/postings"
+                recover_swap(self.spark, postings)
+                if path_exists(self.spark, postings):
+                    textops.compact_index_store(self.spark, self.text_index_path)
+                    compacted.append("text")
         return {
             "data": {"compacted": compacted},
             "request_id": new_request_id(request_id),

@@ -31,6 +31,21 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+def path_mtime(spark: SparkSession, path: str) -> int:
+    """Modification time (ms since epoch) of ``path``, or -1 when absent —
+    ONE metadata RPC, no data read.
+
+    Used as a cache-invalidation key for sidecar stores that are replaced
+    by RENAME (``swap_into_place``): the renamed-in directory is a new
+    filesystem object carrying its own mtime, so a changed value means
+    the store was swapped since the cache was filled — including by a
+    DIFFERENT process, which in-process invalidation can never see."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return -1
+    return int(fs.getFileStatus(jpath).getModificationTime())
+
+
 def recover_swap(spark: SparkSession, dst: str) -> bool:
     """Heal the one crash window :func:`swap_into_place` leaves open.
 

@@ -931,6 +931,11 @@ def merge_ivf_index(
     trainer and rebuild; that is the IVF operational cycle.
     """
     manifest = _ivf_manifest_path(path)
+    # heal a compaction/retrain crash window before the exists-check and
+    # centroid read below: with only path__old present, the append would
+    # otherwise fail (availability) or, worse, create a batch-only store
+    recover_swap(spark, path)
+    recover_swap(spark, manifest)
     # ONLY a confirmed-missing manifest is "legacy index"; a failing
     # READ (permissions, transient IO, corrupt parquet) must propagate —
     # swallowing it would skip the n_centroids validation in exactly the
@@ -1166,6 +1171,13 @@ def retrain_ivf_index(spark, path: str, n_centroids: int | None = None) -> int:
     recover_swap(spark, manifest)
     if n_centroids is None:
         n_centroids = recommended_n_centroids(spark, path)
+    if int(n_centroids) < 1:
+        # ivf_assign with an empty centroid set yields an EMPTY assignment,
+        # and the swap below would then replace the live index with an
+        # empty store (deleting the recovery copy) — validate before any IO
+        raise ValueError(
+            f"retrain_ivf_index: n_centroids must be >= 1, got {n_centroids}"
+        )
     vectors = spark.read.parquet(path).select("vec_id", "label", "embedding")
     assign = ivf_assign(vectors, n_centroids).select("vec_id", "centroid_id")
     tmp = path.rstrip("/") + "__retraining"

@@ -3525,7 +3525,15 @@ def merge_text_index(
     Scale shape: indexing cost is one scan of the NEW batch only; the
     repartition-before-partitionBy discipline keeps the append at one
     file per bucket; stats are a 1-row read + 1-row write.
+
+    Crash safety: heals a :func:`compact_index_store` crash window
+    (``recover_swap``) before appending — see the comment at the write.
     """
+    # heal a compaction crash window FIRST: without this, an append that
+    # lands while only postings__old exists silently CREATES a postings
+    # store holding just this batch, and the next compaction's swap then
+    # deletes the recovery copy — permanent loss of every older posting
+    recover_swap(spark, f"{path}/postings")
     dl = new_documents.selectExpr("doc_id", f"{TOKENS} AS toks").selectExpr(
         "doc_id", "toks", "CAST(size(toks) AS BIGINT) AS dl"
     )
@@ -3571,6 +3579,9 @@ def merge_positional_index(
     one extra file per touched bucket per batch; indexing cost is one
     scan of the new batch.
     """
+    # same compaction-crash-window healing as merge_text_index: never
+    # append-create a store whose only surviving copy is at __old
+    recover_swap(documents.sparkSession, f"{path}/postings")
     toks = documents.selectExpr(
         "doc_id", f"posexplode_outer({TOKENS}) AS (pos, token)"
     ).filter("token IS NOT NULL AND token != ''")

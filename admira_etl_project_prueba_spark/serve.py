@@ -299,10 +299,23 @@ def make_handler(svc: MetricsService, corpus=None):
                     "/corpus/index_retrain",
                 ):
                     # n_centroids only passed when supplied — omitting it
-                    # selects the service's provisioning-rule default
+                    # selects the service's provisioning-rule default.
+                    # Parse STRICTLY: _int's silent default-on-garbage would
+                    # map "?n_centroids=abc" to a destructive value instead
+                    # of a 400 (the operator also validates >= 1 at depth)
                     kw = {}
-                    if _first(qs, "n_centroids"):
-                        kw["n_centroids"] = _int(qs, "n_centroids", 0)
+                    raw_k = _first(qs, "n_centroids")
+                    if raw_k:
+                        try:
+                            kw["n_centroids"] = int(raw_k)
+                        except ValueError:
+                            raise ValidationError(
+                                f"invalid n_centroids: {raw_k!r}"
+                            )
+                        if kw["n_centroids"] < 1:
+                            raise ValidationError(
+                                f"n_centroids must be >= 1, got {raw_k}"
+                            )
                     return self._send(
                         200, corpus.index_retrain(request_id=rid, **kw)
                     )

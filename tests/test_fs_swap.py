@@ -73,3 +73,59 @@ def test_streaming_store_exists_recovers_crashed_swap(spark, tmp_path):
     _mkstore(dst + "__old", "counts")
     assert _store_exists(spark, dst) is True   # recovered, not "first batch"
     assert _marker(dst) == "counts"
+
+
+def test_append_merge_heals_compaction_crash_window(spark, sf_dir, tmp_path):
+    """An append-merge landing while only postings__old exists (a
+    compaction crashed between its two renames) must RECOVER the store
+    first — otherwise mode('append') silently creates a batch-only store
+    and the next compaction deletes the recovery copy (total index loss,
+    no error)."""
+    import shutil
+
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bm25_from_index,
+        compact_index_store,
+        merge_text_index,
+        write_text_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "txt")
+    write_text_index(docs.filter("doc_id < 300"), path, num_buckets=8)
+    n_before = spark.read.parquet(f"{path}/postings").count()
+    # simulate the compaction crash window: only __old survives
+    shutil.move(f"{path}/postings", f"{path}/postings__old")
+    merge_text_index(spark, path, docs.filter("doc_id >= 300"), num_buckets=8)
+    n_after = spark.read.parquet(f"{path}/postings").count()
+    assert n_after > n_before  # old postings survived + batch appended
+    import os
+
+    assert not os.path.exists(f"{path}/postings__old")
+    # the full cycle stays healthy: compact and query
+    compact_index_store(spark, path)
+    assert spark.read.parquet(f"{path}/postings").count() == n_after
+    assert bm25_from_index(spark, path, ["the"]).count() >= 0
+
+
+def test_ivf_merge_heals_compaction_crash_window(spark, sf_dir, tmp_path):
+    """Same hazard for the IVF append-merge: with only path__old present
+    the merge must heal and proceed against the recovered index."""
+    import os
+    import shutil
+
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        merge_ivf_index,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb.filter("vec_id < 300"), path)
+    n_before = spark.read.parquet(path).count()
+    shutil.move(path, path + "__old")
+    merge_ivf_index(spark, path, emb.filter("vec_id >= 300"))
+    assert spark.read.parquet(path).count() > n_before
+    assert not os.path.exists(path + "__old")

@@ -232,3 +232,18 @@ def test_every_route_dispatches_with_full_passthrough(parity_server):
         code, body = _call(base, http_method, path)
         assert code == 200, f"{name}: {code} {body}"
         assert svc.calls.get(name) == expected
+
+
+def test_index_retrain_invalid_n_centroids_is_400(parity_server):
+    """_int()-style silent default would map garbage to a DESTRUCTIVE
+    centroid count; the route must 400 on unparseable or < 1 values and
+    never dispatch to the service."""
+    base, _, corpus = parity_server
+    for q in ("abc", "0", "-4"):
+        req = urllib.request.Request(
+            f"{base}/corpus/index_retrain?n_centroids={q}", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400, q
+    assert "index_retrain" not in corpus.calls

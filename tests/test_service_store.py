@@ -1117,3 +1117,56 @@ def test_index_retrain_and_compact_service_cycle(spark, sf_dir, tmp_path):
         bare.index_retrain()
     with _pytest.raises(LookupError):
         bare.index_compact()
+
+
+def test_similar_docs_sees_out_of_band_retrain(spark, sf_dir, tmp_path):
+    """A retrain run OUTSIDE this service instance (batch job, second
+    worker) must invalidate the memoized centroid count: the manifest is
+    replaced by rename, so its directory mtime changes — probing the new
+    layout with the old count would silently read lists that no longer
+    exist."""
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        retrain_ivf_index,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(emb, ivf, n_centroids=16)
+    svc = CorpusService(spark, documents=docs, embeddings=emb, ivf_index_path=ivf)
+    before = svc.similar_docs(vec_id=5, k=3)
+    assert before["method"] == "ivf_index"
+    assert svc._ivf_n_centroids == 16
+    # out-of-band: a DIFFERENT actor retrains the shared store
+    retrain_ivf_index(spark, ivf, n_centroids=8)
+    after = svc.similar_docs(vec_id=5, k=3)  # must probe with the NEW count
+    assert svc._ivf_n_centroids == 8
+    assert after["method"] == "ivf_index" and len(after["data"]) == 3
+    assert after["index"]["n_lists"] <= 8
+
+
+def test_index_routes_pollable_before_stores_exist(spark, sf_dir, tmp_path):
+    """A service configured with index paths that have not been written
+    yet (fresh deployment) must stay serviceable: health reports the
+    store absent instead of 500ing, /corpus/similar falls back to the
+    exact path, and compaction skips the missing stores."""
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    svc = CorpusService(
+        spark, documents=docs, embeddings=emb,
+        ivf_index_path=str(tmp_path / "nonexistent_ivf"),
+        text_index_path=str(tmp_path / "nonexistent_txt"),
+    )
+    h = svc.index_health()["data"]
+    assert h["ivf"] == {"path": str(tmp_path / "nonexistent_ivf"), "absent": True}
+    assert h["text"] == {"path": str(tmp_path / "nonexistent_txt"), "absent": True}
+    sim = svc.similar_docs(vec_id=5, k=3)
+    assert sim["method"] == "exact" and len(sim["data"]) == 3
+    assert sim["index"]["absent"] is True
+    assert svc.index_compact()["data"]["compacted"] == []

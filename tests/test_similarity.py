@@ -692,3 +692,26 @@ def test_ivf_retrain_recommended_count_and_crash_recovery(spark, sf_dir, tmp_pat
     )
     # all 200 vectors survived the recovery + retrain
     assert spark.read.parquet(path).count() == 200
+
+
+def test_ivf_retrain_rejects_nonpositive_centroid_count(spark, sf_dir, tmp_path):
+    """retrain with n_centroids < 1 must raise BEFORE any IO: ivf_assign
+    over an empty centroid set yields an empty assignment, and the swap
+    would replace the live index with an empty store (destroying the
+    recovery copy)."""
+    import pytest as _pytest
+
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        retrain_ivf_index,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 100")
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, n_centroids=4)
+    for bad in (0, -3):
+        with _pytest.raises(ValueError, match="n_centroids must be >= 1"):
+            retrain_ivf_index(spark, path, n_centroids=bad)
+    # the index is untouched
+    assert spark.read.parquet(path).count() == 100
