@@ -82,10 +82,13 @@ class CorpusService:
         self._ivf_n_centroids: int | None = None
         self._ivf_manifest_mtime: int | None = None
         # rename-swap maintenance (retrain/compact) must not interleave
-        # with itself: two concurrent POSTs would race the same
-        # dst/dst__old renames.  In-process serialization; cross-process
-        # deployments schedule maintenance from one place.
-        self._maintenance_lock = threading.Lock()
+        # with itself OR with a read path's crash-window recovery: a
+        # probe restoring __old between an in-flight swap's two renames
+        # would make the swap's second rename land inside an existing
+        # directory.  RLock because index_compact holds it while calling
+        # _ivf_index_ready, which may heal.  In-process serialization;
+        # cross-process deployments schedule maintenance from one place.
+        self._maintenance_lock = threading.RLock()
 
     # -- GET /corpus/dedup/pairs --------------------------------------------
     def near_dup_pairs(
@@ -192,6 +195,20 @@ class CorpusService:
                 out["index"] = {"path": self.ivf_index_path, "absent": True}
         return out
 
+    def _heal_crashed_swap(self, path: str) -> None:
+        """Crash-window recovery for the READ paths: cheap unlocked probe
+        (two exists RPCs), but the recovery rename itself runs under the
+        maintenance lock — otherwise a probe could restore ``__old``
+        between an IN-FLIGHT swap's two renames and the swap's second
+        rename would land inside the restored directory.  recover_swap
+        re-checks under the lock, so losing the race to the swap (store
+        reappears) degrades to a no-op."""
+        if not path_exists(self.spark, path) and path_exists(
+            self.spark, path.rstrip("/") + "__old"
+        ):
+            with self._maintenance_lock:
+                recover_swap(self.spark, path)
+
     def _ivf_index_ready(self) -> bool:
         """True when the configured IVF store and its manifest exist
         (healing a crashed swap first), refreshing the memoized centroid
@@ -200,8 +217,8 @@ class CorpusService:
         (``functions/fs.path_mtime``: a rename-swap installs a new
         directory object).  One metadata RPC on the no-change path."""
         manifest = similarity._ivf_manifest_path(self.ivf_index_path)
-        recover_swap(self.spark, self.ivf_index_path)
-        recover_swap(self.spark, manifest)
+        self._heal_crashed_swap(self.ivf_index_path)
+        self._heal_crashed_swap(manifest)
         mt = path_mtime(self.spark, manifest)
         if mt == -1 or not path_exists(self.spark, self.ivf_index_path):
             return False
@@ -285,7 +302,7 @@ class CorpusService:
             out["data"]["ivf"] = None
         if self.text_index_path is not None:
             postings = f"{self.text_index_path}/postings"
-            recover_swap(self.spark, postings)
+            self._heal_crashed_swap(postings)
             out["data"]["text"] = (
                 self._text_index_health()
                 if path_exists(self.spark, postings)

@@ -1170,3 +1170,25 @@ def test_index_routes_pollable_before_stores_exist(spark, sf_dir, tmp_path):
     assert sim["method"] == "exact" and len(sim["data"]) == 3
     assert sim["index"]["absent"] is True
     assert svc.index_compact()["data"]["compacted"] == []
+
+
+def test_similar_docs_heals_crashed_swap(spark, sf_dir, tmp_path):
+    """A probe arriving in a maintenance crash window (only index__old
+    present) must recover the store and serve the indexed path — the
+    lock-guarded heal, not the silent exact fallback."""
+    import os
+    import shutil
+
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.operators.similarity import write_ivf_index
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(emb, ivf, n_centroids=16)
+    shutil.move(ivf, ivf + "__old")  # the crash window
+    svc = CorpusService(spark, documents=docs, embeddings=emb, ivf_index_path=ivf)
+    sim = svc.similar_docs(vec_id=5, k=3)
+    assert sim["method"] == "ivf_index" and len(sim["data"]) == 3
+    assert not os.path.exists(ivf + "__old")
