@@ -812,6 +812,47 @@ def _growth_law_r9_experiment(spark) -> dict:
     return out
 
 
+def _growth_law_containment_experiment(spark) -> dict:
+    """10x growth rehearsal for containment_pairs after its round-8
+    rebuild (codegen postings + one checkpoint).  On a constant-cluster
+    corpus (clusters of 4 exact copies, zero cross-cluster shingles)
+    directed containment pairs grow linearly (4·3·N/4), and the
+    max_shingle_df cap bounds the self-join fan-out by sum(df²) ≤
+    max_df · postings — so both the OUTPUT and the physical work should
+    track the corpus ~linearly, never corpus²."""
+    from admira_etl_project_prueba_spark.operators import textops as tx
+
+    def corpus(n):
+        return spark.sql(
+            f"""SELECT id AS doc_id,
+                   array_join(transform(sequence(1, 16),
+                       j -> concat('w', CAST(CAST(id / 4 AS BIGINT) AS STRING),
+                                   'x', CAST(j AS STRING))), ' ') AS text,
+                   'en' AS lang,
+                   concat('src_', CAST(id % 8 AS STRING)) AS source
+            FROM range({n})"""
+        )
+
+    res = {}
+    for label, n in zip(("1x", "10x"), (10_000, 100_000)):
+        res[label] = run_measured(
+            spark, lambda n=n: tx.containment_pairs(corpus(n))
+        )
+        res[label]["n_pairs"] = tx.containment_pairs(corpus(n)).count()
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+    res["pairs_ratio"] = round(
+        res["10x"]["n_pairs"] / max(res["1x"]["n_pairs"], 1), 1
+    )
+    res["records_ratio"] = round(
+        res["10x"]["shuffle_records"] / max(res["1x"]["shuffle_records"], 1), 1
+    )
+    res["theoretical"] = (
+        "linear: pairs C(4,2)*2 per cluster; self-join fan-out df-capped"
+    )
+    return {"containment_pairs": dict(docs_1x=10_000, **res)}
+
+
 def _growth_law_r7_experiment(spark) -> dict:
     """10x growth rehearsal for the round-7 heavyweights (VERDICT r6 #8).
 
@@ -1279,6 +1320,16 @@ if __name__ == "__main__":
         print(
             json.dumps(
                 {"growth_laws_10x_r7": _growth_law_r7_experiment(fresh_session())}
+            )
+        )
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "growth9c":
+        print(
+            json.dumps(
+                {
+                    "growth_laws_10x_containment": (
+                        _growth_law_containment_experiment(fresh_session())
+                    )
+                }
             )
         )
     elif len(_sys.argv) > 1 and _sys.argv[1] == "growth9":
