@@ -31,6 +31,7 @@ from admira_etl_project_prueba_spark.functions.fs import (
     path_exists,
     path_mtime,
     recover_swap,
+    swap_window_open,
 )
 from admira_etl_project_prueba_spark.operators import similarity, textops
 from admira_etl_project_prueba_spark.operators.queries import page_info, paginate
@@ -203,9 +204,7 @@ class CorpusService:
         rename would land inside the restored directory.  recover_swap
         re-checks under the lock, so losing the race to the swap (store
         reappears) degrades to a no-op."""
-        if not path_exists(self.spark, path) and path_exists(
-            self.spark, path.rstrip("/") + "__old"
-        ):
+        if swap_window_open(self.spark, path):
             with self._maintenance_lock:
                 recover_swap(self.spark, path)
 
@@ -550,6 +549,10 @@ class CorpusService:
             )
 
             def _read(path: str) -> DataFrame:
+                # histogram stores fold via swap_into_place — heal a
+                # merge that crashed between its renames before deciding
+                # the snapshot is "not readable" (it is recoverable)
+                self._heal_crashed_swap(path)
                 try:
                     return self.spark.read.parquet(path)
                 except Exception as exc:

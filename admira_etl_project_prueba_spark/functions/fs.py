@@ -59,12 +59,28 @@ def recover_swap(spark: SparkSession, dst: str) -> bool:
     Returns True when a recovery rename was performed.
     """
     fs, jdst, jvm = _fs_and_path(spark, dst)
-    jold = jvm.org.apache.hadoop.fs.Path(dst.rstrip("/") + "__old")
+    jold = jvm.org.apache.hadoop.fs.Path(_old_path(dst))
     if not fs.exists(jdst) and fs.exists(jold):
         if not fs.rename(jold, jdst):
             raise IOError(f"recover_swap: rename {jold} -> {dst} failed")
         return True
     return False
+
+
+def _old_path(dst: str) -> str:
+    """The recovery-copy location :func:`swap_into_place` uses — the
+    naming rule lives HERE, next to the swap, so probes can't drift."""
+    return dst.rstrip("/") + "__old"
+
+
+def swap_window_open(spark: SparkSession, dst: str) -> bool:
+    """True when a crashed :func:`swap_into_place` left only the
+    recovery copy (``dst`` absent, ``dst__old`` present) — the cheap
+    unlocked probe callers use to decide whether to take a lock and
+    :func:`recover_swap`.  Two metadata RPCs, no data read."""
+    fs, jdst, jvm = _fs_and_path(spark, dst)
+    jold = jvm.org.apache.hadoop.fs.Path(_old_path(dst))
+    return (not fs.exists(jdst)) and bool(fs.exists(jold))
 
 
 def swap_into_place(spark: SparkSession, tmp: str, dst: str) -> None:

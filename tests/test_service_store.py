@@ -1192,3 +1192,64 @@ def test_similar_docs_heals_crashed_swap(spark, sf_dir, tmp_path):
     sim = svc.similar_docs(vec_id=5, k=3)
     assert sim["method"] == "ivf_index" and len(sim["data"]) == 3
     assert not os.path.exists(ivf + "__old")
+
+
+def test_read_path_recovery_takes_the_maintenance_lock(spark, sf_dir, tmp_path):
+    """The probe's crash-window recovery must serialize against
+    maintenance: an unlocked recover could restore __old between an
+    in-flight swap's two renames.  Pin both halves of the contract:
+    (a) _heal_crashed_swap acquires the maintenance lock around the
+    recovery rename; (b) the lock is REENTRANT — index_compact holds it
+    while _ivf_index_ready may heal, which deadlocks under a plain
+    Lock."""
+    import shutil
+    import threading
+
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.operators.similarity import write_ivf_index
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(emb, ivf, n_centroids=16)
+    svc = CorpusService(spark, documents=docs, embeddings=emb, ivf_index_path=ivf)
+
+    class _ProbeLock:
+        """Delegates to an RLock, recording acquisitions."""
+
+        def __init__(self):
+            self.inner = threading.RLock()
+            self.acquisitions = 0
+
+        def __enter__(self):
+            self.acquisitions += 1
+            return self.inner.__enter__()
+
+        def __exit__(self, *exc):
+            return self.inner.__exit__(*exc)
+
+    probe = _ProbeLock()
+    svc._maintenance_lock = probe
+    # (a) healing a crash window goes through the lock
+    shutil.move(ivf, ivf + "__old")
+    assert svc.similar_docs(vec_id=5, k=3)["method"] == "ivf_index"
+    assert probe.acquisitions >= 1
+    # healthy-store probes do NOT touch the lock (hot path stays lock-free)
+    before = probe.acquisitions
+    svc.similar_docs(vec_id=5, k=3)
+    assert probe.acquisitions == before
+    # (b) reentrancy: compact holds the lock while readiness may heal —
+    # plant another crash window and run compact end-to-end (a plain
+    # Lock here would deadlock)
+    shutil.move(ivf, ivf + "__old")
+    done = []
+
+    def run():
+        done.append(svc.index_compact()["data"]["compacted"])
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), "index_compact deadlocked on the maintenance lock"
+    assert done and done[0] == ["ivf"]
