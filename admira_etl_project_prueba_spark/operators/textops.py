@@ -456,9 +456,16 @@ def source_reputation(
     """
     from pyspark.sql import Window
 
+    # the verdict frame feeds TWO consumers below (the per-source rollup
+    # and the dominant-language count) and Spark has no cross-branch CSE
+    # — when we scored it ourselves, materialize the narrow frame so the
+    # full-text quality scan runs once, not once per consumer (hygiene
+    # rule 6; callers passing a precomputed frame already did this)
     q = (quality if quality is not None else quality_filter(documents, langs=langs)).select(
         "doc_id", "n_tokens", "ttr", "stopword_ratio", "lang_predicted", "kept"
     )
+    if quality is None:
+        q = q.localCheckpoint()
     d = documents.select(
         "doc_id", F.coalesce("source", F.lit(UNKNOWN_SOURCE)).alias("source")
     ).join(q, "doc_id")
