@@ -1006,6 +1006,41 @@ def events_approx_distinct(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     )
 
 
+def events_approx_distinct_checked(
+    events: DataFrame, rsd: float = 0.02, rel_tol: float = 0.10
+) -> DataFrame:
+    """The gate twin of :func:`events_approx_distinct`: a DETERMINISTIC,
+    exact-SQL-checkable frame that still exercises the HLL++ sketch.
+
+    The sketch estimate itself is engine-specific (no exact oracle can
+    exist for it), so the released columns are the exact distinct count
+    per type plus ``hll_within_tol`` — 1 iff the engine's HLL estimate
+    sits within ``rel_tol`` relative error of the exact count (5 sigma at
+    rsd=0.02).  An oracle asserting ``hll_within_tol = 1`` hash-verifies
+    the sketch's accuracy contract without hashing the estimate.  The
+    exact COUNT(DISTINCT) is gate-SF-only scaffolding; production
+    cardinality work uses the sketch-only operator above (mergeable,
+    shuffle flat in cardinality).
+    """
+    agg = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("_hll"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_hll") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(float(rel_tol))
+        )
+        .cast("int")
+        .alias("hll_within_tol"),
+    )
+
+
 def top_users_by_value(events: DataFrame, k: int = 50) -> DataFrame:
     """Global top-k users by exact total value, with dense ranking.
 

@@ -189,15 +189,10 @@ CATALOG: dict[str, CatalogEntry] = {}
 #: ≤ ``rel_tol`` (0.0 ⇒ exact), so the local gate proves value quality,
 #: not just row counts.  Reference columns are aliased to the Spark names.
 BOUNDED_ORACLES: dict[str, dict] = {
-    "events_approx_distinct": {
-        # HLL++ rsd=0.02 ⇒ 0.10 allows 5 standard deviations
-        "sql": """SELECT event_type,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users,
-       COUNT(*) AS n_events
-FROM events GROUP BY 1""",
-        "keys": ["event_type"],
-        "rel_tol": {"approx_users": 0.10, "n_events": 0.0},
-    },
+    # events_approx_distinct graduated to a hash-exact oracle in round 9:
+    # the gated frame is now the deterministic bound-check (exact count +
+    # hll_within_tol), so the 0.10-rel-tol bounded spec it carried here is
+    # enforced INSIDE the query and hash-verified by the exact oracle.
     "events_distinct_rollup_sketched": {
         # lg_k=12 Datasketches HLL: rsd ~ 1.04/sqrt(4096) = 1.6%; 0.05
         # allows 3 standard deviations on every grain including 'ALL'
@@ -1259,13 +1254,21 @@ def _q_json_props(spark, sf_dir):
 
 @_entry(
     "events_approx_distinct",
-    "HyperLogLog++ approximate distinct users per type — mergeable-sketch "
-    "cardinality (engine-specific sketch ⇒ rows-only check; error bound "
-    "pinned in pytest).",
-    None,
+    "HyperLogLog++ distinct users per type, released as a DETERMINISTIC "
+    "bound-check frame: exact count + hll_within_tol flag (1 iff the "
+    "sketch estimate is within 10% = 5 sigma of exact).  The sketch is "
+    "exercised on the Spark side; the oracle asserts the accuracy "
+    "contract holds without hashing the engine-specific estimate.  The "
+    "sketch-only production form stays in analytics.events_approx_distinct "
+    "(pytest error bound).",
+    """SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       COUNT(*) AS n_events,
+       CAST(1 AS INTEGER) AS hll_within_tol
+FROM events GROUP BY 1""",
 )
 def _q_approx_distinct(spark, sf_dir):
-    return analytics.events_approx_distinct(load_events(spark, sf_dir))
+    return analytics.events_approx_distinct_checked(load_events(spark, sf_dir))
 
 
 @_entry(
