@@ -28,9 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from admira_etl_project_prueba_spark.functions.fs import (
+    heal_if_crashed,
     path_exists,
     path_mtime,
-    recover_swap,
     swap_window_open,
 )
 from admira_etl_project_prueba_spark.operators import similarity, textops
@@ -196,17 +196,21 @@ class CorpusService:
                 out["index"] = {"path": self.ivf_index_path, "absent": True}
         return out
 
-    def _heal_crashed_swap(self, path: str) -> None:
+    def _heal_crashed_swap(self, path: str, lease_root: str | None = None) -> None:
         """Crash-window recovery for the READ paths: cheap unlocked probe
-        (two exists RPCs), but the recovery rename itself runs under the
-        maintenance lock — otherwise a probe could restore ``__old``
-        between an IN-FLIGHT swap's two renames and the swap's second
-        rename would land inside the restored directory.  recover_swap
-        re-checks under the lock, so losing the race to the swap (store
-        reappears) degrades to a no-op."""
+        (two exists RPCs), then the lease-guarded heal.  The in-process
+        maintenance lock serializes against THIS service's writers; the
+        filesystem lease inside ``fs.heal_if_crashed`` additionally
+        serializes against a swap in flight in a DIFFERENT process —
+        without it a probe could restore ``__old`` between that swap's
+        two renames and the swap's second rename would land inside the
+        restored directory.  A fresh foreign lease makes the heal a
+        no-op (the live writer will close the window itself); sidecar
+        paths pass their store's primary path as ``lease_root`` so
+        store and sidecar share one lease."""
         if swap_window_open(self.spark, path):
             with self._maintenance_lock:
-                recover_swap(self.spark, path)
+                heal_if_crashed(self.spark, path, lease_root=lease_root)
 
     def _ivf_index_ready(self) -> bool:
         """True when the configured IVF store and its manifest exist
@@ -217,7 +221,7 @@ class CorpusService:
         directory object).  One metadata RPC on the no-change path."""
         manifest = similarity._ivf_manifest_path(self.ivf_index_path)
         self._heal_crashed_swap(self.ivf_index_path)
-        self._heal_crashed_swap(manifest)
+        self._heal_crashed_swap(manifest, lease_root=self.ivf_index_path)
         mt = path_mtime(self.spark, manifest)
         if mt == -1 or not path_exists(self.spark, self.ivf_index_path):
             return False
@@ -313,24 +317,33 @@ class CorpusService:
 
     # -- POST /corpus/index_retrain --------------------------------------------
     def index_retrain(
-        self, n_centroids: int | None = None, request_id: str | None = None
+        self,
+        n_centroids: int | None = None,
+        assign_mode: str = "auto",
+        request_id: str | None = None,
     ) -> dict:
         """The ACT side of the retrain loop ``index_health`` monitors:
         run ``similarity.retrain_ivf_index`` on the configured IVF store
         (``n_centroids=None`` → the measured provisioning rule via
-        ``recommended_n_centroids``).  Refreshes the memoized centroid
-        count the /corpus/similar probe uses — a stale value would probe
-        the retrained layout with the OLD list universe — and drops the
-        memoized health block so the next read reflects the new layout.
-        404 (LookupError) when no IVF store is configured: retraining
-        nothing is an operator error, not an empty success.  Serialized
-        against other in-process maintenance (the rename swaps must not
-        interleave)."""
+        ``recommended_n_centroids``; ``assign_mode`` selects the
+        assignment kernel — auto/exact/coarse, see the operator's n·k
+        escape hatch — validated HERE so garbage 400s before the lock).
+        Refreshes the memoized centroid count the /corpus/similar probe
+        uses — a stale value would probe the retrained layout with the
+        OLD list universe — and drops the memoized health block so the
+        next read reflects the new layout.  404 (LookupError) when no
+        IVF store is configured: retraining nothing is an operator
+        error, not an empty success.  Serialized against other
+        in-process maintenance (the rename swaps must not interleave)."""
         if self.ivf_index_path is None:
             raise LookupError("no IVF index configured on this service")
+        if assign_mode not in ("auto", "exact", "coarse"):
+            raise ValidationError(
+                f"assign_mode must be auto|exact|coarse, got {assign_mode!r}"
+            )
         with self._maintenance_lock:
             k = similarity.retrain_ivf_index(
-                self.spark, self.ivf_index_path, n_centroids
+                self.spark, self.ivf_index_path, n_centroids, assign_mode=assign_mode
             )
             self._ivf_n_centroids = int(k)
             self._ivf_manifest_mtime = path_mtime(
@@ -365,7 +378,7 @@ class CorpusService:
                 compacted.append("ivf")
             if self.text_index_path is not None:
                 postings = f"{self.text_index_path}/postings"
-                recover_swap(self.spark, postings)
+                heal_if_crashed(self.spark, postings)
                 if path_exists(self.spark, postings):
                     textops.compact_index_store(self.spark, self.text_index_path)
                     compacted.append("text")

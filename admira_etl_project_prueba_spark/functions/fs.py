@@ -8,6 +8,9 @@ against a cluster filesystem at scale.
 
 from __future__ import annotations
 
+import time
+from contextlib import contextmanager
+
 from pyspark.sql import SparkSession
 
 
@@ -44,6 +47,40 @@ def path_mtime(spark: SparkSession, path: str) -> int:
     if not fs.exists(jpath):
         return -1
     return int(fs.getFileStatus(jpath).getModificationTime())
+
+
+def list_child_names(spark: SparkSession, path: str) -> list[str]:
+    """Basenames of ``path``'s direct children (one listing RPC), or []
+    when absent.  The Hadoop-FS replacement for ``os.listdir`` so store
+    code that enumerates partition directories (``date=...``) works on
+    HDFS/S3A URIs, not just the local filesystem."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def dir_nonempty(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists and has at least one non-hidden child —
+    the "store has been written" probe (`_SUCCESS`/`.crc` markers alone
+    don't count as data)."""
+    return any(
+        not n.startswith(("_", ".")) for n in list_child_names(spark, path)
+    )
+
+
+def count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
+    """Recursive count of data files under ``path`` (compaction's
+    before/after metric).  Uses the FileSystem's recursive iterator —
+    one listing stream, no per-directory Python round trips."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    it, n = fs.listFiles(jpath, True), 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            n += 1
+    return n
 
 
 def recover_swap(spark: SparkSession, dst: str) -> bool:
@@ -108,3 +145,162 @@ def swap_into_place(spark: SparkSession, tmp: str, dst: str) -> None:
         fs.rename(jold, jdst)
         raise IOError(f"swap_into_place: rename {tmp} -> {dst} failed")
     fs.delete(jold, True)
+
+
+# ---------------------------------------------------------------------------
+# Single-writer maintenance lease
+# ---------------------------------------------------------------------------
+#
+# Two PROCESSES running compact/retrain/merge-folds on the same store can
+# interleave `swap_into_place`'s renames (A renames dst -> dst__old; B's
+# rename of dst fails or, worse, B deletes the __old A still needs) — the
+# in-process service lock cannot see a second worker.  The lease is a
+# filesystem-native mutex: an ATOMIC exclusive file create
+# (`FileSystem.createNewFile`, atomic on HDFS and the local FS; a
+# conditional-put equivalent on object stores) on a sidecar
+# `<store>__lease` path.  A holder that crashes leaves the lease file
+# behind; takeover is mtime-based — a lease older than ``stale_ms`` is
+# presumed dead and deleted (two racing takeovers both delete, then both
+# attempt the atomic create and exactly one wins).
+#
+# Scope rule: ONE lease per store, keyed on the store's primary path —
+# sidecars (the IVF manifest) are covered by their store's lease, so a
+# retrain's two swaps are a single critical section.
+
+#: presume a lease holder dead after this long without finishing.  Sized
+#: for maintenance ops (index-sized rewrites), not corpus scans; pass a
+#: larger value explicitly for rewrites expected to exceed it.
+LEASE_STALE_MS = 60 * 60 * 1000
+
+
+def _lease_path(dst: str) -> str:
+    return dst.rstrip("/") + "__lease"
+
+
+def _local_lease_file(dst: str) -> str | None:
+    """The lease file as an OS path when ``dst`` is on the local
+    filesystem, else None.  The split matters for ATOMICITY: Hadoop's
+    ``RawLocalFileSystem.create(f, overwrite=False)`` is check-then-create
+    (two racing writers can BOTH win — observed in the concurrency test),
+    while ``os.open(O_CREAT|O_EXCL)`` is an atomic syscall; on HDFS the
+    namenode makes ``createNewFile`` atomic server-side, so each scheme
+    gets the primitive that is actually exclusive there."""
+    p = _lease_path(dst)
+    if "://" not in p:
+        return p
+    if p.startswith("file:"):
+        return "/" + p[len("file:") :].lstrip("/")
+    return None
+
+
+def try_acquire_lease(
+    spark: SparkSession, dst: str, stale_ms: int = LEASE_STALE_MS
+) -> bool:
+    """One non-blocking attempt to take ``dst``'s maintenance lease.
+    True ⇒ caller is the single writer until :func:`release_lease`."""
+    import os
+
+    local = _local_lease_file(dst)
+    if local is not None:
+        try:
+            age_ms = int(time.time() * 1000) - int(
+                os.stat(local).st_mtime * 1000
+            )
+            if age_ms <= int(stale_ms):
+                return False
+            os.remove(local)  # stale takeover; losers fall through
+        except FileNotFoundError:
+            pass
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False  # concurrent create won the race
+        os.close(fd)
+        return True
+    fs, _, jvm = _fs_and_path(spark, dst)
+    jlease = jvm.org.apache.hadoop.fs.Path(_lease_path(dst))
+    if fs.exists(jlease):
+        try:
+            age = int(time.time() * 1000) - int(
+                fs.getFileStatus(jlease).getModificationTime()
+            )
+        except Exception:
+            return False  # vanished between exists and stat: holder active
+        if age <= int(stale_ms):
+            return False
+        fs.delete(jlease, False)  # stale takeover; losers fall through
+    try:
+        return bool(fs.createNewFile(jlease))
+    except Exception:
+        return False  # concurrent create won the race
+
+
+def release_lease(spark: SparkSession, dst: str) -> None:
+    import os
+
+    local = _local_lease_file(dst)
+    if local is not None:
+        try:
+            os.remove(local)
+        except FileNotFoundError:
+            pass
+        return
+    fs, _, jvm = _fs_and_path(spark, dst)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(_lease_path(dst)), False)
+
+
+@contextmanager
+def maintenance_lease(
+    spark: SparkSession,
+    dst: str,
+    timeout_s: float = 300.0,
+    poll_s: float = 0.1,
+    stale_ms: int = LEASE_STALE_MS,
+):
+    """Hold ``dst``'s single-writer lease for the duration of a
+    swap-managed rewrite (compact / retrain / merge-fold).  Blocks up to
+    ``timeout_s`` for a competing writer to finish — the "loser waits"
+    contract — then raises TimeoutError rather than proceeding unlocked.
+    """
+    deadline = time.monotonic() + float(timeout_s)
+    while not try_acquire_lease(spark, dst, stale_ms):
+        if time.monotonic() >= deadline:
+            raise TimeoutError(
+                f"maintenance_lease: {_lease_path(dst)} held past {timeout_s}s"
+            )
+        time.sleep(poll_s)
+    try:
+        yield
+    finally:
+        release_lease(spark, dst)
+
+
+def heal_if_crashed(
+    spark: SparkSession,
+    dst: str,
+    lease_root: str | None = None,
+    stale_ms: int = LEASE_STALE_MS,
+) -> bool:
+    """Read-path healing that cannot race a LIVE writer.
+
+    An open swap window (``dst`` absent, ``dst__old`` present) is
+    ambiguous from a reader: a crashed swap (heal it) or another
+    process's swap in flight (do NOT touch — renaming ``__old`` back
+    would make the writer's second rename land inside a restored
+    directory).  The lease disambiguates: healing only proceeds under a
+    non-blocking lease grab on ``lease_root`` (the store's primary path;
+    defaults to ``dst``).  A fresh lease ⇒ live writer ⇒ no-op — the
+    reader treats the store as transiently unavailable, which is the
+    documented retry contract.  Returns True iff a recovery rename ran.
+
+    NOT for use inside a :func:`maintenance_lease` region (the lease is
+    not reentrant) — lease holders call :func:`recover_swap` directly.
+    """
+    if not swap_window_open(spark, dst):
+        return False
+    if not try_acquire_lease(spark, lease_root or dst, stale_ms):
+        return False
+    try:
+        return recover_swap(spark, dst)
+    finally:
+        release_lease(spark, lease_root or dst)

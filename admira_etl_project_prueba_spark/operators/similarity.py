@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from admira_etl_project_prueba_spark.functions.fs import (
+    maintenance_lease,
     path_exists,
     recover_swap,
     swap_into_place,
@@ -250,6 +251,109 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
         (-F.col("m.neg_cid")).cast("long").alias("centroid_id"),
         F.col("m.cosine").alias("cos_to_centroid"),
     )
+
+
+def ivf_assign_coarse(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_groups: int | None = None,
+    group_probe: int = 4,
+) -> DataFrame:
+    """Two-level (coarse-quantizer) IVF assignment — the ESCAPE HATCH for
+    :func:`ivf_assign`'s n·k CPU arm (docs/SCALE.md growth law: scored
+    rows went 101× at 10× corpus with corpus-tracking k, because both n
+    and k grow).
+
+    Same seed-centroid contract (centroids ARE the ``vec_id <
+    n_centroids`` rows, so existing probes keep working), same output
+    schema; only the argmax is approximated, FAISS-IVF-style: the first
+    ``n_groups`` (default ⌈√k⌉) centroids double as a coarse quantizer,
+    each centroid is binned to its nearest coarse group (k·g rows — a
+    model-sized job), each VECTOR scores only the coarse groups (n·g)
+    and then the centroids inside its best ``group_probe`` groups
+    (≈ n·probe·k/g).  Scored rows fall from n·k to n·(g + probe·k/g) =
+    O(n·√k) at the default — the arm that was quadratic when k tracks
+    the corpus becomes n^1.5 in the worst case, and the broadcast stays
+    k centroid vectors either way.  Deterministic (no RNG): ties break
+    to the smaller group/centroid id, so reruns are reproducible.
+
+    Trade-off: a vector whose true nearest centroid lives outside its
+    probed groups lands in a near-best list instead — assignment
+    agreement and probe recall vs the exact argmax are pinned in pytest
+    (test_similarity), and a misassigned vector degrades probe recall
+    marginally, never correctness of what IS returned.
+    """
+    k = int(n_centroids)
+    if n_groups is not None:
+        g = int(n_groups)
+    else:
+        g = int(k**0.5)
+        g += int(g * g < k)  # ⌈√k⌉
+    w = int(group_probe)
+    if g >= k or w >= g:
+        return ivf_assign(embeddings, k)  # no reduction available
+    scored = _coarse_scored(embeddings, k, g, w)
+    best = scored.groupBy("vec_id", "label").agg(
+        F.max(
+            F.struct(F.col("cosine"), (-F.col("centroid_id")).alias("neg_cid"))
+        ).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        (-F.col("m.neg_cid")).cast("long").alias("centroid_id"),
+        F.col("m.cosine").alias("cos_to_centroid"),
+    )
+
+
+def _coarse_scored(embeddings: DataFrame, k: int, g: int, w: int) -> DataFrame:
+    """The two-level kernel's fine-stage scored frame (vec × candidate
+    centroid, cosine attached) — split out so the scale rehearsal can
+    COUNT the rows the kernel actually scores (its headline claim) from
+    the exact dataflow the assignment uses, not a re-derivation that
+    could drift."""
+    cents = _as_double(embeddings.filter(F.col("vec_id") < k), "c").selectExpr(
+        "vec_id AS centroid_id", "c"
+    )
+    supers = cents.filter(F.col("centroid_id") < g).selectExpr(
+        "centroid_id AS group_id", "c AS s"
+    )
+    # centroid → coarse group: k·g rows, both sides model-sized
+    cent_group = (
+        with_cosine(cents.crossJoin(F.broadcast(supers)), "s", "c")
+        .groupBy("centroid_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cosine"), (-F.col("group_id")).alias("ng"))
+            ).alias("m")
+        )
+        .select("centroid_id", (-F.col("m.ng")).cast("long").alias("group_id"))
+    )
+    # vector → top-w coarse groups: ONE hash aggregate (collect g scored
+    # groups per vector, sort_array + slice keeps the best w) — partial-
+    # agg'd map-side, no window sort over n·g rows
+    t = _as_double(embeddings, "v")
+    vec_groups = (
+        with_cosine(t.crossJoin(F.broadcast(supers)), "s", "v")
+        .groupBy("vec_id", "label", "v")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct((-F.col("cosine")).alias("nc"), F.col("group_id"))
+                    )
+                ),
+                1,
+                w,
+            ).alias("top")
+        )
+        .select("vec_id", "label", "v", F.explode("top.group_id").alias("group_id"))
+    )
+    # score only the centroids inside the probed groups
+    cand_cents = F.broadcast(
+        cents.join(cent_group, "centroid_id").select("group_id", "centroid_id", "c")
+    )
+    return with_cosine(vec_groups.join(cand_cents, "group_id"), "c", "v")
 
 
 def write_ivf_index(
@@ -931,6 +1035,15 @@ def merge_ivf_index(
     trainer and rebuild; that is the IVF operational cycle.
     """
     manifest = _ivf_manifest_path(path)
+    # single-writer lease (keyed on the index path, covering the manifest
+    # sidecar): an append-merge racing a compact/retrain in another
+    # process could land mid-swap or append into a directory the swap is
+    # about to delete
+    with maintenance_lease(spark, path):
+        _merge_ivf_locked(spark, path, manifest, new_embeddings, n_centroids)
+
+
+def _merge_ivf_locked(spark, path, manifest, new_embeddings, n_centroids):
     # heal a compaction/retrain crash window before the exists-check and
     # centroid read below: with only path__old present, the append would
     # otherwise fail (availability) or, worse, create a batch-only store
@@ -1110,15 +1223,18 @@ def compact_ivf_index(spark, path: str) -> None:
     no corpus access, no re-assignment.
     """
     tmp = path.rstrip("/") + "__compacting"
-    recover_swap(spark, path)  # heal a crashed prior swap before reading
-    (
-        spark.read.parquet(path)
-        .repartition("centroid_id")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(tmp)
-    )
-    swap_into_place(spark, tmp, path)
+    # single-writer lease on the store: a concurrent retrain/merge in
+    # another process must wait — interleaved renames corrupt the index
+    with maintenance_lease(spark, path):
+        recover_swap(spark, path)  # heal a crashed prior swap (we hold the lease)
+        (
+            spark.read.parquet(path)
+            .repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(tmp)
+        )
+        swap_into_place(spark, tmp, path)
 
 
 def recommended_n_centroids(
@@ -1142,7 +1258,22 @@ def recommended_n_centroids(
     return max(1, -(-n // int(target_per_list)))  # ceil div
 
 
-def retrain_ivf_index(spark, path: str, n_centroids: int | None = None) -> int:
+#: retrain's auto escape hatch trips when the exact assignment would
+#: score more than this many (vector × centroid) rows — n·k is the true
+#: IVF training cost (docs/SCALE.md: 101× scored rows at 10× corpus with
+#: corpus-tracking k); past the threshold the two-level coarse assignment
+#: (O(n·√k) scored rows) takes over.  At the TARGET_VECTORS_PER_LIST
+#: provisioning rule, n·k = n²/64, so this trips around n ≈ 1.8M vectors.
+COARSE_ASSIGN_THRESHOLD = 50_000_000
+
+
+def retrain_ivf_index(
+    spark,
+    path: str,
+    n_centroids: int | None = None,
+    assign_mode: str = "auto",
+    group_probe: int = 4,
+) -> int:
     """Close the maintenance loop :func:`needs_ivf_retrain` monitors:
     re-partition the index under a NEW centroid count, from the index
     alone — the lists carry the vectors themselves, so retraining is one
@@ -1165,8 +1296,32 @@ def retrain_ivf_index(spark, path: str, n_centroids: int | None = None) -> int:
     breadth, never corruption — and re-running retrain heals it: both
     swaps recover first, then the rebuild re-derives everything from
     the surviving index.
+
+    CPU-arm escape hatch (round 9): ``assign_mode`` picks the
+    assignment kernel — ``"exact"`` is the n·k argmax, ``"coarse"`` the
+    two-level :func:`ivf_assign_coarse` (O(n·√k) scored rows), and
+    ``"auto"`` (default) switches to coarse when n·k crosses
+    ``COARSE_ASSIGN_THRESHOLD`` — the measured quadratic law
+    (docs/SCALE.md: 101× scored rows at 10× corpus under the
+    corpus-tracking provisioning rule) now caps itself instead of
+    relying on the operator to notice.
     """
     manifest = _ivf_manifest_path(path)
+    # ONE lease keyed on the index path covers the manifest sidecar too,
+    # so the back-to-back index+manifest swaps are a single critical
+    # section no concurrent compact/merge can interleave
+    if assign_mode not in ("auto", "exact", "coarse"):
+        raise ValueError(
+            f"retrain_ivf_index: assign_mode must be auto|exact|coarse, "
+            f"got {assign_mode!r}"
+        )
+    with maintenance_lease(spark, path):
+        return _retrain_ivf_locked(
+            spark, path, manifest, n_centroids, assign_mode, group_probe
+        )
+
+
+def _retrain_ivf_locked(spark, path, manifest, n_centroids, assign_mode, group_probe):
     recover_swap(spark, path)
     recover_swap(spark, manifest)
     if n_centroids is None:
@@ -1179,7 +1334,19 @@ def retrain_ivf_index(spark, path: str, n_centroids: int | None = None) -> int:
             f"retrain_ivf_index: n_centroids must be >= 1, got {n_centroids}"
         )
     vectors = spark.read.parquet(path).select("vec_id", "label", "embedding")
-    assign = ivf_assign(vectors, n_centroids).select("vec_id", "centroid_id")
+    if assign_mode == "auto":
+        # the n·k CPU law (docs/SCALE.md): exact is fine until the scored-
+        # row volume crosses the threshold, then the O(n·√k) coarse path
+        # takes over — one column-pruned count decides (metadata-cheap
+        # next to the index-sized rewrite this function performs anyway)
+        n = vectors.count()
+        assign_mode = (
+            "coarse" if n * int(n_centroids) > COARSE_ASSIGN_THRESHOLD else "exact"
+        )
+    assigner = ivf_assign if assign_mode == "exact" else (
+        lambda v, k: ivf_assign_coarse(v, k, group_probe=group_probe)
+    )
+    assign = assigner(vectors, int(n_centroids)).select("vec_id", "centroid_id")
     tmp = path.rstrip("/") + "__retraining"
     (
         vectors.join(assign, "vec_id")

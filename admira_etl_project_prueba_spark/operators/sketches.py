@@ -374,21 +374,25 @@ def merge_histogram_store(
     would destroy the store (the same crash-safety discipline as
     index compaction and merge_lm_counts)."""
     from admira_etl_project_prueba_spark.functions.fs import (
+        maintenance_lease,
         recover_swap,
         swap_into_place,
     )
 
-    recover_swap(spark, path)  # heal a crashed prior swap before reading
-    old = spark.read.parquet(path)
-    delta = value_histogram(new_batch, lo, hi, n_bins)
-    merged = (
-        old.unionByName(delta)
-        .groupBy("event_type", "bin")
-        .agg(F.sum("n").cast("long").alias("n"))
-    )
-    tmp = path.rstrip("/") + "__merging"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    swap_into_place(spark, tmp, path)
+    # single-writer lease: two processes folding into one histogram
+    # store would interleave rename swaps
+    with maintenance_lease(spark, path):
+        recover_swap(spark, path)  # heal a crashed prior swap before reading
+        old = spark.read.parquet(path)
+        delta = value_histogram(new_batch, lo, hi, n_bins)
+        merged = (
+            old.unionByName(delta)
+            .groupBy("event_type", "bin")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        tmp = path.rstrip("/") + "__merging"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        swap_into_place(spark, tmp, path)
 
 
 def quantiles_from_store(

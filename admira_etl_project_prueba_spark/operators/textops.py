@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from admira_etl_project_prueba_spark.functions.fs import recover_swap, swap_into_place
+from admira_etl_project_prueba_spark.functions.fs import (
+    maintenance_lease,
+    recover_swap,
+    swap_into_place,
+)
 
 # ---------------------------------------------------------------------------
 # portable primitives
@@ -2432,19 +2436,22 @@ def merge_lm_counts(
     ``lm_dists_from_counts`` of the merged store equals a
     from-scratch model over the concatenated corpus exactly (integer
     count merge, smoothing applied after)."""
-    recover_swap(spark, path)  # heal a crashed prior swap before reading
-    old = spark.read.parquet(path)
-    inc = (
-        _hashed_token_counts(new_batch, n_buckets)
-        .groupBy("b")
-        .agg(F.sum("c").alias("inc"))
-    )
-    merged = old.join(F.broadcast(inc), "b", "left").selectExpr(
-        "b", "CAST(cnt + coalesce(inc, 0) AS BIGINT) AS cnt"
-    )
-    tmp = path.rstrip("/") + "__merging"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    swap_into_place(spark, tmp, path)
+    # single-writer lease: two processes folding batches into one LM
+    # store would interleave rename swaps
+    with maintenance_lease(spark, path):
+        recover_swap(spark, path)  # heal a crashed prior swap before reading
+        old = spark.read.parquet(path)
+        inc = (
+            _hashed_token_counts(new_batch, n_buckets)
+            .groupBy("b")
+            .agg(F.sum("c").alias("inc"))
+        )
+        merged = old.join(F.broadcast(inc), "b", "left").selectExpr(
+            "b", "CAST(cnt + coalesce(inc, 0) AS BIGINT) AS cnt"
+        )
+        tmp = path.rstrip("/") + "__merging"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        swap_into_place(spark, tmp, path)
 
 
 def lm_scores_from_counts(
@@ -3536,43 +3543,48 @@ def merge_text_index(
     Crash safety: heals a :func:`compact_index_store` crash window
     (``recover_swap``) before appending — see the comment at the write.
     """
-    # heal a compaction crash window FIRST: without this, an append that
-    # lands while only postings__old exists silently CREATES a postings
-    # store holding just this batch, and the next compaction's swap then
-    # deletes the recovery copy — permanent loss of every older posting
-    recover_swap(spark, f"{path}/postings")
-    dl = new_documents.selectExpr("doc_id", f"{TOKENS} AS toks").selectExpr(
-        "doc_id", "toks", "CAST(size(toks) AS BIGINT) AS dl"
-    )
-    postings = (
-        dl.selectExpr("doc_id", "dl", "explode(toks) AS term")
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn(
-            "term_bucket", F.expr(f"{hex60('term')} % {num_buckets}").cast("int")
+    # single-writer lease on the postings: an append racing another
+    # process's compaction could land mid-swap (or inside a directory the
+    # swap is about to delete); the stats fold below is read-modify-write
+    with maintenance_lease(spark, f"{path}/postings"):
+        # heal a compaction crash window FIRST: without this, an append
+        # that lands while only postings__old exists silently CREATES a
+        # postings store holding just this batch, and the next
+        # compaction's swap then deletes the recovery copy — permanent
+        # loss of every older posting
+        recover_swap(spark, f"{path}/postings")
+        dl = new_documents.selectExpr("doc_id", f"{TOKENS} AS toks").selectExpr(
+            "doc_id", "toks", "CAST(size(toks) AS BIGINT) AS dl"
         )
-    )
-    (
-        postings.repartition("term_bucket")
-        .write.mode("append")
-        .partitionBy("term_bucket")
-        .parquet(f"{path}/postings")
-    )
-    old = spark.read.parquet(f"{path}/stats")
-    batch = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("b_docs"),
-        F.sum(F.col("dl").cast(_DEC)).alias("b_sum"),
-    )
-    merged = (
-        old.crossJoin(F.broadcast(batch))
-        .selectExpr(
-            "CAST(dl_sum + b_sum AS DOUBLE) / (n_docs + b_docs) AS avgdl",
-            "n_docs + b_docs AS n_docs",
-            f"CAST(dl_sum + b_sum AS {_DEC}) AS dl_sum",
+        postings = (
+            dl.selectExpr("doc_id", "dl", "explode(toks) AS term")
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .withColumn(
+                "term_bucket", F.expr(f"{hex60('term')} % {num_buckets}").cast("int")
+            )
         )
-        .localCheckpoint()
-    )
-    merged.write.mode("overwrite").parquet(f"{path}/stats")
+        (
+            postings.repartition("term_bucket")
+            .write.mode("append")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/postings")
+        )
+        old = spark.read.parquet(f"{path}/stats")
+        batch = dl.agg(
+            F.count(F.lit(1)).cast("long").alias("b_docs"),
+            F.sum(F.col("dl").cast(_DEC)).alias("b_sum"),
+        )
+        merged = (
+            old.crossJoin(F.broadcast(batch))
+            .selectExpr(
+                "CAST(dl_sum + b_sum AS DOUBLE) / (n_docs + b_docs) AS avgdl",
+                "n_docs + b_docs AS n_docs",
+                f"CAST(dl_sum + b_sum AS {_DEC}) AS dl_sum",
+            )
+            .localCheckpoint()
+        )
+        merged.write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def merge_positional_index(
@@ -3586,25 +3598,27 @@ def merge_positional_index(
     one extra file per touched bucket per batch; indexing cost is one
     scan of the new batch.
     """
-    # same compaction-crash-window healing as merge_text_index: never
-    # append-create a store whose only surviving copy is at __old
-    recover_swap(documents.sparkSession, f"{path}/postings")
-    toks = documents.selectExpr(
-        "doc_id", f"posexplode_outer({TOKENS}) AS (pos, token)"
-    ).filter("token IS NOT NULL AND token != ''")
-    postings = (
-        toks.groupBy("doc_id", F.col("token").alias("term"))
-        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-        .withColumn(
-            "term_bucket", F.expr(f"{hex60('term')} % {num_buckets}").cast("int")
+    # same lease + compaction-crash-window healing as merge_text_index:
+    # never append-create a store whose only surviving copy is at __old,
+    # never append during another process's swap
+    with maintenance_lease(documents.sparkSession, f"{path}/postings"):
+        recover_swap(documents.sparkSession, f"{path}/postings")
+        toks = documents.selectExpr(
+            "doc_id", f"posexplode_outer({TOKENS}) AS (pos, token)"
+        ).filter("token IS NOT NULL AND token != ''")
+        postings = (
+            toks.groupBy("doc_id", F.col("token").alias("term"))
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .withColumn(
+                "term_bucket", F.expr(f"{hex60('term')} % {num_buckets}").cast("int")
+            )
         )
-    )
-    (
-        postings.repartition("term_bucket")
-        .write.mode("append")
-        .partitionBy("term_bucket")
-        .parquet(f"{path}/postings")
-    )
+        (
+            postings.repartition("term_bucket")
+            .write.mode("append")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/postings")
+        )
 
 
 def index_files_per_bucket(spark, path: str) -> DataFrame:
@@ -3664,12 +3678,15 @@ def compact_index_store(spark, path: str) -> None:
     """
     src = f"{path}/postings"
     tmp = f"{path}/postings__compacting"
-    recover_swap(spark, src)  # heal a crashed prior swap before reading
-    (
-        spark.read.parquet(src)
-        .repartition("term_bucket")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(tmp)
-    )
-    swap_into_place(spark, tmp, src)
+    # single-writer lease on the postings (the store's swap-managed
+    # component): a concurrent append-merge or second compactor waits
+    with maintenance_lease(spark, src):
+        recover_swap(spark, src)  # heal a crashed prior swap before reading
+        (
+            spark.read.parquet(src)
+            .repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(tmp)
+        )
+        swap_into_place(spark, tmp, src)

@@ -316,6 +316,10 @@ def make_handler(svc: MetricsService, corpus=None):
                             raise ValidationError(
                                 f"n_centroids must be >= 1, got {raw_k}"
                             )
+                    raw_mode = _first(qs, "assign_mode")
+                    if raw_mode:
+                        # validated in the service method (400 on garbage)
+                        kw["assign_mode"] = raw_mode
                     return self._send(
                         200, corpus.index_retrain(request_id=rid, **kw)
                     )

@@ -22,11 +22,10 @@ Scale design:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from admira_etl_project_prueba_spark.functions import fs
 from admira_etl_project_prueba_spark.functions.metrics import with_derived_metrics
 from admira_etl_project_prueba_spark.schemas import (
     DERIVED_COLS,
@@ -69,9 +68,19 @@ class MetricsStore:
 
     # -- read ---------------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            not f.startswith(("_", ".")) for f in os.listdir(self.path)
-        )
+        """True iff the store has been written.
+
+        Goes through the session's Hadoop FS (functions/fs), NOT
+        ``os.path`` — on an HDFS/S3A URI the local-FS form silently
+        returns False for a populated store, so every read path would
+        treat real facts as "nothing stored yet".  Heals a crashed
+        compaction swap first: in the swap's one crash window the only
+        copy sits at ``path__old``, and "absent ⇒ empty frame" would
+        read an existing store as empty (same silent-loss mode the
+        index stores guard, docs/OPERATIONS.md).
+        """
+        fs.heal_if_crashed(self.spark, self.path)
+        return fs.dir_nonempty(self.spark, self.path)
 
     def read(self) -> DataFrame:
         """All stored facts; empty frame when nothing stored yet."""
@@ -94,6 +103,10 @@ class MetricsStore:
           re-ingest, kept for byte-level compat experiments.
         """
         if mode == "append":
+            # round-8 store-fold convention: an append landing in a crashed
+            # compaction's swap window would CREATE a batch-only store and
+            # the next swap deletes the recovery copy — heal first.
+            fs.heal_if_crashed(self.spark, self.path)
             (batch.write.mode("append").partitionBy("date").parquet(self.path))
             return
         if mode != "upsert":
@@ -129,37 +142,28 @@ class MetricsStore:
         object-store scale that means listing overhead and tiny reads.
         Compaction hash-colocates each day (``repartition("date")``) so
         the rewrite emits one file per day, staged to a sibling directory
-        and swapped in with directory renames (no reader ever sees a
-        half-written store).  Returns (files_before, files_after).
+        and installed with the same crash-safe two-rename swap every
+        index store uses (``functions/fs.swap_into_place`` — Hadoop-FS
+        API, so the identical code runs on HDFS/S3A where the old
+        ``os.rename``/``shutil`` form crashed).  Held under the store's
+        single-writer maintenance lease, same as the index compactions.
+        Returns (files_before, files_after).
         """
-        import shutil
-
-        if not self.exists():
-            return (0, 0)
-
-        def _count_files(root: str) -> int:
-            return sum(
-                1
-                for _, _, files in os.walk(root)
-                for f in files
-                if f.endswith(".parquet")
+        with fs.maintenance_lease(self.spark, self.path):
+            fs.recover_swap(self.spark, self.path)
+            if not fs.dir_nonempty(self.spark, self.path):
+                return (0, 0)
+            before = fs.count_files(self.spark, self.path)
+            tmp = self.path.rstrip("/") + "__compacting"
+            (
+                self.spark.read.parquet(self.path)
+                .repartition("date")
+                .write.partitionBy("date")
+                .mode("overwrite")
+                .parquet(tmp)
             )
-
-        before = _count_files(self.path)
-        tmp = self.path.rstrip("/") + ".compacting"
-        old = self.path.rstrip("/") + ".old"
-        shutil.rmtree(tmp, ignore_errors=True)
-        (
-            self.spark.read.parquet(self.path)
-            .repartition("date")
-            .write.partitionBy("date")
-            .mode("overwrite")
-            .parquet(tmp)
-        )
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old)
-        return (before, _count_files(self.path))
+            fs.swap_into_place(self.spark, tmp, self.path)
+            return (before, fs.count_files(self.spark, self.path))
 
     def store_idempotent_replace(self, batch: DataFrame) -> None:
         """Replace-by-day: incoming batch is the new truth for its days.
@@ -167,6 +171,7 @@ class MetricsStore:
         The right mode when re-ingesting a corrected full day from sources
         (vs. `upsert`, which treats the batch as an increment).
         """
+        fs.heal_if_crashed(self.spark, self.path)
         writer = batch.write.partitionBy("date")
         writer.mode("overwrite").parquet(self.path)
 
@@ -193,7 +198,7 @@ def backfill_missing_dates(
     if store.exists():
         have = {
             d.split("=", 1)[1]
-            for d in os.listdir(store.path)
+            for d in fs.list_child_names(store.spark, store.path)
             if d.startswith("date=")
         }
     missing = sorted(set(source_dates) - have)

@@ -30,6 +30,8 @@ from pyspark.sql.streaming import StreamingQuery
 
 from admira_etl_project_prueba_spark.functions.dates import parse_flexible_timestamp
 from admira_etl_project_prueba_spark.functions.fs import (
+    heal_if_crashed,
+    maintenance_lease,
     path_exists,
     recover_swap,
     swap_into_place,
@@ -446,31 +448,49 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     now only a confirmed-missing path falls back; every other error
     propagates so the micro-batch retries instead of destroying history.
 
-    ``recover_swap`` runs first: a crash between ``swap_into_place``'s
-    two renames leaves the only copy at ``path__old`` — without the
+    Healing runs first: a crash between ``swap_into_place``'s two
+    renames leaves the only copy at ``path__old`` — without the
     recovery, the restarted stream would read "absent", take the
     first-batch path, and the next successful swap would delete the
-    recovery copy (silent total state loss).  Existence itself is
-    ``functions/fs.path_exists`` (one implementation of the
-    exists-vs-failing-read seam, not two to keep in sync).
+    recovery copy (silent total state loss).  The heal is the
+    lease-guarded :func:`heal_if_crashed` (round 9): from a bare read
+    path an open window is ambiguous — crashed swap (heal) vs another
+    process's swap in flight (hands off; renaming ``__old`` back would
+    corrupt the live writer's second rename) — and only the lease can
+    tell them apart.  Existence itself is ``functions/fs.path_exists``
+    (one implementation of the exists-vs-failing-read seam, not two to
+    keep in sync).
     """
-    recover_swap(spark, path)
+    heal_if_crashed(spark, path)
     return path_exists(spark, path)
 
 
-def _write_swapped(spark: SparkSession, merged: DataFrame, store_path: str) -> None:
-    """Crash-safe store fold: when the store exists (it is the fold's
-    INPUT), write the merged frame to a sibling directory and swap it in
-    by rename — an in-place ``mode('overwrite')`` deletes the only copy
-    before the write job finishes, so a mid-write failure (executor
-    loss, OOM) would destroy all accumulated state.  First batch (no
-    store yet) writes directly."""
-    if _store_exists(spark, store_path):
-        tmp = store_path.rstrip("/") + "__merging"
-        merged.write.mode("overwrite").parquet(tmp)
-        swap_into_place(spark, tmp, store_path)
-    else:
-        merged.write.mode("overwrite").parquet(store_path)
+def _fold_swapped(spark: SparkSession, store_path: str, merge_fn) -> None:
+    """Crash-safe, SINGLE-WRITER store fold: the whole read-modify-write
+    cycle — exists-check, merge-plan build, write, rename swap — runs
+    under the store's filesystem maintenance lease
+    (``functions/fs.maintenance_lease``), so a fold in one process and a
+    compaction/retrain in another can never interleave renames, and the
+    first-batch decision can never be made against a store another
+    writer is mid-swap on (deciding OUTSIDE the lease could read
+    "absent" during a live swap and silently reset state to the batch).
+
+    ``merge_fn(prev_or_none) -> DataFrame`` receives the current store
+    frame (None on confirmed first batch) and returns the merged frame.
+    When the store exists it is the fold's INPUT: the merge is written
+    to a sibling directory and swapped in by rename — an in-place
+    ``mode('overwrite')`` deletes the only copy before the write job
+    finishes, so a mid-write failure (executor loss, OOM) would destroy
+    all accumulated state.  First batch writes directly."""
+    with maintenance_lease(spark, store_path):
+        recover_swap(spark, store_path)  # we hold the lease: safe to heal
+        if path_exists(spark, store_path):
+            merged = merge_fn(spark.read.parquet(store_path))
+            tmp = store_path.rstrip("/") + "__merging"
+            merged.write.mode("overwrite").parquet(tmp)
+            swap_into_place(spark, tmp, store_path)
+        else:
+            merge_fn(None).write.mode("overwrite").parquet(store_path)
 
 
 def _interval_us(interval: str) -> int:
@@ -680,17 +700,18 @@ def stream_token_sketch(
             return
         spark = batch_df.sparkSession
         delta = cms_sketch(batch_df, depth, width)
-        if _store_exists(spark, store_path):
-            # read errors propagate → micro-batch retries (see _store_exists)
-            prev = spark.read.parquet(store_path)
-            merged = (
+
+        def merge(prev):
+            if prev is None:
+                return delta  # confirmed first batch (checked UNDER the lease)
+            # read errors propagate → micro-batch retries (see _fold_swapped)
+            return (
                 prev.unionByName(delta)
                 .groupBy("r", "bucket")
                 .agg(F.sum("cnt").cast("long").alias("cnt"))
             )
-        else:
-            merged = delta  # confirmed first batch
-        _write_swapped(spark, merged, store_path)
+
+        _fold_swapped(spark, store_path, merge)
 
     return (
         doc_stream.writeStream.foreachBatch(process)
@@ -733,14 +754,15 @@ def stream_user_hll(
             return
         spark = batch_df.sparkSession
         delta = hll_registers(batch_df, "user_id", g)
-        if _store_exists(spark, store_path):
+
+        def merge(prev):
+            if prev is None:
+                return delta  # confirmed first batch (checked UNDER the lease)
             # read errors propagate → micro-batch retries; falling back to
             # delta here would overwrite (lose) all accumulated registers
-            prev = spark.read.parquet(store_path)
-            merged = hll_merge(prev.unionByName(delta), g)
-        else:
-            merged = delta  # confirmed first batch
-        _write_swapped(spark, merged, store_path)
+            return hll_merge(prev.unionByName(delta), g)
+
+        _fold_swapped(spark, store_path, merge)
 
     return (
         event_stream.writeStream.foreachBatch(process)
@@ -811,12 +833,19 @@ def stream_token_sketch_idempotent(
         delta = cms_sketch(batch_df, depth, width).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
-        (
-            delta.write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(store_path)
-        )
+        # lease + heal: a delta landing in a compact_sketch_store crash
+        # window (only store__old present) would CREATE a batch-only
+        # store whose next swap deletes the recovery copy; and a delta
+        # written during another process's live swap could land mid-
+        # rename.  The lease serializes against both.
+        with maintenance_lease(batch_df.sparkSession, store_path):
+            recover_swap(batch_df.sparkSession, store_path)
+            (
+                delta.write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(store_path)
+            )
 
     return (
         doc_stream.writeStream.foreachBatch(process)
@@ -851,12 +880,15 @@ def stream_source_token_counts(
         delta = source_bucket_counts(batch_df, n_buckets).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
-        (
-            delta.write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(store_path)
-        )
+        # same lease + heal rationale as the idempotent CMS delta writer
+        with maintenance_lease(batch_df.sparkSession, store_path):
+            recover_swap(batch_df.sparkSession, store_path)
+            (
+                delta.write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(store_path)
+            )
 
     return (
         doc_stream.writeStream.foreachBatch(process)
@@ -931,29 +963,32 @@ def compact_sketch_store(
     leaving in-doubt deltas as-is.  Without a checkpoint_dir, the caller
     must guarantee the stream is stopped with its last batch committed.
     """
-    recover_swap(spark, store_path)  # heal a crashed prior swap first
-    store = spark.read.parquet(store_path)
-    if checkpoint_dir is not None:
-        last = last_committed_batch_id(spark, checkpoint_dir)
-        committed = F.col("batch_id") <= F.lit(-1 if last is None else last)
-        leftover = store.filter(~committed)
-        store = store.filter(committed)
-    else:
-        leftover = None
-    merged = (
-        store.groupBy("r", "bucket")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-        .withColumn("batch_id", F.lit(-1).cast("long"))
-    )
-    if leftover is not None:
-        merged = merged.unionByName(leftover.select(*merged.columns))
-    # store is input AND output of the fold: stage the folded layout in a
-    # sibling directory and swap it in by rename — an in-place static
-    # overwrite deletes every partition before the write job finishes,
-    # so a mid-write failure would destroy the only copy of the store
-    tmp = store_path.rstrip("/") + "__compacting"
-    merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    swap_into_place(spark, tmp, store_path)
+    # single-writer lease: a concurrent delta writer or second compactor
+    # must wait — interleaved renames on one store corrupt it
+    with maintenance_lease(spark, store_path):
+        recover_swap(spark, store_path)  # heal a crashed prior swap first
+        store = spark.read.parquet(store_path)
+        if checkpoint_dir is not None:
+            last = last_committed_batch_id(spark, checkpoint_dir)
+            committed = F.col("batch_id") <= F.lit(-1 if last is None else last)
+            leftover = store.filter(~committed)
+            store = store.filter(committed)
+        else:
+            leftover = None
+        merged = (
+            store.groupBy("r", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .withColumn("batch_id", F.lit(-1).cast("long"))
+        )
+        if leftover is not None:
+            merged = merged.unionByName(leftover.select(*merged.columns))
+        # store is input AND output of the fold: stage the folded layout in
+        # a sibling directory and swap it in by rename — an in-place static
+        # overwrite deletes every partition before the write job finishes,
+        # so a mid-write failure would destroy the only copy of the store
+        tmp = store_path.rstrip("/") + "__compacting"
+        merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        swap_into_place(spark, tmp, store_path)
 
 
 def stream_scd2(
@@ -996,38 +1031,46 @@ def stream_scd2(
             "key_bucket", F.expr(bucket).cast("int")
         )
         buckets = [r["key_bucket"] for r in batch.select("key_bucket").distinct().collect()]
-        if _store_exists(spark, store_path):
-            # read errors propagate → micro-batch retries; falling back to
-            # the bare batch would rewrite touched buckets WITHOUT their
-            # history, silently truncating the dimension
-            current = spark.read.parquet(store_path).filter(
-                F.col("key_bucket").isin(buckets)
+        # the whole read-modify-write — first-batch decision, prune-read,
+        # localCheckpoint (which MATERIALIZES the read), dynamic-overwrite
+        # — is one leased critical section: a second writer's concurrent
+        # bucket rewrite would interleave partition replacements
+        with maintenance_lease(spark, store_path):
+            recover_swap(spark, store_path)
+            if path_exists(spark, store_path):
+                # read errors propagate → micro-batch retries; falling back
+                # to the bare batch would rewrite touched buckets WITHOUT
+                # their history, silently truncating the dimension
+                current = spark.read.parquet(store_path).filter(
+                    F.col("key_bucket").isin(buckets)
+                )
+                # each stored version was opened by exactly one update:
+                # replay it
+                prior = current.select(
+                    key,
+                    *attrs,
+                    F.col("valid_from_us").alias(ts_us),
+                    F.col("tiebreak_max").alias(tiebreak),
+                    "key_bucket",
+                )
+                merged = prior.unionByName(batch)
+            else:
+                merged = batch  # confirmed first batch
+            # keep the winning tiebreak per (key, ts) so replays stay
+            # idempotent
+            rebuilt = scd2_build(merged, key, attrs, ts_us, tiebreak).join(
+                merged.groupBy(key, F.col(ts_us).alias("valid_from_us")).agg(
+                    F.max(tiebreak).alias("tiebreak_max")
+                ),
+                [key, "valid_from_us"],
+            ).withColumn("key_bucket", F.expr(bucket).cast("int"))
+            (
+                rebuilt.localCheckpoint()  # store is input AND output
+                .write.mode("overwrite")
+                .partitionBy("key_bucket")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(store_path)
             )
-            # each stored version was opened by exactly one update: replay it
-            prior = current.select(
-                key,
-                *attrs,
-                F.col("valid_from_us").alias(ts_us),
-                F.col("tiebreak_max").alias(tiebreak),
-                "key_bucket",
-            )
-            merged = prior.unionByName(batch)
-        else:
-            merged = batch  # confirmed first batch
-        # keep the winning tiebreak per (key, ts) so replays stay idempotent
-        rebuilt = scd2_build(merged, key, attrs, ts_us, tiebreak).join(
-            merged.groupBy(key, F.col(ts_us).alias("valid_from_us")).agg(
-                F.max(tiebreak).alias("tiebreak_max")
-            ),
-            [key, "valid_from_us"],
-        ).withColumn("key_bucket", F.expr(bucket).cast("int"))
-        (
-            rebuilt.localCheckpoint()  # store is input AND output
-            .write.mode("overwrite")
-            .partitionBy("key_bucket")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(store_path)
-        )
 
     return (
         updates_stream.writeStream.foreachBatch(process)
@@ -1104,12 +1147,15 @@ def stream_value_histogram(
         delta = value_histogram(batch_df, lo, hi, n_bins).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
-        (
-            delta.write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(store_path)
-        )
+        # same lease + heal rationale as the idempotent CMS delta writer
+        with maintenance_lease(batch_df.sparkSession, store_path):
+            recover_swap(batch_df.sparkSession, store_path)
+            (
+                delta.write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(store_path)
+            )
 
     return (
         event_stream.writeStream.foreachBatch(process)

@@ -231,6 +231,11 @@ def main():
     headline = {
         "metric": "headline-suite wall time, sequential, local[%s]" % cpus,
         "value": round(total, 3),
+        # sum of per-query MEDIANS (steady-state reps): the robust twin of
+        # the best-of-N headline — cross-round judgments should compare
+        # value_median first, since best-of-N sits inside the ±1.08×
+        # sandbox drift band this environment exhibits (docs/SCALE.md)
+        "value_median": round(sum(medians.values()), 3),
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from admira_etl_project_prueba_spark.functions.fs import path_exists, swap_into_place
 
 
@@ -107,6 +109,77 @@ def test_append_merge_heals_compaction_crash_window(spark, sf_dir, tmp_path):
     compact_index_store(spark, path)
     assert spark.read.parquet(f"{path}/postings").count() == n_after
     assert bm25_from_index(spark, path, ["the"]).count() >= 0
+
+
+def test_fact_store_exists_and_read_heal_compaction_crash_window(
+    spark, sf_dir, tmp_path
+):
+    """MetricsStore (round 9, ported to the Hadoop-FS layer): with only
+    path__old present — a compact() crashed between its two renames —
+    exists() must heal and report True, and read() must return the
+    surviving facts.  The old os.path form would have read a populated
+    store as EMPTY, and the next compaction's swap would then delete the
+    recovery copy (the fact-store variant of the silent-loss mode)."""
+    import shutil
+
+    from admira_etl_project_prueba_spark.operators.transform import transform
+    from admira_etl_project_prueba_spark.sources.synthetic import (
+        synthetic_ads,
+        synthetic_crm,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+    from admira_etl_project_prueba_spark.store import MetricsStore
+
+    ev = load_events(spark, sf_dir)
+    batch = transform(synthetic_ads(ev), synthetic_crm(ev))
+    path = str(tmp_path / "facts")
+    store = MetricsStore(spark, path)
+    store.store(batch)
+    n = store.read().count()
+    assert n > 0
+
+    # simulate compact()'s crash window: only __old survives
+    shutil.move(path, path + "__old")
+    assert store.exists() is True          # healed, not "nothing stored"
+    assert store.read().count() == n       # facts intact
+    assert not os.path.exists(path + "__old")
+
+    # full maintenance cycle stays healthy afterwards
+    before, after = store.compact()
+    assert before >= after > 0
+    assert store.read().count() == n
+
+
+def test_fact_store_upsert_heals_crash_window_before_merging(
+    spark, sf_dir, tmp_path
+):
+    """An upsert landing in the compact crash window must merge with the
+    RECOVERED store, not treat it as first-write (which would drop every
+    day the batch doesn't touch)."""
+    import shutil
+
+    from admira_etl_project_prueba_spark.operators.transform import transform
+    from admira_etl_project_prueba_spark.sources.synthetic import (
+        synthetic_ads,
+        synthetic_crm,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+    from admira_etl_project_prueba_spark.store import MetricsStore
+
+    ev = load_events(spark, sf_dir)
+    batch = transform(synthetic_ads(ev), synthetic_crm(ev))
+    path = str(tmp_path / "facts")
+    store = MetricsStore(spark, path)
+    store.store(batch)
+    dates = sorted(r["date"] for r in store.read().select("date").distinct().collect())
+    assert len(dates) > 1
+    one_day = batch.filter(F.col("date") == dates[0])
+
+    shutil.move(path, path + "__old")
+    store.store(one_day)  # upsert inside the crash window
+    # every other day survived the window + upsert
+    got = sorted(r["date"] for r in store.read().select("date").distinct().collect())
+    assert got == dates
 
 
 def test_ivf_merge_heals_compaction_crash_window(spark, sf_dir, tmp_path):

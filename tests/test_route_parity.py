@@ -98,8 +98,8 @@ CORPUS_ROUTES = {
     "quality_report": ("GET", "/corpus/quality", {"request_id": RID}),
     "index_health": ("GET", "/corpus/index_health", {"request_id": RID}),
     "index_retrain": (
-        "POST", "/corpus/index_retrain?n_centroids=12",
-        {"n_centroids": 12, "request_id": RID},
+        "POST", "/corpus/index_retrain?n_centroids=12&assign_mode=coarse",
+        {"n_centroids": 12, "assign_mode": "coarse", "request_id": RID},
     ),
     "index_compact": ("POST", "/corpus/index_compact", {"request_id": RID}),
     "assemble": (

@@ -715,3 +715,118 @@ def test_ivf_retrain_rejects_nonpositive_centroid_count(spark, sf_dir, tmp_path)
             retrain_ivf_index(spark, path, n_centroids=bad)
     # the index is untouched
     assert spark.read.parquet(path).count() == 100
+
+
+def test_coarse_assign_parity_and_determinism(spark, sf_dir):
+    """The two-level coarse assignment (retrain's n·k escape hatch) must
+    stay CLOSE to the exact argmax — bounds measured on this data with
+    margin (agreement 0.84 at k=31/w=4; mean cos_to_centroid ratio
+    0.966): misassigned vectors land in near-best lists, never garbage.
+    Deterministic: two runs agree row-for-row (no RNG in the kernel)."""
+    from pyspark.sql import functions as F
+
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_coarse,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 31  # prime, > sf0.001's natural seed count — forces g=6, w=4 < g
+    j = (
+        ivf_assign(emb, k)
+        .selectExpr("vec_id", "centroid_id AS e", "cos_to_centroid AS ce")
+        .join(
+            ivf_assign_coarse(emb, k, group_probe=4).selectExpr(
+                "vec_id", "centroid_id AS c", "cos_to_centroid AS cc"
+            ),
+            "vec_id",
+        )
+    )
+    n = j.count()
+    assert n == emb.count()  # every vector assigned exactly once
+    assert j.filter("e = c").count() / n >= 0.75
+    m = j.agg(F.avg("ce").alias("ae"), F.avg("cc").alias("ac")).first()
+    assert m["ac"] >= 0.93 * m["ae"]
+    # within a group-probe, the coarse argmax IS the argmax: coarse
+    # cosine can never exceed exact (it optimizes over a subset)
+    assert j.filter("cc > ce + 1e-12").count() == 0
+    # deterministic re-run
+    a = sorted(map(tuple, ivf_assign_coarse(emb, k).collect()))
+    b = sorted(map(tuple, ivf_assign_coarse(emb, k).collect()))
+    assert a == b
+    # no reduction available (w >= g): falls back to the exact kernel
+    exact = sorted(map(tuple, ivf_assign(emb, 16).collect()))
+    fallback = sorted(map(tuple, ivf_assign_coarse(emb, 16, group_probe=4).collect()))
+    assert exact == fallback
+
+
+def test_retrain_coarse_mode_recall_parity_and_auto_switch(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """retrain_ivf_index's escape hatch end-to-end: a COARSE-retrained
+    index serves probes with recall within 0.2 of the EXACT-retrained
+    index (measured equal at sf0.1); auto mode switches kernels on the
+    n·k threshold — below it auto == exact row-for-row, above it
+    auto == coarse row-for-row (both kernels deterministic)."""
+    from admira_etl_project_prueba_spark.operators import similarity
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        _ivf_manifest_path,
+        cosine_topk,
+        ivf_topk_from_index,
+        retrain_ivf_index,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = 31
+
+    def build(path, mode):
+        write_ivf_index(emb, path, n_centroids=8)
+        got = retrain_ivf_index(spark, path, n_centroids=k, assign_mode=mode)
+        assert got == k
+        assert spark.read.parquet(_ivf_manifest_path(path)).first()["n_centroids"] == k
+        idx = spark.read.parquet(path)
+        assert idx.count() == n  # no vector lost to the approximate kernel
+        assert idx.agg({"centroid_id": "max"}).first()[0] < k
+        return path
+
+    exact_p = build(str(tmp_path / "exact"), "exact")
+    coarse_p = build(str(tmp_path / "coarse"), "coarse")
+
+    def recall(index_path, q):
+        truth = {r["vec_id"] for r in cosine_topk(emb, q, 10).collect()}
+        got = {
+            r["vec_id"]
+            for r in ivf_topk_from_index(
+                spark, emb, index_path, q, 10, n_centroids=k, n_probe=8
+            ).collect()
+        }
+        return len(truth & got) / 10
+
+    for q in (0, 7, 99):
+        assert recall(coarse_p, q) >= recall(exact_p, q) - 0.2, q
+
+    def rows(p):
+        return sorted(
+            (r["vec_id"], r["centroid_id"]) for r in spark.read.parquet(p).collect()
+        )
+
+    # auto below the threshold == exact
+    auto_p = str(tmp_path / "auto_lo")
+    write_ivf_index(emb, auto_p, n_centroids=8)
+    retrain_ivf_index(spark, auto_p, n_centroids=k, assign_mode="auto")
+    assert rows(auto_p) == rows(exact_p)
+    # auto above the threshold == coarse
+    monkeypatch.setattr(similarity, "COARSE_ASSIGN_THRESHOLD", 1)
+    auto_hi = str(tmp_path / "auto_hi")
+    write_ivf_index(emb, auto_hi, n_centroids=8)
+    retrain_ivf_index(spark, auto_hi, n_centroids=k, assign_mode="auto")
+    assert rows(auto_hi) == rows(coarse_p)
+    # bad mode rejected before any IO
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="assign_mode"):
+        retrain_ivf_index(spark, auto_hi, n_centroids=k, assign_mode="bogus")

@@ -812,6 +812,125 @@ def _growth_law_r9_experiment(spark) -> dict:
     return out
 
 
+def _growth_law_r9b_experiment(spark) -> dict:
+    """Round-9 10x growth rehearsals (VERDICT r8 #4/#6):
+
+    (a) corpus_health_report after its round-8 rebuild (one materialized
+    narrow projection feeds the four count sections; 3 corpus passes
+    instead of 6).  Expected ~linear: every section is a bounded
+    aggregate over either the shared checkpoint, the quality scan, or
+    the shingle explode — all linear on a constant-cluster corpus.
+
+    (b) source_reputation's SELF-SCORED path after its round-8
+    checkpoint (the verdict frame feeds two consumers; without the
+    checkpoint the full-text quality scan ran once per consumer).
+    Expected ~linear: one quality scan + domain-count-sized aggregates.
+
+    (c) retrain_ivf_index's CPU arm CAPPED by the round-9 coarse kernel:
+    at corpus-tracking k (provisioning rule), exact assignment scores
+    n·k rows (measured 101x at 10x in the r9 rehearsal); the two-level
+    kernel scores n·(g + probe·k/g) = O(n·√k) — the 10x/10x growth of n
+    and k should cost ~31x scored rows instead of ~100x, with wall
+    following.  Scored rows are COUNTED from the kernel's own dataflow
+    (_coarse_scored), not re-derived.
+    """
+    from admira_etl_project_prueba_spark.operators import profile as pf
+    from admira_etl_project_prueba_spark.operators import similarity as sim
+    from admira_etl_project_prueba_spark.operators import textops as tx
+
+    def corpus(n):
+        # quality-passing clustered corpus (same generator as the r9
+        # build_training_corpus rehearsal): stopwords interleaved so the
+        # quality gate keeps the docs, cluster-unique tokens so shingle
+        # work stays cluster-bounded
+        return spark.sql(
+            f"""SELECT id AS doc_id,
+                   array_join(flatten(transform(sequence(1, 16),
+                       j -> array('the',
+                                  concat('w', CAST(CAST(id / 4 AS BIGINT) AS STRING),
+                                         'x', CAST(j AS STRING))))), ' ') AS text,
+                   'en' AS lang,
+                   concat('src_', CAST(id % 8 AS STRING)) AS source
+            FROM range({n})"""
+        )
+
+    out = {}
+    for name, fn in (
+        ("corpus_health_report", lambda d: pf.corpus_health_report(d)),
+        ("source_reputation", lambda d: tx.source_reputation(d)),
+    ):
+        res = {}
+        for label, n in zip(("1x", "10x"), (10_000, 100_000)):
+            res[label] = run_measured(spark, lambda n=n, fn=fn: fn(corpus(n)))
+            res[label]["n_rows_out"] = fn(corpus(n)).count()
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+        res["records_ratio"] = round(
+            res["10x"]["shuffle_records"] / max(res["1x"]["shuffle_records"], 1), 1
+        )
+        res["wall_ratio"] = round(res["10x"]["sec"] / max(res["1x"]["sec"], 1e-9), 1)
+        res["theoretical"] = "linear (bounded aggregates over linear scans)"
+        out[name] = dict(docs_1x=10_000, **res)
+
+    # -- (c) retrain CPU arm: exact vs coarse at corpus-tracking k ----------
+    import tempfile
+
+    def vectors(n):
+        return spark.sql(
+            f"""SELECT id AS vec_id,
+                   transform(sequence(1, 64),
+                       j -> CAST(((id * 2654435761 + j * 40503) % 1000)
+                                 / 1000.0 AS FLOAT)) AS embedding,
+                   CAST(id % 10 AS INT) AS label
+            FROM range({n})"""
+        )
+
+    rt = {}
+    for label, n in zip(("1x", "10x"), (2_000, 20_000)):
+        arms = {}
+        for mode in ("exact", "coarse"):
+            path = tempfile.mkdtemp() + "/ivf"
+            sim.write_ivf_index(vectors(n), path, n_centroids=16)
+            k = sim.recommended_n_centroids(spark, path)
+            m = _measured_once(
+                spark,
+                lambda p=path, k=k, mode=mode: sim.retrain_ivf_index(
+                    spark, p, k, assign_mode=mode
+                ),
+            )
+            m["n_centroids"] = k
+            if mode == "exact":
+                m["scored_rows"] = n * k
+            else:
+                g = int(k**0.5)
+                g += int(g * g < k)
+                m["scored_rows"] = n * g + sim._coarse_scored(
+                    vectors(n), k, g, 4
+                ).count()
+            arms[mode] = m
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+        rt[label] = arms
+    for mode in ("exact", "coarse"):
+        rt[f"{mode}_scored_ratio"] = round(
+            rt["10x"][mode]["scored_rows"] / max(rt["1x"][mode]["scored_rows"], 1),
+            1,
+        )
+        rt[f"{mode}_wall_ratio"] = round(
+            rt["10x"][mode]["sec"] / max(rt["1x"][mode]["sec"], 1e-9), 1
+        )
+    rt["coarse_vs_exact_scored_10x"] = round(
+        rt["10x"]["exact"]["scored_rows"] / max(rt["10x"]["coarse"]["scored_rows"], 1),
+        1,
+    )
+    rt["theoretical"] = (
+        "exact: n*k (quadratic when k tracks the corpus, ~100x at 10x/10x); "
+        "coarse: n*(g + probe*k/g) = O(n*sqrt(k)), ~31x at 10x/10x"
+    )
+    out["retrain_assign_coarse"] = dict(vectors_1x=2_000, group_probe=4, **rt)
+    return out
+
+
 def _growth_law_containment_experiment(spark) -> dict:
     """10x growth rehearsal for containment_pairs after its round-8
     rebuild (codegen postings + one checkpoint).  On a constant-cluster
@@ -1330,6 +1449,12 @@ if __name__ == "__main__":
                         _growth_law_containment_experiment(fresh_session())
                     )
                 }
+            )
+        )
+    elif len(_sys.argv) > 1 and _sys.argv[1] == "growth9b":
+        print(
+            json.dumps(
+                {"growth_laws_10x_r9b": _growth_law_r9b_experiment(fresh_session())}
             )
         )
     elif len(_sys.argv) > 1 and _sys.argv[1] == "growth9":
