@@ -1235,6 +1235,41 @@ def events_distinct_rollup_sketched(events: DataFrame, lg_k: int = 12) -> DataFr
     return per_day.unionByName(merged)
 
 
+def events_distinct_rollup_checked(
+    events: DataFrame, lg_k: int = 12, rel_tol: float = 0.05
+) -> DataFrame:
+    """The gate twin of :func:`events_distinct_rollup_sketched` (same
+    pattern as ``events_approx_distinct_checked``): a deterministic,
+    exact-SQL-checkable frame that still exercises the full sketch
+    dataflow — per-day HLL sketches, the union-merge 'ALL' grain, the
+    estimates — but releases the exact distinct count per grain plus
+    ``hll_within_tol`` (1 iff the sketch estimate sits within ``rel_tol``
+    of exact; lg_k=12 ⇒ rsd ≈ 1.6%, so 0.05 allows 3 sigma on every
+    grain).  The exact COUNT(DISTINCT) is gate-SF scaffolding;
+    production rollups use the sketch-only operator above."""
+    sk = events_distinct_rollup_sketched(events, lg_k).withColumnRenamed(
+        "approx_users", "_hll"
+    )
+    exact_day = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    exact_all = events.agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    ).select(F.lit("ALL").alias("day"), "exact_users")
+    exact = exact_day.unionByName(exact_all)
+    return sk.join(exact, "day").select(
+        "day",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_hll") - F.col("exact_users")) / F.col("exact_users")
+            <= F.lit(float(rel_tol))
+        )
+        .cast("int")
+        .alias("hll_within_tol"),
+    )
+
+
 def events_latest_per_user(events: DataFrame) -> DataFrame:
     """CDC-style record dedup: each user's single latest event (by event
     time, event_id as the deterministic tiebreak).

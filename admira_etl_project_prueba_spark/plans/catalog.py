@@ -189,26 +189,13 @@ CATALOG: dict[str, CatalogEntry] = {}
 #: ≤ ``rel_tol`` (0.0 ⇒ exact), so the local gate proves value quality,
 #: not just row counts.  Reference columns are aliased to the Spark names.
 BOUNDED_ORACLES: dict[str, dict] = {
-    # events_approx_distinct graduated to a hash-exact oracle in round 9:
-    # the gated frame is now the deterministic bound-check (exact count +
-    # hll_within_tol), so the 0.10-rel-tol bounded spec it carried here is
-    # enforced INSIDE the query and hash-verified by the exact oracle.
-    "events_distinct_rollup_sketched": {
-        # lg_k=12 Datasketches HLL: rsd ~ 1.04/sqrt(4096) = 1.6%; 0.05
-        # allows 3 standard deviations on every grain including 'ALL'
-        "sql": """SELECT strftime(ts, '%Y-%m-%d') AS day,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_users,
-       COUNT(*) AS n_events
-FROM events GROUP BY 1
-UNION ALL
-SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), COUNT(*) FROM events""",
-        "keys": ["day"],
-        "rel_tol": {"approx_users": 0.05, "n_events": 0.0},
-    },
-    # events_approx_percentiles graduated to a hash-exact GK-rank oracle
-    # in round 8 (every per-type group < sketch accuracy at gate SF) —
-    # see its catalog entry.  Only the HLL-sketch-valued entries and the
-    # engine-RNG sample below remain inherently bounded.
+    # The two HLL entries (events_approx_distinct in round 9a,
+    # events_distinct_rollup_sketched in round 9b) graduated to
+    # hash-exact oracles: each gated frame is now the deterministic
+    # bound-check (exact count + hll_within_tol), so the rel-tol specs
+    # they carried here are enforced INSIDE the query and hash-verified.
+    # events_approx_percentiles graduated in round 8 via GK-exact rank
+    # CTEs.  Only the engine-RNG sample below remains inherently bounded.
     "stratified_sample": {
         # sampleBy's RNG is engine-specific, so membership can't be
         # hash-matched — but the per-stratum sampled COUNT is a binomial
@@ -3302,13 +3289,24 @@ def _q_typos(spark, sf_dir):
     "events_distinct_rollup_sketched",
     "Mergeable Datasketches-HLL rollup: per-day distinct-user sketches + "
     "an 'ALL' row from hll_union_agg over the daily sketches (one raw "
-    "scan, any coarser grain from stored sketches).  Engine-specific "
-    "sketch → rows-only check; pytest pins union-of-parts == "
-    "sketch-of-whole and bounds error vs exact.",
-    None,
+    "scan, any coarser grain from stored sketches).  Released as the "
+    "deterministic bound-check frame (exact count per grain + "
+    "hll_within_tol at 3 sigma) so the entry carries a hash-exact "
+    "oracle while the full sketch dataflow — per-day sketches, the "
+    "union merge, the estimates — still runs engine-side; pytest "
+    "additionally pins union-of-parts == sketch-of-whole.",
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       COUNT(*) AS n_events,
+       CAST(1 AS INTEGER) AS hll_within_tol
+FROM events GROUP BY 1
+UNION ALL
+SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT), COUNT(*),
+       CAST(1 AS INTEGER)
+FROM events""",
 )
 def _q_sketch_rollup(spark, sf_dir):
-    return analytics.events_distinct_rollup_sketched(load_events(spark, sf_dir))
+    return analytics.events_distinct_rollup_checked(load_events(spark, sf_dir))
 
 
 @_entry(

@@ -112,28 +112,38 @@ class MetricsStore:
         if mode != "upsert":
             raise ValueError(f"unknown store mode: {mode}")
 
-        merged = batch
-        if self.exists():
-            existing = self.read()
-            # Only days present in the batch can change; restrict the merge
-            # input so the shuffle is sized by the batch, not the table.
-            batch_dates = batch.select("date").distinct()
-            relevant = existing.join(F.broadcast(batch_dates), "date", "left_semi")
-            both = relevant.select(batch.columns).unionByName(batch)
-            resummed = both.groupBy(*METRIC_KEY_COLS).agg(
-                F.sum("clicks").cast("long").alias("clicks"),
-                F.sum("impressions").cast("long").alias("impressions"),
-                F.sum(F.col("cost").cast(_MONEY_DECIMAL)).cast("double").alias("cost"),
-                F.sum("leads").cast("long").alias("leads"),
-                F.sum("opportunities").cast("long").alias("opportunities"),
-                F.sum("closed_won").cast("long").alias("closed_won"),
-                F.sum(F.col("revenue").cast(_MONEY_DECIMAL)).cast("double").alias("revenue"),
-            )
-            merged = with_derived_metrics(resummed).select(batch.columns)
+        # the upsert is a read-modify-write (existing days fold into the
+        # batch): the WHOLE cycle — exists-decision, merge plan, dynamic
+        # overwrite — holds the store's single-writer lease, or two
+        # concurrent upserts interleave and one batch's increments are
+        # silently lost (same contract as every index-store fold)
+        with fs.maintenance_lease(self.spark, self.path):
+            fs.recover_swap(self.spark, self.path)
+            merged = batch
+            if fs.dir_nonempty(self.spark, self.path):
+                existing = self.read()
+                # Only days present in the batch can change; restrict the
+                # merge input so the shuffle is sized by the batch, not
+                # the table.
+                batch_dates = batch.select("date").distinct()
+                relevant = existing.join(
+                    F.broadcast(batch_dates), "date", "left_semi"
+                )
+                both = relevant.select(batch.columns).unionByName(batch)
+                resummed = both.groupBy(*METRIC_KEY_COLS).agg(
+                    F.sum("clicks").cast("long").alias("clicks"),
+                    F.sum("impressions").cast("long").alias("impressions"),
+                    F.sum(F.col("cost").cast(_MONEY_DECIMAL)).cast("double").alias("cost"),
+                    F.sum("leads").cast("long").alias("leads"),
+                    F.sum("opportunities").cast("long").alias("opportunities"),
+                    F.sum("closed_won").cast("long").alias("closed_won"),
+                    F.sum(F.col("revenue").cast(_MONEY_DECIMAL)).cast("double").alias("revenue"),
+                )
+                merged = with_derived_metrics(resummed).select(batch.columns)
 
-        # dynamic partitionOverwriteMode (session.py) ⇒ only the date
-        # partitions present in `merged` are replaced.
-        merged.write.partitionBy("date").mode("overwrite").parquet(self.path)
+            # dynamic partitionOverwriteMode (session.py) ⇒ only the date
+            # partitions present in `merged` are replaced.
+            merged.write.partitionBy("date").mode("overwrite").parquet(self.path)
 
     def compact(self) -> tuple[int, int]:
         """Rewrite the store so each date partition holds one file.

@@ -246,3 +246,45 @@ def test_recovery_race_reader_vs_live_swap_degrades_to_noop(spark, sf_dir, tmp_p
     assert svc._ivf_index_ready() is True
     compact_ivf_index(spark, path)  # full maintenance still works after
     assert spark.read.parquet(path).count() > 0
+
+
+def test_concurrent_upserts_do_not_lose_updates(spark, sf_dir, tmp_path):
+    """MetricsStore.store(mode='upsert') is a read-modify-write; two
+    concurrent upserts without the lease interleave (both read the same
+    base, last write wins — one batch's increments silently vanish).
+    Under the lease they serialize: the final store carries BOTH
+    batches' sums exactly."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from admira_etl_project_prueba_spark.operators.transform import transform
+    from admira_etl_project_prueba_spark.sources.synthetic import (
+        synthetic_ads,
+        synthetic_crm,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+    from admira_etl_project_prueba_spark.store import MetricsStore
+
+    ev = load_events(spark, sf_dir)
+    batch = transform(synthetic_ads(ev), synthetic_crm(ev)).localCheckpoint()
+    one_batch_clicks = batch.agg(F.sum("clicks")).first()[0]
+    store = MetricsStore(spark, str(tmp_path / "facts"))
+    store.store(batch)  # base state: 1x
+
+    errors: list[BaseException] = []
+
+    def upsert():
+        try:
+            store.store(batch)
+        except BaseException as e:  # noqa: BLE001 — collected for the assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=upsert) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    # base + two concurrent increments = exactly 3x — nothing lost
+    assert store.read().agg(F.sum("clicks")).first()[0] == 3 * one_batch_clicks
