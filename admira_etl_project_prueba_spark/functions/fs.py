@@ -155,13 +155,17 @@ def swap_into_place(spark: SparkSession, tmp: str, dst: str) -> None:
 # interleave `swap_into_place`'s renames (A renames dst -> dst__old; B's
 # rename of dst fails or, worse, B deletes the __old A still needs) — the
 # in-process service lock cannot see a second worker.  The lease is a
-# filesystem-native mutex: an ATOMIC exclusive file create
-# (`FileSystem.createNewFile`, atomic on HDFS and the local FS; a
-# conditional-put equivalent on object stores) on a sidecar
-# `<store>__lease` path.  A holder that crashes leaves the lease file
-# behind; takeover is mtime-based — a lease older than ``stale_ms`` is
-# presumed dead and deleted (two racing takeovers both delete, then both
-# attempt the atomic create and exactly one wins).
+# filesystem-native mutex: an ATOMIC exclusive file create on a sidecar
+# `<store>__lease` path — ``os.open(O_CREAT|O_EXCL)`` for local paths
+# (Hadoop's RawLocalFileSystem ``create(overwrite=false)`` is
+# check-then-create, NOT exclusive — two racing writers both won it in
+# the concurrency test), ``FileSystem.createNewFile`` on HDFS (atomic at
+# the namenode); object stores need their conditional-put equivalent.
+# A holder that crashes leaves the lease file behind; takeover is
+# mtime-based — a lease older than ``stale_ms`` is presumed dead,
+# CLAIMED BY RENAME (atomic, exactly one taker wins; a bare delete would
+# let a slow taker delete a successor's fresh lease), then the winner
+# deletes the claim and everyone joins the exclusive-create race.
 #
 # Scope rule: ONE lease per store, keyed on the store's primary path —
 # sidecars (the IVF manifest) are covered by their store's lease, so a
@@ -208,7 +212,15 @@ def try_acquire_lease(
             )
             if age_ms <= int(stale_ms):
                 return False
-            os.remove(local)  # stale takeover; losers fall through
+            # claim-by-RENAME, then delete: a bare delete of a stale lease
+            # races a second taker (A stats stale, B takes over and holds
+            # a FRESH lease, A deletes B's lease → two holders).  rename
+            # is atomic, so exactly one taker claims the stale file; the
+            # loser's rename throws and it falls through to the create
+            # race like everyone else.
+            claim = f"{local}.stale.{os.getpid()}.{time.monotonic_ns()}"
+            os.rename(local, claim)
+            os.remove(claim)
         except FileNotFoundError:
             pass
         try:
@@ -228,7 +240,13 @@ def try_acquire_lease(
             return False  # vanished between exists and stat: holder active
         if age <= int(stale_ms):
             return False
-        fs.delete(jlease, False)  # stale takeover; losers fall through
+        # same claim-by-rename discipline as the local branch (HDFS rename
+        # is atomic; losers get rename=false and join the create race)
+        jclaim = jvm.org.apache.hadoop.fs.Path(
+            f"{_lease_path(dst)}.stale.{time.monotonic_ns()}"
+        )
+        if fs.rename(jlease, jclaim):
+            fs.delete(jclaim, False)
     try:
         return bool(fs.createNewFile(jlease))
     except Exception:
