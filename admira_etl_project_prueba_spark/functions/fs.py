@@ -83,6 +83,31 @@ def count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> int
     return n
 
 
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file (manifests, sidecars) through the
+    session's Hadoop FS — works on HDFS/S3A URIs where a local
+    ``open()`` cannot.  Overwrites; driver-sized content only."""
+    fs, jpath, _ = _fs_and_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file through the session's Hadoop FS (the
+    :func:`write_text` counterpart)."""
+    fs, jpath, jvm = _fs_and_path(spark, path)
+    stream = fs.open(jpath)
+    try:
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, False)
+        return bytes(out.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def recover_swap(spark: SparkSession, dst: str) -> bool:
     """Heal the one crash window :func:`swap_into_place` leaves open.
 

@@ -93,7 +93,6 @@ def compact_table(
     files_after, rows} so maintenance jobs can log/assert the effect.
     """
     import math
-    import os
 
     df = spark.read.parquet(path)
     rows = df.count()
@@ -106,16 +105,13 @@ def compact_table(
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(out_path)
 
-    def _count(p):
-        return sum(
-            1
-            for r, _, fs in os.walk(p)
-            for f in fs
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
+    # Hadoop-FS counting (functions/fs), not os.walk — the maintenance
+    # job must report correctly on HDFS/S3A URIs, same posture as the
+    # fact-store port (round 9)
+    from admira_etl_project_prueba_spark.functions.fs import count_files
 
     return {
-        "files_before": _count(path),
-        "files_after": _count(out_path),
+        "files_before": count_files(spark, path),
+        "files_after": count_files(spark, out_path),
         "rows": rows,
     }

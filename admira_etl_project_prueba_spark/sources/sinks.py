@@ -10,9 +10,10 @@ integrity + resumability).
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame
+
+from admira_etl_project_prueba_spark.functions import fs
 
 
 def write_jsonl_shards(
@@ -38,8 +39,13 @@ def write_jsonl_shards(
         out = df.repartition(shards, shard_key)
     out.write.mode("overwrite").json(path)
 
+    # Hadoop-FS listing + manifest write (functions/fs) — the sink must
+    # behave identically on HDFS/S3A URIs, same posture as the stores
+    spark = df.sparkSession
     shard_files = sorted(
-        f for f in os.listdir(path) if f.startswith("part-") and not f.endswith(".crc")
+        f
+        for f in fs.list_child_names(spark, path)
+        if f.startswith("part-") and not f.endswith(".crc")
     )
     manifest = {
         "format": "jsonl",
@@ -49,8 +55,7 @@ def write_jsonl_shards(
         "schema": df.schema.jsonValue(),
         "shards": shard_files,
     }
-    with open(os.path.join(path, "manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=2)
+    fs.write_text(spark, f"{path.rstrip('/')}/manifest.json", json.dumps(manifest, indent=2))
     return manifest
 
 
@@ -59,10 +64,11 @@ def read_jsonl_shards(spark, path: str) -> DataFrame:
     inference pass — manifests make re-reads schema-stable)."""
     from pyspark.sql.types import StructType
 
-    with open(os.path.join(path, "manifest.json")) as fh:
-        manifest = json.load(fh)
+    manifest = json.loads(
+        fs.read_text(spark, f"{path.rstrip('/')}/manifest.json")
+    )
     schema = StructType.fromJson(manifest["schema"])
-    return spark.read.schema(schema).json(os.path.join(path, "part-*"))
+    return spark.read.schema(schema).json(f"{path.rstrip('/')}/part-*")
 
 
 def read_jsonl_audited(
