@@ -222,13 +222,34 @@ def _local_lease_file(dst: str) -> str | None:
     return None
 
 
+def _new_token() -> str:
+    import os
+    import uuid
+
+    return f"{os.getpid()}.{uuid.uuid4().hex}"
+
+
 def try_acquire_lease(
     spark: SparkSession, dst: str, stale_ms: int = LEASE_STALE_MS
-) -> bool:
+) -> str | None:
     """One non-blocking attempt to take ``dst``'s maintenance lease.
-    True ⇒ caller is the single writer until :func:`release_lease`."""
+    Returns an OWNER TOKEN (truthy) on success — pass it to
+    :func:`release_lease` so release is ownership-verified — or None
+    when another writer holds the lease.
+
+    The token (written into the lease file) is what makes release safe:
+    a holder that ran past ``stale_ms`` and was legitimately taken over
+    must NOT delete its successor's lease on exit; the token compare
+    turns that into a no-op.  Takeover itself is claim-by-rename with a
+    POST-CLAIM staleness re-check: two pollers racing at the staleness
+    boundary would otherwise let the loser rename away the winner's
+    FRESH lease (observed hazard); re-stating the CLAIMED file detects
+    the theft and restores it via link/rename-if-absent (no clobber of
+    a third writer's create).
+    """
     import os
 
+    token = _new_token()
     local = _local_lease_file(dst)
     if local is not None:
         try:
@@ -236,24 +257,45 @@ def try_acquire_lease(
                 os.stat(local).st_mtime * 1000
             )
             if age_ms <= int(stale_ms):
-                return False
-            # claim-by-RENAME, then delete: a bare delete of a stale lease
-            # races a second taker (A stats stale, B takes over and holds
-            # a FRESH lease, A deletes B's lease → two holders).  rename
-            # is atomic, so exactly one taker claims the stale file; the
-            # loser's rename throws and it falls through to the create
-            # race like everyone else.
+                return None
+            # claim the (apparently) stale lease by atomic rename —
+            # exactly one taker wins; losers throw and join the create race
             claim = f"{local}.stale.{os.getpid()}.{time.monotonic_ns()}"
             os.rename(local, claim)
+            # re-check on the CLAIMED file: between our stat and rename a
+            # competing taker may have completed takeover and created a
+            # FRESH lease — which we just stole.  Restore it atomically
+            # (link fails on an existing path, so a third writer's new
+            # lease is never clobbered) and report contention.
+            claim_age = int(time.time() * 1000) - int(
+                os.stat(claim).st_mtime * 1000
+            )
+            if claim_age <= int(stale_ms):
+                try:
+                    os.link(claim, local)
+                except FileExistsError:
+                    pass
+                os.remove(claim)
+                return None
             os.remove(claim)
         except FileNotFoundError:
             pass
         try:
             fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            return False  # concurrent create won the race
-        os.close(fd)
-        return True
+            return None  # concurrent create won the race
+        except FileNotFoundError:
+            # first-ever write to this store: the parent directory does
+            # not exist yet (the parquet write used to create it).  Make
+            # the parents and retry the exclusive create once.
+            os.makedirs(os.path.dirname(local) or "/", exist_ok=True)
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return None
+        with os.fdopen(fd, "w") as fh:
+            fh.write(token)
+        return token
     fs, _, jvm = _fs_and_path(spark, dst)
     jlease = jvm.org.apache.hadoop.fs.Path(_lease_path(dst))
     if fs.exists(jlease):
@@ -262,34 +304,70 @@ def try_acquire_lease(
                 fs.getFileStatus(jlease).getModificationTime()
             )
         except Exception:
-            return False  # vanished between exists and stat: holder active
+            return None  # vanished between exists and stat: holder active
         if age <= int(stale_ms):
-            return False
-        # same claim-by-rename discipline as the local branch (HDFS rename
-        # is atomic; losers get rename=false and join the create race)
+            return None
+        # same claim-by-rename + post-claim re-check as the local branch
+        # (HDFS rename is atomic and fails onto an existing destination,
+        # which is exactly the no-clobber restore we need)
         jclaim = jvm.org.apache.hadoop.fs.Path(
             f"{_lease_path(dst)}.stale.{time.monotonic_ns()}"
         )
         if fs.rename(jlease, jclaim):
+            try:
+                claim_age = int(time.time() * 1000) - int(
+                    fs.getFileStatus(jclaim).getModificationTime()
+                )
+            except Exception:
+                claim_age = None
+            if claim_age is not None and claim_age <= int(stale_ms):
+                fs.rename(jclaim, jlease)  # restore the stolen fresh lease
+                fs.delete(jclaim, False)  # no-op if the restore succeeded
+                return None
             fs.delete(jclaim, False)
     try:
-        return bool(fs.createNewFile(jlease))
+        # exclusive create (atomic at the namenode), token as content
+        out = fs.create(jlease, False)
+        try:
+            out.write(bytearray(token.encode("utf-8")))
+        finally:
+            out.close()
+        return token
     except Exception:
-        return False  # concurrent create won the race
+        return None  # concurrent create won the race
 
 
-def release_lease(spark: SparkSession, dst: str) -> None:
+def release_lease(
+    spark: SparkSession, dst: str, token: str | None = None
+) -> None:
+    """Release ``dst``'s lease.  With ``token`` (the value
+    :func:`try_acquire_lease` returned) the delete is OWNERSHIP-VERIFIED:
+    if the lease was taken over while we ran (we exceeded ``stale_ms``),
+    the content no longer matches and the successor's lease is left
+    alone.  Without a token the delete is unconditional — the operator
+    escape hatch for manually clearing a wedged lease."""
     import os
 
     local = _local_lease_file(dst)
     if local is not None:
         try:
+            if token is not None:
+                with open(local) as fh:
+                    if fh.read() != token:
+                        return  # taken over: not ours to delete
             os.remove(local)
         except FileNotFoundError:
             pass
         return
     fs, _, jvm = _fs_and_path(spark, dst)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(_lease_path(dst)), False)
+    jlease = jvm.org.apache.hadoop.fs.Path(_lease_path(dst))
+    if token is not None:
+        try:
+            if read_text(spark, _lease_path(dst)) != token:
+                return
+        except Exception:
+            return  # gone or unreadable: nothing of ours to delete
+    fs.delete(jlease, False)
 
 
 @contextmanager
@@ -304,18 +382,23 @@ def maintenance_lease(
     swap-managed rewrite (compact / retrain / merge-fold).  Blocks up to
     ``timeout_s`` for a competing writer to finish — the "loser waits"
     contract — then raises TimeoutError rather than proceeding unlocked.
+    Release is token-verified (see :func:`release_lease`), so a holder
+    that overran ``stale_ms`` and was taken over exits without touching
+    its successor's lease.
     """
     deadline = time.monotonic() + float(timeout_s)
-    while not try_acquire_lease(spark, dst, stale_ms):
+    token = try_acquire_lease(spark, dst, stale_ms)
+    while token is None:
         if time.monotonic() >= deadline:
             raise TimeoutError(
                 f"maintenance_lease: {_lease_path(dst)} held past {timeout_s}s"
             )
         time.sleep(poll_s)
+        token = try_acquire_lease(spark, dst, stale_ms)
     try:
         yield
     finally:
-        release_lease(spark, dst)
+        release_lease(spark, dst, token)
 
 
 def heal_if_crashed(
@@ -341,9 +424,10 @@ def heal_if_crashed(
     """
     if not swap_window_open(spark, dst):
         return False
-    if not try_acquire_lease(spark, lease_root or dst, stale_ms):
+    token = try_acquire_lease(spark, lease_root or dst, stale_ms)
+    if token is None:
         return False
     try:
         return recover_swap(spark, dst)
     finally:
-        release_lease(spark, lease_root or dst)
+        release_lease(spark, lease_root or dst, token)

@@ -1031,13 +1031,24 @@ def events_approx_distinct_checked(
         "event_type",
         "exact_users",
         "n_events",
-        (
-            F.abs(F.col("_hll") - F.col("exact_users"))
-            / F.col("exact_users")
-            <= F.lit(float(rel_tol))
+        _within_tol("_hll", "exact_users", rel_tol),
+    )
+
+
+def _within_tol(est_col: str, exact_col: str, rel_tol: float):
+    """1 iff the estimate sits within ``rel_tol`` relative error of the
+    exact count.  Zero-guarded: a group whose key values are all NULL has
+    exact = 0 (ANSI division would NULL the flag where the oracle emits
+    1) — there the contract degenerates to "the sketch also says 0"."""
+    return (
+        F.when(
+            F.col(exact_col) > 0,
+            F.abs(F.col(est_col) - F.col(exact_col)) / F.col(exact_col)
+            <= F.lit(float(rel_tol)),
         )
+        .otherwise(F.col(est_col) == 0)
         .cast("int")
-        .alias("hll_within_tol"),
+        .alias("hll_within_tol")
     )
 
 
@@ -1257,16 +1268,17 @@ def events_distinct_rollup_checked(
         F.countDistinct("user_id").cast("long").alias("exact_users")
     ).select(F.lit("ALL").alias("day"), "exact_users")
     exact = exact_day.unionByName(exact_all)
-    return sk.join(exact, "day").select(
-        "day",
-        "exact_users",
-        "n_events",
-        (
-            F.abs(F.col("_hll") - F.col("exact_users")) / F.col("exact_users")
-            <= F.lit(float(rel_tol))
+    # null-SAFE join key: a NULL ts yields a NULL day group on both sides
+    # (and in the oracle's GROUP BY); a plain equi-join would silently
+    # drop that row while the oracle keeps it
+    return (
+        sk.join(exact, sk["day"].eqNullSafe(exact["day"]))
+        .select(
+            sk["day"],
+            "exact_users",
+            "n_events",
+            _within_tol("_hll", "exact_users", rel_tol),
         )
-        .cast("int")
-        .alias("hll_within_tol"),
     )
 
 

@@ -78,8 +78,19 @@ class MetricsStore:
         copy sits at ``path__old``, and "absent ⇒ empty frame" would
         read an existing store as empty (same silent-loss mode the
         index stores guard, docs/OPERATIONS.md).
+
+        If the window is open but healing declined (a LIVE writer in
+        another process is mid-swap), this raises rather than answer:
+        False here would make ``read()`` fabricate an EMPTY facts frame
+        for a store that exists — callers must see a retryable error,
+        not zero rows.
         """
         fs.heal_if_crashed(self.spark, self.path)
+        if fs.swap_window_open(self.spark, self.path):
+            raise IOError(
+                f"store at {self.path} is mid-swap by another process "
+                "(maintenance in progress) — retry"
+            )
         return fs.dir_nonempty(self.spark, self.path)
 
     def read(self) -> DataFrame:
@@ -103,11 +114,14 @@ class MetricsStore:
           re-ingest, kept for byte-level compat experiments.
         """
         if mode == "append":
-            # round-8 store-fold convention: an append landing in a crashed
-            # compaction's swap window would CREATE a batch-only store and
-            # the next swap deletes the recovery copy — heal first.
-            fs.heal_if_crashed(self.spark, self.path)
-            (batch.write.mode("append").partitionBy("date").parquet(self.path))
+            # leased like every other writer: an append landing inside a
+            # LIVE compact()'s swap window (path absent mid-renames) would
+            # CREATE a batch-only directory that the swap's second rename
+            # then nests the compacted layout into — and a crashed swap's
+            # window must heal before the append (round-8 convention).
+            with fs.maintenance_lease(self.spark, self.path):
+                fs.recover_swap(self.spark, self.path)
+                (batch.write.mode("append").partitionBy("date").parquet(self.path))
             return
         if mode != "upsert":
             raise ValueError(f"unknown store mode: {mode}")
@@ -181,9 +195,10 @@ class MetricsStore:
         The right mode when re-ingesting a corrected full day from sources
         (vs. `upsert`, which treats the batch as an increment).
         """
-        fs.heal_if_crashed(self.spark, self.path)
-        writer = batch.write.partitionBy("date")
-        writer.mode("overwrite").parquet(self.path)
+        # leased + healed, same rationale as the append path above
+        with fs.maintenance_lease(self.spark, self.path):
+            fs.recover_swap(self.spark, self.path)
+            batch.write.partitionBy("date").mode("overwrite").parquet(self.path)
 
 
 def backfill_missing_dates(

