@@ -429,3 +429,59 @@ def test_fact_store_read_raises_during_foreign_swap(spark, sf_dir, tmp_path):
     release_lease(spark, path, foreign)
     assert store.exists() is True
     assert store.read().count() > 0
+
+
+def test_lease_excludes_across_real_processes(spark, tmp_path):
+    """The lease's whole point is CROSS-PROCESS exclusion (in-process
+    writers already share the service lock), so prove it with a real
+    second PROCESS: a subprocess acquires the store's lease through the
+    same os-level primitive the local scheme uses, holds it, and the
+    parent session must fail non-blocking acquire, wait-and-timeout in
+    maintenance_lease, decline read-path healing — then succeed the
+    moment the process exits cleanly."""
+    import subprocess
+    import sys
+
+    dst = str(tmp_path / "store")
+    _mkstore(dst + "__old", "mid-swap")  # give the reader a window too
+
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import os, sys, time\n"
+                f"lease = {dst + '__lease'!r}\n"
+                "fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)\n"
+                "os.write(fd, b'other-process-token')\n"
+                "os.close(fd)\n"
+                "print('held', flush=True)\n"
+                "sys.stdin.readline()  # hold until parent says release\n"
+                "os.remove(lease)\n"
+            ),
+        ],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "held"
+        # parent: every acquire path must refuse while the process holds
+        assert try_acquire_lease(spark, dst) is None
+        assert heal_if_crashed(spark, dst) is False
+        with pytest.raises(TimeoutError):
+            with maintenance_lease(spark, dst, timeout_s=0.4):
+                pass
+        # release from the other process -> parent acquires immediately
+        holder.stdin.write("go\n")
+        holder.stdin.flush()
+        assert holder.wait(10) == 0
+        token = try_acquire_lease(spark, dst)
+        assert token
+        release_lease(spark, dst, token)
+        # and the reader can now heal the crashed window
+        assert heal_if_crashed(spark, dst) is True
+        assert _marker(dst) == "mid-swap"
+    finally:
+        if holder.poll() is None:
+            holder.kill()
