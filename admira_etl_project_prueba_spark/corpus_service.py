@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from admira_etl_project_prueba_spark.functions.fs import (
     heal_if_crashed,
+    lease_held,
     path_exists,
     path_mtime,
     swap_window_open,
@@ -301,6 +302,15 @@ class CorpusService:
                 out["data"]["ivf"] = self._ivf_health_cache
             else:
                 out["data"]["ivf"] = {"path": self.ivf_index_path, "absent": True}
+            # lease status is TRANSIENT: attached to the response copy,
+            # never to the memoized block /corpus/similar reuses — an
+            # operator polling this endpoint sees maintenance mid-flight
+            # (the explanation for probe-latency spikes and transient
+            # mid-swap retries), possibly run by a DIFFERENT process
+            out["data"]["ivf"] = dict(
+                out["data"]["ivf"],
+                lease_held=lease_held(self.spark, self.ivf_index_path),
+            )
         else:
             out["data"]["ivf"] = None
         if self.text_index_path is not None:
@@ -310,6 +320,10 @@ class CorpusService:
                 self._text_index_health()
                 if path_exists(self.spark, postings)
                 else {"path": self.text_index_path, "absent": True}
+            )
+            out["data"]["text"] = dict(
+                out["data"]["text"],
+                lease_held=lease_held(self.spark, postings),
             )
         else:
             out["data"]["text"] = None

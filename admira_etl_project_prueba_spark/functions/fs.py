@@ -370,6 +370,21 @@ def release_lease(
     fs.delete(jlease, False)
 
 
+def lease_held(spark: SparkSession, dst: str) -> bool:
+    """True when SOMEONE currently holds ``dst``'s maintenance lease —
+    one metadata RPC, no ownership check.  Monitoring surface only (the
+    health endpoint shows an operator that maintenance is mid-flight);
+    never use as an acquire fast-path (check-then-act races — acquire
+    through :func:`try_acquire_lease`)."""
+    import os
+
+    local = _local_lease_file(dst)
+    if local is not None:
+        return os.path.exists(local)
+    fs, _, jvm = _fs_and_path(spark, dst)
+    return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(_lease_path(dst))))
+
+
 @contextmanager
 def maintenance_lease(
     spark: SparkSession,

@@ -1036,6 +1036,20 @@ def test_index_health_endpoint_and_similar_index_block(spark, sf_dir, tmp_path):
     t = r["data"]["text"]
     assert t["n_buckets"] > 0 and t["max_files_per_bucket"] >= 1
     assert t["needs_compaction"] is False
+    # transient maintenance visibility (round 9): no maintenance running
+    assert h["lease_held"] is False and t["lease_held"] is False
+    # a writer mid-maintenance (possibly another PROCESS) shows up here —
+    # the operator's explanation for probe-latency spikes / mid-swap errors
+    from admira_etl_project_prueba_spark.functions.fs import (
+        release_lease,
+        try_acquire_lease,
+    )
+
+    tok = try_acquire_lease(spark, ivf)
+    assert tok
+    assert svc.index_health()["data"]["ivf"]["lease_held"] is True
+    release_lease(spark, ivf, tok)
+    assert svc.index_health()["data"]["ivf"]["lease_held"] is False
 
     sim = svc.similar_docs(vec_id=5, k=3)
     assert sim["index"]["n_lists"] == h["n_lists"]
