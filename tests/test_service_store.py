@@ -1178,8 +1178,16 @@ def test_index_routes_pollable_before_stores_exist(spark, sf_dir, tmp_path):
         text_index_path=str(tmp_path / "nonexistent_txt"),
     )
     h = svc.index_health()["data"]
-    assert h["ivf"] == {"path": str(tmp_path / "nonexistent_ivf"), "absent": True}
-    assert h["text"] == {"path": str(tmp_path / "nonexistent_txt"), "absent": True}
+    assert h["ivf"] == {
+        "path": str(tmp_path / "nonexistent_ivf"),
+        "absent": True,
+        "lease_held": False,  # transient maintenance flag (round 9)
+    }
+    assert h["text"] == {
+        "path": str(tmp_path / "nonexistent_txt"),
+        "absent": True,
+        "lease_held": False,
+    }
     sim = svc.similar_docs(vec_id=5, k=3)
     assert sim["method"] == "exact" and len(sim["data"]) == 3
     assert sim["index"]["absent"] is True
