@@ -485,3 +485,74 @@ def test_lease_excludes_across_real_processes(spark, tmp_path):
     finally:
         if holder.poll() is None:
             holder.kill()
+
+
+def test_two_jvms_merge_vs_compact_one_store(spark, sf_dir, tmp_path):
+    """THE deployment scenario the lease exists for, run literally: a
+    SECOND SPARK JVM (own SparkSession, own process) compacts the IVF
+    store in a loop while this session append-merges batches into it.
+    Without the lease the rename swaps interleave with the appends
+    (batch files written into a directory the swap is about to delete,
+    or a batch-only store created inside the swap window).  With it,
+    every vector from every batch survives and the store ends valid."""
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        merge_ivf_index,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb.filter("vec_id < 200"), path, n_centroids=8)
+
+    ready = str(tmp_path / "compactor_ready")
+    script = f"""
+import os, sys, time
+sys.path.insert(0, {str(__import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))!r})
+from admira_etl_project_prueba_spark.session import get_spark
+from admira_etl_project_prueba_spark.operators.similarity import compact_ivf_index
+spark = get_spark(app_name="compactor", master="local[4]", shuffle_partitions=4)
+spark.sparkContext.setLogLevel("ERROR")
+open({ready!r}, "w").write("ready")
+for _ in range(4):
+    compact_ivf_index(spark, {path!r})
+    time.sleep(0.2)
+print("COMPACTOR_DONE", flush=True)
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while not os.path.exists(ready):
+            assert proc.poll() is None, "compactor JVM died during startup"
+            assert time.monotonic() < deadline, "compactor JVM startup timeout"
+            time.sleep(0.5)
+        # merge three disjoint batches while the other JVM compacts
+        for lo, hi in ((200, 300), (300, 400), (400, 500)):
+            merge_ivf_index(
+                spark,
+                path,
+                emb.filter(f"vec_id >= {lo} AND vec_id < {hi}"),
+                n_centroids=8,
+            )
+        out, _ = proc.communicate(timeout=180)
+        assert proc.returncode == 0 and "COMPACTOR_DONE" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    idx = spark.read.parquet(path)
+    assert idx.count() == 500  # every batch survived every compaction
+    assert idx.select("vec_id").distinct().count() == 500
+    assert idx.agg(F.max("centroid_id")).first()[0] < 8
+    for suffix in ("__old", "__compacting", "__lease"):
+        assert not os.path.exists(path + suffix), suffix
