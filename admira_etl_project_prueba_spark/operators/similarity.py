@@ -495,6 +495,7 @@ def semantic_dedup_pairs(
     embeddings: DataFrame,
     n_centroids: int = 16,
     threshold: float = 0.92,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: cluster the corpus by
     IVF centroid, then score exact cosine only over pairs WITHIN a cluster
@@ -506,13 +507,19 @@ def semantic_dedup_pairs(
     Scale shape: the cluster equi-join bounds candidates to cluster-local
     pairs — corpus-wide work is O(Σ|cluster|²), not O(n²), and clusters
     are capacity-bounded by the centroid count chosen at ingest.  At
-    100 TB the assignment is the persisted ``write_ivf_index`` table, so
-    the self-join is co-partitioned pruned I/O; misses across cluster
-    boundaries are the accepted SemDeDup recall trade-off (raise
-    n_probe-style coverage by lowering n_centroids).  Cosines are the
-    same SQL fold both engines evaluate identically — exact-oracle-able.
+    100 TB the assignment is the persisted ``write_ivf_index`` table —
+    pass it as ``assignments`` (a (vec_id, centroid_id)-shaped frame,
+    canonically ``spark.read.parquet`` over the index; same seam as
+    :func:`ivf_topk`) so the n·k assignment is NOT recomputed inline per
+    call and a coarse-retrained index's lists are honored as-is; misses
+    across cluster boundaries are the accepted SemDeDup recall trade-off
+    (raise n_probe-style coverage by lowering n_centroids).  Cosines are
+    the same SQL fold both engines evaluate identically —
+    exact-oracle-able.
     """
-    a = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
+    if assignments is None:
+        assignments = ivf_assign(embeddings, n_centroids)
+    a = assignments.select("vec_id", "centroid_id")
     # norms are per-VECTOR: compute them once before the self-join, not
     # per pair — the zip_with/aggregate folds are interpreted, and
     # inlining |a| and |b| into every pair tripled the fold work
@@ -544,6 +551,7 @@ def semantic_dedup_survivors(
     embeddings: DataFrame,
     n_centroids: int = 16,
     threshold: float = 0.92,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy min-id semantic dedup: drop every vector that is similar
     (``cosine ≥ threshold``) to ANY smaller-id vector in its cluster; keep
@@ -555,7 +563,7 @@ def semantic_dedup_survivors(
     when cluster-election semantics are wanted instead.
     """
     dropped = (
-        semantic_dedup_pairs(embeddings, n_centroids, threshold)
+        semantic_dedup_pairs(embeddings, n_centroids, threshold, assignments)
         .select(F.col("vec_id_b").alias("vec_id"))
         .distinct()
     )
@@ -871,7 +879,10 @@ def negative_samples(
 
 
 def knn_label_accuracy(
-    embeddings: DataFrame, n_centroids: int = 16, k: int = 5
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    k: int = 5,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-quality evaluation: leave-one-out k-NN label accuracy,
     bounded by IVF clusters.  For every vector, take its k nearest
@@ -893,13 +904,18 @@ def knn_label_accuracy(
     per pair measurably multiplies fold work); the top-k window
     partitions by query vec_id over cluster-local rows only; the vote
     and report are count shuffles of int pairs.  At 100 TB the
-    assignment comes from the persisted IVF index, so candidates are
-    co-partitioned pruned I/O.  Provisioning rule (measured, SCALE.md):
+    assignment comes from the persisted IVF index — pass it as
+    ``assignments`` (same seam as :func:`ivf_topk` /
+    :func:`semantic_dedup_pairs`) so candidates are co-partitioned
+    pruned I/O with no inline n·k recompute.  Provisioning rule
+    (measured, SCALE.md):
     n_centroids must TRACK the corpus — at 10× vectors a fixed centroid
     count grew candidate pairs 101.5× (quadratic hazard) while scaling
     the list count held them to 10.4× (linear).
     """
-    a = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
+    if assignments is None:
+        assignments = ivf_assign(embeddings, n_centroids)
+    a = assignments.select("vec_id", "centroid_id")
     t = (
         _as_double(embeddings, "v")
         .join(a, "vec_id")

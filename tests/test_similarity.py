@@ -830,3 +830,47 @@ def test_retrain_coarse_mode_recall_parity_and_auto_switch(
 
     with _pytest.raises(ValueError, match="assign_mode"):
         retrain_ivf_index(spark, auto_hi, n_centroids=k, assign_mode="bogus")
+
+
+def test_cluster_bounded_ops_accept_persisted_assignments(spark, sf_dir, tmp_path):
+    """semantic_dedup_pairs/survivors and knn_label_accuracy claim the
+    100 TB assignment comes from the persisted IVF index — the
+    `assignments` seam (shared with ivf_topk) makes that literal: a
+    frame read from write_ivf_index's output must reproduce the inline
+    computation row-for-row (same deterministic argmax), and a
+    COARSE-retrained index's lists are honored as-is (the op consumes
+    whatever partitioning the index carries)."""
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        knn_label_accuracy,
+        retrain_ivf_index,
+        semantic_dedup_pairs,
+        semantic_dedup_survivors,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, n_centroids=16)
+    persisted = spark.read.parquet(path)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(semantic_dedup_pairs(emb, 16, 0.8, assignments=persisted)) == rows(
+        semantic_dedup_pairs(emb, 16, 0.8)
+    )
+    assert rows(
+        semantic_dedup_survivors(emb, 16, 0.8, assignments=persisted)
+    ) == rows(semantic_dedup_survivors(emb, 16, 0.8))
+    assert rows(knn_label_accuracy(emb, 16, assignments=persisted)) == rows(
+        knn_label_accuracy(emb, 16)
+    )
+
+    # a coarse-retrained index is a valid assignment source: the report
+    # stays complete (every label scored) and sane (accuracy in [0,1])
+    retrain_ivf_index(spark, path, n_centroids=31, assign_mode="coarse")
+    coarse = spark.read.parquet(path)
+    rep = knn_label_accuracy(emb, 31, assignments=coarse).collect()
+    assert {r["label"] for r in rep} == {r["label"] for r in emb.select("label").distinct().collect()}
+    assert all(0.0 <= r["accuracy"] <= 1.0 for r in rep)
