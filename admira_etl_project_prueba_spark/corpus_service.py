@@ -43,7 +43,7 @@ class NotFoundError(LookupError):
     """Maps to HTTP 404 at a web tier (unknown doc/vec id)."""
 
 
-DEDUP_METHODS = ("exact", "minhash", "simhash")
+DEDUP_METHODS = ("exact", "minhash", "simhash", "semantic")
 
 
 class CorpusService:
@@ -98,18 +98,49 @@ class CorpusService:
         method: str | None = "minhash",
         limit: int = 100,
         offset: int = 0,
+        threshold: float = 0.92,
         request_id: str | None = None,
     ) -> dict:
+        """Near-duplicate pair listing across the engine's dedup family.
+        ``method=semantic`` (SemDeDup) pairs embeddings with cosine ≥
+        ``threshold`` within an IVF cluster — served from the CONFIGURED
+        persisted index's assignments when the store is ready (no inline
+        n·k recompute; the response declares ``assignments_source``),
+        inline otherwise.  ``threshold`` applies to semantic only and is
+        validated in (0, 1]."""
         if method not in DEDUP_METHODS:
             raise ValidationError(
                 f"invalid method: {method!r} (want one of {', '.join(DEDUP_METHODS)})"
             )
+        assignments_source = None
         if self.pairs_table is not None:
             pairs = self.pairs_table
         elif method == "minhash":
             pairs = textops.lsh_candidate_pairs(self.documents)
         elif method == "simhash":
             pairs = textops.simhash_near_dup_pairs(self.documents)
+        elif method == "semantic":
+            if self.embeddings is None:
+                raise ValidationError(
+                    "method=semantic requires an embeddings corpus"
+                )
+            if not (0.0 < float(threshold) <= 1.0):
+                raise ValidationError(
+                    f"threshold out of range (0, 1]: {threshold}"
+                )
+            if self.ivf_index_path is not None and self._ivf_index_ready():
+                pairs = similarity.semantic_dedup_pairs(
+                    self.embeddings,
+                    n_centroids=self._ivf_n_centroids,
+                    threshold=float(threshold),
+                    assignments=self.spark.read.parquet(self.ivf_index_path),
+                )
+                assignments_source = "ivf_index"
+            else:
+                pairs = similarity.semantic_dedup_pairs(
+                    self.embeddings, threshold=float(threshold)
+                )
+                assignments_source = "inline"
         else:  # exact — pairs are (survivor, copy) per collapsed group
             d = textops.dedup_exact(self.documents).filter("n_copies > 1")
             pairs = d.selectExpr("keep_doc_id AS doc_a", "n_copies")
@@ -119,12 +150,15 @@ class CorpusService:
                 pairs, limit=limit, offset=offset, sort_cols=pairs.columns[:2]
             ).collect()
         ]
-        return {
+        out = {
             "data": data,
             "pagination": page_info(pairs, limit, offset),
             "method": method,
             "request_id": new_request_id(request_id),
         }
+        if assignments_source is not None:
+            out["assignments_source"] = assignments_source
+        return out
 
     # -- GET /corpus/dedup/summary ------------------------------------------
     def dedup_summary(

@@ -17,7 +17,7 @@ served 1:1 (every service method has a route, every method param a query
 param):
 
     GET  /corpus/health       /corpus/dedup?normalized=
-    GET  /corpus/dedup/pairs?method=&limit=&offset=
+    GET  /corpus/dedup/pairs?method=&limit=&offset=&threshold=
     GET  /corpus/dup_profile?normalized=   /corpus/similar?vec_id=&k=
     GET  /corpus/weights?target_lang=&limit=
     GET  /corpus/perplexity?reference_lang=&limit=
@@ -183,6 +183,7 @@ def make_handler(svc: MetricsService, corpus=None):
                                 method=_first(qs, "method") or "minhash",
                                 limit=_int(qs, "limit", 100),
                                 offset=_int(qs, "offset", 0),
+                                threshold=_float(qs, "threshold", 0.92),
                                 request_id=rid,
                             ),
                         )

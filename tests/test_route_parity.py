@@ -44,8 +44,12 @@ CORPUS_ROUTES = {
         {"normalized": True, "request_id": RID},
     ),
     "near_dup_pairs": (
-        "GET", "/corpus/dedup/pairs?method=simhash&limit=7&offset=3",
-        {"method": "simhash", "limit": 7, "offset": 3, "request_id": RID},
+        "GET",
+        "/corpus/dedup/pairs?method=semantic&limit=7&offset=3&threshold=0.8",
+        {
+            "method": "semantic", "limit": 7, "offset": 3,
+            "threshold": 0.8, "request_id": RID,
+        },
     ),
     "dup_profile": (
         "GET", "/corpus/dup_profile?normalized=true",

@@ -1275,3 +1275,52 @@ def test_read_path_recovery_takes_the_maintenance_lock(spark, sf_dir, tmp_path):
     t.join(timeout=120)
     assert not t.is_alive(), "index_compact deadlocked on the maintenance lock"
     assert done and done[0] == ["ivf"]
+
+
+def test_near_dup_pairs_semantic_method(spark, sf_dir, tmp_path):
+    """method=semantic on /corpus/dedup/pairs: SemDeDup pairs served from
+    the CONFIGURED persisted IVF index's assignments when ready (the
+    response declares assignments_source=ivf_index; no inline n·k
+    recompute), inline otherwise; requires an embeddings corpus and a
+    threshold in (0, 1]."""
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        semantic_dedup_pairs,
+        write_ivf_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(emb, ivf, n_centroids=16)
+
+    svc = CorpusService(spark, documents=docs, embeddings=emb, ivf_index_path=ivf)
+    r = svc.near_dup_pairs(method="semantic", threshold=0.2, limit=5)
+    assert r["method"] == "semantic"
+    assert r["assignments_source"] == "ivf_index"
+    # identical to the operator fed the persisted assignment directly
+    want = semantic_dedup_pairs(
+        emb, 16, 0.2, assignments=spark.read.parquet(ivf)
+    )
+    # sf0.001 embeddings are near-orthogonal, so a production threshold
+    # yields zero pairs; 0.2 exercises the full path with real output
+    assert r["pagination"]["total"] == want.count() > 0
+    cols = {"vec_id_a", "vec_id_b", "centroid_id", "cosine"}
+    assert all(set(row) == cols for row in r["data"])
+
+    # no index configured -> inline assignment, same envelope
+    bare = CorpusService(spark, documents=docs, embeddings=emb)
+    r2 = bare.near_dup_pairs(method="semantic", threshold=0.2, limit=5)
+    assert r2["assignments_source"] == "inline"
+    assert r2["pagination"]["total"] > 0
+    # non-semantic methods don't carry the key
+    assert "assignments_source" not in bare.near_dup_pairs(method="exact")
+
+    from admira_etl_project_prueba_spark.service import ValidationError
+
+    with pytest.raises(ValidationError, match="embeddings"):
+        CorpusService(spark, documents=docs).near_dup_pairs(method="semantic")
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValidationError, match="threshold"):
+            svc.near_dup_pairs(method="semantic", threshold=bad)
