@@ -517,19 +517,38 @@ def stratified_sample(
     strata_col: str = "lang",
     fractions: dict[str, float] | None = None,
     seed: int = 42,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-stratum Bernoulli sampling (``sampleBy``) — corpus rebalancing:
-    downsample over-represented languages/sources without a shuffle.
+    """Per-stratum sampling — corpus rebalancing: downsample
+    over-represented languages/sources without shuffling the corpus.
 
-    Sampling is seed-deterministic within Spark but engine-specific
-    (rows-only gate); proportion bounds are pinned in pytest.  At 100 TB
-    this is the first stage of data-mixture tuning — the fractions dict IS
-    the mixture spec.
+    Membership is a pure function of (id, seed): keep a row iff
+    ``hex60(id ⊕ 'strat' ⊕ seed) % 10000`` falls under its stratum's
+    fraction (in basis points).  Same contract as ``sampleBy`` (unlisted
+    strata, including NULL, are dropped; per-stratum Bernoulli marginals)
+    but engine-portable and hash-exact-verifiable: the identical sample
+    reproduces on any engine/run/cluster size, a doc never flips in/out
+    when the corpus grows, and a new ``seed`` draws a fresh sample —
+    the :func:`train_test_split` recipe applied per stratum.
+
+    Scale shape: the fraction map is a broadcast inner join
+    (domain-count-sized); the bucket test is a row-local md5 in codegen.
+    No shuffle of the corpus.  At 100 TB this is the first stage of
+    data-mixture tuning — the fractions dict IS the mixture spec.
     """
+    spark = documents.sparkSession
     if fractions is None:
         strata = [r[0] for r in documents.select(strata_col).distinct().collect()]
         fractions = {s: 0.5 for s in strata}
-    return documents.sampleBy(strata_col, fractions, seed)
+    frac_rows = [(s, int(round(f * 10000))) for s, f in sorted(fractions.items())]
+    frac_df = spark.createDataFrame(frac_rows, f"{strata_col} string, _keep_bp int")
+    keyed = f"concat({id_col}, '_strat', '{int(seed)}')"
+    bucket = f"{hex60(keyed)} % 10000"
+    return (
+        documents.join(F.broadcast(frac_df), strata_col, "inner")
+        .filter(F.expr(bucket) < F.col("_keep_bp"))
+        .drop("_keep_bp")
+    )
 
 
 def mixture_sample(

@@ -195,23 +195,10 @@ BOUNDED_ORACLES: dict[str, dict] = {
     # bound-check (exact count + hll_within_tol), so the rel-tol specs
     # they carried here are enforced INSIDE the query and hash-verified.
     # events_approx_percentiles graduated in round 8 via GK-exact rank
-    # CTEs.  Only the engine-RNG sample below remains inherently bounded.
-    "stratified_sample": {
-        # sampleBy's RNG is engine-specific, so membership can't be
-        # hash-matched — but the per-stratum sampled COUNT is a binomial
-        # whose relative sigma at sf0.01 is ~0.10 (en: 218·0.3, es:
-        # 73·0.6); 0.45 allows >4 sigma.  count_by makes the harness
-        # aggregate the sampled rows per stratum first; the exact key-set
-        # compare also proves no other stratum leaks into the sample.
-        "count_by": ["lang"],
-        "count_col": "n_sampled",
-        "sql": """SELECT lang,
-       COUNT(*) * (CASE lang WHEN 'en' THEN 0.3 WHEN 'es' THEN 0.6 END)
-         AS n_sampled
-FROM documents WHERE lang IN ('en', 'es') GROUP BY lang""",
-        "keys": ["lang"],
-        "rel_tol": {"n_sampled": 0.45},
-    },
+    # CTEs.  stratified_sample graduated in round 10: membership is now
+    # the engine-portable md5 bucket (train_test_split recipe applied
+    # per stratum), so the whole sample is hash-exact.  This dict is
+    # intentionally empty — every catalog entry carries an exact oracle.
     # The five sampled quantile twins (user_value_quartiles_sampled,
     # user_rfm_segments_sampled, curriculum_stages_sampled,
     # quality_calibrated_sampled, supplier_revenue_distribution_sampled)
@@ -1819,10 +1806,16 @@ def _q_split(spark, sf_dir):
 
 @_entry(
     "stratified_sample",
-    "Per-stratum Bernoulli sampling (sampleBy) — the data-mixture "
-    "rebalancing stage.  Engine-specific RNG ⇒ rows-only; proportion and "
-    "determinism bounds pinned in pytest.",
-    None,
+    "Per-stratum deterministic sampling — the data-mixture rebalancing "
+    "stage.  Membership = engine-portable md5 bucket of (doc_id, seed) "
+    "under the stratum's fraction (train_test_split recipe per stratum), "
+    "so the sample is hash-exact-reproducible on any engine; unlisted/"
+    "NULL strata drop (sampleBy parity); binomial marginals pinned in "
+    "pytest.",
+    f"""SELECT doc_id, lang
+FROM documents
+WHERE {_duck_hex60("doc_id || '_strat' || '42'")} % 10000 <
+      CASE lang WHEN 'en' THEN 3000 WHEN 'es' THEN 6000 ELSE 0 END""",
 )
 def _q_strat_sample(spark, sf_dir):
     return _tx.stratified_sample(
