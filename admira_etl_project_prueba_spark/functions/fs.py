@@ -271,11 +271,34 @@ def try_acquire_lease(
                 os.stat(claim).st_mtime * 1000
             )
             if claim_age <= int(stale_ms):
-                try:
-                    os.link(claim, local)
-                except FileExistsError:
-                    pass
-                os.remove(claim)
+                # restore the stolen fresh lease.  os.link cannot clobber,
+                # so a THIRD writer's brand-new lease is never overwritten
+                # — but then the claim must NOT be silently deleted (that
+                # would destroy the victim's lease content and leave two
+                # processes believing they hold).  Retry briefly (the
+                # third writer may release), then leave the claim file on
+                # disk for the victim's heartbeat/verify to detect, and
+                # warn.
+                restored = False
+                for _ in range(10):
+                    try:
+                        os.link(claim, local)
+                        restored = True
+                        break
+                    except FileExistsError:
+                        time.sleep(0.05)
+                if restored:
+                    os.remove(claim)
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"lease restore failed: a newer lease exists at "
+                        f"{local}; stolen lease preserved at {claim} "
+                        f"(victim should verify ownership before swaps)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 return None
             os.remove(claim)
         except FileNotFoundError:
@@ -321,8 +344,28 @@ def try_acquire_lease(
             except Exception:
                 claim_age = None
             if claim_age is not None and claim_age <= int(stale_ms):
-                fs.rename(jclaim, jlease)  # restore the stolen fresh lease
-                fs.delete(jclaim, False)  # no-op if the restore succeeded
+                # HDFS rename fails onto an existing destination — the
+                # no-clobber restore.  If a third writer's lease already
+                # landed, retry briefly, then PRESERVE the claim (never
+                # silently destroy the victim's lease content) and warn.
+                restored = False
+                for _ in range(10):
+                    if fs.rename(jclaim, jlease):
+                        restored = True
+                        break
+                    time.sleep(0.05)
+                if restored:
+                    fs.delete(jclaim, False)  # no-op: claim was renamed
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"lease restore failed: a newer lease exists at "
+                        f"{jlease}; stolen lease preserved at {jclaim} "
+                        f"(victim should verify ownership before swaps)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 return None
             fs.delete(jclaim, False)
     try:
@@ -333,8 +376,38 @@ def try_acquire_lease(
         finally:
             out.close()
         return token
-    except Exception:
-        return None  # concurrent create won the race
+    except Exception as exc:
+        # only CONTENTION (the lease already exists) means "another
+        # writer won"; genuine IO failures (permissions, connectivity,
+        # safe-mode) must propagate — otherwise maintenance_lease polls
+        # the full timeout and raises a misleading TimeoutError.
+        if _is_already_exists(exc):
+            return None
+        raise
+
+
+def _is_already_exists(exc: Exception) -> bool:
+    """True when a Py4J error from ``fs.create(path, overwrite=False)``
+    means the path ALREADY EXISTS (lease contention) rather than a
+    genuine IO failure.  Checks the Java exception class chain for the
+    already-exists family (`FileAlreadyExistsException` in both
+    ``org.apache.hadoop.fs`` and ``java.nio``, HDFS's
+    ``AlreadyBeingCreatedException``)."""
+    java_exc = getattr(exc, "java_exception", None)
+    while java_exc is not None:
+        try:
+            cls = java_exc.getClass().getName()
+        except Exception:
+            break
+        if "AlreadyExists" in cls or "AlreadyBeingCreated" in cls:
+            return True
+        try:
+            java_exc = java_exc.getCause()
+        except Exception:
+            break
+    # message fallback: some FileSystem impls raise plain IOException
+    # with an "already exists" message (e.g. ChecksumFileSystem wrappers)
+    return "already exists" in str(exc).lower()
 
 
 def release_lease(
@@ -370,6 +443,56 @@ def release_lease(
     fs.delete(jlease, False)
 
 
+def lease_owned(spark: SparkSession, dst: str, token: str) -> bool:
+    """True iff ``dst``'s lease file exists AND its content is ``token``
+    — the holder-side ownership probe.  A holder that overran
+    ``stale_ms`` and was taken over sees False here; swap-heavy
+    operations can call this immediately before a :func:`swap_into_place`
+    to abort rather than interleave renames with the successor."""
+    import os
+
+    local = _local_lease_file(dst)
+    if local is not None:
+        try:
+            with open(local) as fh:
+                return fh.read() == token
+        except FileNotFoundError:
+            return False
+    try:
+        return read_text(spark, _lease_path(dst)) == token
+    except Exception:
+        return False
+
+
+def touch_lease(spark: SparkSession, dst: str, token: str) -> bool:
+    """Heartbeat: refresh the lease file's mtime iff we still own it
+    (content == ``token``).  Returns True on a successful touch, False
+    when the lease was taken over (or vanished) — the holder should then
+    treat itself as fenced and abort before its next swap.  Called
+    periodically by :func:`maintenance_lease`'s heartbeat thread so a
+    legitimate holder whose rewrite runs past ``stale_ms`` is never
+    presumed dead while it is demonstrably alive."""
+    import os
+
+    if not lease_owned(spark, dst, token):
+        return False
+    local = _local_lease_file(dst)
+    if local is not None:
+        try:
+            os.utime(local, None)
+            return True
+        except FileNotFoundError:
+            return False
+    fs, _, jvm = _fs_and_path(spark, dst)
+    jlease = jvm.org.apache.hadoop.fs.Path(_lease_path(dst))
+    try:
+        now = int(time.time() * 1000)
+        fs.setTimes(jlease, now, now)
+        return True
+    except Exception:
+        return False
+
+
 def lease_held(spark: SparkSession, dst: str) -> bool:
     """True when SOMEONE currently holds ``dst``'s maintenance lease —
     one metadata RPC, no ownership check.  Monitoring surface only (the
@@ -400,7 +523,17 @@ def maintenance_lease(
     Release is token-verified (see :func:`release_lease`), so a holder
     that overran ``stale_ms`` and was taken over exits without touching
     its successor's lease.
+
+    While held, a daemon HEARTBEAT thread refreshes the lease's mtime
+    every ``stale_ms/4`` (token-verified :func:`touch_lease`), so a
+    legitimate holder whose rewrite outruns ``stale_ms`` keeps looking
+    alive to staleness pollers and is never taken over mid-swap — the
+    interleaving the lease exists to prevent.  The yielded handle's
+    ``.owned()`` lets swap-heavy bodies re-verify ownership immediately
+    before a rename (defense against the narrow steal window).
     """
+    import threading
+
     deadline = time.monotonic() + float(timeout_s)
     token = try_acquire_lease(spark, dst, stale_ms)
     while token is None:
@@ -410,9 +543,33 @@ def maintenance_lease(
             )
         time.sleep(poll_s)
         token = try_acquire_lease(spark, dst, stale_ms)
+
+    stop = threading.Event()
+
+    def _beat():
+        # refresh well inside the staleness bound; stop touching the
+        # moment ownership is lost (we were taken over) — the main body
+        # discovers that via handle.owned() / token-verified release
+        interval = max(0.5, (int(stale_ms) / 1000.0) / 4.0)
+        while not stop.wait(interval):
+            if not touch_lease(spark, dst, token):
+                return
+
+    beater = threading.Thread(target=_beat, name="lease-heartbeat", daemon=True)
+    beater.start()
+
+    class _Handle:
+        token_ = token
+
+        @staticmethod
+        def owned() -> bool:
+            return lease_owned(spark, dst, token)
+
     try:
-        yield
+        yield _Handle
     finally:
+        stop.set()
+        beater.join(timeout=5.0)
         release_lease(spark, dst, token)
 
 

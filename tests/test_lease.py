@@ -556,3 +556,153 @@ print("COMPACTOR_DONE", flush=True)
     assert idx.agg(F.max("centroid_id")).first()[0] < 8
     for suffix in ("__old", "__compacting", "__lease"):
         assert not os.path.exists(path + suffix), suffix
+
+
+# ---------------------------------------------------------------------------
+# Round-10 hardening: heartbeat, ownership probes, no-destroy restore,
+# narrowed contention classification
+# ---------------------------------------------------------------------------
+
+
+def test_heartbeat_keeps_long_holder_alive_past_stale_ms(spark, tmp_path):
+    """A legitimate holder whose rewrite outruns stale_ms must NOT be
+    taken over: maintenance_lease's heartbeat refreshes the lease mtime
+    (every stale_ms/4, floor 0.5s), so staleness pollers keep seeing a
+    live holder for the whole critical section."""
+    dst = str(tmp_path / "store")
+    with maintenance_lease(spark, dst, stale_ms=1_000):
+        time.sleep(2.2)  # > two staleness bounds
+        # a poller using the same bound must still refuse
+        assert try_acquire_lease(spark, dst, stale_ms=1_000) is None
+    # released cleanly afterwards
+    t = try_acquire_lease(spark, dst)
+    assert t
+    release_lease(spark, dst, t)
+
+
+def test_lease_owned_and_touch_are_token_verified(spark, tmp_path):
+    from admira_etl_project_prueba_spark.functions.fs import (
+        lease_owned,
+        touch_lease,
+    )
+
+    dst = str(tmp_path / "store")
+    token = try_acquire_lease(spark, dst)
+    assert token
+    assert lease_owned(spark, dst, token)
+    assert touch_lease(spark, dst, token)
+    assert not lease_owned(spark, dst, "not-the-token")
+    assert not touch_lease(spark, dst, "not-the-token")
+    # after a legitimate takeover the old holder's probes report fenced
+    time.sleep(0.05)
+    new = try_acquire_lease(spark, dst, stale_ms=10)
+    assert new
+    assert not lease_owned(spark, dst, token)
+    assert not touch_lease(spark, dst, token)
+    release_lease(spark, dst, new)
+
+
+def test_maintenance_lease_handle_reports_ownership(spark, tmp_path):
+    dst = str(tmp_path / "store")
+    with maintenance_lease(spark, dst) as handle:
+        assert handle.owned()
+    # after release the handle is fenced
+    assert not handle.owned()
+
+
+def test_failed_restore_preserves_stolen_lease_and_warns(
+    spark, tmp_path, monkeypatch
+):
+    """Triple race: a slow taker steals a FRESH lease (claim-by-rename),
+    and before it can restore, a third writer creates a new lease.  The
+    restore must NOT silently delete the claim (that destroys the
+    victim's lease content, leaving two believers) — it retries, then
+    preserves the claim on disk and warns."""
+    import glob
+    import warnings as _warnings
+
+    dst = str(tmp_path / "store")
+    victim = try_acquire_lease(spark, dst)
+    assert victim
+    lease = dst + "__lease"
+    # pre-claim stat must see STALE (so the takeover proceeds) while the
+    # post-claim re-check sees FRESH (so the restore path runs): fake
+    # st_mtime fresh for the claimed file only
+    past = time.time() - 10
+    os.utime(lease, (past, past))
+    real_stat = os.stat
+
+    def fake_stat(path, *a, **k):
+        st = real_stat(path, *a, **k)
+        if ".stale." in str(path):
+            return os.stat_result(
+                (*st[:7], st.st_atime, time.time(), st.st_ctime)
+            )
+        return st
+
+    monkeypatch.setattr(os, "stat", fake_stat)
+    # every restore attempt collides with the "third writer's" new lease
+    def always_exists(src, dst_):
+        raise FileExistsError(dst_)
+
+    monkeypatch.setattr(os, "link", always_exists)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert try_acquire_lease(spark, dst, stale_ms=5_000) is None
+    assert any("restore failed" in str(w.message) for w in caught)
+    claims = glob.glob(lease + ".stale.*")
+    assert claims, "stolen lease content must be preserved, not deleted"
+    for c in claims:
+        os.remove(c)
+    release_lease(spark, dst)
+
+
+def test_already_exists_classifier():
+    """HDFS exclusive-create failures: only the already-exists family is
+    contention; everything else (permissions, safe-mode, connectivity)
+    must propagate out of try_acquire_lease."""
+    from admira_etl_project_prueba_spark.functions.fs import (
+        _is_already_exists,
+    )
+
+    class _JClass:
+        def __init__(self, name):
+            self._n = name
+
+        def getName(self):
+            return self._n
+
+    class _JExc:
+        def __init__(self, name, cause=None):
+            self._c = _JClass(name)
+            self._cause = cause
+
+        def getClass(self):
+            return self._c
+
+        def getCause(self):
+            return self._cause
+
+    class _PyExc(Exception):
+        def __init__(self, jexc, msg=""):
+            super().__init__(msg)
+            self.java_exception = jexc
+
+    assert _is_already_exists(
+        _PyExc(_JExc("org.apache.hadoop.fs.FileAlreadyExistsException"))
+    )
+    assert _is_already_exists(
+        _PyExc(
+            _JExc(
+                "java.io.IOException",
+                cause=_JExc(
+                    "org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException"
+                ),
+            )
+        )
+    )
+    assert not _is_already_exists(
+        _PyExc(_JExc("org.apache.hadoop.security.AccessControlException"))
+    )
+    assert not _is_already_exists(Exception("connection refused"))
+    assert _is_already_exists(Exception("File already exists: /x"))
