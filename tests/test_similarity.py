@@ -874,3 +874,41 @@ def test_cluster_bounded_ops_accept_persisted_assignments(spark, sf_dir, tmp_pat
     rep = knn_label_accuracy(emb, 31, assignments=coarse).collect()
     assert {r["label"] for r in rep} == {r["label"] for r in emb.select("label").distinct().collect()}
     assert all(0.0 <= r["accuracy"] <= 1.0 for r in rep)
+
+
+def test_ivf_topk_plan_shape_pinned(spark, sf_dir, tmp_path):
+    """Pin ivf_topk's physical shape in BOTH forms (inline assignment vs
+    the assignments= index seam) so a refactor that quietly adds a scan
+    or shuffle fails here instead of surfacing as an unexplained bench
+    drift (the round-9 0.85→1.13s scare was noise; this makes the next
+    one attributable).  Counts are over the FINAL AQE plan."""
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_shape_idx")
+    similarity.write_ivf_index(e, path, n_centroids=16)
+    stored = spark.read.parquet(path)
+
+    def shape(df):
+        df.collect()  # finalize AQE before reading the plan
+        plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+        return (
+            plan.count("Exchange"),
+            plan.count("BroadcastExchange"),
+            plan.count("FileScan"),
+        )
+
+    # inline form: corpus×centroid assignment at query time — 5 scans
+    # (corpus, centroid seed, query vector, assignment's two legs),
+    # every join broadcast, one reused broadcast
+    assert shape(similarity.ivf_topk(e, k=10, n_probe=4)) == (7, 5, 5)
+    # seamed form: assignment comes from the persisted index — two fewer
+    # scans and exchanges; the probe prunes the index scan (pruning
+    # itself is asserted in test_ivf_precomputed_index_matches_inline)
+    assert shape(
+        similarity.ivf_topk(e, k=10, n_probe=4, assignments=stored)
+    ) == (4, 3, 3)
