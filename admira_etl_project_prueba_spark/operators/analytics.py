@@ -26,6 +26,24 @@ from pyspark.sql import functions as F
 _DEC = "decimal(25,6)"
 
 
+def dec6(expr: str) -> str:
+    """Engine-portable 6-decimal quantization of a double expression.
+
+    ``CAST(double AS DECIMAL(25,6))`` rounds through engine-specific
+    paths — a near-tie double was observed to land 1e-6 apart between
+    Spark and DuckDB (events_decay_attribution, round-10 generated-data
+    sweep).  This form uses only exactly-specified IEEE ops (multiply,
+    add, floor) to pick the micro-unit integer, then an exact decimal
+    scale shift, so the quantized value is bit-identical on any engine;
+    the SQL is valid in both dialects, so catalog oracles embed the SAME
+    string.  Tie-break is half-toward-+inf (floor(x·1e6 + 0.5)), applied
+    identically on both sides."""
+    return (
+        f"CAST(CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+        " * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(25,6))"
+    )
+
+
 def _dsum(col):
     """Exact money sum: double → DECIMAL(25,6) → SUM → double."""
     c = F.col(col) if isinstance(col, str) else col
@@ -2008,8 +2026,8 @@ def events_linear_attribution(
             "touch_type",
             "rn",
             "n_touches",
-            "CAST(CAST(1.0 AS DOUBLE) / n_touches AS decimal(25,6)) AS base_credit",
-            "CAST(value / n_touches AS decimal(25,6)) AS base_rev",
+            f"{dec6('CAST(1.0 AS DOUBLE) / n_touches')} AS base_credit",
+            f"{dec6('value / n_touches')} AS base_rev",
             "CAST(value AS decimal(25,6)) AS vdec",
         )
         .selectExpr(
@@ -2168,12 +2186,12 @@ def events_daily_autocorr(events: DataFrame, max_lag: int = 7) -> DataFrame:
     stacked = centered.selectExpr(
         "event_type",
         "n_days",
-        "CAST((x - mean) * (x - mean) AS decimal(25,6)) AS den_term",
+        f"{dec6('(x - mean) * (x - mean)')} AS den_term",
         "stack("
         + str(max_lag)
         + ", "
         + ", ".join(
-            f"{k}, CAST((x - mean) * (x_{k} - mean) AS decimal(25,6))"
+            f"{k}, {dec6(f'(x - mean) * (x_{k} - mean)')}"
             for k in range(1, max_lag + 1)
         )
         + ") AS (lag, num_term)",
@@ -2463,8 +2481,8 @@ def events_position_attribution(
             "touch_type",
             "rn",
             "n_touches",
-            f"CAST({weight} AS {dec}) AS base_credit",
-            f"CAST(value * ({weight}) AS {dec}) AS base_rev",
+            f"{dec6(weight)} AS base_credit",
+            f"{dec6(f'value * ({weight})')} AS base_rev",
             f"CAST(value AS {dec}) AS vdec",
         )
         .withColumn(
@@ -2613,8 +2631,8 @@ def events_decay_attribution(
             "conv_id",
             "touch_type",
             "rn",
-            f"CAST(w / w_sum AS {dec}) AS base_credit",
-            f"CAST(value * w / w_sum AS {dec}) AS base_rev",
+            f"{dec6('w / w_sum')} AS base_credit",
+            f"{dec6('value * w / w_sum')} AS base_rev",
             f"CAST(value AS {dec}) AS vdec",
         )
         .withColumn("credit_total", F.sum("base_credit").over(Window.partitionBy("conv_id")))

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from admira_etl_project_prueba_spark.operators import analytics
+from admira_etl_project_prueba_spark.operators.analytics import dec6 as _dec6
 from admira_etl_project_prueba_spark.operators.export import consolidate_for_export
 from admira_etl_project_prueba_spark.operators.queries import (
     debug_ads_by_date,
@@ -4381,7 +4382,7 @@ def _q_debounce(spark, sf_dir):
     "first touch (exact reconciliation); no-touch conversions land in "
     "an 'unattributed' bucket so credit totals equal the conversion "
     "count exactly.",
-    """WITH t AS (
+    f"""WITH t AS (
   SELECT user_id, event_type AS touch_type,
          epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
          event_id AS touch_id
@@ -4404,8 +4405,8 @@ shares AS (
   SELECT touch_type,
          ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tus, touch_id) AS rn,
          n_touches,
-         CAST(CAST(1.0 AS DOUBLE) / n_touches AS DECIMAL(25,6)) AS base_credit,
-         CAST(value / n_touches AS DECIMAL(25,6)) AS base_rev,
+         {_dec6("CAST(1.0 AS DOUBLE) / n_touches")} AS base_credit,
+         {_dec6("value / n_touches")} AS base_rev,
          CAST(value AS DECIMAL(25,6)) AS vdec
   FROM pairs JOIN per_conv USING (conv_id)
 ),
@@ -4677,7 +4678,7 @@ def _q_k_anonymity(spark, sf_dir):
 def _duck_acf_sql(max_lag: int = 7) -> str:
     lags = ", ".join(str(k) for k in range(1, max_lag + 1))
     nums = ", ".join(
-        f"CAST((x - mean) * (x_{k} - mean) AS DECIMAL(25,6))"
+        f"CAST(CAST(floor(((x - mean) * (x_{k} - mean)) * 1000000.0 + 0.5) AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(25,6))"
         for k in range(1, max_lag + 1)
     )
     lag_cols = ", ".join(
@@ -4701,7 +4702,7 @@ stats AS (
 centered AS (SELECT * FROM lagged JOIN stats USING (event_type)),
 stacked AS (
   SELECT event_type, n_days,
-         CAST((x - mean) * (x - mean) AS DECIMAL(25,6)) AS den_term,
+         CAST(CAST(floor(((x - mean) * (x - mean)) * 1000000.0 + 0.5) AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(25,6)) AS den_term,
          unnest([{lags}]) AS lag,
          unnest([{nums}]) AS num_term
   FROM centered
@@ -5983,15 +5984,15 @@ shares AS (
 ),
 wsh AS (
   SELECT conv_id, touch_type, rn, n_touches, vdec,
-         CAST(CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
+         CAST(CAST(floor((CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
               WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
               WHEN rn = 1 OR rn = n_touches THEN CAST(0.4 AS DOUBLE)
-              ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2) END AS DECIMAL(25,6))
+              ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2) END) * 1000000.0 + 0.5) AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(25,6))
            AS base_credit,
-         CAST(value * (CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
+         CAST(CAST(floor((value * (CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
               WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
               WHEN rn = 1 OR rn = n_touches THEN CAST(0.4 AS DOUBLE)
-              ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2) END) AS DECIMAL(25,6))
+              ELSE CAST(0.2 AS DOUBLE) / (n_touches - 2) END)) * 1000000.0 + 0.5) AS BIGINT) * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(25,6))
            AS base_rev
   FROM shares
 ),
@@ -6067,7 +6068,7 @@ def _q_basket_lift(spark, sf_dir):
     "IEEE-exact in any order), shares decimal-rounded with the residual "
     "on the first touch — credit reconciles to the conversion count "
     "exactly; no-touch conversions bucketed 'unattributed'.",
-    """WITH t AS (
+    f"""WITH t AS (
   SELECT user_id, event_type AS touch_type,
          epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
          event_id AS touch_id
@@ -6089,8 +6090,8 @@ pairs AS (
 shares AS (
   SELECT conv_id, touch_type,
          ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY tus, touch_id) AS rn,
-         CAST(w / SUM(w) OVER (PARTITION BY conv_id) AS DECIMAL(25,6)) AS base_credit,
-         CAST(value * w / SUM(w) OVER (PARTITION BY conv_id) AS DECIMAL(25,6)) AS base_rev,
+         {_dec6("w / SUM(w) OVER (PARTITION BY conv_id)")} AS base_credit,
+         {_dec6("value * w / SUM(w) OVER (PARTITION BY conv_id)")} AS base_rev,
          CAST(value AS DECIMAL(25,6)) AS vdec
   FROM pairs
 ),
