@@ -133,7 +133,9 @@ class CorpusService:
                     self.embeddings,
                     n_centroids=self._ivf_n_centroids,
                     threshold=float(threshold),
-                    assignments=self.spark.read.parquet(self.ivf_index_path),
+                    assignments=self.spark.read.parquet(
+                        similarity.ivf_data_path(self.spark, self.ivf_index_path)
+                    ),
                 )
                 assignments_source = "ivf_index"
             else:
@@ -254,11 +256,21 @@ class CorpusService:
         after ANY retrain, including one run by a different process
         (``functions/fs.path_mtime``: a rename-swap installs a new
         directory object).  One metadata RPC on the no-change path."""
-        manifest = similarity._ivf_manifest_path(self.ivf_index_path)
+        # flat-layout crash healing first (no-ops for a versioned store,
+        # whose single-rename commits leave no swap window), THEN resolve
+        # the layout: for a versioned store the manifest lives inside the
+        # current version directory, and its mtime changes on every
+        # commit because the commit rename installs a new version dir
         self._heal_crashed_swap(self.ivf_index_path)
-        self._heal_crashed_swap(manifest, lease_root=self.ivf_index_path)
+        self._heal_crashed_swap(
+            similarity._ivf_manifest_path(self.ivf_index_path),
+            lease_root=self.ivf_index_path,
+        )
+        data, manifest = similarity.ivf_resolved_paths(
+            self.spark, self.ivf_index_path
+        )
         mt = path_mtime(self.spark, manifest)
-        if mt == -1 or not path_exists(self.spark, self.ivf_index_path):
+        if mt == -1 or not path_exists(self.spark, data):
             return False
         if self._ivf_n_centroids is None or mt != self._ivf_manifest_mtime:
             self._ivf_n_centroids = int(

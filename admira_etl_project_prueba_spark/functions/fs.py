@@ -173,6 +173,85 @@ def swap_into_place(spark: SparkSession, tmp: str, dst: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Versioned store layout (reader-side snapshot isolation)
+# ---------------------------------------------------------------------------
+#
+# `swap_into_place` replaces a store by a rename PAIR — atomic for new
+# readers, but a scan that LISTED files before the swap can lose them
+# mid-read (FileNotFound on the renamed-away originals).  The versioned
+# layout removes that window entirely: the store root holds immutable
+# version directories
+#
+#   root/
+#     v00000001/   <- complete, never modified after commit
+#     v00000002/   <- current (the highest committed name)
+#
+# and "current" is simply the HIGHEST committed version name.  A rewrite
+# builds the next version in full under a temp name inside the root,
+# then COMMITS it with one atomic rename to its final vNNNNNNNN name —
+# the version is visible only when complete, so there is no torn-pointer
+# state a mutable pointer file would need healing for (the directory
+# listing IS the pointer, and rename makes flipping it atomic on both
+# the local FS and HDFS).  Readers resolve the newest version once at
+# scan start and keep reading that directory; a concurrent commit never
+# touches it.  GC (same lease as the rewrite) keeps the newest ``keep``
+# versions (default 2: current + previous), so a reader that resolved
+# just before a flip still completes against the previous version; only
+# a reader older than ``keep-1`` further flips can lose files — the
+# documented grace window, tunable via ``keep``.
+
+_VERSION_WIDTH = 8
+
+
+def _is_version_name(name: str) -> bool:
+    return (
+        len(name) == _VERSION_WIDTH + 1
+        and name[0] == "v"
+        and name[1:].isdigit()
+    )
+
+
+def list_versions(spark: SparkSession, root: str) -> list[str]:
+    """Committed version names under ``root``, oldest first ([] when the
+    root is absent or holds no versions — e.g. a legacy flat store)."""
+    return sorted(
+        n for n in list_child_names(spark, root) if _is_version_name(n)
+    )
+
+
+def latest_version(spark: SparkSession, root: str) -> str | None:
+    """The current version name (highest committed), or None."""
+    versions = list_versions(spark, root)
+    return versions[-1] if versions else None
+
+
+def commit_version(
+    spark: SparkSession, root: str, tmp: str, keep: int = 2
+) -> str:
+    """Atomically commit ``tmp`` (a fully-written version payload) as
+    ``root``'s next version, then GC all but the newest ``keep``
+    versions.  Returns the committed version name.
+
+    CALLER HOLDS the store's maintenance lease — the lease serializes
+    writers (two concurrent commits could both compute the same next
+    name); readers need no lock at all, which is the point.
+    """
+    fs, jroot, jvm = _fs_and_path(spark, root)
+    current = latest_version(spark, root)
+    nxt = (int(current[1:]) + 1) if current else 1
+    name = f"v{nxt:0{_VERSION_WIDTH}d}"
+    jdst = jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + name)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if not fs.rename(jtmp, jdst):
+        raise IOError(f"commit_version: rename {tmp} -> {jdst} failed")
+    for old in list_versions(spark, root)[: -max(1, int(keep))]:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + old), True
+        )
+    return name
+
+
+# ---------------------------------------------------------------------------
 # Single-writer maintenance lease
 # ---------------------------------------------------------------------------
 #

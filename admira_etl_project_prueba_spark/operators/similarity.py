@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from admira_etl_project_prueba_spark.functions.fs import (
+    commit_version,
+    latest_version,
     maintenance_lease,
     path_exists,
     recover_swap,
@@ -357,7 +359,8 @@ def _coarse_scored(embeddings: DataFrame, k: int, g: int, w: int) -> DataFrame:
 
 
 def write_ivf_index(
-    embeddings: DataFrame, path: str, n_centroids: int = 16
+    embeddings: DataFrame, path: str, n_centroids: int = 16,
+    versioned: bool = False,
 ) -> None:
     """Persist the IVF inverted lists: TRUE inverted lists carrying the
     vectors themselves — (vec_id, label, embedding) written
@@ -368,32 +371,99 @@ def write_ivf_index(
     Consumers that only need the assignment (vec_id, centroid_id) read the
     same table with column pruning.
 
-    A 1-row sidecar manifest (``<path>__manifest``) records
-    ``n_centroids`` so incremental merges can VALIDATE the centroid
-    contract instead of trusting the caller — a merge with the wrong
-    ``n_centroids`` would silently misread real vectors as centroids
-    (see :func:`merge_ivf_index`)."""
-    assign = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
-    (
-        embeddings.select("vec_id", "label", "embedding")
-        .join(assign, "vec_id")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(path)
-    )
+    A 1-row manifest records ``n_centroids`` so incremental merges can
+    VALIDATE the centroid contract instead of trusting the caller — a
+    merge with the wrong ``n_centroids`` would silently misread real
+    vectors as centroids (see :func:`merge_ivf_index`).
+
+    ``versioned=True`` writes the VERSIONED layout (the production
+    recommendation for a store maintained while being read): the lists
+    and manifest live together inside an immutable ``path/vNNNNNNNN/``
+    version directory committed by one atomic rename
+    (:func:`functions.fs.commit_version`).  Readers resolve the newest
+    version at scan start and are snapshot-isolated from every later
+    compact/retrain — rename-pair swaps can unlink files under a scan
+    already in flight, which the flat layout tolerates only because its
+    swaps are rare; the versioned layout removes the window entirely,
+    and fuses the index+manifest flip into ONE commit (no degraded
+    inter-swap state).  Every maintenance/read entry point here resolves
+    both layouts transparently via :func:`ivf_data_path`."""
     spark = embeddings.sparkSession
-    (
-        spark.createDataFrame([(int(n_centroids),)], "n_centroids int")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(_ivf_manifest_path(path))
-    )
+    assign = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
+    lists = embeddings.select("vec_id", "label", "embedding").join(assign, "vec_id")
+    mrow = spark.createDataFrame([(int(n_centroids),)], "n_centroids int")
+    if not versioned:
+        lists.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+        mrow.coalesce(1).write.mode("overwrite").parquet(_ivf_manifest_path(path))
+        return
+    with maintenance_lease(spark, path):
+        _ivf_clean_scratch(spark, path)
+        tmp = _ivf_version_tmp(path)
+        lists.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{tmp}/data"
+        )
+        mrow.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/manifest")
+        commit_version(spark, path, tmp)
 
 
 def _ivf_manifest_path(path: str) -> str:
-    """Sidecar location: OUTSIDE the index directory so Spark's partition
-    discovery over the centroid_id layout never sees it."""
+    """FLAT-layout sidecar location: OUTSIDE the index directory so
+    Spark's partition discovery over the centroid_id layout never sees
+    it.  Versioned stores keep the manifest INSIDE the version directory
+    instead — resolve through :func:`ivf_manifest_path`."""
     return path.rstrip("/") + "__manifest"
+
+
+def _ivf_version_tmp(path: str) -> str:
+    """Scratch location for the next version's payload — INSIDE the
+    store root (commit is a same-directory rename, atomic on local FS
+    and HDFS) but not version-named, so readers never resolve it."""
+    import time as _time
+
+    return f"{path.rstrip('/')}/__building.{_time.monotonic_ns()}"
+
+
+def _ivf_clean_scratch(spark, path: str) -> None:
+    """Delete orphaned ``__building.*`` scratch dirs left by a writer
+    that crashed before its commit rename.  CALLER HOLDS the store
+    lease, so no live writer's scratch can be swept; committed versions
+    are never touched.  Crash recovery for the versioned layout is JUST
+    this sweep — an uncommitted scratch dir is invisible to readers, so
+    unlike the flat layout's rename pair there is no window where the
+    store itself needs healing."""
+    from admira_etl_project_prueba_spark.functions import fs as _fs
+
+    jfs, jroot, jvm = _fs._fs_and_path(spark, path)
+    for name in _fs.list_child_names(spark, path):
+        if name.startswith("__building."):
+            jfs.delete(
+                jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name),
+                True,
+            )
+
+
+def ivf_resolved_paths(spark, path: str) -> tuple[str, str]:
+    """(data_path, manifest_path) for an IVF store in EITHER layout.
+
+    Versioned store (``path/vNNNNNNNN/`` children): the newest committed
+    version's ``data``/``manifest`` — resolving once at scan start is
+    what gives readers snapshot isolation, because version directories
+    are immutable after commit (appends via :func:`merge_ivf_index` add
+    files but never remove or rewrite, which a planned scan tolerates).
+    Flat store: the path itself + the ``__manifest`` sidecar."""
+    v = latest_version(spark, path)
+    if v is not None:
+        root = path.rstrip("/")
+        return f"{root}/{v}/data", f"{root}/{v}/manifest"
+    return path, _ivf_manifest_path(path)
+
+
+def ivf_data_path(spark, path: str) -> str:
+    """The parquet directory holding the store's CURRENT inverted lists
+    (layout-agnostic) — the seam consumers pass to ``spark.read.parquet``
+    for the ``assignments=`` fast path of :func:`ivf_topk` /
+    :func:`semantic_dedup_pairs` / the service tier."""
+    return ivf_resolved_paths(spark, path)[0]
 
 
 def ivf_topk_from_index(
@@ -425,7 +495,7 @@ def ivf_topk_from_index(
         .limit(n_probe)
         .select("centroid_id")
     )
-    lists = spark.read.parquet(index_path).selectExpr(
+    lists = spark.read.parquet(ivf_data_path(spark, index_path)).selectExpr(
         "vec_id",
         "label",
         "centroid_id",
@@ -1050,21 +1120,24 @@ def merge_ivf_index(
     watch it via the per-partition row counts), retrain via the k-means
     trainer and rebuild; that is the IVF operational cycle.
     """
-    manifest = _ivf_manifest_path(path)
     # single-writer lease (keyed on the index path, covering the manifest
     # sidecar): an append-merge racing a compact/retrain in another
     # process could land mid-swap or append into a directory the swap is
     # about to delete
     with maintenance_lease(spark, path):
-        _merge_ivf_locked(spark, path, manifest, new_embeddings, n_centroids)
+        _merge_ivf_locked(spark, path, new_embeddings, n_centroids)
 
 
-def _merge_ivf_locked(spark, path, manifest, new_embeddings, n_centroids):
-    # heal a compaction/retrain crash window before the exists-check and
-    # centroid read below: with only path__old present, the append would
-    # otherwise fail (availability) or, worse, create a batch-only store
+def _merge_ivf_locked(spark, path, new_embeddings, n_centroids):
+    # heal a FLAT-layout compaction/retrain crash window before the
+    # exists-check and centroid read below: with only path__old present,
+    # the append would otherwise fail (availability) or, worse, create a
+    # batch-only store.  Versioned stores have no swap window (commits
+    # are single renames) — both recover calls are then no-ops, and the
+    # resolver below picks the newest committed version.
     recover_swap(spark, path)
-    recover_swap(spark, manifest)
+    recover_swap(spark, _ivf_manifest_path(path))
+    data, manifest = ivf_resolved_paths(spark, path)
     # ONLY a confirmed-missing manifest is "legacy index"; a failing
     # READ (permissions, transient IO, corrupt parquet) must propagate —
     # swallowing it would skip the n_centroids validation in exactly the
@@ -1088,7 +1161,7 @@ def _merge_ivf_locked(spark, path, manifest, new_embeddings, n_centroids):
             "immutable under append-merge; rebuild for corrections"
         )
     cents = (
-        spark.read.parquet(path)
+        spark.read.parquet(data)
         .filter(F.col("vec_id") < n_centroids)
         .selectExpr(
             "vec_id AS centroid_id",
@@ -1107,11 +1180,13 @@ def _merge_ivf_locked(spark, path, manifest, new_embeddings, n_centroids):
         .select("vec_id", (-F.col("m.neg_cid")).cast("long").alias("centroid_id"))
     )
     (
+        # append INTO the current version: adds files to existing list
+        # partitions, never removes/rewrites — safe under planned scans
         new_embeddings.select("vec_id", "label", "embedding")
         .join(best, "vec_id")
         .write.mode("append")
         .partitionBy("centroid_id")
-        .parquet(path)
+        .parquet(data)
     )
     if stored is None:  # upgrade legacy indexes in passing
         (
@@ -1129,7 +1204,7 @@ def ivf_files_per_list(spark, path: str) -> DataFrame:
     occupancy/fan-out monitor the index owner watches alongside
     per-list row counts."""
     return (
-        spark.read.parquet(path)
+        spark.read.parquet(ivf_data_path(spark, path))
         .select("centroid_id", F.input_file_name().alias("f"))
         .distinct()
         .groupBy("centroid_id")
@@ -1154,10 +1229,9 @@ def ivf_occupancy_report(spark, path: str) -> DataFrame:
     centroid_id only), one map-side-combined groupBy on centroid_id,
     and a 1-row total broadcast — register-sized output (n_lists rows).
     """
-    n_centroids = int(
-        spark.read.parquet(_ivf_manifest_path(path)).first()["n_centroids"]
-    )
-    return ivf_occupancy_of(spark.read.parquet(path), n_centroids)
+    data, manifest = ivf_resolved_paths(spark, path)
+    n_centroids = int(spark.read.parquet(manifest).first()["n_centroids"])
+    return ivf_occupancy_of(spark.read.parquet(data), n_centroids)
 
 
 def ivf_occupancy_of(assignments: DataFrame, n_centroids: int) -> DataFrame:
@@ -1238,10 +1312,33 @@ def compact_ivf_index(spark, path: str) -> None:
     assignments.  Cost is index-sized — one read + write of the lists,
     no corpus access, no re-assignment.
     """
-    tmp = path.rstrip("/") + "__compacting"
     # single-writer lease on the store: a concurrent retrain/merge in
     # another process must wait — interleaved renames corrupt the index
     with maintenance_lease(spark, path):
+        if latest_version(spark, path) is not None:
+            # versioned layout: build the compacted lists + a manifest
+            # copy as the NEXT version and commit with one rename —
+            # in-flight readers keep scanning the version they resolved
+            # (GC keeps current + previous), no swap window at all
+            _ivf_clean_scratch(spark, path)
+            data, manifest = ivf_resolved_paths(spark, path)
+            tmp = _ivf_version_tmp(path)
+            (
+                spark.read.parquet(data)
+                .repartition("centroid_id")
+                .write.mode("overwrite")
+                .partitionBy("centroid_id")
+                .parquet(f"{tmp}/data")
+            )
+            (
+                spark.read.parquet(manifest)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/manifest")
+            )
+            commit_version(spark, path, tmp)
+            return
+        tmp = path.rstrip("/") + "__compacting"
         recover_swap(spark, path)  # heal a crashed prior swap (we hold the lease)
         (
             spark.read.parquet(path)
@@ -1263,11 +1360,10 @@ def recommended_n_centroids(
     index's real vectors (centroid self-rows excluded via the manifest);
     pair with :func:`needs_ivf_retrain` to decide WHEN and this to
     decide WHAT to retrain to."""
-    old_k = int(
-        spark.read.parquet(_ivf_manifest_path(path)).first()["n_centroids"]
-    )
+    data, manifest = ivf_resolved_paths(spark, path)
+    old_k = int(spark.read.parquet(manifest).first()["n_centroids"])
     n = (
-        spark.read.parquet(path)
+        spark.read.parquet(data)
         .filter(F.col("vec_id") >= old_k)
         .count()
     )
@@ -1340,6 +1436,8 @@ def retrain_ivf_index(
 def _retrain_ivf_locked(spark, path, manifest, n_centroids, assign_mode, group_probe):
     recover_swap(spark, path)
     recover_swap(spark, manifest)
+    versioned = latest_version(spark, path) is not None
+    data = ivf_data_path(spark, path)
     if n_centroids is None:
         n_centroids = recommended_n_centroids(spark, path)
     if int(n_centroids) < 1:
@@ -1349,7 +1447,7 @@ def _retrain_ivf_locked(spark, path, manifest, n_centroids, assign_mode, group_p
         raise ValueError(
             f"retrain_ivf_index: n_centroids must be >= 1, got {n_centroids}"
         )
-    vectors = spark.read.parquet(path).select("vec_id", "label", "embedding")
+    vectors = spark.read.parquet(data).select("vec_id", "label", "embedding")
     if assign_mode == "auto":
         # the n·k CPU law (docs/SCALE.md): exact is fine until the scored-
         # row volume crosses the threshold, then the O(n·√k) coarse path
@@ -1363,21 +1461,25 @@ def _retrain_ivf_locked(spark, path, manifest, n_centroids, assign_mode, group_p
         lambda v, k: ivf_assign_coarse(v, k, group_probe=group_probe)
     )
     assign = assigner(vectors, int(n_centroids)).select("vec_id", "centroid_id")
+    relabeled = vectors.join(assign, "vec_id").repartition("centroid_id")
+    mrow = spark.createDataFrame([(int(n_centroids),)], "n_centroids int")
+    if versioned:
+        _ivf_clean_scratch(spark, path)
+        # versioned layout: lists + manifest land together in ONE
+        # atomically-committed version — the flat layout's inter-swap
+        # window (new-k index under an old-k manifest) cannot exist, and
+        # in-flight readers keep the version they resolved
+        vtmp = _ivf_version_tmp(path)
+        relabeled.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{vtmp}/data"
+        )
+        mrow.coalesce(1).write.mode("overwrite").parquet(f"{vtmp}/manifest")
+        commit_version(spark, path, vtmp)
+        return int(n_centroids)
     tmp = path.rstrip("/") + "__retraining"
-    (
-        vectors.join(assign, "vec_id")
-        .repartition("centroid_id")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(tmp)
-    )
+    relabeled.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
     mtmp = manifest.rstrip("/") + "__retraining"
-    (
-        spark.createDataFrame([(int(n_centroids),)], "n_centroids int")
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(mtmp)
-    )
+    mrow.coalesce(1).write.mode("overwrite").parquet(mtmp)
     swap_into_place(spark, tmp, path)
     swap_into_place(spark, mtmp, manifest)
     return int(n_centroids)

@@ -2628,7 +2628,9 @@ def _ivf_index_path(spark, sf_dir) -> str:
 def _q_ivf_topk_indexed(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     path = _ivf_index_path(spark, sf_dir)
-    return _sim.ivf_topk(e, assignments=spark.read.parquet(path))
+    return _sim.ivf_topk(
+        e, assignments=spark.read.parquet(_sim.ivf_data_path(spark, path))
+    )
 
 
 @_entry(

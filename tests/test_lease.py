@@ -706,3 +706,93 @@ def test_already_exists_classifier():
     )
     assert not _is_already_exists(Exception("connection refused"))
     assert _is_already_exists(Exception("File already exists: /x"))
+
+
+# ---------------------------------------------------------------------------
+# Round-10: versioned store layout — reader-side snapshot isolation
+# ---------------------------------------------------------------------------
+
+
+def test_reader_completes_against_old_version_across_compaction(
+    spark, sf_dir, tmp_path
+):
+    """The race the versioned layout exists to remove: a scan planned
+    BEFORE a foreign compaction must complete against the version it
+    resolved — the flat layout's rename-pair swap can unlink files under
+    it mid-read.  Version dirs are immutable after commit and GC keeps
+    current + previous, so the reader's files survive the flip."""
+    from admira_etl_project_prueba_spark.functions.fs import list_versions
+    from admira_etl_project_prueba_spark.operators import similarity as sim
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_versioned")
+    sim.write_ivf_index(e, path, n_centroids=16, versioned=True)
+    assert list_versions(spark, path) == ["v00000001"]
+
+    # reader resolves the CURRENT version and plans its scan (the file
+    # listing happens here, when the relation is built)
+    data_v1, _ = sim.ivf_resolved_paths(spark, path)
+    reader = spark.read.parquet(data_v1).select("vec_id", "centroid_id")
+    before = reader.count()
+
+    # "another process" compacts: installs v2, GC keeps v1 (keep=2)
+    sim.compact_ivf_index(spark, path)
+    assert list_versions(spark, path) == ["v00000001", "v00000002"]
+
+    # the planned scan completes against the OLD version, unchanged
+    rows = reader.collect()
+    assert len(rows) == before
+    # while new readers resolve the new version and see identical data
+    data_v2, _ = sim.ivf_resolved_paths(spark, path)
+    assert data_v2.endswith("v00000002/data")
+    assert spark.read.parquet(data_v2).count() == before
+
+    # the grace window is exactly keep-1 further flips: after two more
+    # commits the reader's version is GC'd (documented bound)
+    sim.compact_ivf_index(spark, path)
+    sim.compact_ivf_index(spark, path)
+    assert list_versions(spark, path) == ["v00000003", "v00000004"]
+
+
+def test_versioned_retrain_fuses_index_and_manifest_flip(spark, sf_dir, tmp_path):
+    """Flat-layout retrain has a crash window between its two swaps
+    (new-k index under an old-k manifest).  The versioned layout commits
+    lists + manifest in ONE rename, so every resolved (data, manifest)
+    pair is mutually consistent by construction."""
+    from admira_etl_project_prueba_spark.operators import similarity as sim
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_v_retrain")
+    sim.write_ivf_index(e, path, n_centroids=16, versioned=True)
+    k = sim.retrain_ivf_index(spark, path, n_centroids=8)
+    assert k == 8
+    data, manifest = sim.ivf_resolved_paths(spark, path)
+    assert data.rsplit("/", 2)[0] == manifest.rsplit("/", 2)[0]  # same version
+    assert spark.read.parquet(manifest).first()["n_centroids"] == 8
+    # occupancy resolves the same pair — centroid universe matches
+    occ = sim.ivf_occupancy_report(spark, path)
+    assert occ.count() <= 8
+
+
+def test_versioned_writer_sweeps_crashed_scratch(spark, sf_dir, tmp_path):
+    """A writer that crashed before its commit rename leaves an
+    uncommitted __building.* dir — invisible to readers (that is the
+    layout's crash-safety), swept by the next leased writer."""
+    import os as _os
+
+    from admira_etl_project_prueba_spark.functions.fs import list_versions
+    from admira_etl_project_prueba_spark.operators import similarity as sim
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_v_scratch")
+    sim.write_ivf_index(e, path, n_centroids=16, versioned=True)
+    orphan = _os.path.join(path, "__building.999")
+    _os.makedirs(_os.path.join(orphan, "data"))
+    # readers never resolve the scratch
+    assert sim.ivf_data_path(spark, path).endswith("v00000001/data")
+    sim.compact_ivf_index(spark, path)
+    assert not _os.path.exists(orphan)
+    assert list_versions(spark, path) == ["v00000001", "v00000002"]

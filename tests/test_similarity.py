@@ -912,3 +912,41 @@ def test_ivf_topk_plan_shape_pinned(spark, sf_dir, tmp_path):
     assert shape(
         similarity.ivf_topk(e, k=10, n_probe=4, assignments=stored)
     ) == (4, 3, 3)
+
+
+def test_versioned_ivf_equals_flat_across_lifecycle(spark, sf_dir, tmp_path):
+    """The versioned layout is a STORAGE change only: build, probe,
+    append-merge, compact, and retrain all produce row-identical results
+    to the flat layout at every step."""
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    old = e.filter("vec_id < 300")
+    new = e.filter("vec_id >= 300")
+    flat = str(tmp_path / "flat")
+    ver = str(tmp_path / "ver")
+    similarity.write_ivf_index(old, flat, n_centroids=16)
+    similarity.write_ivf_index(old, ver, n_centroids=16, versioned=True)
+
+    def rows(path):
+        return sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in spark.read.parquet(
+                similarity.ivf_data_path(spark, path)
+            ).collect()
+        )
+
+    assert rows(ver) == rows(flat)
+    # probes resolve through the same seam
+    a = similarity.ivf_topk_from_index(spark, old, flat, k=5).collect()
+    b = similarity.ivf_topk_from_index(spark, old, ver, k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # merge + compact + retrain, in both layouts
+    for p in (flat, ver):
+        similarity.merge_ivf_index(spark, p, new)
+        similarity.compact_ivf_index(spark, p)
+        assert similarity.retrain_ivf_index(spark, p, n_centroids=8) == 8
+    assert rows(ver) == rows(flat)
+    # one file per list after the compact-shaped retrain, both layouts
+    fan_v = similarity.ivf_files_per_list(spark, ver)
+    assert fan_v.filter("n_files > 1").count() == 0
