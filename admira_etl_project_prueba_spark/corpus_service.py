@@ -59,11 +59,16 @@ class CorpusService:
         pairs_table: DataFrame | None = None,
         ivf_index_path: str | None = None,
         text_index_path: str | None = None,
+        semantic_pairs_path: str | None = None,
     ):
         self.spark = spark
         self.documents = documents
         self.embeddings = embeddings
         self.pairs_table = pairs_table  # precomputed near-dup pairs, if any
+        # persisted write_semantic_pairs store: method=semantic becomes a
+        # paged read of materialized pairs (no per-request scoring job)
+        # whenever the request's threshold is answerable from the build's
+        self.semantic_pairs_path = semantic_pairs_path
         # persisted index stores, if the deployment maintains them —
         # enables the maintenance-scheduling surface (index_health, the
         # /corpus/similar index block) so an operator can SEE when
@@ -128,7 +133,25 @@ class CorpusService:
                 raise ValidationError(
                     f"threshold out of range (0, 1]: {threshold}"
                 )
-            if self.ivf_index_path is not None and self._ivf_index_ready():
+            stored = (
+                similarity.read_semantic_pairs(
+                    self.spark, self.semantic_pairs_path
+                )
+                if self.semantic_pairs_path is not None
+                else None
+            )
+            if stored is not None and float(stored[1]["threshold"]) <= float(
+                threshold
+            ):
+                # table-scale path: a paged read of the materialized
+                # pairs (filter only tightens — pairs BELOW the build
+                # threshold were never written, so a looser request
+                # falls through to compute instead of silently missing)
+                pairs = stored[0].filter(
+                    F.col("cosine") >= float(threshold)
+                )
+                assignments_source = "pairs_table"
+            elif self.ivf_index_path is not None and self._ivf_index_ready():
                 pairs = similarity.semantic_dedup_pairs(
                     self.embeddings,
                     n_centroids=self._ivf_n_centroids,

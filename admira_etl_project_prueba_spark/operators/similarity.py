@@ -617,6 +617,76 @@ def semantic_dedup_pairs(
     )
 
 
+def write_semantic_pairs(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    threshold: float = 0.92,
+    n_centroids: int = 16,
+    ivf_index_path: str | None = None,
+) -> dict:
+    """Materialize :func:`semantic_dedup_pairs` as a versioned store —
+    the table-scale serving shape for ``/corpus/dedup/pairs?method=
+    semantic``: the route becomes a paged read of precomputed pairs
+    instead of an O(Σ|cluster|²) scoring job per request.
+
+    ``ivf_index_path`` (recommended): assignments AND the centroid
+    universe come from the persisted index — the pairs table then
+    reflects exactly the lists probes use, and no n·k assignment runs.
+    The build threshold + n_centroids + assignments source land in the
+    version's 1-row manifest so servers can VALIDATE a request against
+    what was materialized (a request threshold below the build's cannot
+    be answered from the table — pairs under the build threshold were
+    never written).  Versioned layout (``fs.commit_version``): rebuilds
+    are atomic, readers snapshot-isolated, same contract as the IVF
+    store.  Returns the manifest row as a dict."""
+    if ivf_index_path is not None:
+        idx_data, idx_manifest = ivf_resolved_paths(spark, ivf_index_path)
+        n_centroids = int(
+            spark.read.parquet(idx_manifest).first()["n_centroids"]
+        )
+        assignments = spark.read.parquet(idx_data)
+        source = "ivf_index"
+    else:
+        assignments = None
+        source = "inline"
+    pairs = semantic_dedup_pairs(
+        embeddings, n_centroids, float(threshold), assignments
+    )
+    meta = {
+        "threshold": float(threshold),
+        "n_centroids": int(n_centroids),
+        "assignments_source": source,
+    }
+    with maintenance_lease(spark, path):
+        _ivf_clean_scratch(spark, path)
+        tmp = _ivf_version_tmp(path)
+        pairs.write.mode("overwrite").parquet(f"{tmp}/data")
+        (
+            spark.createDataFrame(
+                [(meta["threshold"], meta["n_centroids"], source)],
+                "threshold double, n_centroids int, assignments_source string",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/manifest")
+        )
+        commit_version(spark, path, tmp)
+    return meta
+
+
+def read_semantic_pairs(spark, path: str):
+    """(pairs DataFrame, manifest dict) for a :func:`write_semantic_pairs`
+    store, or None when no version has been committed yet (fresh
+    deployment) — the read seam the service's table-aware route uses."""
+    v = latest_version(spark, path)
+    if v is None:
+        return None
+    root = path.rstrip("/")
+    meta = spark.read.parquet(f"{root}/{v}/manifest").first().asDict()
+    return spark.read.parquet(f"{root}/{v}/data"), meta
+
+
 def semantic_dedup_survivors(
     embeddings: DataFrame,
     n_centroids: int = 16,

@@ -1324,3 +1324,81 @@ def test_near_dup_pairs_semantic_method(spark, sf_dir, tmp_path):
     for bad in (0.0, -0.5, 1.5):
         with pytest.raises(ValidationError, match="threshold"):
             svc.near_dup_pairs(method="semantic", threshold=bad)
+
+
+def test_near_dup_pairs_served_from_persisted_pairs_table(spark, sf_dir, tmp_path):
+    """Table-scale semantic dedup (round 10): with a write_semantic_pairs
+    store configured, /corpus/dedup/pairs?method=semantic is a PAGED READ
+    of the materialized table (assignments_source=pairs_table) whenever
+    the request threshold is answerable from the build's; a looser
+    threshold falls back to compute instead of silently missing pairs."""
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.operators.similarity import (
+        read_semantic_pairs,
+        semantic_dedup_pairs,
+        write_ivf_index,
+        write_semantic_pairs,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(emb, ivf, n_centroids=16)
+    store = str(tmp_path / "sempairs")
+    meta = write_semantic_pairs(
+        spark, emb, store, threshold=0.2, ivf_index_path=ivf
+    )
+    assert meta == {
+        "threshold": 0.2, "n_centroids": 16, "assignments_source": "ivf_index",
+    }
+
+    svc = CorpusService(
+        spark, documents=docs, embeddings=emb,
+        ivf_index_path=ivf, semantic_pairs_path=store,
+    )
+    # exact-threshold request: the whole table, paged
+    r = svc.near_dup_pairs(method="semantic", threshold=0.2, limit=5)
+    assert r["assignments_source"] == "pairs_table"
+    want = semantic_dedup_pairs(
+        emb, 16, 0.2, assignments=spark.read.parquet(f"{ivf}")
+    )
+    n_want = want.count()
+    assert r["pagination"]["total"] == n_want > 0
+    assert len(r["data"]) == min(5, n_want)
+    # pagination walks the table deterministically, no overlap, full cover
+    seen = []
+    off = 0
+    while off < n_want:
+        page = svc.near_dup_pairs(
+            method="semantic", threshold=0.2, limit=7, offset=off
+        )
+        assert page["assignments_source"] == "pairs_table"
+        seen += [(row["vec_id_a"], row["vec_id_b"]) for row in page["data"]]
+        off += 7
+    assert len(seen) == n_want and len(set(seen)) == n_want
+    assert set(seen) == {
+        (r_["vec_id_a"], r_["vec_id_b"]) for r_ in want.collect()
+    }
+    # tighter threshold: served from the table, filtered
+    hi = svc.near_dup_pairs(method="semantic", threshold=0.5, limit=1000)
+    assert hi["assignments_source"] == "pairs_table"
+    assert hi["pagination"]["total"] == want.filter("cosine >= 0.5").count()
+    # looser threshold than the build: table CANNOT answer -> computed
+    lo = svc.near_dup_pairs(method="semantic", threshold=0.1, limit=5)
+    assert lo["assignments_source"] == "ivf_index"
+    # store configured but never built: falls through, no error
+    fresh = CorpusService(
+        spark, documents=docs, embeddings=emb,
+        semantic_pairs_path=str(tmp_path / "never_built"),
+    )
+    assert fresh.near_dup_pairs(
+        method="semantic", threshold=0.2, limit=5
+    )["assignments_source"] == "inline"
+    # rebuilds are atomic version commits: a rebuild at a new threshold
+    # is served immediately after, and the read seam reflects it
+    write_semantic_pairs(spark, emb, store, threshold=0.3, ivf_index_path=ivf)
+    _, m2 = read_semantic_pairs(spark, store)
+    assert m2["threshold"] == 0.3
+    r3 = svc.near_dup_pairs(method="semantic", threshold=0.3, limit=5)
+    assert r3["assignments_source"] == "pairs_table"
