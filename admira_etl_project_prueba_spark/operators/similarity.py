@@ -483,9 +483,17 @@ def ivf_topk_from_index(
     directories, so query-time I/O is ~``n_probe/n_centroids`` of the index
     bytes regardless of corpus size.  Equivalent results to ``ivf_topk``
     (same assignment and scoring), so it shares the same oracle SQL."""
-    cents = _as_double(
-        embeddings.filter(F.col("vec_id") < n_centroids), "c"
-    ).selectExpr("vec_id AS centroid_id", "c")
+    explicit = ivf_centroids_frame(spark, index_path)
+    if explicit is not None:
+        # split-grown store: the centroid universe lives in the version's
+        # explicit table (the vec_id convention can't express it)
+        cents = explicit.selectExpr(
+            "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS c"
+        )
+    else:
+        cents = _as_double(
+            embeddings.filter(F.col("vec_id") < n_centroids), "c"
+        ).selectExpr("vec_id AS centroid_id", "c")
     q = _as_double(
         embeddings.filter(F.col("vec_id") == query_vec_id), "q"
     ).select("q")
@@ -615,6 +623,234 @@ def semantic_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("vec_id_a", "vec_id_b", "centroid_id", "cosine")
     )
+
+
+def ivf_split_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    target_per_list: int = TARGET_VECTORS_PER_LIST,
+    assignments: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    salt: str = "split1",
+) -> DataFrame:
+    """INCREMENTAL retrain: split only the over-capacity inverted lists,
+    leaving every healthy list untouched — the escape from full
+    ``retrain_ivf_index``'s n·k assignment when drift is localized
+    (docs/SCALE.md: the n·k CPU arm is the true retrain cost; after a
+    split the scored-row bill is Σ_flagged |list|·(1+new sublists),
+    deficit-sized, not corpus×k-sized).
+
+    Deterministic recipe (every step engine-portable, so the occupancy
+    result is exact-oracle-able): a list with n > ``target_per_list``
+    members needs s = ceil(n/target) sublists; its s−1 NEW centroid
+    seeds are its members ranked by the md5 bucket of (vec_id, salt)
+    (pseudo-random spread, no RNG); new centroid ids extend the universe
+    densely from ``n_centroids`` in (parent, rank) order; members of a
+    flagged list re-assign by cosine argmax over {parent} ∪ {its seeds}
+    only (ties → smallest id, matching :func:`ivf_assign`).  k grows by
+    exactly the deficit Σ(s−1).
+
+    ``centroids`` — (centroid_id, embedding) — overrides the
+    ``vec_id < n_centroids`` convention for parent vectors (stores that
+    have already split once carry an explicit centroid table).  Returns
+    (vec_id, label, centroid_id).
+    """
+    out, _ = _ivf_split_parts(
+        embeddings, n_centroids, target_per_list, assignments, centroids, salt
+    )
+    return out
+
+
+def _ivf_split_parts(
+    embeddings, n_centroids, target_per_list, assignments, centroids, salt
+):
+    """(new assignment, seed table) — the seed table (vec_id, parent_id,
+    cand_cid) is the authoritative new-centroid↔seed-vector mapping the
+    store op persists (re-deriving it from the assignment would break on
+    exact-duplicate ties, where a seed can re-assign to its parent)."""
+    if assignments is None:
+        assignments = ivf_assign(embeddings, n_centroids)
+    a = assignments.select("vec_id", "centroid_id")
+    occ = a.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
+    flagged = occ.filter(F.col("n") > int(target_per_list)).selectExpr(
+        "centroid_id AS parent_id",
+        f"CAST(ceil(n / CAST({int(target_per_list)} AS DOUBLE)) AS INT) AS s",
+    )
+    from pyspark.sql import Window as _W
+
+    keyed = "concat(vec_id, '_" + str(salt) + "')"
+    rank_key = _hex60_expr(keyed)
+    ranked = (
+        a.join(F.broadcast(flagged), a.centroid_id == flagged.parent_id)
+        .selectExpr("vec_id", "parent_id", "s", f"{rank_key} AS hkey")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                _W.partitionBy("parent_id").orderBy("hkey", "vec_id")
+            ),
+        )
+    )
+    # seed numbering is GLOBAL but deficit-sized (one row per new list) —
+    # the single-partition window is over Σ(s-1) rows, never the corpus
+    seeds = ranked.filter(F.col("r") <= F.col("s") - 1).withColumn(
+        "cand_cid",
+        F.lit(int(n_centroids))
+        + F.row_number().over(_W.orderBy("parent_id", "r"))
+        - 1,
+    )
+    if centroids is not None:
+        parent_vecs = centroids.selectExpr(
+            "centroid_id AS parent_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS c",
+        ).join(F.broadcast(flagged.select("parent_id")), "parent_id")
+    else:
+        parent_vecs = (
+            _as_double(embeddings, "c")
+            .selectExpr("vec_id AS parent_id", "c")
+            .join(F.broadcast(flagged.select("parent_id")), "parent_id")
+        )
+    seed_vecs = seeds.select("vec_id", "parent_id", "cand_cid").join(
+        _as_double(embeddings, "c").select("vec_id", "c"), "vec_id"
+    )
+    cands = parent_vecs.selectExpr(
+        "parent_id", "parent_id AS cand_cid", "c"
+    ).unionByName(seed_vecs.select("parent_id", "cand_cid", "c"))
+    members = (
+        _as_double(embeddings, "v")
+        .join(
+            a.join(F.broadcast(flagged.select("parent_id")),
+                   a.centroid_id == F.col("parent_id"))
+            .select("vec_id", "parent_id"),
+            "vec_id",
+        )
+    )
+    rescored = with_cosine(
+        members.join(F.broadcast(cands), "parent_id"), "c", "v"
+    )
+    reassigned = (
+        rescored.groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.struct(F.col("cosine"), (-F.col("cand_cid")).alias("neg"))
+            ).alias("m")
+        )
+        .select(
+            "vec_id", "label", (-F.col("m.neg")).cast("long").alias("centroid_id")
+        )
+    )
+    untouched = (
+        embeddings.select("vec_id", "label")
+        .join(a, "vec_id")
+        .join(
+            F.broadcast(flagged.select("parent_id")),
+            F.col("centroid_id") == F.col("parent_id"),
+            "left_anti",
+        )
+        .select("vec_id", "label", F.col("centroid_id").cast("long").alias("centroid_id"))
+    )
+    return (
+        untouched.unionByName(reassigned),
+        seeds.select("vec_id", "parent_id", "cand_cid"),
+    )
+
+
+def _hex60_expr(keyed: str) -> str:
+    """Engine-portable 60-bit md5 bucket (textops.hex60's recipe, local
+    copy to keep this module import-cycle-free)."""
+    return f"CAST(conv(substring(md5({keyed}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def ivf_centroids_frame(spark, path: str) -> DataFrame | None:
+    """The store's EXPLICIT centroid table — (centroid_id, embedding) —
+    when the current version carries one (written by
+    :func:`split_ivf_index`, whose grown centroid universe cannot be
+    expressed by the ``vec_id < n_centroids`` convention), else None."""
+    v = latest_version(spark, path)
+    if v is None:
+        return None
+    cpath = f"{path.rstrip('/')}/{v}/centroids"
+    if not path_exists(spark, cpath):
+        return None
+    return spark.read.parquet(cpath)
+
+
+def split_ivf_index(
+    spark,
+    path: str,
+    target_per_list: int = TARGET_VECTORS_PER_LIST,
+    salt: str = "split1",
+) -> int:
+    """Apply :func:`ivf_split_assign` to a persisted VERSIONED index:
+    commit a new version whose over-capacity lists are split in place —
+    the incremental leg of the maintenance cycle next to full
+    ``retrain_ivf_index``.  The new version carries an explicit
+    ``centroids`` table (old universe by convention or prior table, plus
+    the new seeds' vectors), which every probe/merge path resolves via
+    :func:`ivf_centroids_frame`; the manifest's n_centroids becomes the
+    grown k.  Returns the new centroid count.  Versioned stores only —
+    the flat layout's probes read centroids by the vec_id convention,
+    which a grown universe cannot satisfy (full retrain re-establishes
+    the convention and drops the table)."""
+    if latest_version(spark, path) is None:
+        raise ValueError(
+            f"split_ivf_index: {path} is not a versioned store — "
+            "write_ivf_index(versioned=True), or use retrain_ivf_index"
+        )
+    with maintenance_lease(spark, path):
+        _ivf_clean_scratch(spark, path)
+        data, manifest = ivf_resolved_paths(spark, path)
+        old_k = int(spark.read.parquet(manifest).first()["n_centroids"])
+        stored = spark.read.parquet(data)
+        vectors = stored.select("vec_id", "label", "embedding")
+        cents = ivf_centroids_frame(spark, path)
+        new_assign, seeds = _ivf_split_parts(
+            vectors,
+            old_k,
+            int(target_per_list),
+            stored.select("vec_id", "centroid_id"),
+            cents,
+            salt,
+        )
+        # two consumers each (data write + centroid table; k derivation)
+        # and Spark has no cross-branch CSE — materialize the narrow
+        # frames once (both are at most corpus-narrow / deficit-sized)
+        new_assign = new_assign.localCheckpoint()
+        seeds = seeds.localCheckpoint()
+        # k grows by exactly the deficit — from the SEED table, so an
+        # empty sublist (every member re-chose its parent) still counts
+        # toward the universe, matching the manifest the probes trust
+        new_k = old_k + seeds.count()
+        # centroid table for the new version: prior universe + seed vectors
+        if cents is None:
+            old_cents = vectors.filter(F.col("vec_id") < old_k).selectExpr(
+                "CAST(vec_id AS INT) AS centroid_id", "embedding"
+            )
+        else:
+            old_cents = cents.select("centroid_id", "embedding")
+        new_cents = (
+            seeds.select(F.col("cand_cid").alias("centroid_id"), "vec_id")
+            .join(vectors.select("vec_id", "embedding"), "vec_id")
+            .selectExpr("CAST(centroid_id AS INT) AS centroid_id", "embedding")
+        )
+        tmp = _ivf_version_tmp(path)
+        (
+            vectors.join(new_assign.select("vec_id", "centroid_id"), "vec_id")
+            .repartition("centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{tmp}/data")
+        )
+        old_cents.unionByName(new_cents).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/centroids")
+        (
+            spark.createDataFrame([(int(new_k),)], "n_centroids int")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{tmp}/manifest")
+        )
+        commit_version(spark, path, tmp)
+    return int(new_k)
 
 
 def write_semantic_pairs(
@@ -1163,7 +1399,7 @@ def embedding_drift(ref: DataFrame, cur: DataFrame) -> DataFrame:
 
 
 def merge_ivf_index(
-    spark, path: str, new_embeddings: DataFrame, n_centroids: int = 16
+    spark, path: str, new_embeddings: DataFrame, n_centroids: int | None = None
 ) -> None:
     """Append-merge a NEW vector batch into the persisted IVF index —
     the list layout's incremental maintenance: the centroid vectors are
@@ -1176,8 +1412,10 @@ def merge_ivf_index(
     row-for-row (pytest-pinned; new vec_ids must exceed the centroid
     ids, which a growing corpus satisfies by construction).
 
-    Contract VALIDATION (not trust): ``n_centroids`` is checked against
-    the index's sidecar manifest (written by :func:`write_ivf_index`) —
+    Contract VALIDATION (not trust): ``n_centroids`` defaults to the
+    manifest's value (None — the only sound choice for split-grown
+    stores, whose k the caller can't track); an explicit caller value
+    is checked against the manifest (written by :func:`write_ivf_index`) —
     a mismatch raises ``ValueError`` before any write, because merging
     with the wrong centroid count would misread real vectors as
     centroids and assign the batch against garbage.  The batch's vec_ids
@@ -1216,6 +1454,11 @@ def _merge_ivf_locked(spark, path, new_embeddings, n_centroids):
     stored = None
     if path_exists(spark, manifest):
         stored = spark.read.parquet(manifest).first()["n_centroids"]
+    # n_centroids=None (default) adopts the manifest's value — the only
+    # sound choice for split-grown stores, whose k the caller can't be
+    # expected to track; an EXPLICIT caller value is still validated.
+    if n_centroids is None:
+        n_centroids = int(stored) if stored is not None else 16
     if stored is not None and int(stored) != int(n_centroids):
         raise ValueError(
             f"merge_ivf_index: index at {path} was built with "
@@ -1223,21 +1466,32 @@ def _merge_ivf_locked(spark, path, new_embeddings, n_centroids):
             "a mismatched merge would misread vectors as centroids; "
             "rebuild via write_ivf_index to change the centroid count"
         )
-    min_vec = new_embeddings.agg(F.min("vec_id")).first()[0]
-    if min_vec is not None and int(min_vec) < int(n_centroids):
-        raise ValueError(
-            f"merge_ivf_index: batch contains vec_id={min_vec} inside the "
-            f"centroid id range [0, {n_centroids}) — centroid rows are "
-            "immutable under append-merge; rebuild for corrections"
+    explicit = ivf_centroids_frame(spark, path)
+    if explicit is None:
+        # convention stores: the batch must not collide with the
+        # centroid id range (centroid rows are immutable under append);
+        # split-grown stores carry their centroids in an explicit table,
+        # so vec_ids carry no centroid meaning there
+        min_vec = new_embeddings.agg(F.min("vec_id")).first()[0]
+        if min_vec is not None and int(min_vec) < int(n_centroids):
+            raise ValueError(
+                f"merge_ivf_index: batch contains vec_id={min_vec} inside the "
+                f"centroid id range [0, {n_centroids}) — centroid rows are "
+                "immutable under append-merge; rebuild for corrections"
+            )
+        cents = (
+            spark.read.parquet(data)
+            .filter(F.col("vec_id") < n_centroids)
+            .selectExpr(
+                "vec_id AS centroid_id",
+                "transform(embedding, x -> CAST(x AS DOUBLE)) AS q",
+            )
         )
-    cents = (
-        spark.read.parquet(data)
-        .filter(F.col("vec_id") < n_centroids)
-        .selectExpr(
-            "vec_id AS centroid_id",
+    else:
+        cents = explicit.selectExpr(
+            "centroid_id",
             "transform(embedding, x -> CAST(x AS DOUBLE)) AS q",
         )
-    )
     t = _as_double(new_embeddings, "v")
     scored = with_cosine(t.crossJoin(F.broadcast(cents)))
     best = (
@@ -1406,6 +1660,11 @@ def compact_ivf_index(spark, path: str) -> None:
                 .write.mode("overwrite")
                 .parquet(f"{tmp}/manifest")
             )
+            cents = ivf_centroids_frame(spark, path)
+            if cents is not None:  # split-grown universe rides along
+                cents.coalesce(1).write.mode("overwrite").parquet(
+                    f"{tmp}/centroids"
+                )
             commit_version(spark, path, tmp)
             return
         tmp = path.rstrip("/") + "__compacting"

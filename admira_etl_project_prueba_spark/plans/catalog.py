@@ -2532,6 +2532,84 @@ def _q_ivf_occupancy(spark, sf_dir):
     )
 
 
+@_entry(
+    "ivf_split_occupancy",
+    "Per-list occupancy AFTER an incremental list split (ivf_split_assign"
+    ", round 10): lists over 30 members split cluster-locally — s-1 new "
+    "centroids seeded by md5 rank of (vec_id, salt), members re-argmaxed "
+    "over {parent} ∪ {its seeds} only, healthy lists byte-untouched.  "
+    "The hash-gated invariant record for retrain_mode=split: k grows by "
+    "exactly the deficit, membership is parent-contained, and the "
+    "scored-row bill is deficit-sized, not n·k.",
+    f"""WITH {_DUCK_IVF_ASSIGN},
+occ AS (SELECT centroid_id, COUNT(*) AS n FROM assign GROUP BY 1),
+flagged AS (
+  SELECT centroid_id AS parent_id, CAST(ceil(n / 30.0) AS INT) AS s
+  FROM occ WHERE n > 30
+),
+ranked AS (
+  SELECT a.vec_id, f.parent_id, f.s,
+         ROW_NUMBER() OVER (PARTITION BY f.parent_id
+            ORDER BY {_duck_hex60("a.vec_id || '_split1'")}, a.vec_id) AS r
+  FROM assign a JOIN flagged f ON a.centroid_id = f.parent_id
+),
+seeds AS (
+  SELECT vec_id, parent_id,
+         16 + ROW_NUMBER() OVER (ORDER BY parent_id, r) - 1 AS cand_cid
+  FROM ranked WHERE r <= s - 1
+),
+cand AS (
+  SELECT f.parent_id, f.parent_id AS cand_cid, t.v AS cv
+  FROM flagged f JOIN t ON t.vec_id = f.parent_id
+  UNION ALL
+  SELECT sd.parent_id, sd.cand_cid, t.v AS cv
+  FROM seeds sd JOIN t ON t.vec_id = sd.vec_id
+),
+members AS (
+  SELECT a.vec_id, a.centroid_id AS parent_id, t.v AS mv
+  FROM assign a JOIN flagged f ON a.centroid_id = f.parent_id
+  JOIN t ON t.vec_id = a.vec_id
+),
+resc AS (
+  SELECT m.vec_id, c.cand_cid,
+         CASE WHEN {_duck_norm('c.cv')} > 0 AND {_duck_norm('m.mv')} > 0
+              THEN {_duck_dot('c.cv', 'm.mv')}
+                   / ({_duck_norm('c.cv')} * {_duck_norm('m.mv')})
+              ELSE 0.0 END AS cosine
+  FROM members m JOIN cand c ON m.parent_id = c.parent_id
+),
+re AS (
+  SELECT vec_id, cand_cid AS centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cosine DESC, cand_cid) AS _r FROM resc)
+  WHERE _r = 1
+),
+final AS (
+  SELECT vec_id, centroid_id FROM assign
+  WHERE centroid_id NOT IN (SELECT parent_id FROM flagged)
+  UNION ALL SELECT vec_id, centroid_id FROM re
+)
+SELECT CAST(centroid_id AS INT) AS centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       centroid_id >= 16 AS is_new_list
+FROM final GROUP BY centroid_id ORDER BY centroid_id""",
+)
+def _q_ivf_split_occupancy(spark, sf_dir):
+    out = _sim.ivf_split_assign(
+        _t(spark, sf_dir, "embeddings"), n_centroids=16, target_per_list=30
+    )
+    return (
+        out.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .selectExpr(
+            "CAST(centroid_id AS INT) AS centroid_id",
+            "n_vectors",
+            "centroid_id >= 16 AS is_new_list",
+        )
+        .orderBy("centroid_id")
+    )
+
+
 _IVF_TOPK_SQL = f"""WITH {_DUCK_IVF_ASSIGN},
 q AS (SELECT v AS q FROM t WHERE vec_id = 0),
 probe AS (

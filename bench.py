@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "user_rfm_segments_sampled",
     "user_value_quartiles_sampled",
     "supplier_revenue_distribution_sampled",
+    "ivf_split_occupancy",
     "events_position_attribution",
     "basket_part_lift",
     "events_decay_attribution",

@@ -950,3 +950,92 @@ def test_versioned_ivf_equals_flat_across_lifecycle(spark, sf_dir, tmp_path):
     # one file per list after the compact-shaped retrain, both layouts
     fan_v = similarity.ivf_files_per_list(spark, ver)
     assert fan_v.filter("n_files > 1").count() == 0
+
+
+def test_ivf_split_assign_invariants(spark, sf_dir):
+    """Incremental split (round 10): k grows by exactly the deficit,
+    members of a flagged list land on {parent} ∪ {that list's seeds}
+    (never another parent's sublist), healthy lists are untouched, and
+    membership is preserved — the occupancy record itself is hash-gated
+    in the catalog (ivf_split_occupancy)."""
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(e, 16).collect()
+    }
+    out, seeds = similarity._ivf_split_parts(e, 16, 30, None, None, "split1")
+    got = {r["vec_id"]: r["centroid_id"] for r in out.collect()}
+    assert set(got) == set(base)  # membership preserved
+    seed_rows = seeds.collect()
+    by_parent: dict[int, set] = {}
+    for r in seed_rows:
+        by_parent.setdefault(r["parent_id"], set()).add(r["cand_cid"])
+    # new ids are dense from 16, one per seed
+    assert sorted(c for s in by_parent.values() for c in s) == list(
+        range(16, 16 + len(seed_rows))
+    )
+    from collections import Counter
+
+    occ = Counter(base.values())
+    import math
+
+    want_deficit = sum(
+        math.ceil(n / 30) - 1 for n in occ.values() if n > 30
+    )
+    assert len(seed_rows) == want_deficit > 0
+    for vec_id, new_cid in got.items():
+        old = base[vec_id]
+        if old in by_parent:  # flagged: parent-contained reassignment
+            assert new_cid == old or new_cid in by_parent[old]
+        else:  # healthy: untouched
+            assert new_cid == old
+
+
+def test_split_ivf_index_store_cycle(spark, sf_dir, tmp_path):
+    """split_ivf_index on a versioned store: new version carries the
+    grown manifest + explicit centroid table; probes and merges resolve
+    the explicit universe; compact preserves it; full retrain drops it
+    (re-establishing the vec_id convention)."""
+    from admira_etl_project_prueba_spark.functions.fs import list_versions
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    p = str(tmp_path / "ivf")
+    similarity.write_ivf_index(e, p, n_centroids=16, versioned=True)
+    new_k = similarity.split_ivf_index(spark, p, target_per_list=30)
+    assert new_k > 16
+    data, manifest = similarity.ivf_resolved_paths(spark, p)
+    assert spark.read.parquet(manifest).first()["n_centroids"] == new_k
+    cents = similarity.ivf_centroids_frame(spark, p)
+    assert cents is not None and cents.count() == new_k
+    # membership preserved through the store op
+    assert spark.read.parquet(data).count() == e.count()
+    # probe works against the explicit universe (k rows, valid ids)
+    topk = similarity.ivf_topk_from_index(spark, e, p, k=5).collect()
+    assert len(topk) == 5
+    assert all(r["centroid_id"] < new_k for r in topk)
+    # merge adopts the manifest k (caller passes nothing) and appends
+    n0 = spark.read.parquet(data).count()
+    extra = e.selectExpr(
+        "vec_id + 100000 AS vec_id", "label", "embedding"
+    ).limit(50)
+    similarity.merge_ivf_index(spark, p, extra)
+    assert spark.read.parquet(data).count() == n0 + 50
+    # compact carries the centroid table into the next version
+    similarity.compact_ivf_index(spark, p)
+    assert similarity.ivf_centroids_frame(spark, p).count() == new_k
+    assert similarity.ivf_files_per_list(spark, p).filter(
+        "n_files > 1"
+    ).count() == 0
+    # full retrain re-establishes the convention and drops the table
+    k2 = similarity.retrain_ivf_index(spark, p, n_centroids=8)
+    assert k2 == 8
+    assert similarity.ivf_centroids_frame(spark, p) is None
+    assert len(similarity.ivf_topk_from_index(spark, e, p, k=5).collect()) == 5
+    # flat stores refuse split with guidance
+    flat = str(tmp_path / "flat")
+    similarity.write_ivf_index(e, flat, n_centroids=16)
+    with pytest.raises(ValueError, match="versioned"):
+        similarity.split_ivf_index(spark, flat)

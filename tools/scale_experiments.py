@@ -1424,9 +1424,95 @@ def main():
     print(json.dumps({"sf_dir": SF_DIR, "experiments": results}))
 
 
+def _growth_law_r10_split_experiment(spark) -> dict:
+    """Round-10 rehearsal (VERDICT r9 #6): incremental list split vs full
+    retrain at 1x/10x (2k→20k vectors, store built at k=16 so every list
+    is over the 64-vector capacity — the worst case FOR split, since all
+    lists split).  The claim under test: split's assignment bill is
+    deficit-sized (Σ_flagged n_c·s_c scored rows — each member scores its
+    parent + that list's seeds only) vs full retrain's n·k_rec, so the
+    CPU arm shrinks by ~k_rec/s even when every list is hot; localized
+    drift widens the gap further (healthy lists cost nothing)."""
+    import tempfile
+
+    from admira_etl_project_prueba_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    def vectors(n):
+        return spark.sql(
+            f"""SELECT id AS vec_id,
+                   transform(sequence(1, 64),
+                       j -> CAST(((id * 2654435761 + j * 40503) % 1000)
+                                 / 1000.0 AS FLOAT)) AS embedding,
+                   CAST(id % 10 AS INT) AS label
+            FROM range({n})"""
+        )
+
+    out = {}
+    for label, n in zip(("1x", "10x"), (2_000, 20_000)):
+        split_path = tempfile.mkdtemp() + "/ivf_split"
+        full_path = tempfile.mkdtemp() + "/ivf_full"
+        v = vectors(n)
+        sim.write_ivf_index(v, split_path, n_centroids=16, versioned=True)
+        sim.write_ivf_index(v, full_path, n_centroids=16, versioned=True)
+        # analytic scored-row bills from the pre-split occupancy
+        occ = (
+            sim.ivf_assign(v, 16)
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .selectExpr("n", "CAST(ceil(n / 64.0) AS INT) AS s")
+            .collect()
+        )
+        split_scored = sum(r["n"] * r["s"] for r in occ if r["n"] > 64)
+        k_rec = sim.recommended_n_centroids(spark, full_path)
+        m_split = _measured_once(
+            spark,
+            lambda p=split_path: sim.split_ivf_index(spark, p, target_per_list=64),
+        )
+        m_split["scored_rows"] = split_scored
+        m_split["new_k"] = int(
+            spark.read.parquet(
+                sim.ivf_resolved_paths(spark, split_path)[1]
+            ).first()["n_centroids"]
+        )
+        m_full = _measured_once(
+            spark,
+            lambda p=full_path, k=k_rec: sim.retrain_ivf_index(spark, p, k),
+        )
+        m_full["scored_rows"] = n * k_rec
+        m_full["n_centroids"] = k_rec
+        out[label] = {"split": m_split, "full_retrain": m_full}
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+    t = out["10x"]
+    t["scored_rows_split_vs_full"] = round(
+        t["full_retrain"]["scored_rows"] / max(t["split"]["scored_rows"], 1), 1
+    )
+    t["wall_split_vs_full"] = round(
+        t["full_retrain"]["sec"] / max(t["split"]["sec"], 1e-9), 2
+    )
+    out["theoretical"] = (
+        "split scores sum_flagged(n_c * s_c) ~ n * ceil(avg_occupancy/64); "
+        "full retrain scores n * k_rec ~ n^2/64 at the provisioning rule — "
+        "the ratio grows with k_rec/s"
+    )
+    return out
+
+
 if __name__ == "__main__":
     import sys as _sys
 
+    if len(_sys.argv) > 1 and _sys.argv[1] == "growth10":
+        print(
+            json.dumps(
+                {
+                    "growth_laws_10x_r10": _growth_law_r10_split_experiment(
+                        fresh_session()
+                    )
+                }
+            )
+        )
+        _sys.exit(0)
     if len(_sys.argv) > 1 and _sys.argv[1] == "idxmerge":
         print(json.dumps({"index_merge": _index_merge_experiment(fresh_session())}))
     elif len(_sys.argv) > 1 and _sys.argv[1] == "growth5":
