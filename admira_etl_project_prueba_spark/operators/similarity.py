@@ -1171,6 +1171,286 @@ def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ style ANN compression)
+# ---------------------------------------------------------------------------
+#
+# Jégou et al., "Product Quantization for Nearest Neighbor Search" (TPAMI
+# 2011) — the standard 100 TB vector-serving layout (FAISS IVFPQ): split
+# each vector into M subvectors, vector-quantize each subspace against
+# its own KSUB-codeword codebook, store only the M small codes
+# (M·log2(KSUB) bits — here 4 codes ≈ 4 bytes vs 64 floats = 64×
+# smaller), and answer queries with Asymmetric Distance Computation: a
+# per-query M×KSUB lookup table of exact subspace distances, candidate
+# distance = sum of M table lookups — no candidate vector is ever read.
+#
+# Determinism policy (same as kmeans_centroids): codebooks init from the
+# first KSUB stored vectors' subvectors and refine with Lloyd's rounds
+# whose per-dim means are exact DECIMAL(25,6) sums (order-independent ⇒
+# bit-identical at any partitioning); L2 subspace distances are
+# left-to-right folds DuckDB reproduces bit-for-bit; the ADC sum folds
+# the M lookups in subspace order, never in shuffle order.
+
+PQ_M = 4  #: subspaces (DIM must divide evenly)
+PQ_KSUB = 16  #: codewords per subspace codebook
+
+
+def _d2(a: str, b: str) -> str:
+    """Squared L2 distance as a left-to-right fold (engine-portable,
+    same parity recipe as ``_dot``)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_subvectors(embeddings: DataFrame, m: int) -> DataFrame:
+    """(vec_id, label, subspace, sv): each vector split into ``m``
+    contiguous subvectors of DIM/m dims — row-local posexplode, no
+    shuffle; subspace is 0-based."""
+    sd = DIM // m
+    t = _as_double(embeddings, "v")
+    return t.selectExpr(
+        "vec_id",
+        "label",
+        f"posexplode(transform(sequence(1, {m}), "
+        f"s -> slice(v, (s - 1) * {sd} + 1, {sd}))) AS (subspace, sv)",
+    )
+
+
+def pq_codebooks_wide(
+    embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = 1
+) -> DataFrame:
+    """(subspace, code_id, c array<double>, n_members): per-subspace
+    codebooks — init = the first ``ksub`` vectors' subvectors, refined by
+    ``iters`` Lloyd's rounds (L2 argmin, ties → smallest code_id;
+    decimal-exact per-dim means; empty codes keep their previous
+    codeword).  The codebook is model-sized (m·ksub rows), broadcast
+    everywhere it is used; training is ``iters`` pairs of hash-aggregate
+    shuffles over narrow (subspace, code_id, d, val) rows."""
+    sub = _pq_subvectors(embeddings, m).select("vec_id", "subspace", "sv")
+    cents = sub.filter(F.col("vec_id") < ksub).selectExpr(
+        "subspace",
+        "vec_id AS code_id",
+        "sv AS c",
+        "CAST(0 AS BIGINT) AS n_members",
+    )
+    for _ in range(iters):
+        scored = sub.join(
+            F.broadcast(cents.select("subspace", "code_id", "c")), "subspace"
+        ).select(
+            "subspace",
+            "vec_id",
+            F.expr(_d2("sv", "c")).alias("d2"),
+            "code_id",
+            "sv",
+        )
+        # argmin as ONE hash aggregate: min of (d2, code_id, sv) struct —
+        # field-by-field comparison ⇒ smallest distance, smallest code on
+        # ties; sv rides along (unique (d2, code_id) per row ⇒ it never
+        # decides the min) to save a join back for the update step
+        best = scored.groupBy("subspace", "vec_id").agg(
+            F.min(F.struct("d2", "code_id", "sv")).alias("m")
+        )
+        upd = (
+            best.selectExpr(
+                "subspace",
+                "m.code_id AS code_id",
+                "posexplode(m.sv) AS (d0, val)",
+            )
+            .selectExpr(
+                "subspace",
+                "code_id",
+                "d0 + 1 AS d",
+                "CAST(val AS DECIMAL(25,6)) AS vald",
+            )
+            .groupBy("subspace", "code_id", "d")
+            .agg(F.sum("vald").alias("s"), F.count(F.lit(1)).alias("n"))
+            .selectExpr(
+                "subspace", "code_id", "d", "CAST(s AS DOUBLE) / n AS val", "n"
+            )
+        )
+        newc = upd.groupBy("subspace", "code_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, val))), x -> x.val)"
+            ).alias("c_new"),
+            F.max("n").cast("long").alias("n_new"),
+        )
+        cents = (
+            cents.select("subspace", "code_id", F.col("c").alias("c_prev"))
+            .join(newc, ["subspace", "code_id"], "left")
+            .selectExpr(
+                "subspace",
+                "code_id",
+                "coalesce(c_new, c_prev) AS c",
+                "coalesce(n_new, CAST(0 AS BIGINT)) AS n_members",
+            )
+        )
+    return cents
+
+
+def pq_codebooks(
+    embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = 1
+) -> DataFrame:
+    """Long-form trained PQ codebooks: (subspace, code_id, n_members, d,
+    val) with d 1-based within the subspace — scalar rows, directly
+    oracle-comparable (same output convention as ``kmeans_centroids``)."""
+    wide = pq_codebooks_wide(embeddings, m, ksub, iters)
+    return wide.selectExpr(
+        "CAST(subspace AS INT) AS subspace",
+        "CAST(code_id AS INT) AS code_id",
+        "n_members",
+        "posexplode(c) AS (d0, val)",
+    ).selectExpr(
+        "subspace", "code_id", "n_members", "CAST(d0 + 1 AS INT) AS d", "val"
+    )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ encoding: (vec_id, label, subspace, code) — each subvector's
+    nearest codeword id (L2 argmin, ties → smallest code).  This is the
+    stored index payload at scale: m·log2(ksub) bits per vector instead
+    of the vector itself.  Pass ``codebooks`` (a ``pq_codebooks_wide``
+    frame, canonically read back from a persisted store) to encode an
+    ingest batch against frozen codebooks."""
+    if codebooks is None:
+        codebooks = pq_codebooks_wide(embeddings, m, ksub, iters)
+    sub = _pq_subvectors(embeddings, m)
+    scored = sub.join(
+        F.broadcast(codebooks.select("subspace", "code_id", "c")), "subspace"
+    ).select(
+        "vec_id",
+        "label",
+        "subspace",
+        F.expr(_d2("sv", "c")).alias("d2"),
+        "code_id",
+    )
+    best = scored.groupBy("vec_id", "label", "subspace").agg(
+        F.min(F.struct("d2", "code_id")).alias("m")
+    )
+    return best.selectExpr(
+        "vec_id",
+        "label",
+        "CAST(subspace AS INT) AS subspace",
+        "CAST(m.code_id AS INT) AS code",
+    )
+
+
+def _pq_adc_scored(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    m: int,
+    ksub: int,
+    iters: int,
+    codes: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, label, adc_dist2): every non-query vector ADC-scored
+    against the query — the shared core of the PQ top-k variants.
+
+    The distance table (m·ksub exact subspace distances query↔codeword)
+    is model-sized and broadcast; each candidate costs m lookups summed
+    in SUBSPACE order (a left-to-right fold over the sorted struct list,
+    not a shuffle-order double sum), so the result is deterministic at
+    any partitioning."""
+    if codebooks is None:
+        codebooks = pq_codebooks_wide(embeddings, m, ksub, iters)
+    if codes is None:
+        codes = pq_codes(embeddings, m, ksub, iters, codebooks=codebooks)
+    qsub = _pq_subvectors(
+        embeddings.filter(F.col("vec_id") == query_vec_id), m
+    ).selectExpr("subspace", "sv AS qv")
+    dtable = codebooks.join(F.broadcast(qsub), "subspace").select(
+        "subspace", F.col("code_id").alias("code"), F.expr(_d2("qv", "c")).alias("dt")
+    )
+    looked = codes.filter(F.col("vec_id") != query_vec_id).join(
+        F.broadcast(dtable), ["subspace", "code"]
+    )
+    return looked.groupBy("vec_id", "label").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(subspace, dt))), "
+            "x -> x.dt), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("adc_dist2")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+) -> DataFrame:
+    """Approximate top-k by Asymmetric Distance Computation over PQ codes:
+    rank ascending by summed subspace distance table lookups — the
+    exhaustive-ADC baseline (every code scored, no vector bytes read).
+    Returns (vec_id, label, adc_dist2) ties → vec_id."""
+    scored = _pq_adc_scored(embeddings, query_vec_id, m, ksub, iters)
+    return scored.orderBy(
+        F.col("adc_dist2").asc(), F.col("vec_id").asc()
+    ).limit(k)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the FAISS-style composite index — IVF probe prunes the
+    candidate set to ``n_probe`` inverted lists, ADC scores the survivors
+    from their PQ codes alone.  Query-time cost at 100 TB: a model-sized
+    centroid ranking + m·ksub distance table, then ~n_probe/n_centroids
+    of the CODE bytes (4 bytes/vector here), never the raw vectors.
+    Same ``assignments`` seam as ``ivf_topk`` (pass the persisted
+    ``write_ivf_index`` frame to skip the inline n·k assignment).
+    Returns (vec_id, label, centroid_id, adc_dist2)."""
+    if assignments is None:
+        assignments = ivf_assign(embeddings, n_centroids)
+    assign = assignments.select("vec_id", "centroid_id")
+    cents = _as_double(
+        embeddings.filter(F.col("vec_id") < n_centroids), "c"
+    ).selectExpr("vec_id AS centroid_id", "c")
+    q = _as_double(
+        embeddings.filter(F.col("vec_id") == query_vec_id), "q"
+    ).select("q")
+    probe = (
+        with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
+        .orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    codebooks = pq_codebooks_wide(embeddings, m, ksub, iters)
+    codes = (
+        pq_codes(embeddings, m, ksub, iters, codebooks=codebooks)
+        .join(assign, "vec_id")
+        .join(F.broadcast(probe), "centroid_id")
+    )
+    scored = _pq_adc_scored(
+        embeddings, query_vec_id, m, ksub, iters,
+        codes=codes.select("vec_id", "label", "subspace", "code"),
+        codebooks=codebooks,
+    )
+    with_list = scored.join(assign, "vec_id")
+    return (
+        with_list.select("vec_id", "label", "centroid_id", "adc_dist2")
+        .orderBy(F.col("adc_dist2").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def _rp_signs(out_dim: int, in_dim: int = DIM) -> list[list[int]]:
     """Deterministic ±1 sign matrix (Achlioptas-style database-friendly
     random projection): sign(i, j) from an LCG on the flat index — no RNG

@@ -2727,6 +2727,187 @@ def _q_ivf_topk_index_only(spark, sf_dir):
     return _sim.ivf_topk_from_index(spark, e, path)
 
 
+# -- product quantization (IVF-PQ) -------------------------------------------
+
+def _duck_pq_ctes(m: int = 4, ksub: int = 16, iters: int = 1) -> str:
+    """Shared DuckDB CTE chain for the PQ entries: subvector split, the
+    unrolled Lloyd's codebook refinement (L2 argmin via ROW_NUMBER
+    mirroring Spark's min-of-struct; decimal(25,6)-exact per-dim means),
+    and the final per-vector encoding — the twin of
+    similarity.pq_codebooks_wide / pq_codes."""
+    sd = 64 // m
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sd + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    ctes = [
+        f"t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings)",
+        f"""sub AS (
+  SELECT vec_id, label, s - 1 AS subspace,
+         v[(s - 1) * {sd} + 1 : s * {sd}] AS sv
+  FROM (SELECT *, unnest(generate_series(1, {m})) AS s FROM t))""",
+        f"b0 AS (SELECT subspace, vec_id AS code_id, sv AS c, "
+        f"CAST(0 AS BIGINT) AS n_members FROM sub WHERE vec_id < {ksub})",
+    ]
+    for i in range(1, iters + 1):
+        p = f"b{i - 1}"
+        ctes += [
+            f"""a{i} AS (
+  SELECT subspace, vec_id, sv, code_id FROM (
+    SELECT sub.subspace, sub.vec_id, sub.sv, {p}.code_id,
+           ROW_NUMBER() OVER (PARTITION BY sub.subspace, sub.vec_id
+                              ORDER BY {d2('sub.sv', f'{p}.c')} ASC,
+                                       {p}.code_id) AS _r
+    FROM sub JOIN {p} ON sub.subspace = {p}.subspace)
+  WHERE _r = 1)""",
+            f"""u{i} AS (
+  SELECT subspace, code_id, d,
+         CAST(SUM(CAST(sv[d] AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS val,
+         COUNT(*) AS n
+  FROM (SELECT subspace, code_id, sv,
+               unnest(generate_series(1, {sd})) AS d FROM a{i})
+  GROUP BY subspace, code_id, d)""",
+            f"""g{i} AS (
+  SELECT subspace, code_id, array_agg(val ORDER BY d) AS c_new, MAX(n) AS n
+  FROM u{i} GROUP BY subspace, code_id)""",
+            f"""b{i} AS (
+  SELECT p.subspace, p.code_id, COALESCE(g.c_new, p.c) AS c,
+         CAST(COALESCE(g.n, 0) AS BIGINT) AS n_members
+  FROM {p} p LEFT JOIN g{i} g
+    ON p.subspace = g.subspace AND p.code_id = g.code_id)""",
+        ]
+    ctes.append(
+        f"""codes AS (
+  SELECT vec_id, label, subspace, code FROM (
+    SELECT sub.vec_id, sub.label, sub.subspace,
+           CAST(b.code_id AS INT) AS code,
+           ROW_NUMBER() OVER (PARTITION BY sub.subspace, sub.vec_id
+                              ORDER BY {d2('sub.sv', 'b.c')} ASC,
+                                       b.code_id) AS _r
+    FROM sub JOIN b{iters} b ON sub.subspace = b.subspace)
+  WHERE _r = 1)"""
+    )
+    return "WITH " + ",\n".join(ctes)
+
+
+_DUCK_PQ_SD2 = (
+    "list_sum(list_transform(range(1, 17), "
+    "i -> (qv[i] - c[i]) * (qv[i] - c[i])))"
+)
+
+#: ADC scoring CTEs shared by the PQ top-k twins: per-query distance
+#: table (exact subspace L2 vs every codeword), candidate distance = the
+#: m lookups summed in SUBSPACE order (array_agg ORDER BY + list_sum ==
+#: Spark's sorted-struct left fold, verified bit-exact)
+_DUCK_PQ_ADC = f"""q AS (SELECT subspace, sv AS qv FROM sub WHERE vec_id = 0),
+dtab AS (
+  SELECT b.subspace, CAST(b.code_id AS INT) AS code, {_DUCK_PQ_SD2} AS dt
+  FROM b1 b JOIN q ON b.subspace = q.subspace
+),
+adc AS (
+  SELECT codes.vec_id, codes.label,
+         list_sum(array_agg(dt ORDER BY codes.subspace)) AS adc_dist2
+  FROM codes JOIN dtab
+    ON codes.subspace = dtab.subspace AND codes.code = dtab.code
+  WHERE codes.vec_id <> 0
+  GROUP BY codes.vec_id, codes.label
+)"""
+
+
+@_entry(
+    "pq_codebooks",
+    "Product-quantization codebook training (Jégou et al. 2011): DIM=64 "
+    "split into 4 16-dim subspaces, each trained k=16 by one Lloyd's round "
+    "(L2 argmin, decimal-exact means) from deterministic seeds — the "
+    "model side of a FAISS-style IVF-PQ index, 64× smaller vector bytes.",
+    _duck_pq_ctes() + """
+SELECT CAST(subspace AS INT) AS subspace, CAST(code_id AS INT) AS code_id,
+       n_members, CAST(d AS INT) AS d, c[d] AS val
+FROM (SELECT subspace, code_id, n_members, c,
+             unnest(generate_series(1, 16)) AS d FROM b1)""",
+)
+def _q_pq_codebooks(spark, sf_dir):
+    return _sim.pq_codebooks(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "pq_codes",
+    "PQ encoding: each vector stored as 4 codebook ids (argmin subspace "
+    "L2, ties → smallest code) — the 4-bytes-per-vector index payload "
+    "that replaces 64 floats at serving time.",
+    _duck_pq_ctes() + """
+SELECT vec_id, label, CAST(subspace AS INT) AS subspace, code FROM codes""",
+)
+def _q_pq_codes(spark, sf_dir):
+    return _sim.pq_codes(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "ann_pq_topk",
+    "Exhaustive-ADC PQ top-10: a per-query 4×16 exact distance table, "
+    "candidates ranked by summed table lookups — no candidate vector "
+    "bytes are ever read (the memory-bound ANN serving baseline).",
+    _duck_pq_ctes() + ",\n" + _DUCK_PQ_ADC + """
+SELECT vec_id, label, adc_dist2 FROM adc
+ORDER BY adc_dist2 ASC, vec_id LIMIT 10""",
+)
+def _q_pq_topk(spark, sf_dir):
+    return _sim.pq_topk(_t(spark, sf_dir, "embeddings"))
+
+
+_DUCK_IVFPQ_SQL = (
+    _duck_pq_ctes()
+    + """,
+cents AS (SELECT vec_id AS centroid_id, v AS c FROM t WHERE vec_id < 16),
+cassign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT t.vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+"""
+    + f"""             CASE WHEN {_duck_norm('c')} > 0 AND {_duck_norm('v')} > 0
+                  THEN {_duck_dot('c', 'v')} / ({_duck_norm('c')} * {_duck_norm('v')})
+                  ELSE 0.0 END DESC, centroid_id) AS _r
+    FROM t, cents)
+  WHERE _r = 1),
+qv0 AS (SELECT v AS q FROM t WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id FROM (
+    SELECT centroid_id,
+           CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('c')} > 0
+                THEN {_duck_dot('q', 'c')} / ({_duck_norm('q')} * {_duck_norm('c')})
+                ELSE 0.0 END AS cosine
+    FROM cents, qv0)
+  ORDER BY cosine DESC, centroid_id LIMIT 4),
+"""
+    + _DUCK_PQ_ADC.replace(
+        "FROM codes JOIN dtab",
+        """FROM (SELECT codes.* FROM codes
+        JOIN cassign ON codes.vec_id = cassign.vec_id
+        JOIN probe ON cassign.centroid_id = probe.centroid_id) codes
+  JOIN dtab""",
+    )
+    + """
+SELECT adc.vec_id, adc.label, cassign.centroid_id, adc.adc_dist2
+FROM adc JOIN cassign ON adc.vec_id = cassign.vec_id
+ORDER BY adc_dist2 ASC, adc.vec_id LIMIT 10"""
+)
+
+
+@_entry(
+    "ann_ivfpq_topk",
+    "IVF-PQ composite index (the FAISS 100 TB layout): IVF probe prunes "
+    "to the 4 nearest inverted lists, ADC ranks the survivors from their "
+    "4-byte PQ codes alone — query I/O is ~n_probe/n_centroids of the "
+    "CODE bytes, never raw vectors.",
+    _DUCK_IVFPQ_SQL,
+)
+def _q_ivfpq_topk(spark, sf_dir):
+    return _sim.ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+
+
 _DUCK_SEMDEDUP_PAIRS = f"""tv AS (
   SELECT t.vec_id, v, centroid_id FROM t JOIN assign USING (vec_id)
 ),

@@ -1,0 +1,134 @@
+"""Product-quantization (IVF-PQ) operator tests: codebook determinism,
+planted-duplicate ADC optimality, IVF-PQ score parity, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from admira_etl_project_prueba_spark.operators import similarity
+from admira_etl_project_prueba_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_pq_codes_shape_and_range(embeddings):
+    out = similarity.pq_codes(embeddings)
+    n = embeddings.count()
+    rows = out.collect()
+    assert len(rows) == n * similarity.PQ_M
+    assert all(0 <= r["code"] < similarity.PQ_KSUB for r in rows)
+    assert all(0 <= r["subspace"] < similarity.PQ_M for r in rows)
+
+
+def test_pq_codebooks_partitioning_invariant(embeddings):
+    """Decimal-exact means ⇒ bit-identical codebooks at any partitioning
+    (the property that makes the trainer reproducible on a cluster)."""
+    a = {
+        (r["subspace"], r["code_id"], r["d"]): (r["val"], r["n_members"])
+        for r in similarity.pq_codebooks(embeddings).collect()
+    }
+    b = {
+        (r["subspace"], r["code_id"], r["d"]): (r["val"], r["n_members"])
+        for r in similarity.pq_codebooks(embeddings.repartition(7)).collect()
+    }
+    assert a == b
+    assert len(a) == similarity.PQ_M * similarity.PQ_KSUB * (
+        similarity.DIM // similarity.PQ_M
+    )
+
+
+def _with_duplicate_of_query(embeddings, dup_id):
+    """The corpus plus an exact copy of vector 0 under a new vec_id."""
+    dup = (
+        embeddings.filter(F.col("vec_id") == 0)
+        .withColumn("vec_id", F.lit(dup_id).cast("long"))
+    )
+    return embeddings.unionByName(dup)
+
+
+def test_planted_duplicate_wins_adc(embeddings):
+    """An exact copy of the query minimizes every subspace lookup (its
+    code is the argmin of the query's own distance table), so its ADC
+    distance is a lower bound over the whole corpus — it must rank
+    first."""
+    dup_id = 1_000_000
+    e = _with_duplicate_of_query(embeddings, dup_id)
+    top = similarity.pq_topk(e, query_vec_id=0, k=3).collect()
+    assert top[0]["vec_id"] == dup_id
+    best = top[0]["adc_dist2"]
+    assert all(r["adc_dist2"] >= best for r in top)
+
+
+def test_ivfpq_scores_match_exhaustive_adc(embeddings):
+    """IVF pruning changes WHICH vectors are scored, never their score:
+    every (vec_id, adc_dist2) the composite index returns must equal the
+    exhaustive-ADC value for that vector."""
+    full = {
+        r["vec_id"]: r["adc_dist2"]
+        for r in similarity._pq_adc_scored(
+            embeddings, 0, similarity.PQ_M, similarity.PQ_KSUB, 1
+        ).collect()
+    }
+    pruned = similarity.ivfpq_topk(embeddings, query_vec_id=0, k=10).collect()
+    assert 0 < len(pruned) <= 10
+    for r in pruned:
+        assert full[r["vec_id"]] == r["adc_dist2"]
+
+
+def test_ivfpq_candidates_come_from_probed_lists(embeddings):
+    """Every returned centroid_id is one of the n_probe nearest lists."""
+    cents = similarity._as_double(
+        embeddings.filter(F.col("vec_id") < 16), "c"
+    ).selectExpr("vec_id AS centroid_id", "c")
+    q = similarity._as_double(
+        embeddings.filter(F.col("vec_id") == 0), "q"
+    ).select("q")
+    probe = {
+        r["centroid_id"]
+        for r in similarity.with_cosine(
+            cents.crossJoin(F.broadcast(q)), "q", "c"
+        )
+        .orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
+        .limit(4)
+        .collect()
+    }
+    out = similarity.ivfpq_topk(embeddings, query_vec_id=0, k=10).collect()
+    assert all(r["centroid_id"] in probe for r in out)
+
+
+def test_pq_frozen_codebook_encode_matches_inline(embeddings):
+    """Encoding an ingest batch against a frozen codebook frame gives the
+    same codes as the self-training form — the store/refresh seam."""
+    cb = similarity.pq_codebooks_wide(embeddings)
+    inline = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in similarity.pq_codes(embeddings).collect()
+    }
+    frozen = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in similarity.pq_codes(embeddings, codebooks=cb).collect()
+    }
+    assert inline == frozen
+
+
+def test_pq_plan_shape(embeddings):
+    """Exhaustive ADC must stay equi-join + broadcast: no cartesian, no
+    row-at-a-time Python, no un-bounded single-partition sort."""
+    from tools.plan_audit import single_partition_sort_hits
+
+    plan = (
+        similarity.pq_topk(embeddings)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert single_partition_sort_hits(plan) == []
+    # the codebook/distance-table sides are model-sized: they must reach
+    # the corpus through broadcast hash joins, never a shuffle of codes
+    assert "BroadcastHashJoin" in plan

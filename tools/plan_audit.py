@@ -65,6 +65,8 @@ NESTED_LOOP_ALLOWED = {
     "lsh_recall_report",        # 1-row x 1-row scalar combine of two aggregates
     "dup_cluster_profile",      # 1-row corpus-total broadcast into the histogram
     "knn_label_accuracy",       # embeds ivf_assign's n_centroids-row argmax
+    "ivf_split_occupancy",      # embeds ivf_assign's n_centroids-row argmax
+    "ann_ivfpq_topk",           # 1-row query + n_probe-row probe list
     "mixture_plan",             # 1-row max_exact_budget broadcast into the plan
     "user_rfm_segments",        # 1-row anchor-date broadcast into the user frame
     "user_rfm_segments_sampled",     # same anchor broadcast + 1-row edges broadcast
@@ -98,6 +100,10 @@ SINGLE_PARTITION_SORT_ALLOWED = {
     # (one row per shuffle partition — thousands of rows at any scale);
     # the corpus itself is range-partitioned and never single-partitioned
     "documents_contiguous_ids",
+    # the global seed-numbering window runs over the SPLIT DEFICIT frame
+    # (one row per new inverted list, Σ(s-1) rows — model-sized by
+    # construction, never the corpus; similarity._ivf_split_parts)
+    "ivf_split_occupancy",
 }
 
 
