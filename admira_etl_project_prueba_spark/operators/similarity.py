@@ -1451,6 +1451,141 @@ def ivfpq_topk(
     )
 
 
+def _pq_codebooks_sidecar(path: str) -> str:
+    return path.rstrip("/") + "__codebooks"
+
+
+def _pq_manifest_sidecar(path: str) -> str:
+    return path.rstrip("/") + "__manifest"
+
+
+def pq_resolved_paths(spark, path: str) -> tuple[str, str, str]:
+    """(codes_path, codebooks_path, manifest_path) for an IVF-PQ store in
+    either layout — versioned (``path/vNNNNNNNN/{codes,codebooks,
+    manifest}``, resolved once at scan start for snapshot isolation) or
+    flat (codes at ``path``, model tables as ``__codebooks``/
+    ``__manifest`` sidecars outside the partition-discovery root)."""
+    v = latest_version(spark, path)
+    if v is not None:
+        root = f"{path.rstrip('/')}/{v}"
+        return f"{root}/codes", f"{root}/codebooks", f"{root}/manifest"
+    return path, _pq_codebooks_sidecar(path), _pq_manifest_sidecar(path)
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    versioned: bool = False,
+) -> None:
+    """Persist the IVF-PQ composite index: the CODES (vec_id, label,
+    subspace, code — m rows of a few bytes per vector, the only
+    corpus-sized payload) written ``partitionBy(centroid_id)`` so a probe
+    is partition-pruned I/O, plus the model-sized codebook table and a
+    1-row manifest recording (n_centroids, m, ksub, iters) so readers
+    and merges validate the training contract instead of trusting call
+    sites.  This is the serving layout at 100 TB: raw vectors are needed
+    only at INGEST (training/encoding); queries touch ~n_probe/
+    n_centroids of 4-byte-per-vector code bytes.
+
+    ``versioned=True`` commits codes+codebooks+manifest inside ONE
+    immutable ``path/vNNNNNNNN/`` directory via a single atomic rename
+    (:func:`functions.fs.commit_version`), under the store's maintenance
+    lease — a re-encode (codebook drift) can never present readers a
+    new-codes/old-codebooks torn state, which the flat layout's separate
+    sidecar swaps cannot rule out for in-flight scans."""
+    spark = embeddings.sparkSession
+    assign = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
+    codebooks = pq_codebooks_wide(embeddings, m, ksub, iters)
+    codes = pq_codes(embeddings, m, ksub, iters, codebooks=codebooks).join(
+        assign, "vec_id"
+    )
+    mrow = spark.createDataFrame(
+        [(int(n_centroids), int(m), int(ksub), int(iters))],
+        "n_centroids int, m int, ksub int, iters int",
+    )
+    if not versioned:
+        codes.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+        codebooks.write.mode("overwrite").parquet(_pq_codebooks_sidecar(path))
+        mrow.coalesce(1).write.mode("overwrite").parquet(
+            _pq_manifest_sidecar(path)
+        )
+        return
+    with maintenance_lease(spark, path):
+        _ivf_clean_scratch(spark, path)
+        tmp = _ivf_version_tmp(path)
+        codes.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            f"{tmp}/codes"
+        )
+        codebooks.write.mode("overwrite").parquet(f"{tmp}/codebooks")
+        mrow.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/manifest")
+        commit_version(spark, path, tmp)
+
+
+def ivfpq_topk_from_index(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve IVF-PQ top-k from a persisted :func:`write_ivfpq_index`
+    store: the corpus parquet is touched only for two pushdown
+    point-reads (the query vector and the seed centroids); candidates
+    come exclusively from the pruned code partitions and are ranked by
+    the broadcast ADC table — identical results to the self-computing
+    :func:`ivfpq_topk` (same training, encoding, probe, and fold), so it
+    shares that oracle."""
+    codes_path, cb_path, man_path = pq_resolved_paths(spark, index_path)
+    man = spark.read.parquet(man_path).first()
+    m = int(man["m"])
+    cents = _as_double(
+        embeddings.filter(F.col("vec_id") < int(man["n_centroids"])), "c"
+    ).selectExpr("vec_id AS centroid_id", "c")
+    q = _as_double(
+        embeddings.filter(F.col("vec_id") == query_vec_id), "q"
+    ).select("q")
+    probe = (
+        with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
+        .orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    codebooks = spark.read.parquet(cb_path)
+    qsub = _pq_subvectors(
+        embeddings.filter(F.col("vec_id") == query_vec_id), m
+    ).selectExpr("subspace", "sv AS qv")
+    dtable = codebooks.join(F.broadcast(qsub), "subspace").select(
+        "subspace",
+        F.col("code_id").alias("code"),
+        F.expr(_d2("qv", "c")).alias("dt"),
+    )
+    cands = (
+        spark.read.parquet(codes_path)
+        .join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("vec_id") != query_vec_id)
+    )
+    adc = (
+        cands.join(F.broadcast(dtable), ["subspace", "code"])
+        .groupBy("vec_id", "label", "centroid_id")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(subspace, dt))), "
+                "x -> x.dt), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            ).alias("adc_dist2")
+        )
+    )
+    return (
+        adc.select("vec_id", "label", "centroid_id", "adc_dist2")
+        .orderBy(F.col("adc_dist2").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def _rp_signs(out_dim: int, in_dim: int = DIM) -> list[list[int]]:
     """Deterministic ±1 sign matrix (Achlioptas-style database-friendly
     random projection): sign(i, j) from an LCG on the flat index — no RNG

@@ -2908,6 +2908,70 @@ def _q_ivfpq_topk(spark, sf_dir):
     return _sim.ivfpq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def _ivfpq_index_path(spark, sf_dir) -> str:
+    """Build (once per input-content identity) and return the cached
+    write_ivfpq_index path for sf_dir's embeddings table — same
+    content-hash + build-under-scratch-then-rename recipe as
+    ``_ivf_index_path``."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    files = [src]
+    if os.path.isdir(src):
+        files = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(src)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+    h = hashlib.sha256(b"ivfpq-format-v1\n")
+    for p in files:
+        st = os.stat(p)
+        h.update(
+            f"{os.path.relpath(p, sf_dir)}|{st.st_size}|{st.st_mtime_ns}\n".encode()
+        )
+    path = os.path.join(
+        tempfile.gettempdir(), f"ivfpq_index_{h.hexdigest()[:16]}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        scratch = tempfile.mkdtemp(prefix="ivfpq_build_")
+        try:
+            build = os.path.join(scratch, "index")
+            _sim.write_ivfpq_index(e, build, n_centroids=16)
+            # sidecars first, codes (whose _SUCCESS is the build marker)
+            # last: the marker's presence then implies the sidecars are
+            # already in place, whatever interleaving a concurrent or
+            # crashed builder left behind
+            try:
+                os.rename(build + "__codebooks", path + "__codebooks")
+                os.rename(build + "__manifest", path + "__manifest")
+                os.rename(build, path)
+            except OSError:
+                pass  # concurrent run won the rename
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    return path
+
+
+@_entry(
+    "ann_ivfpq_topk_indexed",
+    "The same IVF-PQ probe over a PERSISTED write_ivfpq_index store "
+    "(codes partitionBy(centroid_id) + codebook/manifest tables): raw "
+    "vectors are an ingest-time input only; query-time I/O is the pruned "
+    "4-byte code partitions plus two corpus point-reads.  Results "
+    "identical to the self-computing form, so it shares the oracle SQL.",
+    _DUCK_IVFPQ_SQL,
+)
+def _q_ivfpq_topk_indexed(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_index_path(spark, sf_dir)
+    return _sim.ivfpq_topk_from_index(spark, e, path)
+
+
 _DUCK_SEMDEDUP_PAIRS = f"""tv AS (
   SELECT t.vec_id, v, centroid_id FROM t JOIN assign USING (vec_id)
 ),

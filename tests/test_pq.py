@@ -115,6 +115,67 @@ def test_pq_frozen_codebook_encode_matches_inline(embeddings):
     assert inline == frozen
 
 
+def test_ivfpq_index_roundtrip_and_prunes(spark, embeddings, tmp_path):
+    """A persisted write_ivfpq_index store serves the exact same top-k as
+    the self-computing form, and the probe reaches the code scan as a
+    dynamic partition filter — query I/O is pruned 4-byte codes."""
+    import os
+
+    path = str(tmp_path / "ivfpq_index")
+    similarity.write_ivfpq_index(embeddings, path, n_centroids=16)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("centroid_id=")
+    ) == [f"centroid_id={i}" for i in sorted(range(16), key=str)]
+    inline = similarity.ivfpq_topk(embeddings, k=10).collect()
+    served_df = similarity.ivfpq_topk_from_index(spark, embeddings, path, k=10)
+    served = served_df.collect()
+    assert [(r["vec_id"], r["adc_dist2"]) for r in served] == [
+        (r["vec_id"], r["adc_dist2"]) for r in inline
+    ]
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    code_scans = [
+        seg.split("PushedFilters", 1)[0]
+        for seg in plan.split("FileScan")
+        if "centroid_id" in seg.split("Batched", 1)[0]
+    ]
+    assert code_scans and any("dynamicpruning" in s for s in code_scans)
+
+
+def test_ivfpq_index_versioned_commit_is_atomic(spark, embeddings, tmp_path):
+    """The versioned layout commits codes+codebooks+manifest in ONE
+    immutable version directory: a reader resolving the store mid-rewrite
+    sees either the old complete triple or the new one, never a torn
+    state; a second write supersedes the first version."""
+    from admira_etl_project_prueba_spark.functions import fs as _fs
+
+    path = str(tmp_path / "ivfpq_versioned")
+    similarity.write_ivfpq_index(embeddings, path, versioned=True)
+    assert _fs.latest_version(spark, path) == "v00000001"
+    codes1, cb1, man1 = similarity.pq_resolved_paths(spark, path)
+    assert codes1.endswith("v00000001/codes")
+    r1 = similarity.ivfpq_topk_from_index(spark, embeddings, path).collect()
+    similarity.write_ivfpq_index(embeddings, path, versioned=True)
+    assert _fs.latest_version(spark, path) == "v00000002"
+    r2 = similarity.ivfpq_topk_from_index(spark, embeddings, path).collect()
+    assert [(r["vec_id"], r["adc_dist2"]) for r in r1] == [
+        (r["vec_id"], r["adc_dist2"]) for r in r2
+    ]
+    # a reader that resolved v1 before the second commit still completes
+    # against its snapshot (GC keeps current+previous)
+    assert spark.read.parquet(codes1).count() == embeddings.count() * 4
+
+
+def test_ivfpq_manifest_records_training_contract(spark, embeddings, tmp_path):
+    path = str(tmp_path / "ivfpq_manifest")
+    similarity.write_ivfpq_index(
+        embeddings, path, n_centroids=16, m=4, ksub=16, iters=1
+    )
+    man = spark.read.parquet(path + "__manifest").first()
+    assert (man["n_centroids"], man["m"], man["ksub"], man["iters"]) == (
+        16, 4, 16, 1
+    )
+
+
 def test_pq_plan_shape(embeddings):
     """Exhaustive ADC must stay equi-join + broadcast: no cartesian, no
     row-at-a-time Python, no un-bounded single-partition sort."""
