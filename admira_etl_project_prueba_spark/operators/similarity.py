@@ -1455,21 +1455,36 @@ def _pq_codebooks_sidecar(path: str) -> str:
     return path.rstrip("/") + "__codebooks"
 
 
+def _pq_centroids_sidecar(path: str) -> str:
+    return path.rstrip("/") + "__centroids"
+
+
 def _pq_manifest_sidecar(path: str) -> str:
     return path.rstrip("/") + "__manifest"
 
 
-def pq_resolved_paths(spark, path: str) -> tuple[str, str, str]:
-    """(codes_path, codebooks_path, manifest_path) for an IVF-PQ store in
-    either layout — versioned (``path/vNNNNNNNN/{codes,codebooks,
-    manifest}``, resolved once at scan start for snapshot isolation) or
-    flat (codes at ``path``, model tables as ``__codebooks``/
-    ``__manifest`` sidecars outside the partition-discovery root)."""
+def pq_resolved_paths(spark, path: str) -> tuple[str, str, str, str]:
+    """(codes_path, codebooks_path, centroids_path, manifest_path) for an
+    IVF-PQ store in either layout — versioned (``path/vNNNNNNNN/{codes,
+    codebooks,centroids,manifest}``, resolved once at scan start for
+    snapshot isolation) or flat (codes at ``path``, model tables as
+    ``__codebooks``/``__centroids``/``__manifest`` sidecars outside the
+    partition-discovery root)."""
     v = latest_version(spark, path)
     if v is not None:
         root = f"{path.rstrip('/')}/{v}"
-        return f"{root}/codes", f"{root}/codebooks", f"{root}/manifest"
-    return path, _pq_codebooks_sidecar(path), _pq_manifest_sidecar(path)
+        return (
+            f"{root}/codes",
+            f"{root}/codebooks",
+            f"{root}/centroids",
+            f"{root}/manifest",
+        )
+    return (
+        path,
+        _pq_codebooks_sidecar(path),
+        _pq_centroids_sidecar(path),
+        _pq_manifest_sidecar(path),
+    )
 
 
 def write_ivfpq_index(
@@ -1491,17 +1506,28 @@ def write_ivfpq_index(
     only at INGEST (training/encoding); queries touch ~n_probe/
     n_centroids of 4-byte-per-vector code bytes.
 
-    ``versioned=True`` commits codes+codebooks+manifest inside ONE
-    immutable ``path/vNNNNNNNN/`` directory via a single atomic rename
-    (:func:`functions.fs.commit_version`), under the store's maintenance
-    lease — a re-encode (codebook drift) can never present readers a
-    new-codes/old-codebooks torn state, which the flat layout's separate
-    sidecar swaps cannot rule out for in-flight scans."""
+    The store is SELF-CONTAINED: besides the codes it persists every
+    model table a consumer needs — the codebooks, the centroid VECTORS
+    (n_centroids rows; without them a merge or probe would have to
+    rescan the corpus for the ``vec_id < n_centroids`` convention), and
+    the manifest — so incremental maintenance and serving touch the raw
+    corpus only for per-query point-reads.
+
+    ``versioned=True`` commits codes+codebooks+centroids+manifest inside
+    ONE immutable ``path/vNNNNNNNN/`` directory via a single atomic
+    rename (:func:`functions.fs.commit_version`), under the store's
+    maintenance lease — a re-encode (codebook drift) can never present
+    readers a new-codes/old-codebooks torn state, which the flat
+    layout's separate sidecar swaps cannot rule out for in-flight
+    scans."""
     spark = embeddings.sparkSession
     assign = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
     codebooks = pq_codebooks_wide(embeddings, m, ksub, iters)
     codes = pq_codes(embeddings, m, ksub, iters, codebooks=codebooks).join(
         assign, "vec_id"
+    )
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).selectExpr(
+        "vec_id AS centroid_id", "embedding"
     )
     mrow = spark.createDataFrame(
         [(int(n_centroids), int(m), int(ksub), int(iters))],
@@ -1510,6 +1536,7 @@ def write_ivfpq_index(
     if not versioned:
         codes.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
         codebooks.write.mode("overwrite").parquet(_pq_codebooks_sidecar(path))
+        cents.write.mode("overwrite").parquet(_pq_centroids_sidecar(path))
         mrow.coalesce(1).write.mode("overwrite").parquet(
             _pq_manifest_sidecar(path)
         )
@@ -1521,6 +1548,7 @@ def write_ivfpq_index(
             f"{tmp}/codes"
         )
         codebooks.write.mode("overwrite").parquet(f"{tmp}/codebooks")
+        cents.write.mode("overwrite").parquet(f"{tmp}/centroids")
         mrow.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/manifest")
         commit_version(spark, path, tmp)
 
@@ -1534,18 +1562,20 @@ def ivfpq_topk_from_index(
     n_probe: int = 4,
 ) -> DataFrame:
     """Serve IVF-PQ top-k from a persisted :func:`write_ivfpq_index`
-    store: the corpus parquet is touched only for two pushdown
-    point-reads (the query vector and the seed centroids); candidates
+    store: the corpus parquet is touched only for ONE pushdown point-read
+    (the query vector — the centroids live in the store); candidates
     come exclusively from the pruned code partitions and are ranked by
     the broadcast ADC table — identical results to the self-computing
     :func:`ivfpq_topk` (same training, encoding, probe, and fold), so it
     shares that oracle."""
-    codes_path, cb_path, man_path = pq_resolved_paths(spark, index_path)
+    codes_path, cb_path, cent_path, man_path = pq_resolved_paths(
+        spark, index_path
+    )
     man = spark.read.parquet(man_path).first()
     m = int(man["m"])
-    cents = _as_double(
-        embeddings.filter(F.col("vec_id") < int(man["n_centroids"])), "c"
-    ).selectExpr("vec_id AS centroid_id", "c")
+    cents = spark.read.parquet(cent_path).selectExpr(
+        "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS c"
+    )
     q = _as_double(
         embeddings.filter(F.col("vec_id") == query_vec_id), "q"
     ).select("q")
@@ -1584,6 +1614,78 @@ def ivfpq_topk_from_index(
         .orderBy(F.col("adc_dist2").asc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def merge_ivfpq_index(spark, path: str, new_embeddings: DataFrame) -> None:
+    """Append-merge a NEW vector batch into the persisted IVF-PQ store —
+    the FAISS operational model: the codebooks and centroids are FROZEN
+    (read back out of the store, both model-sized), the batch is
+    IVF-assigned and PQ-encoded against them, and the resulting code
+    rows append into their ``centroid_id`` partition directories.  Cost
+    is batch-sized; the merged store equals encoding the whole union
+    against the ORIGINAL frozen models, row-for-row (pytest-pinned).
+    Codebook/centroid drift is deliberately NOT absorbed here — that is
+    the retrain trigger (watch per-list occupancy), exactly as with the
+    raw-vector IVF store.
+
+    Contract validation before any write: the manifest must exist (a
+    PQ store is written whole by :func:`write_ivfpq_index`; there is no
+    legacy layout to upgrade), and the batch's vec_ids must lie outside
+    BOTH seed ranges — ``[0, n_centroids)`` and ``[0, ksub)`` — because a
+    from-scratch rebuild over the union would train on those rows,
+    silently diverging merge from rebuild semantics.
+
+    Single-writer lease keyed on the store path, same as every other
+    swap/append-managed store; versioned stores additionally give
+    readers snapshot isolation during the append (appends only add
+    files, which a planned scan tolerates)."""
+    with maintenance_lease(spark, path):
+        codes_path, cb_path, cent_path, man_path = pq_resolved_paths(
+            spark, path
+        )
+        if not path_exists(spark, man_path):
+            raise ValueError(
+                f"merge_ivfpq_index: no manifest at {man_path} — not a "
+                "write_ivfpq_index store"
+            )
+        man = spark.read.parquet(man_path).first()
+        n_centroids, m, ksub = (
+            int(man["n_centroids"]), int(man["m"]), int(man["ksub"])
+        )
+        seed_ceiling = max(n_centroids, ksub)
+        min_vec = new_embeddings.agg(F.min("vec_id")).first()[0]
+        if min_vec is not None and int(min_vec) < seed_ceiling:
+            raise ValueError(
+                f"merge_ivfpq_index: batch contains vec_id={min_vec} inside "
+                f"the model seed range [0, {seed_ceiling}) — seed rows are "
+                "immutable under append-merge; rebuild for corrections"
+            )
+        cents = spark.read.parquet(cent_path).selectExpr(
+            "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS q"
+        )
+        codebooks = spark.read.parquet(cb_path)
+        t = _as_double(new_embeddings, "v")
+        scored = with_cosine(t.crossJoin(F.broadcast(cents)))
+        assign = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cosine"), (-F.col("centroid_id")).alias("neg")
+                    )
+                ).alias("m")
+            )
+            .select(
+                "vec_id", (-F.col("m.neg")).cast("long").alias("centroid_id")
+            )
+        )
+        (
+            pq_codes(new_embeddings, m, ksub, codebooks=codebooks)
+            .join(assign, "vec_id")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(codes_path)
+        )
 
 
 def _rp_signs(out_dim: int, in_dim: int = DIM) -> list[list[int]]:

@@ -2928,7 +2928,7 @@ def _ivfpq_index_path(spark, sf_dir) -> str:
             for f in fs
             if not f.startswith((".", "_"))
         )
-    h = hashlib.sha256(b"ivfpq-format-v1\n")
+    h = hashlib.sha256(b"ivfpq-format-v2\n")  # v2: self-contained store (+centroids table)
     for p in files:
         st = os.stat(p)
         h.update(
@@ -2948,6 +2948,7 @@ def _ivfpq_index_path(spark, sf_dir) -> str:
             # crashed builder left behind
             try:
                 os.rename(build + "__codebooks", path + "__codebooks")
+                os.rename(build + "__centroids", path + "__centroids")
                 os.rename(build + "__manifest", path + "__manifest")
                 os.rename(build, path)
             except OSError:

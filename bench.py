@@ -150,6 +150,11 @@ BENCH_QUERIES = [
     "events_session_paths",
     "cohort_ltv",
     "supplier_lead_time",
+    # round-10 additions: product quantization (self-computing forms;
+    # ann_ivfpq_topk_indexed is correctness-gated but not benched for the
+    # same fixed-cost reason as ann_ivf_topk_indexed above)
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 

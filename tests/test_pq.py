@@ -151,7 +151,7 @@ def test_ivfpq_index_versioned_commit_is_atomic(spark, embeddings, tmp_path):
     path = str(tmp_path / "ivfpq_versioned")
     similarity.write_ivfpq_index(embeddings, path, versioned=True)
     assert _fs.latest_version(spark, path) == "v00000001"
-    codes1, cb1, man1 = similarity.pq_resolved_paths(spark, path)
+    codes1, cb1, cent1, man1 = similarity.pq_resolved_paths(spark, path)
     assert codes1.endswith("v00000001/codes")
     r1 = similarity.ivfpq_topk_from_index(spark, embeddings, path).collect()
     similarity.write_ivfpq_index(embeddings, path, versioned=True)
@@ -163,6 +163,76 @@ def test_ivfpq_index_versioned_commit_is_atomic(spark, embeddings, tmp_path):
     # a reader that resolved v1 before the second commit still completes
     # against its snapshot (GC keeps current+previous)
     assert spark.read.parquet(codes1).count() == embeddings.count() * 4
+
+
+def _split_corpus_for_merge(embeddings):
+    """(base, batch): the corpus split so the batch is disjoint from the
+    model seed ranges — base keeps the low vec_ids the models train on."""
+    n = embeddings.count()
+    cut = n - max(1, n // 5)
+    base = embeddings.filter(F.col("vec_id") < cut)
+    batch = embeddings.filter(F.col("vec_id") >= cut)
+    return base, batch
+
+
+def test_ivfpq_merge_equals_frozen_union_encode(spark, embeddings, tmp_path):
+    """merge_ivfpq_index(store(base), batch) must equal encoding the full
+    union against base's FROZEN models — the FAISS merge contract (drift
+    is retrain's job, never the append's)."""
+    base, batch = _split_corpus_for_merge(embeddings)
+    path = str(tmp_path / "ivfpq_merge")
+    similarity.write_ivfpq_index(base, path, n_centroids=16)
+    similarity.merge_ivfpq_index(spark, path, batch)
+    merged = {
+        (r["vec_id"], r["subspace"]): (r["code"], r["centroid_id"])
+        for r in spark.read.parquet(path).collect()
+    }
+    cb = similarity.pq_codebooks_wide(base)
+    cents = similarity._as_double(
+        base.filter(F.col("vec_id") < 16), "q"
+    ).selectExpr("vec_id AS centroid_id", "q")
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity._kmeans_assign(embeddings, cents)
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    expected = {
+        (r["vec_id"], r["subspace"]): (r["code"], assign[r["vec_id"]])
+        for r in similarity.pq_codes(embeddings, codebooks=cb).collect()
+    }
+    assert merged == expected
+
+
+def test_ivfpq_merge_rejects_seed_range_and_missing_manifest(
+    spark, embeddings, tmp_path
+):
+    base, _ = _split_corpus_for_merge(embeddings)
+    path = str(tmp_path / "ivfpq_guard")
+    similarity.write_ivfpq_index(base, path, n_centroids=16)
+    with pytest.raises(ValueError, match="seed range"):
+        similarity.merge_ivfpq_index(
+            spark, path, embeddings.filter(F.col("vec_id") < 16)
+        )
+    with pytest.raises(ValueError, match="manifest"):
+        similarity.merge_ivfpq_index(
+            spark, str(tmp_path / "not_a_store"), base
+        )
+
+
+def test_ivfpq_merged_store_serves_batch_vectors(spark, embeddings, tmp_path):
+    """After a merge, a query whose true nearest neighbour arrived in the
+    batch finds it through the persisted store."""
+    base, batch = _split_corpus_for_merge(embeddings)
+    path = str(tmp_path / "ivfpq_serve")
+    similarity.write_ivfpq_index(base, path)
+    similarity.merge_ivfpq_index(spark, path, batch)
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    n = embeddings.count()
+    out = similarity.ivfpq_topk_from_index(
+        spark, embeddings, path, query_vec_id=0, k=n, n_probe=16
+    ).collect()
+    assert batch_ids <= {r["vec_id"] for r in out}
 
 
 def test_ivfpq_manifest_records_training_contract(spark, embeddings, tmp_path):
