@@ -1616,6 +1616,100 @@ def ivfpq_topk_from_index(
     )
 
 
+def pq_reconstruction_error(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+) -> DataFrame:
+    """Per-subspace PQ quantization-quality audit — the number a rollout
+    decision reads before switching serving from raw vectors to codes
+    (the PQ analogue of ``quantize_embeddings``' max_abs_err column):
+    for every subspace, the count, mean, and max of the squared L2
+    distance between stored subvectors and their assigned codewords.
+
+    The mean goes through an exact DECIMAL(25,6) sum of the (already
+    deterministic, fold-computed) per-row errors, so the report is
+    bit-identical at any partitioning; max is order-free by nature.
+    Cost: the encode pass it audits, plus one narrow hash aggregate.
+
+    Returns (subspace, n_vectors, mean_err2, max_err2)."""
+    codebooks = pq_codebooks_wide(embeddings, m, ksub, iters)
+    sub = _pq_subvectors(embeddings, m)
+    scored = sub.join(
+        F.broadcast(codebooks.select("subspace", "code_id", "c")), "subspace"
+    ).select(
+        "vec_id", "subspace", F.expr(_d2("sv", "c")).alias("d2"), "code_id"
+    )
+    best = scored.groupBy("vec_id", "subspace").agg(
+        F.min(F.struct("d2", "code_id")).alias("m")
+    )
+    return (
+        best.selectExpr(
+            "CAST(subspace AS INT) AS subspace",
+            "m.d2 AS err2",
+            "CAST(m.d2 AS DECIMAL(25,6)) AS err2d",
+        )
+        .groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            (F.sum("err2d").cast("double") / F.count(F.lit(1))).alias(
+                "mean_err2"
+            ),
+            F.max("err2").alias("max_err2"),
+        )
+    )
+
+
+def pq_recall_report(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+) -> DataFrame:
+    """Approximation self-evaluation for the PQ serving paths (the ANN
+    counterpart of ``lsh_recall_report``): recall@k of exhaustive-ADC
+    and of IVF-PQ against the EXACT cosine top-k for the same query —
+    the number an operator owner quotes when asked 'what does the
+    compressed index miss?'.  All three sub-pipelines are the production
+    operators; the combine is a 1-row scalar join of three k-row frames.
+
+    Returns one row: (k, n_adc_captured, adc_recall, n_ivfpq_captured,
+    ivfpq_recall).  The probe removes candidates, which at the top-k
+    boundary can cut either way — dropping a true neighbour lowers
+    recall, dropping a quantization-artifact candidate PROMOTES a true
+    neighbour into the k (measured: ivfpq_recall can exceed adc_recall);
+    at n_probe == n_centroids the two coincide exactly.  Tune n_probe /
+    m / ksub until recall at the operating k is acceptable — re-run per
+    corpus."""
+    exact = cosine_topk(embeddings, query_vec_id, k).select("vec_id")
+    adc = pq_topk(embeddings, query_vec_id, k, m, ksub, iters).select(
+        "vec_id"
+    )
+    ivfpq = ivfpq_topk(
+        embeddings, query_vec_id, k, n_centroids, n_probe, m, ksub, iters
+    ).select("vec_id")
+    n_adc = (
+        adc.join(F.broadcast(exact), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_adc_captured"))
+    )
+    n_ivf = (
+        ivfpq.join(F.broadcast(exact), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ivfpq_captured"))
+    )
+    return n_adc.crossJoin(F.broadcast(n_ivf)).selectExpr(
+        f"CAST({k} AS INT) AS k",
+        "n_adc_captured",
+        f"CAST(n_adc_captured AS DOUBLE) / {k} AS adc_recall",
+        "n_ivfpq_captured",
+        f"CAST(n_ivfpq_captured AS DOUBLE) / {k} AS ivfpq_recall",
+    )
+
+
 def merge_ivfpq_index(spark, path: str, new_embeddings: DataFrame) -> None:
     """Append-merge a NEW vector batch into the persisted IVF-PQ store —
     the FAISS operational model: the codebooks and centroids are FROZEN

@@ -2973,6 +2973,95 @@ def _q_ivfpq_topk_indexed(spark, sf_dir):
     return _sim.ivfpq_topk_from_index(spark, e, path)
 
 
+@_entry(
+    "pq_reconstruction_error",
+    "Per-subspace PQ quantization-quality audit: count / decimal-exact "
+    "mean / max of squared L2 between stored subvectors and their "
+    "assigned codewords — the pre-rollout number for switching serving "
+    "from raw vectors to 4-byte codes.",
+    _duck_pq_ctes() + """,
+err AS (
+  SELECT sub.subspace,
+         list_sum(list_transform(range(1, 17),
+           i -> (sub.sv[i] - b.c[i]) * (sub.sv[i] - b.c[i]))) AS err2
+  FROM sub
+  JOIN codes ON sub.vec_id = codes.vec_id AND sub.subspace = codes.subspace
+  JOIN b1 b ON b.subspace = codes.subspace AND b.code_id = codes.code
+)
+SELECT CAST(subspace AS INT) AS subspace, COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(err2 AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS mean_err2,
+       MAX(err2) AS max_err2
+FROM err GROUP BY subspace""",
+)
+def _q_pq_reconstruction_error(spark, sf_dir):
+    return _sim.pq_reconstruction_error(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "pq_recall_report",
+    "Approximation self-evaluation for the PQ serving paths: recall@10 "
+    "of exhaustive-ADC and of IVF-PQ against the EXACT cosine top-10 for "
+    "the same query — all three sub-pipelines are the production "
+    "operators, the combine is a 1-row scalar join.",
+    _duck_pq_ctes()
+    + """,
+cents AS (SELECT vec_id AS centroid_id, v AS c FROM t WHERE vec_id < 16),
+cassign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT t.vec_id, centroid_id,
+"""
+    + f"""           ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+             CASE WHEN {_duck_norm('c')} > 0 AND {_duck_norm('v')} > 0
+                  THEN {_duck_dot('c', 'v')} / ({_duck_norm('c')} * {_duck_norm('v')})
+                  ELSE 0.0 END DESC, centroid_id) AS _r
+    FROM t, cents)
+  WHERE _r = 1),
+qv0 AS (SELECT v AS q FROM t WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id FROM (
+    SELECT centroid_id,
+           CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('c')} > 0
+                THEN {_duck_dot('q', 'c')} / ({_duck_norm('q')} * {_duck_norm('c')})
+                ELSE 0.0 END AS cosine
+    FROM cents, qv0)
+  ORDER BY cosine DESC, centroid_id LIMIT 4),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('v')} > 0
+                THEN {_duck_dot('q', 'v')} / ({_duck_norm('q')} * {_duck_norm('v')})
+                ELSE 0.0 END AS cosine
+    FROM t, qv0 WHERE vec_id <> 0)
+  ORDER BY cosine DESC, vec_id LIMIT 10),
+"""
+    + _DUCK_PQ_ADC
+    + """,
+adck AS (SELECT vec_id FROM adc ORDER BY adc_dist2 ASC, vec_id LIMIT 10),
+adcp AS (
+  SELECT codes.vec_id,
+         list_sum(array_agg(dt ORDER BY codes.subspace)) AS adc_dist2
+  FROM codes
+  JOIN cassign ON codes.vec_id = cassign.vec_id
+  JOIN probe ON cassign.centroid_id = probe.centroid_id
+  JOIN dtab ON codes.subspace = dtab.subspace AND codes.code = dtab.code
+  WHERE codes.vec_id <> 0
+  GROUP BY codes.vec_id
+),
+ivfk AS (SELECT vec_id FROM adcp ORDER BY adc_dist2 ASC, vec_id LIMIT 10)
+SELECT CAST(10 AS INT) AS k,
+       (SELECT COUNT(*) FROM adck WHERE vec_id IN (SELECT vec_id FROM exact))
+         AS n_adc_captured,
+       CAST((SELECT COUNT(*) FROM adck WHERE vec_id IN (SELECT vec_id FROM exact))
+         AS DOUBLE) / 10 AS adc_recall,
+       (SELECT COUNT(*) FROM ivfk WHERE vec_id IN (SELECT vec_id FROM exact))
+         AS n_ivfpq_captured,
+       CAST((SELECT COUNT(*) FROM ivfk WHERE vec_id IN (SELECT vec_id FROM exact))
+         AS DOUBLE) / 10 AS ivfpq_recall""",
+)
+def _q_pq_recall_report(spark, sf_dir):
+    return _sim.pq_recall_report(_t(spark, sf_dir, "embeddings"))
+
+
 _DUCK_SEMDEDUP_PAIRS = f"""tv AS (
   SELECT t.vec_id, v, centroid_id FROM t JOIN assign USING (vec_id)
 ),

@@ -246,6 +246,39 @@ def test_ivfpq_manifest_records_training_contract(spark, embeddings, tmp_path):
     )
 
 
+def test_pq_reconstruction_error_improves_with_training(embeddings):
+    """One Lloyd's round must not worsen the quantizer: per-subspace mean
+    squared reconstruction error at iters=1 <= the raw-seed codebooks'
+    (iters=0) — the k-means objective is non-increasing."""
+    e0 = {
+        r["subspace"]: r["mean_err2"]
+        for r in similarity.pq_reconstruction_error(embeddings, iters=0).collect()
+    }
+    e1 = {
+        r["subspace"]: r["mean_err2"]
+        for r in similarity.pq_reconstruction_error(embeddings, iters=1).collect()
+    }
+    assert set(e0) == set(e1) == set(range(similarity.PQ_M))
+    for s in e0:
+        assert e1[s] <= e0[s] + 1e-12
+
+
+def test_pq_recall_report_invariants(embeddings):
+    """Captured counts are bounded by k and consistent with the recall
+    ratios; probing ALL lists makes IVF-PQ identical to exhaustive ADC
+    so the two recalls coincide.  (No ordering invariant between the
+    two at smaller n_probe: pruning removes quantization-artifact
+    candidates and can thereby PROMOTE true neighbours into the
+    top-k, so ivfpq_recall may legitimately exceed adc_recall.)"""
+    r = similarity.pq_recall_report(embeddings, k=10).first()
+    assert 0 <= r["n_adc_captured"] <= 10
+    assert 0 <= r["n_ivfpq_captured"] <= 10
+    assert r["adc_recall"] == r["n_adc_captured"] / 10
+    assert r["ivfpq_recall"] == r["n_ivfpq_captured"] / 10
+    full = similarity.pq_recall_report(embeddings, k=10, n_probe=16).first()
+    assert full["n_ivfpq_captured"] == full["n_adc_captured"]
+
+
 def test_pq_plan_shape(embeddings):
     """Exhaustive ADC must stay equi-join + broadcast: no cartesian, no
     row-at-a-time Python, no un-bounded single-partition sort."""
