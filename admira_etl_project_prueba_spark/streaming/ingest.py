@@ -1186,3 +1186,121 @@ def read_histogram_store(spark: SparkSession, store_path: str) -> DataFrame:
         .groupBy("event_type", "bin")
         .agg(F.sum("n").cast("long").alias("n"))
     )
+
+
+def stream_pq_encode(
+    embedding_stream: DataFrame,
+    index_path: str,
+    log_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming PQ encode at ingest time: every arriving vector batch is
+    IVF-assigned and PQ-encoded against the persisted
+    :func:`~operators.similarity.write_ivfpq_index` store's FROZEN models
+    (codebooks + centroids, both model-sized broadcast reads; the store
+    itself is never written here) and the code rows land in a
+    batch-keyed encode LOG — ``partitionBy(batch_id)`` with dynamic
+    partition overwrite, the CMS-store exactly-once contract: an
+    at-least-once replay overwrites its own partition instead of
+    duplicating codes.  :func:`fold_encoded_codes` is the leased
+    maintenance job that drains the log into the store's code
+    partitions.
+
+    Splitting encode (streaming, hot path) from fold (maintenance) keeps
+    the store's single-writer lease OFF the ingest path — micro-batches
+    never contend with a compaction — and gives the index the same
+    log+fold shape as the CMS/histogram stores.  Batches are validated
+    against the manifest's seed ranges exactly like
+    :func:`~operators.similarity.merge_ivfpq_index`."""
+    from admira_etl_project_prueba_spark.operators import similarity as _sim
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        _, cb_path, cent_path, man_path = _sim.pq_resolved_paths(
+            spark, index_path
+        )
+        man = spark.read.parquet(man_path).first()
+        m, ksub = int(man["m"]), int(man["ksub"])
+        seed_ceiling = max(int(man["n_centroids"]), ksub)
+        min_vec = batch_df.agg(F.min("vec_id")).first()[0]
+        if min_vec is not None and int(min_vec) < seed_ceiling:
+            raise ValueError(
+                f"stream_pq_encode: batch {batch_id} contains "
+                f"vec_id={min_vec} inside the model seed range "
+                f"[0, {seed_ceiling})"
+            )
+        cents = spark.read.parquet(cent_path).selectExpr(
+            "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS q"
+        )
+        codebooks = spark.read.parquet(cb_path)
+        assign = (
+            _sim.with_cosine(
+                _sim._as_double(batch_df, "v").crossJoin(F.broadcast(cents)),
+                "q",
+                "v",
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cosine"), (-F.col("centroid_id")).alias("neg")
+                    )
+                ).alias("m")
+            )
+            .select(
+                "vec_id", (-F.col("m.neg")).cast("long").alias("centroid_id")
+            )
+        )
+        delta = (
+            _sim.pq_codes(batch_df, m, ksub, codebooks=codebooks)
+            .join(assign, "vec_id")
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        (
+            delta.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(log_path)
+        )
+
+    return (
+        embedding_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def fold_encoded_codes(spark: SparkSession, index_path: str, log_path: str) -> int:
+    """Drain a :func:`stream_pq_encode` log into the IVF-PQ store's code
+    partitions — the leased maintenance fold.  Idempotent BY ANTI-JOIN,
+    not by trust: log rows whose vec_id already exists in the store are
+    dropped before the append (new-ids-only contract), so a fold that
+    crashed between append and log cleanup simply no-ops on retry
+    instead of duplicating codes.  The store-side probe is
+    column-pruned to distinct vec_ids.  Returns the number of VECTORS
+    appended."""
+    from admira_etl_project_prueba_spark.operators import similarity as _sim
+
+    if not path_exists(spark, log_path):
+        return 0
+    with maintenance_lease(spark, index_path):
+        codes_path, _, _, _ = _sim.pq_resolved_paths(spark, index_path)
+        log = spark.read.parquet(log_path).select(
+            "vec_id", "label", "subspace", "code", "centroid_id"
+        )
+        seen = spark.read.parquet(codes_path).select("vec_id").distinct()
+        fresh = log.join(seen, "vec_id", "left_anti")
+        n = fresh.select("vec_id").distinct().count()
+        if n:
+            fresh.write.mode("append").partitionBy("centroid_id").parquet(
+                codes_path
+            )
+        # cleanup AFTER the append: a crash in between re-runs as a no-op
+        from admira_etl_project_prueba_spark.functions import fs as _fs
+
+        jfs, jp, jvm = _fs._fs_and_path(spark, log_path)
+        jfs.delete(jp, True)
+    return n

@@ -235,6 +235,66 @@ def test_ivfpq_merged_store_serves_batch_vectors(spark, embeddings, tmp_path):
     assert batch_ids <= {r["vec_id"] for r in out}
 
 
+def test_stream_pq_encode_fold_matches_direct_merge(spark, embeddings, tmp_path):
+    """Streamed encode log + leased fold == direct merge_ivfpq_index,
+    row-for-row; a re-fold of a stale log copy (the crash-between-append-
+    and-cleanup window) no-ops via the anti-join instead of duplicating."""
+    import json
+    import shutil
+
+    from admira_etl_project_prueba_spark.streaming.ingest import (
+        fold_encoded_codes,
+        stream_pq_encode,
+    )
+
+    base, batch = _split_corpus_for_merge(embeddings)
+    streamed = str(tmp_path / "pq_streamed")
+    direct = str(tmp_path / "pq_direct")
+    similarity.write_ivfpq_index(base, streamed)
+    similarity.write_ivfpq_index(base, direct)
+    similarity.merge_ivfpq_index(spark, direct, batch)
+
+    src = tmp_path / "pq_in"
+    src.mkdir()
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]], r["label"])
+        for r in batch.collect()
+    ]
+    half = len(rows) // 2
+    for fname, chunk in (("a.json", rows[:half]), ("b.json", rows[half:])):
+        with open(src / fname, "w") as fh:
+            for vid, emb, lab in chunk:
+                fh.write(
+                    json.dumps(
+                        {"vec_id": vid, "embedding": emb, "label": lab}
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    log = str(tmp_path / "pq_log")
+    q = stream_pq_encode(stream, streamed, log, str(tmp_path / "pq_ckpt"))
+    q.awaitTermination(120)
+    stale_copy = str(tmp_path / "pq_log_stale")
+    shutil.copytree(log, stale_copy)
+    n = fold_encoded_codes(spark, streamed, log)
+    assert n == len(rows)
+
+    def snapshot(path):
+        return {
+            (r["vec_id"], r["subspace"]): (r["code"], r["centroid_id"])
+            for r in spark.read.parquet(path).collect()
+        }
+
+    assert snapshot(streamed) == snapshot(direct)
+    # crash-window replay: fold the stale copy — anti-join must no-op
+    assert fold_encoded_codes(spark, streamed, stale_copy) == 0
+    assert snapshot(streamed) == snapshot(direct)
+
+
 def test_ivfpq_manifest_records_training_contract(spark, embeddings, tmp_path):
     path = str(tmp_path / "ivfpq_manifest")
     similarity.write_ivfpq_index(
