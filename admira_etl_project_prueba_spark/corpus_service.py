@@ -58,6 +58,7 @@ class CorpusService:
         embeddings: DataFrame | None = None,
         pairs_table: DataFrame | None = None,
         ivf_index_path: str | None = None,
+        pq_index_path: str | None = None,
         text_index_path: str | None = None,
         semantic_pairs_path: str | None = None,
     ):
@@ -75,6 +76,10 @@ class CorpusService:
         # compaction or retrain is due instead of discovering it as
         # probe-latency drift
         self.ivf_index_path = ivf_index_path
+        # persisted write_ivfpq_index store: /corpus/similar?mode=pq
+        # serves ranked 4-byte-code ADC results from it (the
+        # memory-bound serving tier; raw vectors only for the query row)
+        self.pq_index_path = pq_index_path
         self.text_index_path = text_index_path
         # memoized per instance: health is two index-wide scans and the
         # manifest a point-read — fine on the explicit monitoring route,
@@ -208,8 +213,20 @@ class CorpusService:
         self,
         vec_id: int | None,
         k: int = 10,
+        mode: str = "auto",
         request_id: str | None = None,
     ) -> dict:
+        """``mode=auto`` (default) serves from the configured IVF index
+        when ready, exact otherwise — the original contract.  ``mode=pq``
+        EXPLICITLY requests the compressed serving tier: ranked ADC
+        results from the configured ``write_ivfpq_index`` store (rows
+        carry ``adc_dist2`` ascending instead of ``cosine`` descending);
+        asking for it without a ready store is a 400, never a silent
+        downgrade — the caller chose codes over vectors on purpose."""
+        if mode not in ("auto", "pq"):
+            raise ValidationError(
+                f"invalid mode: {mode!r} (want one of auto, pq)"
+            )
         if vec_id is None:
             raise ValidationError("missing required parameter: vec_id")
         if self.embeddings is None:
@@ -218,6 +235,28 @@ class CorpusService:
             k = 10  # silent clamp, like limit/offset
         if self.embeddings.filter(F.col("vec_id") == vec_id).limit(1).count() == 0:
             raise NotFoundError(f"unknown vec_id: {vec_id}")
+        if mode == "pq":
+            if self.pq_index_path is None:
+                raise ValidationError(
+                    "mode=pq requires a configured pq_index_path"
+                )
+            if not self._pq_index_ready():
+                raise ValidationError(
+                    f"pq index at {self.pq_index_path} is not written yet"
+                )
+            rows = similarity.ivfpq_topk_from_index(
+                self.spark,
+                self.embeddings,
+                self.pq_index_path,
+                query_vec_id=vec_id,
+                k=k,
+            ).select("vec_id", "label", "adc_dist2")
+            return {
+                "query": vec_id,
+                "method": "ivfpq_index",
+                "data": [r.asDict() for r in rows.collect()],
+                "request_id": new_request_id(request_id),
+            }
         index_ready = self.ivf_index_path is not None and self._ivf_index_ready()
         if index_ready:
             # a configured index IS the scale path: the probe prunes to
@@ -271,6 +310,19 @@ class CorpusService:
         if swap_window_open(self.spark, path):
             with self._maintenance_lock:
                 heal_if_crashed(self.spark, path, lease_root=lease_root)
+
+    def _pq_index_ready(self) -> bool:
+        """True when the configured IVF-PQ store is complete (codes +
+        manifest in the resolved layout).  No crash healing needed: the
+        store is written whole (flat overwrite or one-rename versioned
+        commit) and maintained by appends — there is no two-rename swap
+        window to recover."""
+        codes, _, _, manifest = similarity.pq_resolved_paths(
+            self.spark, self.pq_index_path
+        )
+        return path_exists(self.spark, manifest) and path_exists(
+            self.spark, codes
+        )
 
     def _ivf_index_ready(self) -> bool:
         """True when the configured IVF store and its manifest exist

@@ -206,6 +206,7 @@ def make_handler(svc: MetricsService, corpus=None):
                             corpus.similar_docs(
                                 vec_id=vec_id,
                                 k=_int(qs, "k", 10),
+                                mode=_first(qs, "mode") or "auto",
                                 request_id=rid,
                             ),
                         )

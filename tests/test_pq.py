@@ -339,6 +339,45 @@ def test_pq_recall_report_invariants(embeddings):
     assert full["n_ivfpq_captured"] == full["n_adc_captured"]
 
 
+def test_similar_docs_pq_mode(spark, sf_dir, embeddings, tmp_path):
+    """/corpus/similar?mode=pq serves ranked ADC results from the
+    configured IVF-PQ store; asking for pq without a ready store is a
+    400, never a silent downgrade to exact."""
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.service import ValidationError as VE
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "svc_pq_index")
+
+    svc_unconfigured = CorpusService(spark, documents=docs, embeddings=embeddings)
+    with pytest.raises(VE, match="pq_index_path"):
+        svc_unconfigured.similar_docs(vec_id=0, mode="pq")
+
+    svc = CorpusService(
+        spark, documents=docs, embeddings=embeddings, pq_index_path=path
+    )
+    with pytest.raises(VE, match="not written"):
+        svc.similar_docs(vec_id=0, mode="pq")
+    with pytest.raises(VE, match="invalid mode"):
+        svc.similar_docs(vec_id=0, mode="hnsw")
+
+    similarity.write_ivfpq_index(embeddings, path)
+    r = svc.similar_docs(vec_id=0, k=5, mode="pq")
+    assert r["method"] == "ivfpq_index" and r["query"] == 0
+    assert len(r["data"]) == 5
+    dists = [row["adc_dist2"] for row in r["data"]]
+    assert dists == sorted(dists)
+    assert all(row["vec_id"] != 0 for row in r["data"])
+    expected = similarity.ivfpq_topk(embeddings, query_vec_id=0, k=5).collect()
+    assert [row["vec_id"] for row in r["data"]] == [
+        e["vec_id"] for e in expected
+    ]
+    # mode=auto unchanged: exact fallback without an IVF index
+    auto = svc.similar_docs(vec_id=0, k=3)
+    assert auto["method"] == "exact" and "cosine" in auto["data"][0]
+
+
 def test_pq_plan_shape(embeddings):
     """Exhaustive ADC must stay equi-join + broadcast: no cartesian, no
     row-at-a-time Python, no un-bounded single-partition sort."""

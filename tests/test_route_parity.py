@@ -56,8 +56,8 @@ CORPUS_ROUTES = {
         {"normalized": True, "request_id": RID},
     ),
     "similar_docs": (
-        "GET", "/corpus/similar?vec_id=5&k=3",
-        {"vec_id": 5, "k": 3, "request_id": RID},
+        "GET", "/corpus/similar?vec_id=5&k=3&mode=pq",
+        {"vec_id": 5, "k": 3, "mode": "pq", "request_id": RID},
     ),
     "importance_weights": (
         "GET", "/corpus/weights?target_lang=es&limit=7",
