@@ -1219,19 +1219,29 @@ def _pq_subvectors(embeddings: DataFrame, m: int) -> DataFrame:
 
 
 def pq_codebooks_wide(
-    embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = 1
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    seed_offset: int = 0,
 ) -> DataFrame:
     """(subspace, code_id, c array<double>, n_members): per-subspace
-    codebooks — init = the first ``ksub`` vectors' subvectors, refined by
+    codebooks — init = the ``ksub`` vectors' subvectors starting at
+    ``vec_id == seed_offset`` (residual training passes
+    ``seed_offset=n_centroids``: the centroid rows' own residuals are
+    zero vectors, which would degenerate the seeds), refined by
     ``iters`` Lloyd's rounds (L2 argmin, ties → smallest code_id;
     decimal-exact per-dim means; empty codes keep their previous
     codeword).  The codebook is model-sized (m·ksub rows), broadcast
     everywhere it is used; training is ``iters`` pairs of hash-aggregate
     shuffles over narrow (subspace, code_id, d, val) rows."""
     sub = _pq_subvectors(embeddings, m).select("vec_id", "subspace", "sv")
-    cents = sub.filter(F.col("vec_id") < ksub).selectExpr(
+    cents = sub.filter(
+        (F.col("vec_id") >= seed_offset)
+        & (F.col("vec_id") < seed_offset + ksub)
+    ).selectExpr(
         "subspace",
-        "vec_id AS code_id",
+        f"vec_id - {int(seed_offset)} AS code_id",
         "sv AS c",
         "CAST(0 AS BIGINT) AS n_members",
     )
@@ -1616,17 +1626,139 @@ def ivfpq_topk_from_index(
     )
 
 
+def ivf_residual_frame(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, label, embedding=residual, centroid_id): each vector
+    minus its assigned coarse centroid — the frame TRUE IVF-PQ quantizes
+    (Jégou 2011 §IV: residuals are tighter around zero than raw vectors,
+    so the same ksub codewords spend their resolution on what the coarse
+    quantizer didn't already explain).  Row-local zip_with after a
+    broadcast centroid join; per-dim double subtraction is exact IEEE,
+    so the residuals are engine-portable."""
+    if assignments is None:
+        assignments = ivf_assign(embeddings, n_centroids)
+    cents = _as_double(
+        embeddings.filter(F.col("vec_id") < n_centroids), "cvec"
+    ).selectExpr("vec_id AS centroid_id", "cvec")
+    t = _as_double(embeddings, "v")
+    return (
+        t.join(assignments.select("vec_id", "centroid_id"), "vec_id")
+        .join(F.broadcast(cents), "centroid_id")
+        .selectExpr(
+            "vec_id",
+            "label",
+            "zip_with(v, cvec, (x, y) -> x - y) AS embedding",
+            "centroid_id",
+        )
+    )
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """Residual-encoded IVF-PQ — the faithful FAISS IVFPQ dataflow:
+    codes quantize each vector's RESIDUAL from its coarse centroid
+    (:func:`ivf_residual_frame`), and the query builds one ADC distance
+    table PER PROBED LIST from its residual against that list's centroid
+    (n_probe · m · ksub entries — still model-sized, still broadcast).
+    Same I/O shape as :func:`ivfpq_topk`.
+
+    Whether residuals actually encode TIGHTER than raw vectors depends
+    on how much variance the coarse quantizer explains: with COSINE
+    coarse assignment over unnormalized vectors the residual spread can
+    EXCEED the raw spread (measured on the synthetic corpus:
+    mean_err2 0.247 residual vs 0.191 raw) — run
+    :func:`pq_reconstruction_error` with ``residual=True/False`` and let
+    the numbers pick the serving encoding; don't assume the textbook
+    win.  Returns (vec_id, label, centroid_id, adc_dist2)."""
+    if assignments is None:
+        assignments = ivf_assign(embeddings, n_centroids)
+    assign = assignments.select("vec_id", "centroid_id")
+    res = ivf_residual_frame(embeddings, n_centroids, assign)
+    codebooks = pq_codebooks_wide(
+        res, m, ksub, iters, seed_offset=n_centroids
+    )
+    codes = pq_codes(res, m, ksub, codebooks=codebooks)
+    cents = _as_double(
+        embeddings.filter(F.col("vec_id") < n_centroids), "c"
+    ).selectExpr("vec_id AS centroid_id", "c")
+    q = _as_double(
+        embeddings.filter(F.col("vec_id") == query_vec_id), "q"
+    ).select("q")
+    probe = (
+        with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
+        .orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .select("centroid_id", "c")
+    )
+    sd = DIM // m
+    qsub = (
+        probe.crossJoin(F.broadcast(q))
+        .selectExpr(
+            "centroid_id", "zip_with(q, c, (x, y) -> x - y) AS rq"
+        )
+        .selectExpr(
+            "centroid_id",
+            f"posexplode(transform(sequence(1, {m}), "
+            f"s -> slice(rq, (s - 1) * {sd} + 1, {sd}))) AS (subspace, qv)",
+        )
+    )
+    dtable = qsub.join(
+        F.broadcast(codebooks.select("subspace", "code_id", "c")), "subspace"
+    ).select(
+        "centroid_id",
+        "subspace",
+        F.col("code_id").alias("code"),
+        F.expr(_d2("qv", "c")).alias("dt"),
+    )
+    cands = (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .join(assign, "vec_id")
+        .join(F.broadcast(probe.select("centroid_id")), "centroid_id")
+    )
+    scored = cands.join(
+        F.broadcast(dtable), ["centroid_id", "subspace", "code"]
+    ).groupBy("vec_id", "label", "centroid_id").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(subspace, dt))), "
+            "x -> x.dt), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("adc_dist2")
+    )
+    return (
+        scored.select("vec_id", "label", "centroid_id", "adc_dist2")
+        .orderBy(F.col("adc_dist2").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def pq_reconstruction_error(
     embeddings: DataFrame,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     iters: int = 1,
+    residual: bool = False,
+    n_centroids: int = 16,
 ) -> DataFrame:
     """Per-subspace PQ quantization-quality audit — the number a rollout
     decision reads before switching serving from raw vectors to codes
     (the PQ analogue of ``quantize_embeddings``' max_abs_err column):
     for every subspace, the count, mean, and max of the squared L2
     distance between stored subvectors and their assigned codewords.
+    ``residual=True`` audits the residual encoding instead (same report
+    over :func:`ivf_residual_frame`; seeds shifted past the centroid
+    rows) — run BOTH and let the smaller error pick the serving
+    encoding (see the :func:`ivfpq_residual_topk` caveat).
 
     The mean goes through an exact DECIMAL(25,6) sum of the (already
     deterministic, fold-computed) per-row errors, so the report is
@@ -1634,8 +1766,14 @@ def pq_reconstruction_error(
     Cost: the encode pass it audits, plus one narrow hash aggregate.
 
     Returns (subspace, n_vectors, mean_err2, max_err2)."""
-    codebooks = pq_codebooks_wide(embeddings, m, ksub, iters)
-    sub = _pq_subvectors(embeddings, m)
+    frame, seed_offset = embeddings, 0
+    if residual:
+        frame, seed_offset = (
+            ivf_residual_frame(embeddings, n_centroids),
+            n_centroids,
+        )
+    codebooks = pq_codebooks_wide(frame, m, ksub, iters, seed_offset)
+    sub = _pq_subvectors(frame, m)
     scored = sub.join(
         F.broadcast(codebooks.select("subspace", "code_id", "c")), "subspace"
     ).select(

@@ -2729,13 +2729,23 @@ def _q_ivf_topk_index_only(spark, sf_dir):
 
 # -- product quantization (IVF-PQ) -------------------------------------------
 
-def _duck_pq_ctes(m: int = 4, ksub: int = 16, iters: int = 1) -> str:
+def _duck_pq_ctes(
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    residual: bool = False,
+    n_centroids: int = 16,
+) -> str:
     """Shared DuckDB CTE chain for the PQ entries: subvector split, the
     unrolled Lloyd's codebook refinement (L2 argmin via ROW_NUMBER
     mirroring Spark's min-of-struct; decimal(25,6)-exact per-dim means),
     and the final per-vector encoding — the twin of
-    similarity.pq_codebooks_wide / pq_codes."""
+    similarity.pq_codebooks_wide / pq_codes.  ``residual=True`` inserts
+    the coarse-assignment CTEs (cents/cassign) and quantizes each
+    vector's residual from its centroid, with codebook seeds shifted
+    past the centroid rows (similarity.ivf_residual_frame's recipe)."""
     sd = 64 // m
+    off = n_centroids if residual else 0
 
     def d2(a: str, b: str) -> str:
         return (
@@ -2745,12 +2755,39 @@ def _duck_pq_ctes(m: int = 4, ksub: int = 16, iters: int = 1) -> str:
 
     ctes = [
         f"t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings)",
+    ]
+    src = "t"
+    if residual:
+        cos = (
+            f"CASE WHEN {_duck_norm('c')} > 0 AND {_duck_norm('v')} > 0 "
+            f"THEN {_duck_dot('c', 'v')} / ({_duck_norm('c')} * {_duck_norm('v')}) "
+            "ELSE 0.0 END"
+        )
+        ctes += [
+            f"cents AS (SELECT vec_id AS centroid_id, v AS c FROM t "
+            f"WHERE vec_id < {n_centroids})",
+            f"""cassign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT t.vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {cos} DESC, centroid_id) AS _r
+    FROM t, cents)
+  WHERE _r = 1)""",
+            """rt AS (
+  SELECT t.vec_id, t.label, ca.centroid_id,
+         list_transform(range(1, 65), i -> t.v[i] - c.c[i]) AS v
+  FROM t JOIN cassign ca ON t.vec_id = ca.vec_id
+  JOIN cents c ON ca.centroid_id = c.centroid_id)""",
+        ]
+        src = "rt"
+    ctes += [
         f"""sub AS (
   SELECT vec_id, label, s - 1 AS subspace,
          v[(s - 1) * {sd} + 1 : s * {sd}] AS sv
-  FROM (SELECT *, unnest(generate_series(1, {m})) AS s FROM t))""",
-        f"b0 AS (SELECT subspace, vec_id AS code_id, sv AS c, "
-        f"CAST(0 AS BIGINT) AS n_members FROM sub WHERE vec_id < {ksub})",
+  FROM (SELECT *, unnest(generate_series(1, {m})) AS s FROM {src}))""",
+        f"b0 AS (SELECT subspace, vec_id - {off} AS code_id, sv AS c, "
+        f"CAST(0 AS BIGINT) AS n_members FROM sub "
+        f"WHERE vec_id >= {off} AND vec_id < {off + ksub})",
     ]
     for i in range(1, iters + 1):
         p = f"b{i - 1}"
@@ -3060,6 +3097,85 @@ SELECT CAST(10 AS INT) AS k,
 )
 def _q_pq_recall_report(spark, sf_dir):
     return _sim.pq_recall_report(_t(spark, sf_dir, "embeddings"))
+
+
+_DUCK_IVFPQ_RES_SQL = (
+    _duck_pq_ctes(residual=True)
+    + f""",
+qv0 AS (SELECT v AS q FROM t WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id, c FROM (
+    SELECT centroid_id, c,
+           CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('c')} > 0
+                THEN {_duck_dot('q', 'c')} / ({_duck_norm('q')} * {_duck_norm('c')})
+                ELSE 0.0 END AS cosine
+    FROM cents, qv0)
+  ORDER BY cosine DESC, centroid_id LIMIT 4),
+qres AS (
+  SELECT centroid_id, s - 1 AS subspace,
+         rq[(s - 1) * 16 + 1 : s * 16] AS qv
+  FROM (SELECT centroid_id,
+               list_transform(range(1, 65), i -> q[i] - c[i]) AS rq,
+               unnest(generate_series(1, 4)) AS s
+        FROM probe, qv0)),
+dtab AS (
+  SELECT qres.centroid_id, b.subspace, CAST(b.code_id AS INT) AS code,
+         list_sum(list_transform(range(1, 17),
+           i -> (qres.qv[i] - b.c[i]) * (qres.qv[i] - b.c[i]))) AS dt
+  FROM b1 b JOIN qres ON b.subspace = qres.subspace),
+adc AS (
+  SELECT codes.vec_id, codes.label, ca.centroid_id,
+         list_sum(array_agg(dt ORDER BY codes.subspace)) AS adc_dist2
+  FROM codes
+  JOIN cassign ca ON codes.vec_id = ca.vec_id
+  JOIN dtab ON ca.centroid_id = dtab.centroid_id
+           AND codes.subspace = dtab.subspace AND codes.code = dtab.code
+  WHERE codes.vec_id <> 0
+  GROUP BY codes.vec_id, codes.label, ca.centroid_id)
+SELECT vec_id, label, centroid_id, adc_dist2 FROM adc
+ORDER BY adc_dist2 ASC, vec_id LIMIT 10"""
+)
+
+
+@_entry(
+    "ann_ivfpq_residual_topk",
+    "Residual-encoded IVF-PQ (the faithful FAISS IVFPQ dataflow): codes "
+    "quantize each vector's residual from its coarse centroid; the query "
+    "builds one ADC table per probed list from its residual against that "
+    "list's centroid.  Whether residuals beat raw encoding is measured "
+    "(pq_reconstruction_error residual=True/False), not assumed.",
+    _DUCK_IVFPQ_RES_SQL,
+)
+def _q_ivfpq_residual_topk(spark, sf_dir):
+    return _sim.ivfpq_residual_topk(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "pq_residual_reconstruction_error",
+    "The residual-encoding twin of pq_reconstruction_error: per-subspace "
+    "count / decimal-exact mean / max squared L2 between residual "
+    "subvectors and their codewords — compare against the raw report to "
+    "PICK the serving encoding (on this corpus raw wins: cosine coarse "
+    "assignment over unnormalized vectors leaves residuals wider than "
+    "the vectors themselves).",
+    _duck_pq_ctes(residual=True) + """,
+err AS (
+  SELECT sub.subspace,
+         list_sum(list_transform(range(1, 17),
+           i -> (sub.sv[i] - b.c[i]) * (sub.sv[i] - b.c[i]))) AS err2
+  FROM sub
+  JOIN codes ON sub.vec_id = codes.vec_id AND sub.subspace = codes.subspace
+  JOIN b1 b ON b.subspace = codes.subspace AND b.code_id = codes.code
+)
+SELECT CAST(subspace AS INT) AS subspace, COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(err2 AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS mean_err2,
+       MAX(err2) AS max_err2
+FROM err GROUP BY subspace""",
+)
+def _q_pq_residual_reconstruction_error(spark, sf_dir):
+    return _sim.pq_reconstruction_error(
+        _t(spark, sf_dir, "embeddings"), residual=True
+    )
 
 
 _DUCK_SEMDEDUP_PAIRS = f"""tv AS (

@@ -306,6 +306,36 @@ def test_ivfpq_manifest_records_training_contract(spark, embeddings, tmp_path):
     )
 
 
+def test_residual_planted_duplicate_wins(embeddings):
+    """An exact copy of the query shares its coarse assignment, hence its
+    residual, hence the per-subspace argmin of the query's own distance
+    table — it must rank first under residual ADC too."""
+    dup_id = 1_000_000
+    e = _with_duplicate_of_query(embeddings, dup_id)
+    top = similarity.ivfpq_residual_topk(e, query_vec_id=0, k=3).collect()
+    assert top[0]["vec_id"] == dup_id
+
+
+def test_residual_vs_raw_reconstruction_is_a_measurement(embeddings):
+    """Both encodings produce a complete, comparable audit — the rollout
+    decision is the SMALLER mean_err2 per subspace, whichever way it
+    falls on a given corpus (no textbook assumption baked in)."""
+    raw = {
+        r["subspace"]: r["mean_err2"]
+        for r in similarity.pq_reconstruction_error(embeddings).collect()
+    }
+    res = {
+        r["subspace"]: r["mean_err2"]
+        for r in similarity.pq_reconstruction_error(
+            embeddings, residual=True
+        ).collect()
+    }
+    assert set(raw) == set(res) == set(range(similarity.PQ_M))
+    assert all(v > 0 for v in raw.values()) and all(
+        v > 0 for v in res.values()
+    )
+
+
 def test_pq_reconstruction_error_improves_with_training(embeddings):
     """One Lloyd's round must not worsen the quantizer: per-subspace mean
     squared reconstruction error at iters=1 <= the raw-seed codebooks'

@@ -69,6 +69,8 @@ NESTED_LOOP_ALLOWED = {
     "ann_ivfpq_topk",           # 1-row query + n_probe-row probe list
     "ann_ivfpq_topk_indexed",   # same shape over the persisted code store
     "pq_recall_report",         # embeds the 1-row-query exact/ADC/IVF-PQ top-k trio
+    "ann_ivfpq_residual_topk",  # 1-row query + n_probe probe + n_centroids argmax
+    "pq_residual_reconstruction_error",  # embeds ivf_assign's n_centroids-row argmax
     "mixture_plan",             # 1-row max_exact_budget broadcast into the plan
     "user_rfm_segments",        # 1-row anchor-date broadcast into the user frame
     "user_rfm_segments_sampled",     # same anchor broadcast + 1-row edges broadcast
