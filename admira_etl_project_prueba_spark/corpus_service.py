@@ -437,9 +437,15 @@ class CorpusService:
         if self.text_index_path is not None:
             postings = f"{self.text_index_path}/postings"
             self._heal_crashed_swap(postings)
+            # resolve the layout (flat or versioned) the same way the
+            # query paths do, so a versioned store reads as present
+            current = (
+                f"{textops.text_index_root(self.spark, self.text_index_path)}"
+                "/postings"
+            )
             out["data"]["text"] = (
                 self._text_index_health()
-                if path_exists(self.spark, postings)
+                if path_exists(self.spark, current)
                 else {"path": self.text_index_path, "absent": True}
             )
             out["data"]["text"] = dict(

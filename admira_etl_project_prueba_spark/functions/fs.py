@@ -225,6 +225,30 @@ def latest_version(spark: SparkSession, root: str) -> str | None:
     return versions[-1] if versions else None
 
 
+def version_scratch(root: str) -> str:
+    """Scratch location for a store's next version payload — INSIDE the
+    store root (commit is a same-directory rename, atomic on local FS
+    and HDFS) but not version-named, so readers never resolve it."""
+    import time as _time
+
+    return f"{root.rstrip('/')}/__building.{_time.monotonic_ns()}"
+
+
+def clean_version_scratch(spark: SparkSession, root: str) -> None:
+    """Delete orphaned ``__building.*`` scratch dirs left by a writer
+    that crashed before its commit rename.  CALLER HOLDS the store
+    lease, so no live writer's scratch can be swept; committed versions
+    are never touched.  Crash recovery for the versioned layout is JUST
+    this sweep — an uncommitted scratch dir is invisible to readers."""
+    fs, jroot, jvm = _fs_and_path(spark, root)
+    for name in list_child_names(spark, root):
+        if name.startswith("__building."):
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(root.rstrip("/") + "/" + name),
+                True,
+            )
+
+
 def commit_version(
     spark: SparkSession, root: str, tmp: str, keep: int = 2
 ) -> str:

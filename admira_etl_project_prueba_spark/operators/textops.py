@@ -25,9 +25,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from admira_etl_project_prueba_spark.functions.fs import (
+    clean_version_scratch,
+    commit_version,
+    latest_version,
     maintenance_lease,
+    path_exists,
     recover_swap,
     swap_into_place,
+    version_scratch,
 )
 
 # ---------------------------------------------------------------------------
@@ -2145,7 +2150,23 @@ def pps_sample(
     ).filter(f"_u < CAST(floor(inclusion_prob * 1000000) AS BIGINT)").drop("_u")
 
 
-def write_text_index(documents: DataFrame, path: str, num_buckets: int = 64) -> None:
+def text_index_root(spark, path: str) -> str:
+    """The directory holding the index's CURRENT ``postings``/``stats``
+    children, in either layout: versioned (``path/vNNNNNNNN/`` — the
+    newest committed version, resolved ONCE at scan start so a reader is
+    snapshot-isolated from every later compaction) or flat (``path``
+    itself).  All read and maintenance entry points resolve through
+    here, so the two layouts are interchangeable per store."""
+    v = latest_version(spark, path)
+    return f"{path.rstrip('/')}/{v}" if v is not None else path
+
+
+def write_text_index(
+    documents: DataFrame,
+    path: str,
+    num_buckets: int = 64,
+    versioned: bool = False,
+) -> None:
     """Persist an inverted text index for BM25 retrieval: postings
     (term, doc_id, tf, dl) written ``partitionBy(term_bucket)`` with
     term_bucket = hex60(term) % num_buckets, plus a 1-row corpus-stats
@@ -2158,7 +2179,14 @@ def write_text_index(documents: DataFrame, path: str, num_buckets: int = 64) -> 
     a term is derivable from that term's own (pruned) postings at query
     time, which keeps the index append-mergeable (posting frames from
     new shards union in; stats re-aggregate) without a global rebuild.
-    """
+
+    ``versioned=True`` writes the versioned layout (production
+    recommendation for a store compacted while being read): postings AND
+    stats live together inside an immutable ``path/vNNNNNNNN/`` version
+    committed by one atomic rename, so a compaction can never unlink
+    posting files under an in-flight scan and the postings+stats pair
+    always flips together.  Readers and maintenance resolve both layouts
+    via :func:`text_index_root`."""
     dl = documents.selectExpr("doc_id", f"{TOKENS} AS toks").selectExpr(
         "doc_id", "toks", "CAST(size(toks) AS BIGINT) AS dl"
     )
@@ -2170,17 +2198,6 @@ def write_text_index(documents: DataFrame, path: str, num_buckets: int = 64) -> 
             "term_bucket", F.expr(f"{hex60('term')} % {num_buckets}").cast("int")
         )
     )
-    (
-        # bucket-aligned shuffle before the partitioned write: each bucket
-        # lands in exactly one task => ONE file per bucket directory.  The
-        # default layout (every write task touching every bucket) explodes
-        # into tasks x buckets small files, and query-time file listing
-        # then swamps the pruning win.
-        postings.repartition("term_bucket")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(f"{path}/postings")
-    )
     # dl_sum (exact decimal) rides along so merge_text_index can fold new
     # batches into avgdl EXACTLY instead of reconstructing it from the
     # rounded double mean
@@ -2191,7 +2208,32 @@ def write_text_index(documents: DataFrame, path: str, num_buckets: int = 64) -> 
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.col("dl").cast(_DEC)).alias("dl_sum"),
     )
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    # bucket-aligned shuffle before the partitioned write: each bucket
+    # lands in exactly one task => ONE file per bucket directory.  The
+    # default layout (every write task touching every bucket) explodes
+    # into tasks x buckets small files, and query-time file listing
+    # then swamps the pruning win.
+    if not versioned:
+        (
+            postings.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/postings")
+        )
+        stats.write.mode("overwrite").parquet(f"{path}/stats")
+        return
+    spark = documents.sparkSession
+    with maintenance_lease(spark, f"{path}/postings"):
+        clean_version_scratch(spark, path)
+        tmp = version_scratch(path)
+        (
+            postings.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{tmp}/postings")
+        )
+        stats.write.mode("overwrite").parquet(f"{tmp}/stats")
+        commit_version(spark, path, tmp)
 
 
 def bm25_from_index(
@@ -2219,15 +2261,18 @@ def bm25_from_index(
             )
         }
     )
+    # resolve the layout ONCE so postings and stats come from the SAME
+    # version (snapshot consistency under a concurrent compaction)
+    root = text_index_root(spark, index_path)
     tf = (
-        spark.read.parquet(f"{index_path}/postings")
+        spark.read.parquet(f"{root}/postings")
         # isin() builds In(literal...) predicates — same partition pruning
         # and parquet pushdown as interpolated SQL, but terms stay data
         # (no parser exposure for quote-bearing user input).
         .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(query_terms))
         .select("doc_id", "dl", "term", "tf")
     )
-    stats = spark.read.parquet(f"{index_path}/stats")
+    stats = spark.read.parquet(f"{root}/stats")
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     contrib = (
         "CAST((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))"
@@ -2800,7 +2845,10 @@ def phrase_search(documents: DataFrame, phrase: list[str]) -> DataFrame:
 
 
 def write_positional_index(
-    documents: DataFrame, path: str, num_buckets: int = 64
+    documents: DataFrame,
+    path: str,
+    num_buckets: int = 64,
+    versioned: bool = False,
 ) -> None:
     """Persist a POSITIONAL inverted index: postings (term, doc_id,
     positions sorted-array) written ``partitionBy(term_bucket)`` with the
@@ -2809,7 +2857,8 @@ def write_positional_index(
     (~|terms|/num_buckets of the index), never the corpus.  Positions
     make the index strictly stronger than the BM25 one: tf = size
     (positions), so ranked retrieval could share it; kept separate so
-    each artifact stays append-mergeable on its own."""
+    each artifact stays append-mergeable on its own.  ``versioned=True``
+    writes the snapshot-isolated layout (see :func:`write_text_index`)."""
     toks = documents.selectExpr(
         "doc_id", f"posexplode_outer({TOKENS}) AS (pos, token)"
     ).filter("token IS NOT NULL AND token != ''")
@@ -2820,12 +2869,25 @@ def write_positional_index(
             "term_bucket", F.expr(f"{hex60('term')} % {num_buckets}").cast("int")
         )
     )
-    (
-        postings.repartition("term_bucket")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(f"{path}/postings")
-    )
+    if not versioned:
+        (
+            postings.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/postings")
+        )
+        return
+    spark = documents.sparkSession
+    with maintenance_lease(spark, f"{path}/postings"):
+        clean_version_scratch(spark, path)
+        tmp = version_scratch(path)
+        (
+            postings.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{tmp}/postings")
+        )
+        commit_version(spark, path, tmp)
 
 
 def phrase_search_from_index(
@@ -2850,7 +2912,7 @@ def phrase_search_from_index(
         }
     )
     posting = (
-        spark.read.parquet(f"{index_path}/postings")
+        spark.read.parquet(f"{text_index_root(spark, index_path)}/postings")
         .filter(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
         .select(
             "doc_id",
@@ -3478,9 +3540,9 @@ def kwic_from_index(
         int(__import__("hashlib").md5(t.encode()).hexdigest()[:15], 16)
         % num_buckets
     )
-    posting = spark.read.parquet(f"{index_path}/postings").filter(
-        (F.col("term_bucket") == bucket) & (F.col("term") == F.lit(t))
-    )
+    posting = spark.read.parquet(
+        f"{text_index_root(spark, index_path)}/postings"
+    ).filter((F.col("term_bucket") == bucket) & (F.col("term") == F.lit(t)))
     hits = posting.select("doc_id", F.explode("positions").alias("pos"))
     ctx = documents.join(
         hits.select("doc_id").distinct(), "doc_id", "left_semi"
@@ -3570,8 +3632,11 @@ def merge_text_index(
         # that lands while only postings__old exists silently CREATES a
         # postings store holding just this batch, and the next
         # compaction's swap then deletes the recovery copy — permanent
-        # loss of every older posting
+        # loss of every older posting.  (Versioned stores: recover is a
+        # no-op; resolve the current version INSIDE the lease so the
+        # append and the stats fold land in the same snapshot.)
         recover_swap(spark, f"{path}/postings")
+        root = text_index_root(spark, path)
         dl = new_documents.selectExpr("doc_id", f"{TOKENS} AS toks").selectExpr(
             "doc_id", "toks", "CAST(size(toks) AS BIGINT) AS dl"
         )
@@ -3587,9 +3652,9 @@ def merge_text_index(
             postings.repartition("term_bucket")
             .write.mode("append")
             .partitionBy("term_bucket")
-            .parquet(f"{path}/postings")
+            .parquet(f"{root}/postings")
         )
-        old = spark.read.parquet(f"{path}/stats")
+        old = spark.read.parquet(f"{root}/stats")
         batch = dl.agg(
             F.count(F.lit(1)).cast("long").alias("b_docs"),
             F.sum(F.col("dl").cast(_DEC)).alias("b_sum"),
@@ -3603,7 +3668,7 @@ def merge_text_index(
             )
             .localCheckpoint()
         )
-        merged.write.mode("overwrite").parquet(f"{path}/stats")
+        merged.write.mode("overwrite").parquet(f"{root}/stats")
 
 
 def merge_positional_index(
@@ -3622,6 +3687,7 @@ def merge_positional_index(
     # never append during another process's swap
     with maintenance_lease(documents.sparkSession, f"{path}/postings"):
         recover_swap(documents.sparkSession, f"{path}/postings")
+        root = text_index_root(documents.sparkSession, path)
         toks = documents.selectExpr(
             "doc_id", f"posexplode_outer({TOKENS}) AS (pos, token)"
         ).filter("token IS NOT NULL AND token != ''")
@@ -3636,7 +3702,7 @@ def merge_positional_index(
             postings.repartition("term_bucket")
             .write.mode("append")
             .partitionBy("term_bucket")
-            .parquet(f"{path}/postings")
+            .parquet(f"{root}/postings")
         )
 
 
@@ -3648,7 +3714,7 @@ def index_files_per_bucket(spark, path: str) -> DataFrame:
     bucket, so n_files ≈ 1 + merges-since-compaction — the number an
     index owner watches to schedule :func:`compact_index_store`."""
     return (
-        spark.read.parquet(f"{path}/postings")
+        spark.read.parquet(f"{text_index_root(spark, path)}/postings")
         .select("term_bucket", F.input_file_name().alias("f"))
         .distinct()
         .groupBy("term_bucket")
@@ -3701,6 +3767,28 @@ def compact_index_store(spark, path: str) -> None:
     # component): a concurrent append-merge or second compactor waits
     with maintenance_lease(spark, src):
         recover_swap(spark, src)  # heal a crashed prior swap before reading
+        root = text_index_root(spark, path)
+        if root != path:
+            # VERSIONED layout: build the compacted postings (and carry
+            # the stats sidecar unchanged) as the NEXT version, commit
+            # with one rename — an in-flight scan of the current version
+            # never loses a file; flat-layout swaps tolerate this only
+            # because they are rare
+            clean_version_scratch(spark, path)
+            vtmp = version_scratch(path)
+            (
+                spark.read.parquet(f"{root}/postings")
+                .repartition("term_bucket")
+                .write.mode("overwrite")
+                .partitionBy("term_bucket")
+                .parquet(f"{vtmp}/postings")
+            )
+            if path_exists(spark, f"{root}/stats"):
+                spark.read.parquet(f"{root}/stats").coalesce(
+                    1
+                ).write.mode("overwrite").parquet(f"{vtmp}/stats")
+            commit_version(spark, path, vtmp)
+            return
         (
             spark.read.parquet(src)
             .repartition("term_bucket")

@@ -1752,3 +1752,99 @@ def test_index_compaction_restores_one_file_per_bucket(spark, sf_dir, tmp_path):
     assert set(pf.values()) == {1}
     pa = sorted(map(tuple, phrase_search_from_index(spark, pidx, phrase).collect()))
     assert pa == pb and len(pa) == 40
+
+
+def test_versioned_text_index_lifecycle(spark, sf_dir, tmp_path):
+    """The versioned text-index layout is interchangeable with flat
+    through every lifecycle step — build, append-merge, fan-out monitor,
+    compaction — with identical BM25 results; compaction commits a NEW
+    version, and a reader that resolved the previous version before the
+    commit still completes against its snapshot."""
+    from admira_etl_project_prueba_spark.functions import fs as _fs
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bm25_from_index,
+        compact_index_store,
+        merge_text_index,
+        needs_compaction,
+        text_index_root,
+        write_text_index,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    flat, ver = str(tmp_path / "flat"), str(tmp_path / "ver")
+    write_text_index(a, flat)
+    write_text_index(a, ver, versioned=True)
+    assert _fs.latest_version(spark, ver) == "v00000001"
+    assert text_index_root(spark, ver).endswith("v00000001")
+
+    q = ["spark", "query"]
+    assert [tuple(r) for r in bm25_from_index(spark, ver, q).collect()] == [
+        tuple(r) for r in bm25_from_index(spark, flat, q).collect()
+    ]
+
+    # append-merge lands INSIDE the current version (adds files only)
+    merge_text_index(spark, flat, b)
+    merge_text_index(spark, ver, b)
+    assert _fs.latest_version(spark, ver) == "v00000001"
+    assert [tuple(r) for r in bm25_from_index(spark, ver, q).collect()] == [
+        tuple(r) for r in bm25_from_index(spark, flat, q).collect()
+    ]
+    assert isinstance(needs_compaction(spark, ver), bool)
+
+    # compaction commits the NEXT version; a reader that resolved v1
+    # before the commit still completes against its snapshot
+    v1_postings = f"{text_index_root(spark, ver)}/postings"
+    n_v1 = spark.read.parquet(v1_postings).count()
+    want = [tuple(r) for r in bm25_from_index(spark, ver, q).collect()]
+    compact_index_store(spark, ver)
+    assert _fs.latest_version(spark, ver) == "v00000002"
+    assert spark.read.parquet(v1_postings).count() == n_v1  # old snapshot intact
+    assert [tuple(r) for r in bm25_from_index(spark, ver, q).collect()] == want
+    # compacted: one file per bucket again
+    from admira_etl_project_prueba_spark.operators.textops import (
+        index_files_per_bucket,
+    )
+
+    assert (
+        index_files_per_bucket(spark, ver)
+        .filter("n_files > 1")
+        .count()
+        == 0
+    )
+
+
+def test_versioned_positional_index_lifecycle(spark, tmp_path):
+    """Positional index: versioned build + merge + compaction keep
+    phrase results identical to the flat store's."""
+    from admira_etl_project_prueba_spark.functions import fs as _fs
+    from admira_etl_project_prueba_spark.operators.textops import (
+        compact_index_store,
+        merge_positional_index,
+        phrase_search_from_index,
+        write_positional_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} alpha beta", "en", "s") for i in range(40)],
+        "doc_id long, text string, lang string, source string",
+    )
+    a = docs.filter("doc_id < 25")
+    b = docs.filter("doc_id >= 25")
+    flat, ver = str(tmp_path / "pflat"), str(tmp_path / "pver")
+    write_positional_index(a, flat)
+    write_positional_index(a, ver, versioned=True)
+    merge_positional_index(b, flat)
+    merge_positional_index(b, ver)
+    compact_index_store(spark, ver)
+    assert _fs.latest_version(spark, ver) == "v00000002"
+    phrase = ["alpha", "beta"]
+    got = sorted(
+        map(tuple, phrase_search_from_index(spark, ver, phrase).collect())
+    )
+    want = sorted(
+        map(tuple, phrase_search_from_index(spark, flat, phrase).collect())
+    )
+    assert got == want and len(got) == 40
