@@ -415,31 +415,23 @@ def _ivf_manifest_path(path: str) -> str:
 
 
 def _ivf_version_tmp(path: str) -> str:
-    """Scratch location for the next version's payload — INSIDE the
-    store root (commit is a same-directory rename, atomic on local FS
-    and HDFS) but not version-named, so readers never resolve it."""
-    import time as _time
+    """Scratch location for the next version's payload — the shared
+    ``functions/fs.version_scratch`` recipe (same-directory rename,
+    invisible to readers)."""
+    from admira_etl_project_prueba_spark.functions.fs import version_scratch
 
-    return f"{path.rstrip('/')}/__building.{_time.monotonic_ns()}"
+    return version_scratch(path)
 
 
 def _ivf_clean_scratch(spark, path: str) -> None:
-    """Delete orphaned ``__building.*`` scratch dirs left by a writer
-    that crashed before its commit rename.  CALLER HOLDS the store
-    lease, so no live writer's scratch can be swept; committed versions
-    are never touched.  Crash recovery for the versioned layout is JUST
-    this sweep — an uncommitted scratch dir is invisible to readers, so
-    unlike the flat layout's rename pair there is no window where the
-    store itself needs healing."""
-    from admira_etl_project_prueba_spark.functions import fs as _fs
+    """Sweep orphaned ``__building.*`` scratch (crashed writers) — the
+    shared ``functions/fs.clean_version_scratch``; caller holds the
+    store lease."""
+    from admira_etl_project_prueba_spark.functions.fs import (
+        clean_version_scratch,
+    )
 
-    jfs, jroot, jvm = _fs._fs_and_path(spark, path)
-    for name in _fs.list_child_names(spark, path):
-        if name.startswith("__building."):
-            jfs.delete(
-                jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name),
-                True,
-            )
+    clean_version_scratch(spark, path)
 
 
 def ivf_resolved_paths(spark, path: str) -> tuple[str, str]:
