@@ -324,6 +324,34 @@ class CorpusService:
             self.spark, codes
         )
 
+    def _pq_health(self) -> dict:
+        """Maintenance state of the persisted IVF-PQ store: per-list
+        vector occupancy (retrain-skew verdict, same threshold as the
+        raw-vector IVF store) and code-file fan-out (compaction verdict,
+        same threshold as the posting-file monitor)."""
+        occ = similarity.ivfpq_occupancy_report(self.spark, self.pq_index_path)
+        f = occ.agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.sum("n_vectors").alias("n_vectors"),
+            F.max("n_vectors").alias("mx_occ"),
+            (F.sum("n_vectors") / F.count(F.lit(1))).alias("mean_occ"),
+            F.max("n_files").alias("mx_files"),
+        ).first()
+        skew = (
+            float(f["mx_occ"]) / float(f["mean_occ"])
+            if f["mean_occ"] else 0.0
+        )
+        return {
+            "path": self.pq_index_path,
+            "n_lists": int(f["n_lists"]),
+            "n_vectors": int(f["n_vectors"]),
+            "occupancy_skew": skew,
+            "needs_retrain": skew > similarity.RETRAIN_SKEW_THRESHOLD,
+            "max_files_per_list": int(f["mx_files"]),
+            "needs_compaction": int(f["mx_files"])
+            > similarity.MAX_FILES_PER_LIST,
+        }
+
     def _ivf_index_ready(self) -> bool:
         """True when the configured IVF store and its manifest exist
         (healing a crashed swap first), refreshing the memoized centroid
@@ -454,6 +482,18 @@ class CorpusService:
             )
         else:
             out["data"]["text"] = None
+        if self.pq_index_path is not None:
+            out["data"]["pq"] = (
+                self._pq_health()
+                if self._pq_index_ready()
+                else {"path": self.pq_index_path, "absent": True}
+            )
+            out["data"]["pq"] = dict(
+                out["data"]["pq"],
+                lease_held=lease_held(self.spark, self.pq_index_path),
+            )
+        else:
+            out["data"]["pq"] = None
         return out
 
     # -- POST /corpus/index_retrain --------------------------------------------

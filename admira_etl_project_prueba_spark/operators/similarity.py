@@ -1840,6 +1840,65 @@ def pq_recall_report(
     )
 
 
+def ivfpq_occupancy_report(spark, path: str) -> DataFrame:
+    """(centroid_id, n_vectors, n_files) for a persisted IVF-PQ store —
+    the monitoring frame behind maintenance scheduling: n_vectors per
+    list (code rows / m) drives the retrain-skew verdict exactly like
+    the raw-vector IVF store's occupancy, and n_files per list counts
+    the append fan-out (each merge/fold adds one file per touched list)
+    that :func:`compact_ivfpq_index` reclaims."""
+    codes_path, _, _, man_path = pq_resolved_paths(spark, path)
+    m = int(spark.read.parquet(man_path).first()["m"])
+    return (
+        spark.read.parquet(codes_path)
+        .select("centroid_id", F.input_file_name().alias("f"))
+        .groupBy("centroid_id")
+        .agg(
+            (F.count(F.lit(1)) / m).cast("long").alias("n_vectors"),
+            F.countDistinct("f").cast("int").alias("n_files"),
+        )
+    )
+
+
+def compact_ivfpq_index(spark, path: str) -> None:
+    """Compact the IVF-PQ code partitions back to ONE file per inverted
+    list — reclaiming merge/fold append fan-out, results bit-identical.
+    Versioned stores get the full one-rename commit (codes rewritten,
+    model tables carried unchanged — a reader mid-scan never loses a
+    file); flat stores use the sibling-write + rename-pair swap."""
+    with maintenance_lease(spark, path):
+        codes_path, cb_path, cent_path, man_path = pq_resolved_paths(
+            spark, path
+        )
+        compacted = spark.read.parquet(codes_path).repartition("centroid_id")
+        if codes_path != path:  # versioned layout
+            _ivf_clean_scratch(spark, path)
+            tmp = _ivf_version_tmp(path)
+            (
+                compacted.write.mode("overwrite")
+                .partitionBy("centroid_id")
+                .parquet(f"{tmp}/codes")
+            )
+            spark.read.parquet(cb_path).write.mode("overwrite").parquet(
+                f"{tmp}/codebooks"
+            )
+            spark.read.parquet(cent_path).write.mode("overwrite").parquet(
+                f"{tmp}/centroids"
+            )
+            spark.read.parquet(man_path).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/manifest")
+            commit_version(spark, path, tmp)
+            return
+        tmp = path.rstrip("/") + "__compacting"
+        (
+            compacted.write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(tmp)
+        )
+        swap_into_place(spark, tmp, path)
+
+
 def merge_ivfpq_index(spark, path: str, new_embeddings: DataFrame) -> None:
     """Append-merge a NEW vector batch into the persisted IVF-PQ store —
     the FAISS operational model: the codebooks and centroids are FROZEN

@@ -408,6 +408,63 @@ def test_similar_docs_pq_mode(spark, sf_dir, embeddings, tmp_path):
     assert auto["method"] == "exact" and "cosine" in auto["data"][0]
 
 
+def test_ivfpq_health_and_compaction(spark, sf_dir, embeddings, tmp_path):
+    """index_health gains a pq block (occupancy skew + file fan-out with
+    the shared operator thresholds); merges add one file per touched
+    list; compact_ivfpq_index reclaims the fan-out bit-identically in
+    both layouts."""
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.functions import fs as _fs
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base, batch = _split_corpus_for_merge(embeddings)
+
+    for name, versioned in (("flat", False), ("ver", True)):
+        path = str(tmp_path / f"pqh_{name}")
+        similarity.write_ivfpq_index(base, path, versioned=versioned)
+        similarity.merge_ivfpq_index(spark, path, batch)
+        occ = similarity.ivfpq_occupancy_report(spark, path)
+        assert occ.agg(F.sum("n_vectors")).first()[0] == embeddings.count()
+        assert occ.filter("n_files > 1").count() > 0  # merge fan-out
+        before = {
+            (r["vec_id"], r["subspace"]): (r["code"], r["centroid_id"])
+            for r in spark.read.parquet(
+                similarity.pq_resolved_paths(spark, path)[0]
+            ).collect()
+        }
+        similarity.compact_ivfpq_index(spark, path)
+        if versioned:
+            assert _fs.latest_version(spark, path) == "v00000002"
+        occ2 = similarity.ivfpq_occupancy_report(spark, path)
+        assert occ2.filter("n_files > 1").count() == 0
+        after = {
+            (r["vec_id"], r["subspace"]): (r["code"], r["centroid_id"])
+            for r in spark.read.parquet(
+                similarity.pq_resolved_paths(spark, path)[0]
+            ).collect()
+        }
+        assert after == before
+
+    svc = CorpusService(
+        spark,
+        documents=docs,
+        embeddings=embeddings,
+        pq_index_path=str(tmp_path / "pqh_flat"),
+    )
+    h = svc.index_health()["data"]["pq"]
+    assert h["n_vectors"] == embeddings.count()
+    assert h["max_files_per_list"] == 1 and h["needs_compaction"] is False
+    assert isinstance(h["needs_retrain"], bool) and h["lease_held"] is False
+    absent = CorpusService(
+        spark,
+        documents=docs,
+        embeddings=embeddings,
+        pq_index_path=str(tmp_path / "nowhere"),
+    )
+    assert absent.index_health()["data"]["pq"]["absent"] is True
+
+
 def test_pq_plan_shape(embeddings):
     """Exhaustive ADC must stay equi-join + broadcast: no cartesian, no
     row-at-a-time Python, no un-bounded single-partition sort."""

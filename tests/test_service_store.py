@@ -1061,7 +1061,9 @@ def test_index_health_endpoint_and_similar_index_block(spark, sf_dir, tmp_path):
     assert all(r["vec_id"] != 5 for r in sim["data"])
 
     bare = CorpusService(spark, documents=docs, embeddings=emb)
-    assert bare.index_health()["data"] == {"ivf": None, "text": None}
+    assert bare.index_health()["data"] == {
+        "ivf": None, "text": None, "pq": None,
+    }
     bare_sim = bare.similar_docs(vec_id=5, k=3)
     assert "index" not in bare_sim and bare_sim["method"] == "exact"
 
