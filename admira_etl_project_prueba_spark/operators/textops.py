@@ -3165,6 +3165,142 @@ def bpe_merge_candidates(documents: DataFrame, top_n: int = 50) -> DataFrame:
     )
 
 
+def _bpe_vocab_seqs(documents: DataFrame) -> DataFrame:
+    """(word, cnt, seq): the corpus VOCABULARY with occurrence counts and
+    each word's initial symbol sequence (space-joined characters) — the
+    working state of the BPE trainer.  One corpus-sized shuffle (the
+    word count); everything after runs at vocabulary scale, orders of
+    magnitude smaller than the token stream on web corpora."""
+    return (
+        documents.selectExpr(f"explode_outer({TOKENS}) AS word")
+        .filter("word IS NOT NULL AND word != ''")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .selectExpr("word", "cnt", "array_join(split(word, ''), ' ') AS seq")
+    )
+
+
+def _bpe_best_pair(seqs: DataFrame) -> DataFrame:
+    """1-row (l, r, pair_count): the corpus-weighted most frequent
+    adjacent symbol pair, ties → lexicographically smallest (l, r) —
+    Sennrich's get_stats + argmax as a TakeOrdered over the pair
+    aggregate (vocabulary-bounded, never corpus-bounded)."""
+    pairs = (
+        seqs.selectExpr("cnt", "split(seq, ' ') AS syms")
+        .filter("size(syms) >= 2")
+        .selectExpr(
+            "cnt",
+            "explode(transform(sequence(1, size(syms) - 1), "
+            "i -> struct(syms[i - 1] AS l, syms[i] AS r))) AS p",
+        )
+    )
+    return (
+        pairs.groupBy("p.l", "p.r")
+        .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "l", "r")
+        .limit(1)
+    )
+
+
+def _bpe_apply(seqs: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply one merge to every vocabulary sequence — row-local string
+    rewriting, no shuffle: separators are doubled so adjacent
+    occurrences keep their boundary space (`replace` consumes one space
+    each side; with single separators ' a b a b ' loses its second
+    match to the shared boundary), the padded pattern replaces
+    left-to-right exactly like the reference BPE's leftmost-first scan,
+    then separators collapse back (doubling bounds runs at 2 spaces, so
+    one collapse pass is exact).  An EMPTY best frame (nothing left to
+    merge) passes sequences through unchanged via the left join."""
+    b = best.selectExpr("l AS _l", "r AS _r").withColumn("_k", F.lit(1))
+    return (
+        seqs.withColumn("_k", F.lit(1))
+        .join(F.broadcast(b), "_k", "left")
+        .selectExpr(
+            "word",
+            "cnt",
+            "CASE WHEN _l IS NULL THEN seq ELSE trim(replace(replace("
+            "concat(' ', replace(seq, ' ', '  '), ' '), "
+            "concat(' ', _l, '  ', _r, ' '), "
+            "concat(' ', _l, _r, ' ')), '  ', ' ')) END AS seq",
+        )
+    )
+
+
+def bpe_learn_merges(documents: DataFrame, n_merges: int = 4) -> DataFrame:
+    """The full BPE tokenizer TRAINER (Sennrich et al. 2016), not just
+    the first-round statistics (:func:`bpe_merge_candidates`): learn the
+    top ``n_merges`` merges by iterating count-adjacent-pairs → take the
+    corpus-weighted argmax → rewrite every vocabulary sequence, entirely
+    as one lazy DataFrame plan — no driver-side loop over data, no RNG,
+    deterministic ties (count desc, then lexicographic pair).
+
+    Scale shape: ONE corpus-sized shuffle total (the initial word
+    count); each round then costs a vocabulary-sized pair aggregate +
+    TakeOrdered(1) + a broadcast 1-row join with row-local string
+    rewriting.  That is the right decomposition at 100 TB — trainer
+    state is the vocabulary, which web-scale corpora keep orders of
+    magnitude smaller than the token stream.
+
+    Returns (rank, left_sym, right_sym, merged, pair_count), rank
+    1-based in learning order — the artifact a tokenizer ships."""
+    seqs = _bpe_vocab_seqs(documents)
+    out = None
+    for r in range(1, int(n_merges) + 1):
+        best = _bpe_best_pair(seqs)
+        row = best.selectExpr(
+            f"CAST({r} AS INT) AS rank",
+            "l AS left_sym",
+            "r AS right_sym",
+            "concat(l, r) AS merged",
+            "pair_count",
+        )
+        out = row if out is None else out.unionByName(row)
+        seqs = _bpe_apply(seqs, best)
+    return out
+
+
+def bpe_encode_stats(documents: DataFrame, n_merges: int = 4) -> DataFrame:
+    """Encode every document with the merges :func:`bpe_learn_merges`
+    learns (same lazy plan — the trained vocabulary sequences ARE the
+    encoder: a word's token count is the symbol count of its final
+    sequence) and report per-document compression: (doc_id, n_words,
+    n_chars, n_bpe_tokens, chars_per_token).  The number a tokenizer
+    rollout reads — how many tokens this corpus costs under the learned
+    vocabulary, against the character baseline.
+
+    The per-word encode join is vocabulary-vs-corpus (hash join on the
+    word), never quadratic; chars_per_token divides two exact integer
+    sums, so the report is engine-exact."""
+    seqs = _bpe_vocab_seqs(documents)
+    for _ in range(int(n_merges)):
+        seqs = _bpe_apply(seqs, _bpe_best_pair(seqs))
+    vocab = seqs.selectExpr(
+        "word",
+        "CAST(size(split(seq, ' ')) AS BIGINT) AS w_tokens",
+        "CAST(length(word) AS BIGINT) AS w_chars",
+    )
+    words = documents.selectExpr(
+        "doc_id", f"explode_outer({TOKENS}) AS word"
+    ).filter("word IS NOT NULL AND word != ''")
+    return (
+        words.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("w_chars").cast("long").alias("n_chars"),
+            F.sum("w_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            "CAST(n_chars AS DOUBLE) / n_bpe_tokens AS chars_per_token",
+        )
+    )
+
+
 def curriculum_stages(
     documents: DataFrame, n_stages: int = 4, exact: bool = False
 ) -> DataFrame:

@@ -1377,6 +1377,43 @@ def _duck_hex60(x: str) -> str:
 
 
 _DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+
+def _duck_bpe_ctes(n_merges: int = 4) -> str:
+    """Unrolled DuckDB twin of textops.bpe_learn_merges' trainer loop:
+    v0 = vocabulary with char sequences; per round r, p{r} = weighted
+    adjacent-pair counts, b{r} = the argmax merge (count desc, lexical
+    tie-break), v{r} = sequences rewritten by the doubled-separator
+    replace (verified byte-equal to Spark's)."""
+    ctes = [
+        f"tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)",
+        "w AS (SELECT unnest(t) AS word FROM tok)",
+        """v0 AS (
+  SELECT word, COUNT(*) AS cnt,
+         array_to_string(string_split(word, ''), ' ') AS seq
+  FROM w WHERE word IS NOT NULL AND word != '' GROUP BY word)""",
+    ]
+    for r in range(1, n_merges + 1):
+        p = f"v{r - 1}"
+        ctes += [
+            f"""p{r} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt) AS pair_count
+  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+        FROM (SELECT cnt, string_split(seq, ' ') AS syms FROM {p}))
+  GROUP BY 1, 2)""",
+            f"""b{r} AS (
+  SELECT l, r, CAST(pair_count AS BIGINT) AS pair_count
+  FROM p{r} ORDER BY pair_count DESC, l, r LIMIT 1)""",
+            f"""v{r} AS (
+  SELECT word, cnt,
+         CASE WHEN b.l IS NULL THEN seq
+              ELSE trim(replace(replace(
+                ' ' || replace(seq, ' ', '  ') || ' ',
+                ' ' || b.l || '  ' || b.r || ' ',
+                ' ' || b.l || b.r || ' '), '  ', ' ')) END AS seq
+  FROM {p} LEFT JOIN b{r} b ON TRUE)""",
+        ]
+    return "WITH " + ",\n".join(ctes)
 _DUCK_STOPS = "[" + ", ".join(f"'{w}'" for w in _tx.STOPWORDS) + "]"
 
 _DUCK_SHINGLES = (
@@ -5837,6 +5874,54 @@ FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""",
 )
 def _q_bpe_merges(spark, sf_dir):
     return _tx.bpe_merge_candidates(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+@_entry(
+    "bpe_learned_merges",
+    "The full BPE tokenizer trainer (Sennrich 2016), 4 merge rounds as "
+    "one lazy plan: weighted adjacent-pair argmax (ties lexicographic) "
+    "then a row-local doubled-separator rewrite of the VOCABULARY "
+    "sequences — one corpus shuffle total, per-round cost is "
+    "vocabulary-bounded.",
+    _duck_bpe_ctes(4)
+    + ",\n"
+    + ",\n".join(
+        f"""m{r} AS (
+  SELECT CAST({r} AS INT) AS rank, l AS left_sym, r AS right_sym,
+         l || r AS merged, pair_count FROM b{r})"""
+        for r in range(1, 5)
+    )
+    + "\nSELECT * FROM m1 UNION ALL SELECT * FROM m2 "
+    "UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4",
+)
+def _q_bpe_learned_merges(spark, sf_dir):
+    return _tx.bpe_learn_merges(_t(spark, sf_dir, "documents"), n_merges=4)
+
+
+@_entry(
+    "bpe_encode_stats",
+    "Per-document encoding cost under the learned BPE vocabulary: the "
+    "trained sequences ARE the encoder (a word's token count = its "
+    "final symbol count), joined vocabulary-vs-corpus — n_words, "
+    "n_chars, n_bpe_tokens, chars_per_token per document.",
+    _duck_bpe_ctes(4)
+    + """,
+vocab AS (
+  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS w_tokens,
+         CAST(length(word) AS BIGINT) AS w_chars
+  FROM v4),
+dw AS (
+  SELECT doc_id, unnest(t) AS word FROM tok)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(w_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(w_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(w_chars) AS DOUBLE) / SUM(w_tokens) AS chars_per_token
+FROM dw JOIN vocab USING (word)
+WHERE word IS NOT NULL AND word != ''
+GROUP BY doc_id""",
+)
+def _q_bpe_encode_stats(spark, sf_dir):
+    return _tx.bpe_encode_stats(_t(spark, sf_dir, "documents"), n_merges=4)
 
 
 @_entry(

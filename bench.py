@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     # same fixed-cost reason as ann_ivf_topk_indexed above)
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    "bpe_learned_merges",
+    "bpe_encode_stats",
 ]
 
 

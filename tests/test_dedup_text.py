@@ -1848,3 +1848,58 @@ def test_versioned_positional_index_lifecycle(spark, tmp_path):
         map(tuple, phrase_search_from_index(spark, flat, phrase).collect())
     )
     assert got == want and len(got) == 40
+
+
+def test_bpe_trainer_known_answer(spark):
+    """The trainer reproduces hand-computed Sennrich BPE on a tiny
+    corpus, including the deterministic tie-break and the encoder's
+    token accounting."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bpe_encode_stats,
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_learn_merges(docs, n_merges=3).orderBy("rank").collect()
+    ]
+    # corpus words: low x3, lower, lowest, new, newer, newest
+    # round 1: l-o in low(3) + lower + lowest = 5 -> 'lo'
+    # round 2: lo-w same 5 occurrences -> 'low'
+    # round 3: e-w in new, newer, newest = 3 -> 'ew'
+    assert merges == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, "e", "w", "ew", 3),
+    ]
+    stats = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"])
+        for r in bpe_encode_stats(docs, n_merges=3).collect()
+    }
+    # doc1: low(1 sym 'low') x2, lower -> low+e+r =3, lowest -> low+e+s+t=4
+    #   words=4 chars=3+3+5+6=17 tokens=1+1+3+4=9
+    # doc2: new -> n+ew=2, newer -> n+ew+e+r=4, newest -> n+ew+e+s+t=5,
+    #   low -> 1; words=4 chars=3+5+6+3=17 tokens=2+4+5+1=12
+    assert stats == {1: (4, 17, 9), 2: (4, 17, 12)}
+
+
+def test_bpe_adjacent_occurrences_merge_in_one_pass(spark):
+    """The doubled-separator rewrite merges back-to-back occurrences of
+    the winning pair ('ababab' -> ab ab ab in ONE round), the boundary
+    case a naive single-space replace silently drops."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bpe_encode_stats,
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "ababab ababab")], "doc_id long, text string"
+    )
+    m = bpe_learn_merges(docs, n_merges=1).first()
+    assert (m["left_sym"], m["right_sym"], m["pair_count"]) == ("a", "b", 6)
+    s = bpe_encode_stats(docs, n_merges=1).first()
+    assert s["n_bpe_tokens"] == 6  # 3 'ab' symbols per word, both words

@@ -71,6 +71,8 @@ NESTED_LOOP_ALLOWED = {
     "pq_recall_report",         # embeds the 1-row-query exact/ADC/IVF-PQ top-k trio
     "ann_ivfpq_residual_topk",  # 1-row query + n_probe probe + n_centroids argmax
     "pq_residual_reconstruction_error",  # embeds ivf_assign's n_centroids-row argmax
+    "bpe_learned_merges",       # 1-row best-merge broadcast per trainer round
+    "bpe_encode_stats",         # same 1-row merge broadcasts inside the encoder
     "mixture_plan",             # 1-row max_exact_budget broadcast into the plan
     "user_rfm_segments",        # 1-row anchor-date broadcast into the user frame
     "user_rfm_segments_sampled",     # same anchor broadcast + 1-row edges broadcast
