@@ -3260,22 +3260,10 @@ def bpe_learn_merges(documents: DataFrame, n_merges: int = 4) -> DataFrame:
     return out
 
 
-def bpe_encode_stats(documents: DataFrame, n_merges: int = 4) -> DataFrame:
-    """Encode every document with the merges :func:`bpe_learn_merges`
-    learns (same lazy plan — the trained vocabulary sequences ARE the
-    encoder: a word's token count is the symbol count of its final
-    sequence) and report per-document compression: (doc_id, n_words,
-    n_chars, n_bpe_tokens, chars_per_token).  The number a tokenizer
-    rollout reads — how many tokens this corpus costs under the learned
-    vocabulary, against the character baseline.
-
-    The per-word encode join is vocabulary-vs-corpus (hash join on the
-    word), never quadratic; chars_per_token divides two exact integer
-    sums, so the report is engine-exact."""
-    seqs = _bpe_vocab_seqs(documents)
-    for _ in range(int(n_merges)):
-        seqs = _bpe_apply(seqs, _bpe_best_pair(seqs))
-    vocab = seqs.selectExpr(
+def _bpe_doc_stats(documents: DataFrame, vocab_seqs: DataFrame) -> DataFrame:
+    """Per-document encoding cost given trained vocabulary sequences —
+    the shared back half of the inline and from-artifact encoders."""
+    vocab = vocab_seqs.selectExpr(
         "word",
         "CAST(size(split(seq, ' ')) AS BIGINT) AS w_tokens",
         "CAST(length(word) AS BIGINT) AS w_chars",
@@ -3299,6 +3287,71 @@ def bpe_encode_stats(documents: DataFrame, n_merges: int = 4) -> DataFrame:
             "CAST(n_chars AS DOUBLE) / n_bpe_tokens AS chars_per_token",
         )
     )
+
+
+def write_bpe_merges(
+    documents: DataFrame, path: str, n_merges: int = 4
+) -> None:
+    """Persist the learned BPE merge list (once-per-tokenizer-design
+    batch job) — the artifact a tokenizer SHIPS: new data is then
+    encoded against the frozen list (:func:`bpe_encode_from_merges`,
+    ``streaming.stream_bpe_encode``) so token accounting stays
+    comparable across ingest batches, exactly like the frozen DSIR/LM
+    models."""
+    bpe_learn_merges(documents, n_merges).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def bpe_encode_from_merges(
+    spark, documents: DataFrame, merges_path: str
+) -> DataFrame:
+    """Encode documents against a PERSISTED merge list — the production
+    shape: the merges are frozen at tokenizer-design time and applied in
+    rank order WITHOUT retraining.  Pure plan, no driver collect: the
+    merge list aggregates into one ordered array (model-sized,
+    broadcast) and each word's sequence is rewritten by an
+    ``aggregate`` fold over it — n_merges row-local replaces per
+    VOCABULARY entry, never per corpus row.  Same output columns as
+    :func:`bpe_encode_stats`, and equal to it when the store was trained
+    on the same corpus (pytest-pinned)."""
+    marr = spark.read.parquet(merges_path).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(rank, left_sym, "
+            "right_sym, merged))), x -> struct(x.left_sym AS l, "
+            "x.right_sym AS r, x.merged AS m))"
+        ).alias("marr")
+    )
+    rewrite = (
+        "aggregate(marr, seq, (acc, mg) -> trim(replace(replace("
+        "concat(' ', replace(acc, ' ', '  '), ' '), "
+        "concat(' ', mg.l, '  ', mg.r, ' '), "
+        "concat(' ', mg.m, ' ')), '  ', ' ')))"
+    )
+    seqs = (
+        _bpe_vocab_seqs(documents)
+        .crossJoin(F.broadcast(marr))
+        .selectExpr("word", "cnt", f"{rewrite} AS seq")
+    )
+    return _bpe_doc_stats(documents, seqs)
+
+
+def bpe_encode_stats(documents: DataFrame, n_merges: int = 4) -> DataFrame:
+    """Encode every document with the merges :func:`bpe_learn_merges`
+    learns (same lazy plan — the trained vocabulary sequences ARE the
+    encoder: a word's token count is the symbol count of its final
+    sequence) and report per-document compression: (doc_id, n_words,
+    n_chars, n_bpe_tokens, chars_per_token).  The number a tokenizer
+    rollout reads — how many tokens this corpus costs under the learned
+    vocabulary, against the character baseline.
+
+    The per-word encode join is vocabulary-vs-corpus (hash join on the
+    word), never quadratic; chars_per_token divides two exact integer
+    sums, so the report is engine-exact."""
+    seqs = _bpe_vocab_seqs(documents)
+    for _ in range(int(n_merges)):
+        seqs = _bpe_apply(seqs, _bpe_best_pair(seqs))
+    return _bpe_doc_stats(documents, seqs)
 
 
 def curriculum_stages(

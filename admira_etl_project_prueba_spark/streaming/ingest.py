@@ -1304,3 +1304,36 @@ def fold_encoded_codes(spark: SparkSession, index_path: str, log_path: str) -> i
         jfs, jp, jvm = _fs._fs_and_path(spark, log_path)
         jfs.delete(jp, True)
     return n
+
+
+def stream_bpe_encode(
+    doc_stream: DataFrame,
+    merges_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming token accounting under a FROZEN BPE vocabulary: every
+    arriving document batch is encoded against the persisted merge list
+    (``textops.write_bpe_merges``) and its per-doc cost appended — the
+    ingest-time twin of ``bpe_encode_from_merges``, same contract as
+    :func:`stream_lm_scores`: stateless across batches (each doc's cost
+    depends only on itself and the frozen model, which broadcasts at KB
+    size), deterministic under at-least-once replay so the appended log
+    is re-aggregation-safe by doc_id."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bpe_encode_from_merges,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        scored = bpe_encode_from_merges(spark, batch_df, merges_path)
+        scored.write.mode("append").parquet(out_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1903,3 +1903,47 @@ def test_bpe_adjacent_occurrences_merge_in_one_pass(spark):
     assert (m["left_sym"], m["right_sym"], m["pair_count"]) == ("a", "b", 6)
     s = bpe_encode_stats(docs, n_merges=1).first()
     assert s["n_bpe_tokens"] == 6  # 3 'ab' symbols per word, both words
+
+
+def test_bpe_frozen_encoder_and_stream_parity(spark, sf_dir, tmp_path):
+    """Persisted merges + frozen encode == inline trainer output on the
+    training corpus; the streaming twin appends identical per-doc rows
+    however the docs are micro-batched."""
+    import json
+
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bpe_encode_from_merges,
+        bpe_encode_stats,
+        write_bpe_merges,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+    from admira_etl_project_prueba_spark.streaming.ingest import stream_bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = str(tmp_path / "bpe_model")
+    write_bpe_merges(docs, model, n_merges=4)
+
+    inline = {tuple(r) for r in bpe_encode_stats(docs, n_merges=4).collect()}
+    frozen = {
+        tuple(r) for r in bpe_encode_from_merges(spark, docs, model).collect()
+    }
+    assert frozen == inline and len(frozen) > 0
+
+    rows = [(r["doc_id"], r["text"]) for r in docs.limit(12).collect()]
+    src = tmp_path / "bpe_in"
+    src.mkdir()
+    for fname, chunk in (("a.json", rows[:6]), ("b.json", rows[6:])):
+        with open(src / fname, "w") as fh:
+            for did, text in chunk:
+                fh.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = str(tmp_path / "bpe_out")
+    q = stream_bpe_encode(stream, model, out, str(tmp_path / "bpe_ckpt"))
+    q.awaitTermination(120)
+    streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want_ids = {r[0] for r in rows}
+    assert streamed == {t for t in frozen if t[0] in want_ids}
