@@ -1734,6 +1734,46 @@ def ivfpq_residual_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage serving — the standard production ANN shape (FAISS's
+    IVFPQR / DiskANN's rerank tier): the IVF-PQ composite index builds a
+    ``shortlist`` of candidates from 4-byte codes alone, then ONLY those
+    ``shortlist`` raw vectors are read back and re-ranked by exact
+    cosine.  Query-time I/O = pruned code bytes + ``shortlist``
+    point-reads of vectors; the quantization error that costs ADC its
+    top-k boundary accuracy is repaired where it matters, for pennies.
+    At shortlist == the probed candidate count this IS the raw-vector
+    IVF probe (pinned in pytest).  Returns (vec_id, label, centroid_id,
+    adc_dist2, cosine) ranked by exact cosine, ties → vec_id."""
+    cands = ivfpq_topk(
+        embeddings, query_vec_id, int(shortlist), n_centroids, n_probe,
+        m, ksub, iters, assignments=assignments,
+    )
+    q = _as_double(
+        embeddings.filter(F.col("vec_id") == query_vec_id), "q"
+    ).select("q")
+    t = _as_double(embeddings, "v").select("vec_id", "v")
+    scored = with_cosine(
+        cands.join(t, "vec_id").crossJoin(F.broadcast(q))
+    )
+    return (
+        scored.select("vec_id", "label", "centroid_id", "adc_dist2", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def pq_reconstruction_error(
     embeddings: DataFrame,
     m: int = PQ_M,

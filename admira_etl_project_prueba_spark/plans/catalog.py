@@ -3136,6 +3136,63 @@ def _q_pq_recall_report(spark, sf_dir):
     return _sim.pq_recall_report(_t(spark, sf_dir, "embeddings"))
 
 
+_DUCK_IVFPQ_RERANK_SQL = (
+    _duck_pq_ctes()
+    + """,
+cents AS (SELECT vec_id AS centroid_id, v AS c FROM t WHERE vec_id < 16),
+cassign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT t.vec_id, centroid_id,
+"""
+    + f"""           ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+             CASE WHEN {_duck_norm('c')} > 0 AND {_duck_norm('v')} > 0
+                  THEN {_duck_dot('c', 'v')} / ({_duck_norm('c')} * {_duck_norm('v')})
+                  ELSE 0.0 END DESC, centroid_id) AS _r
+    FROM t, cents)
+  WHERE _r = 1),
+qv0 AS (SELECT v AS q FROM t WHERE vec_id = 0),
+probe AS (
+  SELECT centroid_id FROM (
+    SELECT centroid_id,
+           CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('c')} > 0
+                THEN {_duck_dot('q', 'c')} / ({_duck_norm('q')} * {_duck_norm('c')})
+                ELSE 0.0 END AS cosine
+    FROM cents, qv0)
+  ORDER BY cosine DESC, centroid_id LIMIT 4),
+"""
+    + _DUCK_PQ_ADC.replace(
+        "FROM codes JOIN dtab",
+        """FROM (SELECT codes.* FROM codes
+        JOIN cassign ON codes.vec_id = cassign.vec_id
+        JOIN probe ON cassign.centroid_id = probe.centroid_id) codes
+  JOIN dtab""",
+    )
+    + f""",
+short AS (
+  SELECT adc.vec_id, adc.label, cassign.centroid_id, adc.adc_dist2
+  FROM adc JOIN cassign ON adc.vec_id = cassign.vec_id
+  ORDER BY adc_dist2 ASC, adc.vec_id LIMIT 50)
+SELECT s.vec_id, s.label, s.centroid_id, s.adc_dist2,
+       CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('v')} > 0
+            THEN {_duck_dot('q', 'v')} / ({_duck_norm('q')} * {_duck_norm('v')})
+            ELSE 0.0 END AS cosine
+FROM short s JOIN t ON s.vec_id = t.vec_id, qv0
+ORDER BY cosine DESC, s.vec_id LIMIT 10"""
+)
+
+
+@_entry(
+    "ann_ivfpq_rerank_topk",
+    "Two-stage serving (FAISS IVFPQR shape): IVF-PQ builds a 50-deep "
+    "shortlist from 4-byte codes alone, then ONLY those 50 raw vectors "
+    "are read back and re-ranked by exact cosine — quantization error "
+    "repaired where it matters, for shortlist-many point-reads.",
+    _DUCK_IVFPQ_RERANK_SQL,
+)
+def _q_ivfpq_rerank_topk(spark, sf_dir):
+    return _sim.ivfpq_rerank_topk(_t(spark, sf_dir, "embeddings"))
+
+
 _DUCK_IVFPQ_RES_SQL = (
     _duck_pq_ctes(residual=True)
     + f""",

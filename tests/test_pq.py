@@ -408,6 +408,33 @@ def test_similar_docs_pq_mode(spark, sf_dir, embeddings, tmp_path):
     assert auto["method"] == "exact" and "cosine" in auto["data"][0]
 
 
+def test_ivfpq_rerank_exactness_and_bounds(embeddings):
+    """Rerank returns EXACT cosines (each equals the brute-force score
+    for that vector); with a full probe and a corpus-sized shortlist the
+    two-stage pipeline degenerates to exact brute-force top-k; a planted
+    duplicate of the query wins through the code shortlist."""
+    n = embeddings.count()
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.cosine_topk(embeddings, k=n).collect()
+    }
+    out = similarity.ivfpq_rerank_topk(embeddings, k=10).collect()
+    assert len(out) == 10
+    for r in out:
+        assert exact[r["vec_id"]] == r["cosine"]
+    full = similarity.ivfpq_rerank_topk(
+        embeddings, k=10, shortlist=n, n_probe=16
+    ).collect()
+    brute = similarity.cosine_topk(embeddings, k=10).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in full] == [
+        (r["vec_id"], r["cosine"]) for r in brute
+    ]
+    dup_id = 1_000_000
+    e = _with_duplicate_of_query(embeddings, dup_id)
+    top = similarity.ivfpq_rerank_topk(e, k=3).collect()
+    assert top[0]["vec_id"] == dup_id and top[0]["cosine"] == 1.0
+
+
 def test_ivfpq_health_and_compaction(spark, sf_dir, embeddings, tmp_path):
     """index_health gains a pq block (occupancy skew + file fan-out with
     the shared operator thresholds); merges add one file per touched
