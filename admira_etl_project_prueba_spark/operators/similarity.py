@@ -1863,6 +1863,9 @@ def pq_recall_report(
     ivfpq = ivfpq_topk(
         embeddings, query_vec_id, k, n_centroids, n_probe, m, ksub, iters
     ).select("vec_id")
+    rerank = ivfpq_rerank_topk(
+        embeddings, query_vec_id, k, 50, n_centroids, n_probe, m, ksub, iters
+    ).select("vec_id")
     n_adc = (
         adc.join(F.broadcast(exact), "vec_id", "left_semi")
         .agg(F.count(F.lit(1)).cast("long").alias("n_adc_captured"))
@@ -1871,12 +1874,22 @@ def pq_recall_report(
         ivfpq.join(F.broadcast(exact), "vec_id", "left_semi")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ivfpq_captured"))
     )
-    return n_adc.crossJoin(F.broadcast(n_ivf)).selectExpr(
-        f"CAST({k} AS INT) AS k",
-        "n_adc_captured",
-        f"CAST(n_adc_captured AS DOUBLE) / {k} AS adc_recall",
-        "n_ivfpq_captured",
-        f"CAST(n_ivfpq_captured AS DOUBLE) / {k} AS ivfpq_recall",
+    n_rr = (
+        rerank.join(F.broadcast(exact), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rerank_captured"))
+    )
+    return (
+        n_adc.crossJoin(F.broadcast(n_ivf))
+        .crossJoin(F.broadcast(n_rr))
+        .selectExpr(
+            f"CAST({k} AS INT) AS k",
+            "n_adc_captured",
+            f"CAST(n_adc_captured AS DOUBLE) / {k} AS adc_recall",
+            "n_ivfpq_captured",
+            f"CAST(n_ivfpq_captured AS DOUBLE) / {k} AS ivfpq_recall",
+            "n_rerank_captured",
+            f"CAST(n_rerank_captured AS DOUBLE) / {k} AS rerank_recall",
+        )
     )
 
 

@@ -3109,7 +3109,7 @@ exact AS (
   ORDER BY cosine DESC, vec_id LIMIT 10),
 """
     + _DUCK_PQ_ADC
-    + """,
+    + f""",
 adck AS (SELECT vec_id FROM adc ORDER BY adc_dist2 ASC, vec_id LIMIT 10),
 adcp AS (
   SELECT codes.vec_id,
@@ -3121,7 +3121,13 @@ adcp AS (
   WHERE codes.vec_id <> 0
   GROUP BY codes.vec_id
 ),
-ivfk AS (SELECT vec_id FROM adcp ORDER BY adc_dist2 ASC, vec_id LIMIT 10)
+ivfk AS (SELECT vec_id FROM adcp ORDER BY adc_dist2 ASC, vec_id LIMIT 10),
+short AS (SELECT vec_id FROM adcp ORDER BY adc_dist2 ASC, vec_id LIMIT 50),
+rrk AS (
+  SELECT s.vec_id FROM short s JOIN t ON s.vec_id = t.vec_id, qv0
+  ORDER BY CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('v')} > 0
+                THEN {_duck_dot('q', 'v')} / ({_duck_norm('q')} * {_duck_norm('v')})
+                ELSE 0.0 END DESC, s.vec_id LIMIT 10)
 SELECT CAST(10 AS INT) AS k,
        (SELECT COUNT(*) FROM adck WHERE vec_id IN (SELECT vec_id FROM exact))
          AS n_adc_captured,
@@ -3130,7 +3136,11 @@ SELECT CAST(10 AS INT) AS k,
        (SELECT COUNT(*) FROM ivfk WHERE vec_id IN (SELECT vec_id FROM exact))
          AS n_ivfpq_captured,
        CAST((SELECT COUNT(*) FROM ivfk WHERE vec_id IN (SELECT vec_id FROM exact))
-         AS DOUBLE) / 10 AS ivfpq_recall""",
+         AS DOUBLE) / 10 AS ivfpq_recall,
+       (SELECT COUNT(*) FROM rrk WHERE vec_id IN (SELECT vec_id FROM exact))
+         AS n_rerank_captured,
+       CAST((SELECT COUNT(*) FROM rrk WHERE vec_id IN (SELECT vec_id FROM exact))
+         AS DOUBLE) / 10 AS rerank_recall""",
 )
 def _q_pq_recall_report(spark, sf_dir):
     return _sim.pq_recall_report(_t(spark, sf_dir, "embeddings"))

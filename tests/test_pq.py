@@ -365,6 +365,9 @@ def test_pq_recall_report_invariants(embeddings):
     assert 0 <= r["n_ivfpq_captured"] <= 10
     assert r["adc_recall"] == r["n_adc_captured"] / 10
     assert r["ivfpq_recall"] == r["n_ivfpq_captured"] / 10
+    # the rerank tier re-scores the shortlist with EXACT cosine, so it
+    # can only match or beat the code-only ranking it reranks
+    assert r["n_rerank_captured"] >= r["n_ivfpq_captured"]
     full = similarity.pq_recall_report(embeddings, k=10, n_probe=16).first()
     assert full["n_ivfpq_captured"] == full["n_adc_captured"]
 
