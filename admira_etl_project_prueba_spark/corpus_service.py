@@ -221,11 +221,14 @@ class CorpusService:
         EXPLICITLY requests the compressed serving tier: ranked ADC
         results from the configured ``write_ivfpq_index`` store (rows
         carry ``adc_dist2`` ascending instead of ``cosine`` descending);
-        asking for it without a ready store is a 400, never a silent
-        downgrade — the caller chose codes over vectors on purpose."""
-        if mode not in ("auto", "pq"):
+        ``mode=pq_rerank`` adds the exact-cosine rerank of the 50-deep
+        code shortlist (rows carry BOTH adc_dist2 and the exact cosine
+        the ranking uses).  Asking for either without a ready store is a
+        400, never a silent downgrade — the caller chose codes over
+        vectors on purpose."""
+        if mode not in ("auto", "pq", "pq_rerank"):
             raise ValidationError(
-                f"invalid mode: {mode!r} (want one of auto, pq)"
+                f"invalid mode: {mode!r} (want one of auto, pq, pq_rerank)"
             )
         if vec_id is None:
             raise ValidationError("missing required parameter: vec_id")
@@ -235,25 +238,36 @@ class CorpusService:
             k = 10  # silent clamp, like limit/offset
         if self.embeddings.filter(F.col("vec_id") == vec_id).limit(1).count() == 0:
             raise NotFoundError(f"unknown vec_id: {vec_id}")
-        if mode == "pq":
+        if mode in ("pq", "pq_rerank"):
             if self.pq_index_path is None:
                 raise ValidationError(
-                    "mode=pq requires a configured pq_index_path"
+                    f"mode={mode} requires a configured pq_index_path"
                 )
             if not self._pq_index_ready():
                 raise ValidationError(
                     f"pq index at {self.pq_index_path} is not written yet"
                 )
-            rows = similarity.ivfpq_topk_from_index(
-                self.spark,
-                self.embeddings,
-                self.pq_index_path,
-                query_vec_id=vec_id,
-                k=k,
-            ).select("vec_id", "label", "adc_dist2")
+            if mode == "pq":
+                rows = similarity.ivfpq_topk_from_index(
+                    self.spark,
+                    self.embeddings,
+                    self.pq_index_path,
+                    query_vec_id=vec_id,
+                    k=k,
+                ).select("vec_id", "label", "adc_dist2")
+                method = "ivfpq_index"
+            else:
+                rows = similarity.ivfpq_rerank_from_index(
+                    self.spark,
+                    self.embeddings,
+                    self.pq_index_path,
+                    query_vec_id=vec_id,
+                    k=k,
+                ).select("vec_id", "label", "adc_dist2", "cosine")
+                method = "ivfpq_rerank_index"
             return {
                 "query": vec_id,
-                "method": "ivfpq_index",
+                "method": method,
                 "data": [r.asDict() for r in rows.collect()],
                 "request_id": new_request_id(request_id),
             }

@@ -1952,6 +1952,36 @@ def compact_ivfpq_index(spark, path: str) -> None:
         swap_into_place(spark, tmp, path)
 
 
+def ivfpq_rerank_from_index(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Two-stage serving from the PERSISTED store: the code-only
+    shortlist comes from :func:`ivfpq_topk_from_index` (pruned 4-byte
+    partitions, centroids read out of the store), then only the
+    ``shortlist`` raw vectors are point-read from the corpus and
+    re-ranked by exact cosine — the production rerank tier
+    (:func:`ivfpq_rerank_topk`) with index-resident stage one."""
+    cands = ivfpq_topk_from_index(
+        spark, embeddings, index_path, query_vec_id, int(shortlist), n_probe
+    )
+    q = _as_double(
+        embeddings.filter(F.col("vec_id") == query_vec_id), "q"
+    ).select("q")
+    t = _as_double(embeddings, "v").select("vec_id", "v")
+    scored = with_cosine(cands.join(t, "vec_id").crossJoin(F.broadcast(q)))
+    return (
+        scored.select("vec_id", "label", "centroid_id", "adc_dist2", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def merge_ivfpq_index(spark, path: str, new_embeddings: DataFrame) -> None:
     """Append-merge a NEW vector batch into the persisted IVF-PQ store —
     the FAISS operational model: the codebooks and centroids are FROZEN

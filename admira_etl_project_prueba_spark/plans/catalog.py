@@ -3203,6 +3203,20 @@ def _q_ivfpq_rerank_topk(spark, sf_dir):
     return _sim.ivfpq_rerank_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@_entry(
+    "ann_ivfpq_rerank_indexed",
+    "The two-stage rerank with stage one served from the PERSISTED "
+    "IVF-PQ store: pruned code partitions build the 50-deep shortlist, "
+    "the corpus is point-read for just those vectors plus the query.  "
+    "Results identical to the self-computing form (same oracle).",
+    _DUCK_IVFPQ_RERANK_SQL,
+)
+def _q_ivfpq_rerank_indexed(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_index_path(spark, sf_dir)
+    return _sim.ivfpq_rerank_from_index(spark, e, path)
+
+
 _DUCK_IVFPQ_RES_SQL = (
     _duck_pq_ctes(residual=True)
     + f""",

@@ -409,6 +409,17 @@ def test_similar_docs_pq_mode(spark, sf_dir, embeddings, tmp_path):
     # mode=auto unchanged: exact fallback without an IVF index
     auto = svc.similar_docs(vec_id=0, k=3)
     assert auto["method"] == "exact" and "cosine" in auto["data"][0]
+    # mode=pq_rerank: exact-cosine ranking over the code shortlist
+    rr = svc.similar_docs(vec_id=0, k=5, mode="pq_rerank")
+    assert rr["method"] == "ivfpq_rerank_index" and len(rr["data"]) == 5
+    cosines = [row["cosine"] for row in rr["data"]]
+    assert cosines == sorted(cosines, reverse=True)
+    want = similarity.ivfpq_rerank_from_index(
+        spark, embeddings, path, query_vec_id=0, k=5
+    ).collect()
+    assert [row["vec_id"] for row in rr["data"]] == [
+        w["vec_id"] for w in want
+    ]
 
 
 def test_ivfpq_rerank_exactness_and_bounds(embeddings):

@@ -71,6 +71,7 @@ NESTED_LOOP_ALLOWED = {
     "pq_recall_report",         # embeds the 1-row-query exact/ADC/IVF-PQ top-k trio
     "ann_ivfpq_residual_topk",  # 1-row query + n_probe probe + n_centroids argmax
     "ann_ivfpq_rerank_topk",    # same 1-row query broadcasts + 50-row shortlist rerank
+    "ann_ivfpq_rerank_indexed", # same shape over the persisted code store
     "pq_residual_reconstruction_error",  # embeds ivf_assign's n_centroids-row argmax
     "bpe_learned_merges",       # 1-row best-merge broadcast per trainer round
     "bpe_encode_stats",         # same 1-row merge broadcasts inside the encoder
