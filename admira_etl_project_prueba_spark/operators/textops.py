@@ -1305,6 +1305,65 @@ def decontaminate(
     )
 
 
+def vocab_growth_curve(documents: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Heaps-law diagnostic: cumulative token count vs cumulative
+    DISTINCT-type count over an id-ordered prefix sweep of the corpus —
+    the curve that answers 'is this corpus still contributing new
+    vocabulary, or are further shards redundant?' (types ≈ K·tokens^β;
+    a flattening curve says the marginal shard adds occurrences, not
+    words — a data-collection stopping signal).
+
+    Prefixes are ``n_bins`` uniform doc_id-RANGE bins (deterministic and
+    shuffle-free — no global ordering window over the corpus; the curve
+    semantics only need a fixed, reproducible sweep order).  Each
+    distinct word contributes its FIRST bin (min over its docs), so both
+    shuffles move (word|bin) rows; the cumulative fold runs over the
+    n_bins-row summary frame, never the corpus.
+
+    Returns (bin, n_tokens_cum, n_types_cum, type_token_ratio),
+    bin 1-based."""
+    from pyspark.sql import Window
+
+    ids = documents.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    binned = documents.crossJoin(F.broadcast(ids)).selectExpr(
+        "doc_id",
+        f"least(CAST({int(n_bins)} AS BIGINT), "
+        f"floor((doc_id - lo) * {int(n_bins)} / (hi - lo + 1)) + 1) AS bin",
+        f"{TOKENS} AS toks",
+    )
+    words = binned.selectExpr(
+        "bin", "explode_outer(toks) AS word"
+    ).filter("word IS NOT NULL AND word != ''")
+    tok_per_bin = words.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    new_types = (
+        words.groupBy("word")
+        .agg(F.min("bin").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_types"))
+    )
+    per_bin = tok_per_bin.join(new_types, "bin", "left").selectExpr(
+        "bin",
+        "n_tokens",
+        "coalesce(n_new_types, CAST(0 AS BIGINT)) AS n_new_types",
+    )
+    # cumulative fold over the n_bins-row summary — bounded frame
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bin.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.sum("n_tokens").over(w).cast("long").alias("n_tokens_cum"),
+        F.sum("n_new_types").over(w).cast("long").alias("n_types_cum"),
+    ).selectExpr(
+        "bin",
+        "n_tokens_cum",
+        "n_types_cum",
+        "CAST(n_types_cum AS DOUBLE) / n_tokens_cum AS type_token_ratio",
+    )
+
+
 def bigram_frequencies(documents: DataFrame, top_k: int = 100) -> DataFrame:
     """Corpus bigram counts (n-gram LM statistics): global occurrence and
     document frequency per token pair, deterministic top-k.

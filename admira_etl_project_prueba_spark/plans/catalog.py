@@ -6006,6 +6006,38 @@ def _q_bpe_encode_stats(spark, sf_dir):
 
 
 @_entry(
+    "vocab_growth_curve",
+    "Heaps-law diagnostic: cumulative tokens vs cumulative distinct "
+    "types over a 10-bin doc_id-range prefix sweep — each word "
+    "contributes its FIRST bin, so both shuffles are (word|bin)-narrow "
+    "and the cumulative fold runs over 10 summary rows.",
+    f"""WITH ids AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+binned AS (
+  SELECT least(CAST(10 AS BIGINT),
+               CAST(floor((doc_id - lo) * 10 / (hi - lo + 1)) AS BIGINT) + 1)
+           AS bin,
+         {_DUCK_TOKS} AS toks
+  FROM documents, ids),
+w AS (SELECT bin, unnest(toks) AS word FROM binned),
+wf AS (SELECT bin, word FROM w WHERE word IS NOT NULL AND word != ''),
+tpb AS (SELECT bin, COUNT(*) AS n_tokens FROM wf GROUP BY bin),
+nt AS (SELECT bin, COUNT(*) AS n_new_types FROM (
+         SELECT word, MIN(bin) AS bin FROM wf GROUP BY word) GROUP BY bin),
+pb AS (
+  SELECT tpb.bin, n_tokens, COALESCE(n_new_types, 0) AS n_new_types
+  FROM tpb LEFT JOIN nt ON tpb.bin = nt.bin)
+SELECT CAST(bin AS INT) AS bin,
+       CAST(SUM(n_tokens) OVER (ORDER BY bin) AS BIGINT) AS n_tokens_cum,
+       CAST(SUM(n_new_types) OVER (ORDER BY bin) AS BIGINT) AS n_types_cum,
+       CAST(SUM(n_new_types) OVER (ORDER BY bin) AS DOUBLE)
+         / SUM(n_tokens) OVER (ORDER BY bin) AS type_token_ratio
+FROM pb""",
+)
+def _q_vocab_growth(spark, sf_dir):
+    return _tx.vocab_growth_curve(_t(spark, sf_dir, "documents"))
+
+
+@_entry(
     "curriculum_stages",
     "Length-based curriculum assignment: global ntile over "
     "(token count, doc_id) gives each document a training stage 1..4.  "

@@ -1947,3 +1947,27 @@ def test_bpe_frozen_encoder_and_stream_parity(spark, sf_dir, tmp_path):
     streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
     want_ids = {r[0] for r in rows}
     assert streamed == {t for t in frozen if t[0] in want_ids}
+
+
+def test_vocab_growth_curve_invariants(spark, sf_dir):
+    """Cumulative counts are monotone, the final row covers the whole
+    corpus exactly, and the type/token ratio can only fall or hold as
+    prefixes grow (types are counted at first appearance)."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        vocab_growth_curve,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = vocab_growth_curve(docs).orderBy("bin").collect()
+    assert [r["bin"] for r in rows] == list(range(1, len(rows) + 1))
+    toks = [r["n_tokens_cum"] for r in rows]
+    types = [r["n_types_cum"] for r in rows]
+    assert toks == sorted(toks) and types == sorted(types)
+    from pyspark.sql import functions as F
+
+    words = docs.selectExpr(
+        "explode_outer(split(lower(trim(text)), '\\\\s+')) AS w"
+    ).filter("w IS NOT NULL AND w != ''")
+    assert toks[-1] == words.count()
+    assert types[-1] == words.distinct().count()

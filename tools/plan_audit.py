@@ -75,6 +75,7 @@ NESTED_LOOP_ALLOWED = {
     "pq_residual_reconstruction_error",  # embeds ivf_assign's n_centroids-row argmax
     "bpe_learned_merges",       # 1-row best-merge broadcast per trainer round
     "bpe_encode_stats",         # same 1-row merge broadcasts inside the encoder
+    "vocab_growth_curve",       # 1-row (min,max doc_id) broadcast into the binning
     "mixture_plan",             # 1-row max_exact_budget broadcast into the plan
     "user_rfm_segments",        # 1-row anchor-date broadcast into the user frame
     "user_rfm_segments_sampled",     # same anchor broadcast + 1-row edges broadcast
@@ -112,6 +113,9 @@ SINGLE_PARTITION_SORT_ALLOWED = {
     # (one row per new inverted list, Σ(s-1) rows — model-sized by
     # construction, never the corpus; similarity._ivf_split_parts)
     "ivf_split_occupancy",
+    # the cumulative fold runs over the n_bins-row (default 10) summary
+    # frame — bounded by the bin count at any corpus size
+    "vocab_growth_curve",
 }
 
 
