@@ -59,6 +59,11 @@ QUAD_FIXED_K = {
     "line_dedup_stats",
 }
 NLOGN = {"events_zorder_keys", "events_sessionize", "events_session_paths"}
+SUBLINEAR |= {
+    # one corpus-sized word count, then every trainer round runs over the
+    # VOCABULARY, which grows ~Heaps-sublinearly with the corpus
+    "bpe_learned_merges",
+}
 
 
 def allowance(name: str, factor: float) -> tuple[str, float]:
