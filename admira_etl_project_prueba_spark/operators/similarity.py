@@ -1418,6 +1418,9 @@ def ivfpq_topk(
     of the CODE bytes (4 bytes/vector here), never the raw vectors.
     Same ``assignments`` seam as ``ivf_topk`` (pass the persisted
     ``write_ivf_index`` frame to skip the inline n·k assignment).
+    Centroids follow the ``vec_id < n_centroids`` convention — for
+    split-grown stores (explicit centroid tables) serve through
+    :func:`ivfpq_topk_from_index`, whose centroids live in the store.
     Returns (vec_id, label, centroid_id, adc_dist2)."""
     if assignments is None:
         assignments = ivf_assign(embeddings, n_centroids)

@@ -18,7 +18,7 @@ param):
 
     GET  /corpus/health       /corpus/dedup?normalized=
     GET  /corpus/dedup/pairs?method=&limit=&offset=&threshold=
-    GET  /corpus/dup_profile?normalized=   /corpus/similar?vec_id=&k=
+    GET  /corpus/dup_profile?normalized=   /corpus/similar?vec_id=&k=&mode=
     GET  /corpus/weights?target_lang=&limit=
     GET  /corpus/perplexity?reference_lang=&limit=
     GET  /corpus/recall?threshold=         /corpus/languages

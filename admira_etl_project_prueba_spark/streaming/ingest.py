@@ -1280,16 +1280,35 @@ def fold_encoded_codes(spark: SparkSession, index_path: str, log_path: str) -> i
     dropped before the append (new-ids-only contract), so a fold that
     crashed between append and log cleanup simply no-ops on retry
     instead of duplicating codes.  The store-side probe is
-    column-pruned to distinct vec_ids.  Returns the number of VECTORS
-    appended."""
+    column-pruned to distinct vec_ids.
+
+    Cleanup deletes ONLY the ``batch_id=`` partitions this fold READ —
+    never the whole log: the stream writer holds no lease (by design,
+    ingest must not contend with maintenance), so a micro-batch can land
+    between the fold's read and its cleanup; a directory-level delete
+    would silently destroy it, a batch-level delete leaves it for the
+    next fold.  Returns the number of VECTORS appended."""
     from admira_etl_project_prueba_spark.operators import similarity as _sim
 
     if not path_exists(spark, log_path):
         return 0
     with maintenance_lease(spark, index_path):
         codes_path, _, _, _ = _sim.pq_resolved_paths(spark, index_path)
-        log = spark.read.parquet(log_path).select(
-            "vec_id", "label", "subspace", "code", "centroid_id"
+        # pin the batch set FIRST: only these partitions are read below
+        # and only these are deleted after the append
+        batch_ids = [
+            r["batch_id"]
+            for r in spark.read.parquet(log_path)
+            .select("batch_id")
+            .distinct()
+            .collect()
+        ]
+        if not batch_ids:
+            return 0
+        log = (
+            spark.read.parquet(log_path)
+            .filter(F.col("batch_id").isin(batch_ids))
+            .select("vec_id", "label", "subspace", "code", "centroid_id")
         )
         seen = spark.read.parquet(codes_path).select("vec_id").distinct()
         fresh = log.join(seen, "vec_id", "left_anti")
@@ -1301,8 +1320,14 @@ def fold_encoded_codes(spark: SparkSession, index_path: str, log_path: str) -> i
         # cleanup AFTER the append: a crash in between re-runs as a no-op
         from admira_etl_project_prueba_spark.functions import fs as _fs
 
-        jfs, jp, jvm = _fs._fs_and_path(spark, log_path)
-        jfs.delete(jp, True)
+        jfs, _, jvm = _fs._fs_and_path(spark, log_path)
+        for b in batch_ids:
+            jfs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{log_path.rstrip('/')}/batch_id={b}"
+                ),
+                True,
+            )
     return n
 
 

@@ -282,6 +282,20 @@ def test_stream_pq_encode_fold_matches_direct_merge(spark, embeddings, tmp_path)
     shutil.copytree(log, stale_copy)
     n = fold_encoded_codes(spark, streamed, log)
     assert n == len(rows)
+    # cleanup is PER-BATCH, never a whole-directory delete: the log root
+    # survives (a micro-batch landing mid-fold would land here and be
+    # drained by the next fold instead of destroyed)
+    import os
+
+    assert os.path.isdir(log)
+    assert not [d for d in os.listdir(log) if d.startswith("batch_id=")]
+    # a late batch re-delivered under a NEW batch id drains idempotently
+    shutil.copytree(
+        os.path.join(stale_copy, "batch_id=0"),
+        os.path.join(log, "batch_id=7"),
+    )
+    assert fold_encoded_codes(spark, streamed, log) == 0
+    assert not [d for d in os.listdir(log) if d.startswith("batch_id=")]
 
     def snapshot(path):
         return {
