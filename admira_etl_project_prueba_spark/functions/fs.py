@@ -249,6 +249,33 @@ def clean_version_scratch(spark: SparkSession, root: str) -> None:
             )
 
 
+def copy_tree(spark: SparkSession, src: str, dst: str) -> None:
+    """Byte-copy ``src`` (file or directory, recursive) to ``dst`` via
+    Hadoop ``FileUtil.copy`` — no parquet decode/re-encode, file layout
+    preserved exactly.  Versioned-store APPEND-merges use this to seed
+    the next version with the current version's files before appending
+    the batch: immutability of committed versions means a merge cannot
+    write inside the live version, and a byte copy is the cheapest way
+    to carry it forward (index-sized I/O, zero CPU decode, file counts
+    unchanged so compaction triggers still mean what they say).
+    Driver-side recursion over the listing — fine for index stores,
+    whose file fan-out is bounded by compaction."""
+    fs, jsrc, jvm = _fs_and_path(spark, src)
+    conf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    FileUtil = jvm.org.apache.hadoop.fs.FileUtil
+
+    def rec(js, jd):
+        if fs.getFileStatus(js).isDirectory():
+            fs.mkdirs(jd)
+            for child in fs.listStatus(js):
+                rec(child.getPath(), Path(jd, child.getPath().getName()))
+        elif not FileUtil.copy(fs, js, fs, jd, False, conf):
+            raise IOError(f"copy_tree: {js} -> {jd} failed")
+
+    rec(jsrc, Path(dst))
+
+
 def commit_version(
     spark: SparkSession, root: str, tmp: str, keep: int = 2
 ) -> str:

@@ -1492,6 +1492,40 @@ def pq_resolved_paths(spark, path: str) -> tuple[str, str, str, str]:
     )
 
 
+def pq_model_fingerprint(spark, index_path: str) -> str:
+    """Content fingerprint of an IVF-PQ store's FROZEN model tables
+    (codebooks + centroids) — the stamp :func:`streaming.ingest.
+    stream_pq_encode` writes into each encode-log batch so
+    :func:`streaming.ingest.fold_encoded_codes` can tell whether a
+    retrain landed between encode and fold (stale-model codes must not
+    fold into a store whose codebooks no longer match them).
+
+    Version NAMES are the wrong stamp: :func:`compact_ivfpq_index` commits
+    a new version with byte-identical models, which must NOT invalidate
+    in-flight encode logs — only a retrain (new codebook/centroid
+    content) may.  So the stamp hashes model CONTENT: xxhash64 per row,
+    combined with order-independent aggregates (bit_xor + sum + count)
+    so partitioning, file layout, and row order cannot change it.  Cost
+    is a model-sized read (m·ksub + n_centroids rows)."""
+    _, cb_path, cent_path, _ = pq_resolved_paths(spark, index_path)
+    rows = (
+        spark.read.parquet(cb_path)
+        .selectExpr("xxhash64('cb', subspace, code_id, CAST(c AS STRING)) AS h")
+        .unionByName(
+            spark.read.parquet(cent_path).selectExpr(
+                "xxhash64('ce', centroid_id, CAST(embedding AS STRING)) AS h"
+            )
+        )
+    )
+    r = rows.agg(
+        F.expr("bit_xor(h)").alias("x"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    mask = (1 << 64) - 1
+    return f"{int(r['x']) & mask:016x}.{int(r['s']) % (1 << 64):016x}.{int(r['n'])}"
+
+
 def write_ivfpq_index(
     embeddings: DataFrame,
     path: str,
@@ -2007,7 +2041,15 @@ def merge_ivfpq_index(spark, path: str, new_embeddings: DataFrame) -> None:
     Single-writer lease keyed on the store path, same as every other
     swap/append-managed store; versioned stores additionally give
     readers snapshot isolation during the append (appends only add
-    files, which a planned scan tolerates)."""
+    files, which a planned scan tolerates).
+
+    Idempotent BY ANTI-JOIN, mirroring :func:`streaming.ingest.
+    fold_encoded_codes`: batch rows whose vec_id already exists in the
+    store are dropped before encoding, so a crash after the append but
+    before the caller records success — or an accidental re-merge of
+    the same batch — no-ops instead of appending duplicate (vec_id,
+    subspace) code rows (which would double-count in the ADC
+    groupBy-sum and silently corrupt rankings)."""
     with maintenance_lease(spark, path):
         codes_path, cb_path, cent_path, man_path = pq_resolved_paths(
             spark, path
@@ -2029,11 +2071,16 @@ def merge_ivfpq_index(spark, path: str, new_embeddings: DataFrame) -> None:
                 f"the model seed range [0, {seed_ceiling}) — seed rows are "
                 "immutable under append-merge; rebuild for corrections"
             )
+        # retry guard: drop batch rows already in the store (column-pruned
+        # distinct probe) BEFORE encoding — a re-merge of the same batch
+        # appends nothing instead of duplicate (vec_id, subspace) rows
+        seen = spark.read.parquet(codes_path).select("vec_id").distinct()
+        fresh = new_embeddings.join(seen, "vec_id", "left_anti")
         cents = spark.read.parquet(cent_path).selectExpr(
             "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS q"
         )
         codebooks = spark.read.parquet(cb_path)
-        t = _as_double(new_embeddings, "v")
+        t = _as_double(fresh, "v")
         scored = with_cosine(t.crossJoin(F.broadcast(cents)))
         assign = (
             scored.groupBy("vec_id")
@@ -2049,7 +2096,7 @@ def merge_ivfpq_index(spark, path: str, new_embeddings: DataFrame) -> None:
             )
         )
         (
-            pq_codes(new_embeddings, m, ksub, codebooks=codebooks)
+            pq_codes(fresh, m, ksub, codebooks=codebooks)
             .join(assign, "vec_id")
             .write.mode("append")
             .partitionBy("centroid_id")

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from admira_etl_project_prueba_spark.functions.fs import (
     clean_version_scratch,
     commit_version,
+    copy_tree,
     latest_version,
     maintenance_lease,
     path_exists,
@@ -3286,13 +3287,33 @@ def _bpe_apply(seqs: DataFrame, best: DataFrame) -> DataFrame:
     )
 
 
-def bpe_learn_merges(documents: DataFrame, n_merges: int = 4) -> DataFrame:
+def bpe_learn_merges(
+    documents: DataFrame,
+    n_merges: int = 4,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
     """The full BPE tokenizer TRAINER (Sennrich et al. 2016), not just
     the first-round statistics (:func:`bpe_merge_candidates`): learn the
     top ``n_merges`` merges by iterating count-adjacent-pairs → take the
-    corpus-weighted argmax → rewrite every vocabulary sequence, entirely
-    as one lazy DataFrame plan — no driver-side loop over data, no RNG,
-    deterministic ties (count desc, then lexicographic pair).
+    corpus-weighted argmax → rewrite every vocabulary sequence.
+
+    Two execution modes, identical output (pytest-pinned):
+
+    * ``checkpoint_every=None`` (default) — ONE lazy DataFrame plan, no
+      driver-side action at all.  Every round unrolls into the plan, so
+      depth grows linearly with ``n_merges``: right for shallow training
+      and for oracle comparison, a plan-depth/analysis ceiling at real
+      vocabulary sizes (10³–10⁵ merges).
+    * ``checkpoint_every=N`` — FRONTIER mode, the real-tokenizer path:
+      each round materializes its 1-row argmax (``localCheckpoint`` —
+      the merge decision is trainer state, and both its consumers reuse
+      the materialized row instead of replaying the aggregate), and
+      every ``N`` rounds the vocabulary ``seqs`` frame itself is
+      localCheckpoint'ed, truncating lineage so plan depth — and
+      per-round cost — stays FLAT with round index.  The checkpointed
+      frame is vocabulary-sized (words × ~chars), orders of magnitude
+      smaller than the corpus.  Training stops early when no pair with
+      count ≥ 1 remains (same rows the unrolled plan would yield).
 
     Scale shape: ONE corpus-sized shuffle total (the initial word
     count); each round then costs a vocabulary-sized pair aggregate +
@@ -3304,19 +3325,39 @@ def bpe_learn_merges(documents: DataFrame, n_merges: int = 4) -> DataFrame:
     Returns (rank, left_sym, right_sym, merged, pair_count), rank
     1-based in learning order — the artifact a tokenizer ships."""
     seqs = _bpe_vocab_seqs(documents)
-    out = None
+    if checkpoint_every is None:
+        out = None
+        for r in range(1, int(n_merges) + 1):
+            best = _bpe_best_pair(seqs)
+            row = best.selectExpr(
+                f"CAST({r} AS INT) AS rank",
+                "l AS left_sym",
+                "r AS right_sym",
+                "concat(l, r) AS merged",
+                "pair_count",
+            )
+            out = row if out is None else out.unionByName(row)
+            seqs = _bpe_apply(seqs, best)
+        return out
+    every = max(1, int(checkpoint_every))
+    spark = documents.sparkSession
+    schema = (
+        "rank int, left_sym string, right_sym string, merged string, "
+        "pair_count long"
+    )
+    seqs = seqs.localCheckpoint(eager=True)
+    learned: list[tuple] = []
     for r in range(1, int(n_merges) + 1):
-        best = _bpe_best_pair(seqs)
-        row = best.selectExpr(
-            f"CAST({r} AS INT) AS rank",
-            "l AS left_sym",
-            "r AS right_sym",
-            "concat(l, r) AS merged",
-            "pair_count",
-        )
-        out = row if out is None else out.unionByName(row)
+        best = _bpe_best_pair(seqs).localCheckpoint(eager=True)
+        got = best.collect()  # the 1-row merge decision IS the model
+        if not got:
+            break
+        b = got[0]
+        learned.append((r, b["l"], b["r"], b["l"] + b["r"], b["pair_count"]))
         seqs = _bpe_apply(seqs, best)
-    return out
+        if r % every == 0:
+            seqs = seqs.localCheckpoint(eager=True)
+    return spark.createDataFrame(learned, schema)
 
 
 def _bpe_doc_stats(documents: DataFrame, vocab_seqs: DataFrame) -> DataFrame:
@@ -3349,17 +3390,22 @@ def _bpe_doc_stats(documents: DataFrame, vocab_seqs: DataFrame) -> DataFrame:
 
 
 def write_bpe_merges(
-    documents: DataFrame, path: str, n_merges: int = 4
+    documents: DataFrame,
+    path: str,
+    n_merges: int = 4,
+    checkpoint_every: int | None = None,
 ) -> None:
     """Persist the learned BPE merge list (once-per-tokenizer-design
     batch job) — the artifact a tokenizer SHIPS: new data is then
     encoded against the frozen list (:func:`bpe_encode_from_merges`,
     ``streaming.stream_bpe_encode``) so token accounting stays
     comparable across ingest batches, exactly like the frozen DSIR/LM
-    models."""
-    bpe_learn_merges(documents, n_merges).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    models.  Real-vocabulary training passes ``checkpoint_every`` (the
+    frontier-checkpoint mode) — the encode side is depth-independent
+    already (one ``aggregate`` fold over the merge array, however long)."""
+    bpe_learn_merges(documents, n_merges, checkpoint_every).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
 
 
 def bpe_encode_from_merges(
@@ -3871,6 +3917,16 @@ def merge_text_index(
 
     Crash safety: heals a :func:`compact_index_store` crash window
     (``recover_swap``) before appending — see the comment at the write.
+
+    VERSIONED stores: committed versions are immutable, so the merge
+    does NOT append inside the live ``vNNNNNNNN`` — it byte-copies the
+    current version's postings into a scratch dir
+    (:func:`functions.fs.copy_tree` — no decode, file layout and
+    fan-out preserved), appends the batch postings there, writes the
+    folded stats beside them, and commits the whole payload as the NEXT
+    version in one rename.  Readers of the old version keep a
+    consistent postings+stats snapshot; the flat layout keeps the
+    cheaper in-place append (its readers have no snapshot to protect).
     """
     # single-writer lease on the postings: an append racing another
     # process's compaction could land mid-swap (or inside a directory the
@@ -3882,9 +3938,17 @@ def merge_text_index(
         # compaction's swap then deletes the recovery copy — permanent
         # loss of every older posting.  (Versioned stores: recover is a
         # no-op; resolve the current version INSIDE the lease so the
-        # append and the stats fold land in the same snapshot.)
+        # copy and the stats fold read the same snapshot.)
         recover_swap(spark, f"{path}/postings")
         root = text_index_root(spark, path)
+        versioned = root != path
+        if versioned:
+            clean_version_scratch(spark, path)
+            vtmp = version_scratch(path)
+            copy_tree(spark, f"{root}/postings", f"{vtmp}/postings")
+            dst = vtmp
+        else:
+            dst = root
         dl = new_documents.selectExpr("doc_id", f"{TOKENS} AS toks").selectExpr(
             "doc_id", "toks", "CAST(size(toks) AS BIGINT) AS dl"
         )
@@ -3900,7 +3964,7 @@ def merge_text_index(
             postings.repartition("term_bucket")
             .write.mode("append")
             .partitionBy("term_bucket")
-            .parquet(f"{root}/postings")
+            .parquet(f"{dst}/postings")
         )
         old = spark.read.parquet(f"{root}/stats")
         batch = dl.agg(
@@ -3916,7 +3980,9 @@ def merge_text_index(
             )
             .localCheckpoint()
         )
-        merged.write.mode("overwrite").parquet(f"{root}/stats")
+        merged.write.mode("overwrite").parquet(f"{dst}/stats")
+        if versioned:
+            commit_version(spark, path, vtmp)
 
 
 def merge_positional_index(
@@ -3928,14 +3994,25 @@ def merge_positional_index(
     existing bucket directories and there is no global statistic to
     fold.  Same contract: new doc_ids only (rebuild for corrections);
     one extra file per touched bucket per batch; indexing cost is one
-    scan of the new batch.
+    scan of the new batch.  Versioned stores: same copy-forward + commit
+    shape as :func:`merge_text_index` — committed versions stay
+    immutable, the merge lands as the NEXT version.
     """
     # same lease + compaction-crash-window healing as merge_text_index:
     # never append-create a store whose only surviving copy is at __old,
     # never append during another process's swap
-    with maintenance_lease(documents.sparkSession, f"{path}/postings"):
-        recover_swap(documents.sparkSession, f"{path}/postings")
-        root = text_index_root(documents.sparkSession, path)
+    spark = documents.sparkSession
+    with maintenance_lease(spark, f"{path}/postings"):
+        recover_swap(spark, f"{path}/postings")
+        root = text_index_root(spark, path)
+        versioned = root != path
+        if versioned:
+            clean_version_scratch(spark, path)
+            vtmp = version_scratch(path)
+            copy_tree(spark, f"{root}/postings", f"{vtmp}/postings")
+            dst = vtmp
+        else:
+            dst = root
         toks = documents.selectExpr(
             "doc_id", f"posexplode_outer({TOKENS}) AS (pos, token)"
         ).filter("token IS NOT NULL AND token != ''")
@@ -3950,8 +4027,10 @@ def merge_positional_index(
             postings.repartition("term_bucket")
             .write.mode("append")
             .partitionBy("term_bucket")
-            .parquet(f"{root}/postings")
+            .parquet(f"{dst}/postings")
         )
+        if versioned:
+            commit_version(spark, path, vtmp)
 
 
 def index_files_per_bucket(spark, path: str) -> DataFrame:

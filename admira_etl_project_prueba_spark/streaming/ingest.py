@@ -1253,10 +1253,17 @@ def stream_pq_encode(
                 "vec_id", (-F.col("m.neg")).cast("long").alias("centroid_id")
             )
         )
+        # stamp the batch with the CONTENT fingerprint of the models it
+        # was encoded against: a retrain landing between this encode and
+        # the fold changes the fingerprint, so the fold can tell these
+        # codes no longer match the store's codebooks (version names
+        # won't do — compaction flips the version with identical models)
+        model_fp = _sim.pq_model_fingerprint(spark, index_path)
         delta = (
             _sim.pq_codes(batch_df, m, ksub, codebooks=codebooks)
             .join(assign, "vec_id")
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("model_fp", F.lit(model_fp))
         )
         (
             delta.write.mode("overwrite")
@@ -1273,7 +1280,27 @@ def stream_pq_encode(
     )
 
 
-def fold_encoded_codes(spark: SparkSession, index_path: str, log_path: str) -> int:
+def _is_file_not_found(exc: Exception) -> bool:
+    """True when a Spark job died because a scanned file vanished
+    mid-job — the signature of :func:`stream_pq_encode`'s dynamic
+    partition overwrite replaying a batch whose files a concurrent fold
+    has pinned and is reading.  Content is deterministic, so the fold
+    retries; any other failure propagates."""
+    s = str(exc)
+    return (
+        "FileNotFoundException" in s
+        or "FILE_NOT_EXIST" in s
+        or "PATH_NOT_FOUND" in s
+        or "does not exist" in s
+    )
+
+
+def fold_encoded_codes(
+    spark: SparkSession,
+    index_path: str,
+    log_path: str,
+    on_stale: str = "skip",
+) -> int:
     """Drain a :func:`stream_pq_encode` log into the IVF-PQ store's code
     partitions — the leased maintenance fold.  Idempotent BY ANTI-JOIN,
     not by trust: log rows whose vec_id already exists in the store are
@@ -1282,29 +1309,71 @@ def fold_encoded_codes(spark: SparkSession, index_path: str, log_path: str) -> i
     instead of duplicating codes.  The store-side probe is
     column-pruned to distinct vec_ids.
 
+    MODEL-STAMP GUARD: each log batch carries the content fingerprint of
+    the codebooks/centroids it was encoded against
+    (:func:`~operators.similarity.pq_model_fingerprint`).  Batches whose
+    stamp differs from the store's CURRENT fingerprint were encoded
+    before a retrain and their codes no longer match the store's models
+    — folding them would plant stale-model codes inside a fresh version.
+    ``on_stale='skip'`` (default) leaves them in the log untouched — the
+    conservative choice when streamed vectors might exist nowhere else;
+    ``on_stale='discard'`` deletes them — correct in the standard
+    deployment where a retrain re-encodes the FULL corpus (streamed rows
+    included), making stale log batches redundant.  Unstamped legacy
+    batches fold as before.
+
     Cleanup deletes ONLY the ``batch_id=`` partitions this fold READ —
     never the whole log: the stream writer holds no lease (by design,
     ingest must not contend with maintenance), so a micro-batch can land
     between the fold's read and its cleanup; a directory-level delete
     would silently destroy it, a batch-level delete leaves it for the
-    next fold.  Returns the number of VECTORS appended."""
+    next fold.  If a replayed micro-batch's dynamic partition overwrite
+    deletes a pinned file mid-scan, the fold retries with a fresh pin
+    (deterministic content + the anti-join make the retry safe) instead
+    of failing.  Returns the number of VECTORS appended."""
     from admira_etl_project_prueba_spark.operators import similarity as _sim
 
+    if on_stale not in ("skip", "discard"):
+        raise ValueError(f"fold_encoded_codes: on_stale={on_stale!r}")
     if not path_exists(spark, log_path):
         return 0
     with maintenance_lease(spark, index_path):
         codes_path, _, _, _ = _sim.pq_resolved_paths(spark, index_path)
-        # pin the batch set FIRST: only these partitions are read below
-        # and only these are deleted after the append
+        last_exc: Exception | None = None
+        for attempt in range(3):
+            try:
+                return _fold_codes_once(
+                    spark, _sim, index_path, codes_path, log_path, on_stale
+                )
+            except Exception as exc:  # noqa: BLE001 — filtered below
+                if _is_file_not_found(exc) and attempt < 2:
+                    last_exc = exc
+                    continue
+                raise
+        raise last_exc  # pragma: no cover — loop always returns/raises
+
+
+def _fold_codes_once(
+    spark, _sim, index_path: str, codes_path: str, log_path: str, on_stale: str
+) -> int:
+    # pin the batch set FIRST: only these partitions are read below and
+    # only these are deleted after the append
+    pinned = spark.read.parquet(log_path)
+    stale_ids: list[int] = []
+    if "model_fp" in pinned.columns:
+        cur_fp = _sim.pq_model_fingerprint(spark, index_path)
+        pairs = (
+            pinned.select("batch_id", "model_fp").distinct().collect()
+        )
+        batch_ids = sorted({r["batch_id"] for r in pairs if r["model_fp"] == cur_fp})
+        stale_ids = sorted({r["batch_id"] for r in pairs if r["model_fp"] != cur_fp})
+    else:
         batch_ids = [
             r["batch_id"]
-            for r in spark.read.parquet(log_path)
-            .select("batch_id")
-            .distinct()
-            .collect()
+            for r in pinned.select("batch_id").distinct().collect()
         ]
-        if not batch_ids:
-            return 0
+    n = 0
+    if batch_ids:
         log = (
             spark.read.parquet(log_path)
             .filter(F.col("batch_id").isin(batch_ids))
@@ -1317,17 +1386,18 @@ def fold_encoded_codes(spark: SparkSession, index_path: str, log_path: str) -> i
             fresh.write.mode("append").partitionBy("centroid_id").parquet(
                 codes_path
             )
-        # cleanup AFTER the append: a crash in between re-runs as a no-op
-        from admira_etl_project_prueba_spark.functions import fs as _fs
+    # cleanup AFTER the append: a crash in between re-runs as a no-op
+    from admira_etl_project_prueba_spark.functions import fs as _fs
 
-        jfs, _, jvm = _fs._fs_and_path(spark, log_path)
-        for b in batch_ids:
-            jfs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{log_path.rstrip('/')}/batch_id={b}"
-                ),
-                True,
-            )
+    to_delete = list(batch_ids) + (stale_ids if on_stale == "discard" else [])
+    jfs, _, jvm = _fs._fs_and_path(spark, log_path)
+    for b in to_delete:
+        jfs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{log_path.rstrip('/')}/batch_id={b}"
+            ),
+            True,
+        )
     return n
 
 

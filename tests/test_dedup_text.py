@@ -1785,22 +1785,29 @@ def test_versioned_text_index_lifecycle(spark, sf_dir, tmp_path):
         tuple(r) for r in bm25_from_index(spark, flat, q).collect()
     ]
 
-    # append-merge lands INSIDE the current version (adds files only)
+    # append-merge commits the NEXT version (committed versions are
+    # immutable); a reader that resolved v1 before the merge keeps a
+    # consistent postings+stats snapshot
+    v1_root = text_index_root(spark, ver)
+    n_v1_postings = spark.read.parquet(f"{v1_root}/postings").count()
+    v1_stats = spark.read.parquet(f"{v1_root}/stats").collect()
     merge_text_index(spark, flat, b)
     merge_text_index(spark, ver, b)
-    assert _fs.latest_version(spark, ver) == "v00000001"
+    assert _fs.latest_version(spark, ver) == "v00000002"
+    assert spark.read.parquet(f"{v1_root}/postings").count() == n_v1_postings
+    assert spark.read.parquet(f"{v1_root}/stats").collect() == v1_stats
     assert [tuple(r) for r in bm25_from_index(spark, ver, q).collect()] == [
         tuple(r) for r in bm25_from_index(spark, flat, q).collect()
     ]
     assert isinstance(needs_compaction(spark, ver), bool)
 
-    # compaction commits the NEXT version; a reader that resolved v1
+    # compaction commits the NEXT version; a reader that resolved v2
     # before the commit still completes against its snapshot
     v1_postings = f"{text_index_root(spark, ver)}/postings"
     n_v1 = spark.read.parquet(v1_postings).count()
     want = [tuple(r) for r in bm25_from_index(spark, ver, q).collect()]
     compact_index_store(spark, ver)
-    assert _fs.latest_version(spark, ver) == "v00000002"
+    assert _fs.latest_version(spark, ver) == "v00000003"
     assert spark.read.parquet(v1_postings).count() == n_v1  # old snapshot intact
     assert [tuple(r) for r in bm25_from_index(spark, ver, q).collect()] == want
     # compacted: one file per bucket again
@@ -1838,8 +1845,9 @@ def test_versioned_positional_index_lifecycle(spark, tmp_path):
     write_positional_index(a, ver, versioned=True)
     merge_positional_index(b, flat)
     merge_positional_index(b, ver)
+    assert _fs.latest_version(spark, ver) == "v00000002"  # merge = new version
     compact_index_store(spark, ver)
-    assert _fs.latest_version(spark, ver) == "v00000002"
+    assert _fs.latest_version(spark, ver) == "v00000003"
     phrase = ["alpha", "beta"]
     got = sorted(
         map(tuple, phrase_search_from_index(spark, ver, phrase).collect())

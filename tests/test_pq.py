@@ -309,6 +309,117 @@ def test_stream_pq_encode_fold_matches_direct_merge(spark, embeddings, tmp_path)
     assert snapshot(streamed) == snapshot(direct)
 
 
+def _stream_batch_to_log(spark, tmp_path, batch_rows, index_path, tag):
+    """Stream-encode ``batch_rows`` against ``index_path``'s frozen
+    models into a fresh log directory; returns the log path."""
+    import json
+
+    from admira_etl_project_prueba_spark.streaming.ingest import (
+        stream_pq_encode,
+    )
+
+    src = tmp_path / f"pq_in_{tag}"
+    src.mkdir()
+    with open(src / "batch.json", "w") as fh:
+        for vid, emb, lab in batch_rows:
+            fh.write(
+                json.dumps({"vec_id": vid, "embedding": emb, "label": lab})
+                + "\n"
+            )
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>, label int"
+    ).json(str(src))
+    log = str(tmp_path / f"pq_log_{tag}")
+    q = stream_pq_encode(stream, index_path, log, str(tmp_path / f"ck_{tag}"))
+    q.awaitTermination(120)
+    return log
+
+
+def test_fold_model_stamp_guards_retrain(spark, embeddings, tmp_path):
+    """The encode log's model fingerprint distinguishes harmless store
+    maintenance from a retrain: compaction (same model content, new
+    version name) does NOT invalidate a pending log, while a retrain
+    (new codebooks) makes the fold skip — or, with on_stale='discard',
+    delete — the stale batches instead of planting codes that no longer
+    match the store's codebooks."""
+    import os
+
+    from admira_etl_project_prueba_spark.streaming.ingest import (
+        fold_encoded_codes,
+    )
+
+    base, batch = _split_corpus_for_merge(embeddings)
+    path = str(tmp_path / "pq_stamped")
+    similarity.write_ivfpq_index(base, path, versioned=True)
+    fp1 = similarity.pq_model_fingerprint(spark, path)
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]], r["label"])
+        for r in batch.collect()
+    ]
+
+    # encode, then COMPACT: version name flips, model content does not —
+    # the pending log must still fold
+    log1 = _stream_batch_to_log(spark, tmp_path, rows, path, "pre_compact")
+    assert (
+        spark.read.parquet(log1).select("model_fp").distinct().collect()[0][0]
+        == fp1
+    )
+    similarity.compact_ivfpq_index(spark, path)
+    assert similarity.pq_model_fingerprint(spark, path) == fp1
+    assert fold_encoded_codes(spark, path, log1) == len(rows)
+
+    # encode, then RETRAIN (iters=2 ⇒ different codebooks): the pending
+    # log is stale — skip leaves it, discard deletes it, neither folds
+    log2 = _stream_batch_to_log(spark, tmp_path, rows, path, "pre_retrain")
+    similarity.write_ivfpq_index(base, path, versioned=True, iters=2)
+    fp2 = similarity.pq_model_fingerprint(spark, path)
+    assert fp2 != fp1
+    assert fold_encoded_codes(spark, path, log2) == 0
+    assert [d for d in os.listdir(log2) if d.startswith("batch_id=")]
+    assert fold_encoded_codes(spark, path, log2, on_stale="discard") == 0
+    assert not [d for d in os.listdir(log2) if d.startswith("batch_id=")]
+    codes_path = similarity.pq_resolved_paths(spark, path)[0]
+    batch_ids = {vid for vid, _, _ in rows}
+    assert not (
+        batch_ids
+        & {r["vec_id"] for r in spark.read.parquet(codes_path).collect()}
+    )
+
+    # a FRESH encode against the retrained models folds normally
+    log3 = _stream_batch_to_log(spark, tmp_path, rows, path, "post_retrain")
+    assert fold_encoded_codes(spark, path, log3) == len(rows)
+
+
+def test_ivfpq_merge_retry_noops(spark, embeddings, tmp_path):
+    """Re-merging the same batch (crash-before-ack retry, or an
+    accidental double submit) appends nothing: the pre-encode anti-join
+    makes the merge idempotent, so ADC sums cannot silently double."""
+    base, batch = _split_corpus_for_merge(embeddings)
+    path = str(tmp_path / "ivfpq_idem")
+    similarity.write_ivfpq_index(base, path)
+    similarity.merge_ivfpq_index(spark, path, batch)
+
+    def snapshot():
+        return sorted(
+            (r["vec_id"], r["subspace"], r["code"], r["centroid_id"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    once = snapshot()
+    similarity.merge_ivfpq_index(spark, path, batch)
+    assert snapshot() == once
+    # half-overlap: only genuinely new rows append
+    half_new = batch.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000)
+    )
+    similarity.merge_ivfpq_index(
+        spark, path, batch.unionByName(half_new)
+    )
+    now = snapshot()
+    assert len(now) == len(once) + batch.count() * similarity.PQ_M
+    assert [t for t in now if t[0] < 10_000_000] == once
+
+
 def test_ivfpq_manifest_records_training_contract(spark, embeddings, tmp_path):
     path = str(tmp_path / "ivfpq_manifest")
     similarity.write_ivfpq_index(
