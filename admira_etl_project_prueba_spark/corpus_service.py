@@ -309,6 +309,94 @@ class CorpusService:
                 out["index"] = {"path": self.ivf_index_path, "absent": True}
         return out
 
+    def similar_by_vector(
+        self,
+        query_vec,
+        k: int = 10,
+        mode: str = "auto",
+        request_id: str | None = None,
+    ) -> dict:
+        """The POST-body twin of :meth:`similar_docs` for a query that
+        arrives as an EMBEDDING instead of a corpus vec_id — the real
+        retrieval-service arrival shape.  Same ``mode`` contract
+        (auto → IVF index when ready else exact; pq / pq_rerank → the
+        compressed tier, 400 without a ready store); the vector folds
+        into every plan as a double-literal
+        (:func:`operators.similarity.literal_query_frame`), so there is
+        no corpus point-read for the query and no unknown-id 404 path.
+        Validation: 400 unless ``query_vec`` is a list of exactly DIM
+        finite numbers."""
+        import math
+
+        if mode not in ("auto", "pq", "pq_rerank"):
+            raise ValidationError(
+                f"invalid mode: {mode!r} (want one of auto, pq, pq_rerank)"
+            )
+        dim = similarity.DIM
+        if (
+            not isinstance(query_vec, (list, tuple))
+            or len(query_vec) != dim
+            or not all(
+                isinstance(x, (int, float)) and not isinstance(x, bool)
+                and math.isfinite(x)
+                for x in query_vec
+            )
+        ):
+            raise ValidationError(
+                f"query_vec must be a list of {dim} finite numbers"
+            )
+        if self.embeddings is None:
+            raise ValidationError("service has no embeddings corpus")
+        if k is None or k <= 0:
+            k = 10  # silent clamp, like limit/offset
+        qv = [float(x) for x in query_vec]
+        if mode in ("pq", "pq_rerank"):
+            if self.pq_index_path is None:
+                raise ValidationError(
+                    f"mode={mode} requires a configured pq_index_path"
+                )
+            if not self._pq_index_ready():
+                raise ValidationError(
+                    f"pq index at {self.pq_index_path} is not written yet"
+                )
+            if mode == "pq":
+                rows = similarity.ivfpq_topk_from_index(
+                    self.spark,
+                    self.embeddings,
+                    self.pq_index_path,
+                    k=k,
+                    query_vec=qv,
+                ).select("vec_id", "label", "adc_dist2")
+                method = "ivfpq_index_queryvec"
+            else:
+                rows = similarity.ivfpq_rerank_from_index(
+                    self.spark,
+                    self.embeddings,
+                    self.pq_index_path,
+                    k=k,
+                    query_vec=qv,
+                ).select("vec_id", "label", "adc_dist2", "cosine")
+                method = "ivfpq_rerank_index_queryvec"
+        elif self.ivf_index_path is not None and self._ivf_index_ready():
+            rows = similarity.ivf_topk_from_index(
+                self.spark,
+                self.embeddings,
+                self.ivf_index_path,
+                k=k,
+                n_centroids=self._ivf_n_centroids,
+                query_vec=qv,
+            ).select("vec_id", "label", "cosine")
+            method = "ivf_index_queryvec"
+        else:
+            rows = similarity.cosine_topk(self.embeddings, k=k, query_vec=qv)
+            method = "exact_queryvec"
+        return {
+            "query": "external",
+            "method": method,
+            "data": [r.asDict() for r in rows.collect()],
+            "request_id": new_request_id(request_id),
+        }
+
     def _heal_crashed_swap(self, path: str, lease_root: str | None = None) -> None:
         """Crash-window recovery for the READ paths: cheap unlocked probe
         (two exists RPCs), then the lease-guarded heal.  The in-process

@@ -83,16 +83,58 @@ def _as_double(df: DataFrame, out: str) -> DataFrame:
     )
 
 
+def literal_query_frame(spark, query_vec: list[float]) -> DataFrame:
+    """A 1-row embeddings-shaped frame for an EXTERNAL query vector —
+    the retrieval-service reality: the caller arrives with an embedding,
+    not a corpus vec_id.  The vector folds into the plan as an exact
+    double-literal array (no shuffle, no broadcast variable), under the
+    sentinel ``vec_id = -1`` so every downstream self-match exclusion
+    (``vec_id != qid``) is a no-op against real corpus rows.  All
+    query-side plans (probe, distance table, rerank) consume this frame
+    exactly as they would a point-read of a stored vector."""
+    arr = "array(" + ", ".join(
+        f"CAST({float(x)!r} AS DOUBLE)" for x in query_vec
+    ) + ")"
+    return spark.range(1).selectExpr(
+        "CAST(-1 AS BIGINT) AS vec_id",
+        "CAST(-1 AS INT) AS label",
+        f"{arr} AS embedding",
+    )
+
+
+def _query_source(
+    embeddings: DataFrame, query_vec_id: int, query_vec: list[float] | None
+):
+    """(query_frame, exclude_id): the 1-row query frame — a corpus
+    point-read for ``query_vec_id``, or the literal frame for an
+    external ``query_vec`` (which excludes nothing: sentinel -1)."""
+    if query_vec is not None:
+        return (
+            literal_query_frame(embeddings.sparkSession, query_vec),
+            -1,
+        )
+    return (
+        embeddings.filter(F.col("vec_id") == query_vec_id),
+        int(query_vec_id),
+    )
+
+
 def cosine_topk(
-    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k against one stored vector.
+    """Exact brute-force cosine top-k against one stored vector — or,
+    with ``query_vec``, against an external embedding (same plan; the
+    query side becomes a literal frame).
 
     The 1-row query side is broadcast; ties broken by vec_id for
     determinism; the self-match is excluded.
     """
-    q = _as_double(embeddings.filter(F.col("vec_id") == query_vec_id), "q").select("q")
-    t = _as_double(embeddings.filter(F.col("vec_id") != query_vec_id), "v")
+    qf, qid = _query_source(embeddings, query_vec_id, query_vec)
+    q = _as_double(qf, "q").select("q")
+    t = _as_double(embeddings.filter(F.col("vec_id") != qid), "v")
     scored = with_cosine(t.crossJoin(F.broadcast(q)))
     return (
         scored.select("vec_id", "label", "cosine")
@@ -466,6 +508,7 @@ def ivf_topk_from_index(
     k: int = 10,
     n_centroids: int = 16,
     n_probe: int = 4,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Index-only IVF probe: candidates come exclusively from the persisted
     ``write_ivf_index`` table — the corpus parquet is touched only for two
@@ -474,7 +517,9 @@ def ivf_topk_from_index(
     1-column frame prunes the index scan to ``n_probe`` partition
     directories, so query-time I/O is ~``n_probe/n_centroids`` of the index
     bytes regardless of corpus size.  Equivalent results to ``ivf_topk``
-    (same assignment and scoring), so it shares the same oracle SQL."""
+    (same assignment and scoring), so it shares the same oracle SQL.
+    ``query_vec``: serve an external embedding — the query point-read
+    disappears (literal frame, sentinel -1)."""
     explicit = ivf_centroids_frame(spark, index_path)
     if explicit is not None:
         # split-grown store: the centroid universe lives in the version's
@@ -486,9 +531,8 @@ def ivf_topk_from_index(
         cents = _as_double(
             embeddings.filter(F.col("vec_id") < n_centroids), "c"
         ).selectExpr("vec_id AS centroid_id", "c")
-    q = _as_double(
-        embeddings.filter(F.col("vec_id") == query_vec_id), "q"
-    ).select("q")
+    qf, qid = _query_source(embeddings, query_vec_id, query_vec)
+    q = _as_double(qf, "q").select("q")
     probe = (
         with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
         .orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
@@ -502,7 +546,7 @@ def ivf_topk_from_index(
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
     )
     cands = lists.join(F.broadcast(probe), "centroid_id").filter(
-        F.col("vec_id") != query_vec_id
+        F.col("vec_id") != qid
     )
     scored = with_cosine(cands.crossJoin(F.broadcast(q)))
     return (
@@ -1056,7 +1100,10 @@ def _kmeans_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
 
 
 def kmeans_centroids(
-    embeddings: DataFrame, k: int = 8, iters: int = 2
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding column, fully
     deterministic and engine-portable:
@@ -1081,12 +1128,17 @@ def kmeans_centroids(
 
     Returns long-form centroids: ``centroid_id, n_members, d, val``
     (d is 1-based) — scalar rows, directly oracle-comparable.
+
+    ``train_fraction``: refine over a deterministic hash-bucket sample
+    (:func:`train_sample`) — the 100 TB posture: training cost tracks
+    the sample, downstream assignment/encoding stays full-corpus.
     """
+    train = train_sample(embeddings, train_fraction)
     cents = _as_double(embeddings.filter(F.col("vec_id") < k), "q").selectExpr(
         "vec_id AS centroid_id", "q", "CAST(0 AS BIGINT) AS n_members"
     )
     for _ in range(iters):
-        assigned = _kmeans_assign(embeddings, cents.select("centroid_id", "q"))
+        assigned = _kmeans_assign(train, cents.select("centroid_id", "q"))
         upd = (
             assigned.selectExpr("centroid_id", "posexplode(v) AS (d0, val)")
             .selectExpr(
@@ -1117,6 +1169,26 @@ def kmeans_centroids(
         "centroid_id", "n_members", "posexplode(q) AS (d0, val)"
     ).selectExpr(
         "centroid_id", "n_members", "CAST(d0 + 1 AS INT) AS d", "val"
+    )
+
+
+def normalize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Unit-L2-norm the embedding column (spherical projection) — the
+    standard pre-processing for PQ under COSINE similarity: on the unit
+    sphere ``L2² = 2 − 2·cos``, so the L2 quantizer the codebooks
+    minimize becomes monotone in cosine, aligning ADC ranking with the
+    metric the corpus is actually served under (FAISS's
+    normalize_L2-before-IndexPQ practice).  Cosine itself is invariant
+    to per-vector positive scaling, so exact rankings are unchanged —
+    only the quantizer's geometry improves.  Zero vectors pass through
+    unchanged (no 0/0).  Row-local projection in codegen: no shuffle, no
+    UDF; output column keeps the name ``embedding`` (doubles)."""
+    t = _as_double(embeddings, "v")
+    return t.selectExpr(
+        "vec_id",
+        "label",
+        f"CASE WHEN {_norm('v')} > 0 THEN transform(v, x -> x / {_norm('v')}) "
+        "ELSE v END AS embedding",
     )
 
 
@@ -1196,6 +1268,34 @@ def _d2(a: str, b: str) -> str:
     )
 
 
+#: deterministic salt+seed for hash-bucket training samples — one value
+#: engine-wide so Spark and the DuckDB oracle key the same bucket
+TRAIN_SAMPLE_SEED = 42
+
+
+def train_sample(
+    df: DataFrame,
+    train_fraction: float | None,
+    salt: str = "pqtrain",
+    seed: int = TRAIN_SAMPLE_SEED,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic hash-bucket subsample for MODEL TRAINING — the
+    FAISS operational practice at 100 TB: k-means/PQ codebooks are
+    trained on a sample (training cost is sample-sized), then EVERYTHING
+    is encoded against the frozen model (encode stays full-corpus and
+    exact).  Membership is a pure function of (id, salt, seed) — the
+    ``train_test_split`` md5-bucket recipe — so the sample, and
+    therefore the trained model, is bit-reproducible on any engine, run,
+    or cluster size, and a row never flips in/out when the corpus grows.
+    ``None`` or ≥1.0 ⇒ no sampling (full-corpus training)."""
+    if train_fraction is None or float(train_fraction) >= 1.0:
+        return df
+    bp = int(round(float(train_fraction) * 10000))
+    keyed = f"concat({id_col}, '_{salt}', '{int(seed)}')"
+    return df.filter(F.expr(f"{_hex60_expr(keyed)} % 10000 < {bp}"))
+
+
 def _pq_subvectors(embeddings: DataFrame, m: int) -> DataFrame:
     """(vec_id, label, subspace, sv): each vector split into ``m``
     contiguous subvectors of DIM/m dims — row-local posexplode, no
@@ -1216,6 +1316,7 @@ def pq_codebooks_wide(
     ksub: int = PQ_KSUB,
     iters: int = 1,
     seed_offset: int = 0,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """(subspace, code_id, c array<double>, n_members): per-subspace
     codebooks — init = the ``ksub`` vectors' subvectors starting at
@@ -1226,8 +1327,15 @@ def pq_codebooks_wide(
     decimal-exact per-dim means; empty codes keep their previous
     codeword).  The codebook is model-sized (m·ksub rows), broadcast
     everywhere it is used; training is ``iters`` pairs of hash-aggregate
-    shuffles over narrow (subspace, code_id, d, val) rows."""
+    shuffles over narrow (subspace, code_id, d, val) rows.
+
+    ``train_fraction`` bounds TRAINING cost at corpus scale: the Lloyd
+    refinement statistics are computed over a deterministic hash-bucket
+    sample (:func:`train_sample`) instead of every row — seeds and the
+    downstream encode stay full-corpus and exact, so only the learned
+    codewords (not the operator's contract) depend on the sample."""
     sub = _pq_subvectors(embeddings, m).select("vec_id", "subspace", "sv")
+    tsub = train_sample(sub, train_fraction)
     cents = sub.filter(
         (F.col("vec_id") >= seed_offset)
         & (F.col("vec_id") < seed_offset + ksub)
@@ -1238,7 +1346,7 @@ def pq_codebooks_wide(
         "CAST(0 AS BIGINT) AS n_members",
     )
     for _ in range(iters):
-        scored = sub.join(
+        scored = tsub.join(
             F.broadcast(cents.select("subspace", "code_id", "c")), "subspace"
         ).select(
             "subspace",
@@ -1292,12 +1400,16 @@ def pq_codebooks_wide(
 
 
 def pq_codebooks(
-    embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = 1
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """Long-form trained PQ codebooks: (subspace, code_id, n_members, d,
     val) with d 1-based within the subspace — scalar rows, directly
     oracle-comparable (same output convention as ``kmeans_centroids``)."""
-    wide = pq_codebooks_wide(embeddings, m, ksub, iters)
+    wide = pq_codebooks_wide(embeddings, m, ksub, iters, train_fraction=train_fraction)
     return wide.selectExpr(
         "CAST(subspace AS INT) AS subspace",
         "CAST(code_id AS INT) AS code_id",
@@ -1352,9 +1464,12 @@ def _pq_adc_scored(
     iters: int,
     codes: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """(vec_id, label, adc_dist2): every non-query vector ADC-scored
     against the query — the shared core of the PQ top-k variants.
+    ``query_vec`` swaps the stored-vector point-read for an external
+    literal query (sentinel -1 ⇒ no self-match to exclude).
 
     The distance table (m·ksub exact subspace distances query↔codeword)
     is model-sized and broadcast; each candidate costs m lookups summed
@@ -1365,13 +1480,12 @@ def _pq_adc_scored(
         codebooks = pq_codebooks_wide(embeddings, m, ksub, iters)
     if codes is None:
         codes = pq_codes(embeddings, m, ksub, iters, codebooks=codebooks)
-    qsub = _pq_subvectors(
-        embeddings.filter(F.col("vec_id") == query_vec_id), m
-    ).selectExpr("subspace", "sv AS qv")
+    qf, qid = _query_source(embeddings, query_vec_id, query_vec)
+    qsub = _pq_subvectors(qf, m).selectExpr("subspace", "sv AS qv")
     dtable = codebooks.join(F.broadcast(qsub), "subspace").select(
         "subspace", F.col("code_id").alias("code"), F.expr(_d2("qv", "c")).alias("dt")
     )
-    looked = codes.filter(F.col("vec_id") != query_vec_id).join(
+    looked = codes.filter(F.col("vec_id") != qid).join(
         F.broadcast(dtable), ["subspace", "code"]
     )
     return looked.groupBy("vec_id", "label").agg(
@@ -1389,12 +1503,16 @@ def pq_topk(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     iters: int = 1,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Approximate top-k by Asymmetric Distance Computation over PQ codes:
     rank ascending by summed subspace distance table lookups — the
     exhaustive-ADC baseline (every code scored, no vector bytes read).
+    ``query_vec`` serves an external embedding through the same plan.
     Returns (vec_id, label, adc_dist2) ties → vec_id."""
-    scored = _pq_adc_scored(embeddings, query_vec_id, m, ksub, iters)
+    scored = _pq_adc_scored(
+        embeddings, query_vec_id, m, ksub, iters, query_vec=query_vec
+    )
     return scored.orderBy(
         F.col("adc_dist2").asc(), F.col("vec_id").asc()
     ).limit(k)
@@ -1410,6 +1528,7 @@ def ivfpq_topk(
     ksub: int = PQ_KSUB,
     iters: int = 1,
     assignments: DataFrame | None = None,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the FAISS-style composite index — IVF probe prunes the
     candidate set to ``n_probe`` inverted lists, ADC scores the survivors
@@ -1428,9 +1547,8 @@ def ivfpq_topk(
     cents = _as_double(
         embeddings.filter(F.col("vec_id") < n_centroids), "c"
     ).selectExpr("vec_id AS centroid_id", "c")
-    q = _as_double(
-        embeddings.filter(F.col("vec_id") == query_vec_id), "q"
-    ).select("q")
+    qf, _ = _query_source(embeddings, query_vec_id, query_vec)
+    q = _as_double(qf, "q").select("q")
     probe = (
         with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
         .orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
@@ -1447,6 +1565,7 @@ def ivfpq_topk(
         embeddings, query_vec_id, m, ksub, iters,
         codes=codes.select("vec_id", "label", "subspace", "code"),
         codebooks=codebooks,
+        query_vec=query_vec,
     )
     with_list = scored.join(assign, "vec_id")
     return (
@@ -1492,6 +1611,17 @@ def pq_resolved_paths(spark, path: str) -> tuple[str, str, str, str]:
     )
 
 
+def manifest_normalized(man) -> bool:
+    """True when an IVF-PQ store manifest row says the store was built
+    over unit-normalized vectors — every consumer that brings RAW
+    corpus/query/batch vectors to the store (indexed top-k, append-merge,
+    streaming encode) must project them through
+    :func:`normalize_embeddings` first, or codes and distance tables
+    silently live in different geometries.  Reads via asDict so
+    pre-flag manifests default to False."""
+    return bool(man.asDict().get("normalized", False))
+
+
 def pq_model_fingerprint(spark, index_path: str) -> str:
     """Content fingerprint of an IVF-PQ store's FROZEN model tables
     (codebooks + centroids) — the stamp :func:`streaming.ingest.
@@ -1534,6 +1664,8 @@ def write_ivfpq_index(
     ksub: int = PQ_KSUB,
     iters: int = 1,
     versioned: bool = False,
+    train_fraction: float | None = None,
+    normalize: bool = False,
 ) -> None:
     """Persist the IVF-PQ composite index: the CODES (vec_id, label,
     subspace, code — m rows of a few bytes per vector, the only
@@ -1560,17 +1692,35 @@ def write_ivfpq_index(
     layout's separate sidecar swaps cannot rule out for in-flight
     scans."""
     spark = embeddings.sparkSession
-    assign = ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id")
-    codebooks = pq_codebooks_wide(embeddings, m, ksub, iters)
-    codes = pq_codes(embeddings, m, ksub, iters, codebooks=codebooks).join(
+    frame = normalize_embeddings(embeddings) if normalize else embeddings
+    assign = ivf_assign(frame, n_centroids).select("vec_id", "centroid_id")
+    codebooks = pq_codebooks_wide(
+        frame, m, ksub, iters, train_fraction=train_fraction
+    )
+    codes = pq_codes(frame, m, ksub, iters, codebooks=codebooks).join(
         assign, "vec_id"
     )
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).selectExpr(
+    cents = frame.filter(F.col("vec_id") < n_centroids).selectExpr(
         "vec_id AS centroid_id", "embedding"
     )
+    train_bp = (
+        10000
+        if train_fraction is None or float(train_fraction) >= 1.0
+        else int(round(float(train_fraction) * 10000))
+    )
     mrow = spark.createDataFrame(
-        [(int(n_centroids), int(m), int(ksub), int(iters))],
-        "n_centroids int, m int, ksub int, iters int",
+        [
+            (
+                int(n_centroids),
+                int(m),
+                int(ksub),
+                int(iters),
+                train_bp,
+                bool(normalize),
+            )
+        ],
+        "n_centroids int, m int, ksub int, iters int, train_bp int, "
+        "normalized boolean",
     )
     if not versioned:
         codes.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
@@ -1599,6 +1749,7 @@ def ivfpq_topk_from_index(
     query_vec_id: int = 0,
     k: int = 10,
     n_probe: int = 4,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Serve IVF-PQ top-k from a persisted :func:`write_ivfpq_index`
     store: the corpus parquet is touched only for ONE pushdown point-read
@@ -1606,18 +1757,24 @@ def ivfpq_topk_from_index(
     come exclusively from the pruned code partitions and are ranked by
     the broadcast ADC table — identical results to the self-computing
     :func:`ivfpq_topk` (same training, encoding, probe, and fold), so it
-    shares that oracle."""
+    shares that oracle.  With ``query_vec`` (an external embedding) even
+    that point-read disappears — the query folds into the plan as a
+    literal and the whole request is served from store bytes alone, the
+    true retrieval-service shape."""
     codes_path, cb_path, cent_path, man_path = pq_resolved_paths(
         spark, index_path
     )
     man = spark.read.parquet(man_path).first()
     m = int(man["m"])
+    qf, qid = _query_source(embeddings, query_vec_id, query_vec)
+    if manifest_normalized(man):
+        # the store's codes/codebooks live on the unit sphere — the raw
+        # query vector must be projected there before its distance table
+        qf = normalize_embeddings(qf)
     cents = spark.read.parquet(cent_path).selectExpr(
         "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS c"
     )
-    q = _as_double(
-        embeddings.filter(F.col("vec_id") == query_vec_id), "q"
-    ).select("q")
+    q = _as_double(qf, "q").select("q")
     probe = (
         with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
         .orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
@@ -1625,9 +1782,7 @@ def ivfpq_topk_from_index(
         .select("centroid_id")
     )
     codebooks = spark.read.parquet(cb_path)
-    qsub = _pq_subvectors(
-        embeddings.filter(F.col("vec_id") == query_vec_id), m
-    ).selectExpr("subspace", "sv AS qv")
+    qsub = _pq_subvectors(qf, m).selectExpr("subspace", "sv AS qv")
     dtable = codebooks.join(F.broadcast(qsub), "subspace").select(
         "subspace",
         F.col("code_id").alias("code"),
@@ -1636,7 +1791,7 @@ def ivfpq_topk_from_index(
     cands = (
         spark.read.parquet(codes_path)
         .join(F.broadcast(probe), "centroid_id")
-        .filter(F.col("vec_id") != query_vec_id)
+        .filter(F.col("vec_id") != qid)
     )
     adc = (
         cands.join(F.broadcast(dtable), ["subspace", "code"])
@@ -1782,6 +1937,7 @@ def ivfpq_rerank_topk(
     ksub: int = PQ_KSUB,
     iters: int = 1,
     assignments: DataFrame | None = None,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Two-stage serving — the standard production ANN shape (FAISS's
     IVFPQR / DiskANN's rerank tier): the IVF-PQ composite index builds a
@@ -1791,15 +1947,16 @@ def ivfpq_rerank_topk(
     point-reads of vectors; the quantization error that costs ADC its
     top-k boundary accuracy is repaired where it matters, for pennies.
     At shortlist == the probed candidate count this IS the raw-vector
-    IVF probe (pinned in pytest).  Returns (vec_id, label, centroid_id,
-    adc_dist2, cosine) ranked by exact cosine, ties → vec_id."""
+    IVF probe (pinned in pytest).  ``query_vec`` serves an external
+    embedding end-to-end (probe, ADC, and rerank all read the literal).
+    Returns (vec_id, label, centroid_id, adc_dist2, cosine) ranked by
+    exact cosine, ties → vec_id."""
     cands = ivfpq_topk(
         embeddings, query_vec_id, int(shortlist), n_centroids, n_probe,
-        m, ksub, iters, assignments=assignments,
+        m, ksub, iters, assignments=assignments, query_vec=query_vec,
     )
-    q = _as_double(
-        embeddings.filter(F.col("vec_id") == query_vec_id), "q"
-    ).select("q")
+    qf, _ = _query_source(embeddings, query_vec_id, query_vec)
+    q = _as_double(qf, "q").select("q")
     t = _as_double(embeddings, "v").select("vec_id", "v")
     scored = with_cosine(
         cands.join(t, "vec_id").crossJoin(F.broadcast(q))
@@ -1997,19 +2154,23 @@ def ivfpq_rerank_from_index(
     k: int = 10,
     shortlist: int = 50,
     n_probe: int = 4,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Two-stage serving from the PERSISTED store: the code-only
     shortlist comes from :func:`ivfpq_topk_from_index` (pruned 4-byte
     partitions, centroids read out of the store), then only the
     ``shortlist`` raw vectors are point-read from the corpus and
     re-ranked by exact cosine — the production rerank tier
-    (:func:`ivfpq_rerank_topk`) with index-resident stage one."""
+    (:func:`ivfpq_rerank_topk`) with index-resident stage one.
+    ``query_vec``: external embedding; corpus reads shrink to the
+    shortlist point-reads only (cosine is scale-invariant, so the raw
+    literal reranks correctly even against a normalized store)."""
     cands = ivfpq_topk_from_index(
-        spark, embeddings, index_path, query_vec_id, int(shortlist), n_probe
+        spark, embeddings, index_path, query_vec_id, int(shortlist),
+        n_probe, query_vec=query_vec,
     )
-    q = _as_double(
-        embeddings.filter(F.col("vec_id") == query_vec_id), "q"
-    ).select("q")
+    qf, _ = _query_source(embeddings, query_vec_id, query_vec)
+    q = _as_double(qf, "q").select("q")
     t = _as_double(embeddings, "v").select("vec_id", "v")
     scored = with_cosine(cands.join(t, "vec_id").crossJoin(F.broadcast(q)))
     return (
@@ -2076,6 +2237,8 @@ def merge_ivfpq_index(spark, path: str, new_embeddings: DataFrame) -> None:
         # appends nothing instead of duplicate (vec_id, subspace) rows
         seen = spark.read.parquet(codes_path).select("vec_id").distinct()
         fresh = new_embeddings.join(seen, "vec_id", "left_anti")
+        if manifest_normalized(man):
+            fresh = normalize_embeddings(fresh)
         cents = spark.read.parquet(cent_path).selectExpr(
             "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS q"
         )

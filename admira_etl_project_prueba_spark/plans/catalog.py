@@ -1379,16 +1379,24 @@ def _duck_hex60(x: str) -> str:
 _DUCK_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
 
-def _duck_bpe_ctes(n_merges: int = 4) -> str:
+def _duck_bpe_ctes(n_merges: int = 4, materialized: bool = False) -> str:
     """Unrolled DuckDB twin of textops.bpe_learn_merges' trainer loop:
     v0 = vocabulary with char sequences; per round r, p{r} = weighted
     adjacent-pair counts, b{r} = the argmax merge (count desc, lexical
     tie-break), v{r} = sequences rewritten by the doubled-separator
-    replace (verified byte-equal to Spark's)."""
+    replace (verified byte-equal to Spark's).
+
+    ``materialized=True`` pins the round CTEs ``AS MATERIALIZED`` —
+    required at real depths: each v{r} is referenced twice (by p{r+1}
+    and v{r+1}), so DuckDB's default CTE INLINING doubles the plan per
+    level — exponential re-evaluation that exhausts file handles near
+    depth 64.  Materialization keeps the oracle linear in rounds;
+    results are identical either way."""
+    kw = "AS MATERIALIZED" if materialized else "AS"
     ctes = [
         f"tok AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents)",
         "w AS (SELECT unnest(t) AS word FROM tok)",
-        """v0 AS (
+        f"""v0 {kw} (
   SELECT word, COUNT(*) AS cnt,
          array_to_string(string_split(word, ''), ' ') AS seq
   FROM w WHERE word IS NOT NULL AND word != '' GROUP BY word)""",
@@ -1396,15 +1404,15 @@ def _duck_bpe_ctes(n_merges: int = 4) -> str:
     for r in range(1, n_merges + 1):
         p = f"v{r - 1}"
         ctes += [
-            f"""p{r} AS (
+            f"""p{r} {kw} (
   SELECT syms[i] AS l, syms[i + 1] AS r, SUM(cnt) AS pair_count
   FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
         FROM (SELECT cnt, string_split(seq, ' ') AS syms FROM {p}))
   GROUP BY 1, 2)""",
-            f"""b{r} AS (
+            f"""b{r} {kw} (
   SELECT l, r, CAST(pair_count AS BIGINT) AS pair_count
   FROM p{r} ORDER BY pair_count DESC, l, r LIMIT 1)""",
-            f"""v{r} AS (
+            f"""v{r} {kw} (
   SELECT word, cnt,
          CASE WHEN b.l IS NULL THEN seq
               ELSE trim(replace(replace(
@@ -2443,10 +2451,12 @@ assign AS (
 )"""
 
 
-def _duck_kmeans_sql(k: int = 8, iters: int = 2) -> str:
+def _duck_kmeans_sql(k: int = 8, iters: int = 2, train_bp: int | None = None) -> str:
     """Unrolled DuckDB twin of similarity.kmeans_centroids: one CTE chain
     per Lloyd's round (assign = ROW_NUMBER argmax mirroring Spark's
-    max-of-struct; update = decimal(25,6)-exact per-dim mean)."""
+    max-of-struct; update = decimal(25,6)-exact per-dim mean).
+    ``train_bp``: refinement reads similarity.train_sample's md5-bucket
+    sample; seeds stay full-corpus — the sampled-training twin."""
     cos = (
         f"CASE WHEN {_duck_norm('c')} > 0 AND {_duck_norm('v')} > 0 "
         f"THEN {_duck_dot('c', 'v')} / ({_duck_norm('c')} * {_duck_norm('v')}) "
@@ -2457,6 +2467,13 @@ def _duck_kmeans_sql(k: int = 8, iters: int = 2) -> str:
         f"c0 AS (SELECT vec_id AS cid, v AS c, CAST(0 AS BIGINT) AS n_members "
         f"FROM t WHERE vec_id < {k})",
     ]
+    tr = "t"
+    if train_bp is not None:
+        tr = "tt"
+        bucket = _duck_hex60("vec_id || '_pqtrain' || '42'")
+        ctes.append(
+            f"tt AS (SELECT * FROM t WHERE {bucket} % 10000 < {int(train_bp)})"
+        )
     for i in range(1, iters + 1):
         p = f"c{i - 1}"
         ctes += [
@@ -2465,7 +2482,7 @@ def _duck_kmeans_sql(k: int = 8, iters: int = 2) -> str:
     SELECT t.vec_id, t.v, {p}.cid,
            ROW_NUMBER() OVER (PARTITION BY t.vec_id
                               ORDER BY {cos} DESC, {p}.cid) AS _r
-    FROM t, {p})
+    FROM {tr} t, {p})
   WHERE _r = 1)""",
             f"""u{i} AS (
   SELECT cid, d,
@@ -2772,6 +2789,8 @@ def _duck_pq_ctes(
     iters: int = 1,
     residual: bool = False,
     n_centroids: int = 16,
+    train_bp: int | None = None,
+    normalize: bool = False,
 ) -> str:
     """Shared DuckDB CTE chain for the PQ entries: subvector split, the
     unrolled Lloyd's codebook refinement (L2 argmin via ROW_NUMBER
@@ -2790,9 +2809,19 @@ def _duck_pq_ctes(
             f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
         )
 
-    ctes = [
-        f"t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings)",
-    ]
+    if normalize:
+        # spherical mode (similarity.normalize_embeddings): unit-norm
+        # each vector before the subspace split; zero vectors unchanged
+        nrm = _duck_norm("v")
+        ctes = [
+            f"t0 AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings)",
+            f"t AS (SELECT vec_id, label, CASE WHEN {nrm} > 0 THEN "
+            f"list_transform(v, x -> x / {nrm}) ELSE v END AS v FROM t0)",
+        ]
+    else:
+        ctes = [
+            f"t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings)",
+        ]
     src = "t"
     if residual:
         cos = (
@@ -2826,6 +2855,16 @@ def _duck_pq_ctes(
         f"CAST(0 AS BIGINT) AS n_members FROM sub "
         f"WHERE vec_id >= {off} AND vec_id < {off + ksub})",
     ]
+    # sampled training (similarity.train_sample's md5 bucket): the Lloyd
+    # refinement reads the sample, init (b0) and the final encode (codes)
+    # stay full-corpus — the FAISS train-on-sample/encode-all split
+    tr = "sub"
+    if train_bp is not None:
+        tr = "tsub"
+        bucket = _duck_hex60("vec_id || '_pqtrain' || '42'")
+        ctes.append(
+            f"tsub AS (SELECT * FROM sub WHERE {bucket} % 10000 < {int(train_bp)})"
+        )
     for i in range(1, iters + 1):
         p = f"b{i - 1}"
         ctes += [
@@ -2835,7 +2874,7 @@ def _duck_pq_ctes(
            ROW_NUMBER() OVER (PARTITION BY sub.subspace, sub.vec_id
                               ORDER BY {d2('sub.sv', f'{p}.c')} ASC,
                                        {p}.code_id) AS _r
-    FROM sub JOIN {p} ON sub.subspace = {p}.subspace)
+    FROM {tr} sub JOIN {p} ON sub.subspace = {p}.subspace)
   WHERE _r = 1)""",
             f"""u{i} AS (
   SELECT subspace, code_id, d,
@@ -2917,6 +2956,53 @@ SELECT vec_id, label, CAST(subspace AS INT) AS subspace, code FROM codes""",
 )
 def _q_pq_codes(spark, sf_dir):
     return _sim.pq_codes(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "pq_codebooks_sampled",
+    "PQ codebook training on a deterministic 50% hash-bucket sample "
+    "(train_sample md5 recipe) — the FAISS 100 TB practice: training "
+    "cost tracks the sample, the model stays bit-reproducible on any "
+    "engine/partitioning, seeds stay full-corpus.",
+    _duck_pq_ctes(train_bp=5000) + """
+SELECT CAST(subspace AS INT) AS subspace, CAST(code_id AS INT) AS code_id,
+       n_members, CAST(d AS INT) AS d, c[d] AS val
+FROM (SELECT subspace, code_id, n_members, c,
+             unnest(generate_series(1, 16)) AS d FROM b1)""",
+)
+def _q_pq_codebooks_sampled(spark, sf_dir):
+    return _sim.pq_codebooks(
+        _t(spark, sf_dir, "embeddings"), train_fraction=0.5
+    )
+
+
+@_entry(
+    "pq_codes_sampled_train",
+    "The frozen-model encode path under SAMPLED training: codebooks "
+    "learned on the 50% hash sample, then EVERY corpus vector encoded "
+    "against the frozen model — train-on-sample/encode-all, the split "
+    "that keeps 100 TB ingest exact while training stays sample-sized.",
+    _duck_pq_ctes(train_bp=5000) + """
+SELECT vec_id, label, CAST(subspace AS INT) AS subspace, code FROM codes""",
+)
+def _q_pq_codes_sampled_train(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = _sim.pq_codebooks_wide(emb, train_fraction=0.5)
+    return _sim.pq_codes(emb, codebooks=cb)
+
+
+@_entry(
+    "kmeans_centroids_sampled",
+    "Lloyd's k-means (k=8, 2 rounds) refined over the deterministic 50% "
+    "hash-bucket training sample — identical contract to "
+    "kmeans_centroids, training cost halved; n_members counts sample "
+    "membership (the statistic the trainer actually saw).",
+    _duck_kmeans_sql(k=8, iters=2, train_bp=5000),
+)
+def _q_kmeans_sampled(spark, sf_dir):
+    return _sim.kmeans_centroids(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=2, train_fraction=0.5
+    )
 
 
 @_entry(
@@ -3071,14 +3157,13 @@ def _q_pq_reconstruction_error(spark, sf_dir):
     return _sim.pq_reconstruction_error(_t(spark, sf_dir, "embeddings"))
 
 
-@_entry(
-    "pq_recall_report",
-    "Approximation self-evaluation for the PQ serving paths: recall@10 "
-    "of exhaustive-ADC and of IVF-PQ against the EXACT cosine top-10 for "
-    "the same query — all three sub-pipelines are the production "
-    "operators, the combine is a 1-row scalar join.",
-    _duck_pq_ctes()
-    + """,
+def _duck_pq_recall_sql(normalize: bool = False) -> str:
+    """Recall-report oracle: the shared exact/probe/ADC/rerank tail over
+    the PQ CTE chain — ``normalize=True`` swaps in the unit-norm t CTE
+    (the spherical twin; everything downstream reads t, so exact,
+    probe, and ADC all live in the same geometry)."""
+    return _duck_pq_ctes(normalize=normalize) + (
+        """,
 cents AS (SELECT vec_id AS centroid_id, v AS c FROM t WHERE vec_id < 16),
 cassign AS (
   SELECT vec_id, centroid_id FROM (
@@ -3140,10 +3225,51 @@ SELECT CAST(10 AS INT) AS k,
        (SELECT COUNT(*) FROM rrk WHERE vec_id IN (SELECT vec_id FROM exact))
          AS n_rerank_captured,
        CAST((SELECT COUNT(*) FROM rrk WHERE vec_id IN (SELECT vec_id FROM exact))
-         AS DOUBLE) / 10 AS rerank_recall""",
+         AS DOUBLE) / 10 AS rerank_recall"""
+    )
+
+
+@_entry(
+    "pq_recall_report",
+    "Approximation self-evaluation for the PQ serving paths: recall@10 "
+    "of exhaustive-ADC and of IVF-PQ against the EXACT cosine top-10 for "
+    "the same query — all three sub-pipelines are the production "
+    "operators, the combine is a 1-row scalar join.",
+    _duck_pq_recall_sql(),
 )
 def _q_pq_recall_report(spark, sf_dir):
     return _sim.pq_recall_report(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "pq_recall_report_normalized",
+    "The recall report for SPHERICAL PQ: vectors unit-normalized before "
+    "training/encode (L2² = 2−2·cos on the sphere, so the quantizer "
+    "minimizes the served metric).  Exact cosine top-k is scale-"
+    "invariant, so recall deltas vs pq_recall_report isolate exactly "
+    "the quantizer-geometry change — the measurement that picks the "
+    "serving encoding.",
+    _duck_pq_recall_sql(normalize=True),
+)
+def _q_pq_recall_report_normalized(spark, sf_dir):
+    return _sim.pq_recall_report(
+        _sim.normalize_embeddings(_t(spark, sf_dir, "embeddings"))
+    )
+
+
+@_entry(
+    "ann_pq_topk_normalized",
+    "Exhaustive-ADC PQ top-10 over unit-normalized vectors — spherical "
+    "quantization serving cosine directly; same plan shape as "
+    "ann_pq_topk, only the geometry changes.",
+    _duck_pq_ctes(normalize=True) + ",\n" + _DUCK_PQ_ADC + """
+SELECT vec_id, label, adc_dist2 FROM adc
+ORDER BY adc_dist2 ASC, vec_id LIMIT 10""",
+)
+def _q_pq_topk_normalized(spark, sf_dir):
+    return _sim.pq_topk(
+        _sim.normalize_embeddings(_t(spark, sf_dir, "embeddings"))
+    )
 
 
 _DUCK_IVFPQ_RERANK_SQL = (
@@ -3215,6 +3341,100 @@ def _q_ivfpq_rerank_indexed(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     path = _ivfpq_index_path(spark, sf_dir)
     return _sim.ivfpq_rerank_from_index(spark, e, path)
+
+
+#: the external query embedding for the literal-query entries — exact
+#: sixteenths, so the Spark literal and the DuckDB literal parse to
+#: bit-identical doubles on both engines
+_QUERY_VEC = [((i * 5) % 16 - 8) / 16.0 for i in range(64)]
+_DUCK_QV = "[" + ", ".join(repr(x) for x in _QUERY_VEC) + "]::DOUBLE[]"
+
+
+def _duck_literal_query(sql: str) -> str:
+    """Rewrite a vec_id=0-keyed PQ oracle into its EXTERNAL-QUERY twin:
+    qv0 becomes the inlined literal vector, the ADC distance table
+    derives its query subvectors from the literal instead of the stored
+    subvector rows, and the self-match exclusion keys on the -1 sentinel
+    (excluding nothing) — mirroring similarity.literal_query_frame."""
+    old_qv0 = "qv0 AS (SELECT v AS q FROM t WHERE vec_id = 0)"
+    old_q = "q AS (SELECT subspace, sv AS qv FROM sub WHERE vec_id = 0)"
+    old_ex = "WHERE codes.vec_id <> 0"
+    for needle in (old_qv0, old_q, old_ex):
+        assert needle in sql, f"literal-query rewrite: missing {needle!r}"
+    new_q = (
+        "q AS (SELECT s - 1 AS subspace, q0.q[(s - 1) * 16 + 1 : s * 16] AS qv "
+        "FROM (SELECT q, unnest(generate_series(1, 4)) AS s FROM qv0) q0)"
+    )
+    return (
+        sql.replace(old_qv0, f"qv0 AS (SELECT {_DUCK_QV} AS q)")
+        .replace(old_q, new_q)
+        .replace(old_ex, "WHERE codes.vec_id <> -1")
+    )
+
+
+@_entry(
+    "ann_cosine_topk_queryvec",
+    "Exact brute-force cosine top-10 for an EXTERNAL query embedding "
+    "(the retrieval-service arrival shape): the vector folds into the "
+    "plan as a double-literal array — same broadcast/fold/TakeOrdered "
+    "plan as ann_cosine_topk, no corpus point-read for the query.",
+    f"""WITH t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings),
+q AS (SELECT {_DUCK_QV} AS q),
+scored AS (
+  SELECT vec_id, label,
+         CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('v')} > 0
+              THEN {_duck_dot('q', 'v')} / ({_duck_norm('q')} * {_duck_norm('v')})
+              ELSE 0.0 END AS cosine
+  FROM t, q WHERE vec_id <> -1
+)
+SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def _q_ann_topk_queryvec(spark, sf_dir):
+    return _sim.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec=_QUERY_VEC
+    )
+
+
+@_entry(
+    "ann_ivfpq_topk_queryvec",
+    "IVF-PQ top-10 for an EXTERNAL query embedding: probe, distance "
+    "table, and ADC all read the inlined literal — with a persisted "
+    "store this serves entirely from code bytes, zero corpus reads "
+    "(ann_ivfpq_queryvec_indexed pins that form to the same oracle).",
+    _duck_literal_query(_DUCK_IVFPQ_SQL),
+)
+def _q_ivfpq_topk_queryvec(spark, sf_dir):
+    return _sim.ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec=_QUERY_VEC
+    )
+
+
+@_entry(
+    "ann_ivfpq_queryvec_indexed",
+    "The external-query IVF-PQ top-10 served from the PERSISTED store: "
+    "the literal query probes the store's centroid table and scores "
+    "pruned code partitions — the ONLY parquet read in the whole plan "
+    "is the store; the corpus is never touched.",
+    _duck_literal_query(_DUCK_IVFPQ_SQL),
+)
+def _q_ivfpq_queryvec_indexed(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_index_path(spark, sf_dir)
+    return _sim.ivfpq_topk_from_index(spark, e, path, query_vec=_QUERY_VEC)
+
+
+@_entry(
+    "ann_ivfpq_rerank_queryvec",
+    "Two-stage rerank for an EXTERNAL query embedding: code-only "
+    "shortlist from the literal's distance table, then exact cosine "
+    "against the literal over the 50 shortlisted vectors — the full "
+    "production serving path for a query that arrives as an embedding.",
+    _duck_literal_query(_DUCK_IVFPQ_RERANK_SQL),
+)
+def _q_ivfpq_rerank_queryvec(spark, sf_dir):
+    return _sim.ivfpq_rerank_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec=_QUERY_VEC
+    )
 
 
 _DUCK_IVFPQ_RES_SQL = (
@@ -5977,6 +6197,31 @@ def _q_bpe_merges(spark, sf_dir):
 )
 def _q_bpe_learned_merges(spark, sf_dir):
     return _tx.bpe_learn_merges(_t(spark, sf_dir, "documents"), n_merges=4)
+
+
+@_entry(
+    "bpe_learned_merges_deep",
+    "The BPE trainer at real vocabulary depth (64 merge rounds) in "
+    "FRONTIER-CHECKPOINT mode: each round's argmax is materialized and "
+    "the vocabulary frame localCheckpoints every 8 rounds, so plan "
+    "depth — and per-round cost — stays flat with round index instead "
+    "of unrolling 64 rounds into one plan.  Output is identical to the "
+    "unrolled mode (pytest-pinned).",
+    _duck_bpe_ctes(64, materialized=True)
+    + ",\n"
+    + ",\n".join(
+        f"""m{r} AS (
+  SELECT CAST({r} AS INT) AS rank, l AS left_sym, r AS right_sym,
+         l || r AS merged, pair_count FROM b{r})"""
+        for r in range(1, 65)
+    )
+    + "\n"
+    + " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, 65)),
+)
+def _q_bpe_learned_merges_deep(spark, sf_dir):
+    return _tx.bpe_learn_merges(
+        _t(spark, sf_dir, "documents"), n_merges=64, checkpoint_every=8
+    )
 
 
 @_entry(

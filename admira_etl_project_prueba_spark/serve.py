@@ -30,6 +30,8 @@ param):
          (the latter diffs two persisted histogram snapshots via PSI)
     GET  /corpus/index_health   (index maintenance: fan-out, skew, triggers)
     POST /corpus/assemble?train_pct=&salt=
+    POST /corpus/similar   (JSON body {"query_vec": [...], "k":, "mode":} —
+         external-embedding ANN; k/mode fall back to query params)
 
 Status mapping preserved: ValidationError → 400, EmptyExportError /
 NotFoundError → 404, anything else → 500 with the error string.  The
@@ -101,6 +103,25 @@ def make_handler(svc: MetricsService, corpus=None):
             self.send_header("Content-Length", str(len(payload)))
             self.end_headers()
             self.wfile.write(payload)
+
+        def _json_body(self) -> dict:
+            """Parse the request's JSON object body (400 on absence or
+            garbage — the same strict-validation posture as the query
+            params: a malformed body must never be silently defaulted)."""
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                raise ValidationError("invalid Content-Length")
+            raw = self.rfile.read(n) if n > 0 else b""
+            if not raw:
+                raise ValidationError("missing JSON body")
+            try:
+                body = json.loads(raw)
+            except ValueError:
+                raise ValidationError("malformed JSON body")
+            if not isinstance(body, dict):
+                raise ValidationError("JSON body must be an object")
+            return body
 
         def _dispatch(self, method: str) -> None:
             url = urlparse(self.path)
@@ -296,6 +317,28 @@ def make_handler(svc: MetricsService, corpus=None):
                         return self._send(200, corpus.quality_report(request_id=rid))
                     if url.path == "/corpus/index_health":
                         return self._send(200, corpus.index_health(request_id=rid))
+                if corpus is not None and (method, url.path) == (
+                    "POST",
+                    "/corpus/similar",
+                ):
+                    # external-query ANN: the embedding arrives in the
+                    # JSON body ({"query_vec": [...], "k":, "mode":});
+                    # k/mode fall back to query params so curl one-liners
+                    # can keep tuning in the URL
+                    body = self._json_body()
+                    k = body.get("k", _int(qs, "k", 10))
+                    if not isinstance(k, int) or isinstance(k, bool):
+                        raise ValidationError(f"invalid k: {k!r}")
+                    mode = body.get("mode", _first(qs, "mode") or "auto")
+                    return self._send(
+                        200,
+                        corpus.similar_by_vector(
+                            query_vec=body.get("query_vec"),
+                            k=k,
+                            mode=mode,
+                            request_id=rid,
+                        ),
+                    )
                 if corpus is not None and (method, url.path) == (
                     "POST",
                     "/corpus/index_retrain",

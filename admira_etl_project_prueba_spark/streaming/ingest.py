@@ -1223,6 +1223,10 @@ def stream_pq_encode(
         )
         man = spark.read.parquet(man_path).first()
         m, ksub = int(man["m"]), int(man["ksub"])
+        if _sim.manifest_normalized(man):
+            # normalized store: project the raw batch onto the unit
+            # sphere before assignment/encode, like merge_ivfpq_index
+            batch_df = _sim.normalize_embeddings(batch_df)
         seed_ceiling = max(int(man["n_centroids"]), ksub)
         min_vec = batch_df.agg(F.min("vec_id")).first()[0]
         if min_vec is not None and int(min_vec) < seed_ceiling:

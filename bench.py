@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     "bpe_learned_merges",
     "bpe_encode_stats",
+    "bpe_learned_merges_deep",
 ]
 
 
@@ -209,6 +210,11 @@ def main():
             return 9
         if best < 3.0:
             return max(reps, 5)
+        if best > 10.0:
+            # tens-of-seconds queries (deep BPE training): individually
+            # very stable, and 5 reps would dominate the whole suite's
+            # wall clock — two reps bound the cost
+            return min(reps, 2)
         return reps
 
     timings: dict[str, float] = {}

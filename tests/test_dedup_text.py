@@ -1895,6 +1895,44 @@ def test_bpe_trainer_known_answer(spark):
     assert stats == {1: (4, 17, 9), 2: (4, 17, 12)}
 
 
+def test_bpe_frontier_checkpoint_equals_unrolled(spark, sf_dir):
+    """The frontier-checkpoint trainer (materialized per-round argmax +
+    periodic vocabulary localCheckpoint — the real-vocabulary-depth
+    mode) learns EXACTLY the merge list of the unrolled single-plan
+    mode, at every checkpoint cadence; and when the corpus runs out of
+    mergeable pairs both modes stop yielding rows at the same rank."""
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bpe_learn_merges,
+    )
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = sorted(
+        map(tuple, bpe_learn_merges(docs, n_merges=12).collect())
+    )
+    for every in (1, 4, 12, 100):
+        got = sorted(
+            map(
+                tuple,
+                bpe_learn_merges(
+                    docs, n_merges=12, checkpoint_every=every
+                ).collect(),
+            )
+        )
+        assert got == want, f"checkpoint_every={every}"
+
+    # exhaustion: a corpus whose vocabulary supports only 2 merges stops
+    # early in both modes with identical rows
+    tiny = spark.createDataFrame(
+        [(1, "ab ab ab")], "doc_id long, text string"
+    )
+    unrolled = sorted(map(tuple, bpe_learn_merges(tiny, 5).collect()))
+    frontier = sorted(
+        map(tuple, bpe_learn_merges(tiny, 5, checkpoint_every=2).collect())
+    )
+    assert unrolled == frontier and len(unrolled) == 1  # 'a b' -> 'ab'
+
+
 def test_bpe_adjacent_occurrences_merge_in_one_pass(spark):
     """The doubled-separator rewrite merges back-to-back occurrences of
     the winning pair ('ababab' -> ab ab ab in ONE round), the boundary

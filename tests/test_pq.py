@@ -547,6 +547,62 @@ def test_similar_docs_pq_mode(spark, sf_dir, embeddings, tmp_path):
     ]
 
 
+def test_similar_by_vector_external_query(spark, sf_dir, embeddings, tmp_path):
+    """The external-embedding serving path (POST /corpus/similar body):
+    validation 400s, exact/pq/pq_rerank parity with the literal-query
+    operators, and the planted-copy invariant — an external query equal
+    to a stored vector finds that vector first (the literal is NOT
+    excluded as a self-match)."""
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.service import ValidationError as VE
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    qv = [float(x) for x in
+          embeddings.filter(F.col("vec_id") == 7).first()["embedding"]]
+
+    svc = CorpusService(spark, documents=docs, embeddings=embeddings)
+    for bad in ([0.5] * 3, "nope", [0.5] * 63 + ["x"], None):
+        with pytest.raises(VE, match="query_vec"):
+            svc.similar_by_vector(bad)
+    with pytest.raises(VE, match="invalid mode"):
+        svc.similar_by_vector(qv, mode="hnsw")
+
+    # exact fallback: the planted copy of vector 7 ranks it first
+    r = svc.similar_by_vector(qv, k=5)
+    assert r["method"] == "exact_queryvec" and r["query"] == "external"
+    assert r["data"][0]["vec_id"] == 7
+    assert r["data"][0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+    path = str(tmp_path / "svc_pq_qv")
+    similarity.write_ivfpq_index(embeddings, path)
+    svc = CorpusService(
+        spark, documents=docs, embeddings=embeddings, pq_index_path=path
+    )
+    r = svc.similar_by_vector(qv, k=5, mode="pq")
+    assert r["method"] == "ivfpq_index_queryvec"
+    want = similarity.ivfpq_topk_from_index(
+        spark, embeddings, path, k=5, query_vec=qv
+    ).collect()
+    assert [row["vec_id"] for row in r["data"]] == [w["vec_id"] for w in want]
+    assert 7 in {row["vec_id"] for row in r["data"]}  # planted copy found
+
+    rr = svc.similar_by_vector(qv, k=5, mode="pq_rerank")
+    assert rr["method"] == "ivfpq_rerank_index_queryvec"
+    assert rr["data"][0]["vec_id"] == 7
+    assert rr["data"][0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+    # a NORMALIZED store honors its manifest flag for external queries:
+    # the raw literal is projected onto the sphere before its distance
+    # table, so the planted copy still wins
+    npath = str(tmp_path / "svc_pq_qv_norm")
+    similarity.write_ivfpq_index(embeddings, npath, normalize=True)
+    top = similarity.ivfpq_topk_from_index(
+        spark, embeddings, npath, k=5, query_vec=[2.0 * x for x in qv]
+    ).collect()
+    assert top[0]["vec_id"] == 7
+
+
 def test_ivfpq_rerank_exactness_and_bounds(embeddings):
     """Rerank returns EXACT cosines (each equals the brute-force score
     for that vector); with a full probe and a corpus-sized shortlist the

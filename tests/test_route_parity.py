@@ -35,8 +35,12 @@ from admira_etl_project_prueba_spark.service import MetricsService
 
 RID = "req-parity-1"
 
+#: external query embedding for the POST body route — 0.5s survive a
+#: JSON round-trip bit-exactly
+_QV = [0.5] * 64
+
 # method -> (http method, path?query with every param set NON-default,
-#            exact kwargs the handler must pass)
+#            exact kwargs the handler must pass[, JSON body to send])
 CORPUS_ROUTES = {
     "health_report": ("GET", "/corpus/health", {"request_id": RID}),
     "dedup_summary": (
@@ -58,6 +62,14 @@ CORPUS_ROUTES = {
     "similar_docs": (
         "GET", "/corpus/similar?vec_id=5&k=3&mode=pq",
         {"vec_id": 5, "k": 3, "mode": "pq", "request_id": RID},
+    ),
+    "similar_by_vector": (
+        "POST", "/corpus/similar",
+        {
+            "query_vec": _QV, "k": 4, "mode": "pq_rerank",
+            "request_id": RID,
+        },
+        {"query_vec": _QV, "k": 4, "mode": "pq_rerank"},
     ),
     "importance_weights": (
         "GET", "/corpus/weights?target_lang=es&limit=7",
@@ -193,7 +205,7 @@ def test_route_kwargs_cover_every_signature_param():
     method — so a method that grows a keyword forces the route (and this
     table) to plumb it."""
     for cls, table in ((CorpusService, CORPUS_ROUTES), (MetricsService, METRICS_ROUTES)):
-        for name, (_, _, kwargs) in table.items():
+        for name, (_, _, kwargs, *_rest) in table.items():
             sig = inspect.signature(getattr(cls, name))
             params = set(sig.parameters) - {"self"}
             assert params == set(kwargs), (
@@ -213,9 +225,12 @@ def parity_server():
     server.shutdown()
 
 
-def _call(base: str, http_method: str, path: str):
-    req = urllib.request.Request(base + path, method=http_method)
+def _call(base: str, http_method: str, path: str, body: dict | None = None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(base + path, method=http_method, data=data)
     req.add_header("X-Request-ID", RID)
+    if data is not None:
+        req.add_header("Content-Type", "application/json")
     try:
         with urllib.request.urlopen(req, timeout=30) as resp:
             return resp.status, json.loads(resp.read())
@@ -225,8 +240,8 @@ def _call(base: str, http_method: str, path: str):
 
 def test_every_route_dispatches_with_full_passthrough(parity_server):
     base, svc, corpus = parity_server
-    for name, (http_method, path, expected) in CORPUS_ROUTES.items():
-        code, body = _call(base, http_method, path)
+    for name, (http_method, path, expected, *rest) in CORPUS_ROUTES.items():
+        code, body = _call(base, http_method, path, rest[0] if rest else None)
         assert code == 200, f"{name}: {code} {body}"
         assert corpus.calls.get(name) == expected, (
             f"{name}: dispatched kwargs {corpus.calls.get(name)} "
@@ -236,6 +251,25 @@ def test_every_route_dispatches_with_full_passthrough(parity_server):
         code, body = _call(base, http_method, path)
         assert code == 200, f"{name}: {code} {body}"
         assert svc.calls.get(name) == expected
+
+
+def test_post_similar_body_validation_is_400(parity_server):
+    """POST /corpus/similar must 400 — without dispatching — on a
+    missing body, non-object or malformed JSON, and a non-int k; a
+    silently defaulted body would turn garbage into a full ANN query."""
+    base, _, corpus = parity_server
+    assert _call(base, "POST", "/corpus/similar")[0] == 400
+    assert _call(base, "POST", "/corpus/similar", [1, 2])[0] == 400
+    assert _call(
+        base, "POST", "/corpus/similar", {"query_vec": _QV, "k": "three"}
+    )[0] == 400
+    req = urllib.request.Request(
+        f"{base}/corpus/similar", method="POST", data=b"{not json"
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    assert "similar_by_vector" not in corpus.calls
 
 
 def test_index_retrain_invalid_n_centroids_is_400(parity_server):

@@ -86,6 +86,15 @@ NESTED_LOOP_ALLOWED = {
     "basket_part_lift",         # 1-row order-count broadcast into the pair frame
     "events_session_paths",     # 1-row session-total broadcast into the paths
     "ann_ivf_occupancy",        # 1-row vector-total broadcast into the per-list frame
+    "ann_cosine_topk_queryvec",   # 1-row LITERAL query broadcast (external embedding)
+    "ann_ivfpq_topk_queryvec",    # 1-row literal query + n_probe probe list
+    "ann_ivfpq_queryvec_indexed", # same shape over the persisted code store
+    "ann_ivfpq_rerank_queryvec",  # literal query broadcasts + 50-row shortlist rerank
+    "kmeans_centroids_sampled",   # k-row (model-sized) centroid broadcast per round
+    "pq_recall_report_normalized",  # embeds the 1-row-query exact/ADC/IVF-PQ trio
+    "ann_pq_topk_normalized",     # 1-row query distance-table broadcast
+    "pq_codebooks_sampled",       # model-sized codebook broadcast per Lloyd round
+    "pq_codes_sampled_train",     # same broadcast in the frozen-model encode
 }
 
 # Queries whose single-partition window sort is the INTENDED exact form:
