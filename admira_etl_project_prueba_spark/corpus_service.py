@@ -847,10 +847,18 @@ class CorpusService:
             def _read(path: str) -> DataFrame:
                 # histogram stores fold via swap_into_place — heal a
                 # merge that crashed between its renames before deciding
-                # the snapshot is "not readable" (it is recoverable)
+                # the snapshot is "not readable" (it is recoverable).
+                # Versioned stores have no window; resolve their current
+                # vNNNNNNNN once so the diff reads a consistent snapshot
                 self._heal_crashed_swap(path)
+                from admira_etl_project_prueba_spark.functions.fs import (
+                    resolve_store_root,
+                )
+
                 try:
-                    return self.spark.read.parquet(path)
+                    return self.spark.read.parquet(
+                        resolve_store_root(self.spark, path)
+                    )
                 except Exception as exc:
                     raise NotFoundError(
                         f"histogram snapshot not readable: {path}"

@@ -249,6 +249,76 @@ def clean_version_scratch(spark: SparkSession, root: str) -> None:
             )
 
 
+def resolve_store_root(spark: SparkSession, path: str) -> str:
+    """The directory holding a store's CURRENT payload, in either
+    layout: versioned (``path/vNNNNNNNN`` — newest committed version,
+    resolved ONCE at scan start so the reader is snapshot-isolated from
+    every later rewrite) or flat (``path`` itself).  The generic twin of
+    ``textops.text_index_root`` / ``similarity.pq_resolved_paths`` for
+    single-payload stores (LM counts, histograms, LSH signatures, the
+    fact store)."""
+    v = latest_version(spark, path)
+    return f"{path.rstrip('/')}/{v}" if v is not None else path
+
+
+def fold_whole_store(
+    spark: SparkSession,
+    path: str,
+    build_merged,
+    versioned: bool = False,
+    coalesce1: bool = True,
+    partition_by: str | None = None,
+) -> None:
+    """Leased read-modify-write for a store whose fold REWRITES the whole
+    payload (LM counts, histograms, LSH signatures — all model-sized):
+    ``build_merged(prev_frame_or_None) -> DataFrame`` receives the
+    current store (None when confirmed absent) and returns the full next
+    payload.
+
+    Flat layout (default, unchanged semantics): first write lands
+    directly; folds stage to a sibling dir and ``swap_into_place`` — the
+    store is the fold's input AND output, and an in-place overwrite
+    would delete the only copy before the write job finishes.
+
+    Versioned layout (``versioned=True``, or the store already holds
+    committed versions): the next payload is built under ``__building.*``
+    scratch and committed as the next ``vNNNNNNNN`` with ONE rename —
+    readers that resolved the previous version keep a complete snapshot
+    (no swap window at all), at zero extra cost for this store class
+    since the fold rewrites the payload anyway."""
+    with maintenance_lease(spark, path):
+        recover_swap(spark, path)
+        root = resolve_store_root(spark, path)
+        has_versions = root != path
+        prev = (
+            spark.read.parquet(root)
+            if dir_nonempty(spark, root)
+            else None
+        )
+        merged = build_merged(prev)
+        out = merged.coalesce(1) if coalesce1 else merged
+        if versioned or has_versions:
+            clean_version_scratch(spark, path)
+            tmp = version_scratch(path)
+            w = out.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(partition_by)
+            w.parquet(tmp)
+            commit_version(spark, path, tmp)
+        elif prev is None:
+            w = out.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(partition_by)
+            w.parquet(path)
+        else:
+            tmp = path.rstrip("/") + "__merging"
+            w = out.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(partition_by)
+            w.parquet(tmp)
+            swap_into_place(spark, tmp, path)
+
+
 def copy_tree(spark: SparkSession, src: str, dst: str) -> None:
     """Byte-copy ``src`` (file or directory, recursive) to ``dst`` via
     Hadoop ``FileUtil.copy`` — no parquet decode/re-encode, file layout

@@ -347,12 +347,22 @@ def write_histogram_store(
     lo: float = 0.0,
     hi: float = 512.0,
     n_bins: int = 256,
+    versioned: bool = False,
 ) -> None:
     """Persist the histogram sufficient statistic (one small file — the
-    frame is ≤ |types| × n_bins rows regardless of corpus size)."""
-    value_histogram(events, lo, hi, n_bins).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    frame is ≤ |types| × n_bins rows regardless of corpus size).
+    ``versioned=True`` commits it as an immutable ``vNNNNNNNN`` snapshot
+    (functions/fs.fold_whole_store) — every later merge then lands as
+    the NEXT version, giving readers snapshot isolation with no swap
+    window; the payload is model-sized, so versioning costs nothing."""
+    from admira_etl_project_prueba_spark.functions.fs import fold_whole_store
+
+    fold_whole_store(
+        events.sparkSession,
+        path,
+        lambda prev: value_histogram(events, lo, hi, n_bins),
+        versioned=versioned,
+    )
 
 
 def merge_histogram_store(
@@ -365,34 +375,26 @@ def merge_histogram_store(
 ) -> None:
     """Fold a new event batch into the persisted histogram — incremental
     quantile maintenance without re-reading history: the batch reduces
-    map-side to ≤ |types| × n_bins increments, merges by integer
-    addition (bit-identical to a from-scratch rebuild over the union),
-    and the result is written to a SIBLING directory then swapped into
-    place by rename (functions/fs.swap_into_place) because the store is
-    input AND output of the fold — an in-place overwrite deletes the
-    only copy before the write job finishes, so any mid-write failure
-    would destroy the store (the same crash-safety discipline as
-    index compaction and merge_lm_counts)."""
-    from admira_etl_project_prueba_spark.functions.fs import (
-        maintenance_lease,
-        recover_swap,
-        swap_into_place,
-    )
+    map-side to ≤ |types| × n_bins increments and merges by integer
+    addition (bit-identical to a from-scratch rebuild over the union).
+    The leased read-modify-write goes through
+    ``functions/fs.fold_whole_store``: flat stores keep the sibling-dir
+    + rename swap (the store is the fold's input AND output — an
+    in-place overwrite would delete the only copy mid-job), versioned
+    stores commit the merge as the next immutable snapshot."""
+    from admira_etl_project_prueba_spark.functions.fs import fold_whole_store
 
-    # single-writer lease: two processes folding into one histogram
-    # store would interleave rename swaps
-    with maintenance_lease(spark, path):
-        recover_swap(spark, path)  # heal a crashed prior swap before reading
-        old = spark.read.parquet(path)
+    def build(old):
         delta = value_histogram(new_batch, lo, hi, n_bins)
-        merged = (
+        if old is None:
+            return delta
+        return (
             old.unionByName(delta)
             .groupBy("event_type", "bin")
             .agg(F.sum("n").cast("long").alias("n"))
         )
-        tmp = path.rstrip("/") + "__merging"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        swap_into_place(spark, tmp, path)
+
+    fold_whole_store(spark, path, build)
 
 
 def quantiles_from_store(
@@ -404,8 +406,13 @@ def quantiles_from_store(
     n_bins: int = 256,
 ) -> DataFrame:
     """Quantile estimates straight off the persisted histogram — the
-    read side never touches the event corpus."""
-    return histogram_quantiles(spark.read.parquet(path), qs, lo, hi, n_bins)
+    read side never touches the event corpus (resolves the current
+    version once at scan start on versioned stores)."""
+    from admira_etl_project_prueba_spark.functions.fs import resolve_store_root
+
+    return histogram_quantiles(
+        spark.read.parquet(resolve_store_root(spark, path)), qs, lo, hi, n_bins
+    )
 
 
 def value_psi(

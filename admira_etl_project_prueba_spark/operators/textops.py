@@ -1415,6 +1415,79 @@ def lsh_store_merge(
     return survivors.unionByName(batch)
 
 
+def write_lsh_store(
+    documents: DataFrame,
+    path: str,
+    num_perm: int = 16,
+    band_size: int = 2,
+    k: int = 3,
+    versioned: bool = False,
+) -> None:
+    """Persist the :func:`lsh_signature_store` table — the path-managed
+    form of the signature store, with the same lifecycle discipline as
+    every other store (single-writer lease; ``versioned=True`` commits
+    immutable ``vNNNNNNNN`` snapshots so a reader mid-scan is isolated
+    from a concurrent merge's rewrite)."""
+    from admira_etl_project_prueba_spark.functions.fs import fold_whole_store
+
+    fold_whole_store(
+        documents.sparkSession,
+        path,
+        lambda prev: lsh_signature_store(documents, num_perm, band_size, k),
+        versioned=versioned,
+        coalesce1=False,
+    )
+
+
+def merge_lsh_store(
+    spark,
+    path: str,
+    new_documents: DataFrame,
+    num_perm: int = 16,
+    band_size: int = 2,
+    k: int = 3,
+) -> None:
+    """Fold a new batch into the PERSISTED signature store
+    (:func:`lsh_store_merge` semantics: existing signatures never
+    recomputed, new-wins on doc_id collision).  On a flat store the
+    merged table swaps in by rename; on a versioned store it commits as
+    the next snapshot — the batch-vs-store anti-join is broadcast, so
+    the only store-sized cost is the rewrite itself (the price the
+    swap-managed form already paid)."""
+    from admira_etl_project_prueba_spark.functions.fs import fold_whole_store
+
+    def build(old):
+        if old is None:
+            return lsh_signature_store(new_documents, num_perm, band_size, k)
+        return lsh_store_merge(old, new_documents, num_perm, band_size, k)
+
+    fold_whole_store(spark, path, build, coalesce1=False)
+
+
+def read_lsh_store(spark, path: str) -> DataFrame:
+    """The current signature-store snapshot (version resolved once at
+    scan start on versioned stores) — feed to
+    :func:`lsh_incremental_pairs`."""
+    from admira_etl_project_prueba_spark.functions.fs import resolve_store_root
+
+    return spark.read.parquet(resolve_store_root(spark, path))
+
+
+def lsh_incremental_pairs_from_store(
+    spark,
+    new_documents: DataFrame,
+    path: str,
+    num_perm: int = 16,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """:func:`lsh_incremental_pairs` against the persisted store — the
+    serving wrapper that pins snapshot resolution to scan start."""
+    return lsh_incremental_pairs(
+        new_documents, read_lsh_store(spark, path), num_perm, band_size, k
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
@@ -2538,12 +2611,21 @@ def lm_dists_from_counts(counts: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def write_lm_counts(
-    reference: DataFrame, path: str, n_buckets: int = 8192
+    reference: DataFrame, path: str, n_buckets: int = 8192,
+    versioned: bool = False,
 ) -> None:
-    """Persist the mergeable LM statistics (see :func:`lm_counts`)."""
-    lm_counts(reference, n_buckets).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    """Persist the mergeable LM statistics (see :func:`lm_counts`).
+    ``versioned=True`` commits an immutable snapshot; later merges land
+    as the next version (reader snapshot isolation, no swap window —
+    free for this model-sized payload)."""
+    from admira_etl_project_prueba_spark.functions.fs import fold_whole_store
+
+    fold_whole_store(
+        reference.sparkSession,
+        path,
+        lambda prev: lm_counts(reference, n_buckets),
+        versioned=versioned,
+    )
 
 
 def merge_lm_counts(
@@ -2552,30 +2634,32 @@ def merge_lm_counts(
     """Fold a new reference batch into the persisted LM statistics —
     incremental model maintenance without re-reading the corpus: the
     store stays dense at exactly n_buckets rows, the batch reduces
-    map-side to bucket increments and BROADCASTS into the fold, and the
-    result is written to a sibling directory and swapped into place by
-    rename (the store is input AND output of the fold, and an in-place
-    overwrite would delete the only copy before the write finishes —
-    same crash-safety discipline as index compaction).
+    map-side to bucket increments and BROADCASTS into the fold.  The
+    leased read-modify-write goes through
+    ``functions/fs.fold_whole_store``: flat stores keep the sibling-dir
+    rename swap (the store is the fold's input AND output), versioned
+    stores commit the merge as the next immutable snapshot.
     ``lm_dists_from_counts`` of the merged store equals a
     from-scratch model over the concatenated corpus exactly (integer
     count merge, smoothing applied after)."""
-    # single-writer lease: two processes folding batches into one LM
-    # store would interleave rename swaps
-    with maintenance_lease(spark, path):
-        recover_swap(spark, path)  # heal a crashed prior swap before reading
-        old = spark.read.parquet(path)
+    from admira_etl_project_prueba_spark.functions.fs import fold_whole_store
+
+    def build(old):
         inc = (
             _hashed_token_counts(new_batch, n_buckets)
             .groupBy("b")
             .agg(F.sum("c").alias("inc"))
         )
-        merged = old.join(F.broadcast(inc), "b", "left").selectExpr(
+        if old is None:
+            raise ValueError(
+                f"merge_lm_counts: no LM count store at {path} — "
+                "write_lm_counts first"
+            )
+        return old.join(F.broadcast(inc), "b", "left").selectExpr(
             "b", "CAST(cnt + coalesce(inc, 0) AS BIGINT) AS cnt"
         )
-        tmp = path.rstrip("/") + "__merging"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        swap_into_place(spark, tmp, path)
+
+    fold_whole_store(spark, path, build)
 
 
 def lm_scores_from_counts(
@@ -2583,10 +2667,15 @@ def lm_scores_from_counts(
 ) -> DataFrame:
     """Score documents against the INCREMENTAL count store — the
     always-current sibling of the frozen :func:`lm_scores_from_dists`
-    path."""
+    path.  Resolves the current version once on versioned stores."""
+    from admira_etl_project_prueba_spark.functions.fs import resolve_store_root
+
     return lm_scores_from_frame(
         documents,
-        lm_dists_from_counts(spark.read.parquet(counts_path), n_buckets),
+        lm_dists_from_counts(
+            spark.read.parquet(resolve_store_root(spark, counts_path)),
+            n_buckets,
+        ),
         n_buckets,
     )
 

@@ -60,11 +60,39 @@ def write_bucketed(
 
 
 class MetricsStore:
-    """Parquet-backed fact store with reference-shaped read/write API."""
+    """Parquet-backed fact store with reference-shaped read/write API.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``versioned=True`` opts the store into the immutable-snapshot layout
+    (``functions/fs.commit_version``): every write — upsert, append,
+    replace, compact — copies the untouched date partitions forward
+    (byte copy, no decode) into ``__building.*`` scratch, applies the
+    change there, and commits the whole payload as the next
+    ``vNNNNNNNN`` with one rename.  Readers resolve the newest version
+    once at scan start, so a report mid-read can never lose partitions
+    to a concurrent upsert — the reader-isolation gap the flat layout's
+    dynamic partition overwrite cannot close.  The write-amplification
+    trade (a full byte-copy per write vs the flat layout's
+    touched-partitions-only) is the documented price of snapshots; batch
+    deployments that upsert once per ingest cycle pay it once per cycle.
+    A flat store stays readable by the same instance (versioned only
+    changes how NEW writes land)."""
+
+    def __init__(self, spark: SparkSession, path: str, versioned: bool = False):
         self.spark = spark
         self.path = path
+        self.versioned = bool(versioned)
+
+    def _root(self) -> str:
+        """Current payload dir: newest committed version, or the flat
+        path (resolved per call — readers pin a snapshot by resolving
+        once at scan start, which ``read`` does implicitly)."""
+        return fs.resolve_store_root(self.spark, self.path)
+
+    def _is_versioned(self) -> bool:
+        """Versioned if asked for OR the store already holds committed
+        versions (a versioned store stays versioned even when the flag
+        is forgotten on a later instance)."""
+        return self.versioned or fs.latest_version(self.spark, self.path) is not None
 
     # -- read ---------------------------------------------------------------
     def exists(self) -> bool:
@@ -85,6 +113,10 @@ class MetricsStore:
         for a store that exists — callers must see a retryable error,
         not zero rows.
         """
+        if fs.latest_version(self.spark, self.path) is not None:
+            # versioned layout: committed versions are immutable and
+            # complete by construction — no swap window to heal or dodge
+            return fs.dir_nonempty(self.spark, self._root())
         fs.heal_if_crashed(self.spark, self.path)
         if fs.swap_window_open(self.spark, self.path):
             raise IOError(
@@ -94,14 +126,46 @@ class MetricsStore:
         return fs.dir_nonempty(self.spark, self.path)
 
     def read(self) -> DataFrame:
-        """All stored facts; empty frame when nothing stored yet."""
+        """All stored facts; empty frame when nothing stored yet.
+        Versioned stores resolve the newest snapshot once here — the
+        whole downstream plan reads that version even if a writer
+        commits mid-scan."""
         if not self.exists():
             return self.spark.createDataFrame([], METRICS_SCHEMA)
-        df = self.spark.read.parquet(self.path)
+        df = self.spark.read.parquet(self._root())
         # partition column comes back typed; restore fact column order/types
         return df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in METRICS_SCHEMA.fields]
         )
+
+    # -- versioned-write plumbing -------------------------------------------
+    def _commit_full(self, full: DataFrame) -> None:
+        """Write ``full`` (the COMPLETE next payload) as the next
+        immutable version.  Caller holds the store lease.  A flat store
+        opting into versioning migrates here: its payload lands in v1
+        and the flat remnants are swept after the commit (one-time
+        transition; subsequent writes have no window at all)."""
+        was_flat = (
+            fs.latest_version(self.spark, self.path) is None
+            and fs.dir_nonempty(self.spark, self.path)
+        )
+        fs.clean_version_scratch(self.spark, self.path)
+        tmp = fs.version_scratch(self.path)
+        full.write.partitionBy("date").mode("overwrite").parquet(tmp)
+        fs.commit_version(self.spark, self.path, tmp)
+        if was_flat:
+            # sweep pre-migration flat children (date=*/_SUCCESS); version
+            # dirs and live scratch are not touched
+            jfs, _, jvm = fs._fs_and_path(self.spark, self.path)
+            for name in fs.list_child_names(self.spark, self.path):
+                if fs._is_version_name(name) or name.startswith("__building."):
+                    continue
+                jfs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{self.path.rstrip('/')}/{name}"
+                    ),
+                    True,
+                )
 
     # -- write --------------------------------------------------------------
     def store(self, batch: DataFrame, mode: str = "upsert") -> None:
@@ -120,6 +184,12 @@ class MetricsStore:
             # then nests the compacted layout into — and a crashed swap's
             # window must heal before the append (round-8 convention).
             with fs.maintenance_lease(self.spark, self.path):
+                if self._is_versioned():
+                    existing = self.read()
+                    self._commit_full(
+                        existing.unionByName(batch.select(existing.columns))
+                    )
+                    return
                 fs.recover_swap(self.spark, self.path)
                 (batch.write.mode("append").partitionBy("date").parquet(self.path))
             return
@@ -134,7 +204,8 @@ class MetricsStore:
         with fs.maintenance_lease(self.spark, self.path):
             fs.recover_swap(self.spark, self.path)
             merged = batch
-            if fs.dir_nonempty(self.spark, self.path):
+            untouched = None
+            if fs.dir_nonempty(self.spark, self._root()):
                 existing = self.read()
                 # Only days present in the batch can change; restrict the
                 # merge input so the shuffle is sized by the batch, not
@@ -142,6 +213,9 @@ class MetricsStore:
                 batch_dates = batch.select("date").distinct()
                 relevant = existing.join(
                     F.broadcast(batch_dates), "date", "left_semi"
+                )
+                untouched = existing.join(
+                    F.broadcast(batch_dates), "date", "left_anti"
                 )
                 both = relevant.select(batch.columns).unionByName(batch)
                 resummed = both.groupBy(*METRIC_KEY_COLS).agg(
@@ -155,6 +229,14 @@ class MetricsStore:
                 )
                 merged = with_derived_metrics(resummed).select(batch.columns)
 
+            if self._is_versioned():
+                # snapshot layout: the next version carries untouched
+                # days + the merged days, committed with one rename
+                full = merged
+                if untouched is not None:
+                    full = untouched.select(merged.columns).unionByName(merged)
+                self._commit_full(full)
+                return
             # dynamic partitionOverwriteMode (session.py) ⇒ only the date
             # partitions present in `merged` are replaced.
             merged.write.partitionBy("date").mode("overwrite").parquet(self.path)
@@ -175,9 +257,17 @@ class MetricsStore:
         """
         with fs.maintenance_lease(self.spark, self.path):
             fs.recover_swap(self.spark, self.path)
-            if not fs.dir_nonempty(self.spark, self.path):
+            root = self._root()
+            if not fs.dir_nonempty(self.spark, root):
                 return (0, 0)
-            before = fs.count_files(self.spark, self.path)
+            before = fs.count_files(self.spark, root)
+            if self._is_versioned():
+                # compaction is a full rewrite anyway: it simply becomes
+                # the next committed version — no swap window at all
+                self._commit_full(
+                    self.spark.read.parquet(root).repartition("date")
+                )
+                return (before, fs.count_files(self.spark, self._root()))
             tmp = self.path.rstrip("/") + "__compacting"
             (
                 self.spark.read.parquet(self.path)
@@ -197,6 +287,17 @@ class MetricsStore:
         """
         # leased + healed, same rationale as the append path above
         with fs.maintenance_lease(self.spark, self.path):
+            if self._is_versioned():
+                full = batch
+                if fs.dir_nonempty(self.spark, self._root()):
+                    existing = self.read()
+                    batch_dates = batch.select("date").distinct()
+                    keep = existing.join(
+                        F.broadcast(batch_dates), "date", "left_anti"
+                    )
+                    full = keep.select(batch.columns).unionByName(batch)
+                self._commit_full(full)
+                return
             fs.recover_swap(self.spark, self.path)
             batch.write.partitionBy("date").mode("overwrite").parquet(self.path)
 
@@ -223,7 +324,7 @@ def backfill_missing_dates(
     if store.exists():
         have = {
             d.split("=", 1)[1]
-            for d in fs.list_child_names(store.spark, store.path)
+            for d in fs.list_child_names(store.spark, store._root())
             if d.startswith("date=")
         }
     missing = sorted(set(source_dates) - have)

