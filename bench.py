@@ -225,7 +225,11 @@ def main():
     total_best3 = 0.0
     for name in names:
         fn = CATALOG[name].fn
-        times = [run_once(fn) for _ in range(reps)]
+        # one probe rep first, then extend to the runtime-scaled target:
+        # identical totals to the old fixed-initial-5 for every tier that
+        # targets >= reps, but tens-of-seconds queries (deep BPE, high-sf
+        # subset runs) stop at their 2-rep cap instead of paying 5
+        times = [run_once(fn)]
         while len(times) < target_reps(min(times)):
             times.append(run_once(fn))
         best = min(times)
