@@ -188,9 +188,16 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
 
 
 def lsh_topk(
-    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, n_planes: int = 8
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 8,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket.
+    ``query_vec``: external embedding — bucketed by the same plane
+    expressions as the corpus (the hash is deterministic, so an external
+    query lands exactly where a stored copy of it would).
 
     At scale the bucket column is pre-materialized + bucketed on disk, so
     this becomes a pruned read of ~corpus/2^planes vectors instead of a
@@ -199,12 +206,14 @@ def lsh_topk(
     t = _as_double(embeddings, "v").withColumn(
         "bucket", F.expr(lsh_bucket_expr("v", n_planes))
     )
+    qf, qid = _query_source(embeddings, query_vec_id, query_vec)
     q = (
-        t.filter(F.col("vec_id") == query_vec_id)
+        _as_double(qf, "v")
+        .withColumn("bucket", F.expr(lsh_bucket_expr("v", n_planes)))
         .selectExpr("v AS q", "bucket AS qbucket")
     )
     cands = t.join(F.broadcast(q), F.col("bucket") == F.col("qbucket")).filter(
-        F.col("vec_id") != query_vec_id
+        F.col("vec_id") != qid
     )
     scored = with_cosine(cands)
     return (
@@ -563,11 +572,13 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     assignments: DataFrame | None = None,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF probe: rank centroids by similarity to the
     query, scan only the ``n_probe`` nearest inverted lists, exact cosine
     within.  Complements the LSH path: IVF recall degrades gracefully with
     n_probe (tunable at query time), LSH with plane count (fixed at write).
+    ``query_vec``: external embedding via the shared literal-frame seam.
 
     Pass ``assignments`` — a (vec_id, centroid_id) frame, canonically
     ``spark.read.parquet`` over a ``write_ivf_index`` output — to skip the
@@ -584,7 +595,8 @@ def ivf_topk(
     cents = _as_double(embeddings.filter(F.col("vec_id") < n_centroids), "c").selectExpr(
         "vec_id AS centroid_id", "c"
     )
-    q = _as_double(embeddings.filter(F.col("vec_id") == query_vec_id), "q").select("q")
+    qf, qid = _query_source(embeddings, query_vec_id, query_vec)
+    q = _as_double(qf, "q").select("q")
     probe = (
         with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
         .orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
@@ -595,7 +607,7 @@ def ivf_topk(
     cands = (
         t.join(assign, "vec_id")
         .join(F.broadcast(probe), "centroid_id")
-        .filter(F.col("vec_id") != query_vec_id)
+        .filter(F.col("vec_id") != qid)
     )
     scored = with_cosine(cands.crossJoin(F.broadcast(q)))
     return (

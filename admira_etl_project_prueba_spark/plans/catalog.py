@@ -3437,6 +3437,46 @@ def _q_ivfpq_rerank_queryvec(spark, sf_dir):
     )
 
 
+@_entry(
+    "ann_lsh_topk_queryvec",
+    "LSH bucket probe for an EXTERNAL query embedding: the literal is "
+    "bucketed by the same deterministic plane expressions as the corpus "
+    "(it lands exactly where a stored copy would), then exact cosine "
+    "within its bucket — completes query_vec across every ANN path.",
+    f"""WITH t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings),
+tb AS (SELECT vec_id, label, v, {_duck_bucket('v')} AS bucket FROM t),
+q AS (SELECT q, {_duck_bucket('q')} AS qbucket FROM (SELECT {_DUCK_QV} AS q)),
+scored AS (
+  SELECT vec_id, label, bucket,
+         CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('v')} > 0
+              THEN {_duck_dot('q', 'v')} / ({_duck_norm('q')} * {_duck_norm('v')})
+              ELSE 0.0 END AS cosine
+  FROM tb, q WHERE bucket = qbucket AND vec_id <> -1
+)
+SELECT * FROM scored ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def _q_lsh_topk_queryvec(spark, sf_dir):
+    return _sim.lsh_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec=_QUERY_VEC
+    )
+
+
+@_entry(
+    "ann_ivf_topk_queryvec",
+    "IVF probe for an EXTERNAL query embedding: centroid ranking and "
+    "within-list exact cosine both read the inlined literal — the "
+    "raw-vector sibling of ann_ivfpq_topk_queryvec.",
+    _IVF_TOPK_SQL.replace(
+        "q AS (SELECT v AS q FROM t WHERE vec_id = 0)",
+        f"q AS (SELECT {_DUCK_QV} AS q)",
+    ).replace("WHERE t.vec_id <> 0", "WHERE t.vec_id <> -1"),
+)
+def _q_ivf_topk_queryvec(spark, sf_dir):
+    return _sim.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec=_QUERY_VEC
+    )
+
+
 _DUCK_IVFPQ_RES_SQL = (
     _duck_pq_ctes(residual=True)
     + f""",

@@ -95,6 +95,8 @@ NESTED_LOOP_ALLOWED = {
     "ann_pq_topk_normalized",     # 1-row query distance-table broadcast
     "pq_codebooks_sampled",       # model-sized codebook broadcast per Lloyd round
     "pq_codes_sampled_train",     # same broadcast in the frozen-model encode
+    "ann_lsh_topk_queryvec",      # 1-row literal query broadcast into its bucket
+    "ann_ivf_topk_queryvec",      # 1-row literal query + n_probe probe list
 }
 
 # Queries whose single-partition window sort is the INTENDED exact form:
