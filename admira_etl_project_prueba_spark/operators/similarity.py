@@ -2279,6 +2279,98 @@ def merge_ivfpq_index(spark, path: str, new_embeddings: DataFrame) -> None:
         )
 
 
+def ivfpq_topk_batch(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    query_vecs: list[list[float]] | None = None,
+) -> DataFrame:
+    """BATCHED IVF-PQ serving: top-k for each of ``n_queries`` stored
+    vectors (or each vector in ``query_vecs`` — an external batch,
+    query_id = -1, -2, …) through ONE pass of the code store — the
+    amortization that makes compressed ANN serve throughput at scale:
+    the m·ksub·|batch| distance tables and the per-query probe lists are
+    model-sized broadcasts, each code row is read once and replicated
+    only to the queries probing its list, and the per-query ranking is a
+    bounded window (≤ probed candidates per query, never the corpus).
+
+    Per-query results are IDENTICAL to :func:`ivfpq_topk` (same
+    training, probe, ADC fold, ties) — batching changes the execution
+    shape, not the answers (pytest-pinned).  Returns (query_id, vec_id,
+    label, centroid_id, adc_dist2, rnk), rnk 1-based per query."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    if query_vecs is not None:
+        qframe = None
+        for i, vec in enumerate(query_vecs):
+            row = literal_query_frame(spark, vec).selectExpr(
+                f"CAST({-(i + 1)} AS BIGINT) AS query_id",
+                "label",
+                "embedding",
+            )
+            qframe = row if qframe is None else qframe.unionByName(row)
+        qframe = qframe.selectExpr(
+            "query_id AS vec_id", "label", "embedding"
+        )
+    else:
+        qframe = embeddings.filter(F.col("vec_id") < n_queries)
+    qsub = _pq_subvectors(qframe, m).selectExpr(
+        "vec_id AS query_id", "subspace", "sv AS qv"
+    )
+    q = _as_double(qframe, "q").selectExpr("vec_id AS query_id", "q")
+    cents = _as_double(
+        embeddings.filter(F.col("vec_id") < n_centroids), "c"
+    ).selectExpr("vec_id AS centroid_id", "c")
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("centroid_id").asc()
+    )
+    probe = (
+        with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
+        .withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    codebooks = pq_codebooks_wide(embeddings, m, ksub, iters)
+    codes = pq_codes(embeddings, m, ksub, iters, codebooks=codebooks).join(
+        ivf_assign(embeddings, n_centroids).select("vec_id", "centroid_id"),
+        "vec_id",
+    )
+    dtable = codebooks.join(F.broadcast(qsub), "subspace").select(
+        "query_id",
+        "subspace",
+        F.col("code_id").alias("code"),
+        F.expr(_d2("qv", "c")).alias("dt"),
+    )
+    looked = (
+        codes.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+    )
+    adc = looked.groupBy("query_id", "vec_id", "label", "centroid_id").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(subspace, dt))), "
+            "x -> x.dt), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("adc_dist2")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "vec_id", "label", "centroid_id", "adc_dist2",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def _rp_signs(out_dim: int, in_dim: int = DIM) -> list[list[int]]:
     """Deterministic ±1 sign matrix (Achlioptas-style database-friendly
     random projection): sign(i, j) from an LCG on the flat index — no RNG

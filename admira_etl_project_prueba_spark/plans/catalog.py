@@ -3477,6 +3477,62 @@ def _q_ivf_topk_queryvec(spark, sf_dir):
     )
 
 
+@_entry(
+    "ann_ivfpq_topk_batch",
+    "BATCHED IVF-PQ serving: top-5 for each of the first 8 vectors "
+    "through ONE pass of the code store — per-query distance tables and "
+    "probe lists are model-sized broadcasts, each code row is read once "
+    "and replicated only to the queries probing its list; per-query "
+    "results identical to the single-query operator (pytest-pinned).",
+    _duck_pq_ctes()
+    + f""",
+q0 AS (SELECT vec_id AS query_id, v FROM t WHERE vec_id < 8),
+qsub AS (
+  SELECT query_id, s - 1 AS subspace, v[(s - 1) * 16 + 1 : s * 16] AS qv
+  FROM (SELECT query_id, v, unnest(generate_series(1, 4)) AS s FROM q0)),
+cents AS (SELECT vec_id AS centroid_id, v AS c FROM t WHERE vec_id < 16),
+cassign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT t.vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+             CASE WHEN {_duck_norm('c')} > 0 AND {_duck_norm('v')} > 0
+                  THEN {_duck_dot('c', 'v')} / ({_duck_norm('c')} * {_duck_norm('v')})
+                  ELSE 0.0 END DESC, centroid_id) AS _r
+    FROM t, cents)
+  WHERE _r = 1),
+probe AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q0.query_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q0.query_id ORDER BY
+             CASE WHEN {_duck_norm('v')} > 0 AND {_duck_norm('c')} > 0
+                  THEN {_duck_dot('v', 'c')} / ({_duck_norm('v')} * {_duck_norm('c')})
+                  ELSE 0.0 END DESC, centroid_id) AS _r
+    FROM q0, cents)
+  WHERE _r <= 4),
+dtab AS (
+  SELECT query_id, b.subspace, CAST(b.code_id AS INT) AS code,
+         {_DUCK_PQ_SD2} AS dt
+  FROM b1 b JOIN qsub ON b.subspace = qsub.subspace),
+adc AS (
+  SELECT d.query_id, codes.vec_id, codes.label, ca.centroid_id,
+         list_sum(array_agg(dt ORDER BY codes.subspace)) AS adc_dist2
+  FROM codes
+  JOIN cassign ca ON codes.vec_id = ca.vec_id
+  JOIN probe p ON p.centroid_id = ca.centroid_id
+  JOIN dtab d ON d.query_id = p.query_id
+             AND d.subspace = codes.subspace AND d.code = codes.code
+  WHERE codes.vec_id <> p.query_id
+  GROUP BY d.query_id, codes.vec_id, codes.label, ca.centroid_id)
+SELECT query_id, vec_id, label, centroid_id, adc_dist2,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist2 ASC, vec_id) AS INT) AS rnk
+FROM adc
+QUALIFY rnk <= 5""",
+)
+def _q_ivfpq_topk_batch(spark, sf_dir):
+    return _sim.ivfpq_topk_batch(_t(spark, sf_dir, "embeddings"))
+
+
 _DUCK_IVFPQ_RES_SQL = (
     _duck_pq_ctes(residual=True)
     + f""",

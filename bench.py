@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "bpe_learned_merges",
     "bpe_encode_stats",
     "bpe_learned_merges_deep",
+    "ann_ivfpq_topk_batch",
 ]
 
 

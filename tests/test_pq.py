@@ -647,6 +647,41 @@ def test_similar_by_vector_external_query(spark, sf_dir, embeddings, tmp_path):
     assert top[0]["vec_id"] == 7
 
 
+def test_ivfpq_batch_equals_per_query(spark, embeddings):
+    """Batched IVF-PQ == the single-query operator run per query, for
+    every query in the batch (same training, probe, fold, ties); and an
+    EXTERNAL batch (query_vecs) matches per-vector query_vec calls under
+    the negative query_id convention."""
+    batch = {
+        (r["query_id"], r["rnk"]): (r["vec_id"], r["adc_dist2"])
+        for r in similarity.ivfpq_topk_batch(embeddings, n_queries=4, k=5).collect()
+    }
+    for qid in range(4):
+        single = similarity.ivfpq_topk(embeddings, query_vec_id=qid, k=5).collect()
+        for rnk, row in enumerate(single, start=1):
+            assert batch[(qid, rnk)] == (row["vec_id"], row["adc_dist2"]), (
+                qid, rnk
+            )
+
+    vecs = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.filter(F.col("vec_id").isin([20, 21])).orderBy("vec_id").collect()
+    ]
+    ext = {
+        (r["query_id"], r["rnk"]): r["vec_id"]
+        for r in similarity.ivfpq_topk_batch(
+            embeddings, k=3, query_vecs=vecs
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        single = similarity.ivfpq_topk(embeddings, k=3, query_vec=v).collect()
+        for rnk, row in enumerate(single, start=1):
+            assert ext[(-(i + 1), rnk)] == row["vec_id"]
+    # external queries exclude nothing: the stored copies of the batch
+    # vectors are findable (each query IS vec 20/21, ADC-minimal)
+    assert ext[(-1, 1)] == 20 and ext[(-2, 1)] == 21
+
+
 def test_ivfpq_rerank_exactness_and_bounds(embeddings):
     """Rerank returns EXACT cosines (each equals the brute-force score
     for that vector); with a full probe and a corpus-sized shortlist the

@@ -97,6 +97,7 @@ NESTED_LOOP_ALLOWED = {
     "pq_codes_sampled_train",     # same broadcast in the frozen-model encode
     "ann_lsh_topk_queryvec",      # 1-row literal query broadcast into its bucket
     "ann_ivf_topk_queryvec",      # 1-row literal query + n_probe probe list
+    "ann_ivfpq_topk_batch",       # 8-row query batch + per-query probe lists broadcast
 }
 
 # Queries whose single-partition window sort is the INTENDED exact form:
