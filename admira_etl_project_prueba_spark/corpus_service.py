@@ -397,6 +397,77 @@ class CorpusService:
             "request_id": new_request_id(request_id),
         }
 
+    def similar_by_vectors(
+        self,
+        query_vecs,
+        k: int = 5,
+        mode: str = "pq",
+        request_id: str | None = None,
+    ) -> dict:
+        """BATCHED external-embedding ANN (POST /corpus/similar with
+        ``query_vecs``): N query embeddings served through ONE pass of
+        the persisted IVF-PQ store's pruned code partitions
+        (:func:`operators.similarity.ivfpq_topk_batch_from_index`) —
+        the throughput shape; per-query results equal N single calls.
+        Only ``mode=pq`` is offered: batching exists to amortize the
+        code-store scan, which the exact and rerank tiers don't share —
+        anything else is a 400, never a silent downgrade.  Queries are
+        numbered query_id = -1, -2, … in request order.  Batch size
+        capped at 64 (a bigger batch belongs in a bulk job, not a
+        request)."""
+        import math
+
+        if mode != "pq":
+            raise ValidationError(
+                f"invalid mode for batch: {mode!r} (batch serving is pq-only)"
+            )
+        dim = similarity.DIM
+        if (
+            not isinstance(query_vecs, (list, tuple))
+            or not query_vecs
+            or len(query_vecs) > 64
+            or not all(
+                isinstance(v, (list, tuple))
+                and len(v) == dim
+                and all(
+                    isinstance(x, (int, float)) and not isinstance(x, bool)
+                    and math.isfinite(x)
+                    for x in v
+                )
+                for v in query_vecs
+            )
+        ):
+            raise ValidationError(
+                f"query_vecs must be 1-64 lists of {dim} finite numbers"
+            )
+        if self.embeddings is None:
+            raise ValidationError("service has no embeddings corpus")
+        if self.pq_index_path is None:
+            raise ValidationError("mode=pq requires a configured pq_index_path")
+        if not self._pq_index_ready():
+            raise ValidationError(
+                f"pq index at {self.pq_index_path} is not written yet"
+            )
+        if k is None or k <= 0:
+            k = 5  # silent clamp, like limit/offset
+        rows = similarity.ivfpq_topk_batch_from_index(
+            self.spark,
+            self.embeddings,
+            self.pq_index_path,
+            k=k,
+            query_vecs=[[float(x) for x in v] for v in query_vecs],
+        ).collect()
+        by_query: dict[int, list] = {}
+        for r in rows:
+            by_query.setdefault(int(r["query_id"]), []).append(r.asDict())
+        return {
+            "n_queries": len(query_vecs),
+            "method": "ivfpq_index_batch",
+            # request order: query i is query_id -(i+1)
+            "data": [by_query.get(-(i + 1), []) for i in range(len(query_vecs))],
+            "request_id": new_request_id(request_id),
+        }
+
     def _heal_crashed_swap(self, path: str, lease_root: str | None = None) -> None:
         """Crash-window recovery for the READ paths: cheap unlocked probe
         (two exists RPCs), then the lease-guarded heal.  The in-process

@@ -2371,6 +2371,91 @@ def ivfpq_topk_batch(
     )
 
 
+def ivfpq_topk_batch_from_index(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    n_queries: int = 8,
+    k: int = 5,
+    n_probe: int = 4,
+    query_vecs: list[list[float]] | None = None,
+) -> DataFrame:
+    """Batched IVF-PQ serving from the PERSISTED store — the production
+    throughput shape: N queries amortize one scan of the pruned code
+    partitions (the union of every query's probe lists), with all
+    query-side state (distance tables, probe lists) model-sized
+    broadcasts.  Stored-vector queries point-read the corpus once for
+    the batch; an external ``query_vecs`` batch touches ONLY store
+    bytes.  Honors the store's ``normalized`` manifest flag.  Per-query
+    results identical to :func:`ivfpq_topk_from_index` /
+    :func:`ivfpq_topk_batch` (same models, probe, fold, ties).
+    Returns (query_id, vec_id, label, centroid_id, adc_dist2, rnk)."""
+    from pyspark.sql import Window
+
+    codes_path, cb_path, cent_path, man_path = pq_resolved_paths(
+        spark, index_path
+    )
+    man = spark.read.parquet(man_path).first()
+    m = int(man["m"])
+    if query_vecs is not None:
+        qframe = None
+        for i, vec in enumerate(query_vecs):
+            row = literal_query_frame(spark, vec).selectExpr(
+                f"CAST({-(i + 1)} AS BIGINT) AS vec_id", "label", "embedding"
+            )
+            qframe = row if qframe is None else qframe.unionByName(row)
+    else:
+        qframe = embeddings.filter(F.col("vec_id") < n_queries)
+    if manifest_normalized(man):
+        qframe = normalize_embeddings(qframe)
+    qsub = _pq_subvectors(qframe, m).selectExpr(
+        "vec_id AS query_id", "subspace", "sv AS qv"
+    )
+    q = _as_double(qframe, "q").selectExpr("vec_id AS query_id", "q")
+    cents = spark.read.parquet(cent_path).selectExpr(
+        "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS c"
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("centroid_id").asc()
+    )
+    probe = (
+        with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
+        .withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    codebooks = spark.read.parquet(cb_path)
+    dtable = codebooks.join(F.broadcast(qsub), "subspace").select(
+        "query_id",
+        "subspace",
+        F.col("code_id").alias("code"),
+        F.expr(_d2("qv", "c")).alias("dt"),
+    )
+    looked = (
+        spark.read.parquet(codes_path)
+        .join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+    )
+    adc = looked.groupBy("query_id", "vec_id", "label", "centroid_id").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(subspace, dt))), "
+            "x -> x.dt), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("adc_dist2")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "vec_id", "label", "centroid_id", "adc_dist2",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def _rp_signs(out_dim: int, in_dim: int = DIM) -> list[list[int]]:
     """Deterministic ±1 sign matrix (Achlioptas-style database-friendly
     random projection): sign(i, j) from an LCG on the flat index — no RNG

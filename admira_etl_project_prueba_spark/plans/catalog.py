@@ -3477,13 +3477,7 @@ def _q_ivf_topk_queryvec(spark, sf_dir):
     )
 
 
-@_entry(
-    "ann_ivfpq_topk_batch",
-    "BATCHED IVF-PQ serving: top-5 for each of the first 8 vectors "
-    "through ONE pass of the code store — per-query distance tables and "
-    "probe lists are model-sized broadcasts, each code row is read once "
-    "and replicated only to the queries probing its list; per-query "
-    "results identical to the single-query operator (pytest-pinned).",
+_DUCK_IVFPQ_BATCH_SQL = (
     _duck_pq_ctes()
     + f""",
 q0 AS (SELECT vec_id AS query_id, v FROM t WHERE vec_id < 8),
@@ -3527,10 +3521,37 @@ SELECT query_id, vec_id, label, centroid_id, adc_dist2,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY adc_dist2 ASC, vec_id) AS INT) AS rnk
 FROM adc
-QUALIFY rnk <= 5""",
+QUALIFY rnk <= 5"""
+)
+
+
+@_entry(
+    "ann_ivfpq_topk_batch",
+    "BATCHED IVF-PQ serving: top-5 for each of the first 8 vectors "
+    "through ONE pass of the code store — per-query distance tables and "
+    "probe lists are model-sized broadcasts, each code row is read once "
+    "and replicated only to the queries probing its list; per-query "
+    "results identical to the single-query operator (pytest-pinned).",
+    _DUCK_IVFPQ_BATCH_SQL,
 )
 def _q_ivfpq_topk_batch(spark, sf_dir):
     return _sim.ivfpq_topk_batch(_t(spark, sf_dir, "embeddings"))
+
+
+@_entry(
+    "ann_ivfpq_batch_indexed",
+    "The batched IVF-PQ server over the PERSISTED store: N queries "
+    "amortize one scan of the union of their pruned code partitions — "
+    "identical per-query results to the self-computing batch (same "
+    "frozen models), so it shares that oracle.",
+    # same oracle as ann_ivfpq_topk_batch: the persisted store's frozen
+    # models equal the inline training over the same corpus
+    _DUCK_IVFPQ_BATCH_SQL,
+)
+def _q_ivfpq_batch_indexed(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_index_path(spark, sf_dir)
+    return _sim.ivfpq_topk_batch_from_index(spark, e, path)
 
 
 _DUCK_IVFPQ_RES_SQL = (

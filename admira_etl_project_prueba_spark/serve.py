@@ -31,7 +31,8 @@ param):
     GET  /corpus/index_health   (index maintenance: fan-out, skew, triggers)
     POST /corpus/assemble?train_pct=&salt=
     POST /corpus/similar   (JSON body {"query_vec": [...], "k":, "mode":} —
-         external-embedding ANN; k/mode fall back to query params)
+         external-embedding ANN; k/mode fall back to query params; or
+         {"query_vecs": [[...], ...]} for the BATCHED pq-only form)
 
 Status mapping preserved: ValidationError → 400, EmptyExportError /
 NotFoundError → 404, anything else → 500 with the error string.  The
@@ -329,6 +330,23 @@ def make_handler(svc: MetricsService, corpus=None):
                     k = body.get("k", _int(qs, "k", 10))
                     if not isinstance(k, int) or isinstance(k, bool):
                         raise ValidationError(f"invalid k: {k!r}")
+                    if "query_vecs" in body:
+                        # batched form — exactly one of the two keys
+                        if "query_vec" in body:
+                            raise ValidationError(
+                                "give query_vec OR query_vecs, not both"
+                            )
+                        return self._send(
+                            200,
+                            corpus.similar_by_vectors(
+                                query_vecs=body.get("query_vecs"),
+                                k=k,
+                                mode=body.get(
+                                    "mode", _first(qs, "mode") or "pq"
+                                ),
+                                request_id=rid,
+                            ),
+                        )
                     mode = body.get("mode", _first(qs, "mode") or "auto")
                     return self._send(
                         200,

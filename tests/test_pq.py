@@ -682,6 +682,46 @@ def test_ivfpq_batch_equals_per_query(spark, embeddings):
     assert ext[(-1, 1)] == 20 and ext[(-2, 1)] == 21
 
 
+def test_similar_by_vectors_batch_route(spark, sf_dir, embeddings, tmp_path):
+    """The batched external-query service method: per-query results
+    equal single-query calls, responses come back in request order, and
+    the strict-validation contract holds (pq-only mode, 1-64 vectors,
+    no store → 400)."""
+    from admira_etl_project_prueba_spark.corpus_service import CorpusService
+    from admira_etl_project_prueba_spark.service import ValidationError as VE
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.filter(F.col("vec_id").isin([5, 9]))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    path = str(tmp_path / "svc_batch_pq")
+    svc_nostore = CorpusService(spark, documents=docs, embeddings=embeddings)
+    with pytest.raises(VE, match="pq_index_path"):
+        svc_nostore.similar_by_vectors(vecs)
+    similarity.write_ivfpq_index(embeddings, path)
+    svc = CorpusService(
+        spark, documents=docs, embeddings=embeddings, pq_index_path=path
+    )
+    with pytest.raises(VE, match="batch"):
+        svc.similar_by_vectors(vecs, mode="auto")
+    for bad in ([], [[0.5] * 3], [vecs[0]] * 65, "nope"):
+        with pytest.raises(VE, match="query_vecs"):
+            svc.similar_by_vectors(bad)
+
+    r = svc.similar_by_vectors(vecs, k=4)
+    assert r["method"] == "ivfpq_index_batch" and r["n_queries"] == 2
+    assert len(r["data"]) == 2
+    for i, v in enumerate(vecs):
+        single = svc.similar_by_vector(v, k=4, mode="pq")["data"]
+        got = [(row["vec_id"], row["adc_dist2"]) for row in r["data"][i]]
+        want = [(row["vec_id"], row["adc_dist2"]) for row in single]
+        assert got == want, i
+
+
 def test_ivfpq_rerank_exactness_and_bounds(embeddings):
     """Rerank returns EXACT cosines (each equals the brute-force score
     for that vector); with a full probe and a corpus-sized shortlist the

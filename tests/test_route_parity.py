@@ -71,6 +71,14 @@ CORPUS_ROUTES = {
         },
         {"query_vec": _QV, "k": 4, "mode": "pq_rerank"},
     ),
+    "similar_by_vectors": (
+        "POST", "/corpus/similar",
+        {
+            "query_vecs": [_QV, _QV], "k": 3, "mode": "pq",
+            "request_id": RID,
+        },
+        {"query_vecs": [_QV, _QV], "k": 3, "mode": "pq"},
+    ),
     "importance_weights": (
         "GET", "/corpus/weights?target_lang=es&limit=7",
         {"target_lang": "es", "limit": 7, "request_id": RID},
@@ -269,7 +277,13 @@ def test_post_similar_body_validation_is_400(parity_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req)
     assert ei.value.code == 400
+    # giving both keys is ambiguous — 400, no dispatch to either method
+    assert _call(
+        base, "POST", "/corpus/similar",
+        {"query_vec": _QV, "query_vecs": [_QV]},
+    )[0] == 400
     assert "similar_by_vector" not in corpus.calls
+    assert "similar_by_vectors" not in corpus.calls
 
 
 def test_index_retrain_invalid_n_centroids_is_400(parity_server):

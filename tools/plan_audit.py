@@ -98,6 +98,7 @@ NESTED_LOOP_ALLOWED = {
     "ann_lsh_topk_queryvec",      # 1-row literal query broadcast into its bucket
     "ann_ivf_topk_queryvec",      # 1-row literal query + n_probe probe list
     "ann_ivfpq_topk_batch",       # 8-row query batch + per-query probe lists broadcast
+    "ann_ivfpq_batch_indexed",    # same shape over the persisted code store
 }
 
 # Queries whose single-partition window sort is the INTENDED exact form:
