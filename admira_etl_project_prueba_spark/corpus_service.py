@@ -460,6 +460,12 @@ class CorpusService:
         by_query: dict[int, list] = {}
         for r in rows:
             by_query.setdefault(int(r["query_id"]), []).append(r.asDict())
+        # collect() order is whatever the last shuffle produced — the
+        # rows carry rnk, but nothing guarantees they ARRIVE ranked; at
+        # scale (AQE re-plans) the per-query lists would come back
+        # unordered.  Sort each list explicitly.
+        for hits in by_query.values():
+            hits.sort(key=lambda h: h["rnk"])
         return {
             "n_queries": len(query_vecs),
             "method": "ivfpq_index_batch",

@@ -298,6 +298,7 @@ def fold_whole_store(
         merged = build_merged(prev)
         out = merged.coalesce(1) if coalesce1 else merged
         if versioned or has_versions:
+            was_flat = not has_versions and prev is not None
             clean_version_scratch(spark, path)
             tmp = version_scratch(path)
             w = out.write.mode("overwrite")
@@ -305,6 +306,25 @@ def fold_whole_store(
                 w = w.partitionBy(partition_by)
             w.parquet(tmp)
             commit_version(spark, path, tmp)
+            if was_flat:
+                # one-time flat→versioned transition: sweep the
+                # pre-migration flat files (mirrors MetricsStore.
+                # _commit_full) — a legacy reader of the bare path would
+                # otherwise see stale data forever and the space is
+                # never reclaimed.  Version dirs and live scratch are
+                # not touched.
+                jfs, _, jvm = _fs_and_path(spark, path)
+                for name in list_child_names(spark, path):
+                    if _is_version_name(name) or name.startswith(
+                        "__building."
+                    ):
+                        continue
+                    jfs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{path.rstrip('/')}/{name}"
+                        ),
+                        True,
+                    )
         elif prev is None:
             w = out.write.mode("overwrite")
             if partition_by:

@@ -1650,6 +1650,16 @@ def pq_model_fingerprint(spark, index_path: str) -> str:
     so partitioning, file layout, and row order cannot change it.  Cost
     is a model-sized read (m·ksub + n_centroids rows)."""
     _, cb_path, cent_path, _ = pq_resolved_paths(spark, index_path)
+    return pq_model_fingerprint_from_paths(spark, cb_path, cent_path)
+
+
+def pq_model_fingerprint_from_paths(spark, cb_path: str, cent_path: str) -> str:
+    """:func:`pq_model_fingerprint` over ALREADY-RESOLVED model paths.
+    The encode hot path must stamp the SAME snapshot it encoded against:
+    re-resolving the store's current version between encode and stamp is
+    a TOCTOU — a retrain committing in that window would stamp old-model
+    codes with the NEW fingerprint, making the fold accept exactly the
+    stale codes the guard exists to reject."""
     rows = (
         spark.read.parquet(cb_path)
         .selectExpr("xxhash64('cb', subspace, code_id, CAST(c AS STRING)) AS h")

@@ -327,7 +327,12 @@ def make_handler(svc: MetricsService, corpus=None):
                     # k/mode fall back to query params so curl one-liners
                     # can keep tuning in the URL
                     body = self._json_body()
-                    k = body.get("k", _int(qs, "k", 10))
+                    # the k fallback is PER FORM: the batched method
+                    # documents default k=5, the single form k=10 — a
+                    # shared fallback would silently hand batch callers
+                    # 10 hits per query
+                    k_default = 5 if "query_vecs" in body else 10
+                    k = body.get("k", _int(qs, "k", k_default))
                     if not isinstance(k, int) or isinstance(k, bool):
                         raise ValidationError(f"invalid k: {k!r}")
                     if "query_vecs" in body:

@@ -1261,8 +1261,13 @@ def stream_pq_encode(
         # was encoded against: a retrain landing between this encode and
         # the fold changes the fingerprint, so the fold can tell these
         # codes no longer match the store's codebooks (version names
-        # won't do — compaction flips the version with identical models)
-        model_fp = _sim.pq_model_fingerprint(spark, index_path)
+        # won't do — compaction flips the version with identical models).
+        # Fingerprint the RESOLVED cb/cent paths, not the store root: a
+        # retrain committing between this batch's resolve and the stamp
+        # would otherwise stamp old-model codes with the new fingerprint.
+        model_fp = _sim.pq_model_fingerprint_from_paths(
+            spark, cb_path, cent_path
+        )
         delta = (
             _sim.pq_codes(batch_df, m, ksub, codebooks=codebooks)
             .join(assign, "vec_id")
@@ -1361,16 +1366,36 @@ def _fold_codes_once(
     spark, _sim, index_path: str, codes_path: str, log_path: str, on_stale: str
 ) -> int:
     # pin the batch set FIRST: only these partitions are read below and
-    # only these are deleted after the append
-    pinned = spark.read.parquet(log_path)
+    # only these are deleted after the append.  mergeSchema=true: a log
+    # holding PRE-UPGRADE unstamped batches alongside stamped ones would
+    # otherwise take one random file's schema — either model_fp vanishes
+    # (stamped-but-stale batches fold unguarded) or legacy rows read as
+    # null and get misclassified as stale (never folded, or DELETED
+    # under on_stale='discard').  With the merged schema, legacy batches
+    # read as model_fp=null and fold UNCONDITIONALLY — null is "predates
+    # the guard", not "stale" — and are never in the discard set.
+    pinned = spark.read.option("mergeSchema", "true").parquet(log_path)
     stale_ids: list[int] = []
     if "model_fp" in pinned.columns:
         cur_fp = _sim.pq_model_fingerprint(spark, index_path)
         pairs = (
             pinned.select("batch_id", "model_fp").distinct().collect()
         )
-        batch_ids = sorted({r["batch_id"] for r in pairs if r["model_fp"] == cur_fp})
-        stale_ids = sorted({r["batch_id"] for r in pairs if r["model_fp"] != cur_fp})
+        batch_ids = sorted(
+            {
+                r["batch_id"]
+                for r in pairs
+                if r["model_fp"] is None or r["model_fp"] == cur_fp
+            }
+        )
+        stale_ids = sorted(
+            {
+                r["batch_id"]
+                for r in pairs
+                if r["model_fp"] is not None and r["model_fp"] != cur_fp
+            }
+            - set(batch_ids)
+        )
     else:
         batch_ids = [
             r["batch_id"]
@@ -1379,7 +1404,8 @@ def _fold_codes_once(
     n = 0
     if batch_ids:
         log = (
-            spark.read.parquet(log_path)
+            spark.read.option("mergeSchema", "true")
+            .parquet(log_path)
             .filter(F.col("batch_id").isin(batch_ids))
             .select("vec_id", "label", "subspace", "code", "centroid_id")
         )

@@ -390,6 +390,103 @@ def test_fold_model_stamp_guards_retrain(spark, embeddings, tmp_path):
     assert fold_encoded_codes(spark, path, log3) == len(rows)
 
 
+def test_fold_mixed_legacy_and_stamped_log(spark, embeddings, tmp_path):
+    """A log holding PRE-UPGRADE unstamped batches next to stamped ones
+    (the mid-upgrade state): without mergeSchema the read takes one
+    random file's schema — legacy rows either fold unguarded or read as
+    null model_fp and get classified STALE (never folded, or deleted
+    under discard).  The contract: null model_fp = legacy = fold
+    unconditionally, and legacy batches are NEVER in the discard set."""
+    import os
+
+    from admira_etl_project_prueba_spark.streaming.ingest import (
+        fold_encoded_codes,
+    )
+
+    base, batch = _split_corpus_for_merge(embeddings)
+    path = str(tmp_path / "pq_mixed")
+    similarity.write_ivfpq_index(base, path, versioned=True)
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]], r["label"])
+        for r in batch.collect()
+    ]
+    assert len(rows) >= 3
+    g0, g1, g2 = rows[0::3], rows[1::3], rows[2::3]
+    logs = [
+        _stream_batch_to_log(spark, tmp_path, g, path, f"mix{i}")
+        for i, g in enumerate((g0, g1, g2))
+    ]
+    mixed = str(tmp_path / "pq_log_mixed")
+    # batch 0: legacy (model_fp column absent from its files entirely)
+    (
+        spark.read.parquet(logs[0])
+        .drop("model_fp")
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(mixed)
+    )
+    # batch 1: stamped with the CURRENT fingerprint
+    (
+        spark.read.parquet(logs[1])
+        .withColumn("batch_id", F.lit(1).cast("long"))
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(mixed)
+    )
+    # batch 2: stamped with a STALE fingerprint (pre-retrain encode)
+    (
+        spark.read.parquet(logs[2])
+        .withColumn("model_fp", F.lit("stale.stale.0"))
+        .withColumn("batch_id", F.lit(2).cast("long"))
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(mixed)
+    )
+
+    # skip: legacy + current fold; stale stays in the log
+    assert fold_encoded_codes(spark, path, mixed) == len(g0) + len(g1)
+    assert sorted(
+        d for d in os.listdir(mixed) if d.startswith("batch_id=")
+    ) == ["batch_id=2"]
+    codes_path = similarity.pq_resolved_paths(spark, path)[0]
+    folded = {
+        r["vec_id"] for r in spark.read.parquet(codes_path).collect()
+    }
+    assert {vid for vid, _, _ in g0} <= folded
+    assert {vid for vid, _, _ in g1} <= folded
+    assert not ({vid for vid, _, _ in g2} & folded)
+
+    # discard: the stale batch is deleted, nothing new folds — and the
+    # (already-folded) legacy batch was never a discard candidate
+    assert fold_encoded_codes(spark, path, mixed, on_stale="discard") == 0
+    assert not [d for d in os.listdir(mixed) if d.startswith("batch_id=")]
+
+
+def test_stamp_pinned_to_encoded_snapshot(spark, embeddings, tmp_path):
+    """TOCTOU guard: the stamp must fingerprint the SAME resolved model
+    snapshot the batch was encoded against, not the store's current
+    version — a retrain committing between resolve and stamp would
+    otherwise mark old-model codes with the NEW fingerprint, defeating
+    the guard.  Pin by equality: fingerprint-from-resolved-paths of the
+    old version stays the old fingerprint after a retrain commits."""
+    base, _ = _split_corpus_for_merge(embeddings)
+    path = str(tmp_path / "pq_toctou")
+    similarity.write_ivfpq_index(base, path, versioned=True)
+    _, cb1, cent1, _ = similarity.pq_resolved_paths(spark, path)
+    fp1 = similarity.pq_model_fingerprint(spark, path)
+    assert (
+        similarity.pq_model_fingerprint_from_paths(spark, cb1, cent1) == fp1
+    )
+    # retrain commits a NEW version: the store fingerprint moves, the
+    # pinned-snapshot fingerprint (what the encode stamps) does not
+    similarity.write_ivfpq_index(base, path, versioned=True, iters=2)
+    assert similarity.pq_model_fingerprint(spark, path) != fp1
+    assert (
+        similarity.pq_model_fingerprint_from_paths(spark, cb1, cent1) == fp1
+    )
+
+
 def test_fold_retries_on_vanished_partition(
     spark, embeddings, tmp_path, monkeypatch
 ):
@@ -720,6 +817,10 @@ def test_similar_by_vectors_batch_route(spark, sf_dir, embeddings, tmp_path):
         got = [(row["vec_id"], row["adc_dist2"]) for row in r["data"][i]]
         want = [(row["vec_id"], row["adc_dist2"]) for row in single]
         assert got == want, i
+        # per-query lists are EXPLICITLY rank-ordered — collect() order
+        # is shuffle-incidental and must not be what callers rely on
+        rnks = [row["rnk"] for row in r["data"][i]]
+        assert rnks == sorted(rnks) == list(range(1, len(rnks) + 1))
 
 
 def test_ivfpq_rerank_exactness_and_bounds(embeddings):

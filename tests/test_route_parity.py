@@ -286,6 +286,19 @@ def test_post_similar_body_validation_is_400(parity_server):
     assert "similar_by_vectors" not in corpus.calls
 
 
+def test_post_similar_k_default_is_per_form(parity_server):
+    """A body without k must get each METHOD's documented default — 10
+    for the single form, 5 for the batched form — not one shared route
+    fallback that silently hands batch callers 10 hits per query."""
+    base, _, corpus = parity_server
+    assert _call(base, "POST", "/corpus/similar", {"query_vec": _QV})[0] == 200
+    assert corpus.calls["similar_by_vector"]["k"] == 10
+    assert _call(
+        base, "POST", "/corpus/similar", {"query_vecs": [_QV]}
+    )[0] == 200
+    assert corpus.calls["similar_by_vectors"]["k"] == 5
+
+
 def test_index_retrain_invalid_n_centroids_is_400(parity_server):
     """_int()-style silent default would map garbage to a DESTRUCTIVE
     centroid count; the route must 400 on unparseable or < 1 values and

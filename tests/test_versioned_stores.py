@@ -129,6 +129,52 @@ def _events(spark, n, shift=0):
     )
 
 
+def test_fold_whole_store_flat_migration_sweeps_remnants(spark, tmp_path):
+    """fold_whole_store with versioned=True on an EXISTING flat payload
+    (the opt-in migration) must sweep the old flat parquet files after
+    committing v1 — mirroring MetricsStore._commit_full — or a legacy
+    reader of the bare path sees stale data forever and the space is
+    never reclaimed.  The merged payload must still have SEEN the flat
+    rows (migration folds, it does not replace)."""
+    path = str(tmp_path / "mig_fold")
+    a, b = _events(spark, 50), _events(spark, 30, shift=13)
+    sk.write_histogram_store(a, path)  # flat first write
+    assert fs.latest_version(spark, path) is None
+    flat_rows = _rows(spark.read.parquet(path))
+
+    seen = {}
+    def build(prev):
+        seen["prev"] = None if prev is None else _rows(prev)
+        delta = sk.value_histogram(b)
+        return (
+            prev.unionByName(delta)
+            .groupBy("event_type", "bin")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    fs.fold_whole_store(spark, path, build, versioned=True)
+    assert seen["prev"] == flat_rows  # the fold consumed the flat payload
+    assert fs.latest_version(spark, path) == "v00000001"
+    leftover = [
+        n for n in fs.list_child_names(spark, path)
+        if not fs._is_version_name(n)
+    ]
+    assert leftover == []  # flat remnants swept
+    # merged content == from-scratch over the union
+    rebuilt = str(tmp_path / "mig_rebuilt")
+    sk.write_histogram_store(
+        _events(spark, 50).unionByName(_events(spark, 30, shift=13)), rebuilt
+    )
+    assert _rows(sk.quantiles_from_store(spark, path)) == _rows(
+        sk.quantiles_from_store(spark, rebuilt)
+    )
+    # a FIRST write with versioned=True (no flat payload) has nothing to
+    # sweep and commits v1 directly
+    fresh = str(tmp_path / "mig_fresh")
+    sk.write_histogram_store(a, fresh, versioned=True)
+    assert fs.latest_version(spark, fresh) == "v00000001"
+
+
 def test_histogram_store_versioned_merge_parity(spark, tmp_path):
     flat, ver = str(tmp_path / "hflat"), str(tmp_path / "hver")
     a, b = _events(spark, 200), _events(spark, 150, shift=13)
