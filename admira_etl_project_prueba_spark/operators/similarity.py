@@ -2109,6 +2109,94 @@ def pq_recall_report(
     )
 
 
+def clustered_embeddings(
+    embeddings: DataFrame, n_clusters: int = 50, eps: float = 0.25
+) -> DataFrame:
+    """A CLUSTERED embedding fixture derived deterministically from the
+    corpus vec_ids — planted structure for ANN recall measurement.  The
+    shipped synthetic ``embeddings`` table is near-uniform unit noise,
+    the hardest and least representative input for a quantizer: recall
+    measured on it says nothing about real corpora (real embedding
+    spaces are strongly clustered).  This fixture plants ``n_clusters``
+    centers (components uniform in [-1, 1) via integer hashing) and
+    scatters each vector around its center (``vec_id % n_clusters``)
+    with per-dimension uniform noise of half-width ``eps`` — a
+    mixture-model geometry with tunable separation (center norm ≈
+    √(64/3) ≈ 4.6, noise norm ≈ eps·4.6, so eps is the noise-to-signal
+    ratio).
+
+    Components hash through md5 (the engine-portable ``hex60`` recipe
+    that already powers train_sample's buckets) — a LINEAR congruential
+    mix is NOT enough here: with h(c,d) affine in (c,d), two centers
+    differ by a near-constant per-dimension shift, leaving all centers
+    strongly correlated and the "clusters" unseparated (measured: top-1
+    own-cluster hit rate 0.28).  md5 mixing makes centers mutually
+    near-orthogonal like real embedding clusters (hit rate 1.0).
+    Everything downstream is IEEE-double arithmetic with a fixed
+    evaluation order, so a DuckDB oracle derives the IDENTICAL vectors
+    bit-for-bit — the property that lets recall/integrity queries over
+    the fixture be hash-gated like every other entry.  Output schema
+    matches the embeddings table (vec_id, label, embedding[64] double)
+    with label = planted cluster id, so every ANN operator consumes it
+    unchanged."""
+    c = f"(vec_id % {n_clusters})"
+    key_c = f"CONCAT(CAST({c} AS STRING), '_', CAST(d AS STRING), '_ctr')"
+    key_n = "CONCAT(CAST(vec_id AS STRING), '_', CAST(d AS STRING), '_nz')"
+    center = f"CAST({_hex60_expr(key_c)} % 2001 AS DOUBLE) / 1000.5 - 1.0"
+    noise = f"CAST({_hex60_expr(key_n)} % 2001 AS DOUBLE) / 1000.5 - 1.0"
+    return embeddings.selectExpr(
+        "vec_id",
+        f"CAST({c} AS INT) AS label",
+        f"transform(sequence(0, {DIM - 1}), d -> "
+        f"({center}) + {eps!r} * ({noise})) AS embedding",
+    )
+
+
+def knn_cluster_integrity(
+    fixture: DataFrame,
+    sample_mod: int = 29,
+    sample_rem: int = 3,
+    sample_cap: int = 1000,
+) -> DataFrame:
+    """Planted-structure ground truth over a clustered fixture: for a
+    bounded deterministic query sample (vec_id % mod == rem, vec_id <
+    cap — the cap keeps the broadcast side fixed as the corpus grows),
+    find each query's EXACT top-1 cosine neighbor and flag whether it
+    lies in the query's own planted cluster (label).  On a corpus with
+    real structure this is ~all-hits; it is the recall denominator that
+    the uniform-noise fixture could never provide.  Returns one row per
+    sampled query: (vec_id, label, nn_id, nn_label, cosine, hit)."""
+    from pyspark.sql import Window
+
+    q = _as_double(
+        fixture.filter(
+            (F.col("vec_id") % sample_mod == sample_rem)
+            & (F.col("vec_id") < sample_cap)
+        ),
+        "q",
+    ).selectExpr("vec_id AS qid", "label AS qlabel", "q")
+    t = _as_double(fixture, "v")
+    scored = with_cosine(t.crossJoin(F.broadcast(q))).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .selectExpr(
+            "qid AS vec_id",
+            "qlabel AS label",
+            "vec_id AS nn_id",
+            "label AS nn_label",
+            "cosine",
+            "CAST(qlabel = label AS INT) AS hit",
+        )
+        .orderBy("vec_id")
+    )
+
+
 def ivfpq_occupancy_report(spark, path: str) -> DataFrame:
     """(centroid_id, n_vectors, n_files) for a persisted IVF-PQ store —
     the monitoring frame behind maintenance scheduling: n_vectors per
@@ -2446,6 +2534,99 @@ def ivfpq_topk_batch_from_index(
         .join(F.broadcast(probe), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(dtable), ["query_id", "subspace", "code"])
+    )
+    adc = looked.groupBy("query_id", "vec_id", "label", "centroid_id").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(subspace, dt))), "
+            "x -> x.dt), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("adc_dist2")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "vec_id", "label", "centroid_id", "adc_dist2",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def knn_join(
+    spark,
+    query_df: DataFrame,
+    index_path: str,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Bulk k-NN JOIN against the persisted IVF-PQ store: top-k ADC
+    neighbors for EVERY row of an arbitrary query DataFrame (vec_id,
+    embedding[, label]) — the curation-job shape (dedup-against-
+    reference, retrieval labeling) that the request-path batch
+    (:func:`ivfpq_topk_batch_from_index`, N 1-row literal frames, capped
+    at 64) deliberately does not serve.
+
+    Scale posture — the query side is UNBOUNDED, so nothing query-sized
+    is ever broadcast or collected:
+
+    * probe assignment: the model-sized centroid table broadcasts to the
+      distributed query frame (corpus-direction of the serving join);
+    * distance tables: codebooks (m·ksub rows) broadcast onto the
+      query subvectors — (query_id, subspace, code, dt) stays
+      DISTRIBUTED, n_q·m·ksub small rows;
+    * the one corpus-sized shuffle: pruned code partitions ⋈ probe
+      pairs on ``centroid_id`` (each code row is read once and
+      replicated only to the queries probing its list; a hot list is
+      AQE skew-join territory, same as every bucketed join here);
+    * per-query ranking is a bounded window (≤ probed candidates per
+      query, never the corpus).
+
+    Per-query results are IDENTICAL to :func:`ivfpq_topk_from_index`
+    (same frozen models, probe rule, subspace-ordered ADC fold, ties) —
+    pytest-pinned.  Honors the store's ``normalized`` manifest flag.
+    Query ids that collide with corpus vec_ids are treated as
+    self-matches and excluded (point the caller's ids at a disjoint
+    range — e.g. negatives — to disable).  Returns (query_id, vec_id,
+    label, centroid_id, adc_dist2, rnk)."""
+    from pyspark.sql import Window
+
+    codes_path, cb_path, cent_path, man_path = pq_resolved_paths(
+        spark, index_path
+    )
+    man = spark.read.parquet(man_path).first()
+    m = int(man["m"])
+    if manifest_normalized(man):
+        query_df = normalize_embeddings(query_df)
+    qsub = _pq_subvectors(query_df, m).selectExpr(
+        "vec_id AS query_id", "subspace", "sv AS qv"
+    )
+    q = _as_double(query_df, "q").selectExpr("vec_id AS query_id", "q")
+    cents = spark.read.parquet(cent_path).selectExpr(
+        "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS c"
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("centroid_id").asc()
+    )
+    probe = (
+        with_cosine(q.crossJoin(F.broadcast(cents)), "q", "c")
+        .withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    codebooks = spark.read.parquet(cb_path)
+    dtable = qsub.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        F.col("code_id").alias("code"),
+        F.expr(_d2("qv", "c")).alias("dt"),
+    )
+    looked = (
+        spark.read.parquet(codes_path)
+        .join(probe, "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(dtable, ["query_id", "subspace", "code"])
     )
     adc = looked.groupBy("query_id", "vec_id", "label", "centroid_id").agg(
         F.expr(

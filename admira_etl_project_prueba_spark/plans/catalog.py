@@ -2791,6 +2791,7 @@ def _duck_pq_ctes(
     n_centroids: int = 16,
     train_bp: int | None = None,
     normalize: bool = False,
+    src: str = "embeddings",
 ) -> str:
     """Shared DuckDB CTE chain for the PQ entries: subvector split, the
     unrolled Lloyd's codebook refinement (L2 argmin via ROW_NUMBER
@@ -2814,13 +2815,13 @@ def _duck_pq_ctes(
         # each vector before the subspace split; zero vectors unchanged
         nrm = _duck_norm("v")
         ctes = [
-            f"t0 AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings)",
+            f"t0 AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM {src})",
             f"t AS (SELECT vec_id, label, CASE WHEN {nrm} > 0 THEN "
             f"list_transform(v, x -> x / {nrm}) ELSE v END AS v FROM t0)",
         ]
     else:
         ctes = [
-            f"t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM embeddings)",
+            f"t AS (SELECT vec_id, label, {_DUCK_VD} AS v FROM {src})",
         ]
     src = "t"
     if residual:
@@ -3157,12 +3158,13 @@ def _q_pq_reconstruction_error(spark, sf_dir):
     return _sim.pq_reconstruction_error(_t(spark, sf_dir, "embeddings"))
 
 
-def _duck_pq_recall_sql(normalize: bool = False) -> str:
+def _duck_pq_recall_sql(normalize: bool = False, src: str = "embeddings") -> str:
     """Recall-report oracle: the shared exact/probe/ADC/rerank tail over
     the PQ CTE chain — ``normalize=True`` swaps in the unit-norm t CTE
     (the spherical twin; everything downstream reads t, so exact,
-    probe, and ADC all live in the same geometry)."""
-    return _duck_pq_ctes(normalize=normalize) + (
+    probe, and ADC all live in the same geometry).  ``src`` swaps the
+    corpus source (the clustered-fixture twin)."""
+    return _duck_pq_ctes(normalize=normalize, src=src) + (
         """,
 cents AS (SELECT vec_id AS centroid_id, v AS c FROM t WHERE vec_id < 16),
 cassign AS (
@@ -3254,6 +3256,68 @@ def _q_pq_recall_report(spark, sf_dir):
 def _q_pq_recall_report_normalized(spark, sf_dir):
     return _sim.pq_recall_report(
         _sim.normalize_embeddings(_t(spark, sf_dir, "embeddings"))
+    )
+
+
+def _duck_clustered_src(n_clusters: int = 50, eps: float = 0.25) -> str:
+    """DuckDB twin of ``similarity.clustered_embeddings``: the planted-
+    cluster fixture derived from vec_ids via md5/hex60 mixing and a
+    fixed double evaluation order, so both engines materialize the
+    IDENTICAL vectors bit-for-bit (same contract as train_sample's
+    buckets)."""
+    key_c = f"(vec_id % {n_clusters}) || '_' || d || '_ctr'"
+    key_n = "vec_id || '_' || d || '_nz'"
+    center = f"CAST({_duck_hex60(key_c)} % 2001 AS DOUBLE) / 1000.5 - 1.0"
+    noise = f"CAST({_duck_hex60(key_n)} % 2001 AS DOUBLE) / 1000.5 - 1.0"
+    return (
+        f"(SELECT vec_id, CAST(vec_id % {n_clusters} AS INT) AS label, "
+        f"list_transform(range(0, 64), d -> ({center}) + {eps!r} * ({noise}))"
+        " AS embedding FROM embeddings)"
+    )
+
+
+@_entry(
+    "clustered_nn_integrity",
+    "Planted-structure ground truth on the CLUSTERED embedding fixture "
+    "(50 hashed centers + eps=0.25 uniform scatter, derived from vec_ids "
+    "— the measurable geometry the near-uniform synthetic corpus lacks): "
+    "exact top-1 neighbor per sampled query with an own-cluster hit flag.",
+    f"""WITH fx AS (SELECT vec_id, label, embedding AS v FROM {_duck_clustered_src()}),
+q AS (SELECT vec_id AS qid, label AS qlabel, v AS q FROM fx
+      WHERE vec_id % 29 = 3 AND vec_id < 1000),
+scored AS (
+  SELECT qid, qlabel, vec_id, label,
+         CASE WHEN {_duck_norm('q')} > 0 AND {_duck_norm('v')} > 0
+              THEN {_duck_dot('q', 'v')} / ({_duck_norm('q')} * {_duck_norm('v')})
+              ELSE 0.0 END AS cosine
+  FROM fx, q WHERE vec_id <> qid
+),
+top1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid AS vec_id, qlabel AS label, vec_id AS nn_id, label AS nn_label,
+       cosine, CAST(qlabel = label AS INT) AS hit
+FROM top1 WHERE rn = 1 ORDER BY vec_id""",
+)
+def _q_clustered_nn_integrity(spark, sf_dir):
+    return _sim.knn_cluster_integrity(
+        _sim.clustered_embeddings(_t(spark, sf_dir, "embeddings"))
+    )
+
+
+@_entry(
+    "clustered_pq_recall",
+    "The PQ recall report measured on the CLUSTERED fixture — recall@10 "
+    "of exhaustive-ADC / IVF-PQ / rerank against exact cosine top-10 on "
+    "data with real structure, the number that actually predicts serving "
+    "quality (the uniform corpus grades the quantizer on pure noise).",
+    _duck_pq_recall_sql(src=_duck_clustered_src()),
+)
+def _q_clustered_pq_recall(spark, sf_dir):
+    return _sim.pq_recall_report(
+        _sim.clustered_embeddings(_t(spark, sf_dir, "embeddings"))
     )
 
 
@@ -3477,10 +3541,15 @@ def _q_ivf_topk_queryvec(spark, sf_dir):
     )
 
 
-_DUCK_IVFPQ_BATCH_SQL = (
-    _duck_pq_ctes()
-    + f""",
-q0 AS (SELECT vec_id AS query_id, v FROM t WHERE vec_id < 8),
+def _duck_ivfpq_batch_sql(qpred: str = "vec_id < 8", k: int = 5) -> str:
+    """Batched-IVF-PQ oracle over an arbitrary query predicate: the
+    shared per-query probe/distance-table/ADC chain, with the query set
+    q0 = corpus rows matching ``qpred`` — the twin of both the literal
+    batch (first-8) and the bulk knn_join (sampled query frame)."""
+    return (
+        _duck_pq_ctes()
+        + f""",
+q0 AS (SELECT vec_id AS query_id, v FROM t WHERE {qpred}),
 qsub AS (
   SELECT query_id, s - 1 AS subspace, v[(s - 1) * 16 + 1 : s * 16] AS qv
   FROM (SELECT query_id, v, unnest(generate_series(1, 4)) AS s FROM q0)),
@@ -3521,8 +3590,11 @@ SELECT query_id, vec_id, label, centroid_id, adc_dist2,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY adc_dist2 ASC, vec_id) AS INT) AS rnk
 FROM adc
-QUALIFY rnk <= 5"""
-)
+QUALIFY rnk <= {k}"""
+    )
+
+
+_DUCK_IVFPQ_BATCH_SQL = _duck_ivfpq_batch_sql()
 
 
 @_entry(
@@ -3552,6 +3624,23 @@ def _q_ivfpq_batch_indexed(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     path = _ivfpq_index_path(spark, sf_dir)
     return _sim.ivfpq_topk_batch_from_index(spark, e, path)
+
+
+@_entry(
+    "knn_join_bulk",
+    "Bulk k-NN JOIN: top-5 ADC neighbors for EVERY row of a query "
+    "DataFrame against the persisted IVF-PQ store — the curation-job "
+    "shape (dedup-against-reference, retrieval labeling).  Nothing "
+    "query-sized broadcasts: probes assign via broadcast centroids, "
+    "distance tables stay distributed, codes join probe pairs on "
+    "centroid_id in ONE corpus shuffle.",
+    _duck_ivfpq_batch_sql(qpred="vec_id % 37 = 1"),
+)
+def _q_knn_join_bulk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_index_path(spark, sf_dir)
+    qdf = e.filter("vec_id % 37 = 1")
+    return _sim.knn_join(spark, qdf, path, k=5, n_probe=4)
 
 
 _DUCK_IVFPQ_RES_SQL = (

@@ -823,6 +823,90 @@ def test_similar_by_vectors_batch_route(spark, sf_dir, embeddings, tmp_path):
         assert rnks == sorted(rnks) == list(range(1, len(rnks) + 1))
 
 
+def test_clustered_fixture_structure_and_recall(spark, embeddings):
+    """The derived clustered fixture has REAL planted structure — every
+    sampled query's exact top-1 neighbor lies in its own cluster (the
+    md5-mixed centers are mutually near-orthogonal; the old linear mix
+    measured 0.28 here) — and on it the serving tier meets the contract
+    the uniform corpus could never certify: rerank recall@10 ≥ 0.9 at
+    the default config."""
+    fx = similarity.clustered_embeddings(embeddings)
+    # schema drop-in: same columns as the embeddings table
+    assert fx.columns == ["vec_id", "label", "embedding"]
+    hits = similarity.knn_cluster_integrity(fx)
+    rows = hits.collect()
+    assert rows and all(r["hit"] == 1 for r in rows)
+    assert all(r["label"] == r["nn_label"] for r in rows)
+    rep = similarity.pq_recall_report(fx).first()
+    assert rep["rerank_recall"] >= 0.9
+    assert rep["ivfpq_recall"] >= 0.5  # structured data: ADC is usable
+    # determinism: the fixture is a pure function of vec_id
+    a = fx.filter("vec_id = 7").first()["embedding"]
+    b = similarity.clustered_embeddings(embeddings).filter(
+        "vec_id = 7"
+    ).first()["embedding"]
+    assert a == b
+
+
+def test_knn_join_equals_per_query_serving(spark, embeddings, tmp_path):
+    """The bulk k-NN join (arbitrary query DataFrame vs persisted store)
+    returns per-query results IDENTICAL to the single-query server —
+    same frozen models, probe rule, ADC fold, ties — and its plan never
+    broadcasts the query side (only the model-sized centroid/codebook
+    tables), the property that makes it safe for unbounded curation
+    frames."""
+    path = str(tmp_path / "knn_join_store")
+    similarity.write_ivfpq_index(embeddings, path, n_centroids=16)
+    qdf = embeddings.filter("vec_id % 41 = 2")
+    got_df = similarity.knn_join(spark, qdf, path, k=5, n_probe=4)
+    got = {
+        (r["query_id"], r["rnk"]): (r["vec_id"], r["adc_dist2"])
+        for r in got_df.collect()
+    }
+    qids = [r["vec_id"] for r in qdf.select("vec_id").collect()]
+    assert qids and {q for q, _ in got} == set(qids)
+    for qid in qids:
+        want = similarity.ivfpq_topk_from_index(
+            spark, embeddings, path, query_vec_id=qid, k=5, n_probe=4
+        ).collect()
+        assert [got[(qid, i + 1)] for i in range(len(want))] == [
+            (r["vec_id"], r["adc_dist2"]) for r in want
+        ], qid
+
+    # external (disjoint-id) query frame: ids never collide with corpus
+    # rows, so nothing is self-excluded and every query gets k hits
+    ext = qdf.selectExpr(
+        "-(vec_id + 1) AS vec_id", "label", "embedding"
+    )
+    ext_rows = similarity.knn_join(spark, ext, path, k=5).groupBy(
+        "query_id"
+    ).count().collect()
+    assert all(r["count"] == 5 for r in ext_rows)
+    assert len(ext_rows) == len(qids)
+
+    # scale shape: the only broadcast inputs are model-sized reads
+    # (centroids/codebooks), never the query frame
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    bcast_scans = _re.findall(
+        r"BroadcastExchange[^\n]*", plan
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # probe: broadcast centroids
+    # the codes ⋈ probe join must NOT be broadcast on the probe side at
+    # plan time in a way that assumes bounded queries: accept broadcast
+    # only below AQE's threshold discretion, but the LOGICAL hint must
+    # be absent — knn_join never calls broadcast() on probe/dtable
+    src = open(
+        "admira_etl_project_prueba_spark/operators/similarity.py"
+    ).read()
+    body = src.split("def knn_join(", 1)[1].split("\ndef ", 1)[0]
+    assert body.count("F.broadcast") == 2  # cents + codebooks only
+    assert "F.broadcast(probe" not in body
+    assert "F.broadcast(dtable" not in body
+    assert bcast_scans  # centroids/codebooks do broadcast
+
+
 def test_ivfpq_rerank_exactness_and_bounds(embeddings):
     """Rerank returns EXACT cosines (each equals the brute-force score
     for that vector); with a full probe and a corpus-sized shortlist the

@@ -1,0 +1,141 @@
+"""Measure ANN serving recall on the CLUSTERED embedding fixture and
+pick the serving defaults by measurement.
+
+The shipped synthetic corpus is near-uniform unit noise — the hardest,
+least representative input for a quantizer (round-11 verdict: recall on
+it says nothing about real corpora).  This tool generates the seeded
+Gaussian-mixture fixture (tools/gen_testdata.py --clustered), builds ONE
+persisted IVF-PQ store per (m, ksub) — training amortized across the
+probe/depth sweep, exactly how production would tune — then for each
+(n_probe, rerank_depth) measures mean recall@10 of IVF-PQ ADC and of
+exact-rerank against brute-force cosine over Q deterministic queries.
+One batched pass per config, no per-query plans.  Output: one JSON line
+per config plus a MEASURED-DEFAULTS line (cheapest config with rerank
+recall ≥ 0.9).
+
+Usage:
+    PYTHONPATH=/root/repo python tools/ann_recall_measure.py [N] [Q]
+
+N = corpus size (default 20000), Q = query count (default 16).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from admira_etl_project_prueba_spark.operators import similarity as sim  # noqa: E402
+from admira_etl_project_prueba_spark.session import get_spark  # noqa: E402
+from admira_etl_project_prueba_spark.sources.tables import load_table  # noqa: E402
+from tools.gen_testdata import generate_clustered_embeddings  # noqa: E402
+
+K = 10
+
+
+def serve_and_score(spark, emb, exact, path, q, n_probe, rerank_depth):
+    """(ivfpq_recall, rerank_recall, sec) at recall@10 over q queries —
+    served from the PERSISTED store; rerank recall computed frame-level
+    from the batch shortlist (exact cosine of shortlist members, top-10),
+    identical semantics to the rerank server without q separate plans."""
+    t0 = time.monotonic()
+    short = sim.ivfpq_topk_batch_from_index(
+        spark, emb, path, n_queries=q, k=rerank_depth, n_probe=n_probe
+    )
+    ivf10 = short.filter(F.col("rnk") <= K).select("query_id", "vec_id")
+    t = sim._as_double(emb, "v").select("vec_id", "v")
+    qv = sim._as_double(emb.filter(F.col("vec_id") < q), "q").selectExpr(
+        "vec_id AS query_id", "q"
+    )
+    cand = (
+        short.select("query_id", "vec_id")
+        .join(t, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    rr10 = (
+        sim.with_cosine(cand, "q", "v")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= K)
+        .select("query_id", "vec_id")
+    )
+    n_ivf = ivf10.join(exact, ["query_id", "vec_id"], "left_semi").count()
+    n_rr = rr10.join(exact, ["query_id", "vec_id"], "left_semi").count()
+    sec = time.monotonic() - t0
+    return n_ivf / (K * q), n_rr / (K * q), sec
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    q = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    out = tempfile.mkdtemp(prefix="clustered_emb_")
+    generate_clustered_embeddings(n, out)
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]",
+        shuffle_partitions=32,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, out, "embeddings").cache()
+    emb.count()
+    exact = (
+        sim.cosine_topk_batch(emb, n_queries=q, k=K)
+        .select("query_id", "vec_id")
+        .cache()
+    )
+    exact.count()
+
+    # provisioning rule: lists track the corpus at the measured
+    # TARGET_VECTORS_PER_LIST occupancy
+    nc = max(1, -(-n // sim.TARGET_VECTORS_PER_LIST))
+    best = None
+    for m in (4, 8):
+        for ksub in (16, 256):
+            path = os.path.join(out, f"ivfpq_m{m}_k{ksub}")
+            t0 = time.monotonic()
+            sim.write_ivfpq_index(
+                emb, path, n_centroids=nc, m=m, ksub=ksub
+            )
+            train_sec = time.monotonic() - t0
+            print(
+                json.dumps(
+                    {"trained": {"m": m, "ksub": ksub, "n_centroids": nc,
+                                 "sec": round(train_sec, 2)}}
+                ),
+                flush=True,
+            )
+            for n_probe in (8, 16, 32):
+                for depth in (50, 100):
+                    ivf, rr, sec = serve_and_score(
+                        spark, emb, exact, path, q, n_probe, depth
+                    )
+                    row = {
+                        "n": n, "q": q, "m": m, "ksub": ksub,
+                        "n_centroids": nc, "n_probe": n_probe,
+                        "rerank_depth": depth,
+                        "ivfpq_recall": round(ivf, 4),
+                        "rerank_recall": round(rr, 4),
+                        "sec": round(sec, 2),
+                    }
+                    print(json.dumps(row), flush=True)
+                    # pick: cheapest config with RERANK recall >= 0.9
+                    # (the serving contract); cost = distance-table size,
+                    # probed fraction, rerank depth
+                    if rr >= 0.9:
+                        cost = (m * ksub, n_probe, depth, -ivf)
+                        if best is None or cost < best[0]:
+                            best = (cost, row)
+    if best:
+        print("MEASURED-DEFAULTS " + json.dumps(best[1]), flush=True)
+
+
+if __name__ == "__main__":
+    main()

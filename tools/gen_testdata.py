@@ -210,7 +210,44 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
     }))
 
 
+def generate_clustered_embeddings(
+    n: int,
+    out_dir: str,
+    n_clusters: int = 50,
+    eps: float = 0.25,
+    dim: int = 64,
+    seed: int = 7,
+) -> None:
+    """Seeded Gaussian-mixture embeddings (the REALISTIC ANN fixture):
+    ``n_clusters`` centers uniform in [-1, 1)^dim, each vector =
+    center[vec_id % n_clusters] + N(0, eps²) noise — planted structure
+    so recall/occupancy measurements grade the serving tier on data
+    shaped like real embedding spaces, not uniform noise.  label =
+    planted cluster id (the ground truth for integrity checks).  Writes
+    ``embeddings.parquet`` in the standard table schema so every
+    operator and bench path reads it unchanged."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-1.0, 1.0, (n_clusters, dim))
+    assign = np.arange(n, dtype=np.int64) % n_clusters
+    vecs = (centers[assign] + rng.normal(0.0, eps, (n, dim))).astype(
+        np.float32
+    )
+    _write(out_dir, "embeddings", pa.table({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": assign.astype(np.int32),
+    }))
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--clustered":
+        n = int(sys.argv[2])
+        out = sys.argv[3]
+        nc = int(sys.argv[4]) if len(sys.argv) > 4 else 50
+        e = float(sys.argv[5]) if len(sys.argv) > 5 else 0.25
+        generate_clustered_embeddings(n, out, n_clusters=nc, eps=e)
+        print(f"generated clustered embeddings n={n} clusters={nc} eps={e} at {out}")
+        sys.exit(0)
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     out = (
         sys.argv[2]

@@ -92,6 +92,10 @@ NESTED_LOOP_ALLOWED = {
     "ann_ivfpq_rerank_queryvec",  # literal query broadcasts + 50-row shortlist rerank
     "kmeans_centroids_sampled",   # k-row (model-sized) centroid broadcast per round
     "pq_recall_report_normalized",  # embeds the 1-row-query exact/ADC/IVF-PQ trio
+    "clustered_pq_recall",      # same trio over the clustered fixture
+    "clustered_nn_integrity",   # bounded query sample (vec_id<1000, %29) broadcast
+    "knn_join_bulk",            # probe assignment broadcasts the MODEL side
+                                # (centroids) onto the distributed query frame
     "ann_pq_topk_normalized",     # 1-row query distance-table broadcast
     "pq_codebooks_sampled",       # model-sized codebook broadcast per Lloyd round
     "pq_codes_sampled_train",     # same broadcast in the frozen-model encode
