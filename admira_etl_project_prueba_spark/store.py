@@ -36,6 +36,21 @@ from admira_etl_project_prueba_spark.schemas import (
 _MONEY_DECIMAL = "decimal(25,6)"
 
 
+def _resum_aggs():
+    """The MetricKey re-sum: additive measures summed (money through the
+    exact decimal intermediate), shared by the upsert merge and the
+    stream-log fold so the two can never drift."""
+    return [
+        F.sum("clicks").cast("long").alias("clicks"),
+        F.sum("impressions").cast("long").alias("impressions"),
+        F.sum(F.col("cost").cast(_MONEY_DECIMAL)).cast("double").alias("cost"),
+        F.sum("leads").cast("long").alias("leads"),
+        F.sum("opportunities").cast("long").alias("opportunities"),
+        F.sum("closed_won").cast("long").alias("closed_won"),
+        F.sum(F.col("revenue").cast(_MONEY_DECIMAL)).cast("double").alias("revenue"),
+    ]
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -139,12 +154,44 @@ class MetricsStore:
         )
 
     # -- versioned-write plumbing -------------------------------------------
-    def _commit_full(self, full: DataFrame) -> None:
+    #: hidden subdir inside each committed version holding the stream-fold
+    #: ledger (underscore prefix ⇒ invisible to parquet partition
+    #: discovery, so ``read()`` never sees it) — the stream batches
+    #: already folded into this payload, committed ATOMICALLY with it by
+    #: the version rename.  That atomicity is the whole exactly-once
+    #: story for :meth:`fold_stream_log`: payload and ledger can never
+    #: disagree.  Keys are ``stream_id:batch_id`` strings — micro-batch
+    #: ids are only unique PER QUERY (a second source, or a replay from
+    #: a fresh checkpoint, restarts at 0), so the bare batch_id would
+    #: collide across streams sharing a store.
+    _LEDGER = "_folded_batches"
+
+    def folded_stream_keys(self) -> set[str]:
+        """``stream_id:batch_id`` keys recorded as folded into the
+        CURRENT version (empty for flat stores / never-folded stores)."""
+        if fs.latest_version(self.spark, self.path) is None:
+            return set()
+        p = f"{self._root()}/{self._LEDGER}"
+        if not fs.dir_nonempty(self.spark, p):
+            return set()
+        return {
+            str(r["key"]) for r in self.spark.read.parquet(p).collect()
+        }
+
+    def _commit_full(self, full: DataFrame, ledger_ids: set | None = None) -> None:
         """Write ``full`` (the COMPLETE next payload) as the next
         immutable version.  Caller holds the store lease.  A flat store
         opting into versioning migrates here: its payload lands in v1
         and the flat remnants are swept after the commit (one-time
-        transition; subsequent writes have no window at all)."""
+        transition; subsequent writes have no window at all).
+
+        The stream-fold ledger rides along: ``ledger_ids`` (when given)
+        replaces it, otherwise the current version's ledger is carried
+        FORWARD — a plain upsert/replace/compact between two folds must
+        not lose the folded-batch memory, or a fold replay would double
+        the already-folded increments."""
+        if ledger_ids is None:
+            ledger_ids = self.folded_stream_keys()
         was_flat = (
             fs.latest_version(self.spark, self.path) is None
             and fs.dir_nonempty(self.spark, self.path)
@@ -152,6 +199,16 @@ class MetricsStore:
         fs.clean_version_scratch(self.spark, self.path)
         tmp = fs.version_scratch(self.path)
         full.write.partitionBy("date").mode("overwrite").parquet(tmp)
+        if ledger_ids:
+            (
+                self.spark.createDataFrame(
+                    [(str(k),) for k in sorted(ledger_ids)],
+                    "key string",
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{tmp}/{self._LEDGER}")
+            )
         fs.commit_version(self.spark, self.path, tmp)
         if was_flat:
             # sweep pre-migration flat children (date=*/_SUCCESS); version
@@ -203,43 +260,119 @@ class MetricsStore:
         # silently lost (same contract as every index-store fold)
         with fs.maintenance_lease(self.spark, self.path):
             fs.recover_swap(self.spark, self.path)
-            merged = batch
-            untouched = None
-            if fs.dir_nonempty(self.spark, self._root()):
-                existing = self.read()
-                # Only days present in the batch can change; restrict the
-                # merge input so the shuffle is sized by the batch, not
-                # the table.
-                batch_dates = batch.select("date").distinct()
-                relevant = existing.join(
-                    F.broadcast(batch_dates), "date", "left_semi"
-                )
-                untouched = existing.join(
-                    F.broadcast(batch_dates), "date", "left_anti"
-                )
-                both = relevant.select(batch.columns).unionByName(batch)
-                resummed = both.groupBy(*METRIC_KEY_COLS).agg(
-                    F.sum("clicks").cast("long").alias("clicks"),
-                    F.sum("impressions").cast("long").alias("impressions"),
-                    F.sum(F.col("cost").cast(_MONEY_DECIMAL)).cast("double").alias("cost"),
-                    F.sum("leads").cast("long").alias("leads"),
-                    F.sum("opportunities").cast("long").alias("opportunities"),
-                    F.sum("closed_won").cast("long").alias("closed_won"),
-                    F.sum(F.col("revenue").cast(_MONEY_DECIMAL)).cast("double").alias("revenue"),
-                )
-                merged = with_derived_metrics(resummed).select(batch.columns)
-
+            merged, full = self._upsert_frames(batch)
             if self._is_versioned():
                 # snapshot layout: the next version carries untouched
                 # days + the merged days, committed with one rename
-                full = merged
-                if untouched is not None:
-                    full = untouched.select(merged.columns).unionByName(merged)
                 self._commit_full(full)
                 return
             # dynamic partitionOverwriteMode (session.py) ⇒ only the date
             # partitions present in `merged` are replaced.
             merged.write.partitionBy("date").mode("overwrite").parquet(self.path)
+
+    def _upsert_frames(self, batch: DataFrame):
+        """(merged, full) for an upsert of ``batch`` — caller HOLDS the
+        store lease.  ``merged``: the batch's days after re-summing with
+        the stored rows for those days (what the flat layout's dynamic
+        overwrite writes); ``full``: merged + untouched days (what the
+        versioned layout commits)."""
+        merged = batch
+        untouched = None
+        if fs.dir_nonempty(self.spark, self._root()):
+            existing = self.read()
+            # Only days present in the batch can change; restrict the
+            # merge input so the shuffle is sized by the batch, not
+            # the table.
+            batch_dates = batch.select("date").distinct()
+            relevant = existing.join(
+                F.broadcast(batch_dates), "date", "left_semi"
+            )
+            untouched = existing.join(
+                F.broadcast(batch_dates), "date", "left_anti"
+            )
+            both = relevant.select(batch.columns).unionByName(batch)
+            resummed = both.groupBy(*METRIC_KEY_COLS).agg(*_resum_aggs())
+            merged = with_derived_metrics(resummed).select(batch.columns)
+        full = merged
+        if untouched is not None:
+            full = untouched.select(merged.columns).unionByName(merged)
+        return merged, full
+
+    def fold_stream_log(self, log_path: str) -> int:
+        """Exactly-once drain of a :func:`streaming.ingest.
+        stream_metrics_ingest` batch log into the store — the leased
+        maintenance fold that gives `/ingest/run` its streaming twin
+        (S1→A1→F1→S5 landing in the versioned fact store).
+
+        Exactly-once without trusting the stream OR the fold to not
+        replay: the log is batch_id-partitioned with dynamic overwrite
+        (an at-least-once micro-batch replay overwrites its own
+        partition), and each committed store version carries the
+        CUMULATIVE ledger of folded batch_ids inside the version dir —
+        payload and ledger flip together in the commit rename, so a fold
+        that crashed anywhere simply re-runs: already-ledgered batches
+        are skipped, unledgered ones refold against the unchanged
+        previous version.  Increments are additive (the upsert re-sums
+        measures and re-derives ratios), which is exactly why the
+        ledger, not an anti-join, is the idempotency mechanism here —
+        unlike vec_id-keyed code folds, a metrics replay is
+        indistinguishable from a genuine second increment.
+
+        Requires the versioned layout (the flat layout has no atomic
+        payload+ledger commit).  Cleanup deletes only the batch
+        partitions this fold saw; all of them are in the ledger by then.
+        Returns the number of batches folded."""
+        if not self._is_versioned():
+            raise ValueError(
+                "fold_stream_log requires a versioned MetricsStore "
+                "(the exactly-once ledger commits atomically with the "
+                "payload version)"
+            )
+        if not fs.path_exists(self.spark, log_path):
+            return 0
+        with fs.maintenance_lease(self.spark, self.path):
+            fs.recover_swap(self.spark, self.path)
+            log = self.spark.read.parquet(log_path)
+            key = F.concat_ws(":", "stream_id", "batch_id")
+            pairs = {
+                (str(r["stream_id"]), int(r["batch_id"]))
+                for r in log.select("stream_id", "batch_id")
+                .distinct()
+                .collect()
+            }
+            if not pairs:
+                return 0
+            keys = {f"{s}:{b}" for s, b in pairs}
+            folded = self.folded_stream_keys()
+            todo = sorted(keys - folded)
+            if todo:
+                inc = log.filter(key.isin(todo)).drop(
+                    "stream_id", "batch_id"
+                )
+                # pre-consolidate ACROSS batches: the same MetricKey can
+                # appear in several micro-batches; the upsert merge
+                # expects unique keys per batch (and on an empty store
+                # writes the batch verbatim)
+                resummed = inc.groupBy(*METRIC_KEY_COLS).agg(*_resum_aggs())
+                batch = with_derived_metrics(resummed).select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in METRICS_SCHEMA.fields
+                    ]
+                )
+                _, full = self._upsert_frames(batch)
+                self._commit_full(full, ledger_ids=folded | set(todo))
+            # every batch this fold saw is now in the current ledger —
+            # a crash between commit and cleanup re-runs as cleanup-only
+            jfs, _, jvm = fs._fs_and_path(self.spark, log_path)
+            for s, b in sorted(pairs):
+                jfs.delete(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{log_path.rstrip('/')}/stream_id={s}/batch_id={b}"
+                    ),
+                    True,
+                )
+            return len(todo)
 
     def compact(self) -> tuple[int, int]:
         """Rewrite the store so each date partition holds one file.

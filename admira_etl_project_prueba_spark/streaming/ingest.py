@@ -118,6 +118,87 @@ def stream_consolidate(
     )
 
 
+def stream_metrics_ingest(
+    source_stream: DataFrame,
+    source: str,
+    log_path: str,
+    checkpoint_dir: str,
+    ingested_at: dt.datetime | None = None,
+    since: str | None = None,
+    stream_id: str | None = None,
+) -> StreamingQuery:
+    """EXACTLY-ONCE streaming `/ingest/run`: the encode half of the
+    log+fold pair that lands conformed increments in the VERSIONED fact
+    store (S1→A1→F1→S5 with snapshot isolation end to end).
+
+    :func:`stream_consolidate` upserts each micro-batch directly —
+    correct under Structured Streaming's normal once-per-batch contract,
+    but an at-least-once REPLAY (checkpoint loss, foreachBatch retry
+    after a partial failure) re-sums the same increments: additive
+    measures cannot tell a replay from a genuine second batch.  This
+    writer takes the CMS/PQ-encode-log recipe instead: each micro-batch
+    is conformed and consolidated by the SAME batch operators
+    (``transform`` — conform → union-agg → derive → since-filter) and
+    its increments land in a ``batch_id``-partitioned log with dynamic
+    partition overwrite, so a replayed batch overwrites its own
+    partition instead of duplicating.  The leased maintenance fold —
+    :meth:`store.MetricsStore.fold_stream_log` — drains the log into the
+    versioned store, recording folded batch_ids in a ledger that commits
+    ATOMICALLY with each payload version; the pair is exactly-once under
+    arbitrary crash/replay on either side (pytest-pinned: replayed batch
+    no-ops, stream-end state hash-equals a one-shot batch ingest).
+
+    Splitting encode (hot path, no lease) from fold (leased maintenance)
+    keeps micro-batches from ever contending with compaction — the same
+    shape as every other streaming store here.
+
+    ``stream_id`` (default: the source name) namespaces this query's
+    partitions and ledger keys — micro-batch ids are only unique per
+    query, so two sources (or a replay from a fresh checkpoint) sharing
+    one log would otherwise collide on ``batch_id=0``: one stream's
+    overwrite would silently destroy the other's increments, and the
+    ledger would skip genuinely new batches as already-folded.  Distinct
+    queries writing one log MUST use distinct stream_ids."""
+    sid = source if stream_id is None else str(stream_id)
+    if not sid or any(c in sid for c in ":/\\"):
+        raise ValueError(f"invalid stream_id: {sid!r}")
+    stream = source_stream
+    if ingested_at is not None:
+        stream = stream.withColumn(
+            "ingested_at", F.lit(ingested_at).cast("timestamp")
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        from admira_etl_project_prueba_spark.schemas import (
+            ADS_SCHEMA,
+            CRM_PARSED_SCHEMA,
+        )
+
+        if source == "ads":
+            ads, crm = batch_df, spark.createDataFrame([], CRM_PARSED_SCHEMA)
+        else:
+            ads, crm = spark.createDataFrame([], ADS_SCHEMA), batch_df
+        inc = transform(ads, crm, since=since)
+        (
+            inc.withColumn("stream_id", F.lit(sid))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .partitionBy("stream_id", "batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(log_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, total_value double"

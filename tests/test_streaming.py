@@ -90,6 +90,97 @@ def test_stream_converges_to_batch_result(spark, dirs):
     assert got.keys() == want.keys()
 
 
+def test_stream_metrics_ingest_exactly_once(spark, dirs, tmp_path):
+    """The exactly-once streaming `/ingest/run` twin: micro-batch
+    envelope streams land conformed increments in a batch-id log;
+    MetricsStore.fold_stream_log drains them into the VERSIONED store
+    under the payload+ledger atomic commit.  Pinned: (a) stream-end
+    state row-equals a one-shot batch ingest, (b) a replayed/refolded
+    log no-ops (the ledger survives the next version), (c) an unrelated
+    upsert between folds carries the ledger forward."""
+    import os
+
+    from admira_etl_project_prueba_spark.streaming.ingest import (
+        stream_metrics_ingest,
+    )
+
+    write_envelopes(dirs["ads"], lambda r: {"ads": {"performance": r}}, ADS_ROWS)
+    write_envelopes(dirs["crm"], lambda r: {"crm": {"opportunities": r}}, CRM_ROWS)
+    log = str(tmp_path / "metrics_log")
+    store = MetricsStore(spark, dirs["store"], versioned=True)
+
+    q1 = stream_metrics_ingest(
+        stream_envelopes(spark, dirs["ads"], "ads"), "ads", log,
+        dirs["ckpt"] + "_ads", ingested_at=STAMP,
+    )
+    q1.awaitTermination(120)
+    # fold the ads batches, then stream CRM into the SAME log and fold
+    # again — the fold must be incremental across sources
+    n1 = store.fold_stream_log(log)
+    assert n1 >= 1
+    q2 = stream_metrics_ingest(
+        stream_envelopes(spark, dirs["crm"], "crm"), "crm", log,
+        dirs["ckpt"] + "_crm", ingested_at=STAMP,
+    )
+    q2.awaitTermination(120)
+    n2 = store.fold_stream_log(log)
+    assert n2 >= 1
+
+    ads_payload = json.dumps({"external": {"ads": {"performance": ADS_ROWS}}})
+    crm_payload = json.dumps({"external": {"crm": {"opportunities": CRM_ROWS}}})
+    expected = transform(
+        ads_from_payload(spark, ads_payload, ingested_at=STAMP),
+        crm_from_payload(spark, crm_payload, ingested_at=STAMP),
+    )
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(store.read()) == rows(expected)
+
+    def live_batches():
+        out = []
+        for sid in os.listdir(log):
+            if sid.startswith("stream_id="):
+                out += [
+                    f"{sid}/{b}"
+                    for b in os.listdir(f"{log}/{sid}")
+                    if b.startswith("batch_id=")
+                ]
+        return out
+
+    assert not live_batches()
+
+    # replay: re-run the CRM stream from a FRESH checkpoint (worst-case
+    # at-least-once — same content, same batch ids) and refold: the
+    # ledger makes it a no-op
+    q3 = stream_metrics_ingest(
+        stream_envelopes(spark, dirs["crm"], "crm"), "crm", log,
+        dirs["ckpt"] + "_crm_replay", ingested_at=STAMP,
+    )
+    q3.awaitTermination(120)
+    assert store.fold_stream_log(log) == 0
+    assert rows(store.read()) == rows(expected)
+
+    # an unrelated upsert between folds must not lose the ledger (the
+    # commit carries it into the next version)
+    extra = expected.filter("date = '9999-01-01'")  # empty increment set
+    fresh_day = expected.limit(1).selectExpr(
+        "'2030-01-01' AS date", *[c for c in expected.columns if c != "date"]
+    )
+    store.store(fresh_day, mode="upsert")
+    q4 = stream_metrics_ingest(
+        stream_envelopes(spark, dirs["crm"], "crm"), "crm", log,
+        dirs["ckpt"] + "_crm_replay2", ingested_at=STAMP,
+    )
+    q4.awaitTermination(120)
+    assert store.fold_stream_log(log) == 0  # still ledgered
+    assert extra.count() == 0
+    # flat stores refuse: exactly-once needs the atomic ledger commit
+    flat = MetricsStore(spark, str(tmp_path / "flat_store"))
+    with pytest.raises(ValueError, match="versioned"):
+        flat.fold_stream_log(log)
+
+
 def test_windowed_counts_with_watermark(spark, tmp_path):
     src = tmp_path / "events_in"
     src.mkdir()

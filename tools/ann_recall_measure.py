@@ -97,17 +97,32 @@ def main():
     # TARGET_VECTORS_PER_LIST occupancy
     nc = max(1, -(-n // sim.TARGET_VECTORS_PER_LIST))
     best = None
-    for m in (4, 8):
-        for ksub in (16, 256):
-            path = os.path.join(out, f"ivfpq_m{m}_k{ksub}")
+    for m, ksub, normalize in (
+        # unnormalized first (the round-11 default), then spherical: on
+        # UNNORMALIZED clustered data the ADC shortlist ranks by L2 while
+        # the served metric is cosine — the geometry mismatch caps rerank
+        # recall no matter the probe/depth; normalize=True aligns them
+        (4, 16, False),
+        (4, 256, False),
+        (8, 256, False),
+        (4, 16, True),
+        (4, 256, True),
+        (8, 16, True),
+        (8, 256, True),
+    ):
+            path = os.path.join(
+                out, f"ivfpq_m{m}_k{ksub}{'_n' if normalize else ''}"
+            )
             t0 = time.monotonic()
             sim.write_ivfpq_index(
-                emb, path, n_centroids=nc, m=m, ksub=ksub
+                emb, path, n_centroids=nc, m=m, ksub=ksub,
+                normalize=normalize,
             )
             train_sec = time.monotonic() - t0
             print(
                 json.dumps(
                     {"trained": {"m": m, "ksub": ksub, "n_centroids": nc,
+                                 "normalize": normalize,
                                  "sec": round(train_sec, 2)}}
                 ),
                 flush=True,
@@ -119,6 +134,7 @@ def main():
                     )
                     row = {
                         "n": n, "q": q, "m": m, "ksub": ksub,
+                        "normalize": normalize,
                         "n_centroids": nc, "n_probe": n_probe,
                         "rerank_depth": depth,
                         "ivfpq_recall": round(ivf, 4),
