@@ -1,13 +1,21 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Training-data pipelines carry images/audio/video as ``binary`` columns with
-a typed metadata struct alongside.  The *decode* step (JPEG→pixels,
-WAV→samples, MP4→frames) needs native libraries that are not in this
-container, so the decoders are clearly-marked deterministic fakes /
-``NotImplementedError`` stubs — but the Spark-side plumbing (schema,
-Arrow-batched ``mapInPandas`` signature, batch shapes, partition
-behavior) is real and tested: swapping a real decoder in changes only the
-body of the pandas function.
+a typed metadata struct alongside.  Decode coverage is tiered by what a
+stdlib can honestly do:
+
+* REAL decode (no native libs needed): WAV/PCM via ``wave``+``struct``
+  (header + RMS/peak sample stats, :func:`decode_wav_features`) and PNG
+  via ``zlib``+``struct`` (chunk walk with CRC verification, IDAT
+  inflate, scanline unfilter to pixel stats for 8-bit grayscale,
+  :func:`decode_png_features`); container headers (PNG/WAV/JPEG-SOF)
+  additionally parse ENGINE-side with SQL byte ops
+  (:func:`media_header_features`).
+* STUBBED decode (needs PIL/ffmpeg): JPEG pixels, MP4 frames — the
+  deterministic fakes / ``NotImplementedError`` guards below, with the
+  Spark-side plumbing (schema, Arrow-batched ``mapInPandas`` signature,
+  batch shapes, partition behavior) real and tested: swapping a codec in
+  changes only the body of the pandas function.
 
 Why ``mapInPandas`` (not a scalar UDF): decode is 1→N (frames) or 1→large
 (pixel tensors); an iterator of Arrow batches lets one task stream through
@@ -294,6 +302,285 @@ def audio_window_plan(
         f"CASE WHEN start_ms IS NOT NULL THEN least(start_ms + {w}, duration_ms) "
         "END AS end_ms",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders (stdlib-only): WAV/PCM via wave+struct, PNG via zlib+struct.
+# These close the round-11 "all decode is stubbed" gap for the two
+# containers a stdlib can fully decode; JPEG pixels / MP4 frames still
+# require native codecs and keep the honest NotImplementedError.
+# ---------------------------------------------------------------------------
+
+
+def synthesize_wav(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono PCM fixture: a ±A square wave whose
+    parameters are closed-form in doc_id — so an oracle can state the
+    DECODED features (RMS = peak = A exactly, duration = n/8 ms) without
+    ever touching the bytes.  The decode side sees only a normal WAV."""
+    sr = 8000
+    n = 800 + (doc_id % 7) * 160
+    a = 1000 + (doc_id % 13) * 500
+    import io
+    import struct
+    import wave
+
+    frames = struct.pack(
+        f"<{n}h", *[(a if i % 2 == 0 else -a) for i in range(n)]
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def synthesize_png(doc_id: int) -> bytes:
+    """Deterministic grayscale-8 PNG fixture: pixel i = (i + doc_id) %
+    256, filter 0 rows, one zlib IDAT — width/height/bit-depth and the
+    pixel mean are closed-form in doc_id for the oracle."""
+    import struct
+    import zlib
+
+    w = 8 + doc_id % 9
+    h = 5 + doc_id % 7
+    raw = b"".join(
+        b"\x00" + bytes(((y * w + x + doc_id) % 256) for x in range(w))
+        for y in range(h)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_wav_features(payload: bytes) -> dict:
+    """REAL WAV/PCM decode with the stdlib: header via ``wave``, sample
+    statistics (RMS, peak) from the unpacked PCM frames.  16-bit mono/
+    stereo PCM only — anything else raises rather than guessing."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        sr = w.getframerate()
+        nf = w.getnframes()
+        frames = w.readframes(nf)
+    if sw != 2:
+        raise NotImplementedError(f"only 16-bit PCM supported, got {sw*8}-bit")
+    samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+    peak = float(np.max(np.abs(samples))) if samples.size else 0.0
+    return {
+        "sample_rate": int(sr),
+        "n_channels": int(nch),
+        "n_samples": int(nf),
+        "duration_ms": int(nf) * 1000 // int(sr) if sr else 0,
+        "rms": rms,
+        "peak": peak,
+    }
+
+
+def _png_unfilter(raw: bytes, w: int, h: int) -> "object":
+    """Undo PNG scanline filters for 8-bit grayscale (bpp=1): returns the
+    h×w pixel array.  All five filter types implemented (None/Sub/Up/
+    Average/Paeth) — the fixture emits 0, but a real file may not."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    stride = w + 1
+    for y in range(h):
+        row = raw[y * stride : (y + 1) * stride]
+        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
+        prev = out[y - 1] if y else np.zeros(w, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(1, w):
+                line[x] = (int(line[x]) + int(line[x - 1])) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int32) + prev) & 0xFF
+            line = line.astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(w):
+                left = int(line[x - 1]) if x else 0
+                line[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(w):
+                a = int(line[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(out[y - 1, x - 1]) if x and y else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        out[y] = line
+    return out
+
+
+def decode_png_features(payload: bytes) -> dict:
+    """REAL PNG decode with the stdlib: chunk walk with CRC verification
+    (``zlib.crc32``), IHDR geometry, and — for 8-bit non-interlaced
+    grayscale — full IDAT inflate + scanline unfilter to pixel
+    statistics.  Other color types keep geometry but raise on pixel
+    decode, the honest boundary without a native codec."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    out = {
+        "width": int(w),
+        "height": int(h),
+        "bit_depth": int(depth),
+        "color_type": int(color),
+    }
+    if color == 0 and depth == 8 and interlace == 0:
+        import numpy as np
+
+        px = _png_unfilter(zlib.decompress(idat), w, h)
+        flat = px.astype(np.float64)
+        out["px_mean"] = float(flat.mean())
+        out["px_min"] = int(px.min())
+        out["px_max"] = int(px.max())
+    else:
+        raise NotImplementedError(
+            f"pixel decode only for 8-bit grayscale (color_type={color}, "
+            f"depth={depth}, interlace={interlace})"
+        )
+    return out
+
+
+MEDIA_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("px_mean", T.DoubleType()),
+    ]
+)
+
+
+def synthesize_media_fixture(documents: DataFrame) -> DataFrame:
+    """(doc_id, media_type, payload) with REAL container bytes —
+    alternating WAV (even doc_id) and PNG (odd) synthesized
+    deterministically from doc_id.  Arrow-batched; the payloads are
+    genuine files (the decoders below never see the parameters)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": [
+                        "audio" if d % 2 == 0 else "image" for d in ids
+                    ],
+                    "payload": [
+                        synthesize_wav(d) if d % 2 == 0 else synthesize_png(d)
+                        for d in ids
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        run, "doc_id long, media_type string, payload binary"
+    )
+
+
+def media_decode_features(media: DataFrame) -> DataFrame:
+    """REAL media decode via Arrow-batched ``mapInPandas``: WAV payloads
+    through :func:`decode_wav_features` (stdlib ``wave`` + PCM sample
+    stats), PNG payloads through :func:`decode_png_features` (chunk walk
+    + CRC + inflate + unfilter to pixel stats).  Container detected from
+    magic bytes, never from metadata.  One output row per item; fields
+    of the other modality are NULL.  Unknown containers raise — the
+    documented boundary, not a silent guess."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                f.name: [] for f in MEDIA_DECODE_SCHEMA.fields
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(p)
+                base = {f.name: None for f in MEDIA_DECODE_SCHEMA.fields}
+                base["doc_id"] = int(doc_id)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    d = decode_wav_features(payload)
+                    base.update(
+                        container="wav",
+                        sample_rate=d["sample_rate"],
+                        n_channels=d["n_channels"],
+                        duration_ms=d["duration_ms"],
+                        rms=d["rms"],
+                        peak=d["peak"],
+                    )
+                elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    d = decode_png_features(payload)
+                    base.update(
+                        container="png",
+                        width=d["width"],
+                        height=d["height"],
+                        bit_depth=d["bit_depth"],
+                        px_mean=d.get("px_mean"),
+                    )
+                else:
+                    raise NotImplementedError(
+                        "no stdlib decoder for this container"
+                    )
+                for k, v in base.items():
+                    rows[k].append(v)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_DECODE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, MEDIA_DECODE_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(

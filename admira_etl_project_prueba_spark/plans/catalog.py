@@ -3842,6 +3842,43 @@ def _q_mm_features(spark, sf_dir):
 
 
 @_entry(
+    "media_decode_features",
+    "REAL stdlib media decode (round-12): synthesized WAV (square-wave "
+    "16-bit PCM) and PNG (grayscale-8) payloads are genuinely decoded — "
+    "wave-header + PCM sample stats, PNG chunk walk + CRC + inflate + "
+    "unfilter to pixel stats.  The oracle states the DECODED features "
+    "closed-form from each fixture's generating parameters; the Spark "
+    "side sees only bytes, so a decode bug cannot hash-match.",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'png' END AS container,
+       CASE WHEN doc_id % 2 = 0 THEN 8000 END AS sample_rate,
+       CASE WHEN doc_id % 2 = 0 THEN 1 END AS n_channels,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST((800 + (doc_id % 7) * 160) // 8 AS BIGINT)
+       END AS duration_ms,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(1000 + (doc_id % 13) * 500 AS DOUBLE)
+       END AS rms,
+       CASE WHEN doc_id % 2 = 0
+            THEN CAST(1000 + (doc_id % 13) * 500 AS DOUBLE)
+       END AS peak,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(8 + doc_id % 9 AS INT) END AS width,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(5 + doc_id % 7 AS INT) END AS height,
+       CASE WHEN doc_id % 2 = 1 THEN 8 END AS bit_depth,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST(list_sum(list_transform(
+                   range(0, (8 + doc_id % 9) * (5 + doc_id % 7)),
+                   i -> (i + doc_id) % 256)) AS DOUBLE)
+                 / ((8 + doc_id % 9) * (5 + doc_id % 7))
+       END AS px_mean
+FROM documents WHERE doc_id % 11 = 0""",
+)
+def _q_media_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter("doc_id % 11 = 0")
+    return _mm.media_decode_features(_mm.synthesize_media_fixture(docs))
+
+
+@_entry(
     "multimodal_frame_sample",
     "1→N frame-sampling expansion over decoded n_frames (video plumbing). "
     "The stub decoder's frame count is byte-length arithmetic, so the "

@@ -215,3 +215,142 @@ def test_resize_media_geometry_and_determinism(spark):
     }
     plan = resize_media(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_decode_wav_known_answer():
+    """REAL WAV decode: the synthesized square wave's decoded stats are
+    exactly the generating parameters (RMS = peak = A, duration = n/8
+    ms) — and a hand-built stereo clip decodes with both channels'
+    samples in the stats."""
+    import io
+    import struct
+    import wave
+
+    for doc_id in (0, 2, 6, 24, 1024):
+        d = multimodal.decode_wav_features(multimodal.synthesize_wav(doc_id))
+        a = 1000 + (doc_id % 13) * 500
+        n = 800 + (doc_id % 7) * 160
+        assert d["sample_rate"] == 8000 and d["n_channels"] == 1
+        assert d["n_samples"] == n and d["duration_ms"] == n * 1000 // 8000
+        assert d["rms"] == float(a) and d["peak"] == float(a)
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(struct.pack("<6h", 100, -200, 300, -400, 0, 0))
+    d = multimodal.decode_wav_features(buf.getvalue())
+    assert d["n_channels"] == 2 and d["sample_rate"] == 44100
+    assert d["n_samples"] == 3 and d["peak"] == 400.0
+
+    # 8-bit PCM is outside the stdlib decoder's contract: honest raise
+    buf8 = io.BytesIO()
+    with wave.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(b"\x80\x90")
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        multimodal.decode_wav_features(buf8.getvalue())
+
+
+def _png_with_filters(pixels, filters):
+    """Forward-filter known pixel rows and wrap as a real PNG — the
+    adversarial input for the unfilter: every row uses a DIFFERENT
+    filter type."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    raw = bytearray()
+    prev = [0] * w
+    for y, ftype in enumerate(filters):
+        row = pixels[y]
+        raw.append(ftype)
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            b = prev[x]
+            c = pixels[y - 1][x - 1] if x and y else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((row[x] - pred) & 0xFF)
+        prev = row
+
+    def chunk(typ, data):
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_known_answer_all_filters():
+    """REAL PNG decode: geometry + pixel stats recovered exactly through
+    every scanline filter type (0-4), CRC corruption rejected, and the
+    synthesized fixture's mean matches its closed form."""
+    pixels = [
+        [10, 20, 30, 40],
+        [15, 25, 35, 45],
+        [200, 100, 50, 25],
+        [0, 255, 128, 64],
+        [7, 7, 7, 7],
+    ]
+    payload = _png_with_filters(pixels, [0, 1, 2, 3, 4])
+    d = multimodal.decode_png_features(payload)
+    flat = [p for row in pixels for p in row]
+    assert (d["width"], d["height"], d["bit_depth"]) == (4, 5, 8)
+    assert d["px_mean"] == sum(flat) / len(flat)
+    assert d["px_min"] == min(flat) and d["px_max"] == max(flat)
+
+    for doc_id in (1, 3, 7, 123):
+        d = multimodal.decode_png_features(multimodal.synthesize_png(doc_id))
+        w, h = 8 + doc_id % 9, 5 + doc_id % 7
+        want = sum((i + doc_id) % 256 for i in range(w * h)) / (w * h)
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["px_mean"] == want
+
+    corrupted = bytearray(payload)
+    corrupted[40] ^= 0xFF  # flip a byte inside a chunk body
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png_features(bytes(corrupted))
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png_features(b"GIF89a")
+
+
+def test_media_decode_features_frame(spark):
+    """The Arrow-batched decode stage end-to-end: synthesized fixture →
+    real decode → typed feature rows, modality fields NULL on the other
+    side, container detected from magic bytes only."""
+    docs = spark.range(0, 12).selectExpr("id AS doc_id")
+    media = multimodal.synthesize_media_fixture(docs)
+    rows = {r["doc_id"]: r for r in multimodal.media_decode_features(media).collect()}
+    assert len(rows) == 12
+    for d, r in rows.items():
+        if d % 2 == 0:
+            assert r["container"] == "wav"
+            assert r["rms"] == float(1000 + (d % 13) * 500)
+            assert r["width"] is None and r["px_mean"] is None
+        else:
+            assert r["container"] == "png"
+            assert r["width"] == 8 + d % 9 and r["bit_depth"] == 8
+            assert r["sample_rate"] is None and r["rms"] is None
