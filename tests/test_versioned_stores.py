@@ -270,3 +270,85 @@ def test_lsh_store_versioned_merge_parity(spark, sf_dir, tmp_path):
         tx.lsh_incremental_pairs(probe, tx.lsh_store_merge(tx.lsh_signature_store(a), b))
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Cross-store invariant sweep (round 12): every versioned-capable writer
+# round-trips under resolve_store_root and GC keeps at most 2 versions
+# ---------------------------------------------------------------------------
+
+
+def test_every_versioned_store_gc_and_resolve_sweep(spark, sf_dir, tmp_path):
+    """The invariant the last three rounds built piecemeal, pinned once
+    for EVERY store: after three versioned commits (a) the root holds at
+    most `keep=2` version dirs plus nothing else (no scratch leak, no
+    flat remnants), (b) resolve_store_root points at the newest version,
+    (c) the store's reader returns data from that snapshot."""
+    from admira_etl_project_prueba_spark.operators import similarity as sim
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+
+    def metrics(path, i):
+        MetricsStore(spark, path, versioned=True).store(
+            _batch(spark, [f"2024-03-{i + 1:02d}"])
+        )
+
+    def histogram(path, i):
+        sk.write_histogram_store(_events(spark, 40, shift=i), path, versioned=True)
+
+    def lm_counts(path, i):
+        tx.write_lm_counts(_docs(spark, 10 + i), path, versioned=True)
+
+    def lsh(path, i):
+        tx.write_lsh_store(docs.filter(f"doc_id % 3 = {i % 3}"), path, versioned=True)
+
+    def ivf(path, i):
+        sim.write_ivf_index(emb, path, n_centroids=8, versioned=True)
+
+    def ivfpq(path, i):
+        sim.write_ivfpq_index(emb, path, n_centroids=8, versioned=True, iters=1 + i % 2)
+
+    def text_index(path, i):
+        tx.write_text_index(_docs(spark, 20 + i), path, versioned=True)
+
+    def positional(path, i):
+        tx.write_positional_index(_docs(spark, 20 + i), path, versioned=True)
+
+    readers = {
+        "metrics": lambda p: MetricsStore(spark, p).read(),
+        "histogram": lambda p: sk.quantiles_from_store(spark, p),
+        "lm_counts": lambda p: spark.read.parquet(fs.resolve_store_root(spark, p)),
+        "lsh": lambda p: tx.read_lsh_store(spark, p),
+        "ivf": lambda p: sim.ivf_topk_from_index(spark, emb, p, k=3),
+        "ivfpq": lambda p: sim.ivfpq_topk_from_index(spark, emb, p, k=3),
+        "text_index": lambda p: tx.bm25_from_index(spark, p, ["alpha"], top_n=3),
+        "positional": lambda p: spark.read.parquet(
+            fs.resolve_store_root(spark, p) + "/postings"
+        ),
+    }
+    writers = {
+        "metrics": metrics,
+        "histogram": histogram,
+        "lm_counts": lm_counts,
+        "lsh": lsh,
+        "ivf": ivf,
+        "ivfpq": ivfpq,
+        "text_index": text_index,
+        "positional": positional,
+    }
+    for name, writer in writers.items():
+        path = str(tmp_path / f"sweep_{name}")
+        for i in range(3):
+            writer(path, i)
+        versions = fs.list_versions(spark, path)
+        assert 1 <= len(versions) <= 2, (name, versions)
+        others = [
+            n for n in fs.list_child_names(spark, path)
+            if not fs._is_version_name(n)
+        ]
+        assert others == [], (name, others)  # no scratch/flat leakage
+        assert fs.resolve_store_root(spark, path).endswith(versions[-1]), name
+        df = readers[name](path)
+        assert df.count() > 0, name
