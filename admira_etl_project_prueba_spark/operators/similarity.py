@@ -1267,8 +1267,22 @@ def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
 # left-to-right folds DuckDB reproduces bit-for-bit; the ADC sum folds
 # the M lookups in subspace order, never in shuffle order.
 
-PQ_M = 4  #: subspaces (DIM must divide evenly)
-PQ_KSUB = 16  #: codewords per subspace codebook
+PQ_M = 4  #: subspaces (DIM must divide evenly) — TEST-SCALE default
+PQ_KSUB = 16  #: codewords per subspace codebook — TEST-SCALE default
+
+#: SERVING defaults picked by measurement on the clustered GMM fixture
+#: (docs/SCALE.md round 12: rerank recall@10 = 0.94 at 8 bytes/vector,
+#: probe fraction 8/313).  The test-scale PQ_M/PQ_KSUB exist to keep the
+#: DuckDB oracle chains tractable; production stores should be built
+#: with these.  The one rule that is NOT a constant: rerank_depth must
+#: cover the corpus's expected duplicate/near-cluster size (measured:
+#: depth 100 caps at ~0.78 on 400-member clusters, 200 → 0.94,
+#: 400 → 1.0) — 200 is the measured default for ~400-member clusters.
+SERVING_PQ_M = 8
+SERVING_PQ_KSUB = 256
+SERVING_NORMALIZE = True
+SERVING_N_PROBE = 8
+SERVING_RERANK_DEPTH = 200
 
 
 def _d2(a: str, b: str) -> str:

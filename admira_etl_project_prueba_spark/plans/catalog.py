@@ -6493,6 +6493,86 @@ def _q_bpe_encode_stats(spark, sf_dir):
     return _tx.bpe_encode_stats(_t(spark, sf_dir, "documents"), n_merges=4)
 
 
+def _bpe_artifact_path(spark, sf_dir, n_merges: int = 64) -> str:
+    """Content-keyed cached BPE merge artifact for ``sf_dir``'s documents
+    — trained ONCE per corpus content at depth ``n_merges`` (frontier-
+    checkpoint mode), then served frozen: the write_bpe_merges →
+    bpe_encode_from_merges production split, with the same build-under-
+    scratch-then-rename recipe as ``_ivf_index_path``."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    files = [src]
+    if os.path.isdir(src):
+        files = sorted(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(src)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+    h = hashlib.sha256(f"bpe-merges-v1-{n_merges}\n".encode())
+    for p in files:
+        st = os.stat(p)
+        h.update(
+            f"{os.path.relpath(p, sf_dir)}|{st.st_size}|{st.st_mtime_ns}\n".encode()
+        )
+    path = os.path.join(
+        tempfile.gettempdir(), f"bpe_merges_{h.hexdigest()[:16]}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        scratch = tempfile.mkdtemp(prefix="bpe_build_")
+        try:
+            build = os.path.join(scratch, "merges")
+            _tx.write_bpe_merges(
+                _t(spark, sf_dir, "documents"),
+                build,
+                n_merges=n_merges,
+                checkpoint_every=8,
+            )
+            try:
+                os.rename(build, path)
+            except OSError:
+                pass  # concurrent run won the rename
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    return path
+
+
+@_entry(
+    "bpe_encode_from_artifact_deep",
+    "Tokenizer APPLICATION at depth: documents encoded against the "
+    "PERSISTED depth-64 merge artifact (write_bpe_merges → "
+    "bpe_encode_from_merges, the production freeze/serve split) — the "
+    "deep trainer's output exercised through the serving path.  Encode "
+    "cost is depth-independent by construction: ONE broadcast of the "
+    "ordered merge array and one aggregate fold per vocabulary entry, "
+    "never per corpus row.",
+    _duck_bpe_ctes(64, materialized=True)
+    + """,
+vocab AS (
+  SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS w_tokens,
+         CAST(length(word) AS BIGINT) AS w_chars
+  FROM v64),
+dw AS (
+  SELECT doc_id, unnest(t) AS word FROM tok)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(w_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(w_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(w_chars) AS DOUBLE) / SUM(w_tokens) AS chars_per_token
+FROM dw JOIN vocab USING (word)
+WHERE word IS NOT NULL AND word != ''
+GROUP BY doc_id""",
+)
+def _q_bpe_encode_from_artifact_deep(spark, sf_dir):
+    path = _bpe_artifact_path(spark, sf_dir, n_merges=64)
+    return _tx.bpe_encode_from_merges(
+        spark, _t(spark, sf_dir, "documents"), path
+    )
+
+
 @_entry(
     "vocab_growth_curve",
     "Heaps-law diagnostic: cumulative tokens vs cumulative distinct "

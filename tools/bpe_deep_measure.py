@@ -107,6 +107,34 @@ def main() -> None:
             break
     print(f"total: {time.time() - t0:.1f}s")
 
+    # tokenizer APPLICATION at depth: freeze the deepest artifact and
+    # measure the serving encode (bpe_encode_from_merges) — tokens/s and
+    # bytes/token over the corpus, plus the depth-independence claim
+    # (encode at depth 8 vs full depth: same plan shape, one broadcast
+    # merge array + one fold per vocabulary entry)
+    from admira_etl_project_prueba_spark.operators.textops import (
+        bpe_encode_from_merges,
+        write_bpe_merges,
+    )
+
+    for depth in (8, prev_n):
+        apath = os.path.join(
+            tempfile.gettempdir(), f"bpe_artifact_{n_docs}_{depth}"
+        )
+        write_bpe_merges(docs, apath, n_merges=depth, checkpoint_every=16)
+        t1 = time.time()
+        enc = bpe_encode_from_merges(spark, docs, apath)
+        agg = enc.agg(
+            {"n_bpe_tokens": "sum", "n_chars": "sum", "doc_id": "count"}
+        ).first()
+        dt = time.time() - t1
+        toks, chars = int(agg["sum(n_bpe_tokens)"]), int(agg["sum(n_chars)"])
+        print(
+            f"encode@depth={depth}: {agg['count(doc_id)']} docs, "
+            f"{toks} tokens in {dt:.1f}s = {toks / dt / 1e6:.2f}M tokens/s, "
+            f"{chars / toks:.3f} bytes/token"
+        )
+
 
 if __name__ == "__main__":
     main()
