@@ -3490,8 +3490,10 @@ def write_bpe_merges(
     ``streaming.stream_bpe_encode``) so token accounting stays
     comparable across ingest batches, exactly like the frozen DSIR/LM
     models.  Real-vocabulary training passes ``checkpoint_every`` (the
-    frontier-checkpoint mode) — the encode side is depth-independent
-    already (one ``aggregate`` fold over the merge array, however long)."""
+    frontier-checkpoint mode) — the encode side's PLAN is
+    depth-independent (one ``aggregate`` fold over the merge array,
+    however long); its COST is linear in depth per VOCABULARY entry,
+    independent of corpus rows (measured: docs/SCALE.md round 12)."""
     bpe_learn_merges(documents, n_merges, checkpoint_every).coalesce(
         1
     ).write.mode("overwrite").parquet(path)
