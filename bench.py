@@ -159,6 +159,14 @@ BENCH_QUERIES = [
     "bpe_encode_stats",
     "bpe_learned_merges_deep",
     "ann_ivfpq_topk_batch",
+    # round-12 additions: bulk k-NN join over the persisted store, the
+    # clustered-fixture recall/integrity pair, real stdlib media decode,
+    # and the frozen-artifact BPE encode path
+    "knn_join_bulk",
+    "clustered_nn_integrity",
+    "clustered_pq_recall",
+    "media_decode_features",
+    "bpe_encode_from_artifact_deep",
 ]
 
 

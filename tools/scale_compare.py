@@ -63,6 +63,24 @@ SUBLINEAR |= {
     # one corpus-sized word count, then every trainer round runs over the
     # VOCABULARY, which grows ~Heaps-sublinearly with the corpus
     "bpe_learned_merges",
+    # bounded query sample (vec_id < 1000 cap) × corpus scan: the
+    # broadcast side is FIXED as the corpus grows, so the pair volume —
+    # and the ADC/probe work — track the corpus linearly at worst; the
+    # recall report additionally caps at its k/depth constants
+    "clustered_nn_integrity",
+    "clustered_pq_recall",
+}
+QUAD_FIXED_K |= {
+    # query side is a fixed FRACTION of the corpus (vec_id % 37) against
+    # fixed-k lists: candidate volume ~ (n/37)·(n/k_lists) — the same
+    # pinned-k hazard arm as the other pair ops (production scales k)
+    "knn_join_bulk",
+}
+SUBLINEAR |= {
+    # trainer rounds over the Heaps-sublinear vocabulary; the encode
+    # fold is vocabulary-sized too (corpus enters via one hash join)
+    "bpe_learned_merges_deep",
+    "bpe_encode_from_artifact_deep",
 }
 
 
