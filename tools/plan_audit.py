@@ -96,6 +96,8 @@ NESTED_LOOP_ALLOWED = {
     "clustered_nn_integrity",   # bounded query sample (vec_id<1000, %29) broadcast
     "knn_join_bulk",            # probe assignment broadcasts the MODEL side
                                 # (centroids) onto the distributed query frame
+    "bpe_encode_from_artifact_deep",  # 1-row ordered merge-array frame
+                                # broadcast onto the vocabulary (encode fold)
     "ann_pq_topk_normalized",     # 1-row query distance-table broadcast
     "pq_codebooks_sampled",       # model-sized codebook broadcast per Lloyd round
     "pq_codes_sampled_train",     # same broadcast in the frozen-model encode
