@@ -37,6 +37,10 @@ class Config:
     max_retries: int = 3            # config.go:27,37
     backoff_ms: int = 1000          # config.go:28,38
     store_path: str = field(default="/tmp/admira_metrics_store")
+    #: beyond-reference: the stream_metrics_ingest batch log this
+    #: deployment folds from ("" = no streaming ingest configured —
+    #: /store/health then reports stream_log: null)
+    stream_log_path: str = ""
 
     @classmethod
     def from_env(cls, dotenv_path: str = ".env") -> "Config":
@@ -51,4 +55,5 @@ class Config:
             max_retries=int(env.get("MAX_RETRIES", 3)),
             backoff_ms=int(env.get("BACKOFF_MS", 1000)),
             store_path=env.get("STORE_PATH", "/tmp/admira_metrics_store"),
+            stream_log_path=env.get("STREAM_LOG_PATH", ""),
         )

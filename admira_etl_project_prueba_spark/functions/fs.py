@@ -83,6 +83,22 @@ def count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> int
     return n
 
 
+def is_file_not_found(exc: Exception) -> bool:
+    """True when a Spark job died because a scanned file vanished
+    mid-job — the signature of a dynamic-partition-overwrite replay
+    deleting files a concurrent maintenance fold has pinned and is
+    reading.  Folds over deterministic content retry on this (a fresh
+    pin sees the replayed, identical partition); any other failure
+    propagates."""
+    s = str(exc)
+    return (
+        "FileNotFoundException" in s
+        or "FILE_NOT_EXIST" in s
+        or "PATH_NOT_FOUND" in s
+        or "does not exist" in s
+    )
+
+
 def write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write a small text file (manifests, sidecars) through the
     session's Hadoop FS — works on HDFS/S3A URIs where a local
@@ -201,6 +217,37 @@ def swap_into_place(spark: SparkSession, tmp: str, dst: str) -> None:
 # documented grace window, tunable via ``keep``.
 
 _VERSION_WIDTH = 8
+
+#: GC depth when no per-store override is registered: current + previous,
+#: the minimum that gives in-flight readers one flip of grace.
+DEFAULT_GC_KEEP = 2
+
+#: per-store GC-depth overrides (normalized root -> keep), consulted by
+#: :func:`commit_version` when the caller passes ``keep=None``.  Process-
+#: local BY DESIGN: the retention window is an operator knob of the job
+#: that owns the store's maintenance lease, not store state — hot stores
+#: with long-running readers register a deeper window once at startup
+#: (``set_gc_keep(path, 3)``) and every commit in the process honors it,
+#: without threading a parameter through all eight store writers.
+_GC_KEEP: dict[str, int] = {}
+
+
+def set_gc_keep(root: str, keep: int | None) -> None:
+    """Register (or with ``None`` clear) a per-store GC depth: every
+    subsequent :func:`commit_version` on ``root`` in this process keeps
+    the newest ``keep`` versions instead of :data:`DEFAULT_GC_KEEP`.
+    Readers older than ``keep-1`` flips can lose files — size it to the
+    store's longest expected reader, floor 1 (current only)."""
+    key = root.rstrip("/")
+    if keep is None:
+        _GC_KEEP.pop(key, None)
+    else:
+        _GC_KEEP[key] = max(1, int(keep))
+
+
+def gc_keep(root: str) -> int:
+    """The GC depth :func:`commit_version` will use for ``root``."""
+    return _GC_KEEP.get(root.rstrip("/"), DEFAULT_GC_KEEP)
 
 
 def _is_version_name(name: str) -> bool:
@@ -367,16 +414,20 @@ def copy_tree(spark: SparkSession, src: str, dst: str) -> None:
 
 
 def commit_version(
-    spark: SparkSession, root: str, tmp: str, keep: int = 2
+    spark: SparkSession, root: str, tmp: str, keep: int | None = None
 ) -> str:
     """Atomically commit ``tmp`` (a fully-written version payload) as
     ``root``'s next version, then GC all but the newest ``keep``
-    versions.  Returns the committed version name.
+    versions (``None`` → the store's registered :func:`set_gc_keep`
+    override, else :data:`DEFAULT_GC_KEEP`).  Returns the committed
+    version name.
 
     CALLER HOLDS the store's maintenance lease — the lease serializes
     writers (two concurrent commits could both compute the same next
     name); readers need no lock at all, which is the point.
     """
+    if keep is None:
+        keep = gc_keep(root)
     fs, jroot, jvm = _fs_and_path(spark, root)
     current = latest_version(spark, root)
     nxt = (int(current[1:]) + 1) if current else 1

@@ -6,6 +6,9 @@ Route table parity: /root/reference/cmd/server/main.go via
 internal/api/handlers.go:41-59 —
 
     GET  /healthz            GET  /readyz
+    GET  /store/health   (beyond-reference: fact-store layout + the
+         stream-fold scheduling probe — pending batches, oldest age —
+         when STREAM_LOG_PATH is configured)
     POST /ingest/run?since=  POST /export/run?date=
     GET  /metrics/channel?channel=&from=&to=&limit=&offset=
     GET  /metrics/funnel?utm_campaign=&from=&to=
@@ -134,6 +137,8 @@ def make_handler(svc: MetricsService, corpus=None):
                     return self._send(200, svc.healthz())
                 if route == ("GET", "/readyz"):
                     return self._send(200, svc.readyz())
+                if route == ("GET", "/store/health"):
+                    return self._send(200, svc.store_health(request_id=rid))
                 if route == ("POST", "/ingest/run"):
                     # optional params are passed ONLY when supplied, so the
                     # service's own defaults stay the single source of truth

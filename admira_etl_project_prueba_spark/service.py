@@ -263,3 +263,24 @@ class MetricsService:
             return {"status": "ready"}
         except Exception as exc:  # pragma: no cover
             return {"status": "not ready", "error": str(exc)}
+
+    # -- GET /store/health (beyond-reference) --------------------------------
+    def store_health(self, request_id: str | None = None) -> dict:
+        """Maintenance dashboard for the metrics fact store — the fact
+        tier's twin of the corpus tier's ``index_health``: the layout in
+        use, and (when ``STREAM_LOG_PATH`` is configured) the
+        stream-fold scheduling probe — pending batch depth and oldest
+        batch age, so an operator knows WHEN to run ``fold_stream_log``
+        instead of discovering an ever-growing log.  Safe to poll:
+        listing-only, and an unconfigured stream log reports null."""
+        out: dict = {
+            "store_path": self.config.store_path,
+            "versioned": self.store._is_versioned(),
+            "stream_log": None,
+            "request_id": new_request_id(request_id),
+        }
+        if self.config.stream_log_path:
+            out["stream_log"] = self.store.stream_log_health(
+                self.config.stream_log_path
+            )
+        return out

@@ -160,38 +160,82 @@ class MetricsStore:
     #: already folded into this payload, committed ATOMICALLY with it by
     #: the version rename.  That atomicity is the whole exactly-once
     #: story for :meth:`fold_stream_log`: payload and ledger can never
-    #: disagree.  Keys are ``stream_id:batch_id`` strings — micro-batch
+    #: disagree.  BOUNDED representation: one row per stream —
+    #: ``(stream_id, hwm, tail)`` where every ``batch_id <= hwm`` is
+    #: folded and ``tail`` holds only out-of-order folded ids beyond the
+    #: watermark — instead of one row per batch ever folded, which grew
+    #: linearly with the store's whole streaming lifetime.  Micro-batch
     #: ids are only unique PER QUERY (a second source, or a replay from
-    #: a fresh checkpoint, restarts at 0), so the bare batch_id would
-    #: collide across streams sharing a store.
+    #: a fresh checkpoint, restarts at 0), hence the per-stream keying.
+    #: Legacy one-``key``-per-batch ledgers read compatibly and compact
+    #: into this form on their next commit.
     _LEDGER = "_folded_batches"
 
-    def folded_stream_keys(self) -> set[str]:
-        """``stream_id:batch_id`` keys recorded as folded into the
-        CURRENT version (empty for flat stores / never-folded stores)."""
+    @staticmethod
+    def _compact_ledger(
+        folded: dict[str, tuple[int, set[int]]],
+    ) -> dict[str, tuple[int, frozenset[int]]]:
+        """Advance each stream's watermark through its tail: hwm absorbs
+        every contiguous id above it, the tail keeps only the gap-ridden
+        remainder — the invariant that keeps the ledger bounded by the
+        fold's reorder window, not by history."""
+        out: dict[str, tuple[int, frozenset[int]]] = {}
+        for sid, (hwm, tail) in folded.items():
+            pend = set(tail)
+            while hwm + 1 in pend:
+                hwm += 1
+                pend.discard(hwm)
+            out[sid] = (hwm, frozenset(b for b in pend if b > hwm))
+        return out
+
+    def stream_fold_ledger(self) -> dict[str, tuple[int, frozenset[int]]]:
+        """Per-stream folded-batch memory of the CURRENT version:
+        ``{stream_id: (hwm, tail)}`` — batch ``b`` of ``stream_id`` is
+        folded iff ``b <= hwm or b in tail``.  Empty for flat stores /
+        never-folded stores.  Legacy ledgers (one ``key`` row per
+        ``stream_id:batch_id``) are parsed and compacted on read."""
         if fs.latest_version(self.spark, self.path) is None:
-            return set()
+            return {}
         p = f"{self._root()}/{self._LEDGER}"
         if not fs.dir_nonempty(self.spark, p):
-            return set()
-        return {
-            str(r["key"]) for r in self.spark.read.parquet(p).collect()
-        }
+            return {}
+        df = self.spark.read.parquet(p)
+        if "key" in df.columns:  # pre-round-13 unbounded format
+            acc: dict[str, set[int]] = {}
+            for r in df.collect():
+                sid, _, b = str(r["key"]).rpartition(":")
+                acc.setdefault(sid, set()).add(int(b))
+            return self._compact_ledger(
+                {s: (-1, ids) for s, ids in acc.items()}
+            )
+        return self._compact_ledger(
+            {
+                str(r["stream_id"]): (
+                    int(r["hwm"]),
+                    set(int(b) for b in (r["tail"] or [])),
+                )
+                for r in df.collect()
+            }
+        )
 
-    def _commit_full(self, full: DataFrame, ledger_ids: set | None = None) -> None:
+    def _commit_full(
+        self,
+        full: DataFrame,
+        ledger: dict[str, tuple[int, frozenset[int]]] | None = None,
+    ) -> None:
         """Write ``full`` (the COMPLETE next payload) as the next
         immutable version.  Caller holds the store lease.  A flat store
         opting into versioning migrates here: its payload lands in v1
         and the flat remnants are swept after the commit (one-time
         transition; subsequent writes have no window at all).
 
-        The stream-fold ledger rides along: ``ledger_ids`` (when given)
+        The stream-fold ledger rides along: ``ledger`` (when given)
         replaces it, otherwise the current version's ledger is carried
         FORWARD — a plain upsert/replace/compact between two folds must
         not lose the folded-batch memory, or a fold replay would double
         the already-folded increments."""
-        if ledger_ids is None:
-            ledger_ids = self.folded_stream_keys()
+        if ledger is None:
+            ledger = self.stream_fold_ledger()
         was_flat = (
             fs.latest_version(self.spark, self.path) is None
             and fs.dir_nonempty(self.spark, self.path)
@@ -199,11 +243,14 @@ class MetricsStore:
         fs.clean_version_scratch(self.spark, self.path)
         tmp = fs.version_scratch(self.path)
         full.write.partitionBy("date").mode("overwrite").parquet(tmp)
-        if ledger_ids:
+        if ledger:
             (
                 self.spark.createDataFrame(
-                    [(str(k),) for k in sorted(ledger_ids)],
-                    "key string",
+                    [
+                        (sid, int(hwm), sorted(int(b) for b in tail))
+                        for sid, (hwm, tail) in sorted(ledger.items())
+                    ],
+                    "stream_id string, hwm long, tail array<long>",
                 )
                 .coalesce(1)
                 .write.mode("overwrite")
@@ -307,8 +354,10 @@ class MetricsStore:
         Exactly-once without trusting the stream OR the fold to not
         replay: the log is batch_id-partitioned with dynamic overwrite
         (an at-least-once micro-batch replay overwrites its own
-        partition), and each committed store version carries the
-        CUMULATIVE ledger of folded batch_ids inside the version dir —
+        partition), and each committed store version carries the ledger
+        of folded batches inside the version dir — per-stream
+        high-watermark + out-of-order tail, bounded by the reorder
+        window rather than by the store's streaming lifetime —
         payload and ledger flip together in the commit rename, so a fold
         that crashed anywhere simply re-runs: already-ledgered batches
         are skipped, unledgered ones refold against the unchanged
@@ -321,7 +370,12 @@ class MetricsStore:
         Requires the versioned layout (the flat layout has no atomic
         payload+ledger commit).  Cleanup deletes only the batch
         partitions this fold saw; all of them are in the ledger by then.
-        Returns the number of batches folded."""
+        The stream writer holds no lease (by design — ingest must never
+        contend with maintenance), so a replayed micro-batch's dynamic
+        partition overwrite can delete a pinned file mid-scan; the fold
+        RETRIES with a fresh pin (content is deterministic and the
+        ledger skips already-committed batches, so the retry is safe)
+        instead of failing.  Returns the number of batches folded."""
         if not self._is_versioned():
             raise ValueError(
                 "fold_stream_log requires a versioned MetricsStore "
@@ -332,47 +386,116 @@ class MetricsStore:
             return 0
         with fs.maintenance_lease(self.spark, self.path):
             fs.recover_swap(self.spark, self.path)
-            log = self.spark.read.parquet(log_path)
-            key = F.concat_ws(":", "stream_id", "batch_id")
-            pairs = {
-                (str(r["stream_id"]), int(r["batch_id"]))
-                for r in log.select("stream_id", "batch_id")
-                .distinct()
-                .collect()
-            }
-            if not pairs:
-                return 0
-            keys = {f"{s}:{b}" for s, b in pairs}
-            folded = self.folded_stream_keys()
-            todo = sorted(keys - folded)
-            if todo:
-                inc = log.filter(key.isin(todo)).drop(
-                    "stream_id", "batch_id"
+            last_exc: Exception | None = None
+            for attempt in range(3):
+                try:
+                    return self._fold_stream_once(log_path)
+                except Exception as exc:  # noqa: BLE001 — filtered below
+                    if fs.is_file_not_found(exc) and attempt < 2:
+                        last_exc = exc
+                        continue
+                    raise
+            raise last_exc  # pragma: no cover — loop always returns/raises
+
+    def _fold_stream_once(self, log_path: str) -> int:
+        # pin the batch set FIRST: only these partitions are read below
+        # and only these are deleted after the commit
+        log = self.spark.read.parquet(log_path)
+        key = F.concat_ws(":", "stream_id", "batch_id")
+        pairs = {
+            (str(r["stream_id"]), int(r["batch_id"]))
+            for r in log.select("stream_id", "batch_id")
+            .distinct()
+            .collect()
+        }
+        if not pairs:
+            return 0
+        ledger = self.stream_fold_ledger()
+
+        def covered(s: str, b: int) -> bool:
+            hwm, tail = ledger.get(s, (-1, frozenset()))
+            return b <= hwm or b in tail
+
+        todo = sorted((s, b) for s, b in pairs if not covered(s, b))
+        if todo:
+            inc = log.filter(
+                key.isin([f"{s}:{b}" for s, b in todo])
+            ).drop("stream_id", "batch_id")
+            # pre-consolidate ACROSS batches: the same MetricKey can
+            # appear in several micro-batches; the upsert merge
+            # expects unique keys per batch (and on an empty store
+            # writes the batch verbatim)
+            resummed = inc.groupBy(*METRIC_KEY_COLS).agg(*_resum_aggs())
+            batch = with_derived_metrics(resummed).select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in METRICS_SCHEMA.fields
+                ]
+            )
+            _, full = self._upsert_frames(batch)
+            nxt = {s: (hwm, set(tail)) for s, (hwm, tail) in ledger.items()}
+            for s, b in todo:
+                nxt.setdefault(s, (-1, set()))[1].add(b)
+            self._commit_full(full, ledger=self._compact_ledger(nxt))
+        # every batch this fold saw is now in the current ledger —
+        # a crash between commit and cleanup re-runs as cleanup-only
+        jfs, _, jvm = fs._fs_and_path(self.spark, log_path)
+        for s, b in sorted(pairs):
+            jfs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{log_path.rstrip('/')}/stream_id={s}/batch_id={b}"
+                ),
+                True,
+            )
+        return len(todo)
+
+    def stream_log_health(self, log_path: str) -> dict:
+        """Fold-scheduling probe for a :func:`streaming.ingest.
+        stream_metrics_ingest` batch log — the WHEN-to-fold signal every
+        other store's maintenance surface has (``index_health``'s
+        ``needs_*`` verdicts): pending batch count, distinct streams,
+        and the oldest pending batch's age in ms.  Listing-only — two
+        levels of directory metadata, no data read — so it is safe to
+        poll; a concurrent fold or micro-batch landing mid-list just
+        shifts the counts by one."""
+        import time as _time
+
+        out = {
+            "path": log_path,
+            "pending_batches": 0,
+            "streams": 0,
+            "oldest_pending_ms": 0,
+            "needs_fold": False,
+        }
+        if not fs.path_exists(self.spark, log_path):
+            return out
+        oldest: int | None = None
+        for sid in fs.list_child_names(self.spark, log_path):
+            if not sid.startswith("stream_id="):
+                continue
+            batches = [
+                b
+                for b in fs.list_child_names(
+                    self.spark, f"{log_path.rstrip('/')}/{sid}"
                 )
-                # pre-consolidate ACROSS batches: the same MetricKey can
-                # appear in several micro-batches; the upsert merge
-                # expects unique keys per batch (and on an empty store
-                # writes the batch verbatim)
-                resummed = inc.groupBy(*METRIC_KEY_COLS).agg(*_resum_aggs())
-                batch = with_derived_metrics(resummed).select(
-                    *[
-                        F.col(f.name).cast(f.dataType).alias(f.name)
-                        for f in METRICS_SCHEMA.fields
-                    ]
+                if b.startswith("batch_id=")
+            ]
+            if not batches:
+                continue
+            out["streams"] += 1
+            out["pending_batches"] += len(batches)
+            for b in batches:
+                mt = fs.path_mtime(
+                    self.spark, f"{log_path.rstrip('/')}/{sid}/{b}"
                 )
-                _, full = self._upsert_frames(batch)
-                self._commit_full(full, ledger_ids=folded | set(todo))
-            # every batch this fold saw is now in the current ledger —
-            # a crash between commit and cleanup re-runs as cleanup-only
-            jfs, _, jvm = fs._fs_and_path(self.spark, log_path)
-            for s, b in sorted(pairs):
-                jfs.delete(
-                    jvm.org.apache.hadoop.fs.Path(
-                        f"{log_path.rstrip('/')}/stream_id={s}/batch_id={b}"
-                    ),
-                    True,
-                )
-            return len(todo)
+                if mt >= 0 and (oldest is None or mt < oldest):
+                    oldest = mt
+        if oldest is not None:
+            out["oldest_pending_ms"] = max(
+                0, int(_time.time() * 1000) - oldest
+            )
+        out["needs_fold"] = out["pending_batches"] > 0
+        return out
 
     def compact(self) -> tuple[int, int]:
         """Rewrite the store so each date partition holds one file.

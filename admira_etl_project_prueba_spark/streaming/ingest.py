@@ -31,6 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 from admira_etl_project_prueba_spark.functions.dates import parse_flexible_timestamp
 from admira_etl_project_prueba_spark.functions.fs import (
     heal_if_crashed,
+    is_file_not_found,
     maintenance_lease,
     path_exists,
     recover_swap,
@@ -160,8 +161,21 @@ def stream_metrics_ingest(
     ledger would skip genuinely new batches as already-folded.  Distinct
     queries writing one log MUST use distinct stream_ids."""
     sid = source if stream_id is None else str(stream_id)
-    if not sid or any(c in sid for c in ":/\\"):
-        raise ValueError(f"invalid stream_id: {sid!r}")
+    # strict charset, not a denylist: Spark percent-escapes many more
+    # chars than ':/\' in partition directory names ('=', '%', '#',
+    # '[', unicode, ...), while fold_stream_log's cleanup builds RAW
+    # f"stream_id={sid}/batch_id={b}" paths — an escaped id would make
+    # those deletes silently miss and already-folded log partitions
+    # would accumulate and be re-scanned forever.  Within this charset
+    # the raw path IS the written directory name.
+    import re as _re
+
+    if not sid or not _re.fullmatch(r"[A-Za-z0-9._-]+", sid):
+        raise ValueError(
+            f"invalid stream_id: {sid!r} (want [A-Za-z0-9._-]+ — other "
+            "chars are percent-escaped in partition dir names, which "
+            "would desync the fold's ledger-keyed cleanup paths)"
+        )
     stream = source_stream
     if ingested_at is not None:
         stream = stream.withColumn(
@@ -1370,19 +1384,9 @@ def stream_pq_encode(
     )
 
 
-def _is_file_not_found(exc: Exception) -> bool:
-    """True when a Spark job died because a scanned file vanished
-    mid-job — the signature of :func:`stream_pq_encode`'s dynamic
-    partition overwrite replaying a batch whose files a concurrent fold
-    has pinned and is reading.  Content is deterministic, so the fold
-    retries; any other failure propagates."""
-    s = str(exc)
-    return (
-        "FileNotFoundException" in s
-        or "FILE_NOT_EXIST" in s
-        or "PATH_NOT_FOUND" in s
-        or "does not exist" in s
-    )
+#: shared with :meth:`store.MetricsStore.fold_stream_log` — both folds
+#: retry on vanished-pinned-partition, so the predicate lives in fs
+_is_file_not_found = is_file_not_found
 
 
 def fold_encoded_codes(

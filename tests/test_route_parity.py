@@ -138,6 +138,7 @@ CORPUS_ROUTES = {
 METRICS_ROUTES = {
     "healthz": ("GET", "/healthz", {}),
     "readyz": ("GET", "/readyz", {}),
+    "store_health": ("GET", "/store/health", {"request_id": RID}),
     "ingest_run": (
         "POST", "/ingest/run?since=2024-02-03&store_mode=replace",
         {"since": "2024-02-03", "store_mode": "replace", "request_id": RID},

@@ -181,6 +181,135 @@ def test_stream_metrics_ingest_exactly_once(spark, dirs, tmp_path):
         flat.fold_stream_log(log)
 
 
+def _write_log_batch(spark, log_path, stream_id, batch_id, clicks=1):
+    """One synthetic already-conformed log partition, exactly the shape
+    stream_metrics_ingest's foreachBatch writes."""
+    from pyspark.sql import functions as F
+
+    from admira_etl_project_prueba_spark.schemas import METRICS_SCHEMA
+
+    row = spark.createDataFrame(
+        [
+            (
+                "2024-01-01", "google_ads", "C-1", "x", "google", "cpc",
+                clicks, 10, 1.0, 0, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+            )
+        ],
+        METRICS_SCHEMA,
+    )
+    (
+        row.withColumn("stream_id", F.lit(stream_id))
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .partitionBy("stream_id", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(log_path)
+    )
+
+
+def test_stream_fold_ledger_bounded(spark, tmp_path):
+    """The fold ledger is BOUNDED: one (stream_id, hwm, tail) row per
+    stream instead of one key per batch ever folded — contiguous ids
+    collapse into the watermark, out-of-order ids wait in the tail and
+    are absorbed when the gap closes, and a legacy one-key-per-batch
+    ledger reads compatibly and compacts on its next commit."""
+    log = str(tmp_path / "log")
+    store = MetricsStore(spark, str(tmp_path / "store"), versioned=True)
+
+    for b in (0, 1, 2):
+        _write_log_batch(spark, log, "s1", b)
+    assert store.fold_stream_log(log) == 3
+    assert store.stream_fold_ledger() == {"s1": (2, frozenset())}
+    ledger_rows = spark.read.parquet(
+        f"{store._root()}/{store._LEDGER}"
+    ).collect()
+    assert len(ledger_rows) == 1  # bounded: 3 batches -> one row, no tail
+    assert (ledger_rows[0]["hwm"], list(ledger_rows[0]["tail"])) == (2, [])
+
+    # out-of-order fold: 5 arrives before 3/4 — it waits in the tail
+    _write_log_batch(spark, log, "s1", 5)
+    assert store.fold_stream_log(log) == 1
+    assert store.stream_fold_ledger() == {"s1": (2, frozenset({5}))}
+
+    # the gap closes: hwm sweeps through the tail and absorbs it
+    for b in (3, 4):
+        _write_log_batch(spark, log, "s1", b)
+    assert store.fold_stream_log(log) == 2
+    assert store.stream_fold_ledger() == {"s1": (5, frozenset())}
+
+    # replay of a watermark-covered batch no-ops (hwm membership, not a
+    # key lookup); state unchanged
+    _write_log_batch(spark, log, "s1", 1)
+    before = sorted(map(tuple, store.read().collect()))
+    assert store.fold_stream_log(log) == 0
+    assert sorted(map(tuple, store.read().collect())) == before
+    # second stream gets its own row, ids independent of s1's
+    _write_log_batch(spark, log, "s2", 0)
+    assert store.fold_stream_log(log) == 1
+    assert store.stream_fold_ledger()["s2"] == (0, frozenset())
+
+    # legacy compat: a pre-round-13 one-key-per-batch ledger parses into
+    # the same (hwm, tail) view and compacts on the next commit
+    legacy = str(tmp_path / "legacy_store")
+    lstore = MetricsStore(spark, legacy, versioned=True)
+    _write_log_batch(spark, log, "s1", 0)
+    lstore.fold_stream_log(log)
+    spark.createDataFrame(
+        [("s1:0",), ("s1:1",), ("s1:2",), ("s1:7",), ("other:0",)],
+        "key string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{lstore._root()}/{lstore._LEDGER}"
+    )
+    assert lstore.stream_fold_ledger() == {
+        "s1": (2, frozenset({7})),
+        "other": (0, frozenset()),
+    }
+    _write_log_batch(spark, log, "s1", 3)
+    assert lstore.fold_stream_log(log) == 1  # 3 fills toward the gap
+    assert lstore.stream_fold_ledger()["s1"] == (3, frozenset({7}))
+    cols = spark.read.parquet(f"{lstore._root()}/{lstore._LEDGER}").columns
+    assert "key" not in cols and set(cols) == {"stream_id", "hwm", "tail"}
+
+
+def test_stream_log_health_probe(spark, tmp_path):
+    """The fold-scheduling probe (GET /store/health's stream_log block):
+    pending batch depth, stream count, oldest-batch age — zeroed on an
+    absent log, populated while batches wait, zeroed again after the
+    fold drains them."""
+    log = str(tmp_path / "log")
+    store = MetricsStore(spark, str(tmp_path / "store"), versioned=True)
+    h = store.stream_log_health(log)
+    assert h == {
+        "path": log, "pending_batches": 0, "streams": 0,
+        "oldest_pending_ms": 0, "needs_fold": False,
+    }
+    _write_log_batch(spark, log, "s1", 0)
+    _write_log_batch(spark, log, "s1", 1)
+    _write_log_batch(spark, log, "s2", 0)
+    h = store.stream_log_health(log)
+    assert h["pending_batches"] == 3 and h["streams"] == 2
+    assert h["needs_fold"] and h["oldest_pending_ms"] >= 0
+    store.fold_stream_log(log)
+    h = store.stream_log_health(log)
+    assert h["pending_batches"] == 0 and not h["needs_fold"]
+
+
+def test_stream_id_charset_rejected(tmp_path):
+    """stream_id is a strict [A-Za-z0-9._-]+ charset: Spark
+    percent-escapes '=', '%', '#', '[' (and more) in partition dir
+    names, which would desync fold_stream_log's raw cleanup paths."""
+    from admira_etl_project_prueba_spark.streaming.ingest import (
+        stream_metrics_ingest,
+    )
+
+    for bad in ("a=b", "a%b", "a#b", "a[b", "a b", "a:b", "a/b", ""):
+        with pytest.raises(ValueError, match="stream_id"):
+            stream_metrics_ingest(
+                None, "ads", str(tmp_path / "log"),
+                str(tmp_path / "ckpt"), stream_id=bad,
+            )
+
+
 def test_windowed_counts_with_watermark(spark, tmp_path):
     src = tmp_path / "events_in"
     src.mkdir()

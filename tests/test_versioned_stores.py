@@ -352,3 +352,26 @@ def test_every_versioned_store_gc_and_resolve_sweep(spark, sf_dir, tmp_path):
         assert fs.resolve_store_root(spark, path).endswith(versions[-1]), name
         df = readers[name](path)
         assert df.count() > 0, name
+
+    # GC-depth knob: a per-store set_gc_keep(path, 3) override widens the
+    # reader grace window — after four commits the root holds THREE
+    # versions (and still resolves to the newest); clearing the override
+    # restores keep=2 on the next commit, which GCs back down.  Exercised
+    # on every store type through the same writers — the override lives
+    # in commit_version, below all eight of them.
+    for name, writer in writers.items():
+        path = str(tmp_path / f"sweep_keep3_{name}")
+        fs.set_gc_keep(path, 3)
+        try:
+            for i in range(4):
+                writer(path, i)
+            versions = fs.list_versions(spark, path)
+            assert len(versions) == 3, (name, versions)
+            assert fs.resolve_store_root(spark, path).endswith(
+                versions[-1]
+            ), name
+            assert readers[name](path).count() > 0, name
+        finally:
+            fs.set_gc_keep(path, None)
+        writer(path, 4)
+        assert len(fs.list_versions(spark, path)) == 2, name
