@@ -93,6 +93,13 @@ class CorpusService:
         self._ivf_health_cache: dict | None = None
         self._ivf_n_centroids: int | None = None
         self._ivf_manifest_mtime: int | None = None
+        # occupancy-derived rerank depth for the configured PQ store
+        # (similarity.recommended_rerank_depth — the round-12 law: the
+        # shortlist must cover local cluster occupancy).  Keyed by the
+        # PQ manifest dir's mtime exactly like the IVF memo: retrains
+        # and merges commit a new manifest, changing the mtime.
+        self._pq_rerank_depth: int | None = None
+        self._pq_manifest_mtime: int | None = None
         # rename-swap maintenance (retrain/compact) must not interleave
         # with itself OR with a read path's crash-window recovery: a
         # probe restoring __old between an in-flight swap's two renames
@@ -257,20 +264,32 @@ class CorpusService:
                 ).select("vec_id", "label", "adc_dist2")
                 method = "ivfpq_index"
             else:
+                # the measured serving config (similarity.SERVING_*):
+                # probe count from the round-12 grid, shortlist depth
+                # derived from the store's own occupancy
+                depth = self._pq_serving_rerank_depth()
                 rows = similarity.ivfpq_rerank_from_index(
                     self.spark,
                     self.embeddings,
                     self.pq_index_path,
                     query_vec_id=vec_id,
                     k=k,
+                    shortlist=depth,
+                    n_probe=similarity.SERVING_N_PROBE,
                 ).select("vec_id", "label", "adc_dist2", "cosine")
                 method = "ivfpq_rerank_index"
-            return {
+            out = {
                 "query": vec_id,
                 "method": method,
                 "data": [r.asDict() for r in rows.collect()],
                 "request_id": new_request_id(request_id),
             }
+            if mode == "pq_rerank":
+                # the occupancy-derived shortlist depth actually served
+                # (similarity.recommended_rerank_depth) — callers and
+                # tests can pin behavior to the dashboard's number
+                out["rerank_depth"] = depth
+            return out
         index_ready = self.ivf_index_path is not None and self._ivf_index_ready()
         if index_ready:
             # a configured index IS the scale path: the probe prunes to
@@ -369,12 +388,15 @@ class CorpusService:
                 ).select("vec_id", "label", "adc_dist2")
                 method = "ivfpq_index_queryvec"
             else:
+                depth = self._pq_serving_rerank_depth()
                 rows = similarity.ivfpq_rerank_from_index(
                     self.spark,
                     self.embeddings,
                     self.pq_index_path,
                     k=k,
                     query_vec=qv,
+                    shortlist=depth,
+                    n_probe=similarity.SERVING_N_PROBE,
                 ).select("vec_id", "label", "adc_dist2", "cosine")
                 method = "ivfpq_rerank_index_queryvec"
         elif self.ivf_index_path is not None and self._ivf_index_ready():
@@ -390,12 +412,15 @@ class CorpusService:
         else:
             rows = similarity.cosine_topk(self.embeddings, k=k, query_vec=qv)
             method = "exact_queryvec"
-        return {
+        out = {
             "query": "external",
             "method": method,
             "data": [r.asDict() for r in rows.collect()],
             "request_id": new_request_id(request_id),
         }
+        if method == "ivfpq_rerank_index_queryvec":
+            out["rerank_depth"] = depth
+        return out
 
     def similar_by_vectors(
         self,
@@ -506,8 +531,12 @@ class CorpusService:
     def _pq_health(self) -> dict:
         """Maintenance state of the persisted IVF-PQ store: per-list
         vector occupancy (retrain-skew verdict, same threshold as the
-        raw-vector IVF store) and code-file fan-out (compaction verdict,
-        same threshold as the posting-file monitor)."""
+        raw-vector IVF store), code-file fan-out (compaction verdict,
+        same threshold as the posting-file monitor), and the
+        occupancy-derived rerank depth (p95 list occupancy floored at
+        the measured serving default — the depth the pq_rerank routes
+        actually serve with, so the dashboard and the behavior cannot
+        drift apart)."""
         occ = similarity.ivfpq_occupancy_report(self.spark, self.pq_index_path)
         f = occ.agg(
             F.count(F.lit(1)).alias("n_lists"),
@@ -515,11 +544,22 @@ class CorpusService:
             F.max("n_vectors").alias("mx_occ"),
             (F.sum("n_vectors") / F.count(F.lit(1))).alias("mean_occ"),
             F.max("n_files").alias("mx_files"),
+            F.expr("percentile(n_vectors, CAST(0.95 AS DOUBLE))").alias(
+                "p95_occ"
+            ),
         ).first()
         skew = (
             float(f["mx_occ"]) / float(f["mean_occ"])
             if f["mean_occ"] else 0.0
         )
+        depth = max(
+            similarity.SERVING_RERANK_DEPTH,
+            int(-(-float(f["p95_occ"] or 0) // 1)),
+        )
+        # refresh the serving memo from the same scan (one pass serves
+        # both the dashboard and the route default)
+        self._pq_rerank_depth = depth
+        self._pq_manifest_mtime = self._pq_manifest_mtime_now()
         return {
             "path": self.pq_index_path,
             "n_lists": int(f["n_lists"]),
@@ -529,7 +569,29 @@ class CorpusService:
             "max_files_per_list": int(f["mx_files"]),
             "needs_compaction": int(f["mx_files"])
             > similarity.MAX_FILES_PER_LIST,
+            "recommended_rerank_depth": depth,
         }
+
+    def _pq_manifest_mtime_now(self) -> int:
+        _, _, _, man_path = similarity.pq_resolved_paths(
+            self.spark, self.pq_index_path
+        )
+        return path_mtime(self.spark, man_path)
+
+    def _pq_serving_rerank_depth(self) -> int:
+        """The rerank shortlist depth the pq_rerank routes serve with:
+        :func:`similarity.recommended_rerank_depth` over the configured
+        store, memoized against the PQ manifest dir's mtime (one
+        metadata RPC on the no-change path — a retrain/merge commits a
+        new manifest and invalidates the memo, same recipe as the IVF
+        centroid-count memo)."""
+        mt = self._pq_manifest_mtime_now()
+        if self._pq_rerank_depth is None or mt != self._pq_manifest_mtime:
+            self._pq_rerank_depth = similarity.recommended_rerank_depth(
+                self.spark, self.pq_index_path
+            )
+            self._pq_manifest_mtime = mt
+        return self._pq_rerank_depth
 
     def _ivf_index_ready(self) -> bool:
         """True when the configured IVF store and its manifest exist

@@ -1273,11 +1273,16 @@ PQ_KSUB = 16  #: codewords per subspace codebook — TEST-SCALE default
 #: SERVING defaults picked by measurement on the clustered GMM fixture
 #: (docs/SCALE.md round 12: rerank recall@10 = 0.94 at 8 bytes/vector,
 #: probe fraction 8/313).  The test-scale PQ_M/PQ_KSUB exist to keep the
-#: DuckDB oracle chains tractable; production stores should be built
-#: with these.  The one rule that is NOT a constant: rerank_depth must
-#: cover the corpus's expected duplicate/near-cluster size (measured:
-#: depth 100 caps at ~0.78 on 400-member clusters, 200 → 0.94,
-#: 400 → 1.0) — 200 is the measured default for ~400-member clusters.
+#: DuckDB oracle chains tractable; production stores are built through
+#: :func:`write_serving_ivfpq_index`, which consumes these, the service
+#: rerank routes probe with ``SERVING_N_PROBE``, and
+#: ``tools/ann_recall_measure.py`` sweeps the same constants — the
+#: documented defaults and the measured/served behavior cannot drift.
+#: The one rule that is NOT a constant: rerank_depth must cover the
+#: corpus's expected duplicate/near-cluster size (measured: depth 100
+#: caps at ~0.78 on 400-member clusters, 200 → 0.94, 400 → 1.0) — 200
+#: is the measured FLOOR; :func:`recommended_rerank_depth` derives the
+#: served value from the store's own p95 list occupancy.
 SERVING_PQ_M = 8
 SERVING_PQ_KSUB = 256
 SERVING_NORMALIZE = True
@@ -1778,6 +1783,41 @@ def write_ivfpq_index(
         commit_version(spark, path, tmp)
 
 
+def write_serving_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int | None = None,
+    versioned: bool = False,
+    train_fraction: float | None = None,
+    iters: int = 1,
+) -> None:
+    """:func:`write_ivfpq_index` at the MEASURED serving config — the
+    ``SERVING_PQ_M/SERVING_PQ_KSUB/SERVING_NORMALIZE`` defaults the
+    round-12 recall grid picked (0.94 rerank@10 at 8 bytes/vector on
+    the clustered GMM fixture, docs/SCALE.md), instead of the
+    test-scale ``PQ_M/PQ_KSUB`` that exist to keep the DuckDB oracle
+    chains tractable.  ``n_centroids=None`` applies the provisioning
+    rule (lists track the corpus at ``TARGET_VECTORS_PER_LIST``
+    occupancy — one count).  Production stores should be built through
+    this; ``tools/ann_recall_measure.py`` sweeps the same constants so
+    the shipped numbers stay reproducible."""
+    if n_centroids is None:
+        n_centroids = max(
+            1, -(-embeddings.count() // TARGET_VECTORS_PER_LIST)
+        )
+    write_ivfpq_index(
+        embeddings,
+        path,
+        n_centroids=int(n_centroids),
+        m=SERVING_PQ_M,
+        ksub=SERVING_PQ_KSUB,
+        normalize=SERVING_NORMALIZE,
+        versioned=versioned,
+        train_fraction=train_fraction,
+        iters=iters,
+    )
+
+
 def ivfpq_topk_from_index(
     spark,
     embeddings: DataFrame,
@@ -2231,6 +2271,37 @@ def ivfpq_occupancy_report(spark, path: str) -> DataFrame:
     )
 
 
+def recommended_rerank_depth(
+    spark,
+    path: str,
+    floor: int = SERVING_RERANK_DEPTH,
+    quantile: float = 0.95,
+) -> int:
+    """Occupancy-DERIVED rerank depth for a persisted IVF-PQ store — the
+    round-12 law made operational: recall caps out unless the rerank
+    shortlist covers the query's LOCAL CLUSTER OCCUPANCY (measured on
+    the clustered GMM fixture: depth 100 plateaus at ~0.78 on 400-member
+    clusters, 200 → 0.94, 400 → 1.0 — docs/SCALE.md round-12 grid), and
+    on a trained store the inverted-list occupancy IS the available
+    proxy for cluster size.  Returns the p95 per-list vector occupancy
+    (an ordinary percentile over the n_lists-row monitoring frame — a
+    model-sized aggregation, no corpus scan beyond the code-store
+    footer/rowcount read the occupancy report already does), floored at
+    the measured static serving default so a store with tiny lists never
+    recommends a uselessly shallow rerank.  Serving routes read this
+    when a store is configured (memoized per store state); the
+    index_health block reports it for operators running batch
+    curation."""
+    occ = ivfpq_occupancy_report(spark, path)
+    p = occ.agg(
+        F.expr(f"percentile(n_vectors, CAST({float(quantile)} AS DOUBLE))")
+        .alias("p")
+    ).first()["p"]
+    if p is None:
+        return int(floor)
+    return max(int(floor), int(-(-float(p) // 1)))
+
+
 def compact_ivfpq_index(spark, path: str) -> None:
     """Compact the IVF-PQ code partitions back to ONE file per inverted
     list — reclaiming merge/fold append fan-out, results bit-identical.
@@ -2574,6 +2645,8 @@ def knn_join(
     index_path: str,
     k: int = 10,
     n_probe: int = 4,
+    rerank_depth: int | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Bulk k-NN JOIN against the persisted IVF-PQ store: top-k ADC
     neighbors for EVERY row of an arbitrary query DataFrame (vec_id,
@@ -2597,15 +2670,39 @@ def knn_join(
     * per-query ranking is a bounded window (≤ probed candidates per
       query, never the corpus).
 
-    Per-query results are IDENTICAL to :func:`ivfpq_topk_from_index`
-    (same frozen models, probe rule, subspace-ordered ADC fold, ties) —
-    pytest-pinned.  Honors the store's ``normalized`` manifest flag.
-    Query ids that collide with corpus vec_ids are treated as
-    self-matches and excluded (point the caller's ids at a disjoint
-    range — e.g. negatives — to disable).  Returns (query_id, vec_id,
-    label, centroid_id, adc_dist2, rnk)."""
+    RERANK TIER (``rerank_depth=D``, requires the raw ``corpus`` frame):
+    the ADC ranking becomes a per-query shortlist of depth D, joined
+    back to the raw corpus vectors ON ``vec_id`` (a key join — the
+    corpus side prunes to the shortlist's ids, read once; never a
+    broadcast of either side) and to the raw query vectors on
+    ``query_id``, then re-ranked by EXACT cosine — the bulk twin of
+    :func:`ivfpq_rerank_from_index`, with the same distributed-query
+    discipline as the ADC tier.  Use it for curation jobs that need
+    recall: the round-12 measurement on the clustered GMM fixture has
+    the ADC tier at ~0.21 recall@10 at serving config while rerank
+    reaches 0.94 (docs/SCALE.md); size D to the corpus's local cluster
+    occupancy (:func:`recommended_rerank_depth`).  Exact cosine is
+    computed on the RAW (pre-normalization) vectors on both sides —
+    cosine is scale-invariant, so this reranks correctly against
+    normalized stores too.  Adds ``cosine``; ``rnk`` orders by it.
+
+    Per-query ADC results are IDENTICAL to
+    :func:`ivfpq_topk_from_index` (same frozen models, probe rule,
+    subspace-ordered ADC fold, ties) — pytest-pinned.  Honors the
+    store's ``normalized`` manifest flag.  Query ids that collide with
+    corpus vec_ids are treated as self-matches and excluded (point the
+    caller's ids at a disjoint range — e.g. negatives — to disable).
+    Returns (query_id, vec_id, label, centroid_id, adc_dist2, rnk),
+    plus ``cosine`` before ``rnk`` when reranking."""
     from pyspark.sql import Window
 
+    if rerank_depth is not None and corpus is None:
+        raise ValueError(
+            "knn_join: rerank_depth requires the raw corpus frame "
+            "(corpus=) — the exact-cosine stage point-reads shortlisted "
+            "vectors the code store does not hold"
+        )
+    raw_query = query_df  # pre-normalization: the rerank reads raw vectors
     codes_path, cb_path, cent_path, man_path = pq_resolved_paths(
         spark, index_path
     )
@@ -2651,12 +2748,38 @@ def knn_join(
     wk = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist2").asc(), F.col("vec_id").asc()
     )
+    if rerank_depth is None:
+        return (
+            adc.withColumn("rnk", F.row_number().over(wk))
+            .filter(F.col("rnk") <= k)
+            .select(
+                "query_id", "vec_id", "label", "centroid_id", "adc_dist2",
+                F.col("rnk").cast("int").alias("rnk"),
+            )
+        )
+    depth = max(int(rerank_depth), int(k))
+    shortlist = (
+        adc.withColumn("_rd", F.row_number().over(wk))
+        .filter(F.col("_rd") <= depth)
+        .drop("_rd")
+    )
+    # shortlist (n_q·depth rows) ⋈ corpus on vec_id: a plain key join —
+    # the corpus is read once, shuffled on its primary key, and each
+    # raw vector survives only if shortlisted.  Then the query's raw
+    # vector joins on query_id (both sides distributed) and exact
+    # cosine ranks.  Neither join is a broadcast: both inputs scale.
+    tv = _as_double(corpus, "v").select("vec_id", "v")
+    qraw = _as_double(raw_query, "q").selectExpr("vec_id AS query_id", "q")
+    scored = with_cosine(shortlist.join(tv, "vec_id").join(qraw, "query_id"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
     return (
-        adc.withColumn("rnk", F.row_number().over(wk))
+        scored.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= k)
         .select(
             "query_id", "vec_id", "label", "centroid_id", "adc_dist2",
-            F.col("rnk").cast("int").alias("rnk"),
+            "cosine", F.col("rnk").cast("int").alias("rnk"),
         )
     )
 

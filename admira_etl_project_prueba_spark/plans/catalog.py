@@ -3594,6 +3594,39 @@ QUALIFY rnk <= {k}"""
     )
 
 
+def _duck_knn_join_rerank_sql(qpred: str, k: int, depth: int) -> str:
+    """knn_join's RERANK-tier oracle: the shared batch ADC chain ranks a
+    per-query shortlist of ``depth``, which joins back to the RAW
+    vectors (corpus on vec_id, query on query_id) and re-ranks by exact
+    cosine — the same raw-vs-raw fold the Spark rerank computes, so the
+    doubles hash-match bit-for-bit."""
+    base = _duck_ivfpq_batch_sql(qpred=qpred, k=depth)
+    head, _, _ = base.rpartition("\nSELECT query_id,")
+    return (
+        head
+        + f""",
+short AS (
+  SELECT query_id, vec_id, label, centroid_id, adc_dist2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist2 ASC, vec_id) AS _rd
+  FROM adc),
+rer AS (
+  SELECT s.query_id, s.vec_id, s.label, s.centroid_id, s.adc_dist2,
+         CASE WHEN {_duck_norm('qq')} > 0 AND {_duck_norm('cv')} > 0
+              THEN {_duck_dot('qq', 'cv')} / ({_duck_norm('qq')} * {_duck_norm('cv')})
+              ELSE 0.0 END AS cosine
+  FROM short s
+  JOIN (SELECT vec_id, v AS cv FROM t) c ON c.vec_id = s.vec_id
+  JOIN (SELECT query_id, v AS qq FROM q0) q ON q.query_id = s.query_id
+  WHERE s._rd <= {depth})
+SELECT query_id, vec_id, label, centroid_id, adc_dist2, cosine,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS INT) AS rnk
+FROM rer
+QUALIFY rnk <= {k}"""
+    )
+
+
 _DUCK_IVFPQ_BATCH_SQL = _duck_ivfpq_batch_sql()
 
 
@@ -3641,6 +3674,25 @@ def _q_knn_join_bulk(spark, sf_dir):
     path = _ivfpq_index_path(spark, sf_dir)
     qdf = e.filter("vec_id % 37 = 1")
     return _sim.knn_join(spark, qdf, path, k=5, n_probe=4)
+
+
+@_entry(
+    "knn_join_rerank",
+    "Bulk k-NN JOIN, RERANK tier: each query's depth-20 ADC shortlist "
+    "joins back to the raw corpus vectors ON vec_id (a key join — the "
+    "corpus prunes to shortlisted ids, read once, never broadcast) and "
+    "re-ranks by EXACT cosine — the high-recall curation path (round-12 "
+    "grid: ADC ~0.21 recall@10 at serving config, rerank 0.94); same "
+    "distributed-query discipline as the ADC tier.",
+    _duck_knn_join_rerank_sql(qpred="vec_id % 37 = 1", k=5, depth=20),
+)
+def _q_knn_join_rerank(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_index_path(spark, sf_dir)
+    qdf = e.filter("vec_id % 37 = 1")
+    return _sim.knn_join(
+        spark, qdf, path, k=5, n_probe=4, rerank_depth=20, corpus=e
+    )
 
 
 _DUCK_IVFPQ_RES_SQL = (

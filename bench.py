@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "clustered_pq_recall",
     "media_decode_features",
     "bpe_encode_from_artifact_deep",
+    # round-13: the bulk rerank tier (ADC shortlist -> exact cosine)
+    "knn_join_rerank",
 ]
 
 

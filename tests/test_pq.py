@@ -675,13 +675,20 @@ def test_similar_docs_pq_mode(spark, sf_dir, embeddings, tmp_path):
     # mode=auto unchanged: exact fallback without an IVF index
     auto = svc.similar_docs(vec_id=0, k=3)
     assert auto["method"] == "exact" and "cosine" in auto["data"][0]
-    # mode=pq_rerank: exact-cosine ranking over the code shortlist
+    # mode=pq_rerank: exact-cosine ranking over the code shortlist at
+    # the MEASURED serving config — occupancy-derived depth (reported
+    # in the envelope) and SERVING_N_PROBE, so behavior pins to the
+    # dashboard's recommended_rerank_depth rather than a magic 50
     rr = svc.similar_docs(vec_id=0, k=5, mode="pq_rerank")
     assert rr["method"] == "ivfpq_rerank_index" and len(rr["data"]) == 5
+    assert rr["rerank_depth"] == similarity.recommended_rerank_depth(
+        spark, path
+    )
     cosines = [row["cosine"] for row in rr["data"]]
     assert cosines == sorted(cosines, reverse=True)
     want = similarity.ivfpq_rerank_from_index(
-        spark, embeddings, path, query_vec_id=0, k=5
+        spark, embeddings, path, query_vec_id=0, k=5,
+        shortlist=rr["rerank_depth"], n_probe=similarity.SERVING_N_PROBE,
     ).collect()
     assert [row["vec_id"] for row in rr["data"]] == [
         w["vec_id"] for w in want
@@ -732,6 +739,10 @@ def test_similar_by_vector_external_query(spark, sf_dir, embeddings, tmp_path):
     assert rr["method"] == "ivfpq_rerank_index_queryvec"
     assert rr["data"][0]["vec_id"] == 7
     assert rr["data"][0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+    # the served depth is the occupancy-derived recommendation
+    assert rr["rerank_depth"] == similarity.recommended_rerank_depth(
+        spark, path
+    )
 
     # a NORMALIZED store honors its manifest flag for external queries:
     # the raw literal is projected onto the sphere before its distance
@@ -905,6 +916,104 @@ def test_knn_join_equals_per_query_serving(spark, embeddings, tmp_path):
     assert "F.broadcast(probe" not in body
     assert "F.broadcast(dtable" not in body
     assert bcast_scans  # centroids/codebooks do broadcast
+
+
+def test_knn_join_rerank_tier(spark, embeddings, tmp_path):
+    """The bulk rerank tier: knn_join(rerank_depth=D, corpus=) reranks
+    each query's depth-D ADC shortlist by EXACT cosine — per-query
+    results identical to the single-query rerank server at the same
+    depth/probe, cosines equal to brute force for those pairs, and the
+    plan keeps the distributed-query discipline (still only the two
+    model-sized broadcasts; neither rerank join is a broadcast of a
+    scaling side)."""
+    path = str(tmp_path / "knn_rerank_store")
+    similarity.write_ivfpq_index(embeddings, path, n_centroids=16)
+    qdf = embeddings.filter("vec_id % 41 = 2")
+    depth = 20
+    got_df = similarity.knn_join(
+        spark, qdf, path, k=5, n_probe=4, rerank_depth=depth,
+        corpus=embeddings,
+    )
+    rows = got_df.collect()
+    got = {
+        (r["query_id"], r["rnk"]): (r["vec_id"], r["cosine"])
+        for r in rows
+    }
+    qids = [r["vec_id"] for r in qdf.select("vec_id").collect()]
+    assert {q for q, _ in got} == set(qids)
+    n = embeddings.count()
+    for qid in qids:
+        want = similarity.ivfpq_rerank_from_index(
+            spark, embeddings, path, query_vec_id=qid, k=5,
+            shortlist=depth, n_probe=4,
+        ).collect()
+        assert [got[(qid, i + 1)][0] for i in range(len(want))] == [
+            w["vec_id"] for w in want
+        ], qid
+    # exactness: each reranked cosine equals the brute-force score
+    qid = qids[0]
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.cosine_topk(
+            embeddings, query_vec_id=qid, k=n
+        ).collect()
+    }
+    for i in range(5):
+        vid, cos = got[(qid, i + 1)]
+        assert cos == exact[vid], (qid, vid)
+    # rerank_depth without the raw corpus is a contract error
+    with pytest.raises(ValueError, match="corpus"):
+        similarity.knn_join(spark, qdf, path, k=5, rerank_depth=depth)
+    # scale shape: the rerank joins add NO broadcast hints — still only
+    # centroids + codebooks
+    import inspect as _inspect
+
+    body = _inspect.getsource(similarity.knn_join)
+    assert body.count("F.broadcast") == 2
+
+
+def test_recommended_rerank_depth_tracks_occupancy(spark, embeddings, tmp_path):
+    """The occupancy-derived rerank depth (round-12 law: the shortlist
+    must cover LOCAL CLUSTER OCCUPANCY): on a clustered fixture whose
+    lists align with the planted clusters, the p95 list occupancy IS
+    the planted cluster size, so the recommendation tracks it — and the
+    static serving default only ever acts as a floor."""
+    n_clusters = 10
+    fx = similarity.clustered_embeddings(embeddings, n_clusters=n_clusters)
+    n = fx.count()
+    assert n % n_clusters == 0  # evenly planted: p95 == cluster size
+    cluster_size = n // n_clusters
+    path = str(tmp_path / "rec_depth_store")
+    # n_centroids == n_clusters: vec_ids 0..9 are one per planted
+    # cluster (vec_id % 10), so every list collects exactly its cluster
+    similarity.write_ivfpq_index(fx, path, n_centroids=n_clusters)
+    got = similarity.recommended_rerank_depth(spark, path, floor=1)
+    assert got == cluster_size, (got, cluster_size)
+    # floor: a store with tiny lists never recommends a shallow rerank
+    assert (
+        similarity.recommended_rerank_depth(spark, path)
+        == similarity.SERVING_RERANK_DEPTH
+    )
+    assert similarity.recommended_rerank_depth(
+        spark, path, floor=cluster_size + 7
+    ) == cluster_size + 7
+
+
+def test_write_serving_ivfpq_index_uses_measured_config(spark, embeddings, tmp_path):
+    """The serving-build wrapper consumes the SERVING_* constants (the
+    round-12 measured config) and the provisioning rule — the manifest
+    records m/ksub/normalized straight from the constants, so the
+    documented defaults are executable, not prose."""
+    path = str(tmp_path / "serving_store")
+    similarity.write_serving_ivfpq_index(embeddings, path)
+    _, _, _, man_path = similarity.pq_resolved_paths(spark, path)
+    man = spark.read.parquet(man_path).first()
+    assert int(man["m"]) == similarity.SERVING_PQ_M
+    assert int(man["ksub"]) == similarity.SERVING_PQ_KSUB
+    assert bool(man["normalized"]) == similarity.SERVING_NORMALIZE
+    n = embeddings.count()
+    want_nc = max(1, -(-n // similarity.TARGET_VECTORS_PER_LIST))
+    assert int(man["n_centroids"]) == want_nc
 
 
 def test_ivfpq_rerank_exactness_and_bounds(embeddings):

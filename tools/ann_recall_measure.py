@@ -97,27 +97,34 @@ def main():
     # TARGET_VECTORS_PER_LIST occupancy
     nc = max(1, -(-n // sim.TARGET_VECTORS_PER_LIST))
     best = None
+    serving_cfg = (sim.SERVING_PQ_M, sim.SERVING_PQ_KSUB, sim.SERVING_NORMALIZE)
     for m, ksub, normalize in (
         # unnormalized first (the round-11 default), then spherical: on
         # UNNORMALIZED clustered data the ADC shortlist ranks by L2 while
         # the served metric is cosine — the geometry mismatch caps rerank
-        # recall no matter the probe/depth; normalize=True aligns them
+        # recall no matter the probe/depth; normalize=True aligns them.
+        # The shipped serving config is expressed through the SERVING_*
+        # constants (and built via write_serving_ivfpq_index) so the
+        # documented defaults and the measured sweep cannot drift apart.
         (4, 16, False),
         (4, 256, False),
         (8, 256, False),
         (4, 16, True),
         (4, 256, True),
         (8, 16, True),
-        (8, 256, True),
+        serving_cfg,
     ):
             path = os.path.join(
                 out, f"ivfpq_m{m}_k{ksub}{'_n' if normalize else ''}"
             )
             t0 = time.monotonic()
-            sim.write_ivfpq_index(
-                emb, path, n_centroids=nc, m=m, ksub=ksub,
-                normalize=normalize,
-            )
+            if (m, ksub, normalize) == serving_cfg:
+                sim.write_serving_ivfpq_index(emb, path, n_centroids=nc)
+            else:
+                sim.write_ivfpq_index(
+                    emb, path, n_centroids=nc, m=m, ksub=ksub,
+                    normalize=normalize,
+                )
             train_sec = time.monotonic() - t0
             print(
                 json.dumps(
@@ -127,8 +134,13 @@ def main():
                 ),
                 flush=True,
             )
-            for n_probe in (8, 16, 32):
-                for depth in (50, 100):
+            for n_probe in (sim.SERVING_N_PROBE, 16, 32):
+                for depth in (
+                    50,
+                    100,
+                    sim.SERVING_RERANK_DEPTH,
+                    2 * sim.SERVING_RERANK_DEPTH,
+                ):
                     ivf, rr, sec = serve_and_score(
                         spark, emb, exact, path, q, n_probe, depth
                     )

@@ -96,6 +96,9 @@ NESTED_LOOP_ALLOWED = {
     "clustered_nn_integrity",   # bounded query sample (vec_id<1000, %29) broadcast
     "knn_join_bulk",            # probe assignment broadcasts the MODEL side
                                 # (centroids) onto the distributed query frame
+    "knn_join_rerank",          # same probe shape; the rerank stage adds only
+                                # KEY joins (shortlist ⋈ corpus on vec_id,
+                                # ⋈ query on query_id) — no new broadcasts
     "bpe_encode_from_artifact_deep",  # 1-row ordered merge-array frame
                                 # broadcast onto the vocabulary (encode fold)
     "ann_pq_topk_normalized",     # 1-row query distance-table broadcast

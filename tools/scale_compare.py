@@ -75,6 +75,9 @@ QUAD_FIXED_K |= {
     # fixed-k lists: candidate volume ~ (n/37)·(n/k_lists) — the same
     # pinned-k hazard arm as the other pair ops (production scales k)
     "knn_join_bulk",
+    # the rerank tier adds only shortlist-sized key joins (n_q·depth
+    # rows) on top of the same ADC chain — the ADC stage dominates
+    "knn_join_rerank",
 }
 SUBLINEAR |= {
     # trainer rounds over the Heaps-sublinear vocabulary; the encode
