@@ -5,17 +5,21 @@ a typed metadata struct alongside.  Decode coverage is tiered by what a
 stdlib can honestly do:
 
 * REAL decode (no native libs needed): WAV/PCM via ``wave``+``struct``
-  (header + RMS/peak sample stats, :func:`decode_wav_features`) and PNG
+  (header + RMS/peak sample stats, :func:`decode_wav_features`), PNG
   via ``zlib``+``struct`` (chunk walk with CRC verification, IDAT
   inflate, scanline unfilter to pixel stats for 8-bit grayscale,
-  :func:`decode_png_features`); container headers (PNG/WAV/JPEG-SOF)
-  additionally parse ENGINE-side with SQL byte ops
-  (:func:`media_header_features`).
-* STUBBED decode (needs PIL/ffmpeg): JPEG pixels, MP4 frames — the
-  deterministic fakes / ``NotImplementedError`` guards below, with the
-  Spark-side plumbing (schema, Arrow-batched ``mapInPandas`` signature,
-  batch shapes, partition behavior) real and tested: swapping a codec in
-  changes only the body of the pandas function.
+  :func:`decode_png_features`), and BASELINE SEQUENTIAL GRAYSCALE JPEG
+  from scratch (segment walk, DHT canonical Huffman decode, dequant,
+  numpy IDCT to pixel stats, :func:`decode_jpeg_features` — ITU T.81 is
+  public; progressive scans and chroma components keep the honest
+  raise); container headers (PNG/WAV/JPEG-SOF) additionally parse
+  ENGINE-side with SQL byte ops (:func:`media_header_features`).
+* STUBBED decode (needs PIL/ffmpeg): JPEG progressive/color, MP4
+  frames — the deterministic fakes / ``NotImplementedError`` guards
+  below, with the Spark-side plumbing (schema, Arrow-batched
+  ``mapInPandas`` signature, batch shapes, partition behavior) real and
+  tested: swapping a codec in changes only the body of the pandas
+  function.
 
 Why ``mapInPandas`` (not a scalar UDF): decode is 1→N (frames) or 1→large
 (pixel tensors); an iterator of Arrow batches lets one task stream through
@@ -305,10 +309,11 @@ def audio_window_plan(
 
 
 # ---------------------------------------------------------------------------
-# REAL decoders (stdlib-only): WAV/PCM via wave+struct, PNG via zlib+struct.
-# These close the round-11 "all decode is stubbed" gap for the two
-# containers a stdlib can fully decode; JPEG pixels / MP4 frames still
-# require native codecs and keep the honest NotImplementedError.
+# REAL decoders (stdlib-only): WAV/PCM via wave+struct, PNG via zlib+struct,
+# and (round-13) baseline sequential grayscale JPEG from scratch — Huffman
+# entropy decode + dequant + numpy IDCT, per the public ITU T.81 spec.
+# MP4 frames and JPEG progressive/chroma still require native codecs and
+# keep the honest NotImplementedError.
 # ---------------------------------------------------------------------------
 
 
@@ -489,6 +494,400 @@ def decode_png_features(payload: bytes) -> dict:
     return out
 
 
+# -- baseline JPEG (ITU T.81, sequential DCT, grayscale) ---------------------
+#
+# Everything below is from-scratch against the PUBLIC spec: the zigzag
+# scan order (T.81 Figure A.6), the example luminance quantization table
+# (Annex K.1) and Huffman tables (K.3.3.1/K.3.3.2), canonical code
+# construction (C.2), and the F.2 entropy-decoding procedures.  The
+# decoder trusts NOTHING from the encoder here — tables are read from the
+# file's own DQT/DHT segments.
+
+#: zigzag scan order: position k in the scan -> row-major index
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: T.81 Annex K.1 luminance quantization table (row-major)
+_JPEG_QTABLE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: T.81 K.3.3.1: DC luminance code counts per length 1..16 + symbols
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+
+#: T.81 K.3.3.2: AC luminance code counts + the 162 run/size symbols
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_canonical_codes(bits: list, vals: list) -> dict:
+    """T.81 C.2: canonical Huffman assignment — symbol -> (code, length).
+    Lengths ascend; within a length, codes increment; moving to the next
+    length left-shifts."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_dct_matrix():
+    """Orthonormal 8×8 DCT-II matrix M: forward F = M·B·Mᵀ, inverse
+    B = Mᵀ·F·M.  Matches T.81 A.3.3 up to the standard 1/4·C(u)C(v)
+    factoring (the orthonormal form folds those constants into M)."""
+    import math as _math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = _math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * _math.cos((2 * x + 1) * u * _math.pi / 16)
+    return m
+
+
+def _jpeg_bitcat(v: int) -> tuple[int, int]:
+    """(category, appended-bits) for a coefficient value — T.81 F.1.2.1:
+    category = bit length of |v|; negative values append v + 2^s - 1."""
+    s, a = 0, abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+def encode_baseline_jpeg(pixels, qtable: list | None = None) -> bytes:
+    """Baseline sequential GRAYSCALE JPEG encoder (fixture-grade, fully
+    standard output): level shift → orthonormal DCT → quantize →
+    zigzag → DC-differential/AC-run-length Huffman with the Annex K
+    example tables.  ``pixels``: h×w uint8 array, sides padded to
+    8-multiples by edge replication (the decoder crops back via the
+    SOF dimensions).  Exists so decode tests/fixtures have REAL files
+    whose generating parameters are known — production encode stays a
+    native-codec concern."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    q = np.array(qtable if qtable is not None else _JPEG_QTABLE).reshape(8, 8)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+    m = _jpeg_dct_matrix()
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    pred = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = np.rint(m @ block @ m.T / q).astype(int)
+            zz = [int(coef.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+            s, extra = _jpeg_bitcat(zz[0] - pred)
+            pred = zz[0]
+            c, ln = dc_codes[s]
+            bw.put(c, ln)
+            if s:
+                bw.put(extra, s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]  # ZRL
+                    bw.put(c, ln)
+                    run -= 16
+                s, extra = _jpeg_bitcat(zz[k])
+                c, ln = ac_codes[(run << 4) | s]
+                bw.put(c, ln)
+                bw.put(extra, s)
+                run = 0
+            if last_nz < 63:
+                c, ln = ac_codes[0x00]  # EOB
+                bw.put(c, ln)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(
+        0xFFDB,
+        b"\x00" + bytes(int(q.flat[_JPEG_ZIGZAG[k]]) for k in range(64)),
+    )
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(
+        0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+    ) + seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    )
+
+
+def synthesize_jpeg(doc_id: int) -> bytes:
+    """Deterministic baseline-JPEG fixture: a CONSTANT image of even
+    gray level g — chosen because a constant block quantizes to a lone
+    DC coefficient round(8·(g−128)/16) = (g−128)/2 EXACTLY when g is
+    even (q₀₀ = 16 in the K.1 table), so the decode round-trips to g
+    bit-for-bit and the oracle can state width/height/px_mean
+    closed-form from doc_id while the Spark side sees only bytes."""
+    import numpy as np
+
+    w = 8 * (1 + doc_id % 4)
+    h = 8 * (1 + doc_id % 5)
+    g = 2 * ((doc_id * 37) % 128)
+    return encode_baseline_jpeg(np.full((h, w), g, dtype=np.uint8))
+
+
+class _JpegBitReader:
+    """MSB-first reader over UNSTUFFED entropy data (F.2.2.5)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huff_decode(reader: "_JpegBitReader", table: dict) -> int:
+    """One symbol via incremental canonical lookup — table maps
+    (length, code) -> symbol; valid streams resolve within 16 bits."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(bits: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s appended bits to the signed value."""
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def decode_jpeg_features(payload: bytes) -> dict:
+    """REAL baseline-JPEG decode from scratch (numpy, no codec):
+    segment walk (DQT/DHT/SOF0/SOS read from the FILE, never assumed),
+    0xFF-unstuffed Huffman entropy decode, DC prediction + EXTEND,
+    dequantize, dezigzag, orthonormal IDCT, level shift → pixel stats.
+    Boundaries are honest raises, with working code around them:
+    progressive (SOF2) and arithmetic coding are NotImplementedError,
+    as are chroma scans (>1 component) and restart intervals; a
+    malformed stream is a ValueError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, list] = {}
+    htables: dict[tuple, dict] = {}
+    sof = None
+    comp_q = 0
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = list(data[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT — possibly several tables
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0x0F
+                bits = list(data[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(data[i + 17 : i + 17 + n])
+                codes = _jpeg_canonical_codes(bits, vals)
+                htables[(tc, th)] = {
+                    (ln, c): sym for sym, (c, ln) in codes.items()
+                }
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    f"{ncomp}-component (chroma) scans need a native codec"
+                )
+            comp_q = data[8]
+            sof = (h, w)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{marker:02X} (non-baseline process)"
+            )
+        elif marker == 0xDD:  # DRI
+            if struct.unpack(">H", data[:2])[0] != 0:
+                raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component scan")
+            td, ta = data[2] >> 4, data[2] & 0x0F
+            # unstuff entropy data up to EOI; RSTn inside = unsupported
+            raw = bytearray()
+            i = pos + 2 + length
+            while i < len(payload):
+                b = payload[i]
+                if b == 0xFF:
+                    nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
+                    if nxt == 0x00:
+                        raw.append(0xFF)
+                        i += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        raise NotImplementedError("restart markers")
+                    break
+                raw.append(b)
+                i += 1
+            scan = (td, ta, bytes(raw))
+            break
+        pos += 2 + length
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    h, w = sof
+    td, ta, raw = scan
+    dc_tab, ac_tab = htables[(0, td)], htables[(1, ta)]
+    q = np.array(qtables[comp_q], dtype=np.float64)
+    m = _jpeg_dct_matrix()
+    bw, bh = -(-w // 8), -(-h // 8)
+    img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    reader = _JpegBitReader(raw)
+    pred = 0
+    for bi in range(bw * bh):
+        zz = np.zeros(64, dtype=np.float64)
+        s = _jpeg_huff_decode(reader, dc_tab)
+        pred += _jpeg_extend(reader.read_bits(s), s)
+        zz[0] = pred * q[0]
+        k = 1
+        while k < 64:
+            rs = _jpeg_huff_decode(reader, ac_tab)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            s = rs & 0x0F
+            if k > 63:
+                raise ValueError("JPEG AC index overflow")
+            zz[k] = _jpeg_extend(reader.read_bits(s), s) * q[k]
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[_JPEG_ZIGZAG] = zz
+        block = m.T @ coef.reshape(8, 8) @ m + 128.0
+        y, x = (bi // bw) * 8, (bi % bw) * 8
+        img[y : y + 8, x : x + 8] = np.clip(np.rint(block), 0, 255)
+    px = img[:h, :w]
+    flat = px.astype(np.float64)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "bit_depth": 8,
+        "px_mean": float(flat.mean()),
+        "px_min": int(px.min()),
+        "px_max": int(px.max()),
+    }
+
+
 MEDIA_DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -507,10 +906,17 @@ MEDIA_DECODE_SCHEMA = T.StructType(
 
 
 def synthesize_media_fixture(documents: DataFrame) -> DataFrame:
-    """(doc_id, media_type, payload) with REAL container bytes —
-    alternating WAV (even doc_id) and PNG (odd) synthesized
+    """(doc_id, media_type, payload) with REAL container bytes — WAV
+    (doc_id % 3 == 0), PNG (== 1), and baseline JPEG (== 2) synthesized
     deterministically from doc_id.  Arrow-batched; the payloads are
     genuine files (the decoders below never see the parameters)."""
+
+    def gen(d: int) -> bytes:
+        if d % 3 == 0:
+            return synthesize_wav(d)
+        if d % 3 == 1:
+            return synthesize_png(d)
+        return synthesize_jpeg(d)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -519,12 +925,9 @@ def synthesize_media_fixture(documents: DataFrame) -> DataFrame:
                 {
                     "doc_id": ids,
                     "media_type": [
-                        "audio" if d % 2 == 0 else "image" for d in ids
+                        "audio" if d % 3 == 0 else "image" for d in ids
                     ],
-                    "payload": [
-                        synthesize_wav(d) if d % 2 == 0 else synthesize_png(d)
-                        for d in ids
-                    ],
+                    "payload": [gen(d) for d in ids],
                 }
             )
 
@@ -537,10 +940,12 @@ def media_decode_features(media: DataFrame) -> DataFrame:
     """REAL media decode via Arrow-batched ``mapInPandas``: WAV payloads
     through :func:`decode_wav_features` (stdlib ``wave`` + PCM sample
     stats), PNG payloads through :func:`decode_png_features` (chunk walk
-    + CRC + inflate + unfilter to pixel stats).  Container detected from
-    magic bytes, never from metadata.  One output row per item; fields
-    of the other modality are NULL.  Unknown containers raise — the
-    documented boundary, not a silent guess."""
+    + CRC + inflate + unfilter to pixel stats), JPEG payloads through
+    :func:`decode_jpeg_features` (from-scratch baseline Huffman +
+    dequant + IDCT).  Container detected from magic bytes, never from
+    metadata.  One output row per item; fields of the other modality
+    are NULL.  Unknown containers raise — the documented boundary, not
+    a silent guess."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -565,6 +970,15 @@ def media_decode_features(media: DataFrame) -> DataFrame:
                     d = decode_png_features(payload)
                     base.update(
                         container="png",
+                        width=d["width"],
+                        height=d["height"],
+                        bit_depth=d["bit_depth"],
+                        px_mean=d.get("px_mean"),
+                    )
+                elif payload[:3] == b"\xff\xd8\xff":
+                    d = decode_jpeg_features(payload)
+                    base.update(
+                        container="jpeg",
                         width=d["width"],
                         height=d["height"],
                         bit_depth=d["bit_depth"],

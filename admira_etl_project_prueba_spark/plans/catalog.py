@@ -3895,33 +3895,42 @@ def _q_mm_features(spark, sf_dir):
 
 @_entry(
     "media_decode_features",
-    "REAL stdlib media decode (round-12): synthesized WAV (square-wave "
-    "16-bit PCM) and PNG (grayscale-8) payloads are genuinely decoded — "
-    "wave-header + PCM sample stats, PNG chunk walk + CRC + inflate + "
-    "unfilter to pixel stats.  The oracle states the DECODED features "
-    "closed-form from each fixture's generating parameters; the Spark "
-    "side sees only bytes, so a decode bug cannot hash-match.",
+    "REAL stdlib media decode: synthesized WAV (square-wave 16-bit "
+    "PCM), PNG (grayscale-8), and baseline JPEG (round-13: from-scratch "
+    "Huffman + dequant + IDCT) payloads are genuinely decoded.  The "
+    "JPEG fixture is a constant even-gray image, whose lone DC "
+    "coefficient quantizes and reconstructs EXACTLY — so the oracle "
+    "states all three modalities' decoded features closed-form from "
+    "doc_id while the Spark side sees only bytes; a decode bug cannot "
+    "hash-match.",
     """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'png' END AS container,
-       CASE WHEN doc_id % 2 = 0 THEN 8000 END AS sample_rate,
-       CASE WHEN doc_id % 2 = 0 THEN 1 END AS n_channels,
-       CASE WHEN doc_id % 2 = 0
+       CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'png'
+            ELSE 'jpeg' END AS container,
+       CASE WHEN doc_id % 3 = 0 THEN 8000 END AS sample_rate,
+       CASE WHEN doc_id % 3 = 0 THEN 1 END AS n_channels,
+       CASE WHEN doc_id % 3 = 0
             THEN CAST((800 + (doc_id % 7) * 160) // 8 AS BIGINT)
        END AS duration_ms,
-       CASE WHEN doc_id % 2 = 0
+       CASE WHEN doc_id % 3 = 0
             THEN CAST(1000 + (doc_id % 13) * 500 AS DOUBLE)
        END AS rms,
-       CASE WHEN doc_id % 2 = 0
+       CASE WHEN doc_id % 3 = 0
             THEN CAST(1000 + (doc_id % 13) * 500 AS DOUBLE)
        END AS peak,
-       CASE WHEN doc_id % 2 = 1 THEN CAST(8 + doc_id % 9 AS INT) END AS width,
-       CASE WHEN doc_id % 2 = 1 THEN CAST(5 + doc_id % 7 AS INT) END AS height,
-       CASE WHEN doc_id % 2 = 1 THEN 8 END AS bit_depth,
-       CASE WHEN doc_id % 2 = 1
+       CASE WHEN doc_id % 3 = 1 THEN CAST(8 + doc_id % 9 AS INT)
+            WHEN doc_id % 3 = 2 THEN CAST(8 * (1 + doc_id % 4) AS INT)
+       END AS width,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(5 + doc_id % 7 AS INT)
+            WHEN doc_id % 3 = 2 THEN CAST(8 * (1 + doc_id % 5) AS INT)
+       END AS height,
+       CASE WHEN doc_id % 3 IN (1, 2) THEN 8 END AS bit_depth,
+       CASE WHEN doc_id % 3 = 1
             THEN CAST(list_sum(list_transform(
                    range(0, (8 + doc_id % 9) * (5 + doc_id % 7)),
                    i -> (i + doc_id) % 256)) AS DOUBLE)
                  / ((8 + doc_id % 9) * (5 + doc_id % 7))
+            WHEN doc_id % 3 = 2
+            THEN CAST(2 * ((doc_id * 37) % 128) AS DOUBLE)
        END AS px_mean
 FROM documents WHERE doc_id % 11 = 0""",
 )

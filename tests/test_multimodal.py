@@ -337,6 +337,58 @@ def test_decode_png_known_answer_all_filters():
         multimodal.decode_png_features(b"GIF89a")
 
 
+def test_decode_jpeg_known_answer():
+    """REAL baseline-JPEG decode from scratch: constant even-gray
+    fixtures round-trip EXACTLY (the lone DC coefficient survives
+    quantization), a q=1 gradient reproduces its exact pixel mean
+    through the full DCT/Huffman path, and every unsupported arm is an
+    honest raise — progressive SOF, chroma scans, restart intervals,
+    non-JPEG bytes."""
+    import numpy as np
+
+    for doc_id in (2, 5, 8, 11, 35, 122):
+        d = multimodal.decode_jpeg_features(multimodal.synthesize_jpeg(doc_id))
+        w, h = 8 * (1 + doc_id % 4), 8 * (1 + doc_id % 5)
+        g = 2 * ((doc_id * 37) % 128)
+        assert (d["width"], d["height"], d["bit_depth"]) == (w, h, 8)
+        assert d["px_mean"] == float(g)
+        assert d["px_min"] == g == d["px_max"]
+
+    # non-constant image through a quant table of ones: DCT + Huffman +
+    # IDCT must reproduce the exact mean/extremes (error only from
+    # coefficient rounding, which the mean is insensitive to here)
+    px = (np.arange(24 * 16).reshape(24, 16) % 256).astype(np.uint8)
+    d = multimodal.decode_jpeg_features(
+        multimodal.encode_baseline_jpeg(px, qtable=[1] * 64)
+    )
+    assert (d["width"], d["height"]) == (16, 24)
+    assert abs(d["px_mean"] - px.mean()) < 0.01
+    assert d["px_min"] == 0 and d["px_max"] == 255
+
+    # standard table, structured content: lossy but close; odd sizes crop
+    y, x = np.mgrid[0:32, 0:32]
+    img = (128 + 100 * np.sin(x / 5) * np.cos(y / 7)).clip(0, 255)
+    img = img.astype(np.uint8)[:29, :21]
+    d = multimodal.decode_jpeg_features(multimodal.encode_baseline_jpeg(img))
+    assert (d["width"], d["height"]) == (21, 29)
+    assert abs(d["px_mean"] - img.mean()) < 3.0
+
+    payload = multimodal.synthesize_jpeg(7)
+    sof = payload.index(b"\xff\xc0")
+    prog = payload[:sof] + b"\xff\xc2" + payload[sof + 2:]
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        multimodal.decode_jpeg_features(prog)
+    chroma = bytearray(payload)
+    chroma[sof + 9] = 3  # ncomp byte inside SOF0
+    with pytest.raises(NotImplementedError, match="chroma"):
+        multimodal.decode_jpeg_features(bytes(chroma))
+    dri = payload[:2] + b"\xff\xdd\x00\x04\x00\x02" + payload[2:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        multimodal.decode_jpeg_features(dri)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        multimodal.decode_jpeg_features(b"GIF89a")
+
+
 def test_media_decode_features_frame(spark):
     """The Arrow-batched decode stage end-to-end: synthesized fixture →
     real decode → typed feature rows, modality fields NULL on the other
@@ -346,11 +398,16 @@ def test_media_decode_features_frame(spark):
     rows = {r["doc_id"]: r for r in multimodal.media_decode_features(media).collect()}
     assert len(rows) == 12
     for d, r in rows.items():
-        if d % 2 == 0:
+        if d % 3 == 0:
             assert r["container"] == "wav"
             assert r["rms"] == float(1000 + (d % 13) * 500)
             assert r["width"] is None and r["px_mean"] is None
-        else:
+        elif d % 3 == 1:
             assert r["container"] == "png"
             assert r["width"] == 8 + d % 9 and r["bit_depth"] == 8
+            assert r["sample_rate"] is None and r["rms"] is None
+        else:
+            assert r["container"] == "jpeg"
+            assert r["width"] == 8 * (1 + d % 4) and r["bit_depth"] == 8
+            assert r["px_mean"] == float(2 * ((d * 37) % 128))
             assert r["sample_rate"] is None and r["rms"] is None
