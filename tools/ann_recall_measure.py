@@ -15,8 +15,24 @@ recall ≥ 0.9).
 
 Usage:
     PYTHONPATH=/root/repo python tools/ann_recall_measure.py [N] [Q]
+    PYTHONPATH=/root/repo python tools/ann_recall_measure.py knn-join [N] [Q]
+    PYTHONPATH=/root/repo python tools/ann_recall_measure.py serving [N] [Q]
 
 N = corpus size (default 20000), Q = query count (default 16).
+
+``knn-join`` measures the BULK curation path instead of the request
+path: a store built at the shipped serving config
+(write_serving_ivfpq_index), knn_join's ADC tier vs its rerank tier at
+the store's OWN recommended_rerank_depth, recall@10 against brute
+force — the round-13 gate for "the curation path serves the
+high-recall tier" and for "the occupancy-derived depth actually
+reaches the measured recall on a fixture whose cluster size ≠ 200"
+(default fixture: N/50 = 400-member clusters).
+
+``serving`` restricts the grid sweep to the shipped config plus the
+m=16 rung — the scale-validation subset (run it at N=200000 to check
+probe-insensitivity and the depth-vs-occupancy law at 10× the
+round-12 grid).
 """
 from __future__ import annotations
 
@@ -74,9 +90,7 @@ def serve_and_score(spark, emb, exact, path, q, n_probe, rerank_depth):
     return n_ivf / (K * q), n_rr / (K * q), sec
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    q = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+def _fixture_session(n: int):
     out = tempfile.mkdtemp(prefix="clustered_emb_")
     generate_clustered_embeddings(n, out)
     spark = get_spark(
@@ -86,6 +100,67 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     emb = load_table(spark, out, "embeddings").cache()
     emb.count()
+    return spark, emb, out
+
+
+def knn_join_main():
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    q = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    spark, emb, out = _fixture_session(n)
+    path = os.path.join(out, "serving_store")
+    t0 = time.monotonic()
+    sim.write_serving_ivfpq_index(emb, path)
+    train_sec = time.monotonic() - t0
+    depth = sim.recommended_rerank_depth(spark, path)
+    exact = (
+        sim.cosine_topk_batch(emb, n_queries=q, k=K)
+        .select("query_id", "vec_id")
+        .cache()
+    )
+    exact.count()
+    qdf = emb.filter(F.col("vec_id") < q)
+    t0 = time.monotonic()
+    adc = sim.knn_join(
+        spark, qdf, path, k=K, n_probe=sim.SERVING_N_PROBE
+    ).select("query_id", "vec_id")
+    n_adc = adc.join(exact, ["query_id", "vec_id"], "left_semi").count()
+    adc_sec = time.monotonic() - t0
+    t0 = time.monotonic()
+    rr = sim.knn_join(
+        spark, qdf, path, k=K, n_probe=sim.SERVING_N_PROBE,
+        rerank_depth=depth, corpus=emb,
+    ).select("query_id", "vec_id")
+    n_rr = rr.join(exact, ["query_id", "vec_id"], "left_semi").count()
+    rr_sec = time.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "mode": "knn_join", "n": n, "q": q,
+                "n_probe": sim.SERVING_N_PROBE,
+                "recommended_rerank_depth": depth,
+                "cluster_size": n // 50,
+                "adc_recall": round(n_adc / (K * q), 4),
+                "rerank_recall": round(n_rr / (K * q), 4),
+                "train_sec": round(train_sec, 2),
+                "adc_sec": round(adc_sec, 2),
+                "rerank_sec": round(rr_sec, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+def main():
+    mode = None
+    args = sys.argv[1:]
+    if args and args[0] in ("knn-join", "serving"):
+        mode = args[0]
+        if mode == "knn-join":
+            return knn_join_main()
+        args = args[1:]
+    n = int(args[0]) if len(args) > 0 else 20000
+    q = int(args[1]) if len(args) > 1 else 16
+    spark, emb, out = _fixture_session(n)
     exact = (
         sim.cosine_topk_batch(emb, n_queries=q, k=K)
         .select("query_id", "vec_id")
@@ -98,7 +173,7 @@ def main():
     nc = max(1, -(-n // sim.TARGET_VECTORS_PER_LIST))
     best = None
     serving_cfg = (sim.SERVING_PQ_M, sim.SERVING_PQ_KSUB, sim.SERVING_NORMALIZE)
-    for m, ksub, normalize in (
+    configs = (
         # unnormalized first (the round-11 default), then spherical: on
         # UNNORMALIZED clustered data the ADC shortlist ranks by L2 while
         # the served metric is cosine — the geometry mismatch caps rerank
@@ -113,17 +188,28 @@ def main():
         (4, 256, True),
         (8, 16, True),
         serving_cfg,
-    ):
+    )
+    tf = None
+    if mode == "serving":
+        # scale-validation subset: the shipped config + the m=16 rung.
+        # Optional third arg = train_fraction (hash-bucket sampled model
+        # training, the production posture at 10× — encode stays full).
+        configs = (serving_cfg, (16, 256, True))
+        if len(args) > 2:
+            tf = float(args[2])
+    for m, ksub, normalize in configs:
             path = os.path.join(
                 out, f"ivfpq_m{m}_k{ksub}{'_n' if normalize else ''}"
             )
             t0 = time.monotonic()
             if (m, ksub, normalize) == serving_cfg:
-                sim.write_serving_ivfpq_index(emb, path, n_centroids=nc)
+                sim.write_serving_ivfpq_index(
+                    emb, path, n_centroids=nc, train_fraction=tf
+                )
             else:
                 sim.write_ivfpq_index(
                     emb, path, n_centroids=nc, m=m, ksub=ksub,
-                    normalize=normalize,
+                    normalize=normalize, train_fraction=tf,
                 )
             train_sec = time.monotonic() - t0
             print(
