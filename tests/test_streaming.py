@@ -271,6 +271,44 @@ def test_stream_fold_ledger_bounded(spark, tmp_path):
     assert "key" not in cols and set(cols) == {"stream_id", "hwm", "tail"}
 
 
+def test_stream_fold_retries_on_vanished_partition(
+    spark, tmp_path, monkeypatch
+):
+    """The unleased-stream-vs-leased-fold race on the METRICS log (a
+    replayed micro-batch's dynamic overwrite deleting a file the fold
+    pinned): fold_stream_log re-pins and retries on the FileNotFound
+    signature — the ledger makes the retry exactly-once — while non-FNF
+    errors still propagate.  Mirrors the PQ code fold's retry pin."""
+    log = str(tmp_path / "log")
+    store = MetricsStore(spark, str(tmp_path / "store"), versioned=True)
+    _write_log_batch(spark, log, "s1", 0)
+
+    real = MetricsStore._fold_stream_once
+    calls = {"n": 0}
+
+    def flaky(self, log_path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "Job aborted: java.io.FileNotFoundException: File "
+                "stream_id=s1/batch_id=0/part-00000.parquet does not exist"
+            )
+        return real(self, log_path)
+
+    monkeypatch.setattr(MetricsStore, "_fold_stream_once", flaky)
+    assert store.fold_stream_log(log) == 1
+    assert calls["n"] == 2
+    assert store.stream_fold_ledger() == {"s1": (0, frozenset())}
+
+    def broken(self, log_path):
+        raise RuntimeError("executor OOM")
+
+    monkeypatch.setattr(MetricsStore, "_fold_stream_once", broken)
+    _write_log_batch(spark, log, "s1", 1)
+    with pytest.raises(RuntimeError, match="OOM"):
+        store.fold_stream_log(log)
+
+
 def test_stream_log_health_probe(spark, tmp_path):
     """The fold-scheduling probe (GET /store/health's stream_log block):
     pending batch depth, stream count, oldest-batch age — zeroed on an
