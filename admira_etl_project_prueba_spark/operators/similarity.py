@@ -1707,6 +1707,7 @@ def write_ivfpq_index(
     versioned: bool = False,
     train_fraction: float | None = None,
     normalize: bool = False,
+    assign_mode: str = "exact",
 ) -> None:
     """Persist the IVF-PQ composite index: the CODES (vec_id, label,
     subspace, code — m rows of a few bytes per vector, the only
@@ -1731,10 +1732,34 @@ def write_ivfpq_index(
     maintenance lease — a re-encode (codebook drift) can never present
     readers a new-codes/old-codebooks torn state, which the flat
     layout's separate sidecar swaps cannot rule out for in-flight
-    scans."""
+    scans.
+
+    ``assign_mode`` picks the list-assignment kernel (same contract as
+    :func:`retrain_ivf_index`): ``"exact"`` (default — bit-stable, what
+    every oracle-gated catalog store uses) is the n·k argmax;
+    ``"coarse"`` is the two-level O(n·√k) :func:`ivf_assign_coarse`;
+    ``"auto"`` switches to coarse when the scored-row volume n·k
+    crosses ``COARSE_ASSIGN_THRESHOLD`` — the build-side twin of the
+    retrain escape hatch, because at the provisioning rule k tracks n
+    and the exact assignment is the quadratic arm of the BUILD too
+    (measured here: 200k vectors × 3 125 lists = 625M scored rows
+    dominate the serving-store build)."""
+    if assign_mode not in ("auto", "exact", "coarse"):
+        raise ValueError(
+            f"write_ivfpq_index: assign_mode must be auto|exact|coarse, "
+            f"got {assign_mode!r}"
+        )
     spark = embeddings.sparkSession
     frame = normalize_embeddings(embeddings) if normalize else embeddings
-    assign = ivf_assign(frame, n_centroids).select("vec_id", "centroid_id")
+    if assign_mode == "auto":
+        n = frame.count()
+        assign_mode = (
+            "coarse"
+            if n * int(n_centroids) > COARSE_ASSIGN_THRESHOLD
+            else "exact"
+        )
+    assigner = ivf_assign if assign_mode == "exact" else ivf_assign_coarse
+    assign = assigner(frame, n_centroids).select("vec_id", "centroid_id")
     codebooks = pq_codebooks_wide(
         frame, m, ksub, iters, train_fraction=train_fraction
     )
@@ -1815,6 +1840,12 @@ def write_serving_ivfpq_index(
         versioned=versioned,
         train_fraction=train_fraction,
         iters=iters,
+        # production posture: under the provisioning rule k tracks n,
+        # so the exact n·k assignment is the build's quadratic arm —
+        # auto caps it with the O(n·√k) coarse kernel past the
+        # measured threshold (assignment approximation only ever costs
+        # marginal probe recall, pinned in test_similarity)
+        assign_mode="auto",
     )
 
 

@@ -999,6 +999,44 @@ def test_recommended_rerank_depth_tracks_occupancy(spark, embeddings, tmp_path):
     ) == cluster_size + 7
 
 
+def test_write_ivfpq_assign_modes(spark, embeddings, tmp_path):
+    """The build-side n·k escape hatch: assign_mode='auto' below the
+    scored-row threshold is BIT-IDENTICAL to exact (codes table equal),
+    a genuinely coarse build (k=25 → 5 coarse groups) still serves
+    correct k-NN through probe and rerank, and garbage modes 400
+    before any IO."""
+    pa, pb = str(tmp_path / "exact"), str(tmp_path / "auto")
+    similarity.write_ivfpq_index(embeddings, pa, n_centroids=16)
+    similarity.write_ivfpq_index(
+        embeddings, pb, n_centroids=16, assign_mode="auto"
+    )
+
+    def codes(p):
+        cp = similarity.pq_resolved_paths(spark, p)[0]
+        return sorted(map(tuple, spark.read.parquet(cp).collect()))
+
+    assert codes(pa) == codes(pb)
+
+    pc = str(tmp_path / "coarse")
+    similarity.write_ivfpq_index(
+        embeddings, pc, n_centroids=25, assign_mode="coarse"
+    )
+    out = similarity.ivfpq_rerank_from_index(
+        spark, embeddings, pc, query_vec_id=0, k=5, n_probe=6
+    ).collect()
+    assert len(out) == 5
+    cosines = [r["cosine"] for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+    # coarse assignments stay inside the centroid universe
+    occ = similarity.ivfpq_occupancy_report(spark, pc).collect()
+    assert all(0 <= r["centroid_id"] < 25 for r in occ)
+
+    with pytest.raises(ValueError, match="assign_mode"):
+        similarity.write_ivfpq_index(
+            embeddings, str(tmp_path / "bad"), assign_mode="fast"
+        )
+
+
 def test_write_serving_ivfpq_index_uses_measured_config(spark, embeddings, tmp_path):
     """The serving-build wrapper consumes the SERVING_* constants (the
     round-12 measured config) and the provisioning rule — the manifest
