@@ -90,15 +90,21 @@ def serve_and_score(spark, emb, exact, path, q, n_probe, rerank_depth):
     return n_ivf / (K * q), n_rr / (K * q), sec
 
 
-def _fixture_session(n: int):
+def _fixture_session(n: int, n_clusters: int = 50):
     out = tempfile.mkdtemp(prefix="clustered_emb_")
-    generate_clustered_embeddings(n, out)
+    generate_clustered_embeddings(n, out, n_clusters=n_clusters)
     spark = get_spark(
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]",
         shuffle_partitions=32,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    emb = load_table(spark, out, "embeddings").cache()
+    # the generator writes ONE parquet file → Spark reads 1-2 input
+    # partitions, and every narrow stage downstream (subvector explode,
+    # codeword scoring, encode) inherits that — at n=200k the encode
+    # serializes onto one core.  Spread it once up front; training and
+    # codebooks are decimal-exact order-independent, so results are
+    # bit-identical at any partitioning (pytest-pinned).
+    emb = load_table(spark, out, "embeddings").repartition(32).cache()
     emb.count()
     return spark, emb, out
 
@@ -160,7 +166,11 @@ def main():
         args = args[1:]
     n = int(args[0]) if len(args) > 0 else 20000
     q = int(args[1]) if len(args) > 1 else 16
-    spark, emb, out = _fixture_session(n)
+    # SPARK_GRAFT_N_CLUSTERS: vary planted cluster size independently of
+    # corpus size — the round-13 control that separates "corpus grew
+    # 10×" from "every near-dup cluster grew 10×" in the depth law
+    n_clusters = int(os.environ.get("SPARK_GRAFT_N_CLUSTERS", "50"))
+    spark, emb, out = _fixture_session(n, n_clusters=n_clusters)
     exact = (
         sim.cosine_topk_batch(emb, n_queries=q, k=K)
         .select("query_id", "vec_id")
@@ -194,7 +204,10 @@ def main():
         # scale-validation subset: the shipped config + the m=16 rung.
         # Optional third arg = train_fraction (hash-bucket sampled model
         # training, the production posture at 10× — encode stays full).
+        # SPARK_GRAFT_SERVING_ONLY=1 drops the m=16 rung (control runs).
         configs = (serving_cfg, (16, 256, True))
+        if os.environ.get("SPARK_GRAFT_SERVING_ONLY"):
+            configs = (serving_cfg,)
         if len(args) > 2:
             tf = float(args[2])
     for m, ksub, normalize in configs:
