@@ -3940,6 +3940,31 @@ def _q_media_decode(spark, sf_dir):
 
 
 @_entry(
+    "video_container_features",
+    "REAL MP4/ISO-BMFF container decode (round-13, zero codecs): a "
+    "validated box walk over genuine MP4 bytes — brand, mvhd/mdhd "
+    "clocks, hdlr track type, stsd codec fourcc + coded dimensions, "
+    "and the frame count cross-checked stts-vs-stsz.  The metadata a "
+    "video-curation pipeline reads BEFORE committing codec compute; "
+    "the oracle states it closed-form from the fixture's parameters "
+    "while Spark sees only bytes.",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'mp4' AS container,
+       'isom' AS major_brand,
+       'avc1' AS codec,
+       CAST(1000 AS INT) AS timescale,
+       CAST(40 * (10 + doc_id % 50) AS BIGINT) AS duration_ms,
+       CAST(10 + doc_id % 50 AS INT) AS n_frames,
+       CAST(16 * (1 + doc_id % 20) AS INT) AS width,
+       CAST(16 * (1 + doc_id % 11) AS INT) AS height
+FROM documents WHERE doc_id % 13 = 0""",
+)
+def _q_video_container(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter("doc_id % 13 = 0")
+    return _mm.video_container_features(_mm.synthesize_video_fixture(docs))
+
+
+@_entry(
     "multimodal_frame_sample",
     "1→N frame-sampling expansion over decoded n_frames (video plumbing). "
     "The stub decoder's frame count is byte-length arithmetic, so the "

@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "bpe_encode_from_artifact_deep",
     # round-13: the bulk rerank tier (ADC shortlist -> exact cosine)
     "knn_join_rerank",
+    # round-13: codec-free MP4 box-walk metadata decode
+    "video_container_features",
 ]
 
 

@@ -389,6 +389,69 @@ def test_decode_jpeg_known_answer():
         multimodal.decode_jpeg_features(b"GIF89a")
 
 
+def test_decode_mp4_container_known_answer():
+    """REAL ISO-BMFF decode: the synthesized one-track MP4 round-trips
+    every closed-form parameter (brand, codec, clocks, frame count,
+    coded dimensions); malformed files fail loudly (box overrun,
+    stts-vs-stsz mismatch, missing moov); fragmented and encrypted
+    arms raise the honest NotImplementedError."""
+    import struct
+
+    for d in (0, 1, 7, 23, 49, 123):
+        f = multimodal.decode_mp4_features(multimodal.synthesize_mp4(d))
+        nf = 10 + d % 50
+        assert f["major_brand"] == "isom" and f["codec"] == "avc1"
+        assert f["n_frames"] == nf and f["duration_ms"] == 40 * nf
+        assert (f["width"], f["height"]) == (
+            16 * (1 + d % 20), 16 * (1 + d % 11)
+        )
+        assert f["timescale"] == 1000
+
+    p = multimodal.synthesize_mp4(5)
+    with pytest.raises(ValueError, match="not an ISO-BMFF"):
+        multimodal.decode_mp4_features(b"\x00\x00\x00\x08free")
+    bad = bytearray(p)
+    i = p.index(b"stts") - 4
+    bad[i : i + 4] = struct.pack(">I", 1 << 30)
+    with pytest.raises(ValueError, match="overruns"):
+        multimodal.decode_mp4_features(bytes(bad))
+    bad2 = bytearray(p)
+    i = p.index(b"stsz") + 4 + 8
+    bad2[i : i + 4] = struct.pack(">I", 3)
+    with pytest.raises(ValueError, match="frame-count mismatch"):
+        multimodal.decode_mp4_features(bytes(bad2))
+    ftyp = p[: p.index(b"moov") - 4]
+    with pytest.raises(ValueError, match="missing moov"):
+        multimodal.decode_mp4_features(ftyp)
+    mvex = b"\x00\x00\x00\x08mvex"
+    frag = ftyp + struct.pack(">I", 8 + len(mvex)) + b"moov" + mvex
+    with pytest.raises(NotImplementedError, match="fragmented"):
+        multimodal.decode_mp4_features(frag)
+    enc = bytearray(p)
+    j = p.index(b"avc1", p.index(b"stsd"))  # the stsd entry, not ftyp brands
+    enc[j : j + 4] = b"encv"
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        multimodal.decode_mp4_features(bytes(enc))
+
+
+def test_video_container_features_frame(spark):
+    """The Arrow-batched MP4 metadata stage end-to-end: fixture bytes →
+    box-walk decode → typed rows matching the closed forms."""
+    docs = spark.range(0, 9).selectExpr("id AS doc_id")
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.video_container_features(
+            multimodal.synthesize_video_fixture(docs)
+        ).collect()
+    }
+    assert len(rows) == 9
+    for d, r in rows.items():
+        assert r["container"] == "mp4" and r["codec"] == "avc1"
+        assert r["n_frames"] == 10 + d % 50
+        assert r["duration_ms"] == 40 * (10 + d % 50)
+        assert r["width"] == 16 * (1 + d % 20)
+
+
 def test_media_decode_features_frame(spark):
     """The Arrow-batched decode stage end-to-end: synthesized fixture →
     real decode → typed feature rows, modality fields NULL on the other

@@ -79,6 +79,8 @@ QUAD_FIXED_K |= {
     # rows) on top of the same ADC chain — the ADC stage dominates
     "knn_join_rerank",
 }
+# video_container_features: per-payload box walk, corpus-linear — the
+# default linear law applies (no entry needed)
 SUBLINEAR |= {
     # trainer rounds over the Heaps-sublinear vocabulary; the encode
     # fold is vocabulary-sized too (corpus enters via one hash join)
