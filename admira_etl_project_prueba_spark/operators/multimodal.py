@@ -1301,6 +1301,30 @@ def video_container_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, VIDEO_CONTAINER_SCHEMA)
 
 
+def video_frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling plan over REAL container metadata: one row per
+    every-``every_n``-th frame index, with ``n_frames`` coming from the
+    genuine stts/stsz decode (:func:`video_container_features`), not a
+    stub.  The expansion stays declarative (sequence + explode —
+    row-local, no shuffle), so at 100 TB the planner sees an honest
+    1→⌈n_frames/every_n⌉ multiplicity per asset; the per-frame PIXEL
+    fetch remains the native-codec boundary."""
+    feats = video_container_features(media)
+    return feats.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("n_frames") - 1, F.lit(0)),
+                F.lit(every_n),
+            )
+        ).alias("_fi"),
+    ).select(
+        "doc_id", "n_frames", F.col("_fi").cast("int").alias("frame_index")
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

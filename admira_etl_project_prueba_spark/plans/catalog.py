@@ -3965,6 +3965,25 @@ def _q_video_container(spark, sf_dir):
 
 
 @_entry(
+    "video_frame_sample",
+    "Frame-sampling plan over REAL MP4 metadata: every-10th frame index "
+    "per asset, n_frames from the genuine stts/stsz decode — the "
+    "declarative 1→N expansion (sequence + explode, row-local) a video "
+    "pipeline hands to its codec stage; the oracle derives the same "
+    "grid closed-form from the fixture parameters.",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(10 + doc_id % 50 AS INT) AS n_frames,
+       CAST(unnest(range(0, 10 + doc_id % 50, 10)) AS INT) AS frame_index
+FROM documents WHERE doc_id % 13 = 0""",
+)
+def _q_video_frame_sample(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter("doc_id % 13 = 0")
+    return _mm.video_frame_sample_plan(
+        _mm.synthesize_video_fixture(docs), every_n=10
+    )
+
+
+@_entry(
     "multimodal_frame_sample",
     "1→N frame-sampling expansion over decoded n_frames (video plumbing). "
     "The stub decoder's frame count is byte-length arithmetic, so the "

@@ -169,8 +169,9 @@ BENCH_QUERIES = [
     "bpe_encode_from_artifact_deep",
     # round-13: the bulk rerank tier (ADC shortlist -> exact cosine)
     "knn_join_rerank",
-    # round-13: codec-free MP4 box-walk metadata decode
+    # round-13: codec-free MP4 box-walk metadata decode + frame plan
     "video_container_features",
+    "video_frame_sample",
 ]
 
 

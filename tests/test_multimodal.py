@@ -451,6 +451,16 @@ def test_video_container_features_frame(spark):
         assert r["duration_ms"] == 40 * (10 + d % 50)
         assert r["width"] == 16 * (1 + d % 20)
 
+    # frame-sample plan over the REAL n_frames: every-10th index grid
+    plan = multimodal.video_frame_sample_plan(
+        multimodal.synthesize_video_fixture(docs), every_n=10
+    )
+    grid = {}
+    for r in plan.collect():
+        grid.setdefault(r["doc_id"], []).append(r["frame_index"])
+    for d, idx in grid.items():
+        assert sorted(idx) == list(range(0, 10 + d % 50, 10)), d
+
 
 def test_media_decode_features_frame(spark):
     """The Arrow-batched decode stage end-to-end: synthesized fixture →
