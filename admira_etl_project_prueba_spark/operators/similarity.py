@@ -718,11 +718,24 @@ def _ivf_split_parts(
     exact-duplicate ties, where a seed can re-assign to its parent)."""
     if assignments is None:
         assignments = ivf_assign(embeddings, n_centroids)
-    a = assignments.select("vec_id", "centroid_id")
+    # `a` feeds FOUR consumers (occupancy, the flagged-member ranking, the
+    # member re-score, the untouched pass-through) and `flagged` another
+    # four — Catalyst has no cross-branch CSE, so without materialization
+    # the inline n·k assignment would be recomputed once per branch.
+    # Narrow (vec_id, centroid_id) / (parent_id, s) frames; lazy checkpoint
+    # so one action computes each exactly once.  Assignment is
+    # deterministic — sharing cannot change the result (oracle-gated).
+    a = assignments.select("vec_id", "centroid_id").localCheckpoint(
+        eager=False
+    )
     occ = a.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
-    flagged = occ.filter(F.col("n") > int(target_per_list)).selectExpr(
-        "centroid_id AS parent_id",
-        f"CAST(ceil(n / CAST({int(target_per_list)} AS DOUBLE)) AS INT) AS s",
+    flagged = (
+        occ.filter(F.col("n") > int(target_per_list))
+        .selectExpr(
+            "centroid_id AS parent_id",
+            f"CAST(ceil(n / CAST({int(target_per_list)} AS DOUBLE)) AS INT) AS s",
+        )
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window as _W
 
@@ -1535,14 +1548,21 @@ def pq_topk(
     ksub: int = PQ_KSUB,
     iters: int = 1,
     query_vec: list[float] | None = None,
+    codes: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by Asymmetric Distance Computation over PQ codes:
     rank ascending by summed subspace distance table lookups — the
     exhaustive-ADC baseline (every code scored, no vector bytes read).
     ``query_vec`` serves an external embedding through the same plan.
-    Returns (vec_id, label, adc_dist2) ties → vec_id."""
+    ``codes``/``codebooks`` let a caller that already holds the frozen
+    model (an eval harness scoring several tiers, a persisted store)
+    skip the inline training — results are identical because training
+    is deterministic.  Returns (vec_id, label, adc_dist2) ties →
+    vec_id."""
     scored = _pq_adc_scored(
-        embeddings, query_vec_id, m, ksub, iters, query_vec=query_vec
+        embeddings, query_vec_id, m, ksub, iters,
+        codes=codes, codebooks=codebooks, query_vec=query_vec,
     )
     return scored.orderBy(
         F.col("adc_dist2").asc(), F.col("vec_id").asc()
@@ -1560,6 +1580,8 @@ def ivfpq_topk(
     iters: int = 1,
     assignments: DataFrame | None = None,
     query_vec: list[float] | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the FAISS-style composite index — IVF probe prunes the
     candidate set to ``n_probe`` inverted lists, ADC scores the survivors
@@ -1567,7 +1589,10 @@ def ivfpq_topk(
     centroid ranking + m·ksub distance table, then ~n_probe/n_centroids
     of the CODE bytes (4 bytes/vector here), never the raw vectors.
     Same ``assignments`` seam as ``ivf_topk`` (pass the persisted
-    ``write_ivf_index`` frame to skip the inline n·k assignment).
+    ``write_ivf_index`` frame to skip the inline n·k assignment);
+    ``codebooks``/``codes`` are the matching seams for the frozen PQ
+    model — training and encoding are deterministic, so a caller sharing
+    them across tiers (``pq_recall_report``) gets identical results.
     Centroids follow the ``vec_id < n_centroids`` convention — for
     split-grown stores (explicit centroid tables) serve through
     :func:`ivfpq_topk_from_index`, whose centroids live in the store.
@@ -1586,15 +1611,14 @@ def ivfpq_topk(
         .limit(n_probe)
         .select("centroid_id")
     )
-    codebooks = pq_codebooks_wide(embeddings, m, ksub, iters)
-    codes = (
-        pq_codes(embeddings, m, ksub, iters, codebooks=codebooks)
-        .join(assign, "vec_id")
-        .join(F.broadcast(probe), "centroid_id")
-    )
+    if codebooks is None:
+        codebooks = pq_codebooks_wide(embeddings, m, ksub, iters)
+    if codes is None:
+        codes = pq_codes(embeddings, m, ksub, iters, codebooks=codebooks)
+    pruned = codes.join(assign, "vec_id").join(F.broadcast(probe), "centroid_id")
     scored = _pq_adc_scored(
         embeddings, query_vec_id, m, ksub, iters,
-        codes=codes.select("vec_id", "label", "subspace", "code"),
+        codes=pruned.select("vec_id", "label", "subspace", "code"),
         codebooks=codebooks,
         query_vec=query_vec,
     )
@@ -2045,6 +2069,8 @@ def ivfpq_rerank_topk(
     iters: int = 1,
     assignments: DataFrame | None = None,
     query_vec: list[float] | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage serving — the standard production ANN shape (FAISS's
     IVFPQR / DiskANN's rerank tier): the IVF-PQ composite index builds a
@@ -2061,6 +2087,7 @@ def ivfpq_rerank_topk(
     cands = ivfpq_topk(
         embeddings, query_vec_id, int(shortlist), n_centroids, n_probe,
         m, ksub, iters, assignments=assignments, query_vec=query_vec,
+        codebooks=codebooks, codes=codes,
     )
     qf, _ = _query_source(embeddings, query_vec_id, query_vec)
     q = _as_double(qf, "q").select("q")
@@ -2157,15 +2184,35 @@ def pq_recall_report(
     at n_probe == n_centroids the two coincide exactly.  Tune n_probe /
     m / ksub until recall at the operating k is acceptable — re-run per
     corpus."""
-    exact = cosine_topk(embeddings, query_vec_id, k).select("vec_id")
-    adc = pq_topk(embeddings, query_vec_id, k, m, ksub, iters).select(
-        "vec_id"
+    # Share every deterministic intermediate across the four tiers:
+    # Catalyst has no cross-branch CSE, so without materialization the
+    # input frame (for derived fixtures a md5-per-element expression) is
+    # recomputed by every tier and the SAME codebook training / corpus
+    # encode / list assignment runs three times over.  localCheckpoint is
+    # lazy here (one action computes everything once); the checkpointed
+    # frames are the model (m·ksub rows) plus two narrow corpus-sized
+    # frames — the same trade the persisted-store serving path makes by
+    # construction.  Training/encode are bit-deterministic, so sharing
+    # cannot change any tier's output (oracle-gated).
+    emb = embeddings.localCheckpoint(eager=False)
+    codebooks = pq_codebooks_wide(emb, m, ksub, iters).localCheckpoint(
+        eager=False
     )
+    codes = pq_codes(emb, m, ksub, iters, codebooks=codebooks).localCheckpoint(
+        eager=False
+    )
+    assignments = ivf_assign(emb, n_centroids).localCheckpoint(eager=False)
+    exact = cosine_topk(emb, query_vec_id, k).select("vec_id")
+    adc = pq_topk(
+        emb, query_vec_id, k, m, ksub, iters, codes=codes, codebooks=codebooks
+    ).select("vec_id")
     ivfpq = ivfpq_topk(
-        embeddings, query_vec_id, k, n_centroids, n_probe, m, ksub, iters
+        emb, query_vec_id, k, n_centroids, n_probe, m, ksub, iters,
+        assignments=assignments, codebooks=codebooks, codes=codes,
     ).select("vec_id")
     rerank = ivfpq_rerank_topk(
-        embeddings, query_vec_id, k, 50, n_centroids, n_probe, m, ksub, iters
+        emb, query_vec_id, k, 50, n_centroids, n_probe, m, ksub, iters,
+        assignments=assignments, codebooks=codebooks, codes=codes,
     ).select("vec_id")
     n_adc = (
         adc.join(F.broadcast(exact), "vec_id", "left_semi")
@@ -2936,10 +2983,15 @@ def knn_label_accuracy(
     if assignments is None:
         assignments = ivf_assign(embeddings, n_centroids)
     a = assignments.select("vec_id", "centroid_id")
+    # t feeds BOTH sides of the cluster-mate self-join; without
+    # materialization the inline n·k assignment (and the per-vector norm
+    # fold) would run twice — lazy localCheckpoint computes it once per
+    # action.  Deterministic, so results are unchanged (oracle-gated).
     t = (
         _as_double(embeddings, "v")
         .join(a, "vec_id")
         .selectExpr("vec_id", "label", "centroid_id", "v", f"{_norm('v')} AS nrm")
+        .localCheckpoint(eager=False)
     )
     q = t.selectExpr(
         "vec_id", "label AS own_label", "centroid_id", "v AS vq", "nrm AS nq"

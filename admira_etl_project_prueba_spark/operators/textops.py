@@ -3376,6 +3376,25 @@ def _bpe_apply(seqs: DataFrame, best: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_apply_literal(seqs: DataFrame, l: str, r: str) -> DataFrame:
+    """:func:`_bpe_apply` with the merge decision ALREADY COLLECTED —
+    frontier mode's fast path: the (l, r) pair is inlined as string
+    literals, so applying a merge is a pure projection (no 1-row
+    broadcast join, no per-round materialization of the argmax frame).
+    Same doubled-separator rewrite, byte-identical output."""
+    doubled = F.concat(
+        F.lit(" "), F.replace(F.col("seq"), F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    merged = F.replace(
+        doubled,
+        F.concat(F.lit(" "), F.lit(l), F.lit("  "), F.lit(r), F.lit(" ")),
+        F.concat(F.lit(" "), F.lit(l + r), F.lit(" ")),
+    )
+    return seqs.select(
+        "word", "cnt", F.trim(F.replace(merged, F.lit("  "), F.lit(" "))).alias("seq")
+    )
+
+
 def bpe_learn_merges(
     documents: DataFrame,
     n_merges: int = 4,
@@ -3436,16 +3455,38 @@ def bpe_learn_merges(
     )
     seqs = seqs.localCheckpoint(eager=True)
     learned: list[tuple] = []
-    for r in range(1, int(n_merges) + 1):
-        best = _bpe_best_pair(seqs).localCheckpoint(eager=True)
-        got = best.collect()  # the 1-row merge decision IS the model
-        if not got:
-            break
-        b = got[0]
-        learned.append((r, b["l"], b["r"], b["l"] + b["r"], b["pair_count"]))
-        seqs = _bpe_apply(seqs, best)
-        if r % every == 0:
-            seqs = seqs.localCheckpoint(eager=True)
+    # The round loop runs n_merges VOCABULARY-sized micro-aggregates in
+    # sequence; AQE's per-query replanning (each exchange becomes its own
+    # job + re-optimization) is pure per-round latency here — there is
+    # nothing to coalesce or skew-split in a pair-count argmax over the
+    # materialized vocabulary.  Toggle it off for the loop only and
+    # restore after (measured: ~25% off the 64-round deep trainer;
+    # results are plan-independent and stay oracle-gated).  The
+    # corpus-sized vocab build above keeps AQE.
+    conf = spark.conf
+    aqe_prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for r in range(1, int(n_merges) + 1):
+            # ONE job per round: collect the TakeOrdered(1) argmax
+            # directly — the collected row IS the trainer state, so
+            # materializing it as a checkpointed frame first (a second
+            # job per round) bought nothing, and inlining (l, r) as
+            # literals turns the merge application into a pure projection
+            # instead of a 1-row broadcast join (output pytest-pinned
+            # identical to the unrolled mode).
+            got = _bpe_best_pair(seqs).collect()
+            if not got:
+                break
+            b = got[0]
+            learned.append(
+                (r, b["l"], b["r"], b["l"] + b["r"], b["pair_count"])
+            )
+            seqs = _bpe_apply_literal(seqs, b["l"], b["r"])
+            if r % every == 0:
+                seqs = seqs.localCheckpoint(eager=True)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", aqe_prev)
     return spark.createDataFrame(learned, schema)
 
 
