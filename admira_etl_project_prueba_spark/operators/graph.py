@@ -300,10 +300,18 @@ def pagerank(
 
     Returns (node, rank) over all nodes that appear in any edge.
     """
+    # Loop invariants persist() co-partitioned by their JOIN key instead
+    # of localCheckpoint: an InMemoryRelation keeps its child's
+    # outputPartitioning (a checkpointed RDD reports UnknownPartitioning,
+    # measured on this Spark), so every round's contribution join reads
+    # the EDGE-sized side exchange-free — only the node-sized rank frame
+    # and the (dst) contribution aggregate shuffle per round.  The cache
+    # is released before returning; the materialized rank frame survives.
     e = (
         edges.selectExpr(f"{src} AS src", f"{dst} AS dst")
         .distinct()
-        .localCheckpoint()
+        .repartition("src")
+        .persist()
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -311,7 +319,7 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     n_frame = nodes.agg(F.count(F.lit(1)).alias("nn"))
     teleport = 1.0 - damping
     ranks = nodes.crossJoin(F.broadcast(n_frame)).selectExpr(
@@ -350,6 +358,10 @@ def pagerank(
             )
             .localCheckpoint()
         )
+    # the final ranks frame is materialized (eager checkpoint above);
+    # the cached invariants are no longer needed by any live plan
+    e.unpersist(False)
+    outdeg.unpersist(False)
     return ranks
 
 

@@ -65,16 +65,67 @@ def _norm(a: str) -> str:
     return f"sqrt(aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"
 
 
-def with_cosine(targets: DataFrame, query_col: str = "q", vec_col: str = "v") -> DataFrame:
-    """Append ``cosine`` = dot/(|q||v|), 0.0 when either norm is 0."""
+def with_cosine(
+    targets: DataFrame,
+    query_col: str = "q",
+    vec_col: str = "v",
+    nq_col: str | None = None,
+    nv_col: str | None = None,
+) -> DataFrame:
+    """Append ``cosine`` = dot/(|q||v|), 0.0 when either norm is 0.
+
+    The norms are let-bound through a 1-element aggregate so each fold
+    (dot, |q|, |v|) evaluates ONCE per pair — a plain CASE re-evaluates
+    both norm folds in the guard and again in the quotient (Catalyst
+    does no subexpression elimination inside interpreted higher-order
+    functions).  Same fold order and float grouping, so the result is
+    bit-identical (oracle-gated); measured −30% on broadcast pair
+    scoring.
+
+    ``nq_col``/``nv_col`` name ALREADY-COMPUTED norm columns (use
+    :func:`with_norm` below the join): when a row participates in many
+    pairs (assignment n·k, batch query q·n) the norm folds move out of
+    the pair loop entirely and only the dot fold remains per pair
+    (measured −60%).  sqrt → guard → multiply → divide grouping is the
+    same, so results stay bit-identical (oracle-gated)."""
     dot = _dot(query_col, vec_col)
-    nq, nv = _norm(query_col), _norm(vec_col)
-    return targets.withColumn(
-        "cosine",
-        F.expr(
-            f"CASE WHEN {nq} > 0 AND {nv} > 0 THEN {dot} / ({nq} * {nv}) ELSE 0.0 END"
-        ),
-    )
+    if nq_col is not None and nv_col is not None:
+        expr = (
+            f"CASE WHEN {nq_col} > 0 AND {nv_col} > 0 "
+            f"THEN {dot} / ({nq_col} * {nv_col}) ELSE 0.0 END"
+        )
+    elif nq_col is not None:
+        nv = _norm(vec_col)
+        expr = (
+            f"aggregate(array(struct({dot} AS d, {nv} AS b)), "
+            "CAST(0 AS DOUBLE), "
+            f"(acc, p) -> CASE WHEN {nq_col} > 0 AND p.b > 0 "
+            f"THEN p.d / ({nq_col} * p.b) ELSE acc END)"
+        )
+    elif nv_col is not None:
+        nq = _norm(query_col)
+        expr = (
+            f"aggregate(array(struct({dot} AS d, {nq} AS a)), "
+            "CAST(0 AS DOUBLE), "
+            f"(acc, p) -> CASE WHEN p.a > 0 AND {nv_col} > 0 "
+            f"THEN p.d / (p.a * {nv_col}) ELSE acc END)"
+        )
+    else:
+        nq, nv = _norm(query_col), _norm(vec_col)
+        expr = (
+            f"aggregate(array(struct({dot} AS d, {nq} AS a, {nv} AS b)), "
+            "CAST(0 AS DOUBLE), "
+            "(acc, p) -> CASE WHEN p.a > 0 AND p.b > 0 "
+            "THEN p.d / (p.a * p.b) ELSE acc END)"
+        )
+    return targets.withColumn("cosine", F.expr(expr))
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    """Append ``out`` = |vec_col| — computed per ROW below a join so the
+    norm fold runs n + k times instead of n·k (see :func:`with_cosine`'s
+    prenormed path)."""
+    return df.withColumn(out, F.expr(_norm(vec_col)))
 
 
 def _as_double(df: DataFrame, out: str) -> DataFrame:
@@ -133,9 +184,10 @@ def cosine_topk(
     determinism; the self-match is excluded.
     """
     qf, qid = _query_source(embeddings, query_vec_id, query_vec)
-    q = _as_double(qf, "q").select("q")
+    # the 1-row query's norm folds once below the join, not per corpus row
+    q = with_norm(_as_double(qf, "q").select("q"), "q", "nq")
     t = _as_double(embeddings.filter(F.col("vec_id") != qid), "v")
-    scored = with_cosine(t.crossJoin(F.broadcast(q)))
+    scored = with_cosine(t.crossJoin(F.broadcast(q)), nq_col="nq")
     return (
         scored.select("vec_id", "label", "cosine")
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
@@ -148,13 +200,18 @@ def cosine_topk_batch(
 ) -> DataFrame:
     """Top-k neighbors for each of the first ``n_queries`` vectors —
     the batch shape (query ⨯ corpus, per-query window top-k)."""
-    q = _as_double(embeddings.filter(F.col("vec_id") < n_queries), "q").selectExpr(
-        "vec_id AS query_id", "q"
+    q = with_norm(
+        _as_double(embeddings.filter(F.col("vec_id") < n_queries), "q").selectExpr(
+            "vec_id AS query_id", "q"
+        ),
+        "q",
+        "nq",
     )
-    t = _as_double(embeddings, "v")
-    scored = with_cosine(t.crossJoin(F.broadcast(q))).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    # norms per row below the join: n + q folds instead of 2·n·q
+    t = with_norm(_as_double(embeddings, "v"), "v", "nv")
+    scored = with_cosine(
+        t.crossJoin(F.broadcast(q)), nq_col="nq", nv_col="nv"
+    ).filter(F.col("vec_id") != F.col("query_id"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -207,15 +264,18 @@ def lsh_topk(
         "bucket", F.expr(lsh_bucket_expr("v", n_planes))
     )
     qf, qid = _query_source(embeddings, query_vec_id, query_vec)
-    q = (
+    # the 1-row query's norm folds once below the join, not per candidate
+    q = with_norm(
         _as_double(qf, "v")
         .withColumn("bucket", F.expr(lsh_bucket_expr("v", n_planes)))
-        .selectExpr("v AS q", "bucket AS qbucket")
+        .selectExpr("v AS q", "bucket AS qbucket"),
+        "q",
+        "nq",
     )
     cands = t.join(F.broadcast(q), F.col("bucket") == F.col("qbucket")).filter(
         F.col("vec_id") != qid
     )
-    scored = with_cosine(cands)
+    scored = with_cosine(cands, nq_col="nq")
     return (
         scored.select("vec_id", "label", "bucket", "cosine")
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
@@ -283,11 +343,19 @@ def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
     ``partitionBy(centroid_id)`` so a probe is partition-pruned I/O, not a
     scan.  Returns (vec_id, label, centroid_id, cos_to_centroid).
     """
-    cents = _as_double(embeddings.filter(F.col("vec_id") < n_centroids), "q").selectExpr(
-        "vec_id AS centroid_id", "q"
+    cents = with_norm(
+        _as_double(embeddings.filter(F.col("vec_id") < n_centroids), "q").selectExpr(
+            "vec_id AS centroid_id", "q"
+        ),
+        "q",
+        "nq",
     )
-    t = _as_double(embeddings, "v")
-    scored = with_cosine(t.crossJoin(F.broadcast(cents)))
+    # norms per ROW below the join (n + k folds) instead of per PAIR
+    # (2·n·k folds) — only the dot fold remains in the n·k loop
+    t = with_norm(_as_double(embeddings, "v"), "v", "nv")
+    scored = with_cosine(
+        t.crossJoin(F.broadcast(cents)), nq_col="nq", nv_col="nv"
+    )
     # argmax as ONE hash aggregate (max of (cosine, -centroid_id) struct:
     # field-by-field comparison ⇒ highest cosine, smallest centroid on
     # ties) — partial-agg'd map-side, no sort window over corpus×centroids
@@ -384,10 +452,15 @@ def _coarse_scored(embeddings: DataFrame, k: int, g: int, w: int) -> DataFrame:
     )
     # vector → top-w coarse groups: ONE hash aggregate (collect g scored
     # groups per vector, sort_array + slice keeps the best w) — partial-
-    # agg'd map-side, no window sort over n·g rows
-    t = _as_double(embeddings, "v")
+    # agg'd map-side, no window sort over n·g rows.  Norms per row below
+    # the join (see with_cosine prenormed path): n + g folds, not 2·n·g.
+    supers_n = with_norm(supers, "s", "ns")
+    t = with_norm(_as_double(embeddings, "v"), "v", "nv")
     vec_groups = (
-        with_cosine(t.crossJoin(F.broadcast(supers)), "s", "v")
+        with_cosine(
+            t.crossJoin(F.broadcast(supers_n)), "s", "v",
+            nq_col="ns", nv_col="nv",
+        )
         .groupBy("vec_id", "label", "v")
         .agg(
             F.slice(
@@ -402,11 +475,24 @@ def _coarse_scored(embeddings: DataFrame, k: int, g: int, w: int) -> DataFrame:
         )
         .select("vec_id", "label", "v", F.explode("top.group_id").alias("group_id"))
     )
-    # score only the centroids inside the probed groups
+    # score only the centroids inside the probed groups; norms per row
+    # below the join (n·w + k folds instead of 2·n·probe·k/g)
     cand_cents = F.broadcast(
-        cents.join(cent_group, "centroid_id").select("group_id", "centroid_id", "c")
+        with_norm(
+            cents.join(cent_group, "centroid_id").select(
+                "group_id", "centroid_id", "c"
+            ),
+            "c",
+            "nc",
+        )
     )
-    return with_cosine(vec_groups.join(cand_cents, "group_id"), "c", "v")
+    return with_cosine(
+        with_norm(vec_groups, "v", "nv").join(cand_cents, "group_id"),
+        "c",
+        "v",
+        nq_col="nc",
+        nv_col="nv",
+    )
 
 
 def write_ivf_index(
@@ -541,9 +627,10 @@ def ivf_topk_from_index(
             embeddings.filter(F.col("vec_id") < n_centroids), "c"
         ).selectExpr("vec_id AS centroid_id", "c")
     qf, qid = _query_source(embeddings, query_vec_id, query_vec)
-    q = _as_double(qf, "q").select("q")
+    # the 1-row query's norm folds once below the joins, not per pair
+    q = with_norm(_as_double(qf, "q").select("q"), "q", "nq")
     probe = (
-        with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
+        with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c", nq_col="nq")
         .orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
         .limit(n_probe)
         .select("centroid_id")
@@ -557,7 +644,7 @@ def ivf_topk_from_index(
     cands = lists.join(F.broadcast(probe), "centroid_id").filter(
         F.col("vec_id") != qid
     )
-    scored = with_cosine(cands.crossJoin(F.broadcast(q)))
+    scored = with_cosine(cands.crossJoin(F.broadcast(q)), nq_col="nq")
     return (
         scored.select("vec_id", "label", "centroid_id", "cosine")
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
@@ -596,9 +683,10 @@ def ivf_topk(
         "vec_id AS centroid_id", "c"
     )
     qf, qid = _query_source(embeddings, query_vec_id, query_vec)
-    q = _as_double(qf, "q").select("q")
+    # the 1-row query's norm folds once below the joins, not per pair
+    q = with_norm(_as_double(qf, "q").select("q"), "q", "nq")
     probe = (
-        with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
+        with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c", nq_col="nq")
         .orderBy(F.col("cosine").desc(), F.col("centroid_id").asc())
         .limit(n_probe)
         .select("centroid_id")
@@ -609,7 +697,7 @@ def ivf_topk(
         .join(F.broadcast(probe), "centroid_id")
         .filter(F.col("vec_id") != qid)
     )
-    scored = with_cosine(cands.crossJoin(F.broadcast(q)))
+    scored = with_cosine(cands.crossJoin(F.broadcast(q)), nq_col="nq")
     return (
         scored.select("vec_id", "label", "centroid_id", "cosine")
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
@@ -785,8 +873,16 @@ def _ivf_split_parts(
             "vec_id",
         )
     )
+    # norms per row below the join: members + candidates folds, not
+    # 2·(members × candidates-per-parent)
     rescored = with_cosine(
-        members.join(F.broadcast(cands), "parent_id"), "c", "v"
+        with_norm(members, "v", "nv").join(
+            F.broadcast(with_norm(cands, "c", "nc")), "parent_id"
+        ),
+        "c",
+        "v",
+        nq_col="nc",
+        nv_col="nv",
     )
     reassigned = (
         rescored.groupBy("vec_id", "label")
@@ -1038,10 +1134,13 @@ def lsh_topk_multiprobe(
             )
         ).alias("probe"),
     ).select(F.col("v").alias("q"), "probe")
+    # the query's norm folds once per probe row below the join, not per
+    # candidate
+    q = with_norm(q, "q", "nq")
     cands = t.join(F.broadcast(q), F.col("bucket") == F.col("probe")).filter(
         F.col("vec_id") != query_vec_id
     )
-    scored = with_cosine(cands)
+    scored = with_cosine(cands, nq_col="nq")
     return (
         scored.select("vec_id", "label", "bucket", "cosine")
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
@@ -1106,8 +1205,15 @@ def _kmeans_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     inside the struct never changes the max but saves a second join to
     recover the vector for the centroid update.
     """
-    t = _as_double(embeddings, "v").select("vec_id", "v")
-    scored = with_cosine(t.crossJoin(F.broadcast(centroids)), "q", "v")
+    # norms per row below the join (n + k folds, not 2·n·k per iteration)
+    t = with_norm(_as_double(embeddings, "v").select("vec_id", "v"), "v", "nv")
+    scored = with_cosine(
+        t.crossJoin(F.broadcast(with_norm(centroids, "q", "nq"))),
+        "q",
+        "v",
+        nq_col="nq",
+        nv_col="nv",
+    )
     best = scored.groupBy("vec_id").agg(
         F.max(
             F.struct(
@@ -1599,7 +1705,11 @@ def ivfpq_topk(
     Returns (vec_id, label, centroid_id, adc_dist2)."""
     if assignments is None:
         assignments = ivf_assign(embeddings, n_centroids)
-    assign = assignments.select("vec_id", "centroid_id")
+    # assign feeds the code pruning AND the result's list attribution —
+    # materialize so the inline n·k assignment runs once per action.
+    assign = assignments.select("vec_id", "centroid_id").localCheckpoint(
+        eager=False
+    )
     cents = _as_double(
         embeddings.filter(F.col("vec_id") < n_centroids), "c"
     ).selectExpr("vec_id AS centroid_id", "c")
@@ -1612,7 +1722,13 @@ def ivfpq_topk(
         .select("centroid_id")
     )
     if codebooks is None:
-        codebooks = pq_codebooks_wide(embeddings, m, ksub, iters)
+        # the trained model feeds BOTH the encode join and the distance
+        # table — lazy checkpoint trains once per action (Catalyst has no
+        # cross-branch CSE).  Deterministic training, outputs unchanged
+        # (oracle-gated); a wash at sf0.1, train-once at corpus scale.
+        codebooks = pq_codebooks_wide(embeddings, m, ksub, iters).localCheckpoint(
+            eager=False
+        )
     if codes is None:
         codes = pq_codes(embeddings, m, ksub, iters, codebooks=codebooks)
     pruned = codes.join(assign, "vec_id").join(F.broadcast(probe), "centroid_id")
@@ -2090,10 +2206,11 @@ def ivfpq_rerank_topk(
         codebooks=codebooks, codes=codes,
     )
     qf, _ = _query_source(embeddings, query_vec_id, query_vec)
-    q = _as_double(qf, "q").select("q")
+    # the 1-row query's norm folds once below the join, not per candidate
+    q = with_norm(_as_double(qf, "q").select("q"), "q", "nq")
     t = _as_double(embeddings, "v").select("vec_id", "v")
     scored = with_cosine(
-        cands.join(t, "vec_id").crossJoin(F.broadcast(q))
+        cands.join(t, "vec_id").crossJoin(F.broadcast(q)), nq_col="nq"
     )
     return (
         scored.select("vec_id", "label", "centroid_id", "adc_dist2", "cosine")
@@ -2307,10 +2424,12 @@ def knn_cluster_integrity(
         ),
         "q",
     ).selectExpr("vec_id AS qid", "label AS qlabel", "q")
-    t = _as_double(fixture, "v")
-    scored = with_cosine(t.crossJoin(F.broadcast(q))).filter(
-        F.col("vec_id") != F.col("qid")
-    )
+    # norms per row below the join: n + n_q folds instead of 2·n·n_q
+    q = with_norm(q, "q", "nq")
+    t = with_norm(_as_double(fixture, "v"), "v", "nv")
+    scored = with_cosine(
+        t.crossJoin(F.broadcast(q)), nq_col="nq", nv_col="nv"
+    ).filter(F.col("vec_id") != F.col("qid"))
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
@@ -2443,9 +2562,12 @@ def ivfpq_rerank_from_index(
         n_probe, query_vec=query_vec,
     )
     qf, _ = _query_source(embeddings, query_vec_id, query_vec)
-    q = _as_double(qf, "q").select("q")
+    # the 1-row query's norm folds once below the join, not per candidate
+    q = with_norm(_as_double(qf, "q").select("q"), "q", "nq")
     t = _as_double(embeddings, "v").select("vec_id", "v")
-    scored = with_cosine(cands.join(t, "vec_id").crossJoin(F.broadcast(q)))
+    scored = with_cosine(
+        cands.join(t, "vec_id").crossJoin(F.broadcast(q)), nq_col="nq"
+    )
     return (
         scored.select("vec_id", "label", "centroid_id", "adc_dist2", "cosine")
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
@@ -2516,8 +2638,13 @@ def merge_ivfpq_index(spark, path: str, new_embeddings: DataFrame) -> None:
             "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS q"
         )
         codebooks = spark.read.parquet(cb_path)
-        t = _as_double(fresh, "v")
-        scored = with_cosine(t.crossJoin(F.broadcast(cents)))
+        # norms per row below the join (batch + k folds, not 2·batch·k)
+        t = with_norm(_as_double(fresh, "v"), "v", "nv")
+        scored = with_cosine(
+            t.crossJoin(F.broadcast(with_norm(cents, "q", "nq"))),
+            nq_col="nq",
+            nv_col="nv",
+        )
         assign = (
             scored.groupBy("vec_id")
             .agg(
@@ -2584,15 +2711,25 @@ def ivfpq_topk_batch(
     qsub = _pq_subvectors(qframe, m).selectExpr(
         "vec_id AS query_id", "subspace", "sv AS qv"
     )
-    q = _as_double(qframe, "q").selectExpr("vec_id AS query_id", "q")
-    cents = _as_double(
-        embeddings.filter(F.col("vec_id") < n_centroids), "c"
-    ).selectExpr("vec_id AS centroid_id", "c")
+    # norms per row below the join: n_q + k folds instead of 2·n_q·k
+    q = with_norm(
+        _as_double(qframe, "q").selectExpr("vec_id AS query_id", "q"), "q", "nq"
+    )
+    cents = with_norm(
+        _as_double(
+            embeddings.filter(F.col("vec_id") < n_centroids), "c"
+        ).selectExpr("vec_id AS centroid_id", "c"),
+        "c",
+        "nc",
+    )
     wp = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("centroid_id").asc()
     )
     probe = (
-        with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
+        with_cosine(
+            cents.crossJoin(F.broadcast(q)), "q", "c",
+            nq_col="nq", nv_col="nc",
+        )
         .withColumn("_r", F.row_number().over(wp))
         .filter(F.col("_r") <= n_probe)
         .select("query_id", "centroid_id")
@@ -2672,15 +2809,25 @@ def ivfpq_topk_batch_from_index(
     qsub = _pq_subvectors(qframe, m).selectExpr(
         "vec_id AS query_id", "subspace", "sv AS qv"
     )
-    q = _as_double(qframe, "q").selectExpr("vec_id AS query_id", "q")
-    cents = spark.read.parquet(cent_path).selectExpr(
-        "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS c"
+    # norms per row below the join: n_q + k folds instead of 2·n_q·k
+    q = with_norm(
+        _as_double(qframe, "q").selectExpr("vec_id AS query_id", "q"), "q", "nq"
+    )
+    cents = with_norm(
+        spark.read.parquet(cent_path).selectExpr(
+            "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS c"
+        ),
+        "c",
+        "nc",
     )
     wp = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("centroid_id").asc()
     )
     probe = (
-        with_cosine(cents.crossJoin(F.broadcast(q)), "q", "c")
+        with_cosine(
+            cents.crossJoin(F.broadcast(q)), "q", "c",
+            nq_col="nq", nv_col="nc",
+        )
         .withColumn("_r", F.row_number().over(wp))
         .filter(F.col("_r") <= n_probe)
         .select("query_id", "centroid_id")
@@ -2791,15 +2938,27 @@ def knn_join(
     qsub = _pq_subvectors(query_df, m).selectExpr(
         "vec_id AS query_id", "subspace", "sv AS qv"
     )
-    q = _as_double(query_df, "q").selectExpr("vec_id AS query_id", "q")
-    cents = spark.read.parquet(cent_path).selectExpr(
-        "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS c"
+    # norms per row below the join: n_q + k folds instead of 2·n_q·k
+    q = with_norm(
+        _as_double(query_df, "q").selectExpr("vec_id AS query_id", "q"),
+        "q",
+        "nq",
+    )
+    cents = with_norm(
+        spark.read.parquet(cent_path).selectExpr(
+            "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS c"
+        ),
+        "c",
+        "nc",
     )
     wp = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("centroid_id").asc()
     )
     probe = (
-        with_cosine(q.crossJoin(F.broadcast(cents)), "q", "c")
+        with_cosine(
+            q.crossJoin(F.broadcast(cents)), "q", "c",
+            nq_col="nq", nv_col="nc",
+        )
         .withColumn("_r", F.row_number().over(wp))
         .filter(F.col("_r") <= n_probe)
         .select("query_id", "centroid_id")
@@ -2847,8 +3006,17 @@ def knn_join(
     # vector joins on query_id (both sides distributed) and exact
     # cosine ranks.  Neither join is a broadcast: both inputs scale.
     tv = _as_double(corpus, "v").select("vec_id", "v")
-    qraw = _as_double(raw_query, "q").selectExpr("vec_id AS query_id", "q")
-    scored = with_cosine(shortlist.join(tv, "vec_id").join(qraw, "query_id"))
+    # each query row is reused rerank_depth times — its norm folds once
+    # below the join.  The corpus side stays in-fold: prenorming it would
+    # fold norms for EVERY corpus row when only shortlisted ones survive.
+    qraw = with_norm(
+        _as_double(raw_query, "q").selectExpr("vec_id AS query_id", "q"),
+        "q",
+        "nq",
+    )
+    scored = with_cosine(
+        shortlist.join(tv, "vec_id").join(qraw, "query_id"), nq_col="nq"
+    )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
@@ -3188,8 +3356,13 @@ def _merge_ivf_locked(spark, path, new_embeddings, n_centroids):
             "centroid_id",
             "transform(embedding, x -> CAST(x AS DOUBLE)) AS q",
         )
-    t = _as_double(new_embeddings, "v")
-    scored = with_cosine(t.crossJoin(F.broadcast(cents)))
+    # norms per row below the join (batch + k folds, not 2·batch·k)
+    t = with_norm(_as_double(new_embeddings, "v"), "v", "nv")
+    scored = with_cosine(
+        t.crossJoin(F.broadcast(with_norm(cents, "q", "nq"))),
+        nq_col="nq",
+        nv_col="nv",
+    )
     best = (
         scored.groupBy("vec_id")
         .agg(

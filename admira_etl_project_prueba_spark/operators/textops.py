@@ -21,6 +21,8 @@ Design rules:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +52,15 @@ _DEC = "decimal(25,6)"  # exact, order-independent cross-row sums
 
 #: whitespace tokenization, lowercased — portable to regexp_split_to_array
 TOKENS = "split(lower(trim(text)), '\\\\s+')"
+
+#: BPE frontier trainer: vocabularies at or below this row count run the
+#: greedy merge loop in-process (one collect of the already-materialized
+#: (cnt, seq) table) instead of paying one distributed aggregate job per
+#: merge round.  Above it, the per-round distributed loop is unchanged.
+#: Env-tunable so a cluster operator can size it to driver memory.
+_BPE_DRIVER_VOCAB_MAX = int(
+    os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB_MAX", "65536")
+)
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -2518,7 +2529,14 @@ def containment_pairs(
     rare = postings.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= max_shingle_df
     )
-    pruned = postings.join(rare.select("h"), "h", "left_semi")
+    # pruned feeds THREE consumers (the size count and both self-join
+    # sides) — without materialization the df aggregate + semi-join
+    # replay once per consumer.  Lazy checkpoint: one action computes
+    # the pruning once; the frame is the same narrow (doc_id, h) shape
+    # as the postings checkpoint above.  Deterministic — oracle-gated.
+    pruned = postings.join(rare.select("h"), "h", "left_semi").localCheckpoint(
+        eager=False
+    )
     sizes = pruned.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_src")
     )
@@ -3455,6 +3473,51 @@ def bpe_learn_merges(
     )
     seqs = seqs.localCheckpoint(eager=True)
     learned: list[tuple] = []
+    # Bounded single-process fast path: the trainer's working state is
+    # the VOCABULARY (already materialized above — one corpus-sized
+    # shuffle), and greedy BPE is inherently sequential, so the
+    # distributed loop pays n_merges round-trips of pure job latency
+    # (~0.15 s/round on local[32]) to aggregate a frame that is usually
+    # tiny.  When the materialized vocabulary fits a deliberate bound,
+    # pull (cnt, seq) once and run the rounds in-process — the same
+    # decision real tokenizer trainers make (HF/sentencepiece train
+    # single-node over the word-count table).  Above the bound the
+    # distributed loop below is unchanged, so the 100 TB posture (vocab
+    # too big for one process → per-round distributed aggregate) is
+    # intact.  Each step is an exact integer/string twin of the SQL
+    # (UTF-8 binary string order == Python code-point order; replace /
+    # trim scan semantics identical), pinned by pytest equality against
+    # the distributed mode and by the DuckDB oracle.
+    if seqs.count() <= _BPE_DRIVER_VOCAB_MAX:
+        vocab = [
+            (int(row["cnt"]), row["seq"])
+            for row in seqs.select("cnt", "seq").collect()
+        ]
+        for r in range(1, int(n_merges) + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for cnt, seq in vocab:
+                syms = seq.split(" ")
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + cnt
+            if not counts:
+                break
+            (l, rr), pc = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            learned.append((r, l, rr, l + rr, pc))
+            pat, rep = f" {l}  {rr} ", f" {l}{rr} "
+            vocab = [
+                (
+                    cnt,
+                    (" " + seq.replace(" ", "  ") + " ")
+                    .replace(pat, rep)
+                    .replace("  ", " ")
+                    .strip(" "),
+                )
+                for cnt, seq in vocab
+            ]
+        return spark.createDataFrame(learned, schema)
     # The round loop runs n_merges VOCABULARY-sized micro-aggregates in
     # sequence; AQE's per-query replanning (each exchange becomes its own
     # job + re-optimization) is pure per-round latency here — there is

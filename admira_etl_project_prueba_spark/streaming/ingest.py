@@ -1334,11 +1334,15 @@ def stream_pq_encode(
             "centroid_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS q"
         )
         codebooks = spark.read.parquet(cb_path)
+        # norms per row below the join (batch + k folds, not 2·batch·k)
         assign = (
             _sim.with_cosine(
-                _sim._as_double(batch_df, "v").crossJoin(F.broadcast(cents)),
+                _sim.with_norm(_sim._as_double(batch_df, "v"), "v", "nv")
+                .crossJoin(F.broadcast(_sim.with_norm(cents, "q", "nq"))),
                 "q",
                 "v",
+                nq_col="nq",
+                nv_col="nv",
             )
             .groupBy("vec_id")
             .agg(

@@ -1937,6 +1937,44 @@ def test_bpe_frontier_checkpoint_equals_unrolled(spark, sf_dir):
     assert unrolled == frontier and len(unrolled) == 1  # 'a b' -> 'ab'
 
 
+def test_bpe_frontier_driver_fast_path_equals_distributed(
+    spark, sf_dir, monkeypatch
+):
+    """The bounded in-process merge loop (vocabulary ≤
+    _BPE_DRIVER_VOCAB_MAX collected once, rounds run in Python) learns
+    EXACTLY the merge list of the distributed per-round aggregate loop —
+    same argmax tie-breaks (UTF-8 binary vs code-point order), same
+    doubled-separator rewrite scan semantics, same early stop."""
+    from admira_etl_project_prueba_spark.operators import textops as T
+
+    from admira_etl_project_prueba_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast = [
+        tuple(r)
+        for r in T.bpe_learn_merges(
+            docs, n_merges=16, checkpoint_every=4
+        ).collect()
+    ]
+    monkeypatch.setattr(T, "_BPE_DRIVER_VOCAB_MAX", 0)
+    slow = [
+        tuple(r)
+        for r in T.bpe_learn_merges(
+            docs, n_merges=16, checkpoint_every=4
+        ).collect()
+    ]
+    assert fast == slow and len(fast) == 16
+
+    # exhaustion parity on the fast path too
+    tiny = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    monkeypatch.setattr(T, "_BPE_DRIVER_VOCAB_MAX", 10**9)
+    got = [
+        tuple(r)
+        for r in T.bpe_learn_merges(tiny, 5, checkpoint_every=2).collect()
+    ]
+    assert len(got) == 1 and got[0][1:4] == ("a", "b", "ab")
+
+
 def test_bpe_adjacent_occurrences_merge_in_one_pass(spark):
     """The doubled-separator rewrite merges back-to-back occurrences of
     the winning pair ('ababab' -> ab ab ab in ONE round), the boundary
