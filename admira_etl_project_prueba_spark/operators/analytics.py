@@ -1248,7 +1248,9 @@ def events_distinct_rollup_sketched(events: DataFrame, lg_k: int = 12) -> DataFr
             F.hll_sketch_agg(F.col("user_id"), F.lit(lg_k)).alias("sk"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .localCheckpoint()  # one pass over events feeds BOTH output grains
+        # one pass over events feeds BOTH output grains; lazy — the
+        # caller's single action materializes it (no separate job)
+        .localCheckpoint(eager=False)
     )
     per_day = daily.select(
         "day",

@@ -54,8 +54,9 @@ def connected_components(
         # materialize ONCE: every iteration joins against sym, and without
         # the checkpoint each round would recompute the whole upstream
         # edge-producing subtree (for LSH edges, the full shingle→minhash→
-        # band→verify pipeline — measured as the dominant cost)
-        .localCheckpoint()
+        # band→verify pipeline — measured as the dominant cost).  Lazy:
+        # the first round's convergence count materializes it.
+        .localCheckpoint(eager=False)
     )
     # round 0 fused into initialization: label = min(self, direct neighbors)
     # — one aggregation instead of distinct + a full propagation round
@@ -64,7 +65,7 @@ def connected_components(
         .unionByName(sym.select(F.col("a").alias("node"), F.col("a").alias("label")))
         .groupBy("node")
         .agg(F.min("label").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -83,7 +84,9 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: the convergence count right below is the materializing
+            # action — one job per round instead of two
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter("label <> old_label").count()
         labels = new_labels.select("node", "label")
@@ -127,8 +130,11 @@ def connected_components_star(
             f"greatest({src}, {dst}) AS u", f"least({src}, {dst}) AS v"
         )
         .distinct()
-        .localCheckpoint()  # same rationale as connected_components: the
-        # upstream edge producer must not replay every round
+        # same rationale as connected_components: the upstream edge
+        # producer must not replay every round.  Lazy — the first round's
+        # count materializes it (one job fewer; shared-RDD reuse is
+        # identical either way)
+        .localCheckpoint(eager=False)
     )
     # nodes BEFORE the self-loop filter: a node appearing only as (x, x)
     # must still be labeled (as its own center) to match label propagation
@@ -136,7 +142,7 @@ def connected_components_star(
         canon.selectExpr("u AS node")
         .unionByName(canon.selectExpr("v AS node"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     e = canon.filter("u <> v")
     n_edges = None  # count of e when known (checkpointed rounds)
@@ -168,7 +174,8 @@ def connected_components_star(
             .filter("u <> v")
             .selectExpr("greatest(u, v) AS u", "least(u, v) AS v")
             .distinct()
-            .localCheckpoint()
+            # lazy: the fixed-point count below materializes it
+            .localCheckpoint(eager=False)
         )
         # fixed point: the (canonicalized) edge set did not change.  Both
         # sides are distinct sets, so equality ⇔ equal cardinality AND
@@ -300,26 +307,35 @@ def pagerank(
 
     Returns (node, rank) over all nodes that appear in any edge.
     """
-    # Loop invariants persist() co-partitioned by their JOIN key instead
-    # of localCheckpoint: an InMemoryRelation keeps its child's
-    # outputPartitioning (a checkpointed RDD reports UnknownPartitioning,
-    # measured on this Spark), so every round's contribution join reads
-    # the EDGE-sized side exchange-free — only the node-sized rank frame
-    # and the (dst) contribution aggregate shuffle per round.  The cache
-    # is released before returning; the materialized rank frame survives.
+    # Loop invariants localCheckpoint'ed.  A persist() co-partitioned by
+    # join key (InMemoryRelation keeps outputPartitioning where a
+    # checkpointed RDD reports UnknownPartitioning) makes the per-round
+    # contribution join exchange-free on the edge side — but measured
+    # 35% SLOWER end-to-end at sf0.1 (interleaved A/B best-3 6.9 s vs
+    # 5.1 s): the deserialized-cache scan + extra setup repartition cost
+    # more than the three tiny exchanges they remove at this scale.
+    # Revisit only with a cluster-scale measurement in hand.
+    # LAZY checkpoints: a checkpointed frame is one shared RDD, so its
+    # consumers reuse a single computation either way — but eager=True
+    # forces a separate job per checkpoint (3 setup + 1 per round), while
+    # lazy ones all materialize inside the caller's single action
+    # (measured −6–9% end-to-end at sf0.1, bit-identical).
     e = (
         edges.selectExpr(f"{src} AS src", f"{dst} AS dst")
         .distinct()
-        .repartition("src")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     n_frame = nodes.agg(F.count(F.lit(1)).alias("nn"))
     teleport = 1.0 - damping
     ranks = nodes.crossJoin(F.broadcast(n_frame)).selectExpr(
@@ -356,12 +372,8 @@ def pagerank(
                 f" + CAST({damping!r} AS DOUBLE) * CAST(dm AS DOUBLE) / nn"
                 " AS rank",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-    # the final ranks frame is materialized (eager checkpoint above);
-    # the cached invariants are no longer needed by any live plan
-    e.unpersist(False)
-    outdeg.unpersist(False)
     return ranks
 
 
@@ -458,18 +470,20 @@ def label_propagation(
 
     Returns (node, label): label = the elected community id (a node id).
     """
+    # lazy checkpoints (shared-RDD reuse is identical; eager ones cost
+    # one extra job each — see pagerank above)
     sym = (
         edges.selectExpr(f"{src} AS a", f"{dst} AS b")
         .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
         .filter("a != b")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .selectExpr("node", "node AS label")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         nb = sym.join(
@@ -489,7 +503,7 @@ def label_propagation(
                 ).alias("m")
             )
             .selectExpr("node", "m.l AS label")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     # widen integral ids to BIGINT for a stable output schema; string or
     # other orderable id types pass through unchanged
@@ -534,7 +548,10 @@ def k_core(
     """
     e = edges.selectExpr(f"{src} AS u", f"{dst} AS v").filter("u <> v")
     cur = (
-        e.union(e.selectExpr("v AS u", "u AS v")).distinct().localCheckpoint()
+        e.union(e.selectExpr("v AS u", "u AS v"))
+        .distinct()
+        # lazy: the n_cur count right below materializes it
+        .localCheckpoint(eager=False)
     )
     all_nodes = cur.select(F.col("u").alias("node")).distinct()
     n_cur = cur.count()
@@ -546,7 +563,8 @@ def k_core(
         cur = (
             cur.join(alive, "u", "left_semi")
             .join(alive.withColumnRenamed("u", "v"), "v", "left_semi")
-            .localCheckpoint()
+            # lazy: the per-round convergence count materializes it
+            .localCheckpoint(eager=False)
         )
         n_next = cur.count()
         if n_next == n_cur:  # fixpoint: every further round is a no-op

@@ -79,7 +79,7 @@ def build_training_corpus(
     qual = (
         textops.quality_filter(documents, langs=langs)
         .select(*qual_cols)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bad_source_docs = None
     if min_source_kept_fraction is not None:
@@ -102,7 +102,7 @@ def build_training_corpus(
             )
             .join(F.broadcast(bad_sources), "source")
             .select("doc_id")
-            .localCheckpoint()  # narrow; consumed by the verdict override below
+            .localCheckpoint(eager=False)  # narrow; consumed by the verdict override below
         )
     q = qual.select("doc_id", F.col("kept").alias("kept_quality"), "reject_reason")
     if bad_source_docs is not None:

@@ -192,7 +192,7 @@ def corpus_health_report(documents: DataFrame) -> DataFrame:
         "length(text) AS c",
         f"coalesce(source, '{tx.UNKNOWN_SOURCE}') AS source",
         "coalesce(lang, '(unknown)') AS lang",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     size_f = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("t").alias("tk"),

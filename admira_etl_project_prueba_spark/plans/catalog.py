@@ -6565,7 +6565,13 @@ def _q_bpe_merges(spark, sf_dir):
     "UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4",
 )
 def _q_bpe_learned_merges(spark, sf_dir):
-    return _tx.bpe_learn_merges(_t(spark, sf_dir, "documents"), n_merges=4)
+    # frontier mode: identical merge list (pytest-pinned vs the unrolled
+    # single-plan mode), but the vocabulary materializes once and the
+    # rounds run through the bounded in-process fast path instead of
+    # unrolling four aggregate subtrees into one nested plan
+    return _tx.bpe_learn_merges(
+        _t(spark, sf_dir, "documents"), n_merges=4, checkpoint_every=8
+    )
 
 
 @_entry(
