@@ -396,15 +396,29 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     Returns (node, degree, n_triangles, clustering_coeff) where
     clustering_coeff = 2T / (deg * (deg - 1)), NULL for degree < 2.
     """
+    # The canonical edge set feeds THREE subtrees (both endpoints of the
+    # degree count, and the degree-attach join), `deg` another three, and
+    # `oriented` three more (both wedge sides + the closing semi-join).
+    # Catalyst has no cross-branch CSE, so without materialization the
+    # whole upstream EDGE-PRODUCING pipeline (for the co-supply graph: a
+    # lineitem groupBy + pair fan-out + support filter) replays once per
+    # branch.  Lazy localCheckpoints — 2-int edge tuples and a node-sized
+    # degree table — compute each exactly once; deterministic, so the
+    # counts are unchanged (oracle-gated).
     e = (
         edges.selectExpr(
             f"least({src}, {dst}) AS u", f"greatest({src}, {dst}) AS v"
         )
         .filter("u < v")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     both = e.selectExpr("u AS node").unionByName(e.selectExpr("v AS node"))
-    deg = both.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    deg = (
+        both.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     with_deg = (
         e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
         .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
@@ -415,7 +429,7 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
         f"CASE WHEN {lt} THEN v ELSE u END AS dst",
         f"CASE WHEN {lt} THEN du ELSE dv END AS sdeg",
         f"CASE WHEN {lt} THEN dv ELSE du END AS ddeg",
-    )
+    ).localCheckpoint(eager=False)
     wedges = (
         oriented.selectExpr("src AS a", "dst AS b", "ddeg AS db")
         .join(oriented.selectExpr("src AS a", "dst AS c", "ddeg AS dc"), "a")

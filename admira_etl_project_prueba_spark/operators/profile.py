@@ -192,7 +192,12 @@ def corpus_health_report(documents: DataFrame) -> DataFrame:
         "length(text) AS c",
         f"coalesce(source, '{tx.UNKNOWN_SOURCE}') AS source",
         "coalesce(lang, '(unknown)') AS lang",
-    ).localCheckpoint(eager=False)
+        # Eager on purpose: six downstream sections consume this frame, and
+        # the round-13 lazy variant measured 0.64x at 32 cores (and ran
+        # FASTER on 8 cores than 32) — piggybacking materialization on the
+        # first consumer re-runs whichever partitions that job skips; the
+        # one-shot eager job is the better trade here.
+    ).localCheckpoint()
     size_f = base.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("t").alias("tk"),

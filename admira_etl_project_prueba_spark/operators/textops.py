@@ -272,6 +272,45 @@ def minhash_signatures(
     )
 
 
+def _band_bucket_rows(
+    sh: DataFrame, num_perm: int = 16, band_size: int = 2
+) -> DataFrame:
+    """(doc_id, bucket): LSH band-bucket keys computed ROW-LOCALLY from
+    the shingle sets — no stack-to-long-form and no groupBy(doc_id, band)
+    exchange (banding is a per-document function of the signature, so the
+    former corpus-wide aggregate was a pure shuffle tax).  Bucket strings
+    are bit-identical to the long-form path: band index + the
+    order-insensitive lo/hi/sum combo of the band's minhashes.
+
+    The 16 signature folds are let-bound through a 1-element
+    transform(array(struct(...))) so each fold evaluates ONCE even though
+    every band's lo/hi/sum references its minhashes three times —
+    Catalyst's projection collapse would otherwise re-inline each fold
+    per reference (the giant-projection trap lsh_signature_store's
+    docstring records)."""
+    sig = [
+        f"coalesce(array_min(transform(sh, h -> "
+        f"({2 * p + 1} * h + {1000 * p + 7}) % {MERSENNE31})), {MERSENNE31})"
+        f" AS m{p}"
+        for p in range(num_perm)
+    ]
+    n_bands = -(-num_perm // band_size)  # ceil
+    buckets = []
+    for b in range(n_bands):
+        ms = [f"x.m{p}" for p in range(b * band_size, min((b + 1) * band_size, num_perm))]
+        lo = ms[0] if len(ms) == 1 else f"least({', '.join(ms)})"
+        hi = ms[0] if len(ms) == 1 else f"greatest({', '.join(ms)})"
+        s = " + ".join(ms)
+        buckets.append(
+            f"concat_ws('_', CAST({b} AS BIGINT), {lo}, {hi}, {s})"
+        )
+    expr = (
+        f"explode(flatten(transform(array(struct({', '.join(sig)})), "
+        f"x -> array({', '.join(buckets)})))) AS bucket"
+    )
+    return sh.selectExpr("doc_id", expr)
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
@@ -1092,14 +1131,10 @@ def lsh_candidate_pairs(
     # Callers orchestrating multiple shingle consumers pass `sh` in.
     if sh is None:
         sh = shingle_hashes(documents, k).repartition("doc_id")
-    sigs = minhash_signatures(None, num_perm, k, sh=sh)
+    # band buckets computed row-locally from the shingle sets (bit-identical
+    # bucket strings, no stack + groupBy(doc_id, band) exchange)
     bands = (
-        sigs.withColumn("band", (F.col("perm") / band_size).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(F.min("minhash").alias("lo"), F.max("minhash").alias("hi"),
-             F.sum("minhash").alias("s"))
-        # band bucket key: order-insensitive combo of the band's minhashes
-        .selectExpr("doc_id", "band", "concat_ws('_', band, lo, hi, s) AS bucket")
+        _band_bucket_rows(sh, num_perm, band_size)
         # shared exchange: both self-join sides reuse one banding pass
         .repartition("bucket")
     )
@@ -1172,17 +1207,9 @@ def _lsh_bands_long(
     both downstream of ONE repartition exchange so every consumer reuses
     a single shingle computation."""
     sh = shingle_hashes(documents, k).repartition("doc_id")
-    sigs = minhash_signatures(None, num_perm, k, sh=sh)
-    bands = (
-        sigs.withColumn("band", (F.col("perm") / band_size).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.min("minhash").alias("lo"),
-            F.max("minhash").alias("hi"),
-            F.sum("minhash").alias("s"),
-        )
-        .selectExpr("doc_id", "concat_ws('_', band, lo, hi, s) AS bucket")
-    )
+    # band buckets computed row-locally from the shingle sets (bit-identical
+    # bucket strings, no stack + groupBy(doc_id, band) exchange)
+    bands = _band_bucket_rows(sh, num_perm, band_size)
     return sh, bands
 
 

@@ -81,6 +81,36 @@ def test_minhash_empty_doc_sentinel(spark):
     assert all(r["minhash"] == textops.MERSENNE31 for r in sigs)
 
 
+def test_band_bucket_rows_match_longform_banding(planted, spark):
+    """The row-local band-bucket projection (round 14: no stack +
+    groupBy(doc_id, band) exchange) emits EXACTLY the long-form
+    aggregate's bucket strings — including the empty-doc sentinel and an
+    uneven final band when band_size does not divide num_perm."""
+    empty = docs(spark, [(99, "one two", "en")])  # < 3 tokens ⇒ no shingles
+    d = planted.unionByName(empty)
+    for num_perm, band_size in ((16, 2), (16, 3)):
+        sh = textops.shingle_hashes(d, 3)
+        got = sorted(
+            map(tuple, textops._band_bucket_rows(sh, num_perm, band_size).collect())
+        )
+        sigs = textops.minhash_signatures(None, num_perm, 3, sh=sh)
+        want = sorted(
+            map(
+                tuple,
+                sigs.withColumn("band", (F.col("perm") / band_size).cast("long"))
+                .groupBy("doc_id", "band")
+                .agg(
+                    F.min("minhash").alias("lo"),
+                    F.max("minhash").alias("hi"),
+                    F.sum("minhash").alias("s"),
+                )
+                .selectExpr("doc_id", "concat_ws('_', band, lo, hi, s) AS bucket")
+                .collect(),
+            )
+        )
+        assert got == want, (num_perm, band_size)
+
+
 def test_token_stats_and_quality(spark):
     d = docs(spark, [(1, "The the THE cat", "en")])
     s = textops.token_stats(d).collect()[0]
