@@ -314,16 +314,26 @@ def pagerank(
     # 35% SLOWER end-to-end at sf0.1 (interleaved A/B best-3 6.9 s vs
     # 5.1 s): the deserialized-cache scan + extra setup repartition cost
     # more than the three tiny exchanges they remove at this scale.
-    # Revisit only with a cluster-scale measurement in hand.
+    # At cluster scale the edge list is the dominant per-round shuffle,
+    # so the exchange-free shape likely inverts — it stays available
+    # behind SPARK_GRAFT_PAGERANK_COPART=1 (default OFF: the local
+    # measurement above is the recorded A/B), so a cluster run can flip
+    # it without a code change.  The persisted invariant is NOT
+    # unpersisted here — it must survive until the caller's action runs
+    # (the returned frame is lazy); executors evict it LRU.
     # LAZY checkpoints: a checkpointed frame is one shared RDD, so its
     # consumers reuse a single computation either way — but eager=True
     # forces a separate job per checkpoint (3 setup + 1 per round), while
     # lazy ones all materialize inside the caller's single action
     # (measured −6–9% end-to-end at sf0.1, bit-identical).
+    import os as _os
+
+    _copart = _os.environ.get("SPARK_GRAFT_PAGERANK_COPART", "0") == "1"
+    e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").distinct()
     e = (
-        edges.selectExpr(f"{src} AS src", f"{dst} AS dst")
-        .distinct()
-        .localCheckpoint(eager=False)
+        e.repartition("src").persist()
+        if _copart
+        else e.localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -172,6 +172,10 @@ BENCH_QUERIES = [
     # round-13: codec-free MP4 box-walk metadata decode + frame plan
     "video_container_features",
     "video_frame_sample",
+    # round-14: timed IVF-PQ store BUILD (fresh scratch per rep) — keeps
+    # the serving family's once-per-ingest build cost measured now that
+    # the content-keyed index cache works (round-13 verdict task)
+    "ivfpq_index_build",
 ]
 
 #: Final-line report set, PINNED (round 14).  The final JSON line used to
