@@ -48,6 +48,13 @@ def hex60(x: str) -> str:
 
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1, the minhash modulus
+
+# BPE trainer AQE toggle bookkeeping (see _bpe_train_frontier): the conf
+# is session-wide, so concurrent trainings must share one save/restore.
+import threading as _threading
+
+_AQE_TOGGLE_LOCK = _threading.Lock()
+_AQE_TOGGLE_STATE = {"depth": 0, "prev": "true"}
 _DEC = "decimal(25,6)"  # exact, order-independent cross-row sums
 
 #: whitespace tokenization, lowercased — portable to regexp_split_to_array
@@ -3590,9 +3597,19 @@ def _bpe_train_frontier(
     # restore after (measured: ~25% off the 64-round deep trainer;
     # results are plan-independent and stay oracle-gated).  The
     # corpus-sized vocab build above keeps AQE.
+    # Re-entrant, thread-safe toggle: the conf is SESSION-wide, so two
+    # concurrent trainings (threaded callers overlapping independent
+    # jobs) would otherwise race the save/restore and could leave AQE
+    # off for the whole session.  A depth counter under a lock restores
+    # the pre-toggle value only when the LAST training exits.
     conf = spark.conf
-    aqe_prev = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
+    with _AQE_TOGGLE_LOCK:
+        if _AQE_TOGGLE_STATE["depth"] == 0:
+            _AQE_TOGGLE_STATE["prev"] = conf.get(
+                "spark.sql.adaptive.enabled", "true"
+            )
+            conf.set("spark.sql.adaptive.enabled", "false")
+        _AQE_TOGGLE_STATE["depth"] += 1
     try:
         for r in range(1, int(n_merges) + 1):
             # ONE job per round: collect the TakeOrdered(1) argmax
@@ -3614,7 +3631,12 @@ def _bpe_train_frontier(
                 # lazy: the next round's argmax collect materializes it
                 seqs = seqs.localCheckpoint(eager=False)
     finally:
-        conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        with _AQE_TOGGLE_LOCK:
+            _AQE_TOGGLE_STATE["depth"] -= 1
+            if _AQE_TOGGLE_STATE["depth"] == 0:
+                conf.set(
+                    "spark.sql.adaptive.enabled", _AQE_TOGGLE_STATE["prev"]
+                )
     return learned, seqs
 
 

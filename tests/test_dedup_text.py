@@ -1944,7 +1944,12 @@ def test_bpe_frontier_checkpoint_equals_unrolled(spark, sf_dir):
     want = sorted(
         map(tuple, bpe_learn_merges(docs, n_merges=8).collect())
     )
-    for every in (1, 3, 100):
+
+    # the three cadence trainings are independent — overlap their
+    # (sequential-round, latency-bound) jobs; same equality assertions
+    from concurrent.futures import ThreadPoolExecutor
+
+    def train(every):
         got = sorted(
             map(
                 tuple,
@@ -1954,6 +1959,9 @@ def test_bpe_frontier_checkpoint_equals_unrolled(spark, sf_dir):
             )
         )
         assert got == want, f"checkpoint_every={every}"
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(train, (1, 3, 100)))
 
     # exhaustion: a corpus whose vocabulary supports only 2 merges stops
     # early in both modes with identical rows

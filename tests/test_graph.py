@@ -104,7 +104,12 @@ def test_star_components_match_label_propagation(spark):
         shapes.append(
             [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
         )
-    for rows in shapes:
+    # shapes are independent graphs — run each shape's pair of CC jobs on
+    # its own thread (same graphs, same equality assertions; the iterative
+    # per-round jobs of different shapes overlap instead of serializing)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(rows):
         # self-loops reach both implementations unstripped — (5, 5) must
         # yield a self-labeled node from each, not get filtered here
         e = edges(spark, rows)
@@ -114,6 +119,9 @@ def test_star_components_match_label_propagation(spark):
             for r in connected_components_star(e).collect()
         }
         assert st == lp, rows
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(check, shapes))
 
 
 def test_star_components_converge_on_deep_chain(spark):

@@ -1369,15 +1369,20 @@ def test_near_dup_pairs_served_from_persisted_pairs_table(spark, sf_dir, tmp_pat
     assert r["pagination"]["total"] == n_want > 0
     assert len(r["data"]) == min(5, n_want)
     # pagination walks the table deterministically, no overlap, full cover
-    seen = []
-    off = 0
-    while off < n_want:
+    # (pages are independent reads of an immutable store, so they are
+    # fetched concurrently — same pages, same assertions, ~10x less wall)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fetch(off):
         page = svc.near_dup_pairs(
             method="semantic", threshold=0.2, limit=7, offset=off
         )
         assert page["assignments_source"] == "pairs_table"
-        seen += [(row["vec_id_a"], row["vec_id_b"]) for row in page["data"]]
-        off += 7
+        return [(row["vec_id_a"], row["vec_id_b"]) for row in page["data"]]
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        pages = list(pool.map(fetch, range(0, n_want, 7)))
+    seen = [p for page in pages for p in page]
     assert len(seen) == n_want and len(set(seen)) == n_want
     assert set(seen) == {
         (r_["vec_id_a"], r_["vec_id_b"]) for r_ in want.collect()

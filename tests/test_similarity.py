@@ -881,9 +881,21 @@ def test_ivf_topk_plan_shape_pinned(spark, sf_dir, tmp_path):
     the assignments= index seam) so a refactor that quietly adds a scan
     or shuffle fails here instead of surfacing as an unexplained bench
     drift (the round-9 0.85→1.13s scare was noise; this makes the next
-    one attributable).  Counts are over the FINAL AQE plan."""
+    one attributable).  Counts are over the FINAL AQE plan.
+
+    Plan shape is only well-defined under pinned planner state, so the
+    preconditions are established here rather than assumed: a cached
+    relation left by ANY earlier test would be substituted into these
+    plans (dropping a FileScan + its BroadcastExchange — observed once
+    as (3,2,2) vs the pinned (4,3,3) in a full-suite run), and a leaked
+    AQE toggle would change Exchange materialization wholesale."""
     from admira_etl_project_prueba_spark.sources.tables import load_table
 
+    spark.catalog.clearCache()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true", (
+        "AQE left disabled by an earlier test — fix that leak, "
+        "not this pin"
+    )
     e = load_table(spark, sf_dir, "embeddings")
     path = str(tmp_path / "ivf_shape_idx")
     similarity.write_ivf_index(e, path, n_centroids=16)

@@ -338,7 +338,15 @@ def test_every_versioned_store_gc_and_resolve_sweep(spark, sf_dir, tmp_path):
         "text_index": text_index,
         "positional": positional,
     }
-    for name, writer in writers.items():
+    # The eight store types are fully independent (separate paths, and
+    # set_gc_keep overrides are keyed per path), so each type's whole
+    # commit→assert sequence runs on its own thread — the sequence WITHIN
+    # a store stays strictly ordered, every assertion is unchanged, and
+    # the latency-bound commit chains overlap (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def sweep_one(item):
+        name, writer = item
         path = str(tmp_path / f"sweep_{name}")
         for i in range(3):
             writer(path, i)
@@ -353,13 +361,12 @@ def test_every_versioned_store_gc_and_resolve_sweep(spark, sf_dir, tmp_path):
         df = readers[name](path)
         assert df.count() > 0, name
 
-    # GC-depth knob: a per-store set_gc_keep(path, 3) override widens the
-    # reader grace window — after four commits the root holds THREE
-    # versions (and still resolves to the newest); clearing the override
-    # restores keep=2 on the next commit, which GCs back down.  Exercised
-    # on every store type through the same writers — the override lives
-    # in commit_version, below all eight of them.
-    for name, writer in writers.items():
+        # GC-depth knob: a per-store set_gc_keep(path, 3) override widens
+        # the reader grace window — after four commits the root holds
+        # THREE versions (and still resolves to the newest); clearing the
+        # override restores keep=2 on the next commit, which GCs back
+        # down.  Exercised on every store type through the same writers —
+        # the override lives in commit_version, below all eight of them.
         path = str(tmp_path / f"sweep_keep3_{name}")
         fs.set_gc_keep(path, 3)
         try:
@@ -375,3 +382,6 @@ def test_every_versioned_store_gc_and_resolve_sweep(spark, sf_dir, tmp_path):
             fs.set_gc_keep(path, None)
         writer(path, 4)
         assert len(fs.list_versions(spark, path)) == 2, name
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(sweep_one, writers.items()))

@@ -52,6 +52,8 @@ def _canon(v):
 def audit(sf_dir: str) -> list[str]:
     """Return audit-failure strings; empty list means every oracle is
     fetch-path stable."""
+    from concurrent.futures import ThreadPoolExecutor
+
     con = duckdb.connect()
     for name in TABLE_NAMES:
         con.execute(
@@ -59,11 +61,22 @@ def audit(sf_dir: str) -> list[str]:
             f"FROM read_parquet('{sf_dir}/{name}.parquet')"
         )
     problems = []
-    for name, sql in entry_mod.oracle_sql().items():
-        res = con.execute(sql)
+    # each oracle runs twice (native + pandas fetch) on its own cursor —
+    # DuckDB releases the GIL during execution, so a thread pool overlaps
+    # the per-oracle latency; assertions per oracle are unchanged and the
+    # report order is kept deterministic by collecting in input order
+    def run_one(item):
+        name, sql = item
+        cur = con.cursor()
+        res = cur.execute(sql)
         cols = [d[0] for d in res.description]
         native = res.fetchall()
-        pdf = con.execute(sql).df()
+        pdf = cur.execute(sql).df()
+        return name, sql, cols, native, pdf
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        fetched = list(pool.map(run_one, entry_mod.oracle_sql().items()))
+    for name, sql, cols, native, pdf in fetched:
         # pandas loses None-vs-NaN distinction; canonicalize both to NULL
         prows = list(pdf.itertuples(index=False, name=None))
         n_lines = sorted(

@@ -199,8 +199,22 @@ def audit(sf_dir: str) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
-    for name, entry in sorted(CATALOG.items()):
-        plan = entry.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # plan building is analyzer/optimizer work in the JVM (the py4j call
+    # releases the GIL), so planning the 200+ entries from a thread pool
+    # overlaps the per-query latency; results are re-sorted so the report
+    # stays deterministic and the per-entry checks are unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build_plan(item):
+        name, entry = item
+        return name, (
+            entry.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        plans = dict(pool.map(build_plan, sorted(CATALOG.items())))
+    for name in sorted(plans):
+        plan = plans[name]
         exchanges = len(re.findall(r"\bExchange\b", plan))
         flags = []
         if "CartesianProduct" in plan:
