@@ -31,8 +31,19 @@ Two interchangeable inner loops are provided:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Bounded in-process components (the BPE-trainer pattern): when the
+#: DEDUPLICATED canonical edge set fits under this row bound, collect it
+#: once and close the components with a driver union-find instead of
+#: paying one Spark job per large-star/small-star round.  Near-dup edge
+#: sets are pair-table-sized (tiny vs the corpus); 65 536 2-long rows is
+#: ~1 MB on the driver.  Above the bound the distributed loop runs
+#: unchanged, so the 100 TB posture is intact.  Env-tunable.
+_CC_DRIVER_EDGE_MAX = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGE_MAX", "65536"))
 
 
 def connected_components(
@@ -136,6 +147,53 @@ def connected_components_star(
         # identical either way)
         .localCheckpoint(eager=False)
     )
+    # Bounded driver fast path: the canonical DEDUPLICATED edge set is
+    # pair-table-sized for near-dup graphs — when it fits under the bound,
+    # ONE collect (off the checkpoint the count just materialized; the
+    # expensive edge-producing pipeline above runs exactly once either
+    # way) plus an exact min-label union-find replaces the whole
+    # round loop (each round = 4+ jobs of pure latency at this size).
+    # Output contract identical: component = smallest reachable id, every
+    # node labeled (self-loop-only nodes label themselves); pinned
+    # fast-vs-distributed by pytest and by the recursive-CTE oracle.
+    n_canon = canon.count()
+    if n_canon <= _CC_DRIVER_EDGE_MAX:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        seen = set()
+        for row in canon.collect():
+            u, v = row[0], row[1]
+            seen.add(u)
+            seen.add(v)
+            if u != v:
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # keep the SMALLER id as root ⇒ the root IS the
+                    # component label (smallest reachable id)
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        spark = edges.sparkSession
+        from pyspark.sql import types as _T
+
+        node_t = canon.schema["u"].dataType
+        schema = _T.StructType(
+            [
+                _T.StructField("node", node_t),
+                _T.StructField("component", node_t),
+            ]
+        )
+        return spark.createDataFrame(
+            [(n, find(n)) for n in sorted(seen)], schema
+        )
     # nodes BEFORE the self-loop filter: a node appearing only as (x, x)
     # must still be labeled (as its own center) to match label propagation
     nodes = (

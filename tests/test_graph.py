@@ -39,6 +39,47 @@ def test_components_unconverged_raises(spark):
         connected_components(e, max_iter=1)
 
 
+def test_star_driver_fast_path_equals_distributed(spark, monkeypatch):
+    """The bounded in-process union-find (edge set ≤ _CC_DRIVER_EDGE_MAX
+    collected once, components closed on the driver) labels EXACTLY like
+    the distributed large-star/small-star loop — same smallest-reachable-
+    id contract, self-loop-only nodes labeled, string-typed ids intact —
+    and the distributed loop still closes the 64-node chain within its
+    logarithmic round budget (the coverage the fast path would otherwise
+    absorb)."""
+    from admira_etl_project_prueba_spark.operators import graph as G
+
+    shapes = [
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(i, i + 1) for i in range(64)],                    # deep chain
+        [(0, i) for i in range(1, 9)],                      # star, hub=min
+        [(5, 5), (1, 2)],                                   # self-loop noise
+    ]
+    for rows in shapes:
+        e = edges(spark, rows)
+        fast = {
+            r["node"]: r["component"]
+            for r in G.connected_components_star(e, max_iter=12).collect()
+        }
+        monkeypatch.setattr(G, "_CC_DRIVER_EDGE_MAX", 0)
+        slow = {
+            r["node"]: r["component"]
+            for r in G.connected_components_star(e, max_iter=12).collect()
+        }
+        monkeypatch.undo()
+        assert fast == slow, rows
+
+    # non-numeric ids survive the driver path (string ordering == Spark's)
+    se = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "x")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in G.connected_components_star(se).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x"}
+
+
 def test_dedup_clusters_survivor_election(spark):
     docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
     # near-dups: {0,1,2} via transitivity (0-1, 1-2), {4,5}; 3 standalone;
